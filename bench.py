@@ -1,0 +1,72 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed twice and the faster run recorded, so JIT/codegen
+warmup doesn't dominate; session startup is excluded (the metric is query
+execution, matching how BASELINE.md reports per-op latencies).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pgvector_db_spark import get_spark  # noqa: E402
+from pgvector_db_spark.queries import REGISTRY  # noqa: E402
+
+# Headline set: the reference's core read path (exact kNN, query-by-example),
+# its aggregate demo, plus representative relational / dataset-pipeline ops.
+HEADLINE = [
+    "vs_knn_topk",
+    "vs_query_by_example",
+    "vs_knn_per_label",
+    "rel_pricing_summary",
+    "rel_revenue_by_nation",
+    "rel_window_top2_lineitems",
+    "rel_events_window_5min",
+    "ds_exact_dedup",
+    "ds_embed_fake",
+]
+
+
+def run_query(spark, name: str, sf_dir: str) -> float:
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        df = REGISTRY[name].spark_fn(spark, sf_dir)
+        n = df.count()
+        dt = time.time() - t0
+        best = min(best, dt)
+        assert n >= 0
+    return best
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name in REGISTRY:
+            timings[name] = round(run_query(spark, name, sf_dir), 4)
+
+    out = {
+        "metric": "headline_suite_sec",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

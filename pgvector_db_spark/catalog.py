@@ -1,0 +1,84 @@
+"""Table registry: named Parquet datasets registered as temp views.
+
+Mirrors the reference's ``(schema_name, table_name)`` addressing in
+``DBConfigLocal`` (reference src/pgvector_db/utils.py:38-48) without a live
+Postgres: each table is a Parquet dataset directory/file, loaded lazily and
+registered in the session catalog so both the DataFrame API and
+``spark.sql`` see the same names the DuckDB oracle uses.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects. We read them as raw int64 nanos
+    (``spark.sql.legacy.parquet.nanosAsLong``) and rebuild microsecond
+    timestamps — the test fixtures carry exact-microsecond values, so the
+    conversion is lossless and matches what DuckDB reads natively."""
+    if os.path.isdir(path):
+        inner = [f for f in os.listdir(path) if f.endswith(".parquet")]
+        if not inner:
+            return []
+        path = os.path.join(path, inner[0])
+    schema = pq.read_schema(path)
+    return [
+        f.name
+        for f in schema
+        if str(f.type).startswith("timestamp[ns")
+    ]
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one table, normalizing ns-timestamp columns to TimestampType."""
+    path = table_path(sf_dir, name)
+    ns_cols = _nanos_timestamp_cols(path)
+    if not ns_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros((F.col(c) / F.lit(1000)).cast("long")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Read each table and register it as a temp view of the same name.
+
+    Parquet scans get predicate pushdown + column pruning from Catalyst for
+    free; at cluster scale the same call reads a partitioned dataset
+    directory and partition pruning applies to any partition columns.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        df = read_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,129 @@
+"""Embedding generation (reference generate_embeddings.py:22-109), Spark-first.
+
+Two paths:
+
+1. **Deterministic fake embedder** — pure Catalyst expression (md5-derived
+   floats), replacing the reference's random test vectors
+   (demo/test_db_connection.py:42-46). Being SQL-expressible, the SAME
+   computation runs in the DuckDB oracle, so embedding pipelines are
+   hash-checkable end-to-end. It is also JVM-side + codegen'd, i.e. far
+   faster than any Python UDF.
+
+2. **Real model path** — ``mapInPandas`` with a per-executor model
+   singleton, mirroring the reference's batched ``model.encode``
+   (generate_embeddings.py:69-92, batch_size=500 default at :27). The
+   heavy libs (torch/sentence-transformers) are not in this image, so the
+   loader is gated behind an import-try and tests use the fake path; the
+   Spark-side plumbing (schema, Arrow batching, partition-parallel
+   inference) is real.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX = "123456789abcdef"  # instr() yields 0 for '0', 1-15 for '1'-'f'
+
+
+def _hex4_to_unit(h: Column) -> Column:
+    """First 4 hex chars of a digest → double in [-1, 1)."""
+    val = reduce(
+        lambda acc, j: acc + F.instr(F.lit(_HEX), F.substring(h, j + 1, 1)).cast("double")
+        * float(16 ** (3 - j)),
+        range(4),
+        F.lit(0.0),
+    )
+    return val / F.lit(32768.0) - F.lit(1.0)
+
+
+def fake_embedding(text: Column | str, dim: int = 8) -> Column:
+    """Deterministic pseudo-embedding of ``text`` as array<double>.
+
+    Component i = md5(text || '_i')[0:4] scaled to [-1, 1). Entirely
+    JVM-side; vectorized; identical in the DuckDB oracle via
+    :func:`fake_embedding_component_sql`.
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    comps = [
+        _hex4_to_unit(F.md5(F.concat(t, F.lit(f"_{i}")))) for i in range(dim)
+    ]
+    return F.array(*comps)
+
+
+def fake_embedding_component_sql(text_expr: str, i: int, dialect: str = "spark") -> str:
+    """SQL for component ``i`` of the fake embedding — valid in both Spark
+    SQL and DuckDB (same md5, substr, instr semantics)."""
+    concat = f"concat({text_expr}, '_{i}')"
+    h = f"md5({concat})"
+    terms = " + ".join(
+        f"CAST(instr('{_HEX}', substr({h}, {j + 1}, 1)) AS DOUBLE) * {16 ** (3 - j)}.0"
+        for j in range(4)
+    )
+    return f"(({terms}) / 32768.0 - 1.0)"
+
+
+def fake_embedding_sql(text_expr: str, dim: int = 8, dialect: str = "spark") -> str:
+    comps = ", ".join(
+        fake_embedding_component_sql(text_expr, i, dialect) for i in range(dim)
+    )
+    return f"array({comps})" if dialect == "spark" else f"[{comps}]"
+
+
+# ---------------------------------------------------------------------------
+# Real-model path (A12-A14): mapInPandas + per-executor singleton.
+# ---------------------------------------------------------------------------
+
+_MODEL_CACHE: dict[str, object] = {}
+
+
+def _load_model(model_name: str):
+    """Per-executor-process model singleton (the reference loads once per
+    process at generate_embeddings.py:52-67; on Spark that becomes once per
+    executor python worker)."""
+    if model_name not in _MODEL_CACHE:
+        try:
+            from sentence_transformers import SentenceTransformer  # type: ignore
+        except ImportError as exc:  # pragma: no cover - heavy dep absent in CI
+            raise NotImplementedError(
+                "sentence-transformers is not installed in this environment; "
+                "use embed_text(..., model='fake') for the deterministic path"
+            ) from exc
+        _MODEL_CACHE[model_name] = SentenceTransformer(model_name)
+    return _MODEL_CACHE[model_name]
+
+
+def embed_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "embedding",
+    model: str = "fake",
+    dim: int = 8,
+    batch_size: int = 500,
+) -> DataFrame:
+    """Append an embedding column for ``text_col``.
+
+    ``model='fake'`` → native-expression deterministic embedding (tests,
+    oracle). Any other name → sentence-transformers via ``mapInPandas``
+    (Arrow-batched, model cached per executor; reference
+    generate_embeddings.py:69-92).
+    """
+    if model == "fake":
+        return df.withColumn(out_col, fake_embedding(F.col(text_col), dim))
+
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    out_schema = f"{fields}, {out_col} array<float>"
+
+    def infer(batches: Iterator) -> Iterator:
+        mdl = _load_model(model)
+        for pdf in batches:
+            texts = pdf[text_col].fillna("").tolist()
+            embs = mdl.encode(texts, batch_size=batch_size)  # type: ignore[attr-defined]
+            pdf = pdf.copy()
+            pdf[out_col] = [e.tolist() for e in embs]
+            yield pdf
+
+    return df.mapInPandas(infer, schema=out_schema)

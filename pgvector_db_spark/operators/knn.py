@@ -1,0 +1,123 @@
+"""Exact vector-search operators (the reference's read path).
+
+Reference queries re-expressed Spark-first:
+  - top-k: ``ORDER BY embedding <=> q LIMIT k``
+    (demo/aws_rds_demo.py:71-77 k=3; demo/aws_rds_similarity_search_demo.py
+    :170-180 k=3, :199-203 k=10; README.md:230-241 k=5)
+  - query-by-example CTE + cross join
+    (demo/similarity_search_demo.py:83-95, README.md:232-241)
+  - pairwise average similarity over a self cross-join
+    (demo/similarity_search_demo.py:125-130)
+  - self-similarity identity (demo/similarity_search_demo.py:136-143)
+
+Scale notes:
+  - ``orderBy(dist).limit(k)`` compiles to ``TakeOrderedAndProject``:
+    each partition computes a local top-k, the driver merges k*partitions
+    rows — no global sort, no full shuffle. This is the right exact-kNN
+    plan at any scale; the ANN path (operators/ivf.py) prunes partitions
+    before this same kernel runs.
+  - The 1-row query-by-example side is always broadcast: a
+    BroadcastNestedLoopJoin with a single build row is a map-side operation.
+  - The O(n^2) pairwise aggregate is kept for parity with the reference's
+    demo; at scale use a sampled estimate (``pairwise_avg_similarity(...,
+    sample=...)``) or an LSH similarity join (operators/dedup.py).
+
+All distance math is float64 sequential-fold (functions/vector.py) so the
+DuckDB oracle matches bitwise; ORDER BY always tie-breaks on the unique id
+so top-k row sets are deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pgvector_db_spark.functions.vector import (
+    cosine_distance,
+    cosine_similarity,
+    vector_literal,
+)
+
+
+def knn(
+    df: DataFrame,
+    query_vec: list[float] | Column,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    distance: str = "cosine",
+) -> DataFrame:
+    """Exact top-k nearest neighbors of ``query_vec``.
+
+    Returns the input columns plus ``distance`` and ``similarity``
+    (cosine), ordered nearest-first with ``id_col`` as tie-break.
+    """
+    q = vector_literal(query_vec) if isinstance(query_vec, list) else query_vec
+    if distance != "cosine":
+        raise ValueError(f"unsupported distance: {distance}")
+    dist = cosine_distance(F.col(vec_col), q)
+    return (
+        df.withColumn("distance", dist)
+        .withColumn("similarity", F.lit(1.0) - F.col("distance"))
+        .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def query_by_example(
+    df: DataFrame,
+    example_id: int,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The reference's CTE pattern: pick one row's embedding as the query,
+    rank every *other* row by similarity to it
+    (demo/similarity_search_demo.py:83-95).
+
+    The 1-row example side is broadcast — the join is map-side only.
+    """
+    example = (
+        df.filter(F.col(id_col) == example_id)
+        .select(F.col(vec_col).alias("_query_vec"))
+        .limit(1)
+    )
+    joined = df.crossJoin(F.broadcast(example)).filter(F.col(id_col) != example_id)
+    dist = cosine_distance(F.col(vec_col), F.col("_query_vec"))
+    return (
+        joined.withColumn("similarity", F.lit(1.0) - dist)
+        .drop("_query_vec")
+        .orderBy(F.col("similarity").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def pairwise_avg_similarity(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample: float | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Average pairwise cosine similarity over all distinct-id pairs
+    (demo/similarity_search_demo.py:125-130). O(n^2) — pass ``sample`` to
+    estimate on a fraction at scale (flagged, not oracle-checked)."""
+    if sample is not None:
+        df = df.sample(fraction=sample, seed=seed)
+    a = df.select(F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb"))
+    pairs = a.crossJoin(b).filter(F.col("_ida") != F.col("_idb"))
+    return pairs.agg(
+        F.avg(cosine_similarity(F.col("_va"), F.col("_vb"))).alias("avg_similarity")
+    )
+
+
+def self_similarity_check(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """``1 - (e <=> e)`` should be 1.0 for every row
+    (demo/similarity_search_demo.py:136-143). Doubles as a unit test."""
+    return df.select(
+        F.col(id_col),
+        cosine_similarity(F.col(vec_col), F.col(vec_col)).alias("self_similarity"),
+    )

@@ -1,0 +1,692 @@
+"""Declared query corpus: every operator from SURVEY.md §2 as a
+(name → Spark callable, name → DuckDB oracle SQL) pair.
+
+This module is the single source of truth consumed by ``__spark_entry__.py``
+(the driver contract), ``tests/`` (local differential tests), and
+``bench.py`` (headline timings).
+
+Determinism rules (SURVEY.md §7 "hard parts"):
+  - vector math: float64 sequential fold on both engines → bitwise equal;
+  - SUM/AVG over doubles: per-row cast to DECIMAL (exact, order-independent
+    sum) then cast the final value back to DOUBLE;
+  - any LIMIT is tie-broken by a unique key;
+  - window orderings include a unique key;
+  - timestamps in outputs are reduced to epoch seconds / formatted strings.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pgvector_db_spark.catalog import load_tables
+from pgvector_db_spark.functions.embedding import fake_embedding_component_sql
+from pgvector_db_spark.functions.vector import (
+    cosine_distance_sql,
+    cosine_similarity_sql,
+    dot_sql,
+)
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    spark_fn: SparkQuery
+    oracle: str | None  # DuckDB SQL; None → driver does rows-only check
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, tags: tuple[str, ...] = ()):
+    def deco(fn: SparkQuery) -> SparkQuery:
+        REGISTRY[name] = QuerySpec(name, fn, oracle, tags)
+        return fn
+
+    return deco
+
+
+def _sql_query(name: str, spark_sql: str, oracle: str | None = None, tags=()):
+    """Register a query whose Spark side is a SQL string over the registered
+    temp views (Catalyst plans SQL and DataFrame calls identically)."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_tables(spark, sf_dir)
+        return spark.sql(spark_sql)
+
+    fn.__name__ = f"q_{name}"
+    REGISTRY[name] = QuerySpec(name, fn, oracle if oracle is not None else spark_sql, tags)
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# Tier A — vector search (reference's own operators)
+# ---------------------------------------------------------------------------
+
+# A3/A4: CTE query-by-example + exact top-k. TakeOrderedAndProject: local
+# top-k per partition, driver merge — no global sort at any scale.
+_KNN_SPARK = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, label,
+       {cosine_distance_sql("embedding", "qe", "spark")} AS distance,
+       {cosine_similarity_sql("embedding", "qe", "spark")} AS similarity
+FROM embeddings, q
+ORDER BY distance ASC, vec_id ASC
+LIMIT 10
+"""
+_KNN_DUCK = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, label,
+       {cosine_distance_sql("embedding", "qe", "duckdb")} AS distance,
+       {cosine_similarity_sql("embedding", "qe", "duckdb")} AS similarity
+FROM embeddings, q
+ORDER BY distance ASC, vec_id ASC
+LIMIT 10
+"""
+_sql_query("vs_knn_topk", _KNN_SPARK, _KNN_DUCK, tags=("vector", "A3", "A4"))
+
+# A4 variant: exclude the example row itself, k=5 (similarity_search_demo.py:83-95)
+_QBE_SPARK = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 42)
+SELECT vec_id, label,
+       {cosine_similarity_sql("embedding", "qe", "spark")} AS similarity
+FROM embeddings, q
+WHERE vec_id != 42
+ORDER BY similarity DESC, vec_id ASC
+LIMIT 5
+"""
+_QBE_DUCK = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 42)
+SELECT vec_id, label,
+       {cosine_similarity_sql("embedding", "qe", "duckdb")} AS similarity
+FROM embeddings, q
+WHERE vec_id != 42
+ORDER BY similarity DESC, vec_id ASC
+LIMIT 5
+"""
+_sql_query("vs_query_by_example", _QBE_SPARK, _QBE_DUCK, tags=("vector", "A4"))
+
+# A3 filtered: kNN restricted to one label partition (FIXTURES §1)
+_KNN_F_SPARK = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 7)
+SELECT vec_id, {cosine_distance_sql("embedding", "qe", "spark")} AS distance
+FROM embeddings, q
+WHERE label = 3
+ORDER BY distance ASC, vec_id ASC
+LIMIT 5
+"""
+_KNN_F_DUCK = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 7)
+SELECT vec_id, {cosine_distance_sql("embedding", "qe", "duckdb")} AS distance
+FROM embeddings, q
+WHERE label = 3
+ORDER BY distance ASC, vec_id ASC
+LIMIT 5
+"""
+_sql_query("vs_knn_filtered", _KNN_F_SPARK, _KNN_F_DUCK, tags=("vector", "A3"))
+
+# A5: O(n^2) pairwise average similarity (similarity_search_demo.py:125-130).
+# AVG over doubles is order-dependent → round(6); error is ~1e-13 so the
+# rounded values agree.
+_PAIR_SPARK = f"""
+SELECT round(avg({cosine_similarity_sql("a.embedding", "b.embedding", "spark")}), 6)
+       AS avg_similarity
+FROM embeddings a, embeddings b
+WHERE a.vec_id != b.vec_id
+"""
+_PAIR_DUCK = f"""
+SELECT round(avg({cosine_similarity_sql("a.embedding", "b.embedding", "duckdb")}), 6)
+       AS avg_similarity
+FROM embeddings a, embeddings b
+WHERE a.vec_id != b.vec_id
+"""
+_sql_query("vs_pairwise_avg_similarity", _PAIR_SPARK, _PAIR_DUCK, tags=("vector", "A5"))
+
+# A6: self-similarity == 1.0 (similarity_search_demo.py:136-143)
+_SELF_SPARK = f"""
+SELECT vec_id, {cosine_similarity_sql("embedding", "embedding", "spark")} AS self_similarity
+FROM embeddings
+"""
+_SELF_DUCK = f"""
+SELECT vec_id, {cosine_similarity_sql("embedding", "embedding", "duckdb")} AS self_similarity
+FROM embeddings
+"""
+_sql_query("vs_self_similarity", _SELF_SPARK, _SELF_DUCK, tags=("vector", "A6"))
+
+# A7: string literal → vector cast ('[...]'::vector, README.md:292-305)
+_TOVEC_SPARK = f"""
+WITH v AS (
+  SELECT from_json('[0.1, 0.2, 0.3]', 'array<float>') AS a,
+         from_json('[0.3, 0.1, 0.2]', 'array<float>') AS b
+)
+SELECT {cosine_distance_sql("a", "b", "spark")} AS distance,
+       {dot_sql("a", "b", "spark")} AS inner_product,
+       size(a) AS dims
+FROM v
+"""
+_TOVEC_DUCK = f"""
+WITH v AS (
+  SELECT CAST('[0.1, 0.2, 0.3]' AS FLOAT[]) AS a,
+         CAST('[0.3, 0.1, 0.2]' AS FLOAT[]) AS b
+)
+SELECT {cosine_distance_sql("a", "b", "duckdb")} AS distance,
+       {dot_sql("a", "b", "duckdb")} AS inner_product,
+       CAST(len(a) AS INTEGER) AS dims
+FROM v
+"""
+_sql_query("vs_to_vector_cast", _TOVEC_SPARK, _TOVEC_DUCK, tags=("vector", "A7", "A8"))
+
+# A8: vector_dims() over the table (demo/README.md:96)
+_sql_query(
+    "vs_vector_dims",
+    "SELECT vec_id, size(embedding) AS dims FROM embeddings",
+    "SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dims FROM embeddings",
+    tags=("vector", "A8"),
+)
+
+# pgvector's other distance operators: <-> l2, <#> neg inner product, <+> l1.
+_L2_EXPR_S = (
+    "sqrt(aggregate(zip_with(embedding, qe, (x, y) -> "
+    "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+    "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
+)
+_L2_EXPR_D = (
+    "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(range(1, len(embedding) + 1), i -> "
+    "(CAST(embedding[i] AS DOUBLE) - CAST(qe[i] AS DOUBLE)) * "
+    "(CAST(embedding[i] AS DOUBLE) - CAST(qe[i] AS DOUBLE)))), (acc, x) -> acc + x))"
+)
+_sql_query(
+    "vs_l2_topk",
+    f"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, {_L2_EXPR_S} AS distance FROM embeddings, q
+    ORDER BY distance ASC, vec_id ASC LIMIT 10""",
+    f"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, {_L2_EXPR_D} AS distance FROM embeddings, q
+    ORDER BY distance ASC, vec_id ASC LIMIT 10""",
+    tags=("vector",),
+)
+
+_sql_query(
+    "vs_inner_product_topk",
+    f"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, -{dot_sql("embedding", "qe", "spark")} AS neg_inner_product
+    FROM embeddings, q ORDER BY neg_inner_product ASC, vec_id ASC LIMIT 10""",
+    f"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, -{dot_sql("embedding", "qe", "duckdb")} AS neg_inner_product
+    FROM embeddings, q ORDER BY neg_inner_product ASC, vec_id ASC LIMIT 10""",
+    tags=("vector",),
+)
+
+_L1_EXPR_S = (
+    "aggregate(zip_with(embedding, qe, (x, y) -> "
+    "abs(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+)
+_L1_EXPR_D = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(range(1, len(embedding) + 1), i -> "
+    "abs(CAST(embedding[i] AS DOUBLE) - CAST(qe[i] AS DOUBLE)))), (acc, x) -> acc + x)"
+)
+_sql_query(
+    "vs_l1_topk",
+    f"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, {_L1_EXPR_S} AS distance FROM embeddings, q
+    ORDER BY distance ASC, vec_id ASC LIMIT 10""",
+    f"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, {_L1_EXPR_D} AS distance FROM embeddings, q
+    ORDER BY distance ASC, vec_id ASC LIMIT 10""",
+    tags=("vector",),
+)
+
+# top-k neighbors PER GROUP: window rank over distance (SURVEY §2.2 window family)
+_PERLBL_SPARK = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+d AS (
+  SELECT vec_id, label, {cosine_distance_sql("embedding", "qe", "spark")} AS distance
+  FROM embeddings, q
+)
+SELECT vec_id, label, distance, rn FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY label ORDER BY distance ASC, vec_id ASC) AS INT) AS rn
+  FROM d
+) WHERE rn <= 3
+"""
+_PERLBL_DUCK = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+d AS (
+  SELECT vec_id, label, {cosine_distance_sql("embedding", "qe", "duckdb")} AS distance
+  FROM embeddings, q
+)
+SELECT vec_id, label, distance, rn FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY label ORDER BY distance ASC, vec_id ASC) AS INT) AS rn
+  FROM d
+) t WHERE rn <= 3
+"""
+_sql_query("vs_knn_per_label", _PERLBL_SPARK, _PERLBL_DUCK, tags=("vector", "window"))
+
+
+# ---------------------------------------------------------------------------
+# Tier B — relational surface (Catalyst built-ins; ipynb:15 "joins, filters,
+# aggregations"). DataFrame-API forms to exercise that surface too.
+# ---------------------------------------------------------------------------
+
+
+def _dec_sum(col: F.Column, scale: int = 2) -> F.Column:
+    """Order-independent exact sum of a double column (see module doc)."""
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+
+
+@register(
+    "rel_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_qty,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("relational", "aggregate"),
+)
+def rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan → filter (parquet-pushed) → partial+final hash
+    aggregate on two low-cardinality keys. Map-side combine means shuffle
+    volume is O(groups × partitions), independent of table size."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _dec_sum(F.col("l_quantity")).alias("sum_qty"),
+        _dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+        _dec_sum(disc_price, 6).alias("sum_disc_price"),
+        _dec_sum(charge, 6).alias("sum_charge"),
+        (_dec_sum(F.col("l_quantity")) / F.count("*")).alias("avg_qty"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "rel_revenue_by_nation",
+    """
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+    tags=("relational", "join", "aggregate"),
+)
+def rel_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema 5-way join. Dimensions (customer/nation/region) are
+    broadcast — only the lineitem⋈orders join shuffles, on the join key.
+    At 100 TB: orders/lineitem co-bucketed by orderkey removes that shuffle
+    too (sources/copy.py writes bucketed layouts)."""
+    t = load_tables(spark, sf_dir)
+    joined = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+    )
+    return joined.groupBy("n_name").agg(
+        _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+_sql_query(
+    "rel_like_filter",
+    """
+    SELECT p_partkey, p_name, p_brand, p_type
+    FROM part
+    WHERE p_type LIKE 'PRO%' AND p_brand NOT LIKE '%#1' AND p_name ILIKE '%WIDGET%'
+    """,
+    """
+    SELECT p_partkey, p_name, p_brand, p_type
+    FROM part
+    WHERE p_type LIKE 'PRO%' AND p_brand NOT LIKE '%#1' AND p_name ILIKE '%WIDGET%'
+    """,
+    tags=("relational", "filter"),
+)
+
+_sql_query(
+    "rel_group_orders",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_price
+    FROM orders
+    GROUP BY o_orderpriority, o_orderstatus
+    """,
+    tags=("relational", "aggregate"),
+)
+
+_sql_query(
+    "rel_distinct_counts",
+    """
+    SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem
+    """,
+    tags=("relational", "aggregate"),
+)
+
+_sql_query(
+    "rel_window_top2_lineitems",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice, rn FROM (
+      SELECT l_orderkey, l_linenumber, l_extendedprice,
+             CAST(row_number() OVER (PARTITION BY l_orderkey
+                                     ORDER BY l_extendedprice DESC, l_linenumber ASC) AS INT) AS rn
+      FROM lineitem
+    ) WHERE rn <= 2
+    """,
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice, rn FROM (
+      SELECT l_orderkey, l_linenumber, l_extendedprice,
+             CAST(row_number() OVER (PARTITION BY l_orderkey
+                                     ORDER BY l_extendedprice DESC, l_linenumber ASC) AS INT) AS rn
+      FROM lineitem
+    ) t WHERE rn <= 2
+    """,
+    tags=("relational", "window"),
+)
+
+_sql_query(
+    "rel_window_running",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(row_number() OVER wo AS INT) AS rn,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER wf AS DOUBLE) AS running_spend,
+           CAST(lag(o_orderkey) OVER wo AS BIGINT) AS prev_orderkey
+    FROM orders
+    WINDOW wo AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC),
+           wf AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    tags=("relational", "window"),
+)
+
+_sql_query(
+    "rel_setops_customers",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders
+    UNION
+    SELECT c_custkey FROM customer WHERE c_acctbal < 0
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+    """,
+    tags=("relational", "setops"),
+)
+
+_sql_query(
+    "rel_sort_limit_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 25
+    """,
+    tags=("relational", "sort"),
+)
+
+_sql_query(
+    "rel_scalar_string",
+    """
+    SELECT doc_id,
+           length(text) AS text_len,
+           upper(substring(text, 1, 10)) AS head_upper,
+           concat(lang, ':', source) AS lang_source,
+           CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words_approx
+    FROM documents
+    WHERE text IS NOT NULL
+    """,
+    tags=("relational", "scalar"),
+)
+
+_sql_query(
+    "rel_scalar_date",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY year(o_orderdate), month(o_orderdate)
+    """,
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    tags=("relational", "scalar"),
+)
+
+_sql_query(
+    "rel_json_events",
+    """
+    SELECT event_id, event_type,
+           CAST(get_json_object(props, '$.k') AS BIGINT) AS k_value
+    FROM events
+    WHERE CAST(get_json_object(props, '$.k') AS BIGINT) > 50
+    """,
+    """
+    SELECT event_id, event_type,
+           CAST(props->>'$.k' AS BIGINT) AS k_value
+    FROM events
+    WHERE CAST(props->>'$.k' AS BIGINT) > 50
+    """,
+    tags=("relational", "json"),
+)
+
+# Batch analogue of the streaming tumbling window (FIXTURES §3): 5-minute
+# buckets as epoch seconds so hashing is timestamp-representation-proof.
+_sql_query(
+    "rel_events_window_5min",
+    """
+    SELECT CAST(floor(unix_timestamp(ts) / 300) * 300 AS BIGINT) AS bucket_epoch,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    """
+    SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS bucket_epoch,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("relational", "window", "streaming-batch"),
+)
+
+_sql_query(
+    "rel_having_case",
+    """
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive,
+           CAST(SUM(CAST(CASE WHEN c_acctbal > 0 THEN c_acctbal ELSE 0 END AS DECIMAL(18,2))) AS DOUBLE) AS positive_balance
+    FROM customer
+    GROUP BY c_mktsegment
+    HAVING COUNT(*) > 10
+    """,
+    tags=("relational", "aggregate"),
+)
+
+
+@register(
+    "rel_semi_anti_join",
+    """
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS with_orders,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS without_orders
+    """,
+    tags=("relational", "join"),
+)
+def rel_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi / left_anti joins (EXISTS / NOT EXISTS)."""
+    t = load_tables(spark, sf_dir)
+    cust, orders = t["customer"], t["orders"]
+    semi = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").count()
+    anti = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").count()
+    return spark.createDataFrame(
+        [(semi, anti)], "with_orders bigint, without_orders bigint"
+    )
+
+
+_sql_query(
+    "rel_left_join_agg",
+    """
+    SELECT c.c_custkey,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(coalesce(o.o_totalprice, 0) AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+    tags=("relational", "join"),
+)
+
+_sql_query(
+    "rel_parts_per_supplier",
+    """
+    SELECT s.s_suppkey, s.s_name,
+           CAST(COUNT(DISTINCT l.l_partkey) AS BIGINT) AS n_parts,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    GROUP BY s.s_suppkey, s.s_name
+    """,
+    tags=("relational", "join", "aggregate"),
+)
+
+
+# ---------------------------------------------------------------------------
+# North-star: LLM-data-pipeline operators (BASELINE.json)
+# ---------------------------------------------------------------------------
+
+# Exact dedup by content hash: groupBy(sha256) keep min id — map-side
+# combine, one shuffle on the hash. (SURVEY §2.3)
+_sql_query(
+    "ds_exact_dedup",
+    """
+    SELECT sha2(text, 256) AS text_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY sha2(text, 256)
+    """,
+    """
+    SELECT sha256(text) AS text_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY sha256(text)
+    """,
+    tags=("dataset", "dedup"),
+)
+
+# Token counting: whitespace tokenization, JVM-side.
+_sql_query(
+    "ds_token_count",
+    """
+    SELECT doc_id,
+           CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+    """
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+    tags=("dataset", "text"),
+)
+
+# Text quality scoring: length + stopword-ratio heuristics (SURVEY §2.3).
+_sql_query(
+    "ds_text_quality",
+    """
+    SELECT doc_id, lang,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) AS n_tokens,
+           round(CAST(size(filter(split(lower(text), '\\\\s+'),
+                 w -> w IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
+                 / CAST(size(split(trim(text), '\\\\s+')) AS DOUBLE), 6) AS stopword_ratio
+    FROM documents
+    WHERE length(text) > 0
+    """,
+    """
+    SELECT doc_id, lang,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+           round(CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                 w -> w IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
+                 / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE), 6) AS stopword_ratio
+    FROM documents
+    WHERE length(text) > 0
+    """,
+    tags=("dataset", "text"),
+)
+
+# Deterministic fake-embedding pipeline (A12 in fake mode): md5-derived
+# 8-dim embedding, reduced to scalar outputs for robust hashing.
+_FE = [fake_embedding_component_sql("text", i) for i in range(8)]
+_FE_NORM = "sqrt(" + " + ".join(f"({c}) * ({c})" for c in _FE) + ")"
+_sql_query(
+    "ds_embed_fake",
+    f"""
+    SELECT doc_id, {_FE[0]} AS e0, {_FE[1]} AS e1, {_FE[7]} AS e7,
+           {_FE_NORM} AS norm
+    FROM documents
+    """,
+    f"""
+    SELECT doc_id, {_FE[0]} AS e0, {_FE[1]} AS e1, {_FE[7]} AS e7,
+           {_FE_NORM} AS norm
+    FROM documents
+    """,
+    tags=("dataset", "embedding", "A12"),
+)
+
+
+def all_queries() -> dict[str, SparkQuery]:
+    return {name: spec.spark_fn for name, spec in REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    return {
+        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+    }

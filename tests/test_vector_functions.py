@@ -1,0 +1,111 @@
+"""Unit tests for vector math, mirroring the reference's property checks
+(self-similarity ≈ 1.0 at demo/similarity_search_demo.py:136-147, shape
+checks at tests/test_generate_embeddings.py:42-50)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pgvector_db_spark.functions.vector import (
+    cosine_distance,
+    cosine_similarity,
+    dot_product,
+    inner_product_distance,
+    l1_distance,
+    l2_distance,
+    l2_norm,
+    l2_normalize,
+    to_vector,
+    vector_dims,
+    vector_literal,
+)
+
+
+@pytest.fixture(scope="module")
+def pair_df(spark):
+    return spark.createDataFrame(
+        [([1.0, 2.0, 2.0], [2.0, 0.0, 0.0])], "a array<double>, b array<double>"
+    )
+
+
+def one(df, col):
+    return df.select(col.alias("v")).collect()[0]["v"]
+
+
+def test_dot_product(pair_df):
+    assert one(pair_df, dot_product("a", "b")) == 2.0
+
+
+def test_l2_norm(pair_df):
+    assert one(pair_df, l2_norm("a")) == 3.0
+
+
+def test_cosine_similarity_orthogonal(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [0.0, 1.0])], "a array<double>, b array<double>"
+    )
+    assert one(df, cosine_similarity("a", "b")) == 0.0
+    assert one(df, cosine_distance("a", "b")) == 1.0
+
+
+def test_cosine_identity(pair_df):
+    assert abs(one(pair_df, cosine_similarity("a", "a")) - 1.0) < 1e-12
+
+
+def test_l2_distance(pair_df):
+    assert one(pair_df, l2_distance("a", "b")) == 3.0
+
+
+def test_l1_distance(pair_df):
+    assert one(pair_df, l1_distance("a", "b")) == 5.0
+
+
+def test_inner_product_distance(pair_df):
+    assert one(pair_df, inner_product_distance("a", "b")) == -2.0
+
+
+def test_to_vector_and_dims(spark):
+    df = spark.createDataFrame([("[0.5, 1.5, -2.0]",)], "s string")
+    vec = one(df, to_vector("s"))
+    assert vec == [0.5, 1.5, -2.0]
+    assert one(df, vector_dims(to_vector("s"))) == 3
+
+
+def test_l2_normalize(pair_df):
+    n = one(pair_df, l2_norm(l2_normalize("a")))
+    assert abs(n - 1.0) < 1e-12
+
+
+def test_vector_literal(spark):
+    df = spark.range(1)
+    assert one(df, vector_literal([1.0, 2.0])) == [1.0, 2.0]
+
+
+def test_self_similarity_on_fixture(tables):
+    """Reference property: 1 - (e <=> e) == 1.0 for every row."""
+    emb = tables["embeddings"]
+    bad = (
+        emb.select(cosine_similarity("embedding", "embedding").alias("s"))
+        .filter(F.abs(F.col("s") - 1.0) > 1e-9)
+        .count()
+    )
+    assert bad == 0
+
+
+def test_dims_on_fixture(tables):
+    dims = tables["embeddings"].select(vector_dims("embedding").alias("d")).distinct()
+    assert [r["d"] for r in dims.collect()] == [64]
+
+
+def test_nan_free_distances(tables):
+    emb = tables["embeddings"].limit(50)
+    q = emb.select(F.col("embedding").alias("qe")).limit(1)
+    joined = emb.crossJoin(q)
+    rows = joined.select(
+        cosine_distance("embedding", "qe").alias("d"),
+        l2_distance("embedding", "qe").alias("l2"),
+    ).collect()
+    assert all(not math.isnan(r["d"]) and not math.isnan(r["l2"]) for r in rows)
