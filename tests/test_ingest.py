@@ -1,0 +1,107 @@
+"""Ingest/export tests mirroring the reference's suite:
+- 1-row insert roundtrip, shape (3,) (reference tests/test_pg.py:53-71)
+- 2-row bulk copy, COUNT == 2 (reference tests/test_pg.py:74-90)
+- missing-required-column raises (reference pg_insert.py:26-28)
+- parquet export roundtrip + partitioned append
+  (reference tests/test_generate_embeddings.py:53-88)
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pgvector_db_spark.sources import ParquetTable, SchemaValidationError
+from pgvector_db_spark.sources.export import save_partitioned, save_to_parquet
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return ParquetTable(
+        spark,
+        str(tmp_path / "test_embeddings"),
+        required_cols=("text", "embedding"),
+        vector_dims={"embedding": 3},
+    )
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "text string, embedding array<float>")
+
+
+def test_insert_roundtrip(spark, table):
+    table.insert(_df(spark, [("Hello world", [0.1, 0.2, 0.3])]))
+    rows = table.read().collect()
+    assert len(rows) == 1
+    assert rows[0]["text"] == "Hello world"
+    assert len(rows[0]["embedding"]) == 3  # shape (3,) like test_pg.py:69
+
+
+def test_copy_two_rows(spark, table):
+    n = table.copy_from(
+        _df(spark, [("a", [0.1, 0.2, 0.3]), ("b", [0.4, 0.5, 0.6])])
+    )
+    assert n == 2
+    assert table.read().count() == 2  # test_pg.py:89 COUNT(*) == 2
+
+
+def test_copy_from_parquet_path(spark, table, tmp_path):
+    src = str(tmp_path / "src.parquet")
+    _df(spark, [("x", [1.0, 0.0, 0.0])]).write.parquet(src)
+    assert table.copy_from(src) == 1
+    assert table.read().count() == 1
+
+
+def test_copy_appends_to_existing(spark, table):
+    table.insert(_df(spark, [("a", [0.1, 0.2, 0.3])]))
+    table.copy_from(_df(spark, [("b", [0.4, 0.5, 0.6])]))
+    assert table.read().count() == 2
+    assert not [
+        f for f in table.read().inputFiles() if "_staging" in f
+    ], "staging dir must be cleaned up"
+
+
+def test_missing_required_column_raises(spark, table):
+    df = spark.createDataFrame([("only text",)], "text string")
+    with pytest.raises(SchemaValidationError, match="embedding"):
+        table.insert(df)
+
+
+def test_wrong_vector_dim_raises(spark, table):
+    with pytest.raises(SchemaValidationError, match="VECTOR\\(3\\)"):
+        table.insert(_df(spark, [("bad", [0.1, 0.2])]))
+
+
+def test_insert_batch_rows_controls_files(spark, table):
+    df = _df(spark, [(f"t{i}", [float(i), 0.0, 0.0]) for i in range(10)])
+    table.insert(df, batch_rows=5)
+    assert len(table.read().inputFiles()) == 2
+
+
+def test_save_to_parquet_roundtrip(spark, tmp_path):
+    df = _df(spark, [("a", [0.1, 0.2, 0.3]), ("b", [0.4, 0.5, 0.6])])
+    out = str(tmp_path / "export.parquet")
+    save_to_parquet(df, out)
+    back = spark.read.parquet(out)
+    assert sorted(back.columns) == ["embedding", "text"]
+    assert back.count() == 2
+
+
+def test_save_partitioned_append(spark, tmp_path):
+    df = _df(spark, [("a", [0.1, 0.2, 0.3])])
+    out = str(tmp_path / "parts")
+    save_partitioned(df, out, date="2026-01-01")
+    save_partitioned(df, out, date="2026-01-02")
+    save_partitioned(df, out, date="2026-01-02")  # append within partition
+    back = spark.read.parquet(out)
+    assert back.count() == 3
+    dates = {str(r["generation_date"]) for r in back.select("generation_date").collect()}
+    assert dates == {"2026-01-01", "2026-01-02"}  # read back as DateType partitions
+    # partition pruning: the filter must land in PartitionFilters (pruned
+    # scan), not a post-scan Filter over all partitions
+    pruned = back.filter(F.col("generation_date") == "2026-01-01")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "generation_date" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    assert pruned.count() == 1
