@@ -1,0 +1,147 @@
+"""IVFFLAT-equivalent batch vector index (SURVEY.md §4.3 — the core custom
+piece).
+
+pgvector's ivfflat (reference README.md:185 ``lists=100``,
+demo/aws_rds_similarity_search_demo.py:134-139) clusters vectors into
+``lists`` k-means cells, then probes the ``nprobe`` nearest cells at query
+time. The Spark-native re-expression:
+
+  build:  MLlib KMeans (cosine) on (optionally sampled) vectors
+          → assign every row its nearest-centroid ``list_id`` (JVM-side
+            model.transform — no Python boundary)
+          → write the dataset ``partitionBy("list_id")`` + a small
+            centroids parquet.
+  search: rank centroids against the query driver-side (lists ≤ a few
+          thousand floats — trivially small), then scan ONLY the top
+          ``nprobe`` partitions (Catalyst partition pruning on
+          ``list_id IN (...)``) and run the exact top-k kernel within.
+
+Scale: the expensive build is one KMeans fit (sampled) + one partitioned
+write; a search touches nprobe/lists of the data — on a 1000-executor
+cluster that is the difference between a 100 TB scan and a 1 TB scan.
+Recall/latency tradeoff is exactly pgvector's ``nprobe`` semantics; with
+``nprobe = lists`` results equal the exact path (tested).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pgvector_db_spark.operators.knn import knn
+
+
+class IVFIndex:
+    """Handle to a built IVF index (data + centroids parquet datasets)."""
+
+    def __init__(self, spark: SparkSession, path: str, vec_col: str, id_col: str):
+        self.spark = spark
+        self.path = path
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    @property
+    def data_path(self) -> str:
+        return os.path.join(self.path, "data")
+
+    @property
+    def centroids_path(self) -> str:
+        return os.path.join(self.path, "centroids")
+
+    # -- build ---------------------------------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        df: DataFrame,
+        path: str,
+        lists: int = 100,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        sample_fraction: float | None = None,
+        seed: int = 42,
+    ) -> IVFIndex:
+        """CREATE INDEX ... USING ivfflat analogue.
+
+        ``sample_fraction`` bounds the KMeans fit input (pgvector likewise
+        samples for list creation); assignment always covers every row.
+        """
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector, vector_to_array
+
+        spark = df.sparkSession
+        featured = df.withColumn("_features", array_to_vector(F.col(vec_col)))
+
+        fit_input = featured
+        if sample_fraction is not None and sample_fraction < 1.0:
+            fit_input = featured.sample(fraction=sample_fraction, seed=seed)
+
+        model = KMeans(
+            k=lists,
+            seed=seed,
+            featuresCol="_features",
+            predictionCol="list_id",
+            distanceMeasure="cosine",
+        ).fit(fit_input)
+
+        assigned = model.transform(featured).drop("_features")
+        (
+            assigned.repartition("list_id")
+            .write.mode("overwrite")
+            .partitionBy("list_id")
+            .parquet(os.path.join(path, "data"))
+        )
+
+        centroids = [
+            (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+        ]
+        spark.createDataFrame(
+            centroids, "list_id int, centroid array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+
+        return cls(spark, path, vec_col, id_col)
+
+    # -- search --------------------------------------------------------------
+
+    def _rank_lists(self, query_vec: list[float]) -> list[tuple[int, float]]:
+        """Centroid ranking, driver-side: `lists` rows is broadcast-tiny —
+        this mirrors pgvector scanning the list metadata, not the data."""
+        rows = self.spark.read.parquet(self.centroids_path).collect()
+        qn = math.sqrt(sum(x * x for x in query_vec))
+        ranked = []
+        for r in rows:
+            c = r["centroid"]
+            dot = sum(x * y for x, y in zip(query_vec, c))
+            cn = math.sqrt(sum(x * x for x in c))
+            dist = 1.0 - dot / (qn * cn) if qn and cn else 1.0
+            ranked.append((r["list_id"], dist))
+        ranked.sort(key=lambda t: (t[1], t[0]))
+        return ranked
+
+    def search(
+        self, query_vec: list[float], k: int = 10, nprobe: int = 1
+    ) -> DataFrame:
+        """ANN top-k: probe the ``nprobe`` nearest lists only.
+
+        The ``list_id IN (...)`` filter is a partition filter — Catalyst
+        prunes non-probed partitions at planning time, so unprobed data is
+        never read.
+        """
+        probes = [lid for lid, _ in self._rank_lists(query_vec)[:nprobe]]
+        data = self.spark.read.parquet(self.data_path).filter(
+            F.col("list_id").isin(probes)
+        )
+        return knn(data, query_vec, k, vec_col=self.vec_col, id_col=self.id_col)
+
+    def recall_at_k(
+        self, base: DataFrame, query_vec: list[float], k: int, nprobe: int
+    ) -> float:
+        """Fraction of exact top-k recovered by the probed search."""
+        exact = {
+            r[self.id_col] for r in knn(base, query_vec, k, self.vec_col, self.id_col).collect()
+        }
+        approx = {r[self.id_col] for r in self.search(query_vec, k, nprobe).collect()}
+        return len(exact & approx) / k
