@@ -1,0 +1,231 @@
+"""Deduplication operators (BASELINE.json north star; SURVEY §2.3).
+
+Four families, all DataFrame-native:
+
+- exact:      content hash → groupBy → keep canonical (min id). One
+              shuffle on the hash; map-side combine.
+- MinHash+LSH near-dup: shingle → minhash signature → band keys →
+              explode + shuffle on band key → candidate pairs within
+              buckets → exact jaccard verification. The banding bounds
+              the join: candidates are only docs agreeing on ≥1 band,
+              so the O(n²) pair space never materializes. This is the
+              100 TB-scale path.
+- SimHash:    64-bit (default) fingerprint; near-dups = pairs within
+              hamming distance d, found via LSH on bit-chunks of the
+              fingerprint (same banding trick, no O(n²)).
+- embedding:  cosine-similarity near-dup over the vector column —
+              exact block-join within a blocking key, or IVF-bucketed
+              at scale (reuses operators/ivf.py layouts).
+
+All primitives come from functions/text.py and are oracle-checkable;
+the end-to-end pipelines are exercised both as queries (queries.py) and
+operator tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pgvector_db_spark.functions.text import (
+    char_shingles,
+    hamming_distance,
+    jaccard,
+    lsh_band_keys,
+    minhash_signature,
+    simhash,
+)
+from pgvector_db_spark.functions.vector import cosine_similarity
+
+
+def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """Keep one row (min id) per distinct combination of ``cols``.
+
+    groupBy on a content hash rather than the raw columns, so wide text
+    never rides the shuffle — only (hash, id)."""
+    h = F.sha2(F.concat_ws("\u001f", *[F.col(c) for c in cols]), 256)
+    keep = (
+        df.select(h.alias("_h"), F.col(id_col))
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding, jaccard-verified.
+
+    Returns (id_a, id_b, jaccard_sim) with id_a < id_b and
+    jaccard_sim >= threshold. Shuffles on band keys (candidate discovery)
+    and id (verification join) — never the full pair space.
+    """
+    rows_per_band = num_hashes // bands
+    base = df.select(
+        F.col(id_col),
+        char_shingles(F.col(text_col), shingle_k).alias("_sh"),
+    ).withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes))
+    banded = base.withColumn(
+        "_bk", F.explode(lsh_band_keys(F.col("_sig"), bands, rows_per_band))
+    ).select(id_col, "_bk")
+
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), "_bk")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+    sh = base.select(F.col(id_col), F.col("_sh"))
+    verified = (
+        cand.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sh", "_sha"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("_sh", "_shb"), "id_b")
+        .withColumn("jaccard_sim", jaccard(F.col("_sha"), F.col("_shb")))
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", "jaccard_sim")
+    )
+    return verified
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """Drop near-duplicates: keep the smallest id of each duplicate pair
+    cluster (greedy: remove every id that appears as the larger side of a
+    verified pair — single pass, no iterative connected components; for
+    transitive-cluster canonicalization see ``connected_components``)."""
+    pairs = minhash_lsh_pairs(df, text_col, id_col, **kwargs)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates share ≥1 of ``chunks``
+    bit-chunks (pigeonhole: any pair within hamming d < chunks agrees on
+    some chunk), then exact hamming verification."""
+    chunk_bits = bits // chunks
+    mask = (1 << chunk_bits) - 1
+    base = df.select(F.col(id_col), simhash(F.col(text_col), bits).alias("_sh"))
+    chunked = base.select(
+        id_col,
+        "_sh",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"c{i}:"),
+                        F.shiftright(F.col("_sh"), i * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .cast("string"),
+                    )
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("_ck"),
+    )
+    cand = (
+        chunked.alias("a")
+        .join(chunked.alias("b"), "_ck")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a._sh").alias("_sha"),
+            F.col("b._sh").alias("_shb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", hamming_distance(F.col("_sha"), F.col("_shb"), bits))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_top_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str | None = None,
+    top: int = 20,
+) -> DataFrame:
+    """Most-similar pairs by cosine over the vector column.
+
+    With ``block_col`` the join is blocked (equi-join on the block key →
+    per-block pair space only); without it, a full cross join — only for
+    small inputs. At scale, block on an IVF list_id (operators/ivf.py)
+    for sub-quadratic near-dup discovery."""
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        *([F.col(block_col).alias("_blk")] if block_col else []),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        *([F.col(block_col).alias("_blk")] if block_col else []),
+    )
+    pairs = a.join(b, "_blk") if block_col else a.crossJoin(b)
+    out_block = [F.col("_blk").alias(block_col)] if block_col else []
+    return (
+        pairs.filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("similarity", cosine_similarity(F.col("_va"), F.col("_vb")))
+        .select(*out_block, "id_a", "id_b", "similarity")
+        .orderBy(F.col("similarity").desc(), F.col("id_a").asc(), F.col("id_b").asc())
+        .limit(top)
+    )
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Small-world connected components over dup pairs (id_a, id_b) →
+    (id, component) where component = min id reachable. Label-propagation
+    loop; each iteration is one shuffle. Converges in O(diameter)
+    iterations — dup clusters are shallow, so a handful in practice."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels, edges.src == labels.id)
+            .select(F.col("dst").alias("id"), F.col("component"))
+            .union(labels.select("id", "component"))
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+        )
+        changed = (
+            prop.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = prop.localCheckpoint() if changed else prop
+        if not changed:
+            break
+    return labels

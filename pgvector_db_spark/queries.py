@@ -682,6 +682,250 @@ _sql_query(
 )
 
 
+# -- MinHash / SimHash / fingerprint / lang-id oracles ----------------------
+# DuckDB-side generators replicating functions/text.py primitives exactly
+# (hash32 = first 8 md5 hex chars as bigint; see test parity check).
+
+
+def _duck_hex8(h: str) -> str:
+    terms = " + ".join(
+        f"instr('123456789abcdef', substr({h}, {j + 1}, 1)) * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+_DUCK_SHINGLES = (
+    "list_distinct(list_transform(range(1, length(text) - 3), i -> substr(text, i, 5)))"
+)
+
+
+def _duck_minhash(j: int, shingles: str = "s") -> str:
+    inner = _duck_hex8(f"md5(x || '_mh{j}')")
+    return f"list_min(list_transform({shingles}, x -> {inner}))"
+
+
+@register(
+    "ds_minhash_signature",
+    f"""
+    WITH sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS s FROM documents)
+    SELECT doc_id,
+           {_duck_minhash(0)} AS mh0, {_duck_minhash(1)} AS mh1,
+           {_duck_minhash(2)} AS mh2, {_duck_minhash(3)} AS mh3
+    FROM sh
+    """,
+    tags=("dataset", "dedup"),
+)
+def ds_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgvector_db_spark.functions.text import char_shingles, minhash_signature
+
+    t = load_tables(spark, sf_dir)
+    sig = minhash_signature(char_shingles("text", 5), 4)
+    return t["documents"].select(
+        "doc_id",
+        sig[0].alias("mh0"),
+        sig[1].alias("mh1"),
+        sig[2].alias("mh2"),
+        sig[3].alias("mh3"),
+    )
+
+
+def _duck_band_key(b: int, rows: int) -> str:
+    comps = " || ',' || ".join(
+        f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows)
+    )
+    return f"md5('band{b}:' || {comps})"
+
+
+_DUCK_SIG16 = ", ".join(f"{_duck_minhash(j)} AS mh{j}" for j in range(16))
+_DUCK_JACCARD = (
+    "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / "
+    "CAST(len(list_distinct(a.s || b.s)) AS DOUBLE)"
+)
+
+
+@register(
+    "ds_lsh_near_dup_pairs",
+    f"""
+    WITH sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS s FROM documents),
+    sig AS (SELECT doc_id, {_DUCK_SIG16} FROM sh),
+    bands AS (
+      SELECT doc_id, unnest([
+        {_duck_band_key(0, 4)}, {_duck_band_key(1, 4)},
+        {_duck_band_key(2, 4)}, {_duck_band_key(3, 4)}
+      ]) AS bk FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, {_DUCK_JACCARD} AS jaccard_sim
+    FROM cand
+    JOIN sh a ON a.doc_id = id_a
+    JOIN sh b ON b.doc_id = id_b
+    WHERE {_DUCK_JACCARD} >= 0.5
+    """,
+    tags=("dataset", "dedup"),
+)
+def ds_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgvector_db_spark.operators.dedup import minhash_lsh_pairs
+
+    t = load_tables(spark, sf_dir)
+    return minhash_lsh_pairs(t["documents"])
+
+
+_DUCK_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
+_DUCK_TOKHASH = (
+    f"list_transform({_DUCK_TOKENS}, t -> {_duck_hex8('md5(t)')})"
+)
+_DUCK_SIMHASH16 = " + ".join(
+    f"(CASE WHEN 2 * list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    f"list_transform(th, h -> (h >> {b}) & 1)), (acc, x) -> acc + x) "
+    f"> len(th) THEN {2 ** b} ELSE 0 END)"
+    for b in range(16)
+)
+
+
+@register(
+    "ds_simhash",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKHASH} AS th FROM documents)
+    SELECT doc_id, CAST({_DUCK_SIMHASH16} AS BIGINT) AS simhash16 FROM t
+    """,
+    tags=("dataset", "dedup"),
+)
+def ds_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgvector_db_spark.functions.text import simhash
+
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id", simhash("text", 16).alias("simhash16")
+    )
+
+
+@register(
+    "ds_fingerprint",
+    """
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, length(text) + 1),
+                              i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+             (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+    FROM documents
+    """,
+    tags=("dataset", "text"),
+)
+def ds_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgvector_db_spark.functions.text import doc_fingerprint
+
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+
+
+_DUCK_LANG_SCORE = {
+    lang: f"len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), "
+    f"w -> w IN ({', '.join(repr(w) for w in ws)})))"
+    for lang, ws in (
+        ("de", ("der", "die", "und", "das", "von", "zu")),
+        ("en", ("the", "of", "and", "to", "in", "a")),
+        ("es", ("el", "de", "la", "que", "los", "y")),
+        ("fr", ("le", "de", "la", "et", "les", "des")),
+        ("zh", ("de5", "le5", "shi4", "zai4", "he2", "you3")),
+    )
+}
+_DUCK_LANG_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN s_{lang} >= greatest(s_de, s_en, s_es, s_fr, s_zh) THEN '{lang}'"
+        for lang in ("de", "en", "es", "fr", "zh")
+    )
+    + " END"
+)
+
+
+@register(
+    "ds_lang_id",
+    f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             {_DUCK_LANG_SCORE['de']} AS s_de, {_DUCK_LANG_SCORE['en']} AS s_en,
+             {_DUCK_LANG_SCORE['es']} AS s_es, {_DUCK_LANG_SCORE['fr']} AS s_fr,
+             {_DUCK_LANG_SCORE['zh']} AS s_zh
+      FROM documents
+    )
+    SELECT doc_id, lang AS labeled_lang, {_DUCK_LANG_CASE} AS predicted_lang,
+           CAST(s_en AS INT) AS en_hits
+    FROM s
+    """,
+    tags=("dataset", "text"),
+)
+def ds_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram-heuristic language ID: stopword-hit argmax with alphabetical
+    tie-break (matches the CASE priority in the oracle)."""
+    from pgvector_db_spark.functions.text import lang_scores
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    scores = lang_scores("text")
+    cols = {lang: scores[lang].alias(f"s_{lang}") for lang in sorted(scores)}
+    scored = docs.select("doc_id", F.col("lang").alias("labeled_lang"), *cols.values())
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in sorted(scores)])
+    pred = F.when(F.col("s_de") >= best, "de")
+    for lang in ("en", "es", "fr", "zh"):
+        pred = pred.when(F.col(f"s_{lang}") >= best, lang)
+    return scored.select(
+        "doc_id",
+        "labeled_lang",
+        pred.alias("predicted_lang"),
+        F.col("s_en").cast("int").alias("en_hits"),
+    )
+
+
+@register(
+    "ds_embedding_top_pairs",
+    f"""
+    SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+           {cosine_similarity_sql("a.embedding", "b.embedding", "duckdb")} AS similarity
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    ORDER BY similarity DESC, id_a ASC, id_b ASC
+    LIMIT 20
+    """,
+    tags=("dataset", "dedup", "vector"),
+)
+def ds_embedding_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup discovery, blocked by label (at scale:
+    block on IVF list_id instead — same operator)."""
+    from pgvector_db_spark.operators.dedup import embedding_top_pairs
+
+    t = load_tables(spark, sf_dir)
+    return embedding_top_pairs(t["embeddings"], block_col="label", top=20)
+
+
+# Multimodal columns: opaque bytes + typed metadata (SURVEY §2.3). The
+# byte-level ops are engine-checkable; decode paths are tested Spark-side
+# (operators/multimodal.py) since they need binary fixtures.
+_sql_query(
+    "ds_multimodal_bytes",
+    """
+    SELECT doc_id,
+           CAST(octet_length(text) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5,
+           substring(sha2(text, 256), 1, 16) AS content_sha_prefix
+    FROM documents
+    """,
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5,
+           substring(sha256(text), 1, 16) AS content_sha_prefix
+    FROM documents
+    """,
+    tags=("dataset", "multimodal"),
+)
+
+
 def all_queries() -> dict[str, SparkQuery]:
     return {name: spec.spark_fn for name, spec in REGISTRY.items()}
 

@@ -1,0 +1,144 @@
+"""Text-analysis primitives + dedup operator tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pgvector_db_spark.functions.text import (
+    char_shingles,
+    doc_fingerprint,
+    hamming_distance,
+    hash32,
+    jaccard,
+    lang_scores,
+    minhash_signature,
+    simhash,
+    tokens,
+)
+from pgvector_db_spark.operators.dedup import (
+    connected_components,
+    embedding_top_pairs,
+    exact_dedup,
+    minhash_dedup,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+
+
+def one(df, col):
+    return df.select(col.alias("v")).first()["v"]
+
+
+def test_hash32_range_and_determinism(spark):
+    df = spark.createDataFrame([("abc",)], "s string")
+    v1 = one(df, hash32(F.col("s")))
+    v2 = one(df, hash32(F.col("s")))
+    assert v1 == v2
+    assert 0 <= v1 < 2**32
+
+
+def test_char_shingles(spark):
+    df = spark.createDataFrame([("abcdefg",)], "s string")
+    sh = one(df, char_shingles("s", k=5))
+    assert sh == ["abcde", "bcdef", "cdefg"]
+
+
+def test_minhash_identical_texts_same_signature(spark):
+    df = spark.createDataFrame([("hello world text",), ("hello world text",)], "s string")
+    sigs = df.select(minhash_signature(char_shingles("s"), 16).alias("sig")).collect()
+    assert sigs[0]["sig"] == sigs[1]["sig"]
+    assert len(sigs[0]["sig"]) == 16
+
+
+def test_jaccard_bounds(spark):
+    df = spark.createDataFrame(
+        [(["a", "b", "c"], ["b", "c", "d"])], "a array<string>, b array<string>"
+    )
+    assert one(df, jaccard(F.col("a"), F.col("b"))) == 0.5
+
+
+def test_simhash_similar_texts_close(spark):
+    df = spark.createDataFrame(
+        [
+            ("the quick brown fox jumps over the lazy dog",),
+            ("the quick brown fox jumps over the lazy cat",),
+            ("completely different words entirely unrelated tokens",),
+        ],
+        "s string",
+    )
+    vals = [r["h"] for r in df.select(simhash("s", 16).alias("h")).collect()]
+    d_similar = one(
+        spark.createDataFrame([(vals[0], vals[1])], "a bigint, b bigint"),
+        hamming_distance(F.col("a"), F.col("b"), 16),
+    )
+    d_diff = one(
+        spark.createDataFrame([(vals[0], vals[2])], "a bigint, b bigint"),
+        hamming_distance(F.col("a"), F.col("b"), 16),
+    )
+    assert d_similar < d_diff
+
+
+def test_doc_fingerprint_deterministic(spark):
+    df = spark.createDataFrame([("abc",)], "s string")
+    # fold: ((0*31+97)*31+98)%p ... computed by hand
+    expected = ((97 * 31 + 98) * 31 + 99) % 1_000_000_007
+    assert one(df, doc_fingerprint("s")) == expected
+
+
+def test_lang_scores(spark):
+    df = spark.createDataFrame([("the cat of the house and a dog",)], "s string")
+    scores = {k: one(df, v) for k, v in lang_scores("s").items()}
+    assert scores["en"] == 5  # the, of, the, and, a
+    assert scores["de"] == 0
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, "other")], "id bigint, text string"
+    )
+    kept = exact_dedup(df, ["text"], "id")
+    assert sorted(r["id"] for r in kept.collect()) == [1, 3]
+
+
+def test_minhash_lsh_finds_near_dups(tables):
+    pairs = minhash_lsh_pairs(tables["documents"].filter("doc_id < 200")).collect()
+    assert len(pairs) > 0
+    assert all(p["jaccard_sim"] >= 0.5 and p["id_a"] < p["id_b"] for p in pairs)
+
+
+def test_minhash_dedup_removes_losers(tables):
+    docs = tables["documents"].filter("doc_id < 200")
+    pairs = minhash_lsh_pairs(docs)
+    kept = minhash_dedup(docs)
+    losers = {r["id_b"] for r in pairs.collect()}
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    assert kept_ids == {r["doc_id"] for r in docs.collect()} - losers
+
+
+def test_simhash_pairs_verified(tables):
+    pairs = simhash_pairs(
+        tables["documents"].filter("doc_id < 100"), max_hamming=3
+    ).collect()
+    assert all(p["hamming"] <= 3 and p["id_a"] < p["id_b"] for p in pairs)
+
+
+def test_embedding_top_pairs_blocked(tables):
+    res = embedding_top_pairs(tables["embeddings"], block_col="label", top=10).collect()
+    assert len(res) == 10
+    sims = [r["similarity"] for r in res]
+    assert sims == sorted(sims, reverse=True)
+    assert all(r["id_a"] < r["id_b"] for r in res)
+
+
+def test_connected_components(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.8), (10, 11, 0.7)],
+        "id_a bigint, id_b bigint, jaccard_sim double",
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_tokens(spark):
+    df = spark.createDataFrame([("  a b   c ",)], "s string")
+    assert one(df, tokens("s")) == ["a", "b", "c"]
