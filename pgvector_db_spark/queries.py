@@ -682,6 +682,259 @@ _sql_query(
 )
 
 
+# -- extended relational coverage -------------------------------------------
+
+_sql_query(
+    "rel_rollup_revenue",
+    """
+    SELECT r.r_name, n.n_name,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+    """,
+    tags=("relational", "aggregate", "rollup"),
+)
+
+# pivot: explicit value list so Spark .pivot and a CASE-based oracle emit
+# identical column names
+_PIVOT_PRIOS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@register(
+    "rel_pivot_status_priority",
+    "SELECT o_orderstatus, "
+    + ", ".join(
+        f"CAST(COUNT(*) FILTER (WHERE o_orderpriority = '{p}') AS BIGINT) AS \"{p}\""
+        for p in _PIVOT_PRIOS
+    )
+    + " FROM orders GROUP BY o_orderstatus",
+    tags=("relational", "pivot"),
+)
+def rel_pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PIVOT_PRIOS)
+        .count()
+        .na.fill(0, _PIVOT_PRIOS)
+    )
+
+
+_sql_query(
+    "rel_percentiles",
+    """
+    SELECT l_returnflag,
+           percentile(l_quantity, 0.5) AS median_qty,
+           percentile(l_extendedprice, 0.9) AS p90_price,
+           percentile(l_discount, 0.25) AS p25_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_extendedprice, 0.9) AS p90_price,
+           quantile_cont(l_discount, 0.25) AS p25_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("relational", "aggregate"),
+)
+
+# stddev/corr are float-order-dependent; population forms + round(4) keeps
+# cross-engine agreement far inside the rounding granularity.
+_sql_query(
+    "rel_stats_agg",
+    """
+    SELECT l_linestatus,
+           round(stddev_pop(l_quantity), 4) AS sd_qty,
+           round(var_pop(l_discount), 4) AS var_disc,
+           round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price
+    FROM lineitem GROUP BY l_linestatus
+    """,
+    tags=("relational", "aggregate"),
+)
+
+_sql_query(
+    "rel_window_lead_ntile",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(dense_rank() OVER w AS INT) AS dr,
+           CAST(lead(o_orderkey) OVER w AS BIGINT) AS next_order,
+           CAST(ntile(4) OVER w AS INT) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+    """,
+    tags=("relational", "window"),
+)
+
+_sql_query(
+    "rel_union_all_counts",
+    """
+    SELECT src, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT 'orders' AS src, o_custkey AS k FROM orders
+      UNION ALL
+      SELECT 'customer' AS src, c_custkey AS k FROM customer
+    ) GROUP BY src
+    """,
+    """
+    SELECT src, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT 'orders' AS src, o_custkey AS k FROM orders
+      UNION ALL
+      SELECT 'customer' AS src, c_custkey AS k FROM customer
+    ) t GROUP BY src
+    """,
+    tags=("relational", "setops"),
+)
+
+_sql_query(
+    "rel_regex_funcs",
+    """
+    SELECT p_partkey,
+           regexp_extract(p_name, '^(\\\\w+)', 1) AS first_word,
+           regexp_replace(p_name, '[aeiou]', '_') AS devoweled,
+           CAST(p_name RLIKE 'widget|bolt' AS BOOLEAN) AS is_common
+    FROM part
+    """,
+    """
+    SELECT p_partkey,
+           regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           regexp_matches(p_name, 'widget|bolt') AS is_common
+    FROM part
+    """,
+    tags=("relational", "scalar"),
+)
+
+_sql_query(
+    "rel_date_arith",
+    """
+    SELECT o_orderkey,
+           date_format(o_orderdate, 'yyyy-MM-dd') AS order_day,
+           date_format(date_add(CAST(o_orderdate AS DATE), 30), 'yyyy-MM-dd') AS due_day,
+           CAST(datediff(TIMESTAMP '2002-01-01 00:00:00', o_orderdate) AS INT) AS age_days,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           CAST(dayofweek(o_orderdate) AS INT) AS dow
+    FROM orders WHERE o_orderkey < 100
+    """,
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+           strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS due_day,
+           CAST(datediff('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00') AS INT) AS age_days,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow
+    FROM orders WHERE o_orderkey < 100
+    """,
+    tags=("relational", "scalar"),
+)
+
+_sql_query(
+    "rel_correlated_subquery",
+    """
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o
+    WHERE o.o_totalprice > 2 * (
+      SELECT CAST(CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  / COUNT(*) AS DOUBLE)
+      FROM orders i WHERE i.o_custkey = o.o_custkey
+    )
+    """,
+    tags=("relational", "subquery"),
+)
+
+_sql_query(
+    "rel_in_subquery",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (
+      SELECT o_custkey FROM orders WHERE o_totalprice > 40000
+    ) AND c_custkey NOT IN (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    )
+    """,
+    tags=("relational", "subquery"),
+)
+
+
+@register(
+    "rel_catalog_stats",
+    " UNION ALL ".join(
+        f"SELECT '{t}' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows FROM {t}"
+        for t in ("region", "nation", "customer", "orders", "lineitem", "documents", "embeddings")
+    ),
+    tags=("relational", "catalog", "A22"),
+)
+def rel_catalog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A22 catalog introspection: per-table row counts via the session
+    catalog (the engine's pg_catalog analogue)."""
+    load_tables(spark, sf_dir)
+    names = ["region", "nation", "customer", "orders", "lineitem", "documents", "embeddings"]
+    dfs = [
+        spark.table(n).agg(
+            F.lit(n).alias("table_name"), F.count("*").alias("n_rows")
+        )
+        for n in names
+    ]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionAll(d)
+    return out
+
+
+# embed → search, end to end (A12 fake mode + A3): embed every document,
+# then top-10 nearest to doc 0's embedding by cosine.
+_FE8_SPARK = "array(" + ", ".join(fake_embedding_component_sql("text", i) for i in range(8)) + ")"
+_FE8_DUCK = "[" + ", ".join(fake_embedding_component_sql("text", i) for i in range(8)) + "]"
+
+
+def _embed_knn_sql(arr: str, dialect: str) -> str:
+    return f"""
+    WITH e AS (SELECT doc_id, {arr} AS emb FROM documents),
+    q AS (SELECT emb AS qe FROM e WHERE doc_id = 0)
+    SELECT doc_id, {cosine_distance_sql("emb", "qe", dialect)} AS distance
+    FROM e, q
+    WHERE doc_id != 0
+    ORDER BY distance ASC, doc_id ASC
+    LIMIT 10
+    """
+
+
+_sql_query(
+    "ds_embed_knn_pipeline",
+    _embed_knn_sql(_FE8_SPARK, "spark"),
+    _embed_knn_sql(_FE8_DUCK, "duckdb"),
+    tags=("dataset", "embedding", "vector", "pipeline"),
+)
+
+
+def _vs_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed ANN search (A9). Not SQL-expressible (KMeans build) →
+    rows-only check; exactness vs the full-probe path is covered in
+    tests/test_ivf.py. The index is cached per sf_dir across calls."""
+    import os
+    import tempfile
+
+    from pgvector_db_spark.operators.ivf import IVFIndex
+
+    t = load_tables(spark, sf_dir)
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"ivf_cache_{tag}")
+    if not os.path.exists(os.path.join(path, "centroids")):
+        IVFIndex.build(t["embeddings"], path, lists=8)
+    idx = IVFIndex(spark, path, "embedding", "vec_id")
+    q = t["embeddings"].filter("vec_id = 0").first()["embedding"]
+    return idx.search(list(q), k=10, nprobe=2)
+
+
+REGISTRY["vs_ivf_knn"] = QuerySpec(
+    "vs_ivf_knn", _vs_ivf_knn, None, tags=("vector", "A9", "ann")
+)
+
+
 # -- MinHash / SimHash / fingerprint / lang-id oracles ----------------------
 # DuckDB-side generators replicating functions/text.py primitives exactly
 # (hash32 = first 8 md5 hex chars as bigint; see test parity check).
