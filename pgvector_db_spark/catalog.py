@@ -67,6 +67,14 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# per-session registry cache: session id → (sf_dir, names, tables). Reading
+# 10 parquet footers + re-registering views per query call is pure driver
+# overhead. Keyed by session with the *current* sf_dir so a switch to a
+# different scale factor re-registers the views (temp views are global per
+# session — a stale cache entry would leave them pointing elsewhere).
+_REGISTRY_CACHE: dict[int, tuple[str, tuple[str, ...], dict[str, DataFrame]]] = {}
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, names: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:
@@ -75,10 +83,18 @@ def load_tables(
     Parquet scans get predicate pushdown + column pruning from Catalyst for
     free; at cluster scale the same call reads a partitioned dataset
     directory and partition pruning applies to any partition columns.
+    Also installs the SQL vector-function surface (functions/sql_registry).
     """
+    from pgvector_db_spark.functions.sql_registry import register_sql_functions
+
+    cached = _REGISTRY_CACHE.get(id(spark))
+    if cached is not None and cached[0] == sf_dir and cached[1] == names:
+        return cached[2]
     out: dict[str, DataFrame] = {}
     for name in names:
         df = read_table(spark, sf_dir, name)
         df.createOrReplaceTempView(name)
         out[name] = df
+    register_sql_functions(spark)
+    _REGISTRY_CACHE[id(spark)] = (sf_dir, names, out)
     return out

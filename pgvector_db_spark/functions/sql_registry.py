@@ -1,0 +1,72 @@
+"""SQL-surface registration of the vector operators.
+
+pgvector's operators are SQL-level (``embedding <=> q``); this registers
+the engine's equivalents as Spark SQL functions (Spark 4 SQL UDFs — pure
+SQL bodies, fully Catalyst-optimized, no Python), so a user can write:
+
+    SELECT id, 1 - cosine_distance(embedding, to_vector('[...]')) AS sim
+    FROM documents ORDER BY cosine_distance(embedding, q) LIMIT 5
+
+mirroring the reference's issued SQL (demo/similarity_search_demo.py:83-95,
+README.md:230-241) with function-call syntax instead of operators.
+
+Note: Spark disallows SQL UDFs directly inside ORDER BY
+(UNSUPPORTED_SQL_UDF_USAGE on Sort); project the distance as a column in a
+subquery/CTE and order by that column — Catalyst still collapses it into
+one TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from pgvector_db_spark.functions.vector import dot_sql
+
+_DOT = dot_sql("a", "b", "spark")
+_NORM_A = f"sqrt({dot_sql('a', 'a', 'spark')})"
+_NORM_B = f"sqrt({dot_sql('b', 'b', 'spark')})"
+
+_FUNCTIONS: dict[str, str] = {
+    "dot_product": f"""
+        CREATE OR REPLACE TEMPORARY FUNCTION dot_product(a ARRAY<FLOAT>, b ARRAY<FLOAT>)
+        RETURNS DOUBLE RETURN {_DOT}""",
+    "vector_norm": f"""
+        CREATE OR REPLACE TEMPORARY FUNCTION vector_norm(a ARRAY<FLOAT>)
+        RETURNS DOUBLE RETURN sqrt({dot_sql('a', 'a', 'spark')})""",
+    "cosine_similarity": f"""
+        CREATE OR REPLACE TEMPORARY FUNCTION cosine_similarity(a ARRAY<FLOAT>, b ARRAY<FLOAT>)
+        RETURNS DOUBLE RETURN {_DOT} / ({_NORM_A} * {_NORM_B})""",
+    "cosine_distance": f"""
+        CREATE OR REPLACE TEMPORARY FUNCTION cosine_distance(a ARRAY<FLOAT>, b ARRAY<FLOAT>)
+        RETURNS DOUBLE RETURN 1.0 - ({_DOT} / ({_NORM_A} * {_NORM_B}))""",
+    "inner_product_distance": f"""
+        CREATE OR REPLACE TEMPORARY FUNCTION inner_product_distance(a ARRAY<FLOAT>, b ARRAY<FLOAT>)
+        RETURNS DOUBLE RETURN -({_DOT})""",
+    "l2_distance": """
+        CREATE OR REPLACE TEMPORARY FUNCTION l2_distance(a ARRAY<FLOAT>, b ARRAY<FLOAT>)
+        RETURNS DOUBLE RETURN sqrt(aggregate(zip_with(a, b,
+          (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+          CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))""",
+    "l1_distance": """
+        CREATE OR REPLACE TEMPORARY FUNCTION l1_distance(a ARRAY<FLOAT>, b ARRAY<FLOAT>)
+        RETURNS DOUBLE RETURN aggregate(zip_with(a, b,
+          (x, y) -> abs(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+          CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""",
+    "to_vector": """
+        CREATE OR REPLACE TEMPORARY FUNCTION to_vector(s STRING)
+        RETURNS ARRAY<FLOAT> RETURN from_json(s, 'array<float>')""",
+    "vector_dims": """
+        CREATE OR REPLACE TEMPORARY FUNCTION vector_dims(a ARRAY<FLOAT>)
+        RETURNS INT RETURN size(a)""",
+    "l2_normalize": f"""
+        CREATE OR REPLACE TEMPORARY FUNCTION l2_normalize(a ARRAY<FLOAT>)
+        RETURNS ARRAY<DOUBLE> RETURN transform(a,
+          x -> CAST(x AS DOUBLE) / sqrt({dot_sql('a', 'a', 'spark')}))""",
+}
+
+
+def register_sql_functions(spark: SparkSession) -> list[str]:
+    """Install the vector function surface into the session (idempotent)."""
+    for ddl in _FUNCTIONS.values():
+        spark.sql(ddl)
+    return sorted(_FUNCTIONS)
