@@ -1,6 +1,6 @@
 """Deduplication operators (BASELINE.json north star; SURVEY §2.3).
 
-Four families, all DataFrame-native:
+Five families, all DataFrame-native:
 
 - exact:      content hash → groupBy → keep canonical (min id). One
               shuffle on the hash; map-side combine.
@@ -10,6 +10,9 @@ Four families, all DataFrame-native:
               the join: candidates are only docs agreeing on ≥1 band,
               so the O(n²) pair space never materializes. This is the
               100 TB-scale path.
+- n-gram Jaccard: exact word-n-gram set similarity; candidates via an
+              inverted-index join on rare n-grams (posting lists capped
+              by document frequency), exact Jaccard verification.
 - SimHash:    64-bit (default) fingerprint; near-dups = pairs within
               hamming distance d, found via LSH on bit-chunks of the
               fingerprint (same banding trick, no O(n²)).
@@ -34,6 +37,7 @@ from pgvector_db_spark.functions.text import (
     lsh_band_keys,
     minhash_signature,
     simhash,
+    tokens,
 )
 from pgvector_db_spark.functions.vector import cosine_similarity
 
@@ -110,6 +114,68 @@ def minhash_dedup(
     pairs = minhash_lsh_pairs(df, text_col, id_col, **kwargs)
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.3,
+    max_df: int = 50,
+) -> DataFrame:
+    """Near-duplicate pairs by exact word-n-gram Jaccard similarity.
+
+    Candidate generation is an inverted-index self-join: explode each
+    document's distinct n-grams into a posting list, drop n-grams that
+    occur in more than ``max_df`` documents (stop-gram guard — the
+    longest posting list bounds the join fan-out, and frequent grams
+    carry no dedup signal anyway), then join postings on the n-gram.
+    Only documents sharing ≥1 rare-enough n-gram ever meet, so the
+    O(n²) pair space never materializes; the shuffles are on the n-gram
+    (bounded buckets) and on ids (verification join). Verification is
+    exact Jaccard over the full distinct n-gram sets.
+
+    Returns (id_a, id_b, jaccard_sim) with id_a < id_b and
+    jaccard_sim >= threshold.
+    """
+    toks = tokens(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.select(F.col(id_col), F.array_distinct(grams).alias("_ng"))
+    posting = base.select(F.col(id_col), F.explode("_ng").alias("_g"))
+    rare = (
+        posting.groupBy("_g").count().filter(F.col("count") <= max_df).drop("count")
+    )
+    posting = posting.join(rare, "_g")
+    cand = (
+        posting.alias("a")
+        .join(posting.alias("b"), "_g")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    sets = base
+    return (
+        cand.join(
+            sets.select(F.col(id_col).alias("id_a"), F.col("_ng").alias("_nga")),
+            "id_a",
+        )
+        .join(
+            sets.select(F.col(id_col).alias("id_b"), F.col("_ng").alias("_ngb")),
+            "id_b",
+        )
+        .withColumn("jaccard_sim", jaccard(F.col("_nga"), F.col("_ngb")))
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", "jaccard_sim")
+    )
 
 
 def simhash_pairs(

@@ -1,0 +1,96 @@
+"""Random-hyperplane LSH approximate nearest-neighbor search (cosine).
+
+The second ANN scale path beside the IVF index (operators/ivf.py),
+covering the same need as pgvector's ANN indexes (reference
+README.md:185 names ivfflat; hyperplane LSH is the classic alternative
+for cosine space): avoid scanning every vector for a top-k query.
+
+Scheme (Charikar's SimHash for angles): draw ``num_bits`` fixed random
+hyperplanes; a vector's signature bit j is ``1`` iff ``dot(v, h_j) >= 0``.
+P(bit agrees) = 1 - angle(a, b)/pi, so near vectors collide in signature
+space. Search probes the query's bucket plus all buckets within hamming
+distance ``hamming_probe`` (multi-probe LSH), then exact-cosine re-ranks
+survivors with the same TakeOrderedAndProject kernel as the exact path.
+
+Scale notes:
+  - The signature is a plain int column computed JVM-side (no Python);
+    persist it with ``partitionBy("sig")`` (like the IVF layout) and the
+    probe filter becomes partition pruning — a 1000-executor cluster
+    reads only ``probes/2^num_bits`` of the data.
+  - Hyperplanes are seeded-deterministic and tiny (num_bits × dim
+    doubles); they ride into the plan as literals — no broadcast, no
+    side file.
+  - recall/latency tradeoff = (num_bits, hamming_probe), mirroring
+    ivfflat's (lists, nprobe).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pgvector_db_spark.functions.vector import dot_product, vector_literal
+from pgvector_db_spark.operators.knn import knn
+
+
+def hyperplanes(dim: int, num_bits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes (rows are unit-free normals)."""
+    rng = np.random.default_rng(seed)
+    return [[float(x) for x in row] for row in rng.standard_normal((num_bits, dim))]
+
+
+def lsh_signature(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Signature int: bit j set iff dot(v, h_j) >= 0. Pure JVM expression
+    (float64 sequential fold, same kernel as the distance math)."""
+    sig: Column = F.lit(0)
+    for j, h in enumerate(planes):
+        d = dot_product(vec_col, vector_literal(h))
+        sig = sig + F.when(d >= 0.0, F.lit(1 << j)).otherwise(F.lit(0))
+    return sig.cast("int")
+
+
+def _signature_of(vec: list[float], planes: list[list[float]]) -> int:
+    """Driver-side signature of the query vector — same sequential fold
+    order as the Spark expression so boundary cases agree bitwise."""
+    sig = 0
+    for j, h in enumerate(planes):
+        acc = 0.0
+        for x, y in zip(vec, h):
+            acc += float(x) * float(y)
+        if acc >= 0.0:
+            sig |= 1 << j
+    return sig
+
+
+def _probe_signatures(qsig: int, num_bits: int, hamming_probe: int) -> list[int]:
+    return [
+        s for s in range(1 << num_bits)
+        if bin(s ^ qsig).count("1") <= hamming_probe
+    ]
+
+
+def lsh_ann_knn(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int,
+    num_bits: int = 6,
+    hamming_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k by hyperplane-LSH bucket probing + exact re-rank.
+
+    ``hamming_probe = num_bits`` degenerates to the exact scan (every
+    bucket probed) — used by tests as the equivalence oracle.
+    """
+    planes = hyperplanes(len(query_vec), num_bits, seed)
+    qsig = _signature_of(query_vec, planes)
+    probes = _probe_signatures(qsig, num_bits, hamming_probe)
+    cand = (
+        df.withColumn("_sig", lsh_signature(F.col(vec_col), planes))
+        .filter(F.col("_sig").isin(probes))
+        .drop("_sig")
+    )
+    return knn(cand, query_vec, k, vec_col=vec_col, id_col=id_col)

@@ -935,6 +935,25 @@ REGISTRY["vs_ivf_knn"] = QuerySpec(
 )
 
 
+def _vs_lsh_ann_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN top-k (operators/lsh_ann.py): the second
+    ANN scale path beside IVF. Approximate → rows-only driver check; exact
+    recall properties are asserted in tests/test_knn.py."""
+    from pgvector_db_spark.operators.lsh_ann import lsh_ann_knn
+
+    t = load_tables(spark, sf_dir)
+    q = t["embeddings"].filter("vec_id = 0").first()["embedding"]
+    out = lsh_ann_knn(
+        t["embeddings"], list(q), k=10, num_bits=6, hamming_probe=2
+    )
+    return out.select("vec_id", "label", "distance", "similarity")
+
+
+REGISTRY["vs_lsh_ann_knn"] = QuerySpec(
+    "vs_lsh_ann_knn", _vs_lsh_ann_knn, None, tags=("vector", "ann")
+)
+
+
 # -- MinHash / SimHash / fingerprint / lang-id oracles ----------------------
 # DuckDB-side generators replicating functions/text.py primitives exactly
 # (hash32 = first 8 md5 hex chars as bigint; see test parity check).
@@ -1025,6 +1044,47 @@ def ds_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return minhash_lsh_pairs(t["documents"])
+
+
+_DUCK_NGRAM_JACCARD = (
+    "CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE) / "
+    "CAST(len(list_distinct(a.ng || b.ng)) AS DOUBLE)"
+)
+
+
+@register(
+    "ds_ngram_jaccard",
+    f"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+    ),
+    g AS (
+      SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ng
+      FROM t
+    ),
+    e AS (SELECT doc_id, unnest(ng) AS gram FROM g),
+    rare AS (SELECT gram FROM e GROUP BY gram HAVING count(*) <= 50),
+    p AS (SELECT e.doc_id, e.gram FROM e JOIN rare USING (gram)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM p a JOIN p b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, {_DUCK_NGRAM_JACCARD} AS jaccard_sim
+    FROM cand
+    JOIN g a ON a.doc_id = id_a
+    JOIN g b ON b.doc_id = id_b
+    WHERE {_DUCK_NGRAM_JACCARD} >= 0.3
+    """,
+    tags=("dataset", "dedup"),
+)
+def ds_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-trigram Jaccard near-dup pairs via inverted-index candidate
+    join with a document-frequency cap on posting lists (skew guard)."""
+    from pgvector_db_spark.operators.dedup import ngram_jaccard_pairs
+
+    t = load_tables(spark, sf_dir)
+    return ngram_jaccard_pairs(t["documents"], n=3, threshold=0.3, max_df=50)
 
 
 _DUCK_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"

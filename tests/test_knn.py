@@ -48,3 +48,58 @@ def test_pairwise_avg_similarity_bounds(tables):
 def test_self_similarity_check(tables):
     rows = self_similarity_check(tables["embeddings"].limit(20)).collect()
     assert all(abs(r["self_similarity"] - 1.0) < 1e-9 for r in rows)
+
+
+def test_lsh_ann_full_probe_equals_exact(tables):
+    from pgvector_db_spark.operators.knn import knn
+    from pgvector_db_spark.operators.lsh_ann import lsh_ann_knn
+
+    emb = tables["embeddings"]
+    q = list(emb.filter("vec_id = 0").first()["embedding"])
+    exact = [r["vec_id"] for r in knn(emb, q, 10).collect()]
+    full = [
+        r["vec_id"]
+        for r in lsh_ann_knn(emb, q, 10, num_bits=6, hamming_probe=6).collect()
+    ]
+    assert full == exact
+
+
+def test_lsh_ann_probe_recall(tables):
+    from pgvector_db_spark.operators.knn import knn
+    from pgvector_db_spark.operators.lsh_ann import lsh_ann_knn
+
+    emb = tables["embeddings"]
+    q = list(emb.filter("vec_id = 0").first()["embedding"])
+    exact = {r["vec_id"] for r in knn(emb, q, 10).collect()}
+    approx = [
+        r["vec_id"]
+        for r in lsh_ann_knn(emb, q, 10, num_bits=6, hamming_probe=2).collect()
+    ]
+    assert len(approx) <= 10
+    recall = len(exact & set(approx)) / 10
+    assert recall >= 0.3  # deterministic given seed/data; measured higher
+
+
+def test_lsh_signature_matches_driver_side(tables):
+    """The JVM expression and the driver-side fold must agree on every
+    row's signature (same float64 sequential fold)."""
+    from pyspark.sql import functions as F
+
+    from pgvector_db_spark.operators.lsh_ann import (
+        _signature_of,
+        hyperplanes,
+        lsh_signature,
+    )
+
+    emb = tables["embeddings"].limit(20)
+    planes = hyperplanes(64, 6)
+    got = emb.select(
+        "vec_id", lsh_signature(F.col("embedding"), planes).alias("sig")
+    ).collect()
+    for r in got:
+        vec = list(
+            tables["embeddings"].filter(F.col("vec_id") == r["vec_id"]).first()[
+                "embedding"
+            ]
+        )
+        assert _signature_of(vec, planes) == r["sig"]

@@ -142,3 +142,37 @@ def test_connected_components(spark):
 def test_tokens(spark):
     df = spark.createDataFrame([("  a b   c ",)], "s string")
     assert one(df, tokens("s")) == ["a", "b", "c"]
+
+
+def test_ngram_jaccard_pairs(spark):
+    from pgvector_db_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different words entirely here now"),
+            (4, "hi"),  # fewer than n tokens → empty n-gram set, no crash
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        (r["id_a"], r["id_b"]): r["jaccard_sim"]
+        for r in ngram_jaccard_pairs(df, threshold=0.3).collect()
+    }
+    assert set(rows) == {(1, 2)}
+    # docs 1/2: 7 trigrams each, 6 shared ("the lazy dog"≠"the lazy cat")
+    # → jaccard 6/8
+    assert abs(rows[(1, 2)] - 0.75) < 1e-12
+
+
+def test_ngram_jaccard_df_cap_drops_stop_grams(spark):
+    from pgvector_db_spark.operators.dedup import ngram_jaccard_pairs
+
+    # every doc shares the same trigram; with max_df=2 that posting list
+    # is dropped, so no candidates survive
+    df = spark.createDataFrame(
+        [(i, f"common shared gram unique{i} tail{i}") for i in range(1, 5)],
+        ["doc_id", "text"],
+    )
+    assert ngram_jaccard_pairs(df, threshold=0.0, max_df=2).count() == 0
