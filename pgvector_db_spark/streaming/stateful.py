@@ -1,0 +1,74 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+Beyond the built-in windowed aggregates (streaming/windows.py), a
+training-data ingest pipeline needs per-key state that outlives a
+window: running totals and streaming first-seen dedup. Both are
+Arrow-batched pandas state functions — state lives in the streaming
+state store (checkpointed, exactly-once), keyed and shuffled by the
+group key, so a 1000-executor cluster partitions the key space and each
+task touches only its shard's state.
+
+Note: for plain key dedup with a bounded horizon, the built-in
+``dropDuplicates`` + watermark is preferred; ``first_seen`` exists for
+unbounded keys and as the template for richer per-key logic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def running_counts(stream_df: DataFrame, key_col: str) -> DataFrame:
+    """Per-key running event count, emitted each micro-batch the key
+    appears in (output mode: update)."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({key_col: [key[0]], "running_count": [total]})
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=f"{key_col} bigint, running_count bigint",
+        stateStructType="total bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def first_seen(stream_df: DataFrame, key_col: str, ts_col: str) -> DataFrame:
+    """Streaming exact dedup on an unbounded key space: emit each key the
+    first micro-batch it appears in, drop every later occurrence.
+
+    State per key is a single seen flag; emitted row carries the earliest
+    timestamp within the first batch."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            for _ in pdfs:  # drain (required by the contract)
+                pass
+            return
+        first_ts = None
+        for pdf in pdfs:
+            ts = pdf[ts_col].min()
+            first_ts = ts if first_ts is None else min(first_ts, ts)
+        state.update((True,))
+        yield pd.DataFrame({key_col: [key[0]], "first_ts": [first_ts]})
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=f"{key_col} bigint, first_ts timestamp",
+        stateStructType="seen boolean",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

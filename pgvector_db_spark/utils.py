@@ -1,0 +1,78 @@
+"""Operational utilities mirroring the reference's ``utils.py``.
+
+- ``time_it`` — wall-clock timing decorator (reference utils.py:17-34);
+  kept for bench-harness parity and used by tools/difftest.py-style
+  scripts. Timings are also observable in the Spark UI per job/stage.
+- ``download_model`` / ``distribute_model_dir`` — model snapshot download
+  + executor distribution (reference utils.py:83-123 downloads HF /
+  sentence-transformers snapshots to a local dir). The heavy hub libs are
+  not in this image, so the downloader is injectable and the default path
+  is gated behind an import-try; the distribution step (driver dir →
+  every executor via ``SparkContext.addFile``) is real.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import time
+from collections.abc import Callable
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+logger = logging.getLogger(__name__)
+
+
+def time_it(fn: Callable) -> Callable:
+    """Log wall-clock duration of each call; the last duration is kept on
+    ``wrapper.last_seconds`` so harnesses can record it."""
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        t0 = time.perf_counter()
+        try:
+            return fn(*args, **kwargs)
+        finally:
+            dt = time.perf_counter() - t0
+            wrapper.last_seconds = dt
+            logger.info("%s took %.3fs", fn.__name__, dt)
+
+    wrapper.last_seconds = None
+    return wrapper
+
+
+def download_model(
+    model_name: str,
+    save_path: str,
+    downloader: Callable[[str, str], str] | None = None,
+) -> str:
+    """Snapshot a model to ``save_path`` and return the local dir.
+
+    ``downloader(model_name, dest) -> path`` is injectable for tests and
+    for environments with a private mirror. The default uses
+    huggingface_hub if importable and raises ``NotImplementedError``
+    otherwise (the image ships no hub/torch stack).
+    """
+    dest = str(Path(save_path) / model_name.replace("/", "__"))
+    if downloader is not None:
+        return downloader(model_name, dest)
+    try:
+        from huggingface_hub import snapshot_download  # type: ignore
+    except ImportError as exc:  # pragma: no cover - heavy dep absent
+        raise NotImplementedError(
+            "huggingface_hub is not installed; pass an explicit downloader "
+            "or use the deterministic fake embedder (functions/embedding.py)"
+        ) from exc
+    return snapshot_download(repo_id=model_name, local_dir=dest)
+
+
+def distribute_model_dir(spark: SparkSession, local_dir: str) -> str:
+    """Ship a driver-local model directory to every executor.
+
+    Executors resolve it with ``SparkFiles.get(basename)``; on a shared
+    filesystem (the usual cluster deployment) this is a no-op and the
+    path is used directly.
+    """
+    spark.sparkContext.addFile(local_dir, recursive=True)
+    return Path(local_dir).name

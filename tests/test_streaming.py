@@ -129,3 +129,37 @@ def test_stream_append_exactly_once(spark, events_replay_dir, events_schema, tmp
     q2.processAllAvailable()
     q2.stop()
     assert spark.read.parquet(out).count() == 1000
+
+
+def test_stateful_running_counts_match_batch(spark, events_replay_dir, events_schema):
+    from pgvector_db_spark.streaming.stateful import running_counts
+
+    stream = file_stream(spark, events_replay_dir, events_schema, max_files_per_trigger=1)
+    run_stream_to_memory(running_counts(stream, "user_id"), "run_counts", mode="update")
+    # last update per key == batch total
+    got = {
+        r["user_id"]: r["running_count"]
+        for r in spark.sql(
+            """SELECT user_id, max(running_count) AS running_count
+               FROM run_counts GROUP BY user_id"""
+        ).collect()
+    }
+    batch = read_table(spark, SF_DIR, "events")
+    want = {
+        r["user_id"]: r["cnt"]
+        for r in batch.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert got == want
+
+
+def test_stateful_first_seen_dedups_keys(spark, events_replay_dir, events_schema):
+    from pgvector_db_spark.streaming.stateful import first_seen
+
+    stream = file_stream(spark, events_replay_dir, events_schema, max_files_per_trigger=1)
+    run_stream_to_memory(first_seen(stream, "user_id", "ts"), "first_seen_t", mode="update")
+    rows = spark.sql("SELECT user_id FROM first_seen_t").collect()
+    keys = [r["user_id"] for r in rows]
+    # each key emitted exactly once across all micro-batches
+    assert len(keys) == len(set(keys))
+    n_distinct = read_table(spark, SF_DIR, "events").select("user_id").distinct().count()
+    assert len(keys) == n_distinct
