@@ -48,6 +48,44 @@ def run_query(spark, name: str, sf_dir: str) -> float:
     return best
 
 
+def derived_metrics(spark, sf_dir: str, timings: dict[str, float]) -> dict[str, float]:
+    """BASELINE.md-comparable per-op numbers (demo/README.md:207-210 of the
+    reference): embedding rows/s (vs ~3.3/s), ingest rows/s (vs ~100/s),
+    and exact vs ANN top-k latency in ms."""
+    import shutil
+    import tempfile
+    import time as _t
+
+    from pgvector_db_spark.catalog import load_tables
+    from pgvector_db_spark.sources.table import ParquetTable
+
+    t = load_tables(spark, sf_dir)
+    out: dict[str, float] = {}
+
+    n_docs = t["documents"].count()
+    if "ds_embed_fake" in timings and timings["ds_embed_fake"] > 0:
+        out["embed_rows_per_sec"] = round(n_docs / timings["ds_embed_fake"], 1)
+
+    tmp = tempfile.mkdtemp(prefix="bench_ingest_")
+    try:
+        table = ParquetTable(spark, os.path.join(tmp, "docs"), required_cols=("text",))
+        t0 = _t.time()
+        table.insert(t["documents"])
+        dt = _t.time() - t0
+        out["ingest_rows_per_sec"] = round(n_docs / dt, 1)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    for name, key in (
+        ("vs_knn_topk", "knn_exact_ms"),
+        ("vs_ivf_knn", "knn_ivf_ms"),
+        ("vs_lsh_ann_knn", "knn_lsh_ms"),
+    ):
+        if name in REGISTRY:
+            out[key] = round(run_query(spark, name, sf_dir) * 1000, 1)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -64,6 +102,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "derived": derived_metrics(spark, sf_dir, timings),
     }
     print(json.dumps(out))
 
