@@ -624,12 +624,16 @@ _sql_query(
     """
     SELECT doc_id,
            CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) AS n_tokens,
+           CAST(size(regexp_extract_all(text,
+                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)) AS BIGINT) AS n_bpe_tokens,
            CAST(length(text) AS BIGINT) AS n_chars
     FROM documents
     """,
     """
     SELECT doc_id,
            CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
            CAST(length(text) AS BIGINT) AS n_chars
     FROM documents
     """,

@@ -66,3 +66,42 @@ def test_vector_fold_stays_in_codegen(tables):
     # still vectorized-read + JVM-eval, vs an Arrow/pickle roundtrip)
     assert "EvalPython" not in plan
     assert "aggregate(zip_with" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tables, tmp_path):
+    """Both sides bucketed on the join key → sort-merge join reads
+    pre-shuffled buckets; no Exchange in the plan."""
+    from pgvector_db_spark.plans.explain import physical_plan
+    from pgvector_db_spark.plans.layouts import write_bucketed
+
+    orders = tables["orders"].select("o_orderkey", "o_custkey", "o_totalprice")
+    li = tables["lineitem"].select("l_orderkey", "l_quantity")
+    write_bucketed(orders, "b_orders", "o_orderkey", buckets=4)
+    write_bucketed(li.withColumnRenamed("l_orderkey", "o_orderkey"), "b_lineitem",
+                   "o_orderkey", buckets=4)
+    # at test scale the planner would broadcast instead (and skip the
+    # bucketed scan); disable it to exercise the big-big join path
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+        plan = physical_plan(joined)
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_salted_join_equals_plain_join(spark, tables):
+    from pgvector_db_spark.plans.layouts import salted_join
+
+    orders = tables["orders"].select("o_orderkey", "o_custkey")
+    cust = tables["customer"].select("c_custkey", "c_name").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    plain = orders.join(cust, "o_custkey").select("o_orderkey", "c_name")
+    salted = salted_join(orders, cust, "o_custkey", salt=4).select(
+        "o_orderkey", "c_name"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
