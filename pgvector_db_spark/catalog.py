@@ -63,7 +63,10 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in ns_cols:
-        df = df.withColumn(c, F.timestamp_micros((F.col(c) / F.lit(1000)).cast("long")))
+        # integer div, not `/`: float division of int64 nanos (~2^61) loses
+        # precision beyond double's 53-bit mantissa and can round the
+        # microsecond up; `div` truncates exactly like DuckDB's ns→us read
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
 

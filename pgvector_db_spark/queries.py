@@ -1050,6 +1050,84 @@ def ds_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(t["documents"])
 
 
+@register(
+    "rel_asof_click_purchase",
+    """
+    SELECT c.event_id, c.user_id,
+           CAST(epoch_us(c.ts) AS BIGINT) AS ts_us,
+           c.value AS click_value,
+           p.event_id AS purchase_id,
+           p.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    tags=("relational", "asof"),
+)
+def rel_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (operators/joins.py): each click joined to the
+    user's latest purchase at-or-before it. Oracle: DuckDB's native ASOF
+    LEFT JOIN — semantics parity check for the union-sort implementation."""
+    from pgvector_db_spark.operators.joins import asof_join
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    out = asof_join(clicks, purchases, "user_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.col("value").alias("click_value"),
+        "purchase_id",
+        "purchase_value",
+    )
+
+
+_BANDS = [(0, 0.0, 50.0), (1, 50.0, 100.0), (2, 100.0, 200.0), (3, 200.0, 400.0)]
+_DUCK_BANDS = ", ".join(f"({b}, {lo}, {hi})" for b, lo, hi in _BANDS)
+
+
+@register(
+    "rel_range_join_value_bands",
+    f"""
+    SELECT band, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events e
+    JOIN (SELECT * FROM (VALUES {_DUCK_BANDS}) AS b(band, lo, hi)) b
+      ON e.value >= b.lo AND e.value <= b.hi
+    GROUP BY band
+    """,
+    tags=("relational", "range_join"),
+)
+def rel_range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval containment via the bucketed range join
+    (operators/joins.py): bin-explode intervals, hash-join on the bin,
+    exact residual filter — no nested-loop cross join at scale."""
+    from pgvector_db_spark.operators.joins import range_join
+
+    t = load_tables(spark, sf_dir)
+    bands = spark.createDataFrame(_BANDS, ["band", "lo", "hi"])
+    joined = range_join(
+        t["events"].select("event_id", "value"), bands, "value", "lo", "hi",
+        bin_width=50.0,
+    )
+    return joined.groupBy("band").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
 _DUCK_NGRAM_JACCARD = (
     "CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE) / "
     "CAST(len(list_distinct(a.ng || b.ng)) AS DOUBLE)"

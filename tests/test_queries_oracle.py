@@ -37,3 +37,40 @@ def test_query_matches_oracle(name, spark, duck):
     assert sorted(scols) == sorted(dcols)
     assert len(srows) == len(drows)
     assert rows_to_multiset(scols, srows) == rows_to_multiset(dcols, drows)
+
+
+def test_asof_join_operator_basic(spark):
+    from pgvector_db_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 20, 200.0), (2, 15, 150.0)],
+        ["k", "ts", "lv"],
+    ).withColumnRenamed("k", "user")
+    right = spark.createDataFrame(
+        [(1, 10, "a"), (1, 18, "b"), (3, 5, "c")],
+        ["user", "ts", "tag"],
+    )
+    rows = {
+        (r["user"], r["ts"]): r["tag_asof"] if "tag_asof" in r.asDict() else r["tag"]
+        for r in asof_join(left, right, "user", "ts", "ts").collect()
+    }
+    assert rows[(1, 10)] == "a"   # tie matches (inclusive)
+    assert rows[(1, 20)] == "b"   # latest at-or-before
+    assert rows[(2, 15)] is None  # no right rows for the key
+
+
+def test_range_join_matches_naive(spark, tables):
+    from pyspark.sql import functions as F
+
+    from pgvector_db_spark.operators.joins import range_join
+
+    ev = tables["events"].select("event_id", "value").limit(200)
+    bands = spark.createDataFrame(
+        [(0, 0.0, 50.0), (1, 40.0, 120.0), (2, 300.0, 400.0)], ["band", "lo", "hi"]
+    )
+    fast = range_join(ev, bands, "value", "lo", "hi", bin_width=25.0)
+    naive = ev.crossJoin(bands).filter(
+        (F.col("value") >= F.col("lo")) & (F.col("value") <= F.col("hi"))
+    )
+    key = lambda r: (r["event_id"], r["band"])
+    assert sorted(map(key, fast.collect())) == sorted(map(key, naive.collect()))
