@@ -1128,6 +1128,31 @@ def rel_range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_rollup_level(width: int) -> str:
+    return f"""
+    SELECT CAST({width} AS BIGINT) AS resolution_sec,
+           CAST(floor(epoch(ts) / {width}) * {width} AS BIGINT) AS bucket_epoch,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY bucket_epoch"""
+
+
+@register(
+    "rel_rollup_time_multires",
+    " UNION ALL ".join(_duck_rollup_level(w) for w in (300, 3600, 86400)),
+    tags=("relational", "rollup", "hypertable"),
+)
+def rel_rollup_time_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style cascaded multi-resolution rollup
+    (operators/rollup.py): raw rows aggregated once at 5 min, 1 h and 1 d
+    derived from the finer level. Oracle computes each level directly from
+    raw — equality holds because the decimal cascade is exact."""
+    from pgvector_db_spark.operators.rollup import time_rollup
+
+    t = load_tables(spark, sf_dir)
+    return time_rollup(t["events"], "ts", "value", (300, 3600, 86400))
+
+
 _DUCK_NGRAM_JACCARD = (
     "CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE) / "
     "CAST(len(list_distinct(a.ng || b.ng)) AS DOUBLE)"

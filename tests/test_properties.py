@@ -1,0 +1,102 @@
+"""Property-based tests (hypothesis) for the math kernels.
+
+The reference ships no property tests; these pin the invariants the
+engine's determinism story rests on: metric bounds, scale invariance,
+and cascade-exactness of the decimal rollup.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from pgvector_db_spark.functions.vector import (
+    cosine_distance,
+    l1_distance,
+    l2_distance,
+)
+
+finite = st.floats(
+    min_value=-100, max_value=100, allow_nan=False, allow_infinity=False
+)
+vec = st.lists(finite, min_size=4, max_size=4).filter(
+    lambda v: sum(x * x for x in v) > 1e-6
+)
+
+
+def _one(spark, cols):
+    return spark.range(1).select(*cols).first()
+
+
+@settings(max_examples=10, deadline=None)
+@given(a=vec, b=vec, scale=st.floats(min_value=0.1, max_value=50))
+def test_cosine_properties(spark, a, b, scale):
+    la, lb = F.array(*map(F.lit, a)), F.array(*map(F.lit, b))
+    ls = F.array(*[F.lit(x * scale) for x in b])
+    r = _one(
+        spark,
+        [
+            cosine_distance(la, lb).alias("d"),
+            cosine_distance(la, la).alias("self_d"),
+            cosine_distance(la, ls).alias("d_scaled"),
+        ],
+    )
+    assert -1e-9 <= r["d"] <= 2 + 1e-9          # cosine distance ∈ [0, 2]
+    assert abs(r["self_d"]) < 1e-9               # identity
+    assert abs(r["d"] - r["d_scaled"]) < 1e-6    # positive-scale invariance
+
+
+@settings(max_examples=10, deadline=None)
+@given(a=vec, b=vec, c=vec)
+def test_lp_distance_properties(spark, a, b, c):
+    la, lb, lc = (F.array(*map(F.lit, v)) for v in (a, b, c))
+    r = _one(
+        spark,
+        [
+            l2_distance(la, lb).alias("ab2"),
+            l2_distance(lb, lc).alias("bc2"),
+            l2_distance(la, lc).alias("ac2"),
+            l1_distance(la, lb).alias("ab1"),
+        ],
+    )
+    # triangle inequality + symmetry-free sanity vs driver-side math
+    assert r["ac2"] <= r["ab2"] + r["bc2"] + 1e-9
+    want2 = math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+    want1 = sum(abs(x - y) for x, y in zip(a, b))
+    assert abs(r["ab2"] - want2) < 1e-6 * (1 + want2)
+    assert abs(r["ab1"] - want1) < 1e-6 * (1 + want1)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(min_value=0, max_value=1000, allow_nan=False), min_size=1, max_size=40
+    )
+)
+def test_rollup_cascade_exact(spark, vals):
+    """Cascaded decimal sums equal direct sums regardless of grouping."""
+    from pgvector_db_spark.operators.rollup import time_rollup
+
+    rows = [
+        (i, f"2024-01-01 {i % 24:02d}:{(i * 7) % 60:02d}:00", round(v, 2))
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts_s", "value"]).withColumn(
+        "ts", F.to_timestamp("ts_s")
+    )
+    out = time_rollup(df, "ts", "value", (300, 3600, 86400))
+    per_level = {
+        r["resolution_sec"]: r["total"]
+        for r in out.groupBy("resolution_sec")
+        .agg(F.sum(F.col("sum_value").cast("decimal(28,2)")).alias("total"))
+        .collect()
+    }
+    totals = set(per_level.values())
+    assert len(totals) == 1  # every resolution sums to the same exact total
+    n_by_level = {
+        r["resolution_sec"]: r["n"]
+        for r in out.groupBy("resolution_sec").agg(F.sum("n_events").alias("n")).collect()
+    }
+    assert set(n_by_level.values()) == {len(vals)}
