@@ -33,6 +33,12 @@ from pyspark.sql import functions as F
 
 from pgvector_db_spark.operators.knn import knn
 
+# Per-path caches: centroid ranking runs per query, and re-reading the tiny
+# centroids dataset (a full Spark job) or re-listing the data dataset's
+# footers per search is pure driver overhead. Invalidated by build().
+_CENTROID_CACHE: dict[str, list[tuple[int, list[float], float]]] = {}
+_DATA_CACHE: dict[tuple[int, str], DataFrame] = {}
+
 
 class IVFIndex:
     """Handle to a built IVF index (data + centroids parquet datasets)."""
@@ -102,24 +108,47 @@ class IVFIndex:
             centroids, "list_id int, centroid array<double>"
         ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
 
+        _CENTROID_CACHE.pop(os.path.join(path, "centroids"), None)
+        _DATA_CACHE.pop((id(spark), os.path.join(path, "data")), None)
         return cls(spark, path, vec_col, id_col)
 
     # -- search --------------------------------------------------------------
 
+    def _centroids(self) -> list[tuple[int, list[float], float]]:
+        """(list_id, centroid, norm), cached per path — `lists` rows is
+        broadcast-tiny; reading it is pgvector scanning list metadata,
+        done once per index handle lifetime, not per query."""
+        cached = _CENTROID_CACHE.get(self.centroids_path)
+        if cached is None:
+            rows = self.spark.read.parquet(self.centroids_path).collect()
+            cached = [
+                (
+                    r["list_id"],
+                    list(r["centroid"]),
+                    math.sqrt(sum(x * x for x in r["centroid"])),
+                )
+                for r in rows
+            ]
+            _CENTROID_CACHE[self.centroids_path] = cached
+        return cached
+
     def _rank_lists(self, query_vec: list[float]) -> list[tuple[int, float]]:
-        """Centroid ranking, driver-side: `lists` rows is broadcast-tiny —
-        this mirrors pgvector scanning the list metadata, not the data."""
-        rows = self.spark.read.parquet(self.centroids_path).collect()
         qn = math.sqrt(sum(x * x for x in query_vec))
         ranked = []
-        for r in rows:
-            c = r["centroid"]
+        for lid, c, cn in self._centroids():
             dot = sum(x * y for x, y in zip(query_vec, c))
-            cn = math.sqrt(sum(x * x for x in c))
             dist = 1.0 - dot / (qn * cn) if qn and cn else 1.0
-            ranked.append((r["list_id"], dist))
+            ranked.append((lid, dist))
         ranked.sort(key=lambda t: (t[1], t[0]))
         return ranked
+
+    def _data(self) -> DataFrame:
+        key = (id(self.spark), self.data_path)
+        df = _DATA_CACHE.get(key)
+        if df is None:
+            df = self.spark.read.parquet(self.data_path)
+            _DATA_CACHE[key] = df
+        return df
 
     def search(
         self, query_vec: list[float], k: int = 10, nprobe: int = 1
@@ -131,9 +160,7 @@ class IVFIndex:
         never read.
         """
         probes = [lid for lid, _ in self._rank_lists(query_vec)[:nprobe]]
-        data = self.spark.read.parquet(self.data_path).filter(
-            F.col("list_id").isin(probes)
-        )
+        data = self._data().filter(F.col("list_id").isin(probes))
         return knn(data, query_vec, k, vec_col=self.vec_col, id_col=self.id_col)
 
     def recall_at_k(
