@@ -1346,6 +1346,56 @@ _sql_query(
 )
 
 
+@register(
+    "ds_pipeline_clean_corpus",
+    """
+    WITH filtered AS (
+      SELECT * FROM documents WHERE text IS NOT NULL AND length(text) >= 20
+    ),
+    keep AS (
+      SELECT min(doc_id) AS doc_id FROM filtered GROUP BY text
+    ),
+    dedup AS (SELECT f.* FROM filtered f JOIN keep USING (doc_id)),
+    m AS (
+      SELECT lang,
+             CAST(length(text) AS BIGINT) AS nc,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS nt
+      FROM dedup
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           SUM(nt) AS total_tokens,
+           CAST(CAST(SUM(CAST(nc AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+                AS DOUBLE) AS avg_chars
+    FROM m GROUP BY lang
+    """,
+    tags=("dataset", "pipeline"),
+)
+def ds_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship composed training-data pipeline: length filter → exact
+    dedup (hash-groupBy, operators/dedup.py) → token metrics → per-language
+    corpus stats. One declarative plan: Catalyst fuses the filter into the
+    scan and the dedup is the only shuffle before the final aggregate."""
+    from pgvector_db_spark.operators.dedup import exact_dedup
+
+    t = load_tables(spark, sf_dir)
+    filtered = t["documents"].filter(
+        F.col("text").isNotNull() & (F.length("text") >= 20)
+    )
+    deduped = exact_dedup(filtered, ["text"], "doc_id")
+    m = deduped.select(
+        "lang",
+        F.length("text").cast("bigint").alias("nc"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("nt"),
+    )
+    return m.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("nt").alias("total_tokens"),
+        (F.sum(F.col("nc").cast("decimal(18,2)")).cast("double") / F.count("*"))
+        .cast("double")
+        .alias("avg_chars"),
+    )
+
+
 def all_queries() -> dict[str, SparkQuery]:
     return {name: spec.spark_fn for name, spec in REGISTRY.items()}
 
