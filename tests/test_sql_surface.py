@@ -72,3 +72,14 @@ def test_table_cache_returns_same_objects(spark):
     a = load_tables(spark, "/root/testdata/sf0.001")
     b = load_tables(spark, "/root/testdata/sf0.001")
     assert a is b
+
+
+def test_parameterized_sql(spark):
+    """Tier B parameterized predicates (reference uses psycopg2 %s params;
+    Spark >= 3.4 takes named args in spark.sql)."""
+    rows = spark.sql(
+        "SELECT doc_id FROM documents WHERE length(text) >= :minlen "
+        "ORDER BY doc_id LIMIT :k",
+        args={"minlen": 50, "k": 5},
+    ).collect()
+    assert len(rows) == 5
