@@ -70,6 +70,50 @@ def _probe_signatures(qsig: int, num_bits: int, hamming_probe: int) -> list[int]
     ]
 
 
+def build_lsh_layout(
+    df: DataFrame,
+    path: str,
+    num_bits: int = 6,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> None:
+    """Persist the dataset partitioned by LSH signature.
+
+    The searched-at-scale form: ``sig`` becomes a Hive partition column,
+    so the probe filter in :func:`search_lsh_layout` is partition pruning
+    — unprobed buckets are never listed, opened, or read.
+    """
+    dim = len(df.select(vec_col).first()[0])
+    planes = hyperplanes(dim, num_bits, seed)
+    (
+        df.withColumn("sig", lsh_signature(F.col(vec_col), planes))
+        .repartition("sig")
+        .write.mode("overwrite")
+        .partitionBy("sig")
+        .parquet(path)
+    )
+
+
+def search_lsh_layout(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int,
+    num_bits: int = 6,
+    hamming_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k over a :func:`build_lsh_layout` dataset: rank buckets
+    driver-side, scan only the probed partitions, exact re-rank."""
+    planes = hyperplanes(len(query_vec), num_bits, seed)
+    qsig = _signature_of(query_vec, planes)
+    probes = _probe_signatures(qsig, num_bits, hamming_probe)
+    data = spark.read.parquet(path).filter(F.col("sig").isin(probes)).drop("sig")
+    return knn(data, query_vec, k, vec_col=vec_col, id_col=id_col)
+
+
 def lsh_ann_knn(
     df: DataFrame,
     query_vec: list[float],

@@ -103,3 +103,37 @@ def test_lsh_signature_matches_driver_side(tables):
             ]
         )
         assert _signature_of(vec, planes) == r["sig"]
+
+
+def test_lsh_layout_search_prunes_partitions(spark, tables, tmp_path):
+    """The persisted-layout search must hit only probed sig partitions
+    (partition pruning) and agree with the inline LSH scan."""
+    from pgvector_db_spark.operators.lsh_ann import (
+        build_lsh_layout,
+        lsh_ann_knn,
+        search_lsh_layout,
+    )
+    from pgvector_db_spark.plans.explain import assert_partition_filter
+
+    emb = tables["embeddings"]
+    path = str(tmp_path / "lsh_layout")
+    build_lsh_layout(emb, path, num_bits=6)
+    q = list(emb.filter("vec_id = 0").first()["embedding"])
+    got = search_lsh_layout(spark, path, q, 10, num_bits=6, hamming_probe=2)
+    assert_partition_filter(got, "sig")
+    inline = lsh_ann_knn(emb, q, 10, num_bits=6, hamming_probe=2)
+    key = lambda r: (r["vec_id"], round(r["distance"], 9))
+    assert sorted(map(key, got.collect())) == sorted(map(key, inline.collect()))
+
+
+def test_approx_count_distinct_accuracy(spark, tables):
+    """SURVEY Tier B approximate aggregate: HLL++ result within rsd bound
+    of exact (not oracle-hashable — sketch differs across engines)."""
+    from pyspark.sql import functions as F
+
+    ords = tables["orders"]
+    exact = ords.select("o_custkey").distinct().count()
+    approx = ords.select(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("a")
+    ).first()["a"]
+    assert abs(approx - exact) / exact < 0.1
