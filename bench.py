@@ -83,6 +83,20 @@ def derived_metrics(spark, sf_dir: str, timings: dict[str, float]) -> dict[str, 
     ):
         if name in REGISTRY:
             out[key] = round(run_query(spark, name, sf_dir) * 1000, 1)
+
+    # ANN quality next to ANN latency: recall@10 of the probed IVF search
+    # vs the exact kernel (pgvector's nprobe/lists tradeoff, measured).
+    import tempfile
+
+    from pgvector_db_spark.operators.ivf import IVFIndex
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"ivf_cache_{tag}")
+    if not os.path.exists(os.path.join(path, "centroids")):
+        IVFIndex.build(t["embeddings"], path, lists=8)
+    idx = IVFIndex(spark, path, "embedding", "vec_id")
+    q = list(t["embeddings"].filter("vec_id = 0").first()["embedding"])
+    out["ivf_recall_at_10_nprobe2"] = idx.recall_at_k(t["embeddings"], q, 10, 2)
     return out
 
 

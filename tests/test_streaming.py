@@ -163,3 +163,28 @@ def test_stateful_first_seen_dedups_keys(spark, events_replay_dir, events_schema
     assert len(keys) == len(set(keys))
     n_distinct = read_table(spark, SF_DIR, "events").select("user_id").distinct().count()
     assert len(keys) == n_distinct
+
+
+def test_streaming_embed_pipeline_matches_batch(spark, tmp_path):
+    """A12 + A21 composed: replayed documents embedded in-stream with the
+    deterministic embedder produce exactly the batch-path embeddings."""
+    from pgvector_db_spark.functions.embedding import embed_text
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text").limit(100)
+    src = str(tmp_path / "docs_src")
+    docs.repartitionByRange(2, "doc_id").write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = file_stream(spark, src, schema, max_files_per_trigger=1)
+    embedded = embed_text(stream, model="fake", dim=8)
+    run_stream_to_memory(embedded, "stream_embed", mode="append")
+
+    got = {
+        r["doc_id"]: tuple(r["embedding"])
+        for r in spark.sql("SELECT doc_id, embedding FROM stream_embed").collect()
+    }
+    want = {
+        r["doc_id"]: tuple(r["embedding"])
+        for r in embed_text(docs, model="fake", dim=8).collect()
+    }
+    assert got == want
