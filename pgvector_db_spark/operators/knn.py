@@ -92,6 +92,44 @@ def query_by_example(
     )
 
 
+def knn_batch(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_id_col: str = "query_id",
+    q_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Top-k neighbors for a BATCH of query vectors in one plan.
+
+    The query side broadcasts (a query batch is small by construction);
+    each input partition scores its rows against every query, and the
+    ``rank <= k`` predicate compiles to WindowGroupLimit — Spark inserts a
+    per-partition partial top-k *before* the shuffle on ``query_id``, so
+    the exchanged data is ~``k × partitions × queries`` rows, not
+    ``n × queries``. This is the grouped analogue of
+    TakeOrderedAndProject, and the right batch-scoring plan at any scale.
+
+    Returns (query_id, vec_id, distance, rank), rank 1 = nearest,
+    tie-broken by ``id_col``.
+    """
+    from pyspark.sql.window import Window
+
+    q = queries.select(F.col(q_id_col), F.col(q_vec_col).alias("_qv"))
+    scored = df.crossJoin(F.broadcast(q)).withColumn(
+        "distance", cosine_distance(F.col(vec_col), F.col("_qv"))
+    )
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.col("distance").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("knn_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("knn_rank") <= k)
+        .select(q_id_col, id_col, "distance", "knn_rank")
+    )
+
+
 def pairwise_avg_similarity(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -939,6 +939,38 @@ REGISTRY["vs_ivf_knn"] = QuerySpec(
 )
 
 
+@register(
+    "vs_knn_batch",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id <= 2
+    ),
+    s AS (
+      SELECT q.query_id, e.vec_id,
+             {cosine_distance_sql("e.embedding", "q.qe", "duckdb")} AS distance
+      FROM embeddings e, q
+    ),
+    r AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY distance ASC, vec_id ASC) AS INT) AS knn_rank
+      FROM s
+    )
+    SELECT query_id, vec_id, distance, knn_rank FROM r WHERE knn_rank <= 5
+    """,
+    tags=("vector", "batch"),
+)
+def vs_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch top-k: 3 query vectors scored in one plan
+    (operators/knn.knn_batch; WindowGroupLimit partial top-k)."""
+    from pgvector_db_spark.operators.knn import knn_batch
+
+    t = load_tables(spark, sf_dir)
+    qs = t["embeddings"].filter(F.col("vec_id") <= 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return knn_batch(t["embeddings"], qs, k=5)
+
+
 def _vs_lsh_ann_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed ANN top-k (operators/lsh_ann.py): the second
     ANN scale path beside IVF. Approximate → rows-only driver check; exact

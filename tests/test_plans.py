@@ -105,3 +105,21 @@ def test_salted_join_equals_plain_join(spark, tables):
         "o_orderkey", "c_name"
     )
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_knn_batch_uses_window_group_limit(spark, tables):
+    """rank<=k over the batch-scored relation must compile to
+    WindowGroupLimit (per-partition partial top-k before the shuffle)."""
+    from pyspark.sql import functions as F
+
+    from pgvector_db_spark.operators.knn import knn_batch
+    from pgvector_db_spark.plans.explain import physical_plan
+
+    emb = tables["embeddings"]
+    qs = emb.filter(F.col("vec_id") <= 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = knn_batch(emb, qs, k=5)
+    assert "WindowGroupLimit" in physical_plan(out)
+    got = out.groupBy("query_id").count().collect()
+    assert all(r["count"] == 5 for r in got)
