@@ -13,7 +13,7 @@ Five families, all DataFrame-native:
 - n-gram Jaccard: exact word-n-gram set similarity; candidates via an
               inverted-index join on rare n-grams (posting lists capped
               by document frequency), exact Jaccard verification.
-- SimHash:    64-bit (default) fingerprint; near-dups = pairs within
+- SimHash:    16-bit (default; oracle-parity size) fingerprint; near-dups = pairs within
               hamming distance d, found via LSH on bit-chunks of the
               fingerprint (same banding trick, no O(n²)).
 - embedding:  cosine-similarity near-dup over the vector column —

@@ -1,0 +1,18 @@
+from pgvector_db_spark.streaming.ingest import stream_append, stream_insert
+from pgvector_db_spark.streaming.replay import file_stream, rate_stream
+from pgvector_db_spark.streaming.stateful import first_seen, running_counts
+from pgvector_db_spark.streaming.windows import (
+    batch_window_agg,
+    tumbling_window_agg,
+)
+
+__all__ = [
+    "batch_window_agg",
+    "file_stream",
+    "first_seen",
+    "rate_stream",
+    "running_counts",
+    "stream_append",
+    "stream_insert",
+    "tumbling_window_agg",
+]
