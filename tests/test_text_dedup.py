@@ -176,3 +176,20 @@ def test_ngram_jaccard_df_cap_drops_stop_grams(spark):
         ["doc_id", "text"],
     )
     assert ngram_jaccard_pairs(df, threshold=0.0, max_df=2).count() == 0
+
+
+def test_embedding_near_dup_ivf_blocked(spark, tables, tmp_path):
+    """The scale path claimed in embedding_top_pairs' docstring: block the
+    pair search on the IVF list_id instead of a label column — same
+    operator, candidate space bounded by cluster co-membership."""
+    from pgvector_db_spark.operators.dedup import embedding_top_pairs
+    from pgvector_db_spark.operators.ivf import IVFIndex
+
+    path = str(tmp_path / "ivf_dedup")
+    IVFIndex.build(tables["embeddings"], path, lists=4)
+    clustered = spark.read.parquet(path + "/data")
+    pairs = embedding_top_pairs(clustered, block_col="list_id", top=10).collect()
+    assert 0 < len(pairs) <= 10
+    # near-dups are same-cluster by construction; similarity ordered
+    sims = [r["similarity"] for r in pairs]
+    assert sims == sorted(sims, reverse=True)
