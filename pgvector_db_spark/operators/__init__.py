@@ -20,6 +20,7 @@ from pgvector_db_spark.operators.lsh_ann import (
     build_lsh_layout,
     lsh_ann_knn,
     search_lsh_layout,
+    similarity_join,
 )
 from pgvector_db_spark.operators.rollup import time_bucket, time_rollup
 
@@ -42,6 +43,7 @@ __all__ = [
     "search_lsh_layout",
     "self_similarity_check",
     "simhash_pairs",
+    "similarity_join",
     "time_bucket",
     "time_rollup",
 ]

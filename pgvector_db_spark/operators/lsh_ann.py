@@ -30,7 +30,11 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from pgvector_db_spark.functions.vector import dot_product, vector_literal
+from pgvector_db_spark.functions.vector import (
+    cosine_distance,
+    dot_product,
+    vector_literal,
+)
 from pgvector_db_spark.operators.knn import knn
 
 
@@ -68,6 +72,58 @@ def _probe_signatures(qsig: int, num_bits: int, hamming_probe: int) -> list[int]
         s for s in range(1 << num_bits)
         if bin(s ^ qsig).count("1") <= hamming_probe
     ]
+
+
+def similarity_join(
+    left: DataFrame,
+    right: DataFrame,
+    threshold: float,
+    num_bits: int = 6,
+    hamming_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine similarity join: all (left, right) pairs with
+    ``cosine_similarity >= threshold``, candidates found by signature
+    buckets instead of an O(n·m) cross join.
+
+    The probe side explodes each row into every bucket within hamming
+    distance ``hamming_probe`` of its signature (multiprobe on the build
+    side), the join is hash-equi on the bucket, and the threshold filter
+    re-checks exact cosine — so precision is exact and only recall is
+    approximate (pairs whose signatures disagree in > ``hamming_probe``
+    bits are missed; for sim ≥ 0.9 and 6 bits that tail is a few %).
+    Shuffle is on the signature (bounded buckets), never the pair space.
+
+    Returns (id_left, id_right, similarity).
+    """
+    dim = len(left.select(vec_col).first()[0])
+    planes = hyperplanes(dim, num_bits, seed)
+    masks = [
+        m for m in range(1 << num_bits) if bin(m).count("1") <= hamming_probe
+    ]
+    l2 = left.select(
+        F.col(id_col).alias("id_left"),
+        F.col(vec_col).alias("_vl"),
+        lsh_signature(F.col(vec_col), planes).alias("_sig"),
+    )
+    rsig = lsh_signature(F.col(vec_col), planes)
+    r2 = right.select(
+        F.col(id_col).alias("id_right"),
+        F.col(vec_col).alias("_vr"),
+        F.explode(
+            F.array(*[rsig.bitwiseXOR(F.lit(m)) for m in masks])
+        ).alias("_sig"),
+    )
+    sim = 1.0 - cosine_distance(F.col("_vl"), F.col("_vr"))
+    return (
+        l2.join(r2, "_sig")
+        .withColumn("similarity", sim)
+        .filter(F.col("similarity") >= threshold)
+        .select("id_left", "id_right", "similarity")
+        .dropDuplicates(["id_left", "id_right"])
+    )
 
 
 def build_lsh_layout(

@@ -1160,6 +1160,49 @@ def rel_range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# TPC-H-style multi-join analytics (Q3/Q10 analogues over the fixture
+# star schema) — the "powerful joins ... and aggregations" surface the
+# reference claims (notebooks/pgvector_db.ipynb:15). Same ANSI text on
+# both engines except the date-format function name.
+_Q3_BODY = """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                AS DOUBLE) AS revenue,
+           {datefmt} AS orderdate,
+           o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1996-06-30 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+"""
+_sql_query(
+    "rel_q3_shipping_priority",
+    _Q3_BODY.format(datefmt="date_format(o_orderdate, 'yyyy-MM-dd')"),
+    _Q3_BODY.format(datefmt="strftime(o_orderdate, '%Y-%m-%d')"),
+    tags=("relational", "join", "tpch"),
+)
+
+_sql_query(
+    "rel_q10_returned_revenue",
+    """
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                AS DOUBLE) AS revenue
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+    tags=("relational", "join", "tpch"),
+)
+
+
 def _duck_rollup_level(width: int) -> str:
     return f"""
     SELECT CAST({width} AS BIGINT) AS resolution_sec,

@@ -137,3 +137,36 @@ def test_approx_count_distinct_accuracy(spark, tables):
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("a")
     ).first()["a"]
     assert abs(approx - exact) / exact < 0.1
+
+
+def test_similarity_join_subset_and_recall(spark, tables):
+    """ANN similarity join: precision is exact (every returned pair really
+    clears the threshold) and recall is bounded below (deterministic given
+    the seeded hyperplanes; measured 0.6 at this low threshold — recall
+    rises with the threshold since near-identical vectors agree on nearly
+    all signature bits)."""
+    from pyspark.sql import functions as F
+
+    from pgvector_db_spark.functions.vector import cosine_similarity
+    from pgvector_db_spark.operators.lsh_ann import similarity_join
+
+    emb = tables["embeddings"].limit(300)
+    a = emb.select(F.col("vec_id").alias("ida"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("idb"), F.col("embedding").alias("vb"))
+    exact = (
+        a.crossJoin(b)
+        .filter(F.col("ida") < F.col("idb"))
+        .withColumn("s", cosine_similarity(F.col("va"), F.col("vb")))
+    )
+    sims = sorted((r["s"] for r in exact.select("s").collect()), reverse=True)
+    thr = sims[19]
+    exact_pairs = {
+        (r["ida"], r["idb"]) for r in exact.filter(F.col("s") >= thr).collect()
+    }
+    ann = similarity_join(emb, emb, thr, num_bits=6, hamming_probe=2)
+    ann_pairs = {
+        (min(r["id_left"], r["id_right"]), max(r["id_left"], r["id_right"]))
+        for r in ann.filter(F.col("id_left") < F.col("id_right")).collect()
+    }
+    assert ann_pairs <= exact_pairs          # exact precision
+    assert len(ann_pairs) / len(exact_pairs) >= 0.5   # bounded recall
