@@ -940,6 +940,42 @@ REGISTRY["vs_ivf_knn"] = QuerySpec(
 
 
 @register(
+    "vs_ivf_knn_fullprobe",
+    f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    s AS (
+      SELECT vec_id, label,
+             {cosine_distance_sql("embedding", "qe", "duckdb")} AS distance
+      FROM embeddings, q
+    )
+    SELECT vec_id, label, distance, 1.0 - distance AS similarity
+    FROM s ORDER BY distance ASC, vec_id ASC LIMIT 10
+    """,
+    tags=("vector", "A9", "ann"),
+)
+def vs_ivf_knn_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search with nprobe = lists: every partition probed, so the ANN
+    path provably degenerates to the exact kernel — which makes the exact
+    DuckDB kNN a true oracle for the index read path (pgvector semantics:
+    ivfflat with probes = lists is exact)."""
+    import os
+    import tempfile
+
+    from pgvector_db_spark.operators.ivf import IVFIndex
+
+    t = load_tables(spark, sf_dir)
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"ivf_cache_{tag}")
+    if not os.path.exists(os.path.join(path, "centroids")):
+        IVFIndex.build(t["embeddings"], path, lists=8)
+    idx = IVFIndex(spark, path, "embedding", "vec_id")
+    q = t["embeddings"].filter("vec_id = 0").first()["embedding"]
+    return idx.search(list(q), k=10, nprobe=8).select(
+        "vec_id", "label", "distance", "similarity"
+    )
+
+
+@register(
     "vs_knn_batch",
     f"""
     WITH q AS (
