@@ -1026,6 +1026,32 @@ REGISTRY["vs_lsh_ann_knn"] = QuerySpec(
 )
 
 
+@register(
+    "vs_lsh_ann_fullprobe",
+    f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    s AS (
+      SELECT vec_id, label,
+             {cosine_distance_sql("embedding", "qe", "duckdb")} AS distance
+      FROM embeddings, q
+    )
+    SELECT vec_id, label, distance, 1.0 - distance AS similarity
+    FROM s ORDER BY distance ASC, vec_id ASC LIMIT 10
+    """,
+    tags=("vector", "ann"),
+)
+def vs_lsh_ann_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN with every bucket probed (hamming_probe = num_bits)
+    degenerates to the exact scan, making the exact kNN SQL a true oracle
+    for the signature + probe + re-rank pipeline."""
+    from pgvector_db_spark.operators.lsh_ann import lsh_ann_knn
+
+    t = load_tables(spark, sf_dir)
+    q = t["embeddings"].filter("vec_id = 0").first()["embedding"]
+    out = lsh_ann_knn(t["embeddings"], list(q), k=10, num_bits=6, hamming_probe=6)
+    return out.select("vec_id", "label", "distance", "similarity")
+
+
 # -- MinHash / SimHash / fingerprint / lang-id oracles ----------------------
 # DuckDB-side generators replicating functions/text.py primitives exactly
 # (hash32 = first 8 md5 hex chars as bigint; see test parity check).
