@@ -70,6 +70,32 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-column data profile: rows, nulls, distincts, min/max (as
+    strings). One distributed aggregate pass over the table, then a tiny
+    unpivot of the single result row — the introspection surface next to
+    the reference's pg_extension / relation-size checks (A22).
+    """
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.countDistinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    one = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', `{c}__rows`, `{c}__nulls`, `{c}__distinct`, `{c}__min`, `{c}__max`"
+        for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack}) AS "
+        "(column_name, n_rows, n_nulls, n_distinct, min_str, max_str)"
+    )
+
+
 # per-session registry cache: session id → (sf_dir, names, tables). Reading
 # 10 parquet footers + re-registering views per query call is pure driver
 # overhead. Keyed by session with the *current* sf_dir so a switch to a

@@ -1265,6 +1265,34 @@ _sql_query(
 )
 
 
+def _duck_profile_col(c: str) -> str:
+    return f"""
+    SELECT '{c}' AS column_name, COUNT(*) AS n_rows,
+           SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           COUNT(DISTINCT {c}) AS n_distinct,
+           CAST(MIN({c}) AS VARCHAR) AS min_str,
+           CAST(MAX({c}) AS VARCHAR) AS max_str
+    FROM orders"""
+
+
+@register(
+    "rel_profile_orders",
+    " UNION ALL ".join(
+        _duck_profile_col(c) for c in ("o_orderkey", "o_orderstatus", "o_orderpriority")
+    ),
+    tags=("relational", "profile", "A22"),
+)
+def rel_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of orders (catalog.profile_table): one aggregate
+    pass, unpivoted."""
+    from pgvector_db_spark.catalog import profile_table
+
+    t = load_tables(spark, sf_dir)
+    return profile_table(
+        t["orders"], ["o_orderkey", "o_orderstatus", "o_orderpriority"]
+    )
+
+
 def _duck_rollup_level(width: int) -> str:
     return f"""
     SELECT CAST({width} AS BIGINT) AS resolution_sec,

@@ -131,3 +131,45 @@ class ParquetTable:
         if not moved:
             raise OSError("staging produced no parquet files")
         return n
+
+    # -- upsert path (ON CONFLICT DO UPDATE analogue) -------------------------
+
+    def upsert(self, df: DataFrame, key: str) -> int:
+        """Merge by key: incoming rows replace existing rows with the same
+        ``key``; new keys append. (Postgres ``INSERT ... ON CONFLICT DO
+        UPDATE``; the reference's ingest paths are append-only, so this is
+        an engine extension.)
+
+        Implementation is copy-on-write merge: survivors = current rows
+        anti-joined against incoming keys, union incoming, rewrite via
+        staging + atomic directory swap. One shuffle (the anti join);
+        at scale, partition the table and rewrite only affected
+        partitions (same code path — the anti join prunes untouched
+        partitions when the key is the partition column).
+        Returns the post-merge row count.
+        """
+        self.validate(df)
+        current = self.read()
+        keys = df.select(key).distinct()
+        survivors = current.join(keys, key, "left_anti")
+        merged = survivors.unionByName(df)
+
+        staging = f"{self.path.rstrip('/')}_upsert_{uuid.uuid4().hex}"
+        merged.write.mode("overwrite").parquet(staging)
+        n = self.spark.read.parquet(staging).count()
+
+        jvm = self.spark.sparkContext._jvm
+        conf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        old = jvm.org.apache.hadoop.fs.Path(self.path)
+        new = jvm.org.apache.hadoop.fs.Path(staging)
+        fs = old.getFileSystem(conf)
+        trash = jvm.org.apache.hadoop.fs.Path(
+            f"{self.path.rstrip('/')}_old_{uuid.uuid4().hex}"
+        )
+        if not fs.rename(old, trash):
+            raise OSError("upsert: could not move current table aside")
+        if not fs.rename(new, old):
+            fs.rename(trash, old)  # roll back
+            raise OSError("upsert: promote failed; rolled back")
+        fs.delete(trash, True)
+        return n

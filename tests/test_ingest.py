@@ -105,3 +105,27 @@ def test_save_partitioned_append(spark, tmp_path):
         "PartitionFilters"
     )[1].split("]")[0]
     assert pruned.count() == 1
+
+
+def test_upsert_replaces_and_appends(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "up"), required_cols=("text",))
+    base = spark.createDataFrame(
+        [(1, "one"), (2, "two"), (3, "three")], "id bigint, text string"
+    )
+    t.insert(base)
+    n = t.upsert(
+        spark.createDataFrame([(2, "TWO"), (4, "four")], "id bigint, text string"),
+        key="id",
+    )
+    assert n == 4
+    got = {r["id"]: r["text"] for r in t.read().collect()}
+    assert got == {1: "one", 2: "TWO", 3: "three", 4: "four"}
+
+
+def test_upsert_validates_schema(spark, tmp_path):
+    import pytest
+
+    t = ParquetTable(spark, str(tmp_path / "up2"), required_cols=("text",))
+    t.insert(spark.createDataFrame([(1, "a")], "id bigint, text string"))
+    with pytest.raises(SchemaValidationError):
+        t.upsert(spark.createDataFrame([(2,)], "id bigint"), key="id")
