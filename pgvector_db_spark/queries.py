@@ -1265,6 +1265,79 @@ _sql_query(
 )
 
 
+# Gap-based sessionization: a new session starts after a 30-min silence.
+# Pure window composition (lag → flag → running sum), exact on both engines
+# because gaps compare integer microseconds.
+_SESSIONIZE = """
+    WITH e AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR {epochus}(ts) - {epochus}(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    s AS (
+      SELECT user_id, event_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM e
+    )
+    SELECT user_id, CAST(session_no AS INT) AS session_no,
+           COUNT(*) AS n_events,
+           CAST(MIN({epochus}(ts)) AS BIGINT) AS session_start_us,
+           CAST(MAX({epochus}(ts)) AS BIGINT) AS session_end_us
+    FROM s GROUP BY user_id, session_no
+"""
+_sql_query(
+    "rel_sessionize_events",
+    _SESSIONIZE.format(epochus="unix_micros"),
+    _SESSIONIZE.format(epochus="epoch_us"),
+    tags=("relational", "session", "window"),
+)
+
+# Top terms per language by raw frequency (integer counts → exact):
+# tokenize, drop stopwords/short words, count per (lang, word), rank.
+_STOPWORDS = "('the', 'a', 'of', 'and', 'to', 'in', 'der', 'die', 'und', 'das', 'el', 'de', 'la', 'le', 'les')"
+_sql_query(
+    "ds_top_terms_per_lang",
+    f"""
+    WITH w AS (
+      SELECT lang, explode(split(lower(trim(text)), '\\\\s+')) AS word FROM documents
+    ),
+    tf AS (
+      SELECT lang, word, COUNT(*) AS n FROM w
+      WHERE length(word) >= 3 AND word NOT IN {_STOPWORDS}
+      GROUP BY lang, word
+    ),
+    r AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY lang
+                     ORDER BY n DESC, word ASC) AS INT) AS rk
+      FROM tf
+    )
+    SELECT lang, word, n, rk FROM r WHERE rk <= 5
+    """,
+    f"""
+    WITH w AS (
+      SELECT lang, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+      FROM documents
+    ),
+    tf AS (
+      SELECT lang, word, COUNT(*) AS n FROM w
+      WHERE length(word) >= 3 AND word NOT IN {_STOPWORDS}
+      GROUP BY lang, word
+    ),
+    r AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY lang
+                     ORDER BY n DESC, word ASC) AS INT) AS rk
+      FROM tf
+    )
+    SELECT lang, word, n, rk FROM r WHERE rk <= 5
+    """,
+    tags=("dataset", "text"),
+)
+
+
 def _duck_profile_col(c: str) -> str:
     return f"""
     SELECT '{c}' AS column_name, COUNT(*) AS n_rows,
