@@ -1338,6 +1338,34 @@ _sql_query(
 )
 
 
+# Sliding-window aggregate (10-min windows every 5 min): Spark's window()
+# assigns each event to width/slide buckets; the oracle replicates that by
+# unnesting both candidate window starts per event.
+_sql_query(
+    "rel_events_window_sliding",
+    """
+    SELECT CAST(unix_timestamp(window.start) AS BIGINT) AS win_start_epoch,
+           event_type,
+           COUNT(*) AS n_events
+    FROM (SELECT window(ts, '10 minutes', '5 minutes') AS window, event_type
+          FROM events)
+    GROUP BY window, event_type
+    """,
+    """
+    WITH b AS (
+      SELECT event_type,
+             unnest([CAST(floor(epoch(ts) / 300) * 300 AS BIGINT),
+                     CAST(floor(epoch(ts) / 300) * 300 - 300 AS BIGINT)])
+               AS win_start_epoch
+      FROM events
+    )
+    SELECT win_start_epoch, event_type, COUNT(*) AS n_events
+    FROM b GROUP BY win_start_epoch, event_type
+    """,
+    tags=("relational", "window", "streaming"),
+)
+
+
 def _duck_profile_col(c: str) -> str:
     return f"""
     SELECT '{c}' AS column_name, COUNT(*) AS n_rows,
