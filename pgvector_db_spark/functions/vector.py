@@ -104,6 +104,30 @@ def vector_literal(vec: list[float]) -> Column:
     return F.array(*[F.lit(float(v)) for v in vec])
 
 
+# -- scalar quantization (int8) ---------------------------------------------
+# At 100 TB, float32 embeddings dominate storage and shuffle width; int8
+# symmetric quantization cuts both 4x at <1% cosine error for unit-scale
+# embeddings. pgvector gained the same idea as halfvec/scalar quant; here
+# it is two pure Catalyst expressions, so quantized datasets stay fully
+# queryable (dequantize → any distance expression).
+
+
+def quantize_scale(a: ColumnOrName) -> Column:
+    """Per-vector symmetric scale: 127 / max|x| (0-vectors → scale 1)."""
+    mx = F.array_max(F.transform(_c(a), lambda x: F.abs(_d(x))))
+    return F.when(mx > 0.0, F.lit(127.0) / mx).otherwise(F.lit(1.0))
+
+
+def quantize_int8(a: ColumnOrName, scale: Column) -> Column:
+    """array<float> → array<tinyint>, round-half-up after scaling."""
+    return F.transform(_c(a), lambda x: F.round(_d(x) * scale).cast("tinyint"))
+
+
+def dequantize(q: ColumnOrName, scale: Column) -> Column:
+    """array<tinyint> → array<double> (x' = q / scale)."""
+    return F.transform(_c(q), lambda x: x.cast("double") / scale)
+
+
 # ---------------------------------------------------------------------------
 # SQL-text generators.  `dialect="spark"` emits Spark SQL (higher-order
 # functions); `dialect="duckdb"` emits the DuckDB equivalent with the SAME

@@ -1338,6 +1338,86 @@ _sql_query(
 )
 
 
+# Null semantics: aggregates skip nulls, count(*) does not, null-safe
+# equality (<=> / IS NOT DISTINCT FROM) matches nulls. Exercised over a
+# derived relation with injected nulls so the rules are visible.
+_sql_query(
+    "rel_null_semantics",
+    """
+    WITH v AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END AS p
+      FROM orders
+    )
+    SELECT COUNT(*) AS n_rows,
+           COUNT(p) AS n_nonnull,
+           CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_nonnull,
+           SUM(CASE WHEN p <=> NULL THEN 1 ELSE 0 END) AS n_null_safe_eq
+    FROM v
+    """,
+    """
+    WITH v AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END AS p
+      FROM orders
+    )
+    SELECT COUNT(*) AS n_rows,
+           COUNT(p) AS n_nonnull,
+           CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_nonnull,
+           SUM(CASE WHEN p IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS n_null_safe_eq
+    FROM v
+    """,
+    tags=("relational", "nulls"),
+)
+
+# Int8 scalar quantization round-trip (functions/vector.py quantize_*):
+# per-vector symmetric scale, round-to-int8, dequantize, and measure the
+# cosine similarity against the original. round() is half-away-from-zero
+# on both engines, so the quantized grid is identical and the query is
+# exactly oracle-checkable.
+_SQ_SPARK_MX = "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
+_SQ_DUCK_MX = (
+    "list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max')"
+)
+_sql_query(
+    "vs_quantize_int8_fidelity",
+    f"""
+    WITH s AS (
+      SELECT vec_id, embedding,
+             CASE WHEN {_SQ_SPARK_MX} > 0.0 THEN 127.0 / {_SQ_SPARK_MX}
+                  ELSE 1.0 END AS scale
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, embedding,
+             transform(embedding,
+                       x -> round(CAST(x AS DOUBLE) * scale) / scale) AS dq
+      FROM s
+    )
+    SELECT vec_id,
+           round({cosine_similarity_sql("embedding", "dq", "spark")}, 9) AS sim_q
+    FROM q
+    """,
+    f"""
+    WITH s AS (
+      SELECT vec_id, embedding,
+             CASE WHEN {_SQ_DUCK_MX} > 0.0 THEN 127.0 / {_SQ_DUCK_MX}
+                  ELSE 1.0 END AS scale
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, embedding,
+             list_transform(embedding,
+                            x -> round(CAST(x AS DOUBLE) * scale) / scale) AS dq
+      FROM s
+    )
+    SELECT vec_id,
+           round({cosine_similarity_sql("embedding", "dq", "duckdb")}, 9) AS sim_q
+    FROM q
+    """,
+    tags=("vector", "quantization"),
+)
+
 # Sliding-window aggregate (10-min windows every 5 min): Spark's window()
 # assigns each event to width/slide buckets; the oracle replicates that by
 # unnesting both candidate window starts per event.

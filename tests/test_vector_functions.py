@@ -109,3 +109,33 @@ def test_nan_free_distances(tables):
         l2_distance("embedding", "qe").alias("l2"),
     ).collect()
     assert all(not math.isnan(r["d"]) and not math.isnan(r["l2"]) for r in rows)
+
+
+def test_quantize_int8_roundtrip(tables):
+    from pyspark.sql import functions as F
+
+    from pgvector_db_spark.functions.vector import (
+        cosine_similarity,
+        dequantize,
+        quantize_int8,
+        quantize_scale,
+    )
+
+    emb = tables["embeddings"].limit(100)
+    s = quantize_scale("embedding")
+    withq = emb.select(
+        "vec_id",
+        "embedding",
+        quantize_int8("embedding", s).alias("q"),
+        s.alias("scale"),
+    )
+    back = withq.select(
+        "vec_id",
+        cosine_similarity("embedding", dequantize("q", F.col("scale"))).alias("sim"),
+        F.array_max("q").alias("qmax"),
+        F.array_min("q").alias("qmin"),
+    )
+    rows = back.collect()
+    assert all(r["sim"] > 0.999 for r in rows)       # <0.1% cosine error
+    assert all(-127 <= r["qmin"] and r["qmax"] <= 127 for r in rows)
+    assert dict(withq.schema["q"].dataType.jsonValue().items())["elementType"] == "byte"
