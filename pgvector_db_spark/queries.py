@@ -1418,6 +1418,54 @@ _sql_query(
     tags=("vector", "quantization"),
 )
 
+# Quantized kNN: the whole search runs on the int8 grid (dequantized in
+# the distance expression) — the storage-optimized read path, exactly
+# oracle-checkable because the grid is identical on both engines.
+def _sq_knn(dialect: str) -> str:
+    mx = _SQ_SPARK_MX if dialect == "spark" else _SQ_DUCK_MX
+    tf = "transform" if dialect == "spark" else "list_transform"
+    return f"""
+    WITH s AS (
+      SELECT vec_id, label, embedding,
+             CASE WHEN {mx} > 0.0 THEN 127.0 / {mx} ELSE 1.0 END AS scale
+      FROM embeddings
+    ),
+    g AS (
+      SELECT vec_id, label,
+             {tf}(embedding, x -> round(CAST(x AS DOUBLE) * scale) / scale) AS dq
+      FROM s
+    ),
+    q AS (SELECT dq AS qe FROM g WHERE vec_id = 0),
+    d AS (
+      SELECT g.vec_id, g.label,
+             {cosine_distance_sql("g.dq", "qe", dialect)} AS distance
+      FROM g, q
+    )
+    SELECT vec_id, label, round(distance, 9) AS distance_q
+    FROM d ORDER BY distance ASC, vec_id ASC LIMIT 10
+    """
+
+
+_sql_query(
+    "vs_knn_quantized",
+    _sq_knn("spark"),
+    _sq_knn("duckdb"),
+    tags=("vector", "quantization", "ann"),
+)
+
+# CUBE grouping: all (status, priority) aggregation combinations in one
+# pass — completes the grouping-sets family next to rel_rollup_revenue.
+_sql_query(
+    "rel_cube_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("relational", "aggregate", "cube"),
+)
+
 # Sliding-window aggregate (10-min windows every 5 min): Spark's window()
 # assigns each event to width/slide buckets; the oracle replicates that by
 # unnesting both candidate window starts per event.
