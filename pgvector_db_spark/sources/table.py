@@ -132,6 +132,16 @@ class ParquetTable:
             raise OSError("staging produced no parquet files")
         return n
 
+    # -- maintenance ----------------------------------------------------------
+
+    def compact(self, target_files: int = 8) -> int:
+        """Rewrite the table into ``target_files`` files (small-file
+        compaction — the operational fix for streaming/append-created file
+        sprawl, which at scale degrades scan planning and shuffle-read).
+        Atomic via the same staged-swap machinery as :meth:`upsert`.
+        Returns the row count."""
+        return self._swap_in(self.read().coalesce(target_files))
+
     # -- upsert path (ON CONFLICT DO UPDATE analogue) -------------------------
 
     def upsert(self, df: DataFrame, key: str) -> int:
@@ -152,10 +162,13 @@ class ParquetTable:
         current = self.read()
         keys = df.select(key).distinct()
         survivors = current.join(keys, key, "left_anti")
-        merged = survivors.unionByName(df)
+        return self._swap_in(survivors.unionByName(df))
 
-        staging = f"{self.path.rstrip('/')}_upsert_{uuid.uuid4().hex}"
-        merged.write.mode("overwrite").parquet(staging)
+    def _swap_in(self, replacement: DataFrame) -> int:
+        """Write ``replacement`` to a staging dir and atomically swap it in
+        for the current table directory (rollback on failed promote)."""
+        staging = f"{self.path.rstrip('/')}_swap_{uuid.uuid4().hex}"
+        replacement.write.mode("overwrite").parquet(staging)
         n = self.spark.read.parquet(staging).count()
 
         jvm = self.spark.sparkContext._jvm
@@ -167,9 +180,9 @@ class ParquetTable:
             f"{self.path.rstrip('/')}_old_{uuid.uuid4().hex}"
         )
         if not fs.rename(old, trash):
-            raise OSError("upsert: could not move current table aside")
+            raise OSError("swap: could not move current table aside")
         if not fs.rename(new, old):
             fs.rename(trash, old)  # roll back
-            raise OSError("upsert: promote failed; rolled back")
+            raise OSError("swap: promote failed; rolled back")
         fs.delete(trash, True)
         return n

@@ -129,3 +129,17 @@ def test_upsert_validates_schema(spark, tmp_path):
     t.insert(spark.createDataFrame([(1, "a")], "id bigint, text string"))
     with pytest.raises(SchemaValidationError):
         t.upsert(spark.createDataFrame([(2,)], "id bigint"), key="id")
+
+
+def test_compact_reduces_files_keeps_rows(spark, tmp_path):
+    import glob
+
+    t = ParquetTable(spark, str(tmp_path / "frag"))
+    df = spark.range(1000).withColumnRenamed("id", "v")
+    for _ in range(5):
+        t.insert(df.repartition(8))  # 40 small files
+    before = len(glob.glob(str(tmp_path / "frag" / "*.parquet")))
+    n = t.compact(target_files=2)
+    after = len(glob.glob(str(tmp_path / "frag" / "*.parquet")))
+    assert n == 5000 and t.read().count() == 5000
+    assert after <= 2 < before

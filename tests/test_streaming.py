@@ -188,3 +188,42 @@ def test_streaming_embed_pipeline_matches_batch(spark, tmp_path):
         for r in embed_text(docs, model="fake", dim=8).collect()
     }
     assert got == want
+
+
+def test_stream_static_broadcast_enrichment(spark, events_replay_dir, events_schema):
+    """Stream-static join: the streaming side enriches against a static
+    dimension each micro-batch; the dim side broadcasts (map-side only)."""
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("purchase", 5.0), ("view", 0.5), ("signup", 2.0),
+         ("error", 0.0)],
+        ["event_type", "weight"],
+    )
+    stream = file_stream(spark, events_replay_dir, events_schema, max_files_per_trigger=2)
+    enriched = stream.join(F.broadcast(dim), "event_type").withColumn(
+        "weighted", F.col("value") * F.col("weight")
+    )
+    run_stream_to_memory(enriched, "enriched_t", mode="append")
+    got = spark.sql("SELECT count(*) AS n FROM enriched_t").first()["n"]
+    want = read_table(spark, SF_DIR, "events").count()
+    assert got == want
+
+
+def test_streaming_dropduplicates_with_watermark(spark, tmp_path):
+    """Built-in streaming dedup: duplicate event_ids within the watermark
+    horizon are emitted once."""
+    import datetime as dt
+
+    rows = [
+        (i % 50, dt.datetime(2024, 1, 1, 0, i % 50, 0)) for i in range(100)
+    ]  # every id appears twice
+    src = str(tmp_path / "dups")
+    spark.createDataFrame(rows, "event_id bigint, ts timestamp").repartition(
+        2
+    ).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = file_stream(spark, src, schema, max_files_per_trigger=1)
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    run_stream_to_memory(deduped, "dedup_t", mode="append")
+    got = spark.sql("SELECT event_id FROM dedup_t").collect()
+    ids = [r["event_id"] for r in got]
+    assert len(ids) == 50 and len(set(ids)) == 50
