@@ -84,6 +84,14 @@ def derived_metrics(spark, sf_dir: str, timings: dict[str, float]) -> dict[str, 
         if name in REGISTRY:
             out[key] = round(run_query(spark, name, sf_dir) * 1000, 1)
 
+    # training-pipeline headline: near-dup candidate generation throughput
+    # (MinHash+LSH over the documents table, Spark side only)
+    from pgvector_db_spark.operators.dedup import minhash_lsh_pairs
+
+    t0 = _t.time()
+    minhash_lsh_pairs(t["documents"], hash_fn="xxhash64").count()
+    out["dedup_docs_per_sec"] = round(n_docs / (_t.time() - t0), 1)
+
     # ANN quality next to ANN latency: recall@10 of the probed IVF search
     # vs the exact kernel (pgvector's nprobe/lists tradeoff, measured).
     import tempfile

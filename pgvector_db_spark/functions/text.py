@@ -51,13 +51,26 @@ def tokens(text: ColumnOrName) -> Column:
 
 
 def minhash_signature(
-    shingle_col: Column, num_hashes: int = 16, prefix: str = "_mh"
+    shingle_col: Column,
+    num_hashes: int = 16,
+    prefix: str = "_mh",
+    hash_fn: str = "md5",
 ) -> Column:
     """MinHash signature as array<bigint>: component j is the minimum of
-    hash32(shingle || '_mh<j>') over the shingle set. Each component is an
+    hash(shingle, j) over the shingle set. Each component is an
     independent permutation approximation; P(minhash_a == minhash_b) =
-    jaccard(a, b)."""
+    jaccard(a, b).
+
+    ``hash_fn='md5'`` is the cross-engine (DuckDB-replicable) hash used by
+    oracle-checked queries; ``'xxhash64'`` is the production path — the
+    same statistics at a fraction of the cost (one JVM hash vs an md5 +
+    hex decode per (shingle, component))."""
+
     def comp(j: int) -> Column:
+        if hash_fn == "xxhash64":
+            return F.array_min(
+                F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(j)))
+            )
         suffix = F.lit(f"{prefix}{j}")
         return F.array_min(
             F.transform(shingle_col, lambda s: hash32(F.concat(s, suffix)))

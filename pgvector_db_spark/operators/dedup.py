@@ -64,18 +64,28 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding, jaccard-verified.
 
     Returns (id_a, id_b, jaccard_sim) with id_a < id_b and
     jaccard_sim >= threshold. Shuffles on band keys (candidate discovery)
     and id (verification join) — never the full pair space.
+    ``hash_fn='xxhash64'`` is the fast production hash; 'md5' matches the
+    DuckDB oracle (see functions/text.minhash_signature).
     """
     rows_per_band = num_hashes // bands
     base = df.select(
         F.col(id_col),
         char_shingles(F.col(text_col), shingle_k).alias("_sh"),
-    ).withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes))
+    ).withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes, hash_fn=hash_fn))
+    # base feeds the band explode, BOTH sides of the candidate self-join,
+    # and both verification joins. Persist alone is not enough: the scans
+    # run in parallel first stages that race to populate the cache, each
+    # recomputing the lineage — materialize once, eagerly (MLlib's LSH
+    # does the same). Measured 37s -> ~8s at sf0.1.
+    base = base.persist()
+    base.count()
     banded = base.withColumn(
         "_bk", F.explode(lsh_band_keys(F.col("_sig"), bands, rows_per_band))
     ).select(id_col, "_bk")
@@ -148,6 +158,11 @@ def ngram_jaccard_pairs(
         ),
     ).otherwise(F.array().cast("array<string>"))
     base = df.select(F.col(id_col), F.array_distinct(grams).alias("_ng"))
+    # reused by the posting explode (twice, via the self-join) and both
+    # verification joins — persist + eager materialize so parallel first
+    # stages don't race-recompute the n-gram arrays
+    base = base.persist()
+    base.count()
     posting = base.select(F.col(id_col), F.explode("_ng").alias("_g"))
     rare = (
         posting.groupBy("_g").count().filter(F.col("count") <= max_df).drop("count")
@@ -191,7 +206,10 @@ def simhash_pairs(
     some chunk), then exact hamming verification."""
     chunk_bits = bits // chunks
     mask = (1 << chunk_bits) - 1
-    base = df.select(F.col(id_col), simhash(F.col(text_col), bits).alias("_sh"))
+    base = df.select(
+        F.col(id_col), simhash(F.col(text_col), bits).alias("_sh")
+    ).persist()  # both sides of the chunk self-join reuse the fingerprints
+    base.count()  # eager: parallel scan stages would race-recompute
     chunked = base.select(
         id_col,
         "_sh",

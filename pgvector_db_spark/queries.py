@@ -1338,6 +1338,18 @@ _sql_query(
 )
 
 
+# Integer-exact value histogram (floor buckets) over events.value.
+_sql_query(
+    "rel_value_histogram",
+    """
+    SELECT CAST(floor(value / 25.0) * 25 AS BIGINT) AS bucket_lo,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY bucket_lo
+    """,
+    tags=("relational", "histogram"),
+)
+
 # Null semantics: aggregates skip nulls, count(*) does not, null-safe
 # equality (<=> / IS NOT DISTINCT FROM) matches nulls. Exercised over a
 # derived relation with injected nulls so the rules are visible.

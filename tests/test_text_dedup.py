@@ -193,3 +193,25 @@ def test_embedding_near_dup_ivf_blocked(spark, tables, tmp_path):
     # near-dups are same-cluster by construction; similarity ordered
     sims = [r["similarity"] for r in pairs]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_minhash_xxhash_mode_same_near_dups(tables):
+    """The fast xxhash64 production hash finds the same verified pairs as
+    the oracle-parity md5 hash (verification is exact jaccard, so only
+    candidate generation could differ — banding statistics are identical)."""
+    docs = tables["documents"].filter("doc_id < 200")
+    slow = {
+        (r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs).collect()
+    }
+    fast = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, hash_fn="xxhash64").collect()
+    }
+    # exact-duplicate pairs (jaccard 1.0) collide under ANY hash: both
+    # modes must find all of them; near-1.0 pairs may differ per banding
+    certain = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, threshold=0.999).collect()
+    }
+    assert certain <= fast and certain <= slow
+    assert len(fast) >= len(certain)
