@@ -52,10 +52,27 @@ def knn(
     Returns the input columns plus ``distance`` and ``similarity``
     (cosine), ordered nearest-first with ``id_col`` as tie-break.
     """
-    q = vector_literal(query_vec) if isinstance(query_vec, list) else query_vec
     if distance != "cosine":
         raise ValueError(f"unsupported distance: {distance}")
+    q = vector_literal(query_vec) if isinstance(query_vec, list) else query_vec
     dist = cosine_distance(F.col(vec_col), q)
+    if isinstance(query_vec, list):
+        # dimension guard inside the expression (no extra driver job):
+        # zip_with pads the shorter side with nulls, which would silently
+        # poison distances — pgvector errors on dim mismatch, so do we
+        dist = F.when(
+            F.size(F.col(vec_col)) == len(query_vec), dist
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"knn: query vector dim {len(query_vec)} != "
+                        f"{vec_col} dim "
+                    ),
+                    F.size(F.col(vec_col)).cast("string"),
+                )
+            )
+        )
     return (
         df.withColumn("distance", dist)
         .withColumn("similarity", F.lit(1.0) - F.col("distance"))

@@ -170,3 +170,24 @@ def test_similarity_join_subset_and_recall(spark, tables):
     }
     assert ann_pairs <= exact_pairs          # exact precision
     assert len(ann_pairs) / len(exact_pairs) >= 0.5   # bounded recall
+
+
+def test_knn_dim_mismatch_raises(tables):
+    import pytest
+
+    from pgvector_db_spark.operators.knn import knn
+
+    with pytest.raises(Exception, match="dim"):
+        knn(tables["embeddings"], [1.0, 2.0, 3.0], 5).collect()
+
+
+def test_to_vector_malformed_is_null(spark):
+    from pgvector_db_spark.functions.vector import to_vector
+    from pyspark.sql import functions as F
+
+    row = spark.range(1).select(
+        to_vector(F.lit("not json")).alias("bad"),
+        to_vector(F.lit("[1.0, 2.0]")).alias("good"),
+    ).first()
+    assert row["bad"] is None
+    assert row["good"] == [1.0, 2.0]
