@@ -1,3 +1,7 @@
+from pgvector_db_spark.streaming.continuous_agg import (
+    batch_rollup_level,
+    continuous_rollup,
+)
 from pgvector_db_spark.streaming.ingest import stream_append, stream_insert
 from pgvector_db_spark.streaming.replay import file_stream, rate_stream
 from pgvector_db_spark.streaming.stateful import first_seen, running_counts
@@ -7,7 +11,9 @@ from pgvector_db_spark.streaming.windows import (
 )
 
 __all__ = [
+    "batch_rollup_level",
     "batch_window_agg",
+    "continuous_rollup",
     "file_stream",
     "first_seen",
     "rate_stream",

@@ -227,3 +227,32 @@ def test_streaming_dropduplicates_with_watermark(spark, tmp_path):
     got = spark.sql("SELECT event_id FROM dedup_t").collect()
     ids = [r["event_id"] for r in got]
     assert len(ids) == 50 and len(set(ids)) == 50
+
+
+def test_continuous_rollup_equals_batch(spark, events_replay_dir, events_schema, tmp_path):
+    """The incrementally-maintained rollup table must equal the batch
+    rollup bitwise after the stream drains (decimal merge is exact)."""
+    from pgvector_db_spark.sources.table import ParquetTable
+    from pgvector_db_spark.streaming.continuous_agg import (
+        batch_rollup_level,
+        continuous_rollup,
+    )
+
+    table = ParquetTable(spark, str(tmp_path / "rollup"))
+    stream = file_stream(spark, events_replay_dir, events_schema, max_files_per_trigger=1)
+    q = continuous_rollup(
+        stream, table, checkpoint=str(tmp_path / "ckpt"), width_sec=300
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        r["bucket_epoch"]: (r["n_events"], r["sum_dec"])
+        for r in table.read().collect()
+    }
+    batch = read_table(spark, SF_DIR, "events")
+    want = {
+        r["bucket_epoch"]: (r["n_events"], r["sum_dec"])
+        for r in batch_rollup_level(batch, width_sec=300).collect()
+    }
+    assert got == want
