@@ -9,6 +9,9 @@ Determinism rules (SURVEY.md §7 "hard parts"):
   - vector math: float64 sequential fold on both engines → bitwise equal;
   - SUM/AVG over doubles: per-row cast to DECIMAL (exact, order-independent
     sum) then cast the final value back to DOUBLE;
+  - float32 columns widen to DOUBLE before any DECIMAL cast — engines
+    disagree on float->decimal rounding (shortest-repr vs binary) but
+    float->double widening is exact on both;
   - any LIMIT is tie-broken by a unique key;
   - window orderings include a unique key;
   - timestamps in outputs are reduced to epoch seconds / formatted strings.
@@ -1337,6 +1340,29 @@ _sql_query(
     tags=("dataset", "text"),
 )
 
+
+# Per-label embedding centroids in long form (label, pos, mean component):
+# posexplode + groupBy keeps the whole mean-vector computation JVM-side —
+# no applyInPandas needed — and decimal sums make it exactly
+# oracle-checkable. The array form is one groupBy(label) collect away.
+_sql_query(
+    "vs_label_centroids",
+    """
+    SELECT label, CAST(pos + 1 AS INT) AS pos,
+           CAST(CAST(SUM(CAST(CAST(comp AS DOUBLE) AS DECIMAL(27,10))) AS DOUBLE)
+                / COUNT(*) AS DOUBLE) AS mean_comp
+    FROM (SELECT label, posexplode(embedding) AS (pos, comp) FROM embeddings)
+    GROUP BY label, pos
+    """,
+    """
+    SELECT label, CAST(t.i AS INT) AS pos,
+           CAST(CAST(SUM(CAST(CAST(embedding[t.i] AS DOUBLE) AS DECIMAL(27,10)))
+                AS DOUBLE) / COUNT(*) AS DOUBLE) AS mean_comp
+    FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    GROUP BY label, t.i
+    """,
+    tags=("vector", "centroid"),
+)
 
 # Integer-exact value histogram (floor buckets) over events.value.
 _sql_query(
