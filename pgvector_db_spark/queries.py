@@ -11,7 +11,10 @@ Determinism rules (SURVEY.md §7 "hard parts"):
     sum) then cast the final value back to DOUBLE;
   - float32 columns widen to DOUBLE before any DECIMAL cast — engines
     disagree on float->decimal rounding (shortest-repr vs binary) but
-    float->double widening is exact on both;
+    float->double widening is exact on both; where even the
+    double->DECIMAL half-tie rounding can bite (dense numeric corpora),
+    fix values to an integer grid explicitly (floor(x*1eK + 0.5) ->
+    BIGINT) so rounding is plain double arithmetic on both engines;
   - any LIMIT is tie-broken by a unique key;
   - window orderings include a unique key;
   - timestamps in outputs are reduced to epoch seconds / formatted strings.
@@ -1343,21 +1346,25 @@ _sql_query(
 
 # Per-label embedding centroids in long form (label, pos, mean component):
 # posexplode + groupBy keeps the whole mean-vector computation JVM-side —
-# no applyInPandas needed — and decimal sums make it exactly
-# oracle-checkable. The array form is one groupBy(label) collect away.
+# no applyInPandas needed. Exactness: components are fixed to a 1e-10
+# grid with EXPLICIT double arithmetic (floor(x*1e10 + 0.5) -> BIGINT),
+# because engines disagree on half-tie rounding in float->DECIMAL casts;
+# integer sums are then order-independent and the final division is the
+# same double op on both engines.
 _sql_query(
     "vs_label_centroids",
     """
     SELECT label, CAST(pos + 1 AS INT) AS pos,
-           CAST(CAST(SUM(CAST(CAST(comp AS DOUBLE) AS DECIMAL(27,10))) AS DOUBLE)
-                / COUNT(*) AS DOUBLE) AS mean_comp
+           CAST(SUM(CAST(floor(CAST(comp AS DOUBLE) * 10000000000.0 + 0.5)
+                AS BIGINT)) AS DOUBLE) / 10000000000.0 / COUNT(*) AS mean_comp
     FROM (SELECT label, posexplode(embedding) AS (pos, comp) FROM embeddings)
     GROUP BY label, pos
     """,
     """
     SELECT label, CAST(t.i AS INT) AS pos,
-           CAST(CAST(SUM(CAST(CAST(embedding[t.i] AS DOUBLE) AS DECIMAL(27,10)))
-                AS DOUBLE) / COUNT(*) AS DOUBLE) AS mean_comp
+           CAST(SUM(CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 10000000000.0
+                + 0.5) AS BIGINT)) AS DOUBLE) / 10000000000.0 / COUNT(*)
+             AS mean_comp
     FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
     GROUP BY label, t.i
     """,
