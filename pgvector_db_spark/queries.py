@@ -1371,6 +1371,44 @@ _sql_query(
     tags=("vector", "centroid"),
 )
 
+# Correlated EXISTS / NOT EXISTS (beyond the IN/semi-join family).
+_sql_query(
+    "rel_exists_subquery",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey
+                        AND o2.o_orderstatus = 'F'
+                        AND o2.o_totalprice < 1000)
+    """,
+    tags=("relational", "subquery"),
+)
+
+# Lateral array explode: split each document into words with position —
+# the LATERAL/table-function surface (Spark posexplode as lateral view).
+_sql_query(
+    "rel_lateral_words",
+    """
+    SELECT doc_id, CAST(pos + 1 AS INT) AS word_pos, word
+    FROM (
+      SELECT doc_id, posexplode(split(trim(text), '\\\\s+')) AS (pos, word)
+      FROM documents WHERE doc_id < 50
+    )
+    WHERE length(word) >= 8
+    """,
+    """
+    SELECT doc_id, CAST(t.i AS INT) AS word_pos, w[t.i] AS word
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+          FROM documents WHERE doc_id < 50),
+         unnest(range(1, len(w) + 1)) AS t(i)
+    WHERE length(w[t.i]) >= 8
+    """,
+    tags=("relational", "lateral"),
+)
+
 # Integer-exact value histogram (floor buckets) over events.value.
 _sql_query(
     "rel_value_histogram",
