@@ -1371,6 +1371,35 @@ _sql_query(
     tags=("vector", "centroid"),
 )
 
+# Deterministic hash-based train/test split (the reproducible-split op a
+# training pipeline needs: content-hash mod 100 -> stable assignment that
+# survives reshuffles, re-runs, and engine changes).
+_sql_query(
+    "ds_train_test_split",
+    """
+    WITH assigned AS (
+      SELECT lang,
+             CASE WHEN CAST(conv(substring(md5(text), 1, 8), 16, 10) AS BIGINT)
+                       % 100 < 80
+                  THEN 'train' ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT lang, split, COUNT(*) AS n_docs
+    FROM assigned GROUP BY lang, split
+    """,
+    f"""
+    WITH assigned AS (
+      SELECT lang,
+             CASE WHEN {_duck_hex8("md5(text)")} % 100 < 80
+                  THEN 'train' ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT lang, split, COUNT(*) AS n_docs
+    FROM assigned GROUP BY lang, split
+    """,
+    tags=("dataset", "split"),
+)
+
 # Correlated EXISTS / NOT EXISTS (beyond the IN/semi-join family).
 _sql_query(
     "rel_exists_subquery",
