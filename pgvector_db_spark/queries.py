@@ -1902,6 +1902,140 @@ def ds_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- More TPC-H-style analogues over the fixture star schema ------------
+# (reference claims the full relational surface, notebooks/pgvector_db.ipynb:15)
+
+# Q12 analogue (fixture has no l_shipmode, so the CASE classifies order
+# priority per TPC-H Q12's high/low split). Integer counts → exact on both
+# engines; join shuffles on orderkey, counts combine map-side.
+_sql_query(
+    "rel_q12_priority_class",
+    """
+    SELECT l_returnflag,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+    tags=("relational", "join", "tpch"),
+)
+
+# Q14 analogue: promo revenue share. DECIMAL partial sums (exact, order-free)
+# → one double division at the end (deterministic: same two doubles on both
+# engines). part joins broadcast at any realistic dimension size.
+_sql_query(
+    "rel_q14_promo_revenue",
+    """
+    SELECT CAST(promo AS DOUBLE) AS promo_revenue,
+           CAST(total AS DOUBLE) AS total_revenue,
+           CAST(100.0 * CAST(promo AS DOUBLE) / CAST(total AS DOUBLE)
+                AS DOUBLE) AS promo_pct
+    FROM (
+      SELECT SUM(CASE WHEN p_type = 'PROMO'
+                      THEN CAST(l_extendedprice * (1 - l_discount)
+                                AS DECIMAL(18,6))
+                      ELSE CAST(0 AS DECIMAL(18,6)) END) AS promo,
+             SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(18,6))) AS total
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
+    )
+    """,
+    tags=("relational", "join", "tpch"),
+)
+
+
+@register(
+    "rel_q18_large_orders",
+    """
+    SELECT c_custkey, c_name, o_orderkey,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS totalprice_cents,
+           sum_qty
+    FROM customer, orders,
+         (SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(CAST(l_quantity AS BIGINT)) > 300) lq
+    WHERE o_orderkey = lq.l_orderkey AND c_custkey = o_custkey
+    ORDER BY sum_qty DESC, o_orderkey ASC
+    LIMIT 20
+    """,
+    tags=("relational", "join", "tpch"),
+)
+def rel_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 analogue (large-volume orders). Scale shape: the heavy
+    per-orderkey aggregate runs on lineitem alone (map-side partial sums),
+    and the HAVING filter shrinks it to a tiny relation that is explicitly
+    broadcast into orders — orders is never shuffled. l_quantity is
+    integral, so BIGINT sums are exact on both engines."""
+    t = load_tables(spark, sf_dir)
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    joined = (
+        t["orders"]
+        .join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+    )
+    return (
+        joined.select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("bigint")
+            .alias("totalprice_cents"),
+            "sum_qty",
+        )
+        .orderBy(F.col("sum_qty").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+# GROUPING SETS (completes the rollup/cube/grouping-sets trio). GROUPING()
+# disambiguates real NULLs from subtotal rows; counts and DECIMAL sums exact.
+_sql_query(
+    "rel_grouping_sets_orders",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_totalprice
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    tags=("relational", "agg", "grouping_sets"),
+)
+
+# FULL OUTER JOIN with deliberately unmatched keys on both sides (customer
+# nations < 15 vs supplier nations >= 10). Pre-aggregated inputs keep the
+# outer join tiny regardless of fact-table scale.
+_sql_query(
+    "rel_full_outer_nation_counts",
+    """
+    WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+               FROM customer WHERE c_nationkey < 15 GROUP BY c_nationkey),
+         s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+               FROM supplier WHERE s_nationkey >= 10 GROUP BY s_nationkey)
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+           COALESCE(n_cust, CAST(0 AS BIGINT)) AS n_cust,
+           COALESCE(n_supp, CAST(0 AS BIGINT)) AS n_supp
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+    tags=("relational", "join", "outer"),
+)
+
+
 def all_queries() -> dict[str, SparkQuery]:
     return {name: spec.spark_fn for name, spec in REGISTRY.items()}
 
