@@ -2036,6 +2036,87 @@ _sql_query(
 )
 
 
+# Ordered array aggregation. Spark's collect_list has no ORDER BY and no
+# intra-group order guarantee, so the deterministic idiom is: collect
+# (sort_key, value) structs → array_sort (structs compare field-by-field)
+# → transform-project → array_join. All JVM higher-order functions — no
+# shuffle beyond the groupBy, order-independent by construction.
+@register(
+    "rel_event_paths_per_user",
+    """
+    SELECT user_id,
+           string_agg(event_type, '>' ORDER BY ts ASC, event_id ASC) AS path,
+           COUNT(*) AS n_events
+    FROM events
+    WHERE user_id < 50
+    GROUP BY user_id
+    """,
+    tags=("relational", "agg", "array"),
+)
+def rel_event_paths_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .filter(F.col("user_id") < 50)
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.unix_micros("ts").alias("ts_us"),
+                                F.col("event_id").alias("event_id"),
+                                F.col("event_type").alias("event_type"),
+                            )
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+# UNPIVOT (wide → long). Spark side uses the stack() table-generating
+# expression — one pass over lineitem, no join; DuckDB oracle is the
+# equivalent UNION ALL of per-metric aggregates. DECIMAL partial sums keep
+# the doubles exact.
+_sql_query(
+    "rel_unpivot_lineitem_metrics",
+    """
+    SELECT metric, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM (
+      SELECT stack(4,
+                   'quantity', l_quantity,
+                   'extendedprice', l_extendedprice,
+                   'discount', l_discount,
+                   'tax', l_tax) AS (metric, value)
+      FROM lineitem
+    )
+    GROUP BY metric
+    """,
+    """
+    SELECT metric, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM (
+      SELECT 'quantity' AS metric, l_quantity AS value FROM lineitem
+      UNION ALL
+      SELECT 'extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT 'discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT 'tax', l_tax FROM lineitem
+    )
+    GROUP BY metric
+    """,
+    tags=("relational", "agg", "unpivot"),
+)
+
+
 def all_queries() -> dict[str, SparkQuery]:
     return {name: spec.spark_fn for name, spec in REGISTRY.items()}
 

@@ -256,3 +256,68 @@ def test_continuous_rollup_equals_batch(spark, events_replay_dir, events_schema,
         for r in batch_rollup_level(batch, width_sec=300).collect()
     }
     assert got == want
+
+
+def test_session_window_stream_matches_batch(spark, events_replay_dir, events_schema):
+    """Streaming session windows must converge to the batch
+    session_window result. Spark 4 restricts streaming session-window
+    aggregation to append/complete output; complete mode makes the memory
+    sink hold exactly the final merged sessions (dynamic windows that
+    merged across micro-batches collapse into one row)."""
+    from pgvector_db_spark.streaming.windows import (
+        batch_session_window_agg,
+        session_window_agg,
+    )
+
+    stream = file_stream(spark, events_replay_dir, events_schema, max_files_per_trigger=1)
+    agg = session_window_agg(stream, gap="30 minutes", watermark="60 days")
+    run_stream_to_memory(agg, "sess_complete", mode="complete")
+    got = spark.sql(
+        "SELECT user_id, session_start, session_end, n_events FROM sess_complete"
+    ).collect()
+    expected = batch_session_window_agg(
+        spark.read.parquet(events_replay_dir), gap="30 minutes"
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
+    assert sum(r.n_events for r in expected) == spark.read.parquet(events_replay_dir).count()
+
+
+def test_batch_session_window_matches_sql_islands(spark, events_replay_dir):
+    """F.session_window semantics cross-checked against the independent
+    lag/running-sum islands formulation (rel_sessionize_events): same
+    session starts and sizes; session_end differs by exactly the gap
+    (session_window pads last event + gap)."""
+    from pgvector_db_spark.streaming.windows import batch_session_window_agg
+
+    ev = spark.read.parquet(events_replay_dir)
+    sw = batch_session_window_agg(ev, gap="30 minutes").select(
+        "user_id",
+        F.unix_micros("session_start").alias("start_us"),
+        (F.unix_micros("session_end") - 1800_000_000).alias("last_us"),
+        "n_events",
+    )
+    ev.createOrReplaceTempView("ev_sessions_src")
+    islands = spark.sql(
+        """
+        WITH e AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                           OR unix_micros(ts) - unix_micros(lag(ts) OVER w)
+                              > 1800000000
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM ev_sessions_src
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ),
+        s AS (
+          SELECT user_id, ts,
+                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC,
+                                     event_id ASC ROWS UNBOUNDED PRECEDING)
+                     AS session_no
+          FROM e
+        )
+        SELECT user_id, MIN(unix_micros(ts)) AS start_us,
+               MAX(unix_micros(ts)) AS last_us, COUNT(*) AS n_events
+        FROM s GROUP BY user_id, session_no
+        """
+    )
+    assert sorted(map(tuple, sw.collect())) == sorted(map(tuple, islands.collect()))
