@@ -321,3 +321,43 @@ def test_batch_session_window_matches_sql_islands(spark, events_replay_dir):
         """
     )
     assert sorted(map(tuple, sw.collect())) == sorted(map(tuple, islands.collect()))
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join (click -> purchase within 30 min, same
+    user) replayed over micro-batches must equal the batch range join.
+    Both sides carry watermarks, which is what lets Spark bound and evict
+    join state on unbounded streams."""
+    from pgvector_db_spark.streaming.joins import interval_join
+
+    ev = read_table(spark, SF_DIR, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    cdir, pdir = str(tmp_path / "clicks"), str(tmp_path / "purchases")
+    clicks.repartitionByRange(3, "click_id").write.parquet(cdir)
+    purchases.repartitionByRange(3, "purchase_id").write.parquet(pdir)
+
+    cs = file_stream(spark, cdir, clicks.schema, max_files_per_trigger=1)
+    ps = file_stream(spark, pdir, purchases.schema, max_files_per_trigger=1)
+    joined = interval_join(
+        cs, ps, "user_id", max_delay="30 minutes", watermark="365 days"
+    ).select("user_id", "l_click_id", "r_purchase_id")
+    run_stream_to_memory(joined, "ssj", mode="append")
+    got = spark.sql("SELECT * FROM ssj").collect()
+
+    expected = (
+        interval_join(
+            spark.read.parquet(cdir),
+            spark.read.parquet(pdir),
+            "user_id",
+            max_delay="30 minutes",
+        )
+        .select("user_id", "l_click_id", "r_purchase_id")
+        .collect()
+    )
+    assert len(expected) > 0
+    assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
