@@ -84,6 +84,27 @@ def derived_metrics(spark, sf_dir: str, timings: dict[str, float]) -> dict[str, 
         if name in REGISTRY:
             out[key] = round(run_query(spark, name, sf_dir) * 1000, 1)
 
+    # The on-the-fly LSH number above pays 6 hyperplane dot-products per
+    # row with NO pruning — it exists as the no-precompute fallback. The
+    # scale path is the persisted signature-partitioned layout, where the
+    # probe set is partition pruning at the scan (docs/SCALE_AUDIT.md):
+    from pgvector_db_spark.operators.lsh_ann import (
+        build_lsh_layout,
+        search_lsh_layout,
+    )
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    lsh_path = os.path.join(tempfile.gettempdir(), f"lsh_cache_{tag}")
+    if not os.path.exists(lsh_path):
+        build_lsh_layout(t["embeddings"], lsh_path)
+    qv = list(t["embeddings"].filter("vec_id = 0").first()["embedding"])
+    best = float("inf")
+    for _ in range(2):
+        t0 = _t.time()
+        assert search_lsh_layout(spark, lsh_path, qv, 10).count() >= 0
+        best = min(best, _t.time() - t0)
+    out["knn_lsh_layout_ms"] = round(best * 1000, 1)
+
     # training-pipeline headline: near-dup candidate generation throughput
     # (MinHash+LSH over the documents table, Spark side only)
     from pgvector_db_spark.operators.dedup import minhash_lsh_pairs
