@@ -2117,6 +2117,40 @@ _sql_query(
 )
 
 
+# Stratified corpus sampling: per-language keep rates (per-mille) applied
+# via a salted content hash — deterministic, reshuffle/re-run/engine
+# stable, and independent of ds_train_test_split's hash (different salt).
+# At scale this is a map-only filter against a broadcast rates table: no
+# shuffle until the final tiny aggregate.
+_SS_RATES = [("en", 300), ("de", 1000), ("es", 1000), ("fr", 1000), ("zh", 800)]
+_SS_ROWS = ", ".join(f"('{lang}', {pm})" for lang, pm in _SS_RATES)
+_SS_BODY = """
+    WITH rates AS (SELECT * FROM {values_clause}),
+    assigned AS (
+      SELECT lang, n_chars, {hash_expr} % 1000 AS h
+      FROM documents
+    )
+    SELECT a.lang, r.keep_pm, COUNT(*) AS n_kept,
+           SUM(CAST(a.n_chars AS BIGINT)) AS kept_chars
+    FROM assigned a JOIN rates r ON a.lang = r.lang
+    WHERE a.h < r.keep_pm
+    GROUP BY a.lang, r.keep_pm
+"""
+_sql_query(
+    "ds_stratified_sample",
+    _SS_BODY.format(
+        values_clause=f"VALUES {_SS_ROWS} AS r(lang, keep_pm)",
+        hash_expr="CAST(conv(substring(md5(concat(text, '_ss')), 1, 8), 16, 10)"
+        " AS BIGINT)",
+    ),
+    _SS_BODY.format(
+        values_clause=f"(VALUES {_SS_ROWS}) AS r(lang, keep_pm)",
+        hash_expr=_duck_hex8("md5(text || '_ss')"),
+    ),
+    tags=("dataset", "sampling"),
+)
+
+
 def all_queries() -> dict[str, SparkQuery]:
     return {name: spec.spark_fn for name, spec in REGISTRY.items()}
 
