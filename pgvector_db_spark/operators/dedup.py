@@ -75,10 +75,20 @@ def minhash_lsh_pairs(
     DuckDB oracle (see functions/text.minhash_signature).
     """
     rows_per_band = num_hashes // bands
-    base = df.select(
-        F.col(id_col),
-        char_shingles(F.col(text_col), shingle_k).alias("_sh"),
-    ).withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes, hash_fn=hash_fn))
+    shingles = char_shingles(F.col(text_col), shingle_k)
+    if hash_fn == "xxhash64":
+        # Fast mode collapses shingle strings to int64 hashes ONCE, then
+        # both the signature components and the exact-jaccard verification
+        # run over the int array: signature hashing works on 8-byte ints
+        # instead of strings, and int-array intersect/union is a
+        # several-fold cheaper kernel (same jaccard value up to 64-bit
+        # collisions) — templated corpora push O(cluster²) candidate
+        # pairs through verification, so the kernel cost is the bill.
+        # The md5 mode keeps raw strings: it is the DuckDB-oracle path.
+        shingles = F.array_distinct(F.transform(shingles, lambda s: F.xxhash64(s)))
+    base = df.select(F.col(id_col), shingles.alias("_sh")).withColumn(
+        "_sig", minhash_signature(F.col("_sh"), num_hashes, hash_fn=hash_fn)
+    )
     # base feeds the band explode, BOTH sides of the candidate self-join,
     # and both verification joins. Persist alone is not enough: the scans
     # run in parallel first stages that race to populate the cache, each
@@ -100,7 +110,15 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sh = base.select(F.col(id_col), F.col("_sh"))
+    # Verification: attach both shingle sets to each candidate pair. The
+    # shingle table is per-DOCUMENT (n rows), the candidate table is
+    # per-PAIR (can be O(cluster²) on templated corpora) — broadcast the
+    # doc-side so the heavy pair relation never shuffles its attached
+    # arrays. Auto-broadcast misses this (array payload overshoots the
+    # 10MB size estimate); at cluster scale the same hint holds until the
+    # shingle table outgrows executor memory, where AQE's size check
+    # falls back to the shuffled join.
+    sh = F.broadcast(base.select(F.col(id_col), F.col("_sh")))
     verified = (
         cand.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sh", "_sha"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("_sh", "_shb"), "id_b")
