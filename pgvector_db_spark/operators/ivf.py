@@ -163,6 +163,59 @@ class IVFIndex:
         data = self._data().filter(F.col("list_id").isin(probes))
         return knn(data, query_vec, k, vec_col=self.vec_col, id_col=self.id_col)
 
+    def batch_search(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        nprobe: int = 1,
+        q_id_col: str = "query_id",
+        q_vec_col: str = "query_vec",
+    ) -> DataFrame:
+        """ANN top-k for a BATCH of query vectors in ONE plan.
+
+        Per-query centroid ranking happens driver-side (the query batch is
+        small by construction — same contract as operators/knn.knn_batch —
+        and centroids are cached), producing a (query_id, list_id, qvec)
+        probe table. The scan reads only the UNION of probed lists
+        (partition pruning), the probe table broadcasts into the data join
+        on ``list_id`` — so each row is scored ONLY against queries that
+        probed its list, not every query — and the ``rank <= k`` predicate
+        compiles to WindowGroupLimit (partial top-k before the shuffle on
+        ``query_id``). At scale this is one pruned pass over nprobe/lists
+        of the data for the whole batch, instead of Q sequential searches.
+
+        Returns (query_id, vec_id, distance, knn_rank), rank 1 = nearest,
+        tie-broken by ``id_col``.
+        """
+        from pyspark.sql.window import Window
+
+        from pgvector_db_spark.functions.vector import cosine_distance
+
+        qrows = queries.select(q_id_col, q_vec_col).collect()
+        pairs = [
+            (r[q_id_col], lid, [float(x) for x in r[q_vec_col]])
+            for r in qrows
+            for lid, _ in self._rank_lists([float(x) for x in r[q_vec_col]])[
+                :nprobe
+            ]
+        ]
+        probe_df = self.spark.createDataFrame(
+            pairs, f"{q_id_col} bigint, list_id int, _qv array<double>"
+        )
+        probed_lists = sorted({lid for _, lid, _ in pairs})
+        data = self._data().filter(F.col("list_id").isin(probed_lists))
+        scored = data.join(F.broadcast(probe_df), "list_id").withColumn(
+            "distance", cosine_distance(F.col(self.vec_col), F.col("_qv"))
+        )
+        w = Window.partitionBy(q_id_col).orderBy(
+            F.col("distance").asc(), F.col(self.id_col).asc()
+        )
+        return (
+            scored.withColumn("knn_rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("knn_rank") <= k)
+            .select(q_id_col, self.id_col, "distance", "knn_rank")
+        )
+
     def recall_at_k(
         self, base: DataFrame, query_vec: list[float], k: int, nprobe: int
     ) -> float:

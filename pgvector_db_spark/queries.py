@@ -1013,6 +1013,49 @@ def vs_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_batch(t["embeddings"], qs, k=5)
 
 
+@register(
+    "vs_ivf_knn_batch_fullprobe",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id <= 2
+    ),
+    s AS (
+      SELECT q.query_id, e.vec_id,
+             {cosine_distance_sql("e.embedding", "q.qe", "duckdb")} AS distance
+      FROM embeddings e, q
+    ),
+    r AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY distance ASC, vec_id ASC) AS INT) AS knn_rank
+      FROM s
+    )
+    SELECT query_id, vec_id, distance, knn_rank FROM r WHERE knn_rank <= 5
+    """,
+    tags=("vector", "A9", "ann", "batch"),
+)
+def vs_ivf_knn_batch_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN over the IVF index with nprobe = lists: one pruned plan
+    for the whole query batch (IVFIndex.batch_search), degenerating to the
+    exact kernel so the exact batch-kNN SQL is a true oracle. The partial-
+    probe behavior is pinned by tests/test_ivf.py against per-query
+    search."""
+    import os
+    import tempfile
+
+    from pgvector_db_spark.operators.ivf import IVFIndex
+
+    t = load_tables(spark, sf_dir)
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"ivf_cache_{tag}")
+    if not os.path.exists(os.path.join(path, "centroids")):
+        IVFIndex.build(t["embeddings"], path, lists=8)
+    idx = IVFIndex(spark, path, "embedding", "vec_id")
+    qs = t["embeddings"].filter(F.col("vec_id") <= 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return idx.batch_search(qs, k=5, nprobe=8)
+
+
 def _vs_lsh_ann_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed ANN top-k (operators/lsh_ann.py): the second
     ANN scale path beside IVF. Approximate → rows-only driver check; exact

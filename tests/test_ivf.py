@@ -63,3 +63,57 @@ def test_recall_monotone_in_nprobe(index, tables):
     assert r8 == 1.0
     assert r1 <= r4 <= r8
     assert r4 >= 0.5  # probing half the lists should recover most neighbors
+
+
+def test_batch_search_full_probe_equals_knn_batch(index, tables, spark):
+    """nprobe = lists ⇒ batch_search over the index equals the exact
+    knn_batch kernel over the raw table, row for row."""
+    from pgvector_db_spark.operators.knn import knn_batch
+
+    emb = tables["embeddings"]
+    queries = (
+        emb.filter(F.col("vec_id").isin([0, 7, 123]))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            index.batch_search(queries, k=5, nprobe=LISTS)
+            .select("query_id", "vec_id", "knn_rank")
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            knn_batch(emb, queries, k=5)
+            .select("query_id", "vec_id", "knn_rank")
+            .collect(),
+        )
+    )
+    assert got == want
+
+
+def test_batch_search_matches_per_query_search(index, tables):
+    """Partial probe: the one-plan batch result equals N independent
+    index.search calls at the same nprobe."""
+    emb = tables["embeddings"]
+    queries = (
+        emb.filter(F.col("vec_id").isin([0, 7]))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+    batch = {
+        (r["query_id"], r["knn_rank"]): r["vec_id"]
+        for r in index.batch_search(queries, k=5, nprobe=2).collect()
+    }
+    for qid in (0, 7):
+        q = list(emb.filter(F.col("vec_id") == qid).first()["embedding"])
+        single = index.search(q, k=5, nprobe=2).collect()
+        for rank, row in enumerate(single, start=1):
+            assert batch[(qid, rank)] == row["vec_id"]
