@@ -54,6 +54,18 @@ def cosine_similarity(a: ColumnOrName, b: ColumnOrName) -> Column:
     return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def cosine_distance_precomputed(
+    a: ColumnOrName, b: ColumnOrName, a_norm: Column, b_norm: Column
+) -> Column:
+    """``1 - dot/(a_norm * b_norm)`` with norms supplied, not recomputed:
+    ONE fold over the vectors per comparison instead of three. Bitwise
+    equal to :func:`cosine_distance` when the supplied norms were produced
+    by :func:`l2_norm` (same fold, same sqrt) — which is what lets a
+    norm-materialized layout (operators/ivf.py) keep the exact-path
+    oracle. At 100 TB the saved folds are the kNN hot loop."""
+    return F.lit(1.0) - dot_product(a, b) / (a_norm * b_norm)
+
+
 def cosine_distance(a: ColumnOrName, b: ColumnOrName) -> Column:
     """pgvector ``<=>``: 1 - cosine similarity."""
     return F.lit(1.0) - cosine_similarity(a, b)

@@ -93,7 +93,17 @@ class IVFIndex:
             distanceMeasure="cosine",
         ).fit(fit_input)
 
-        assigned = model.transform(featured).drop("_features")
+        # Materialize each row's l2 norm in the layout: searches then pay
+        # ONE fold per row (the dot product) instead of re-deriving the
+        # norm per comparison — bitwise-identical distances (same fold +
+        # sqrt as the on-the-fly path), so the exact-path oracle holds.
+        from pgvector_db_spark.functions.vector import l2_norm
+
+        assigned = (
+            model.transform(featured)
+            .drop("_features")
+            .withColumn("_vnorm", l2_norm(F.col(vec_col)))
+        )
         (
             assigned.repartition("list_id")
             .write.mode("overwrite")
@@ -161,7 +171,13 @@ class IVFIndex:
         """
         probes = [lid for lid, _ in self._rank_lists(query_vec)[:nprobe]]
         data = self._data().filter(F.col("list_id").isin(probes))
-        return knn(data, query_vec, k, vec_col=self.vec_col, id_col=self.id_col)
+        # layouts built before norm materialization lack _vnorm — fall
+        # back to the on-the-fly norms (same results, two extra folds)
+        norm_col = "_vnorm" if "_vnorm" in data.columns else None
+        return knn(
+            data, query_vec, k,
+            vec_col=self.vec_col, id_col=self.id_col, norm_col=norm_col,
+        ).drop("_vnorm")
 
     def batch_search(
         self,
@@ -189,24 +205,39 @@ class IVFIndex:
         """
         from pyspark.sql.window import Window
 
-        from pgvector_db_spark.functions.vector import cosine_distance
+        from pgvector_db_spark.functions.vector import (
+            cosine_distance,
+            cosine_distance_precomputed,
+        )
+
+        def _qnorm(vec: list[float]) -> float:
+            acc = 0.0
+            for x in vec:  # same sequential fold as l2_norm's aggregate
+                acc += x * x
+            return math.sqrt(acc)
 
         qrows = queries.select(q_id_col, q_vec_col).collect()
         pairs = [
-            (r[q_id_col], lid, [float(x) for x in r[q_vec_col]])
+            (r[q_id_col], lid, qv, _qnorm(qv))
             for r in qrows
-            for lid, _ in self._rank_lists([float(x) for x in r[q_vec_col]])[
-                :nprobe
-            ]
+            for qv in [[float(x) for x in r[q_vec_col]]]
+            for lid, _ in self._rank_lists(qv)[:nprobe]
         ]
         probe_df = self.spark.createDataFrame(
-            pairs, f"{q_id_col} bigint, list_id int, _qv array<double>"
+            pairs,
+            f"{q_id_col} bigint, list_id int, _qv array<double>, _qnorm double",
         )
-        probed_lists = sorted({lid for _, lid, _ in pairs})
+        probed_lists = sorted({p[1] for p in pairs})
         data = self._data().filter(F.col("list_id").isin(probed_lists))
-        scored = data.join(F.broadcast(probe_df), "list_id").withColumn(
-            "distance", cosine_distance(F.col(self.vec_col), F.col("_qv"))
-        )
+        joined = data.join(F.broadcast(probe_df), "list_id")
+        if "_vnorm" in data.columns:
+            dist = cosine_distance_precomputed(
+                F.col(self.vec_col), F.col("_qv"),
+                F.col("_vnorm"), F.col("_qnorm"),
+            )
+        else:
+            dist = cosine_distance(F.col(self.vec_col), F.col("_qv"))
+        scored = joined.withColumn("distance", dist)
         w = Window.partitionBy(q_id_col).orderBy(
             F.col("distance").asc(), F.col(self.id_col).asc()
         )

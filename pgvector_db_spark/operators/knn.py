@@ -46,16 +46,37 @@ def knn(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     distance: str = "cosine",
+    norm_col: str | None = None,
 ) -> DataFrame:
     """Exact top-k nearest neighbors of ``query_vec``.
 
     Returns the input columns plus ``distance`` and ``similarity``
     (cosine), ordered nearest-first with ``id_col`` as tie-break.
+
+    ``norm_col`` names a column holding each row's precomputed
+    :func:`l2_norm` (a norm-materialized layout, e.g. the IVF index):
+    scoring then folds over each vector ONCE (the dot product) instead of
+    three times, with bitwise-identical distances. Requires a list query
+    (the query norm is the same sequential fold, driver-side).
     """
     if distance != "cosine":
         raise ValueError(f"unsupported distance: {distance}")
     q = vector_literal(query_vec) if isinstance(query_vec, list) else query_vec
-    dist = cosine_distance(F.col(vec_col), q)
+    if norm_col is not None and isinstance(query_vec, list):
+        import math
+
+        from pgvector_db_spark.functions.vector import (
+            cosine_distance_precomputed,
+        )
+
+        acc = 0.0
+        for x in query_vec:  # same sequential fold as l2_norm's aggregate
+            acc += float(x) * float(x)
+        dist = cosine_distance_precomputed(
+            F.col(vec_col), q, F.col(norm_col), F.lit(math.sqrt(acc))
+        )
+    else:
+        dist = cosine_distance(F.col(vec_col), q)
     if isinstance(query_vec, list):
         # dimension guard inside the expression (no extra driver job):
         # zip_with pads the shorter side with nulls, which would silently
