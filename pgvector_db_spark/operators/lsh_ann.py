@@ -139,10 +139,15 @@ def build_lsh_layout(
     so the probe filter in :func:`search_lsh_layout` is partition pruning
     — unprobed buckets are never listed, opened, or read.
     """
+    from pgvector_db_spark.functions.vector import l2_norm
+
     dim = len(df.select(vec_col).first()[0])
     planes = hyperplanes(dim, num_bits, seed)
     (
         df.withColumn("sig", lsh_signature(F.col(vec_col), planes))
+        # norm materialized at build (same fold as l2_norm at query time,
+        # bitwise-equal distances): probed searches fold each row once
+        .withColumn("_vnorm", l2_norm(F.col(vec_col)))
         .repartition("sig")
         .write.mode("overwrite")
         .partitionBy("sig")
@@ -167,7 +172,10 @@ def search_lsh_layout(
     qsig = _signature_of(query_vec, planes)
     probes = _probe_signatures(qsig, num_bits, hamming_probe)
     data = spark.read.parquet(path).filter(F.col("sig").isin(probes)).drop("sig")
-    return knn(data, query_vec, k, vec_col=vec_col, id_col=id_col)
+    norm_col = "_vnorm" if "_vnorm" in data.columns else None
+    return knn(
+        data, query_vec, k, vec_col=vec_col, id_col=id_col, norm_col=norm_col
+    ).drop("_vnorm")
 
 
 def lsh_ann_knn(
