@@ -1097,8 +1097,50 @@ def vs_lsh_ann_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     q = t["embeddings"].filter("vec_id = 0").first()["embedding"]
-    out = lsh_ann_knn(t["embeddings"], list(q), k=10, num_bits=6, hamming_probe=6)
+    out = lsh_ann_knn(
+        t["embeddings"], list(q), k=10, num_bits=6, hamming_probe=6
+    )
     return out.select("vec_id", "label", "distance", "similarity")
+
+
+@register(
+    "vs_lsh_layout_knn_fullprobe",
+    f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    s AS (
+      SELECT vec_id, label,
+             {cosine_distance_sql("embedding", "qe", "duckdb")} AS distance
+      FROM embeddings, q
+    )
+    SELECT vec_id, label, distance, 1.0 - distance AS similarity
+    FROM s ORDER BY distance ASC, vec_id ASC LIMIT 10
+    """,
+    tags=("vector", "ann", "layout"),
+)
+def vs_lsh_layout_knn_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED signature-partitioned LSH layout read path
+    (operators/lsh_ann.build_lsh_layout / search_lsh_layout — the
+    at-scale form, with materialized norms), probed at hamming = num_bits
+    so every partition is read and the exact kNN SQL is a true oracle.
+    Partial-probe pruning is pinned by
+    tests/test_knn.py::test_lsh_layout_search_prunes_partitions."""
+    import os
+    import tempfile
+
+    from pgvector_db_spark.operators.lsh_ann import (
+        build_lsh_layout,
+        search_lsh_layout,
+    )
+
+    t = load_tables(spark, sf_dir)
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"lsh_cache_{tag}")
+    if not os.path.exists(path):
+        build_lsh_layout(t["embeddings"], path, num_bits=6)
+    q = list(t["embeddings"].filter("vec_id = 0").first()["embedding"])
+    return search_lsh_layout(
+        spark, path, q, k=10, num_bits=6, hamming_probe=6
+    ).select("vec_id", "label", "distance", "similarity")
 
 
 # -- MinHash / SimHash / fingerprint / lang-id oracles ----------------------
