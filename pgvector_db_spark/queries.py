@@ -2236,6 +2236,221 @@ _sql_query(
 )
 
 
+# --- TPC-H analogue sweep: the remaining distinctive query shapes -------
+# (fixture schema has no partsupp / l_shipmode / c_phone; each analogue
+# keeps the original query's PLAN shape and swaps predicates to fixture
+# columns. All doubles go through DECIMAL partial sums per module doc.)
+
+# Q4 shape: EXISTS-correlated semi join + priority histogram. Spark plans
+# the EXISTS as a left-semi hash join on orderkey; only orders in the date
+# window shuffle. "Late" predicate adapted to shipdate > orderdate.
+_sql_query(
+    "rel_q4_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    tags=("relational", "subquery", "tpch"),
+)
+
+# Q5 shape: 6-way star join with the extra c_nationkey = s_nationkey
+# equality ("local supplier"). nation/region/supplier/customer broadcast;
+# the only big shuffle is lineitem⋈orders on orderkey.
+_sql_query(
+    "rel_q5_local_supplier_volume",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    tags=("relational", "join", "tpch"),
+)
+
+# Q6 shape: pure scan + conjunctive filter + scalar aggregate. Every
+# predicate is parquet-pushable (min/max row-group pruning); the aggregate
+# is a map-side partial → single-row final. The canonical "is pushdown
+# working" probe at 100 TB.
+_sql_query(
+    "rel_q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("relational", "aggregate", "tpch"),
+)
+
+# Q7 shape: two roles of the same dimension (nation n1/n2) + a disjunctive
+# nation-pair predicate + year extraction. Both nation joins broadcast; the
+# pair filter collapses the fact stream before the group-by.
+_sql_query(
+    "rel_q7_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        AND c_nationkey = n2.n_nationkey
+        AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+             OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+    ) AS shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    tags=("relational", "join", "tpch"),
+)
+
+# Q13 shape: LEFT OUTER join with an ON-clause filter (not WHERE — keeps
+# customers with zero orders), then a two-level aggregate (count per
+# customer → histogram of counts). The second group-by is tiny.
+_sql_query(
+    "rel_q13_customer_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) AS per_cust
+    GROUP BY c_count
+    """,
+    tags=("relational", "join", "tpch"),
+)
+
+# Q15 shape: CTE reused twice — once as the join input, once under MAX.
+# The equality filter is on the exact DECIMAL sum (order-independent), so
+# top-supplier selection is deterministic on both engines; the final cast
+# to DOUBLE happens after the comparison.
+_sql_query(
+    "rel_q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(18,6))) AS total_revenue_dec
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(total_revenue_dec AS DOUBLE) AS total_revenue
+    FROM supplier, revenue
+    WHERE s_suppkey = supplier_no
+      AND total_revenue_dec = (SELECT MAX(total_revenue_dec) FROM revenue)
+    ORDER BY s_suppkey ASC
+    """,
+    tags=("relational", "subquery", "tpch"),
+)
+
+# Q16 shape (partsupp adapted to lineitem): distinct-count per attribute
+# triple. COUNT(DISTINCT) expands to a two-phase aggregate; the part join
+# broadcasts at any realistic dimension size.
+_sql_query(
+    "rel_q16_supplier_cnt",
+    """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5' AND p_size IN (1, 14, 23, 45)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    tags=("relational", "aggregate", "tpch"),
+)
+
+# Q17 shape: correlated scalar aggregate per part (avg quantity threshold).
+# Spark de-correlates this into an aggregate + join on p_partkey. AVG is
+# expressed as exact DECIMAL sum / count so the threshold double is
+# identical on both engines; l_quantity is integral so the cast is exact.
+_sql_query(
+    "rel_q17_small_quantity_revenue",
+    """
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                     AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly,
+           COUNT(*) AS n_items
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand = 'Brand#23'
+      AND l_quantity < (
+        SELECT 0.2 * (CAST(SUM(CAST(i.l_quantity AS DECIMAL(18,2)))
+                           AS DOUBLE) / COUNT(*))
+        FROM lineitem i WHERE i.l_partkey = p_partkey
+      )
+    """,
+    tags=("relational", "subquery", "tpch"),
+)
+
+# Q19 shape: OR of three conjunctive brand/size/quantity clauses. The
+# disjunction still prunes: Catalyst pushes the common join key and the
+# per-branch part predicates reach the parquet scan of the broadcast side.
+_sql_query(
+    "rel_q19_disjunctive_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+    tags=("relational", "tpch"),
+)
+
+# Q22 shape (phone prefix adapted to nationkey set): anti join against
+# orders + uncorrelated scalar AVG threshold. The NOT EXISTS plans as a
+# left-anti hash join; the threshold subquery is a one-row broadcast.
+_sql_query(
+    "rel_q22_inactive_customers",
+    """
+    SELECT c_nationkey, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               AS totacctbal
+    FROM customer c
+    WHERE c_nationkey IN (1, 5, 9, 13, 17, 21, 24)
+      AND c_acctbal > (
+        SELECT CAST(SUM(CAST(i.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*)
+        FROM customer i
+        WHERE i.c_acctbal > 0.0
+          AND i.c_nationkey IN (1, 5, 9, 13, 17, 21, 24)
+      )
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c_nationkey
+    """,
+    tags=("relational", "subquery", "tpch"),
+)
+
+
 def all_queries() -> dict[str, SparkQuery]:
     return {name: spec.spark_fn for name, spec in REGISTRY.items()}
 
