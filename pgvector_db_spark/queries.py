@@ -2451,6 +2451,90 @@ _sql_query(
 )
 
 
+# --- pgvector 0.7 bit-vector surface: binary quantize + hamming/jaccard --
+# (binary_quantize / `<~>` / `<%>`; functions/vector.py packs sign bits
+# into 32-bit words so the prefilter scan is ~32x narrower than float32)
+
+from pgvector_db_spark.functions.vector import (  # noqa: E402
+    binary_quantize_sql,
+    hamming_sql,
+    jaccard_bits_sql,
+)
+
+_EMB_DIM = 64  # TESTDATA embeddings dimension
+
+
+def _bits_cte(dialect: str) -> str:
+    bq = binary_quantize_sql("embedding", _EMB_DIM, dialect)
+    return (
+        f"b AS (SELECT vec_id, label, embedding, {bq} AS bits FROM embeddings), "
+        f"q AS (SELECT bits AS qbits, embedding AS qe FROM b WHERE vec_id = 0)"
+    )
+
+
+# Hamming top-k over packed sign bits (pgvector `<~>`). Integer distance —
+# no float caveats at all; ties broken by vec_id.
+_sql_query(
+    "vs_binary_hamming_topk",
+    f"""
+    WITH {_bits_cte("spark")}
+    SELECT vec_id, label, {hamming_sql("bits", "qbits", "spark")} AS hamming
+    FROM b, q ORDER BY hamming ASC, vec_id ASC LIMIT 10
+    """,
+    f"""
+    WITH {_bits_cte("duckdb")}
+    SELECT vec_id, label, {hamming_sql("bits", "qbits", "duckdb")} AS hamming
+    FROM b, q ORDER BY hamming ASC, vec_id ASC LIMIT 10
+    """,
+    tags=("vector", "binary"),
+)
+
+# Bit-Jaccard top-k (pgvector `<%>`): two exact popcounts + one double
+# division — deterministic without fold-order care.
+_sql_query(
+    "vs_binary_jaccard_topk",
+    f"""
+    WITH {_bits_cte("spark")}
+    SELECT vec_id, label, {jaccard_bits_sql("bits", "qbits", "spark")} AS jaccard_dist
+    FROM b, q ORDER BY jaccard_dist ASC, vec_id ASC LIMIT 10
+    """,
+    f"""
+    WITH {_bits_cte("duckdb")}
+    SELECT vec_id, label, {jaccard_bits_sql("bits", "qbits", "duckdb")} AS jaccard_dist
+    FROM b, q ORDER BY jaccard_dist ASC, vec_id ASC LIMIT 10
+    """,
+    tags=("vector", "binary"),
+)
+
+
+def _binary_rerank(dialect: str) -> str:
+    from pgvector_db_spark.functions.vector import cosine_distance_sql
+
+    return f"""
+    WITH {_bits_cte(dialect)},
+    cand AS (
+      SELECT vec_id, label, embedding, qe,
+             {hamming_sql("bits", "qbits", dialect)} AS hamming
+      FROM b, q ORDER BY hamming ASC, vec_id ASC LIMIT 50
+    )
+    SELECT vec_id, label, hamming,
+           {cosine_distance_sql("embedding", "qe", dialect)} AS distance
+    FROM cand ORDER BY distance ASC, vec_id ASC LIMIT 10
+    """
+
+
+# The scale pattern pgvector documents for binary quantization: cheap
+# Hamming prefilter (32x narrower scan) → exact cosine re-rank of the
+# shortlist. Both stages tie-broken, so the whole two-stage plan is
+# oracle-exact. At 100 TB the re-rank touches only k' = 50 rows.
+_sql_query(
+    "vs_binary_rerank",
+    _binary_rerank("spark"),
+    _binary_rerank("duckdb"),
+    tags=("vector", "binary", "rerank"),
+)
+
+
 def all_queries() -> dict[str, SparkQuery]:
     return {name: spec.spark_fn for name, spec in REGISTRY.items()}
 

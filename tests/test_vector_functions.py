@@ -139,3 +139,37 @@ def test_quantize_int8_roundtrip(tables):
     assert all(r["sim"] > 0.999 for r in rows)       # <0.1% cosine error
     assert all(-127 <= r["qmin"] and r["qmax"] <= 127 for r in rows)
     assert dict(withq.schema["q"].dataType.jsonValue().items())["elementType"] == "byte"
+
+
+def test_binary_quantize_bits(tables):
+    from pgvector_db_spark.functions.vector import (
+        binary_quantize,
+        hamming_distance,
+        jaccard_bit_distance,
+    )
+
+    emb = tables["embeddings"].limit(100)
+    bq = emb.select(
+        "vec_id",
+        binary_quantize("embedding", 64).alias("bits"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+    )
+    rows = bq.collect()
+    assert all(len(r["bits"]) == 2 for r in rows)  # 64 dims -> two 32-bit words
+    # total popcount equals the number of strictly-positive components
+    pop = bq.select(
+        "n_pos",
+        F.aggregate(
+            F.transform("bits", lambda w: F.bit_count(w)),
+            F.lit(0),
+            lambda a, x: a + x,
+        ).alias("popcount"),
+    ).collect()
+    assert all(r["popcount"] == r["n_pos"] for r in pop)
+    # identity distances
+    d = bq.select(
+        hamming_distance("bits", "bits").alias("h"),
+        jaccard_bit_distance("bits", "bits").alias("j"),
+    ).collect()
+    assert all(r["h"] == 0 for r in d)
+    assert all(abs(r["j"]) < 1e-12 for r in d)
