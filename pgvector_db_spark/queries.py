@@ -2451,6 +2451,133 @@ _sql_query(
 )
 
 
+# Q8 shape: market share — conditional-sum / total-sum ratio per year.
+# Both sums are exact DECIMALs from one pass; the final division is one
+# double op per year group. Dimension joins all broadcast.
+_sql_query(
+    "rel_q8_market_share",
+    """
+    SELECT o_year,
+           CAST(CAST(nat AS DOUBLE) / CAST(total AS DOUBLE) AS DOUBLE)
+               AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             SUM(CASE WHEN n2.n_name = 'NATION_5'
+                      THEN CAST(l_extendedprice * (1 - l_discount)
+                                AS DECIMAL(18,6))
+                      ELSE CAST(0 AS DECIMAL(18,6)) END) AS nat,
+             SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(18,6))) AS total
+      FROM part, lineitem, orders, customer, nation n1, nation n2, region,
+           supplier
+      WHERE p_partkey = l_partkey AND l_orderkey = o_orderkey
+        AND o_custkey = c_custkey AND c_nationkey = n1.n_nationkey
+        AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        AND s_suppkey = l_suppkey AND s_nationkey = n2.n_nationkey
+        AND p_type = 'STANDARD'
+      GROUP BY o_year
+    ) AS shares
+    """,
+    tags=("relational", "join", "tpch"),
+)
+
+# Q9 shape: profit by supplier nation × order year for a part-name LIKE
+# family (no partsupp in the fixture → fixed unit cost of 10 per
+# quantity). The LIKE prunes part before the broadcast.
+_sql_query(
+    "rel_q9_product_profit",
+    """
+    SELECT nation, o_year,
+           CAST(SUM(CAST(amount AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+             l_extendedprice * (1 - l_discount) - 10.0 * l_quantity AS amount
+      FROM part, supplier, lineitem, orders, nation
+      WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+        AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        AND p_name LIKE '%red%'
+    ) AS profit
+    GROUP BY nation, o_year
+    """,
+    tags=("relational", "join", "tpch"),
+)
+
+# Q21 shape: one fact CTE feeding a semi + anti join on the same key
+# ("supplier was the only late one in a multi-supplier order"). "Late"
+# is shipdate > orderdate + 60 days, computed once in the CTE so both
+# EXISTS subqueries are uncorrelated beyond the orderkey equality —
+# exactly the de-correlation Spark plans as two hash joins.
+_sql_query(
+    "rel_q21_waiting_supplier",
+    """
+    WITH ol AS (
+      SELECT l_orderkey, l_suppkey,
+             CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END AS late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier, ol l1
+    WHERE s_suppkey = l1.l_suppkey AND l1.late = 1
+      AND EXISTS (SELECT 1 FROM ol l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM ol l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.late = 1)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name ASC
+    LIMIT 20
+    """,
+    tags=("relational", "subquery", "tpch"),
+)
+
+
+# pgvector vector-arithmetic parity: subvector(), +, -, element-wise *,
+# vector_norm — all pure higher-order expressions; the norm uses the
+# module's sequential fold so it hash-matches DuckDB bitwise.
+def _vec_arith(dialect: str) -> str:
+    sub = (
+        "slice(embedding, 1, 8)" if dialect == "spark"
+        else "embedding[1:8]"
+    )
+    if dialect == "spark":
+        add = "zip_with(sub, sub, (x, y) -> CAST(x AS DOUBLE) + CAST(y AS DOUBLE))"
+        mul = "zip_with(sub, sub, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE))"
+        diff = "zip_with(sub, sub, (x, y) -> CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+    else:
+        add = ("list_transform(range(1, len(sub) + 1), i -> "
+               "CAST(sub[i] AS DOUBLE) + CAST(sub[i] AS DOUBLE))")
+        mul = ("list_transform(range(1, len(sub) + 1), i -> "
+               "CAST(sub[i] AS DOUBLE) * CAST(sub[i] AS DOUBLE))")
+        diff = ("list_transform(range(1, len(sub) + 1), i -> "
+                "CAST(sub[i] AS DOUBLE) - CAST(sub[i] AS DOUBLE))")
+    return f"""
+    WITH s AS (SELECT vec_id, {sub} AS sub FROM embeddings WHERE vec_id < 20)
+    SELECT vec_id,
+           CAST(size_of AS INT) AS sub_dims,
+           {norm_sql("sub", dialect)} AS sub_norm,
+           {norm_sql(f"({add})", dialect)} AS add_norm,
+           {norm_sql(f"({diff})", dialect)} AS diff_norm,
+           {dot_sql(f"({mul})", "sub", dialect)} AS mul_dot
+    FROM (SELECT vec_id, sub,
+                 {"size(sub)" if dialect == "spark" else "len(sub)"} AS size_of
+          FROM s) AS t
+    """
+
+
+from pgvector_db_spark.functions.vector import norm_sql  # noqa: E402
+
+_sql_query(
+    "vs_vector_arithmetic",
+    _vec_arith("spark"),
+    _vec_arith("duckdb"),
+    tags=("vector", "arith"),
+)
+
+
 # --- pgvector 0.7 bit-vector surface: binary quantize + hamming/jaccard --
 # (binary_quantize / `<~>` / `<%>`; functions/vector.py packs sign bits
 # into 32-bit words so the prefilter scan is ~32x narrower than float32)
