@@ -125,7 +125,12 @@ def derived_metrics(spark, sf_dir: str, timings: dict[str, float]) -> dict[str, 
         IVFIndex.build(t["embeddings"], path, lists=8)
     idx = IVFIndex(spark, path, "embedding", "vec_id")
     q = list(t["embeddings"].filter("vec_id = 0").first()["embedding"])
-    out["ivf_recall_at_10_nprobe2"] = idx.recall_at_k(t["embeddings"], q, 10, 2)
+    # pgvector's lists/nprobe dial, measured: recall climbs toward 1.0 as
+    # nprobe -> lists while latency stays partition-pruned.
+    for nprobe in (2, 4):
+        out[f"ivf_recall_at_10_nprobe{nprobe}"] = idx.recall_at_k(
+            t["embeddings"], q, 10, nprobe
+        )
     return out
 
 
