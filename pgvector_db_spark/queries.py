@@ -2534,6 +2534,89 @@ _sql_query(
     tags=("relational", "subquery", "tpch"),
 )
 
+# Q2 shape: min-cost supplier per part via a correlated scalar MIN over a
+# region-restricted join (TPC-H uses partsupp; here lineitem is the
+# part↔supplier association and unit price l_extendedprice/l_quantity the
+# cost). MIN over doubles is order-independent and the float64 division is
+# bit-identical across engines, so the equality filter is deterministic.
+# Catalyst de-correlates into an aggregate + join; every dimension
+# (supplier/nation/region) broadcasts at realistic sizes while lineitem
+# shuffles once on l_partkey for the min — the plan scales linearly.
+_sql_query(
+    "rel_q2_min_cost_supplier",
+    """
+    SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_type, s_suppkey
+    FROM part, supplier, lineitem, nation, region
+    WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      AND p_size IN (5, 15, 25, 35, 45) AND p_type = 'STANDARD'
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE'
+      AND l_extendedprice / l_quantity = (
+        SELECT MIN(i.l_extendedprice / i.l_quantity)
+        FROM lineitem i, supplier s2, nation n2, region r2
+        WHERE i.l_partkey = p_partkey AND s2.s_suppkey = i.l_suppkey
+          AND s2.s_nationkey = n2.n_nationkey
+          AND n2.n_regionkey = r2.r_regionkey
+          AND r2.r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC,
+             s_suppkey ASC
+    LIMIT 100
+    """,
+    tags=("relational", "subquery", "tpch"),
+)
+
+# Q11 shape: per-part value within one nation's suppliers, kept only when
+# above a fraction of the nation total (GROUP BY + HAVING against an
+# uncorrelated scalar subquery). Both sums are exact DECIMALs so the
+# threshold comparison never sees float rounding; the scalar subquery is a
+# one-row broadcast and the group-by shuffles lineitem once on l_partkey.
+_sql_query(
+    "rel_q11_important_parts",
+    """
+    SELECT l_partkey, CAST(sum_dec AS DOUBLE) AS part_value
+    FROM (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_dec
+      FROM lineitem, supplier, nation
+      WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        AND n_name = 'NATION_3'
+      GROUP BY l_partkey
+    ) t
+    WHERE sum_dec > (
+      SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 0.001
+      FROM lineitem, supplier, nation
+      WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        AND n_name = 'NATION_3')
+    ORDER BY part_value DESC, l_partkey ASC
+    """,
+    tags=("relational", "subquery", "tpch"),
+)
+
+# Q20 shape: nested IN-subqueries — suppliers who shipped a significant
+# quantity of a name-matched part family in one year ("potential part
+# promotion"). Both IN subqueries plan as left-semi hash joins; the inner
+# HAVING threshold uses an exact DECIMAL sum. The part-name IN list and
+# the supplier dimension both broadcast.
+_sql_query(
+    "rel_q20_promotion_suppliers",
+    """
+    SELECT s_name, s_suppkey
+    FROM supplier, nation
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part
+                          WHERE p_name LIKE 'red %')
+        AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+      GROUP BY l_suppkey, l_partkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 50
+    )
+    AND s_nationkey = n_nationkey AND n_name = 'NATION_7'
+    ORDER BY s_name ASC, s_suppkey ASC
+    """,
+    tags=("relational", "subquery", "tpch"),
+)
+
 
 # pgvector vector-arithmetic parity: subvector(), +, -, element-wise *,
 # vector_norm — all pure higher-order expressions; the norm uses the
