@@ -298,6 +298,44 @@ def embedding_top_pairs(
     )
 
 
+def embedding_near_dup_survivors(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str | None = None,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Embedding-cosine dedup with "dominated-by-earlier" semantics: a row
+    survives iff NO smaller-id row in its block is cosine-similar above
+    ``threshold``. (This over-drops relative to greedy sequential dedup —
+    a row similar only to an already-dropped row is still dropped — but it
+    is order-independent, one-pass, and SQL-expressible, which is why
+    large pipelines use it; exact greedy needs the iterative
+    :func:`connected_components` + min-id canonical pick.)
+
+    Scale: pair space is bounded by the block (label here; IVF ``list_id``
+    at 100 TB), the dominated set is distinct ids only (small), and the
+    final step is a left-anti hash join — no O(n²) materialization."""
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        *([F.col(block_col).alias("_blk")] if block_col else []),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        *([F.col(block_col).alias("_blk")] if block_col else []),
+    )
+    pairs = a.join(b, "_blk") if block_col else a.crossJoin(b)
+    dominated = (
+        pairs.filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine_similarity(F.col("_va"), F.col("_vb")) >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(dominated, id_col, "left_anti")
+
+
 def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """Small-world connected components over dup pairs (id_a, id_b) →
     (id, component) where component = min id reachable. Label-propagation

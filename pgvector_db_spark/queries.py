@@ -464,6 +464,24 @@ _sql_query(
     tags=("relational", "window"),
 )
 
+# RANGE frame over event time: trailing-30-day spend per customer. A
+# RANGE frame is defined by the ORDER BY *value*, so peer rows (same
+# date) share one frame and SUM needs no tie-break; the decimal sum keeps
+# it exact. One shuffle on o_custkey; the frame scan is a per-partition
+# sliding aggregate, linear at any scale.
+_sql_query(
+    "rel_window_range_frame",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS spend_30d
+    FROM orders
+    """,
+    tags=("relational", "window"),
+)
+
 _sql_query(
     "rel_setops_customers",
     """
@@ -1941,6 +1959,34 @@ def ds_embedding_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return embedding_top_pairs(t["embeddings"], block_col="label", top=20)
+
+
+@register(
+    "ds_embedding_near_dup",
+    f"""
+    SELECT e.vec_id, e.label FROM embeddings e
+    LEFT JOIN (
+      SELECT DISTINCT b.vec_id
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE {cosine_similarity_sql("a.embedding", "b.embedding", "duckdb")}
+            >= CAST(0.3 AS DOUBLE)
+    ) d ON e.vec_id = d.vec_id
+    WHERE d.vec_id IS NULL
+    """,
+    tags=("dataset", "dedup", "vector"),
+)
+def ds_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup SURVIVORS (dominated-by-earlier dedup,
+    blocked by label; IVF list_id is the block at scale). The identical
+    float64 fold on both engines makes the threshold comparison — and so
+    the surviving row set — deterministic."""
+    from pgvector_db_spark.operators.dedup import embedding_near_dup_survivors
+
+    t = load_tables(spark, sf_dir)
+    return embedding_near_dup_survivors(
+        t["embeddings"], block_col="label", threshold=0.3
+    ).select("vec_id", "label")
 
 
 # Multimodal columns: opaque bytes + typed metadata (SURVEY §2.3). The

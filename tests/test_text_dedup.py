@@ -17,6 +17,7 @@ from pgvector_db_spark.functions.text import (
 )
 from pgvector_db_spark.operators.dedup import (
     connected_components,
+    embedding_near_dup_survivors,
     embedding_top_pairs,
     exact_dedup,
     minhash_dedup,
@@ -193,6 +194,26 @@ def test_embedding_near_dup_ivf_blocked(spark, tables, tmp_path):
     # near-dups are same-cluster by construction; similarity ordered
     sims = [r["similarity"] for r in pairs]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_embedding_near_dup_survivors_semantics(spark):
+    """Row survives iff no smaller-id row is similar above threshold:
+    id 0 always survives; an exact duplicate of id 0 never does; an
+    orthogonal vector does."""
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [1.0, 0.0]),   # dup of 0 -> dropped
+            (2, [0.0, 1.0]),   # orthogonal -> survives
+            (3, [0.0, 0.9]),   # dup of 2 (sim 1.0 after norm) -> dropped
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    kept = {
+        r["vec_id"]
+        for r in embedding_near_dup_survivors(df, threshold=0.9).collect()
+    }
+    assert kept == {0, 2}
 
 
 def test_minhash_xxhash_mode_same_near_dups(tables):
