@@ -464,6 +464,26 @@ _sql_query(
     tags=("relational", "window"),
 )
 
+# Distribution window family: percent_rank / cume_dist / first_value /
+# nth_value. The window ordering tie-breaks on the unique o_orderkey so
+# no peer groups exist and both rank fractions are the same exact
+# (rank-1)/(n-1) float64 on each engine. One shuffle on o_custkey serves
+# all four functions (single Window physical node).
+_sql_query(
+    "rel_window_distribution",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(percent_rank() OVER w AS DOUBLE) AS pr,
+           CAST(cume_dist() OVER w AS DOUBLE) AS cd,
+           CAST(first_value(o_orderkey) OVER w AS BIGINT) AS biggest_order,
+           CAST(nth_value(o_orderkey, 2) OVER w AS BIGINT) AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey ASC)
+    """,
+    tags=("relational", "window"),
+)
+
 # RANGE frame over event time: trailing-30-day spend per customer. A
 # RANGE frame is defined by the ORDER BY *value*, so peer rows (same
 # date) share one frame and SUM needs no tie-break; the decimal sum keeps
@@ -1959,6 +1979,27 @@ def ds_embedding_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return embedding_top_pairs(t["embeddings"], block_col="label", top=20)
+
+
+# Edit-distance fuzzy matching: closest document pairs by levenshtein on
+# a fixed text prefix, blocked by language (same blocked-pair-space
+# pattern as every other dedup op — at 100 TB block on a coarse
+# fingerprint/LSH bucket instead of lang). levenshtein() is a JVM
+# built-in on Spark and a native fn on DuckDB with identical edit-
+# distance semantics; integer output, so no float drift.
+_sql_query(
+    "ds_fuzzy_match_levenshtein",
+    """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(substring(a.text, 1, 40),
+                            substring(b.text, 1, 40)) AS INT) AS edit_dist
+    FROM documents a JOIN documents b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+    ORDER BY edit_dist ASC, id_a ASC, id_b ASC
+    LIMIT 20
+    """,
+    tags=("dataset", "dedup", "text"),
+)
 
 
 @register(
