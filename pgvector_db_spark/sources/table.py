@@ -59,6 +59,14 @@ class ParquetTable:
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.path)
 
+    def exists(self) -> bool:
+        """True iff the table directory exists on the table's filesystem
+        (Hadoop FS API, so s3a:///hdfs:// paths behave like local ones)."""
+        jvm = self.spark.sparkContext._jvm
+        conf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(self.path)
+        return p.getFileSystem(conf).exists(p)
+
     # -- validation ---------------------------------------------------------
 
     def validate(self, df: DataFrame) -> None:
@@ -159,6 +167,10 @@ class ParquetTable:
         Returns the post-merge row count.
         """
         self.validate(df)
+        if not self.exists():
+            # first write: nothing to merge with
+            df.write.mode("errorifexists").parquet(self.path)
+            return df.count()
         current = self.read()
         keys = df.select(key).distinct()
         survivors = current.join(keys, key, "left_anti")

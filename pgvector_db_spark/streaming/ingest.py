@@ -40,6 +40,38 @@ def stream_insert(
     return writer.start()
 
 
+def stream_upsert(
+    stream_df: DataFrame,
+    table: ParquetTable,
+    key: str,
+    checkpoint: str,
+    trigger_seconds: int | None = None,
+) -> StreamingQuery:
+    """foreachBatch → keyed ``ParquetTable.upsert``: incoming rows replace
+    same-key rows, new keys append. Because the merge is idempotent per
+    key, a micro-batch REPLAYED after a crash (foreachBatch is
+    at-least-once) converges to the same table — end-to-end exactly-once
+    semantics on a mutable table, which plain append sinks can't give.
+    The reference's closest analogue is Postgres ``INSERT ... ON CONFLICT
+    DO UPDATE`` applied per micro-batch."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # the merge input must be key-unique; dropDuplicates picks one row
+        # per key (arbitrary within the batch — callers needing a specific
+        # winner should pre-aggregate, e.g. max_by over an event time)
+        deduped = batch_df.dropDuplicates([key])
+        table.upsert(deduped, key)
+
+    writer = stream_df.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
 def stream_append(
     stream_df: DataFrame,
     path: str,

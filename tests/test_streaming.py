@@ -9,7 +9,11 @@ from pyspark.sql import functions as F
 
 from pgvector_db_spark.catalog import read_table
 from pgvector_db_spark.sources.table import ParquetTable
-from pgvector_db_spark.streaming.ingest import stream_append, stream_insert
+from pgvector_db_spark.streaming.ingest import (
+    stream_append,
+    stream_insert,
+    stream_upsert,
+)
 from pgvector_db_spark.streaming.replay import file_stream
 from pgvector_db_spark.streaming.windows import batch_window_agg, tumbling_window_agg
 
@@ -129,6 +133,34 @@ def test_stream_append_exactly_once(spark, events_replay_dir, events_schema, tmp
     q2.processAllAvailable()
     q2.stop()
     assert spark.read.parquet(out).count() == 1000
+
+
+def test_stream_upsert_key_unique_and_idempotent(
+    spark, events_replay_dir, events_schema, tmp_path
+):
+    """Keyed merge sink: the table ends key-unique (one row per user_id),
+    and restarting from the same checkpoint changes nothing."""
+    table = ParquetTable(spark, str(tmp_path / "usink"), required_cols=("user_id",))
+    stream = file_stream(
+        spark, events_replay_dir, events_schema, max_files_per_trigger=2
+    )
+    q = stream_upsert(stream, table, "user_id", checkpoint=str(tmp_path / "uck"))
+    q.processAllAvailable()
+    q.stop()
+    got = table.read()
+    n_users = spark.read.parquet(events_replay_dir).select("user_id").distinct().count()
+    assert got.count() == n_users
+    assert got.select("user_id").distinct().count() == n_users
+    # restart with no new input: idempotent
+    q2 = stream_upsert(
+        file_stream(spark, events_replay_dir, events_schema),
+        table,
+        "user_id",
+        checkpoint=str(tmp_path / "uck"),
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    assert table.read().count() == n_users
 
 
 def test_stateful_running_counts_match_batch(spark, events_replay_dir, events_schema):
