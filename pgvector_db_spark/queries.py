@@ -2861,6 +2861,45 @@ _sql_query(
 )
 
 
+# --- pgvector sparsevec surface: magnitude-pruned sparse representation
+# + sparse cosine top-k (functions/sparse.py; fold-identical on DuckDB)
+
+from pgvector_db_spark.functions.sparse import (  # noqa: E402
+    sparse_cosine_distance_sql,
+    sparse_indices_sql,
+    sparse_values_sql,
+)
+
+
+def _sparse_knn(dialect: str) -> str:
+    si = sparse_indices_sql("embedding", 0.1, dialect)
+    sv = sparse_values_sql("embedding", 0.1, dialect)
+    dist = sparse_cosine_distance_sql("si", "sv", "qi", "qv", dialect)
+    length = "size(si)" if dialect == "spark" else "len(si)"
+    return f"""
+    WITH se AS (SELECT vec_id, label, {si} AS si, {sv} AS sv FROM embeddings),
+         q AS (SELECT si AS qi, sv AS qv FROM se WHERE vec_id = 0)
+    SELECT vec_id, label, CAST({length} AS INT) AS nnz, {dist} AS distance
+    FROM se, q
+    ORDER BY distance ASC, vec_id ASC
+    LIMIT 10
+    """
+
+
+# sparsevec semantics: entries with |x| <= eps are dropped (pgvector
+# drops exact zeros; eps=0.1 makes the synthetic dense corpus actually
+# sparse, ~42% nnz), then cosine runs entirely on the retained entries —
+# norms included, exactly how sparsevec's <=> behaves after conversion.
+# The per-pair lookup fold is identical on both engines, so even this
+# lossy path is value-hash exact.
+_sql_query(
+    "vs_sparse_cosine_topk",
+    _sparse_knn("spark"),
+    _sparse_knn("duckdb"),
+    tags=("vector", "sparse"),
+)
+
+
 def all_queries() -> dict[str, SparkQuery]:
     return {name: spec.spark_fn for name, spec in REGISTRY.items()}
 

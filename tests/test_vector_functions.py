@@ -173,3 +173,64 @@ def test_binary_quantize_bits(tables):
     ).collect()
     assert all(r["h"] == 0 for r in d)
     assert all(abs(r["j"]) < 1e-12 for r in d)
+
+
+# --- sparse surface (functions/sparse.py) ---------------------------------
+
+from pgvector_db_spark.functions.sparse import (  # noqa: E402
+    sparse_cosine_distance,
+    sparse_dot,
+    sparse_indices,
+    sparse_norm,
+    sparse_values,
+    to_sparse,
+)
+
+
+@pytest.fixture(scope="module")
+def sparse_df(spark):
+    # a = [0, 2, 0, 3], b = [1, 2, 0, 0] -> dense dot = 4.0
+    return spark.createDataFrame(
+        [([0.0, 2.0, 0.0, 3.0], [1.0, 2.0, 0.0, 0.0])],
+        "a array<double>, b array<double>",
+    )
+
+
+def test_to_sparse_drops_zeros(sparse_df):
+    row = sparse_df.select(to_sparse("a").alias("s")).first()["s"]
+    assert list(row["indices"]) == [2, 4]
+    assert list(row["values"]) == [2.0, 3.0]
+
+
+def test_sparse_dot_matches_dense(sparse_df):
+    df = sparse_df.select(
+        sparse_indices("a").alias("ai"), sparse_values("a").alias("av"),
+        sparse_indices("b").alias("bi"), sparse_values("b").alias("bv"),
+    )
+    assert one(df, sparse_dot("ai", "av", "bi", "bv")) == 4.0
+
+
+def test_sparse_dot_disjoint_is_zero(spark):
+    df = spark.createDataFrame(
+        [([1, 2], [5.0, 6.0], [3, 4], [7.0, 8.0])],
+        "ai array<int>, av array<double>, bi array<int>, bv array<double>",
+    )
+    assert one(df, sparse_dot("ai", "av", "bi", "bv")) == 0.0
+
+
+def test_sparse_self_cosine_zero(sparse_df):
+    df = sparse_df.select(
+        sparse_indices("a").alias("ai"), sparse_values("a").alias("av"),
+    )
+    d = one(df, sparse_cosine_distance("ai", "av", "ai", "av"))
+    assert abs(d) < 1e-12
+
+
+def test_sparse_norm_matches_dense(sparse_df):
+    df = sparse_df.select(sparse_values("a").alias("av"))
+    assert one(df, sparse_norm("av")) == one(sparse_df, l2_norm("a"))
+
+
+def test_sparse_eps_prunes(sparse_df):
+    row = sparse_df.select(to_sparse("a", eps=2.5).alias("s")).first()["s"]
+    assert list(row["indices"]) == [4]
