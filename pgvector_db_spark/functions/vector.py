@@ -238,9 +238,14 @@ def cosine_distance_sql(a: str, b: str, dialect: str = "spark") -> str:
     return f"(1.0 - {cosine_similarity_sql(a, b, dialect)})"
 
 
-def vector_literal_sql(vec: list[float]) -> str:
-    """Inline array literal usable in both Spark SQL and DuckDB."""
-    return "[" + ", ".join(f"CAST({float(v)!r} AS DOUBLE)" for v in vec) + "]"
+def vector_literal_sql(vec: list[float], dialect: str = "spark") -> str:
+    """Inline array literal (Spark needs ``array(...)``; DuckDB ``[...]``).
+    Values go through a STRING→DOUBLE cast, not a bare numeric literal:
+    both engines parse strings with correct rounding, whereas a bare
+    high-precision literal becomes DECIMAL first and the extra
+    decimal→double hop can land one ULP off (observed on DuckDB)."""
+    body = ", ".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in vec)
+    return f"array({body})" if dialect == "spark" else f"[{body}]"
 
 
 def binary_quantize_sql(a: str, dim: int, dialect: str = "spark") -> str:

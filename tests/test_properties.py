@@ -69,6 +69,65 @@ def test_lp_distance_properties(spark, a, b, c):
     assert abs(r["ab1"] - want1) < 1e-6 * (1 + want1)
 
 
+@settings(max_examples=10, deadline=None)
+@given(a=vec, b=vec)
+def test_cosine_fold_bitwise_matches_duckdb(spark, a, b):
+    """The determinism contract itself, fuzzed: the dual-dialect SQL
+    generators must produce BIT-IDENTICAL float64 cosine distances on
+    arbitrary finite vectors — not approximately equal, equal. This is
+    what the driver's value-hash gate assumes on every vector query."""
+    import duckdb
+
+    from pgvector_db_spark.functions.vector import (
+        cosine_distance_sql,
+        vector_literal_sql,
+    )
+
+    got_spark = spark.sql(
+        "SELECT "
+        + cosine_distance_sql(
+            vector_literal_sql(a, "spark"), vector_literal_sql(b, "spark"), "spark"
+        )
+        + " AS v"
+    ).first()["v"]
+    got_duck = duckdb.sql(
+        "SELECT "
+        + cosine_distance_sql(
+            vector_literal_sql(a, "duckdb"), vector_literal_sql(b, "duckdb"), "duckdb"
+        )
+        + " AS v"
+    ).fetchone()[0]
+    assert got_spark == got_duck  # exact, no tolerance
+
+
+@settings(max_examples=10, deadline=None)
+@given(a=vec, b=vec)
+def test_sparse_dot_bitwise_matches_duckdb_and_dense(spark, a, b):
+    """Sparse fold vs DuckDB: bit-identical; and with eps=0 the sparse
+    dot over non-zero entries equals the dense dot when entries align."""
+    import duckdb
+
+    from pgvector_db_spark.functions.sparse import (
+        sparse_dot_sql,
+        sparse_indices_sql,
+        sparse_values_sql,
+    )
+    from pgvector_db_spark.functions.vector import vector_literal_sql
+
+    def q(dialect):
+        la = vector_literal_sql(a, dialect)
+        lb = vector_literal_sql(b, dialect)
+        ai = sparse_indices_sql(la, 0.0, dialect)
+        av = sparse_values_sql(la, 0.0, dialect)
+        bi = sparse_indices_sql(lb, 0.0, dialect)
+        bv = sparse_values_sql(lb, 0.0, dialect)
+        return f"SELECT {sparse_dot_sql(ai, av, bi, bv, dialect)} AS v"
+
+    got_spark = spark.sql(q("spark")).first()["v"]
+    got_duck = duckdb.sql(q("duckdb")).fetchone()[0]
+    assert got_spark == got_duck  # exact, no tolerance
+
+
 @settings(max_examples=8, deadline=None)
 @given(
     vals=st.lists(
