@@ -464,6 +464,55 @@ _sql_query(
     tags=("relational", "window"),
 )
 
+# Modern aggregate surface: max_by/min_by (argmax/argmin), count_if,
+# bool_and/bool_or — same names on both engines. The max_by ordering key
+# embeds the unique o_orderkey below the price (exact integer cents via
+# the grid-fix floor(x*100+0.5), since Spark CAST truncates doubles
+# while DuckDB rounds) so argmax is deterministic under ties. All are
+# single-pass partial aggregates — one shuffle on the group key.
+_sql_query(
+    "rel_agg_extras",
+    """
+    SELECT o_custkey,
+           max_by(o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                              * 10000000 + o_orderkey) AS best_order,
+           min_by(o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                              * 10000000 + o_orderkey) AS worst_order,
+           CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_finished,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_or(o_orderpriority = '1-URGENT') AS any_urgent
+    FROM orders
+    GROUP BY o_custkey
+    """,
+    tags=("relational", "aggregate"),
+)
+
+# Array / higher-order function surface over tokenized text: distinct,
+# sort, slice, size. Dialect-specific names (array_* vs list_*) but
+# identical semantics; sorting makes the array values deterministic.
+_sql_query(
+    "rel_array_funcs",
+    """
+    SELECT doc_id,
+           slice(array_sort(array_distinct(split(trim(lower(text)), '\\\\s+'))),
+                 1, 5) AS first_terms,
+           CAST(size(array_distinct(split(trim(lower(text)), '\\\\s+')))
+                AS BIGINT) AS n_unique_terms
+    FROM documents
+    """,
+    """
+    SELECT doc_id,
+           list_sort(list_distinct(regexp_split_to_array(trim(lower(text)),
+                                                         '\\s+')))[1:5]
+               AS first_terms,
+           CAST(len(list_distinct(regexp_split_to_array(trim(lower(text)),
+                                                        '\\s+')))
+                AS BIGINT) AS n_unique_terms
+    FROM documents
+    """,
+    tags=("relational", "array"),
+)
+
 # Distribution window family: percent_rank / cume_dist / first_value /
 # nth_value. The window ordering tie-breaks on the unique o_orderkey so
 # no peer groups exist and both rank fractions are the same exact
