@@ -36,7 +36,7 @@ from pgvector_db_spark.operators.knn import knn
 # Per-path caches: centroid ranking runs per query, and re-reading the tiny
 # centroids dataset (a full Spark job) or re-listing the data dataset's
 # footers per search is pure driver overhead. Invalidated by build().
-_CENTROID_CACHE: dict[str, list[tuple[int, list[float], float]]] = {}
+_CENTROID_CACHE: dict[str, tuple[str, list[tuple[int, list[float], float]]]] = {}
 _DATA_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
@@ -48,6 +48,7 @@ class IVFIndex:
         self.path = path
         self.vec_col = vec_col
         self.id_col = id_col
+        self._metric: str | None = None  # lazily read from the centroids
 
     @property
     def data_path(self) -> str:
@@ -69,12 +70,20 @@ class IVFIndex:
         id_col: str = "vec_id",
         sample_fraction: float | None = None,
         seed: int = 42,
+        metric: str = "cosine",
     ) -> IVFIndex:
         """CREATE INDEX ... USING ivfflat analogue.
 
         ``sample_fraction`` bounds the KMeans fit input (pgvector likewise
         samples for list creation); assignment always covers every row.
+        ``metric`` mirrors the ivfflat operator classes:
+        ``cosine``/``l2``/``ip`` for vector_cosine_ops / vector_l2_ops /
+        vector_ip_ops (reference README.md:185 uses cosine). l2 and ip
+        cluster with euclidean KMeans, matching pgvector's ivfflat which
+        also builds IP indexes from l2 k-means cells.
         """
+        if metric not in ("cosine", "l2", "ip"):
+            raise ValueError(f"unsupported metric: {metric}")
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector, vector_to_array
 
@@ -90,7 +99,7 @@ class IVFIndex:
             seed=seed,
             featuresCol="_features",
             predictionCol="list_id",
-            distanceMeasure="cosine",
+            distanceMeasure="cosine" if metric == "cosine" else "euclidean",
         ).fit(fit_input)
 
         # Materialize each row's l2 norm in the layout: searches then pay
@@ -112,10 +121,11 @@ class IVFIndex:
         )
 
         centroids = [
-            (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+            (i, [float(x) for x in c], metric)
+            for i, c in enumerate(model.clusterCenters())
         ]
         spark.createDataFrame(
-            centroids, "list_id int, centroid array<double>"
+            centroids, "list_id int, centroid array<double>, metric string"
         ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
 
         _CENTROID_CACHE.pop(os.path.join(path, "centroids"), None)
@@ -131,24 +141,51 @@ class IVFIndex:
         cached = _CENTROID_CACHE.get(self.centroids_path)
         if cached is None:
             rows = self.spark.read.parquet(self.centroids_path).collect()
-            cached = [
-                (
-                    r["list_id"],
-                    list(r["centroid"]),
-                    math.sqrt(sum(x * x for x in r["centroid"])),
-                )
-                for r in rows
-            ]
+            # metric column added with multi-metric support; absent on
+            # older layouts -> cosine (the only metric they could hold)
+            metric = (
+                rows[0]["metric"] if rows and "metric" in rows[0].__fields__
+                else "cosine"
+            )
+            cached = (
+                metric,
+                [
+                    (
+                        r["list_id"],
+                        list(r["centroid"]),
+                        math.sqrt(sum(x * x for x in r["centroid"])),
+                    )
+                    for r in rows
+                ],
+            )
             _CENTROID_CACHE[self.centroids_path] = cached
-        return cached
+        self._metric = cached[0]
+        return cached[1]
+
+    @property
+    def metric(self) -> str:
+        if self._metric is None:
+            self._centroids()
+        return self._metric
 
     def _rank_lists(self, query_vec: list[float]) -> list[tuple[int, float]]:
-        qn = math.sqrt(sum(x * x for x in query_vec))
+        """Centroid ranking under the index's metric — the same argmin
+        pgvector runs over list centers for the chosen operator class."""
+        entries = self._centroids()
         ranked = []
-        for lid, c, cn in self._centroids():
-            dot = sum(x * y for x, y in zip(query_vec, c))
-            dist = 1.0 - dot / (qn * cn) if qn and cn else 1.0
-            ranked.append((lid, dist))
+        if self.metric == "cosine":
+            qn = math.sqrt(sum(x * x for x in query_vec))
+            for lid, c, cn in entries:
+                dot = sum(x * y for x, y in zip(query_vec, c))
+                dist = 1.0 - dot / (qn * cn) if qn and cn else 1.0
+                ranked.append((lid, dist))
+        elif self.metric == "l2":
+            for lid, c, _ in entries:
+                dist = math.sqrt(sum((x - y) ** 2 for x, y in zip(query_vec, c)))
+                ranked.append((lid, dist))
+        else:  # ip: rank by negative inner product (pgvector <#>)
+            for lid, c, _ in entries:
+                ranked.append((lid, -sum(x * y for x, y in zip(query_vec, c))))
         ranked.sort(key=lambda t: (t[1], t[0]))
         return ranked
 
@@ -172,11 +209,17 @@ class IVFIndex:
         probes = [lid for lid, _ in self._rank_lists(query_vec)[:nprobe]]
         data = self._data().filter(F.col("list_id").isin(probes))
         # layouts built before norm materialization lack _vnorm — fall
-        # back to the on-the-fly norms (same results, two extra folds)
-        norm_col = "_vnorm" if "_vnorm" in data.columns else None
+        # back to the on-the-fly norms (same results, two extra folds);
+        # the norm fast path only applies to the cosine kernel
+        norm_col = (
+            "_vnorm"
+            if "_vnorm" in data.columns and self.metric == "cosine"
+            else None
+        )
         return knn(
             data, query_vec, k,
-            vec_col=self.vec_col, id_col=self.id_col, norm_col=norm_col,
+            vec_col=self.vec_col, id_col=self.id_col,
+            distance=self.metric, norm_col=norm_col,
         ).drop("_vnorm")
 
     def batch_search(
@@ -209,6 +252,12 @@ class IVFIndex:
             cosine_distance,
             cosine_distance_precomputed,
         )
+
+        if self.metric != "cosine":
+            raise NotImplementedError(
+                "batch_search currently supports cosine indexes only; "
+                "use search() per query for l2/ip"
+            )
 
         def _qnorm(vec: list[float]) -> float:
             acc = 0.0
@@ -252,7 +301,11 @@ class IVFIndex:
     ) -> float:
         """Fraction of exact top-k recovered by the probed search."""
         exact = {
-            r[self.id_col] for r in knn(base, query_vec, k, self.vec_col, self.id_col).collect()
+            r[self.id_col]
+            for r in knn(
+                base, query_vec, k, self.vec_col, self.id_col,
+                distance=self.metric,
+            ).collect()
         }
         approx = {r[self.id_col] for r in self.search(query_vec, k, nprobe).collect()}
         return len(exact & approx) / k

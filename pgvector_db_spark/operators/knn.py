@@ -59,10 +59,21 @@ def knn(
     three times, with bitwise-identical distances. Requires a list query
     (the query norm is the same sequential fold, driver-side).
     """
-    if distance != "cosine":
+    if distance not in ("cosine", "l2", "ip"):
         raise ValueError(f"unsupported distance: {distance}")
     q = vector_literal(query_vec) if isinstance(query_vec, list) else query_vec
-    if norm_col is not None and isinstance(query_vec, list):
+    if distance != "cosine":
+        # pgvector's other ivfflat operator classes: vector_l2_ops (<->)
+        # and vector_ip_ops (<#>, negative inner product). similarity is
+        # the usual negation so the output schema stays stable.
+        from pgvector_db_spark.functions.vector import (
+            inner_product_distance,
+            l2_distance,
+        )
+
+        fn = l2_distance if distance == "l2" else inner_product_distance
+        dist = fn(F.col(vec_col), q)
+    elif norm_col is not None and isinstance(query_vec, list):
         import math
 
         from pgvector_db_spark.functions.vector import (
@@ -94,9 +105,14 @@ def knn(
                 )
             )
         )
+    sim = (
+        F.lit(1.0) - F.col("distance")
+        if distance == "cosine"
+        else -F.col("distance")  # ip: back to the raw inner product
+    )
     return (
         df.withColumn("distance", dist)
-        .withColumn("similarity", F.lit(1.0) - F.col("distance"))
+        .withColumn("similarity", sim)
         .orderBy(F.col("distance").asc(), F.col(id_col).asc())
         .limit(k)
     )

@@ -1098,6 +1098,36 @@ def vs_ivf_knn_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "vs_ivf_knn_l2_fullprobe",
+    f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, label, {_L2_EXPR_D} AS distance
+    FROM embeddings, q
+    ORDER BY distance ASC, vec_id ASC LIMIT 10
+    """,
+    tags=("vector", "A9", "ann", "l2"),
+)
+def vs_ivf_knn_l2_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vector_l2_ops ivfflat analogue (pgvector README.md:185 family):
+    euclidean-KMeans index, l2 centroid ranking, l2 exact kernel within
+    probed lists. Full probe degenerates to exact — oracle-checked like
+    the cosine path."""
+    import os
+    import tempfile
+
+    from pgvector_db_spark.operators.ivf import IVFIndex
+
+    t = load_tables(spark, sf_dir)
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"ivf_l2_cache_{tag}")
+    if not os.path.exists(os.path.join(path, "centroids")):
+        IVFIndex.build(t["embeddings"], path, lists=8, metric="l2")
+    idx = IVFIndex(spark, path, "embedding", "vec_id")
+    q = t["embeddings"].filter("vec_id = 0").first()["embedding"]
+    return idx.search(list(q), k=10, nprobe=8).select("vec_id", "label", "distance")
+
+
+@register(
     "vs_knn_batch",
     f"""
     WITH q AS (

@@ -117,3 +117,56 @@ def test_batch_search_matches_per_query_search(index, tables):
         single = index.search(q, k=5, nprobe=2).collect()
         for rank, row in enumerate(single, start=1):
             assert batch[(qid, rank)] == row["vec_id"]
+
+
+# --- l2 / ip metric support (vector_l2_ops / vector_ip_ops parity) -------
+
+
+@pytest.fixture(scope="module")
+def l2_index(spark, tables, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ivf_l2") / "emb_idx")
+    return IVFIndex.build(tables["embeddings"], path, lists=LISTS, metric="l2")
+
+
+def test_l2_metric_persisted_and_reloaded(l2_index, spark):
+    fresh = IVFIndex(spark, l2_index.path, "embedding", "vec_id")
+    assert fresh.metric == "l2"
+
+
+def test_l2_full_probe_equals_exact(l2_index, tables):
+    q = list(tables["embeddings"].first()["embedding"])
+    exact = [
+        r["vec_id"]
+        for r in knn(tables["embeddings"], q, 10, distance="l2").collect()
+    ]
+    probed = [
+        r["vec_id"] for r in l2_index.search(q, k=10, nprobe=LISTS).collect()
+    ]
+    assert probed == exact
+
+
+def test_ip_knn_orders_by_negative_dot(tables):
+    q = list(tables["embeddings"].first()["embedding"])
+    rows = knn(tables["embeddings"], q, 5, distance="ip").collect()
+    dists = [r["distance"] for r in rows]
+    assert dists == sorted(dists)
+    # similarity is the raw inner product (negated distance)
+    assert all(abs(r["similarity"] + r["distance"]) < 1e-12 for r in rows)
+
+
+def test_ip_index_build_and_search(spark, tables, tmp_path):
+    idx = IVFIndex.build(
+        tables["embeddings"], str(tmp_path / "ip_idx"), lists=4, metric="ip"
+    )
+    q = list(tables["embeddings"].first()["embedding"])
+    exact = [
+        r["vec_id"]
+        for r in knn(tables["embeddings"], q, 10, distance="ip").collect()
+    ]
+    probed = [r["vec_id"] for r in idx.search(q, k=10, nprobe=4).collect()]
+    assert probed == exact
+
+
+def test_unknown_metric_rejected(tables, tmp_path):
+    with pytest.raises(ValueError):
+        IVFIndex.build(tables["embeddings"], str(tmp_path / "x"), metric="hamming")
