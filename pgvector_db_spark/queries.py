@@ -565,6 +565,24 @@ _sql_query(
     tags=("relational", "setops"),
 )
 
+# Bag-semantics set ops: INTERSECT ALL / EXCEPT ALL preserve duplicate
+# multiplicity (distinct Catalyst operators from the DISTINCT variants —
+# planned as aggregates over a per-row count, one shuffle each). The
+# multisets here are customer keys with order multiplicity.
+_sql_query(
+    "rel_setops_all",
+    """
+    SELECT c_custkey FROM (
+      SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+      INTERSECT ALL
+      SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 1000
+    ) t
+    EXCEPT ALL
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    tags=("relational", "setops"),
+)
+
 _sql_query(
     "rel_sort_limit_orders",
     """
@@ -626,6 +644,30 @@ _sql_query(
     WHERE CAST(props->>'$.k' AS BIGINT) > 50
     """,
     tags=("relational", "json"),
+)
+
+# MapType surface: JSON props parsed to map<string,bigint>, then map
+# lookup / cardinality / sorted-keys projection. Map columns never reach
+# the output (cross-engine map hashing is representation-sensitive) —
+# only extracted scalars, per the determinism conventions.
+_sql_query(
+    "rel_map_funcs",
+    """
+    SELECT event_id,
+           CAST(element_at(m, 'k') AS BIGINT) AS k_value,
+           CAST(cardinality(m) AS INT) AS n_keys,
+           array_join(array_sort(map_keys(m)), ',') AS keys_csv
+    FROM (SELECT event_id, from_json(props, 'map<string,bigint>') AS m
+          FROM events) t
+    """,
+    """
+    SELECT event_id,
+           CAST(props->>'$.k' AS BIGINT) AS k_value,
+           CAST(len(json_keys(props)) AS INT) AS n_keys,
+           array_to_string(list_sort(json_keys(props)), ',') AS keys_csv
+    FROM events
+    """,
+    tags=("relational", "json", "map"),
 )
 
 # Batch analogue of the streaming tumbling window (FIXTURES §3): 5-minute
@@ -2976,6 +3018,33 @@ _sql_query(
     _sparse_knn("spark"),
     _sparse_knn("duckdb"),
     tags=("vector", "sparse"),
+)
+
+
+def _sparse_ip_knn(dialect: str) -> str:
+    from pgvector_db_spark.functions.sparse import sparse_dot_sql
+
+    si = sparse_indices_sql("embedding", 0.1, dialect)
+    sv = sparse_values_sql("embedding", 0.1, dialect)
+    dist = f"(0.0 - {sparse_dot_sql('si', 'sv', 'qi', 'qv', dialect)})"
+    return f"""
+    WITH se AS (SELECT vec_id, label, {si} AS si, {sv} AS sv FROM embeddings),
+         q AS (SELECT si AS qi, sv AS qv FROM se WHERE vec_id = 0)
+    SELECT vec_id, label, {dist} AS distance
+    FROM se, q
+    ORDER BY distance ASC, vec_id ASC
+    LIMIT 10
+    """
+
+
+# sparsevec <#>: negative inner product over the retained entries —
+# same fold, no norms, so ranking favors long vectors exactly as
+# pgvector's ip operator class does.
+_sql_query(
+    "vs_sparse_inner_product_topk",
+    _sparse_ip_knn("spark"),
+    _sparse_ip_knn("duckdb"),
+    tags=("vector", "sparse", "ip"),
 )
 
 
