@@ -646,6 +646,93 @@ _sql_query(
     tags=("relational", "json"),
 )
 
+# Gap-filled time buckets (timescale time_bucket_gapfill analogue): a
+# generated dense epoch grid × event types, left-joined against the real
+# hourly aggregate with zero-fill. The grid is sequence()/
+# generate_series() — a few thousand rows per year at hourly resolution,
+# broadcast-cheap at any data scale; the one real shuffle is the hourly
+# aggregate itself.
+_sql_query(
+    "rel_time_bucket_gapfill",
+    """
+    WITH b AS (
+      SELECT CAST(floor(unix_timestamp(ts) / 3600) * 3600 AS BIGINT) AS bucket,
+             event_type,
+             COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS sv
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM b),
+    grid AS (SELECT explode(sequence(lo, hi, 3600)) AS bucket FROM r),
+    types AS (SELECT DISTINCT event_type FROM events)
+    SELECT g.bucket, t.event_type,
+           CAST(COALESCE(b.n, 0) AS BIGINT) AS n_events,
+           CAST(COALESCE(b.sv, CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM grid g CROSS JOIN types t
+    LEFT JOIN b ON b.bucket = g.bucket AND b.event_type = t.event_type
+    """,
+    """
+    WITH b AS (
+      SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket,
+             event_type,
+             COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS sv
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM b),
+    grid AS (SELECT unnest(generate_series(lo, hi, 3600)) AS bucket FROM r),
+    types AS (SELECT DISTINCT event_type FROM events)
+    SELECT g.bucket, t.event_type,
+           CAST(COALESCE(b.n, 0) AS BIGINT) AS n_events,
+           CAST(COALESCE(b.sv, CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM grid g CROSS JOIN types t
+    LEFT JOIN b ON b.bucket = g.bucket AND b.event_type = t.event_type
+    """,
+    tags=("relational", "timeseries"),
+)
+
+def _gapfill_locf(dialect: str) -> str:
+    epoch = "unix_timestamp(ts)" if dialect == "spark" else "epoch(ts)"
+    series = (
+        "explode(sequence(lo, hi, 3600))" if dialect == "spark"
+        else "unnest(generate_series(lo, hi, 3600))"
+    )
+    locf = (
+        "last_value(obs) IGNORE NULLS" if dialect == "spark"
+        else "last_value(obs IGNORE NULLS)"
+    )
+    return f"""
+    WITH b AS (
+      SELECT CAST(floor({epoch} / 3600) * 3600 AS BIGINT) AS bucket,
+             event_type, SUM(CAST(value AS DECIMAL(18,2))) AS sv
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM b),
+    grid AS (SELECT {series} AS bucket FROM r),
+    types AS (SELECT DISTINCT event_type FROM events),
+    g AS (
+      SELECT g.bucket, t.event_type, b.sv AS obs
+      FROM grid g CROSS JOIN types t
+      LEFT JOIN b ON b.bucket = g.bucket AND b.event_type = t.event_type
+    )
+    SELECT bucket, event_type,
+           CAST(obs IS NULL AS BOOLEAN) AS was_gap,
+           CAST({locf} OVER (PARTITION BY event_type ORDER BY bucket ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS sum_value_locf
+    FROM g
+    """
+
+
+# LOCF gap fill (timescale locf() analogue): gaps carry the last
+# observed hourly sum forward. IGNORE NULLS last_value over the dense
+# grid — one window per event_type partition; the decimal observation
+# makes the carried value exact.
+_sql_query(
+    "rel_gapfill_locf",
+    _gapfill_locf("spark"),
+    _gapfill_locf("duckdb"),
+    tags=("relational", "timeseries", "window"),
+)
+
 # MapType surface: JSON props parsed to map<string,bigint>, then map
 # lookup / cardinality / sorted-keys projection. Map columns never reach
 # the output (cross-engine map hashing is representation-sensitive) —
