@@ -64,6 +64,36 @@ _FUNCTIONS: dict[str, str] = {
           x -> CAST(x AS DOUBLE) / sqrt({dot_sql('a', 'a', 'spark')}))""",
 }
 
+# sparsevec surface (functions/sparse.py), same SQL-UDF treatment; the
+# sparsify bodies are inlined (not generator output) because eps is a
+# runtime UDF parameter here, not a baked-in literal
+from pgvector_db_spark.functions.sparse import sparse_dot_sql  # noqa: E402
+
+_SPARSE_DOT = sparse_dot_sql("ai", "av", "bi", "bv", "spark")
+_FUNCTIONS.update(
+    {
+        "sparse_indices": f"""
+        CREATE OR REPLACE TEMPORARY FUNCTION sparse_indices(a ARRAY<FLOAT>, eps DOUBLE)
+        RETURNS ARRAY<INT> RETURN filter(sequence(1, size(a)),
+          i -> abs(CAST(element_at(a, i) AS DOUBLE)) > eps)""",
+        "sparse_values": f"""
+        CREATE OR REPLACE TEMPORARY FUNCTION sparse_values(a ARRAY<FLOAT>, eps DOUBLE)
+        RETURNS ARRAY<DOUBLE> RETURN transform(
+          filter(sequence(1, size(a)),
+                 i -> abs(CAST(element_at(a, i) AS DOUBLE)) > eps),
+          i -> CAST(element_at(a, i) AS DOUBLE))""",
+        "sparse_dot": f"""
+        CREATE OR REPLACE TEMPORARY FUNCTION sparse_dot(
+          ai ARRAY<INT>, av ARRAY<DOUBLE>, bi ARRAY<INT>, bv ARRAY<DOUBLE>)
+        RETURNS DOUBLE RETURN {_SPARSE_DOT}""",
+        "sparse_cosine_distance": f"""
+        CREATE OR REPLACE TEMPORARY FUNCTION sparse_cosine_distance(
+          ai ARRAY<INT>, av ARRAY<DOUBLE>, bi ARRAY<INT>, bv ARRAY<DOUBLE>)
+        RETURNS DOUBLE RETURN 1.0 - {_SPARSE_DOT} /
+          (sqrt({dot_sql('av', 'av', 'spark')}) * sqrt({dot_sql('bv', 'bv', 'spark')}))""",
+    }
+)
+
 
 def register_sql_functions(spark: SparkSession) -> list[str]:
     """Install the vector function surface into the session (idempotent)."""

@@ -83,3 +83,32 @@ def test_parameterized_sql(spark):
         args={"minlen": 50, "k": 5},
     ).collect()
     assert len(rows) == 5
+
+
+def test_sparse_functions_sql(spark):
+    """sparsevec surface callable from plain SQL; eps=0 sparse dot equals
+    the dense dot on the same vectors."""
+    from pgvector_db_spark.functions.sql_registry import register_sql_functions
+
+    register_sql_functions(spark)
+    row = spark.sql(
+        """
+        WITH v AS (SELECT array(0.0F, 2.0F, 0.0F, 3.0F) AS a,
+                          array(1.0F, 2.0F, 0.0F, 0.0F) AS b)
+        SELECT sparse_indices(a, CAST(0.0 AS DOUBLE)) AS ai,
+               sparse_dot(sparse_indices(a, CAST(0.0 AS DOUBLE)),
+                          sparse_values(a, CAST(0.0 AS DOUBLE)),
+                          sparse_indices(b, CAST(0.0 AS DOUBLE)),
+                          sparse_values(b, CAST(0.0 AS DOUBLE))) AS sd,
+               dot_product(a, b) AS dd,
+               sparse_cosine_distance(
+                          sparse_indices(a, CAST(0.0 AS DOUBLE)),
+                          sparse_values(a, CAST(0.0 AS DOUBLE)),
+                          sparse_indices(a, CAST(0.0 AS DOUBLE)),
+                          sparse_values(a, CAST(0.0 AS DOUBLE))) AS self_d
+        FROM v
+        """
+    ).first()
+    assert list(row["ai"]) == [2, 4]
+    assert row["sd"] == row["dd"] == 4.0
+    assert abs(row["self_d"]) < 1e-12
