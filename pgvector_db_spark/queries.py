@@ -2189,6 +2189,53 @@ def ds_embedding_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_top_pairs(t["embeddings"], block_col="label", top=20)
 
 
+# PII scrubbing (standard corpus-cleaning pass): email + phone redaction
+# via regexp_replace, with per-doc redaction counts. The synthetic corpus
+# carries no PII, so the query first INJECTS deterministic doc_id-derived
+# fake PII, then scrubs it — both steps run on both engines, so the
+# oracle verifies the scrub regexes end-to-end. Patterns stay in the
+# common Java-regex/RE2 subset ([...], \\d, \\b) where semantics agree.
+# Pure per-row projection: no shuffle, scales with executors.
+_sql_query(
+    "ds_pii_scrub",
+    """
+    WITH dirty AS (
+      SELECT doc_id,
+             concat(substring(text, 1, 40), ' contact user',
+                    CAST(doc_id AS STRING), '@example.com or call 555-01',
+                    CAST(doc_id % 100 AS STRING)) AS text
+      FROM documents)
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text, '[a-z0-9.]+@[a-z0-9.]+\\\\.[a-z]+', '<EMAIL>'),
+             '\\\\b\\\\d{3}-\\\\d{2,4}\\\\b', '<PHONE>') AS scrubbed,
+           CAST(size(regexp_extract_all(text,
+                '[a-z0-9.]+@[a-z0-9.]+\\\\.[a-z]+', 0)) AS INT) AS n_emails,
+           CAST(size(regexp_extract_all(text,
+                '\\\\b\\\\d{3}-\\\\d{2,4}\\\\b', 0)) AS INT) AS n_phones
+    FROM dirty
+    """,
+    """
+    WITH dirty AS (
+      SELECT doc_id,
+             concat(substring(text, 1, 40), ' contact user',
+                    CAST(doc_id AS VARCHAR), '@example.com or call 555-01',
+                    CAST(doc_id % 100 AS VARCHAR)) AS text
+      FROM documents)
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text, '[a-z0-9.]+@[a-z0-9.]+\\.[a-z]+', '<EMAIL>', 'g'),
+             '\\b\\d{3}-\\d{2,4}\\b', '<PHONE>', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(text,
+                '[a-z0-9.]+@[a-z0-9.]+\\.[a-z]+')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text,
+                '\\b\\d{3}-\\d{2,4}\\b')) AS INT) AS n_phones
+    FROM dirty
+    """,
+    tags=("dataset", "text", "pii"),
+)
+
+
 # Edit-distance fuzzy matching: closest document pairs by levenshtein on
 # a fixed text prefix, blocked by language (same blocked-pair-space
 # pattern as every other dedup op — at 100 TB block on a coarse
