@@ -2189,6 +2189,47 @@ def ds_embedding_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_top_pairs(t["embeddings"], block_col="label", top=20)
 
 
+# Repetition ratio (Gopher-style quality rule): fraction of duplicated
+# word bigrams per document — high values flag boilerplate/spam. All
+# array ops per row (split → bigram window → distinct), no shuffle.
+_sql_query(
+    "ds_repetition_ratio",
+    """
+    WITH w AS (SELECT doc_id, split(trim(lower(text)), '\\\\s+') AS ws
+               FROM documents),
+    b AS (SELECT doc_id,
+                 transform(sequence(1, size(ws) - 1),
+                           i -> concat(element_at(ws, i), ' ',
+                                       element_at(ws, i + 1))) AS bigrams
+          FROM w WHERE size(ws) > 1)
+    SELECT doc_id,
+           CAST(size(bigrams) AS INT) AS n_bigrams,
+           CAST(size(array_distinct(bigrams)) AS INT) AS n_distinct,
+           CAST(1.0 - CAST(size(array_distinct(bigrams)) AS DOUBLE)
+                      / CAST(size(bigrams) AS DOUBLE) AS DOUBLE)
+               AS repetition_ratio
+    FROM b
+    """,
+    """
+    WITH w AS (SELECT doc_id,
+                      regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+               FROM documents),
+    b AS (SELECT doc_id,
+                 list_transform(range(1, len(ws)),
+                                i -> ws[i] || ' ' || ws[i + 1]) AS bigrams
+          FROM w WHERE len(ws) > 1)
+    SELECT doc_id,
+           CAST(len(bigrams) AS INT) AS n_bigrams,
+           CAST(len(list_distinct(bigrams)) AS INT) AS n_distinct,
+           CAST(1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE)
+                      / CAST(len(bigrams) AS DOUBLE) AS DOUBLE)
+               AS repetition_ratio
+    FROM b
+    """,
+    tags=("dataset", "text", "quality"),
+)
+
+
 # PII scrubbing (standard corpus-cleaning pass): email + phone redaction
 # via regexp_replace, with per-doc redaction counts. The synthetic corpus
 # carries no PII, so the query first INJECTS deterministic doc_id-derived
