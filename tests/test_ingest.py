@@ -143,3 +143,23 @@ def test_compact_reduces_files_keeps_rows(spark, tmp_path):
     after = len(glob.glob(str(tmp_path / "frag" / "*.parquet")))
     assert n == 5000 and t.read().count() == 5000
     assert after <= 2 < before
+
+
+def test_csv_json_source_roundtrip(spark, tmp_path):
+    """Source-format breadth: the engine's tables round-trip through CSV
+    and JSON with explicit schemas (Spark built-in readers; vector
+    columns stay parquet-only by design — CSV/JSON carry scalars)."""
+    from pgvector_db_spark.catalog import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    csv_path, json_path = str(tmp_path / "csv"), str(tmp_path / "json")
+    docs.write.option("header", True).csv(csv_path)
+    docs.write.json(json_path)
+    schema = "doc_id bigint, lang string, n_chars bigint"
+    got_csv = spark.read.option("header", True).schema(schema).csv(csv_path)
+    got_json = spark.read.schema(schema).json(json_path)
+    want = {(r["doc_id"], r["lang"], r["n_chars"]) for r in docs.collect()}
+    assert {(r["doc_id"], r["lang"], r["n_chars"]) for r in got_csv.collect()} == want
+    assert {(r["doc_id"], r["lang"], r["n_chars"]) for r in got_json.collect()} == want

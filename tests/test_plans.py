@@ -123,3 +123,26 @@ def test_knn_batch_uses_window_group_limit(spark, tables):
     assert "WindowGroupLimit" in physical_plan(out)
     got = out.groupBy("query_id").count().collect()
     assert all(r["count"] == 5 for r in got)
+
+
+def test_sparse_topk_plan_shape(spark):
+    """Sparse cosine top-k: 1-row broadcast build side (nested loop),
+    top-k via TakeOrderedAndProject, all folds in the projection — the
+    same zero-shuffle scan shape as the dense kNN."""
+    from pgvector_db_spark.catalog import load_tables
+
+    load_tables(spark, SF_DIR)
+    df = REGISTRY["vs_sparse_cosine_topk"].spark_fn(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "EvalPython" not in plan  # no Python in the hot path
+
+
+def test_gapfill_grid_is_generated_not_scanned(spark):
+    """The gapfill grid comes from sequence()/explode, not a table scan:
+    exactly one parquet source (events) appears in the plan."""
+    df = REGISTRY["rel_time_bucket_gapfill"].spark_fn(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert plan.count("events.parquet") >= 1
+    assert "Generate explode" in plan or "Generate" in plan
