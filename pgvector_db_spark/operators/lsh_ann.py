@@ -178,6 +178,80 @@ def search_lsh_layout(
     ).drop("_vnorm")
 
 
+def batch_search_lsh_layout(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int,
+    num_bits: int = 6,
+    hamming_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    q_id_col: str = "query_id",
+    q_vec_col: str = "query_vec",
+) -> DataFrame:
+    """ANN top-k for a BATCH of queries over the persisted layout, in ONE
+    partition-pruned plan (the LSH twin of ``IVFIndex.batch_search``).
+
+    Driver-side per-query bucket ranking (signatures are ints; the query
+    batch is small by contract) yields a (query_id, sig, qvec, qnorm)
+    probe table. The scan reads only the UNION of probed sig partitions,
+    the probe table broadcasts into the join on ``sig`` — each row scored
+    only against queries probing its bucket — and ``rank <= k`` compiles
+    to WindowGroupLimit (partial top-k before the query_id shuffle).
+
+    Returns (query_id, id_col, distance, knn_rank).
+    """
+    import math
+
+    from pyspark.sql.window import Window
+
+    from pgvector_db_spark.functions.vector import (
+        cosine_distance_precomputed,
+    )
+
+    qrows = queries.select(q_id_col, q_vec_col).collect()
+    dim = len(qrows[0][q_vec_col])
+    planes = hyperplanes(dim, num_bits, seed)
+
+    def _qnorm(vec: list[float]) -> float:
+        acc = 0.0
+        for x in vec:  # same sequential fold as l2_norm's aggregate
+            acc += x * x
+        return math.sqrt(acc)
+
+    pairs = [
+        (r[q_id_col], sig, qv, _qnorm(qv))
+        for r in qrows
+        for qv in [[float(x) for x in r[q_vec_col]]]
+        for sig in _probe_signatures(
+            _signature_of(qv, planes), num_bits, hamming_probe
+        )
+    ]
+    probe_df = spark.createDataFrame(
+        pairs, f"{q_id_col} bigint, sig int, _qv array<double>, _qnorm double"
+    )
+    probed = sorted({p[1] for p in pairs})
+    data = spark.read.parquet(path).filter(F.col("sig").isin(probed))
+    joined = data.join(F.broadcast(probe_df), "sig")
+    if "_vnorm" in data.columns:
+        dist = cosine_distance_precomputed(
+            F.col(vec_col), F.col("_qv"), F.col("_vnorm"), F.col("_qnorm")
+        )
+    else:
+        dist = cosine_distance(F.col(vec_col), F.col("_qv"))
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.col("distance").asc(), F.col(id_col).asc()
+    )
+    return (
+        joined.withColumn("distance", dist)
+        .withColumn("knn_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("knn_rank") <= k)
+        .select(q_id_col, id_col, "distance", "knn_rank")
+    )
+
+
 def lsh_ann_knn(
     df: DataFrame,
     query_vec: list[float],

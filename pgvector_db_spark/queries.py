@@ -1418,6 +1418,56 @@ def vs_lsh_layout_knn_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "label", "distance", "similarity")
 
 
+@register(
+    "vs_lsh_knn_batch_fullprobe",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id <= 2
+    ),
+    s AS (
+      SELECT q.query_id, e.vec_id,
+             {cosine_distance_sql("e.embedding", "q.qe", "duckdb")} AS distance
+      FROM embeddings e, q
+    ),
+    r AS (
+      SELECT query_id, vec_id, distance,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY distance ASC, vec_id ASC) AS INT)
+                 AS knn_rank
+      FROM s
+    )
+    SELECT query_id, vec_id, distance, knn_rank FROM r WHERE knn_rank <= 5
+    """,
+    tags=("vector", "ann", "layout", "batch"),
+)
+def vs_lsh_knn_batch_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN over the persisted LSH layout — whole query batch in one
+    partition-pruned plan (operators/lsh_ann.batch_search_lsh_layout, the
+    LSH twin of IVFIndex.batch_search). Probed at hamming = num_bits so
+    the batch exact-kNN SQL is a true oracle of the read path."""
+    import os
+    import tempfile
+
+    from pgvector_db_spark.operators.lsh_ann import (
+        batch_search_lsh_layout,
+        build_lsh_layout,
+    )
+
+    t = load_tables(spark, sf_dir)
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"lsh_cache_{tag}")
+    if not os.path.exists(path):
+        build_lsh_layout(t["embeddings"], path, num_bits=6)
+    queries = (
+        t["embeddings"]
+        .filter("vec_id <= 2")
+        .selectExpr("vec_id AS query_id", "embedding AS query_vec")
+    )
+    return batch_search_lsh_layout(
+        spark, path, queries, k=5, num_bits=6, hamming_probe=6
+    )
+
+
 # -- MinHash / SimHash / fingerprint / lang-id oracles ----------------------
 # DuckDB-side generators replicating functions/text.py primitives exactly
 # (hash32 = first 8 md5 hex chars as bigint; see test parity check).

@@ -191,3 +191,35 @@ def test_to_vector_malformed_is_null(spark):
     ).first()
     assert row["bad"] is None
     assert row["good"] == [1.0, 2.0]
+
+
+def test_lsh_batch_matches_per_query_search(spark, tables, tmp_path):
+    """Batch LSH search equals N independent layout searches at the same
+    probe width (including partial probe — same buckets, same re-rank)."""
+    from pgvector_db_spark.operators.lsh_ann import (
+        batch_search_lsh_layout,
+        build_lsh_layout,
+        search_lsh_layout,
+    )
+
+    path = str(tmp_path / "lsh_batch")
+    build_lsh_layout(tables["embeddings"], path, num_bits=6)
+    queries = (
+        tables["embeddings"]
+        .filter("vec_id <= 2")
+        .selectExpr("vec_id AS query_id", "embedding AS query_vec")
+    )
+    got = batch_search_lsh_layout(
+        spark, path, queries, k=5, num_bits=6, hamming_probe=2
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r["vec_id"])
+    for qid, qvec in [(r["query_id"], list(r["query_vec"])) for r in queries.collect()]:
+        solo = [
+            r["vec_id"]
+            for r in search_lsh_layout(
+                spark, path, qvec, k=5, num_bits=6, hamming_probe=2
+            ).collect()
+        ]
+        assert by_q[qid] == solo
