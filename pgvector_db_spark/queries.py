@@ -3273,6 +3273,93 @@ _sql_query(
 )
 
 
+# Cluster-canonical dedup: LSH pairs -> connected components -> keep the
+# min-id doc per cluster (SURVEY.md §2.3 "connected components → keep
+# canonical"). Spark side is the iterative label-propagation loop in
+# operators/dedup.connected_components (O(diameter) shuffles); the oracle
+# recomputes the same components declaratively as a recursive-CTE
+# transitive closure, so the loop's fixpoint is checked end-to-end.
+@register(
+    "ds_cluster_dedup",
+    f"""
+    WITH RECURSIVE sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS s FROM documents),
+    sig AS (SELECT doc_id, {_DUCK_SIG16} FROM sh),
+    bands AS (
+      SELECT doc_id, unnest([
+        {_duck_band_key(0, 4)}, {_duck_band_key(1, 4)},
+        {_duck_band_key(2, 4)}, {_duck_band_key(3, 4)}
+      ]) AS bk FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM cand
+      JOIN sh a ON a.doc_id = id_a
+      JOIN sh b ON b.doc_id = id_b
+      WHERE {_DUCK_JACCARD} >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r
+    )
+    SELECT id AS doc_id, MIN(r) AS component,
+           CAST(MIN(r) = id AS INT) AS is_canonical
+    FROM reach GROUP BY id
+    """,
+    tags=("dataset", "dedup", "graph"),
+)
+def ds_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgvector_db_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    t = load_tables(spark, sf_dir)
+    pairs = minhash_lsh_pairs(t["documents"])
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        "component",
+        (F.col("component") == F.col("id")).cast("int").alias("is_canonical"),
+    )
+
+
+# Recursive CTE (Spark 4 WITH RECURSIVE): a generated month spine
+# LEFT-joined to the 1995 order aggregate, so months with no orders still
+# appear. The identical SQL runs on both engines — the recursion is
+# driver-side plan expansion (12 UnionLoop steps over a 1-row seed), the
+# aggregate underneath is the usual partial/final hash agg.
+_sql_query(
+    "rel_recursive_month_spine",
+    """
+    WITH RECURSIVE months(mo) AS (
+      SELECT 1
+      UNION ALL
+      SELECT mo + 1 FROM months WHERE mo < 12
+    )
+    SELECT m.mo AS month,
+           COALESCE(o.n_orders, 0) AS n_orders,
+           CAST(COALESCE(o.revenue, 0) AS DOUBLE) AS revenue
+    FROM months m
+    LEFT JOIN (
+      SELECT month(o_orderdate) AS mo, COUNT(*) AS n_orders,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+      FROM orders WHERE year(o_orderdate) = 1995
+      GROUP BY month(o_orderdate)
+    ) o ON m.mo = o.mo
+    """,
+    tags=("relational", "recursive"),
+)
+
+
 def all_queries() -> dict[str, SparkQuery]:
     return {name: spec.spark_fn for name, spec in REGISTRY.items()}
 
