@@ -341,31 +341,43 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     (id, component) where component = min id reachable. Label-propagation
     loop; each iteration is one shuffle. Converges in O(diameter)
     iterations — dup clusters are shallow, so a handful in practice."""
+    # The pairs lineage can be arbitrarily expensive (LSH banding +
+    # verification) — materialize the edge list ONCE; every iteration
+    # joins against this cached table, never the upstream pipeline.
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        .persist()
     )
+    edges.count()
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
     )
-    for _ in range(max_iter):
-        prop = (
-            edges.join(labels, edges.src == labels.id)
-            .select(F.col("dst").alias("id"), F.col("component"))
-            .union(labels.select("id", "component"))
-            .groupBy("id")
-            .agg(F.min("component").alias("component"))
-        )
-        changed = (
-            prop.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = prop.localCheckpoint() if changed else prop
-        if not changed:
-            break
+    try:
+        for _ in range(max_iter):
+            # Checkpoint FIRST (one materialization of the propagation
+            # join), then run the cheap label-vs-label convergence check
+            # against the materialized result — not the join lineage twice.
+            prop = (
+                edges.join(labels, edges.src == labels.id)
+                .select(F.col("dst").alias("id"), F.col("component"))
+                .union(labels.select("id", "component"))
+                .groupBy("id")
+                .agg(F.min("component").alias("component"))
+                .localCheckpoint()
+            )
+            changed = (
+                prop.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .count()
+            )
+            labels = prop
+            if not changed:
+                break
+    finally:
+        edges.unpersist()
     return labels

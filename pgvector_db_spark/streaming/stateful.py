@@ -72,3 +72,55 @@ def first_seen(stream_df: DataFrame, key_col: str, ts_col: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_totals_tws(
+    stream_df: DataFrame, key_col: str, value_col: str
+) -> DataFrame:
+    """Per-key running (count, sum) via Spark 4's ``transformWithState``
+    API — the successor to ``applyInPandasWithState`` with named state
+    variables (value/list/map state, timers, TTL) instead of a single
+    tuple. Functionally mirrors :func:`running_counts` but carries a sum,
+    and exercises the new state-store codepath.
+
+    Scale shape is identical: state is sharded by the grouping key across
+    the cluster's state store; each micro-batch shuffles only that batch's
+    rows to their key's shard.
+
+    Requires the RocksDB state-store provider and `google.protobuf` in the
+    Python workers (the TWS state-server wire protocol); the test suite
+    skips it where protobuf is absent."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "cnt bigint, total double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            cnt, total = (
+                self._totals.get() if self._totals.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                cnt += len(pdf)
+                total += float(pdf[value_col].sum())
+            self._totals.update((cnt, total))
+            yield pd.DataFrame(
+                {key_col: [key[0]], "running_count": [cnt], "running_sum": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream_df.groupBy(key_col).transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType=(
+            f"{key_col} bigint, running_count bigint, running_sum double"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -163,3 +163,21 @@ def test_csv_json_source_roundtrip(spark, tmp_path):
     want = {(r["doc_id"], r["lang"], r["n_chars"]) for r in docs.collect()}
     assert {(r["doc_id"], r["lang"], r["n_chars"]) for r in got_csv.collect()} == want
     assert {(r["doc_id"], r["lang"], r["n_chars"]) for r in got_json.collect()} == want
+
+
+def test_orc_source_roundtrip(spark, tmp_path):
+    """ORC round-trip INCLUDING the vector column — ORC is columnar with
+    full nested-type support, so unlike CSV/JSON the embedding array
+    survives intact (second built-in columnar format besides parquet)."""
+    from pgvector_db_spark.catalog import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    orc_path = str(tmp_path / "orc")
+    emb.write.orc(orc_path)
+    got = spark.read.orc(orc_path)
+    assert dict(got.dtypes) == dict(emb.dtypes)
+    want = {(r["vec_id"], r["label"], tuple(r["embedding"])) for r in emb.collect()}
+    have = {(r["vec_id"], r["label"], tuple(r["embedding"])) for r in got.collect()}
+    assert have == want

@@ -261,6 +261,75 @@ def test_streaming_dropduplicates_with_watermark(spark, tmp_path):
     assert len(ids) == 50 and len(set(ids)) == 50
 
 
+def test_streaming_dropduplicates_within_watermark(spark, tmp_path):
+    """`dropDuplicatesWithinWatermark` (Spark 3.5+): like streaming
+    dropDuplicates but state is TTL'd at the watermark — the right dedup
+    for unbounded key spaces where plain dropDuplicates state grows
+    forever. Dups inside the horizon collapse to one emitted row."""
+    import datetime as dt
+
+    rows = [
+        (i % 50, dt.datetime(2024, 1, 1, 0, i % 50, 0)) for i in range(100)
+    ]
+    src = str(tmp_path / "dups_wwm")
+    spark.createDataFrame(rows, "event_id bigint, ts timestamp").repartition(
+        2
+    ).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = file_stream(spark, src, schema, max_files_per_trigger=1)
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    run_stream_to_memory(deduped, "dedup_wwm_t", mode="append")
+    ids = [r["event_id"] for r in spark.sql("SELECT event_id FROM dedup_wwm_t").collect()]
+    assert len(ids) == 50 and len(set(ids)) == 50
+
+
+def test_transform_with_state_running_totals(spark, events_replay_dir, events_schema):
+    """Spark 4 transformWithState: per-key running count+sum matches the
+    batch aggregate after the last micro-batch.
+
+    The TWS state-server protocol needs `google.protobuf` in the Python
+    workers; environments without it can only run the
+    applyInPandasWithState operators (covered above), so skip there."""
+    pytest.importorskip("google.protobuf")
+    from pgvector_db_spark.streaming.stateful import running_totals_tws
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = file_stream(
+            spark, events_replay_dir, events_schema, max_files_per_trigger=1
+        )
+        run_stream_to_memory(
+            running_totals_tws(stream, "user_id", "value"), "tws_totals", mode="update"
+        )
+        got = {
+            r["user_id"]: (r["running_count"], round(r["running_sum"], 6))
+            for r in spark.sql(
+                """SELECT user_id, max(running_count) AS running_count,
+                          max(running_sum) AS running_sum
+                   FROM tws_totals GROUP BY user_id"""
+            ).collect()
+        }
+        batch = read_table(spark, SF_DIR, "events")
+        want = {
+            r["user_id"]: (r["cnt"], round(r["s"], 6))
+            for r in batch.groupBy("user_id")
+            .agg(F.count("*").alias("cnt"), F.sum("value").alias("s"))
+            .collect()
+        }
+        assert got == want
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
 def test_continuous_rollup_equals_batch(spark, events_replay_dir, events_schema, tmp_path):
     """The incrementally-maintained rollup table must equal the batch
     rollup bitwise after the stream drains (decimal merge is exact)."""
