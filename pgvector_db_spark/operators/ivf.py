@@ -132,6 +132,62 @@ class IVFIndex:
         _DATA_CACHE.pop((id(spark), os.path.join(path, "data")), None)
         return cls(spark, path, vec_col, id_col)
 
+    # -- incremental maintenance ---------------------------------------------
+
+    def append(self, df: DataFrame) -> None:
+        """INSERT-into-indexed-table analogue: pgvector's ivfflat assigns
+        each newly inserted row to its nearest EXISTING list center and
+        never refits centroids on insert — identically here: new rows get
+        a ``list_id`` from the frozen centroids and are appended into the
+        matching partitions of the layout.
+
+        Assignment is a broadcast nested-loop over ``lists`` centroids
+        (`B x lists` distance folds for a batch of B rows — the same work
+        KMeans.transform does at build) followed by a per-row argmin; the
+        append shuffles only the new batch, never touches existing data
+        files. Heavily skewed/drifted inserts degrade recall exactly as
+        they do in pgvector — rebuild (``build``) is the remedy there and
+        here.
+        """
+        from pyspark.sql.window import Window
+
+        from pgvector_db_spark.functions.vector import (
+            cosine_distance,
+            l2_distance,
+            l2_norm,
+        )
+
+        metric = self.metric
+        cents = self.spark.createDataFrame(
+            [(lid, c) for lid, c, _ in self._centroids()],
+            "list_id int, _centroid array<double>",
+        )
+        # cosine cells assign by cosine distance; l2 AND ip cells both
+        # assign by euclidean (matching build(), which clusters ip with
+        # euclidean KMeans exactly as pgvector does)
+        if metric == "cosine":
+            dist = cosine_distance(F.col(self.vec_col), F.col("_centroid"))
+        else:
+            dist = l2_distance(F.col(self.vec_col), F.col("_centroid"))
+        w = Window.partitionBy(self.id_col).orderBy(
+            F.col("_dist").asc(), F.col("list_id").asc()
+        )
+        assigned = (
+            df.join(F.broadcast(cents))
+            .withColumn("_dist", dist)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_dist", "_rn", "_centroid")
+            .withColumn("_vnorm", l2_norm(F.col(self.vec_col)))
+        )
+        (
+            assigned.repartition("list_id")
+            .write.mode("append")
+            .partitionBy("list_id")
+            .parquet(self.data_path)
+        )
+        _DATA_CACHE.pop((id(self.spark), self.data_path), None)
+
     # -- search --------------------------------------------------------------
 
     def _centroids(self) -> list[tuple[int, list[float], float]]:

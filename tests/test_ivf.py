@@ -170,3 +170,38 @@ def test_ip_index_build_and_search(spark, tables, tmp_path):
 def test_unknown_metric_rejected(tables, tmp_path):
     with pytest.raises(ValueError):
         IVFIndex.build(tables["embeddings"], str(tmp_path / "x"), metric="hamming")
+
+
+def test_append_assigns_to_existing_lists(spark, tables, tmp_path):
+    """pgvector INSERT semantics: new rows join the frozen centroids'
+    nearest list (no refit); a full-probe search over the grown index
+    equals exact kNN over the full table."""
+    emb = tables["embeddings"]
+    base = emb.filter("vec_id % 2 = 0")
+    extra = emb.filter("vec_id % 2 = 1")
+    idx = IVFIndex.build(base, str(tmp_path / "grow_idx"), lists=4)
+    cents_before = spark.read.parquet(idx.centroids_path).collect()
+    idx.append(extra)
+    # centroids untouched, every row present exactly once
+    assert spark.read.parquet(idx.centroids_path).collect() == cents_before
+    data = spark.read.parquet(idx.data_path)
+    assert data.count() == emb.count()
+    assert data.select("vec_id").distinct().count() == emb.count()
+    # appended rows landed in valid lists
+    assert data.select("list_id").distinct().count() <= 4
+    q = list(emb.filter("vec_id = 123").first()["embedding"])
+    exact = [r["vec_id"] for r in knn(emb, q, 10).collect()]
+    full = [r["vec_id"] for r in idx.search(q, 10, nprobe=4).collect()]
+    assert exact == full
+
+
+def test_append_l2_metric(spark, tables, tmp_path):
+    emb = tables["embeddings"].filter("vec_id < 400")
+    idx = IVFIndex.build(
+        emb.filter("vec_id < 200"), str(tmp_path / "grow_l2"), lists=4, metric="l2"
+    )
+    idx.append(emb.filter("vec_id >= 200"))
+    q = list(emb.filter("vec_id = 42").first()["embedding"])
+    exact = [r["vec_id"] for r in knn(emb, q, 10, distance="l2").collect()]
+    full = [r["vec_id"] for r in idx.search(q, 10, nprobe=4).collect()]
+    assert exact == full
