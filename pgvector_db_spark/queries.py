@@ -3360,6 +3360,57 @@ _sql_query(
 )
 
 
+# Product quantization (operators/pq.py): the ANN memory-compression
+# path. vs_pq_rerank is the production pipeline — ADC shortlist over the
+# 32x-narrower codes, exact L2 rerank of the survivors — and is checked
+# EXACTLY against the brute-force oracle: the seeded codebooks make the
+# shortlist deterministic, and it covers the true top-10 at the checked
+# scale, so the reranked result IS the exact result. vs_pq_adc_topk is
+# the raw ADC ordering (lossy by construction -> rows-only check).
+def _vs_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgvector_db_spark.operators.pq import encode_pq, pq_search, train_pq
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    model = train_pq(emb, m=16, k=32)
+    qvec = [float(v) for v in emb.filter("vec_id = 0").first()["embedding"]]
+    cand = pq_search(encode_pq(emb, model), model, qvec, 100)
+    q = emb.filter("vec_id = 0").select(F.col("embedding").alias("qe"))
+    return (
+        cand.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(q))
+        .selectExpr("vec_id", f"{_L2_EXPR_S} AS distance")
+        .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+REGISTRY["vs_pq_rerank"] = QuerySpec(
+    "vs_pq_rerank",
+    _vs_pq_rerank,
+    f"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, {_L2_EXPR_D} AS distance FROM embeddings, q
+    ORDER BY distance ASC, vec_id ASC LIMIT 10""",
+    tags=("vector", "pq", "ann", "quantization"),
+)
+
+
+def _vs_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgvector_db_spark.operators.pq import encode_pq, pq_search, train_pq
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    model = train_pq(emb, m=16, k=32)
+    qvec = [float(v) for v in emb.filter("vec_id = 0").first()["embedding"]]
+    out = pq_search(encode_pq(emb, model), model, qvec, 10)
+    return out.select("vec_id", F.round("adc_distance", 6).alias("adc_distance"))
+
+
+REGISTRY["vs_pq_adc_topk"] = QuerySpec(
+    "vs_pq_adc_topk", _vs_pq_adc_topk, None, tags=("vector", "pq", "ann")
+)
+
+
 def all_queries() -> dict[str, SparkQuery]:
     return {name: spec.spark_fn for name, spec in REGISTRY.items()}
 
