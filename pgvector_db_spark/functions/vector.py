@@ -140,6 +140,24 @@ def dequantize(q: ColumnOrName, scale: Column) -> Column:
     return F.transform(_c(q), lambda x: x.cast("double") / scale)
 
 
+def half_quantize(a: ColumnOrName) -> Column:
+    """pgvector ``halfvec``-style precision reduction as a pure Catalyst
+    expression: snap each component to an 11-bit-mantissa grid
+    (quantum = 2^(floor(log2|x|) - 10), round half-away) — the storage
+    precision of IEEE half without its rounding mode (half-even),
+    subnormals, or range clamp. Power-of-two scaling and the integer
+    round are exact in float64, so the grid is engine-independent and
+    the op is exactly oracle-checkable (unlike true float16, which
+    neither Spark SQL nor DuckDB exposes)."""
+
+    def snap(x: Column) -> Column:
+        d = _d(x)
+        qtm = F.pow(F.lit(2.0), F.floor(F.log2(F.abs(d))) - 10)
+        return F.when(d == 0.0, F.lit(0.0)).otherwise(F.round(d / qtm) * qtm)
+
+    return F.transform(_c(a), snap)
+
+
 # -- binary quantization (bit vectors) --------------------------------------
 # pgvector 0.7's `bit(n)` surface: binary_quantize(vector) -> bit string,
 # hamming_distance (`<~>`) and jaccard_distance (`<%>`) over bits. Sign

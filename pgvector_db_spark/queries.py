@@ -1975,6 +1975,61 @@ _sql_query(
     tags=("vector", "quantization", "ann"),
 )
 
+# halfvec parity (functions/vector.py half_quantize): components snapped
+# to the 11-bit-mantissa grid — pgvector's halfvec storage precision —
+# entirely in double math both engines compute identically, so both the
+# fidelity measure and the kNN on the reduced-precision grid are exact
+# oracle checks (same structure as the int8 pair above).
+def _half_expr(dialect: str) -> str:
+    tf = "transform" if dialect == "spark" else "list_transform"
+    x = "CAST(x AS DOUBLE)"
+    qtm = f"power(2.0, floor(log2(abs({x}))) - 10)"
+    return (
+        f"{tf}(embedding, x -> CASE WHEN {x} = 0.0 THEN 0.0 "
+        f"ELSE round({x} / {qtm}) * {qtm} END)"
+    )
+
+
+_sql_query(
+    "vs_halfvec_fidelity",
+    f"""
+    WITH h AS (SELECT vec_id, embedding, {_half_expr("spark")} AS hv FROM embeddings)
+    SELECT vec_id,
+           round({cosine_similarity_sql("embedding", "hv", "spark")}, 9) AS sim_h
+    FROM h
+    """,
+    f"""
+    WITH h AS (SELECT vec_id, embedding, {_half_expr("duckdb")} AS hv FROM embeddings)
+    SELECT vec_id,
+           round({cosine_similarity_sql("embedding", "hv", "duckdb")}, 9) AS sim_h
+    FROM h
+    """,
+    tags=("vector", "quantization", "halfvec"),
+)
+
+
+def _half_knn(dialect: str) -> str:
+    return f"""
+    WITH h AS (SELECT vec_id, label, {_half_expr(dialect)} AS hv FROM embeddings),
+    q AS (SELECT hv AS qe FROM h WHERE vec_id = 0),
+    d AS (
+      SELECT h.vec_id, h.label,
+             {cosine_distance_sql("h.hv", "qe", dialect)} AS distance
+      FROM h, q
+    )
+    SELECT vec_id, label, round(distance, 9) AS distance_h
+    FROM d ORDER BY distance ASC, vec_id ASC LIMIT 10
+    """
+
+
+_sql_query(
+    "vs_knn_halfvec",
+    _half_knn("spark"),
+    _half_knn("duckdb"),
+    tags=("vector", "quantization", "halfvec", "ann"),
+)
+
+
 # CUBE grouping: all (status, priority) aggregation combinations in one
 # pass — completes the grouping-sets family next to rel_rollup_revenue.
 _sql_query(

@@ -234,3 +234,20 @@ def test_sparse_norm_matches_dense(sparse_df):
 def test_sparse_eps_prunes(sparse_df):
     row = sparse_df.select(to_sparse("a", eps=2.5).alias("s")).first()["s"]
     assert list(row["indices"]) == [4]
+
+
+def test_half_quantize_grid(spark):
+    from pgvector_db_spark.functions.vector import half_quantize
+
+    df = spark.createDataFrame(
+        [([0.0, 1.0, -2.5, 1.0 / 3.0, 1e-8],)], "a array<double>"
+    )
+    got = one(df, half_quantize("a"))
+    # exact values survive; 1/3 snaps to the 11-bit grid near 1/3
+    assert got[0] == 0.0 and got[1] == 1.0 and got[2] == -2.5
+    assert got[3] == pytest.approx(1.0 / 3.0, rel=2**-10)
+    assert got[3] != 1.0 / 3.0
+    assert got[4] == pytest.approx(1e-8, rel=2**-10)  # no subnormal clamp
+    # idempotent: snapping an already-snapped vector is a no-op
+    df2 = spark.createDataFrame([(got,)], "a array<double>")
+    assert one(df2, half_quantize("a")) == got
