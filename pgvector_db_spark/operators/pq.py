@@ -227,6 +227,78 @@ def load_pq_model(path: str) -> PQModel:
     )
 
 
+def build_ivfpq_layout(
+    df: DataFrame,
+    path: str,
+    lists: int = 100,
+    m: int = 16,
+    k: int = 32,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample: int = 4096,
+    seed: int = 42,
+):
+    """IVF + PQ composed (the FAISS ``IVFx,PQy`` production shape): the
+    PQ codes column rides along into the IVF ``partitionBy(list_id)``
+    layout, so a search combines BOTH prunings — partition pruning from
+    the centroid probe (reads nprobe/lists of the files) and column
+    pruning from ADC (reads the codes column, not the vectors, inside
+    probed partitions). L2 metric end-to-end. Returns (IVFIndex, PQModel).
+    """
+    import json
+    import os
+
+    from pgvector_db_spark.operators.ivf import IVFIndex
+
+    model = train_pq(
+        df, vec_col=vec_col, id_col=id_col, m=m, k=k, metric="l2",
+        sample=sample, seed=seed,
+    )
+    encoded = encode_pq(df, model, vec_col=vec_col)
+    idx = IVFIndex.build(
+        encoded, path, lists=lists, vec_col=vec_col, id_col=id_col,
+        seed=seed, metric="l2",
+    )
+    meta = {
+        "m": model.m, "k": model.k, "dim": model.dim, "metric": model.metric,
+        "codebooks": model.codebooks.tolist(),
+    }
+    with open(os.path.join(path, "model.json"), "w") as f:
+        json.dump(meta, f)
+    return idx, model
+
+
+def search_ivfpq_layout(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k_top: int = 10,
+    nprobe: int = 1,
+    shortlist: int = 100,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe ``nprobe`` lists (partition pruning), ADC-shortlist on the
+    codes column inside survivors, exact-L2 rerank of shortlisted rows
+    only. With ``nprobe = lists`` and a covering shortlist this
+    degenerates to the exact result (oracle-checked in queries.py)."""
+    from pgvector_db_spark.operators.ivf import IVFIndex
+    from pgvector_db_spark.operators.knn import knn
+
+    idx = IVFIndex(spark, path, vec_col, id_col)
+    model = load_pq_model(path)
+    probes = [lid for lid, _ in idx._rank_lists(query_vec)[:nprobe]]
+    data = idx._data().filter(F.col("list_id").isin(probes))
+    cand = pq_search(
+        data.select(id_col, "codes"), model, query_vec, shortlist, id_col=id_col
+    )
+    survivors = data.join(cand.select(id_col), id_col, "left_semi")
+    return knn(
+        survivors, query_vec, k_top,
+        vec_col=vec_col, id_col=id_col, distance="l2",
+    ).drop("_vnorm", "codes", "list_id")
+
+
 def search_pq_layout(
     spark,
     path: str,

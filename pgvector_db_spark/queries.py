@@ -3466,6 +3466,62 @@ REGISTRY["vs_pq_adc_topk"] = QuerySpec(
 )
 
 
+# IVF+PQ composed layout (operators/pq.py build_ivfpq_layout): the two
+# prunings stack — centroid probe = partition pruning, ADC = column
+# pruning + 32x narrower bytes inside probed partitions, exact rerank
+# touches shortlist rows only. The probed variant is rows-only (lossy by
+# design); the full-probe + covering-shortlist variant degenerates to
+# the exact L2 result and is oracle-checked exactly (same degeneration
+# argument as vs_ivf_knn_fullprobe + vs_pq_rerank).
+def _ivfpq_path(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    from pgvector_db_spark.operators.pq import build_ivfpq_layout
+
+    t = load_tables(spark, sf_dir)
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"ivfpq_cache_{tag}")
+    if not os.path.exists(os.path.join(path, "model.json")):
+        build_ivfpq_layout(t["embeddings"], path, lists=8, m=16, k=32)
+    return path
+
+
+def _vs_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgvector_db_spark.operators.pq import search_ivfpq_layout
+
+    t = load_tables(spark, sf_dir)
+    path = _ivfpq_path(spark, sf_dir)
+    qvec = [float(v) for v in t["embeddings"].filter("vec_id = 0").first()["embedding"]]
+    out = search_ivfpq_layout(spark, path, qvec, k_top=10, nprobe=2, shortlist=100)
+    return out.select("vec_id", "distance")
+
+
+REGISTRY["vs_ivfpq_knn"] = QuerySpec(
+    "vs_ivfpq_knn", _vs_ivfpq_knn, None, tags=("vector", "pq", "A9", "ann")
+)
+
+
+def _vs_ivfpq_knn_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgvector_db_spark.operators.pq import search_ivfpq_layout
+
+    t = load_tables(spark, sf_dir)
+    path = _ivfpq_path(spark, sf_dir)
+    qvec = [float(v) for v in t["embeddings"].filter("vec_id = 0").first()["embedding"]]
+    out = search_ivfpq_layout(spark, path, qvec, k_top=10, nprobe=8, shortlist=100)
+    return out.select("vec_id", "distance")
+
+
+REGISTRY["vs_ivfpq_knn_fullprobe"] = QuerySpec(
+    "vs_ivfpq_knn_fullprobe",
+    _vs_ivfpq_knn_fullprobe,
+    f"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, {_L2_EXPR_D} AS distance FROM embeddings, q
+    ORDER BY distance ASC, vec_id ASC LIMIT 10""",
+    tags=("vector", "pq", "A9", "ann"),
+)
+
+
 def all_queries() -> dict[str, SparkQuery]:
     return {name: spec.spark_fn for name, spec in REGISTRY.items()}
 

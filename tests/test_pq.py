@@ -88,3 +88,33 @@ def test_layout_roundtrip(spark, emb, tmp_path):
     # codes-only ADC scan reads the narrow dataset, not the vectors
     plan = search_pq_layout(spark, path, qvec, 10)._jdf.queryExecution().toString()
     assert "embedding" not in plan
+
+
+def test_ivfpq_fullprobe_equals_exact(spark, emb, tmp_path):
+    from pgvector_db_spark.operators.pq import build_ivfpq_layout, search_ivfpq_layout
+
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_layout(emb, path, lists=4, m=16, k=32)
+    qvec = [float(v) for v in emb.filter("vec_id = 0").first()["embedding"]]
+    qarr = F.array(*[F.lit(v) for v in qvec])
+    d = F.sqrt(
+        F.aggregate(
+            F.zip_with("embedding", qarr, lambda x, y: (x.cast("double") - y) ** 2),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    exact = [
+        (r["vec_id"], r["d"])
+        for r in emb.withColumn("d", d).orderBy("d", "vec_id").limit(10).collect()
+    ]
+    got = [
+        (r["vec_id"], r["distance"])
+        for r in search_ivfpq_layout(spark, path, qvec, 10, nprobe=4, shortlist=100).collect()
+    ]
+    assert [v for v, _ in got] == [v for v, _ in exact]
+    for (_, a), (_, b) in zip(got, exact):
+        assert a == pytest.approx(b, rel=1e-12)
+    # probed path returns k rows and includes the query row itself
+    probed = search_ivfpq_layout(spark, path, qvec, 10, nprobe=1, shortlist=50).collect()
+    assert len(probed) == 10 and probed[0]["vec_id"] == 0
