@@ -116,6 +116,14 @@ def vector_literal(vec: list[float]) -> Column:
     return F.array(*[F.lit(float(v)) for v in vec])
 
 
+def subvector(a: ColumnOrName, start: int, count: int) -> Column:
+    """pgvector 0.7 ``subvector(vector, start, count)`` — 1-based start,
+    like the Postgres function. The Matryoshka-retrieval primitive: with
+    MRL-trained embeddings, distance on a dim-prefix is a cheap coarse
+    rank whose cost scales with the prefix, not the full dimension."""
+    return F.slice(_c(a), start, count)
+
+
 # -- scalar quantization (int8) ---------------------------------------------
 # At 100 TB, float32 embeddings dominate storage and shuffle width; int8
 # symmetric quantization cuts both 4x at <1% cosine error for unit-scale
@@ -315,3 +323,10 @@ def jaccard_bits_sql(a: str, b: str, dialect: str = "spark") -> str:
         inter = f"list_sum(list_transform({a}, (x, i) -> bit_count(x & {b}[i])))"
         union = f"list_sum(list_transform({a}, (x, i) -> bit_count(x | {b}[i])))"
     return f"(1.0 - CAST({inter} AS DOUBLE) / CAST({union} AS DOUBLE))"
+
+
+def subvector_sql(a: str, start: int, count: int, dialect: str = "spark") -> str:
+    """pgvector ``subvector(v, start, count)`` — 1-based, count elements."""
+    if dialect == "spark":
+        return f"slice({a}, {start}, {count})"
+    return f"({a})[{start}:{start + count - 1}]"

@@ -3522,6 +3522,58 @@ REGISTRY["vs_ivfpq_knn_fullprobe"] = QuerySpec(
 )
 
 
+# pgvector 0.7 subvector() + Matryoshka adaptive retrieval. MRL-trained
+# embeddings put the coarse signal in the leading dims, so a dim-prefix
+# distance is a cheap first-pass rank: the coarse scan folds over 16
+# components instead of 64 (cost scales with the prefix), the exact
+# rerank touches only the shortlist. Both stages are deterministic
+# (unique-key tie-breaks), so the two-stage plan is exactly
+# SQL-expressible and oracle-checked end-to-end — no degeneration
+# argument needed, unlike the lossy ANN paths.
+from pgvector_db_spark.functions.vector import subvector_sql as _subv_sql
+
+
+def _matryoshka_sql(dialect: str) -> str:
+    sub_e = _subv_sql("embedding", 1, 16, dialect)
+    sub_q = _subv_sql("qe", 1, 16, dialect)
+    coarse = cosine_distance_sql(sub_e, sub_q, dialect)
+    full = cosine_distance_sql("embedding", "qe", dialect)
+    return f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    shortlist AS (
+      SELECT vec_id, {coarse} AS coarse_distance
+      FROM embeddings, q
+      ORDER BY coarse_distance ASC, vec_id ASC LIMIT 50
+    )
+    SELECT e.vec_id, {full} AS distance
+    FROM embeddings e JOIN shortlist s ON e.vec_id = s.vec_id, q
+    ORDER BY distance ASC, e.vec_id ASC LIMIT 10
+    """
+
+
+_sql_query(
+    "vs_subvector_topk",
+    f"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           {cosine_distance_sql(_subv_sql("embedding", 1, 16, "spark"), _subv_sql("qe", 1, 16, "spark"), "spark")} AS distance,
+           size({_subv_sql("embedding", 1, 16, "spark")}) AS sub_dims
+    FROM embeddings, q ORDER BY distance ASC, vec_id ASC LIMIT 10""",
+    f"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           {cosine_distance_sql(_subv_sql("embedding", 1, 16, "duckdb"), _subv_sql("qe", 1, 16, "duckdb"), "duckdb")} AS distance,
+           CAST(len({_subv_sql("embedding", 1, 16, "duckdb")}) AS INTEGER) AS sub_dims
+    FROM embeddings, q ORDER BY distance ASC, vec_id ASC LIMIT 10""",
+    tags=("vector", "subvector"),
+)
+
+_sql_query(
+    "vs_matryoshka_rerank",
+    _matryoshka_sql("spark"),
+    _matryoshka_sql("duckdb"),
+    tags=("vector", "subvector", "ann"),
+)
+
+
 def all_queries() -> dict[str, SparkQuery]:
     return {name: spec.spark_fn for name, spec in REGISTRY.items()}
 

@@ -251,3 +251,16 @@ def test_half_quantize_grid(spark):
     # idempotent: snapping an already-snapped vector is a no-op
     df2 = spark.createDataFrame([(got,)], "a array<double>")
     assert one(df2, half_quantize("a")) == got
+
+
+def test_subvector(pair_df):
+    from pgvector_db_spark.functions.vector import subvector
+
+    assert one(pair_df, subvector("a", 1, 2)) == [1.0, 2.0]
+    assert one(pair_df, subvector("a", 2, 2)) == [2.0, 2.0]
+    # prefix distance equals full distance when the tail is identical
+    assert one(
+        pair_df,
+        cosine_distance(subvector("a", 1, 3), subvector("b", 1, 3))
+        - cosine_distance("a", "b"),
+    ) == pytest.approx(0.0)
