@@ -80,6 +80,8 @@ def derived_metrics(spark, sf_dir: str, timings: dict[str, float]) -> dict[str, 
         ("vs_knn_topk", "knn_exact_ms"),
         ("vs_ivf_knn", "knn_ivf_ms"),
         ("vs_lsh_ann_knn", "knn_lsh_ms"),
+        ("vs_ivfpq_knn", "knn_ivfpq_ms"),
+        ("vs_matryoshka_rerank", "knn_matryoshka_ms"),
     ):
         if name in REGISTRY:
             out[key] = round(run_query(spark, name, sf_dir) * 1000, 1)
