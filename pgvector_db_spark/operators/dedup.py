@@ -144,6 +144,54 @@ def minhash_dedup(
     return df.join(losers, id_col, "left_anti")
 
 
+def _word_ngrams(text_col: str, n: int) -> Column:
+    """Distinct word-n-gram set of a text column, as a pure expression
+    (whitespace tokens, space-joined n-grams, empty set when < n words)."""
+    toks = tokens(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def contamination_overlap(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/PaLM-style eval-overlap
+    check a pretraining pipeline runs before training): flag corpus
+    documents sharing >= ``min_shared`` distinct word-``n``-grams with
+    any eval-set document.
+
+    Scale shape: the eval side is benchmarks — megabytes against a
+    100 TB corpus — so its exploded posting list is **broadcast** and
+    the corpus side never shuffles: explode grams, map-side hash join
+    against the broadcast postings, partial-aggregated count per
+    (train, eval) pair. One wide pass over the corpus, zero corpus
+    shuffles before the (tiny) pair aggregation.
+
+    Returns (train_id, eval_id, n_shared) with n_shared >= min_shared.
+    """
+    tr = train.select(F.col(id_col).alias("train_id"), _word_ngrams(text_col, n).alias("_ng"))
+    ev = eval_df.select(F.col(id_col).alias("eval_id"), _word_ngrams(text_col, n).alias("_ng"))
+    tr_post = tr.select("train_id", F.explode("_ng").alias("_g"))
+    ev_post = ev.select("eval_id", F.explode("_ng").alias("_g"))
+    return (
+        tr_post.join(F.broadcast(ev_post), "_g")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -167,15 +215,7 @@ def ngram_jaccard_pairs(
     Returns (id_a, id_b, jaccard_sim) with id_a < id_b and
     jaccard_sim >= threshold.
     """
-    toks = tokens(F.col(text_col))
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    base = df.select(F.col(id_col), F.array_distinct(grams).alias("_ng"))
+    base = df.select(F.col(id_col), _word_ngrams(text_col, n).alias("_ng"))
     # reused by the posting explode (twice, via the self-join) and both
     # verification joins — persist + eager materialize so parallel first
     # stages don't race-recompute the n-gram arrays

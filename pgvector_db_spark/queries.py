@@ -3522,6 +3522,73 @@ REGISTRY["vs_ivfpq_knn_fullprobe"] = QuerySpec(
 )
 
 
+# Benchmark decontamination (GPT-3/PaLM-style): flag corpus docs whose
+# word-trigram overlap with a (deterministic, doc_id % 97) eval subset
+# reaches the threshold. Scale shape: eval side is benchmarks — MBs vs
+# 100 TB — so its posting list broadcasts and the corpus side never
+# shuffles before the tiny pair aggregation (operators/dedup.py
+# contamination_overlap).
+@register(
+    "ds_decontaminate",
+    """
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+    ),
+    g AS (
+      SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ng
+      FROM t
+    ),
+    e AS (SELECT doc_id, unnest(ng) AS gram FROM g),
+    ev AS (SELECT doc_id AS eval_id, gram FROM e WHERE doc_id % 97 = 0),
+    tr AS (SELECT doc_id AS train_id, gram FROM e WHERE doc_id % 97 != 0)
+    SELECT train_id, eval_id, COUNT(*) AS n_shared
+    FROM tr JOIN ev USING (gram)
+    GROUP BY train_id, eval_id HAVING COUNT(*) >= 3
+    """,
+    tags=("dataset", "decontamination"),
+)
+def ds_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgvector_db_spark.operators.dedup import contamination_overlap
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    return contamination_overlap(
+        docs.filter("doc_id % 97 != 0"),
+        docs.filter("doc_id % 97 = 0"),
+        n=3,
+        min_shared=3,
+    )
+
+
+# Data-mixture report: per (source, lang) document and token counts with
+# each cell's share of total tokens — the mixture-weights table every
+# pretraining run starts from. One hash aggregate + a single-row window
+# over the (tiny) aggregated result; the share division is exact-int →
+# double, so both engines agree bitwise.
+_sql_query(
+    "ds_data_mixture",
+    """
+    SELECT source, lang, COUNT(*) AS n_docs,
+           CAST(SUM(size(split(trim(text), '\\\\s+'))) AS BIGINT) AS n_tokens,
+           round(100.0 * CAST(SUM(size(split(trim(text), '\\\\s+'))) AS DOUBLE)
+                 / CAST(SUM(SUM(size(split(trim(text), '\\\\s+')))) OVER () AS DOUBLE),
+                 6) AS token_share_pct
+    FROM documents GROUP BY source, lang
+    """,
+    """
+    SELECT source, lang, COUNT(*) AS n_docs,
+           CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+             AS n_tokens,
+           round(100.0 * CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS DOUBLE)
+                 / CAST(SUM(SUM(len(regexp_split_to_array(trim(text), '\\s+')))) OVER () AS DOUBLE),
+                 6) AS token_share_pct
+    FROM documents GROUP BY source, lang
+    """,
+    tags=("dataset", "mixture"),
+)
+
+
 # pgvector 0.7 subvector() + Matryoshka adaptive retrieval. MRL-trained
 # embeddings put the coarse signal in the leading dims, so a dim-prefix
 # distance is a cheap first-pass rank: the coarse scan folds over 16

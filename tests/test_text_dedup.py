@@ -236,3 +236,28 @@ def test_minhash_xxhash_mode_same_near_dups(tables):
     }
     assert certain <= fast and certain <= slow
     assert len(fast) >= len(certain)
+
+
+def test_contamination_overlap(spark):
+    from pgvector_db_spark.operators.dedup import contamination_overlap
+
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),   # shares 3 trigrams w/ eval
+            (2, "one two three four five"),          # shares none
+            (3, "alpha beta gamma zeta"),            # shares 1 trigram
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    out = contamination_overlap(train, ev, n=3, min_shared=3)
+    rows = {(r["train_id"], r["eval_id"]): r["n_shared"] for r in out.collect()}
+    assert rows == {(1, 100): 3}
+    # lowering the bar surfaces the 1-gram overlap too
+    loose = contamination_overlap(train, ev, n=3, min_shared=1)
+    assert {r["train_id"] for r in loose.collect()} == {1, 3}
+    # eval side is broadcast: the corpus never shuffles before the pair agg
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
