@@ -109,3 +109,34 @@ def test_metadata_predicate_prunes_before_decode(media_df, tmp_path):
     spark = media_df.sparkSession
     back = spark.read.parquet(path).filter(F.col("media_type") == "image")
     assert_pushed_filters(back, "media_type")
+
+
+def test_read_media_dir_binaryfile(spark, tmp_path):
+    """binaryFile source → multimodal table: one row per file, typed by
+    extension, metadata attached, glob pruning at the listing."""
+    from pgvector_db_spark.sources.media import read_media_dir, write_media_files
+
+    root = write_media_files(
+        [
+            ("a/x.jpg", b"\xff\xd8fakejpeg"),
+            ("a/y.wav", b"RIFFfakewav"),
+            ("b/z.mp4", b"\x00fakemp4"),
+            ("b/skip.txt", b"not media"),
+        ],
+        str(tmp_path / "media"),
+    )
+    df = read_media_dir(spark, root)
+    rows = {r["media_type"] for r in df.collect()}
+    assert rows == {"image", "audio", "video", "other"}
+    got = {r["path"].rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert got["x.jpg"]["media_type"] == "image"
+    assert bytes(got["y.wav"]["media"]) == b"RIFFfakewav"
+    assert got["z.mp4"]["meta"]["n_bytes"] == 8
+    # glob filter prunes at listing time — only jpgs are read
+    only_jpg = read_media_dir(spark, root, glob="*.jpg")
+    assert [r["media_type"] for r in only_jpg.collect()] == ["image"]
+    # decode plumbing runs on the ingested table
+    from pgvector_db_spark.operators.multimodal import decode_image
+
+    dec = decode_image(only_jpg.select("media", "media_type", "meta"))
+    assert dec.count() == 1
