@@ -16,6 +16,7 @@ cannot express the semantics (model inference), always Arrow-batched.
 
 from pgvector_db_spark.session import get_spark
 from pgvector_db_spark.catalog import TABLES, load_tables
+from pgvector_db_spark.vector_table import VectorTable
 
-__all__ = ["get_spark", "load_tables", "TABLES"]
+__all__ = ["get_spark", "load_tables", "TABLES", "VectorTable"]
 __version__ = "0.1.0"

@@ -1,0 +1,161 @@
+"""VectorTable — the reference's end-to-end workflow as one object.
+
+Mirrors the user-visible lifecycle of deburky/pgvector_db so a user of
+the reference can switch 1:1 (reference lines cited per method):
+
+    CREATE TABLE documents (id SERIAL, text TEXT, embedding VECTOR(n))
+        -> VectorTable.create(spark, path, dim=n)          (README.md:172-176)
+    pg_insert(df, config)        -> vt.insert(df)          (pg_insert.py:23-80)
+    pg_copy(df_or_path, config)  -> vt.copy_from(...)      (pg_copy.py:28-107)
+    CREATE INDEX ... USING ivfflat (embedding vector_cosine_ops)
+      WITH (lists=100)           -> vt.create_index(lists=100)  (README.md:185)
+    SET ivfflat.probes = p; SELECT ... ORDER BY embedding <=> q LIMIT k
+        -> vt.search(q, k, probes=p)                       (README.md:230-241)
+
+Semantics preserved:
+- VECTOR(n) dimension enforcement on every write (insert AND copy).
+- SERIAL id assignment for rows that arrive without ids (documented
+  deviation: ids are unique + monotone per batch but assignment order
+  within a batch follows a content hash, not arrival order — Spark has
+  no global row order).
+- ``probes=None`` (no index / unset) is the exact seq-scan path, like a
+  pgvector query before CREATE INDEX; with an index, ``probes`` trades
+  recall for partition-pruned scans exactly like ``ivfflat.probes``.
+- INSERT after CREATE INDEX keeps the index fresh (frozen centroids,
+  like pgvector's insert-time list assignment).
+
+At scale each piece is the engine's existing distributed operator:
+validated append / staged copy (sources/table.py), KMeans-partitioned
+layout + pruning search (operators/ivf.py), codegen distance kernels.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pgvector_db_spark.operators.ivf import IVFIndex
+from pgvector_db_spark.operators.knn import knn
+from pgvector_db_spark.sources.table import ParquetTable
+
+
+class VectorTable:
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        dim: int,
+        vec_col: str = "embedding",
+        id_col: str = "id",
+        metric: str = "cosine",
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.dim = dim
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.metric = metric
+        self._table = ParquetTable(
+            spark,
+            os.path.join(path, "rows"),
+            required_cols=("text", vec_col),
+            vector_dims={vec_col: dim},
+        )
+
+    # -- lifecycle -----------------------------------------------------------
+
+    @classmethod
+    def create(cls, spark: SparkSession, path: str, dim: int, **kw) -> VectorTable:
+        """CREATE TABLE analogue (schema is declared, enforced on write)."""
+        os.makedirs(path, exist_ok=True)
+        return cls(spark, path, dim, **kw)
+
+    @property
+    def index_path(self) -> str:
+        return os.path.join(self.path, "index")
+
+    def has_index(self) -> bool:
+        return os.path.exists(os.path.join(self.index_path, "centroids"))
+
+    def to_df(self) -> DataFrame:
+        return self._table.read()
+
+    def count(self) -> int:
+        return self.to_df().count() if self._table.exists() else 0
+
+    # -- writes --------------------------------------------------------------
+
+    def _with_ids(self, df: DataFrame) -> DataFrame:
+        """SERIAL analogue: assign ids ``max_existing + 1 ..`` to incoming
+        rows that lack the id column. Deterministic (content-hash order);
+        a single pass, the window is per-batch not per-corpus."""
+        if self.id_col in df.columns:
+            return df
+        start = 0
+        if self._table.exists():
+            row = self.to_df().agg(F.max(self.id_col)).first()
+            start = (row[0] or 0) if row else 0
+        w = Window.orderBy(F.xxhash64("text", self.vec_col))
+        return df.withColumn(
+            self.id_col, (F.row_number().over(w) + F.lit(start)).cast("long")
+        )
+
+    def insert(self, df: DataFrame, batch_rows: int | None = None) -> None:
+        """pg_insert analogue: required-column + VECTOR(n) validation,
+        SERIAL ids, append; keeps an existing index fresh (frozen
+        centroids, pgvector insert semantics)."""
+        self._table.validate(df)  # before id assignment references columns
+        df = self._with_ids(df)
+        self._table.insert(df, batch_rows=batch_rows)
+        if self.has_index():
+            IVFIndex(self.spark, self.index_path, self.vec_col, self.id_col).append(df)
+
+    def copy_from(self, data: DataFrame | str) -> int:
+        """pg_copy analogue: staged bulk load + atomic promote. Rows must
+        already carry ids (COPY, like the binary path, ships full rows)."""
+        df = data if isinstance(data, DataFrame) else self.spark.read.parquet(data)
+        if self.id_col not in df.columns:
+            raise ValueError(
+                f"copy_from requires the {self.id_col!r} column; "
+                "use insert() for SERIAL id assignment"
+            )
+        n = self._table.copy_from(df)
+        if self.has_index():
+            IVFIndex(self.spark, self.index_path, self.vec_col, self.id_col).append(df)
+        return n
+
+    # -- index ---------------------------------------------------------------
+
+    def create_index(self, lists: int = 100, metric: str | None = None) -> IVFIndex:
+        """CREATE INDEX ... USING ivfflat WITH (lists=...) analogue."""
+        return IVFIndex.build(
+            self.to_df(),
+            self.index_path,
+            lists=lists,
+            vec_col=self.vec_col,
+            id_col=self.id_col,
+            metric=metric or self.metric,
+        )
+
+    def drop_index(self) -> None:
+        shutil.rmtree(self.index_path, ignore_errors=True)
+
+    # -- reads ---------------------------------------------------------------
+
+    def search(
+        self, query_vec: list[float], k: int = 5, probes: int | None = None
+    ) -> DataFrame:
+        """``ORDER BY embedding <op> q LIMIT k``. Exact scan when
+        ``probes`` is None or there is no index (pre-CREATE INDEX
+        behavior); partition-pruned ANN + exact re-rank otherwise."""
+        if probes is None or not self.has_index():
+            return knn(
+                self.to_df(), query_vec, k,
+                vec_col=self.vec_col, id_col=self.id_col, distance=self.metric,
+            )
+        idx = IVFIndex(self.spark, self.index_path, self.vec_col, self.id_col)
+        return idx.search(query_vec, k, nprobe=probes)

@@ -1,0 +1,85 @@
+"""VectorTable facade: the reference's end-to-end lifecycle
+(CREATE TABLE -> pg_insert/pg_copy -> CREATE INDEX ivfflat -> top-k query)
+as one object. Mirrors reference tests/test_pg.py's insert/copy/readback
+shape and demo/aws_rds_similarity_search_demo.py's index+search flow."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pgvector_db_spark.sources.table import SchemaValidationError
+from pgvector_db_spark.vector_table import VectorTable
+
+
+@pytest.fixture()
+def vt(spark, tmp_path):
+    return VectorTable.create(spark, str(tmp_path / "docs"), dim=3)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "text string, embedding array<float>")
+
+
+def test_insert_assigns_serial_ids(spark, vt):
+    vt.insert(_docs(spark, [("a", [0.1, 0.2, 0.3]), ("b", [0.3, 0.1, 0.2])]))
+    df = vt.to_df()
+    assert vt.count() == 2
+    ids = sorted(r["id"] for r in df.collect())
+    assert ids == [1, 2]
+    # second batch continues the sequence
+    vt.insert(_docs(spark, [("c", [0.0, 1.0, 0.0])]))
+    assert sorted(r["id"] for r in vt.to_df().collect()) == [1, 2, 3]
+
+
+def test_vector_dim_enforced(spark, vt):
+    with pytest.raises(SchemaValidationError, match="VECTOR\\(3\\)"):
+        vt.insert(_docs(spark, [("bad", [0.1, 0.2])]))
+    with pytest.raises(SchemaValidationError, match="missing required"):
+        vt.insert(spark.createDataFrame([("a",)], "text string"))
+
+
+def test_copy_requires_ids_and_loads(spark, vt):
+    with pytest.raises(ValueError, match="SERIAL"):
+        vt.copy_from(_docs(spark, [("a", [0.1, 0.2, 0.3])]))
+    withids = spark.createDataFrame(
+        [(1, "a", [0.1, 0.2, 0.3]), (2, "b", [0.3, 0.1, 0.2])],
+        "id long, text string, embedding array<float>",
+    )
+    assert vt.copy_from(withids) == 2
+    assert vt.count() == 2
+
+
+def test_search_exact_then_indexed(spark, vt):
+    import math
+
+    rows = [
+        (f"doc{i}", [math.cos(i * 0.7), math.sin(i * 0.7), 0.1 * (i % 5)])
+        for i in range(60)
+    ]
+    vt.insert(_docs(spark, rows))
+    q = [1.0, 0.0, 0.0]
+    exact = vt.search(q, k=5)  # no index: seq-scan path
+    exact_ids = [r["id"] for r in exact.collect()]
+    assert len(exact_ids) == 5
+
+    vt.create_index(lists=4)
+    assert vt.has_index()
+    # full probe degenerates to exact
+    full = [r["id"] for r in vt.search(q, k=5, probes=4).collect()]
+    assert full == exact_ids
+    # probed path returns k rows
+    assert len(vt.search(q, k=5, probes=1).collect()) == 5
+    # probes=None stays exact even with an index present
+    assert [r["id"] for r in vt.search(q, k=5)].__len__() == 5
+
+
+def test_insert_after_index_keeps_index_fresh(spark, vt):
+    rows = [(f"d{i}", [float(i % 7), float((i * 3) % 5), 1.0]) for i in range(40)]
+    vt.insert(_docs(spark, rows))
+    vt.create_index(lists=3)
+    # a new row lands in the index without a rebuild (frozen centroids);
+    # [0,0,-50] is the unique direction with negative z in the table
+    vt.insert(_docs(spark, [("needle", [0.0, 0.0, -50.0])]))
+    got = vt.search([0.0, 0.0, -50.0], k=1, probes=3).collect()
+    assert got[0]["id"] == 41
