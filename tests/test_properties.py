@@ -159,3 +159,41 @@ def test_rollup_cascade_exact(spark, vals):
         for r in out.groupBy("resolution_sec").agg(F.sum("n_events").alias("n")).collect()
     }
     assert set(n_by_level.values()) == {len(vals)}
+
+
+def test_partitioning_invariance(spark, tables):
+    """Results are invariant to physical partitioning — the property that
+    makes the differential oracle meaningful on a 1000-executor cluster:
+    decimal-exact aggregation and fold-exact distances produce bitwise
+    identical values whether the data lives in 1 partition or 17."""
+    from pgvector_db_spark.functions.vector import cosine_distance, vector_literal
+    from pyspark.sql import functions as F
+
+    emb = tables["embeddings"]
+    q = vector_literal([float(v) for v in emb.filter("vec_id = 0").first()["embedding"]])
+    li = tables["lineitem"]
+
+    def knn_vals(df):
+        return [
+            (r["vec_id"], r["d"])
+            for r in df.select("vec_id", cosine_distance("embedding", q).alias("d"))
+            .orderBy("d", "vec_id")
+            .limit(10)
+            .collect()
+        ]
+
+    def agg_vals(df):
+        return [
+            (r["f"], float(r["s"]), r["n"])
+            for r in df.groupBy("l_returnflag")
+            .agg(
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .select(F.col("l_returnflag").alias("f"), "s", "n")
+            .orderBy("f")
+            .collect()
+        ]
+
+    assert knn_vals(emb.coalesce(1)) == knn_vals(emb.repartition(17))
+    assert agg_vals(li.coalesce(1)) == agg_vals(li.repartition(17, "l_orderkey"))
