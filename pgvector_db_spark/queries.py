@@ -3522,6 +3522,47 @@ REGISTRY["vs_ivfpq_knn_fullprobe"] = QuerySpec(
 )
 
 
+# Mergeable-sketch rollup (Datasketches HLL): per-group sketches union
+# into coarser groups WITHOUT rescanning raw data — the re-aggregatable
+# distinct-count machinery a 100 TB rollup pipeline runs on (you cannot
+# re-add COUNT(DISTINCT)s; you can union sketches). Property oracle like
+# rel_approx_distinct_accuracy: exact counts hash-checked, the sketch
+# estimates asserted within 5% as booleans (estimates themselves are
+# implementation-defined, so they are bounded, not hashed).
+_sql_query(
+    "rel_hll_mergeable_rollup",
+    """
+    WITH per_type AS (
+      SELECT event_type, hll_sketch_agg(user_id) AS sk,
+             COUNT(DISTINCT user_id) AS exact_users
+      FROM events GROUP BY event_type
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(exact_users) AS BIGINT) AS sum_exact_per_type,
+           CAST(abs(hll_sketch_estimate(hll_union_agg(sk))
+                    - (SELECT COUNT(DISTINCT user_id) FROM events))
+                <= 0.05 * (SELECT COUNT(DISTINCT user_id) FROM events)
+                AS BOOLEAN) AS rollup_within_5pct,
+           CAST(min(abs(hll_sketch_estimate(sk) - exact_users)
+                    <= greatest(0.05 * exact_users, 3)) AS BOOLEAN)
+             AS each_within_bound
+    FROM per_type
+    """,
+    """
+    WITH per_type AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+      FROM events GROUP BY event_type
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(exact_users) AS BIGINT) AS sum_exact_per_type,
+           TRUE AS rollup_within_5pct,
+           TRUE AS each_within_bound
+    FROM per_type
+    """,
+    tags=("relational", "sketch", "approximate", "rollup"),
+)
+
+
 # Benchmark decontamination (GPT-3/PaLM-style): flag corpus docs whose
 # word-trigram overlap with a (deterministic, doc_id % 97) eval subset
 # reaches the threshold. Scale shape: eval side is benchmarks — MBs vs
