@@ -146,3 +146,70 @@ def test_gapfill_grid_is_generated_not_scanned(spark):
     plan = physical_plan(df)
     assert plan.count("events.parquet") >= 1
     assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_zorder_layout_prunes_both_dims(spark, tmp_path):
+    """Z-order layout: parquet footer min/max on BOTH curve columns are
+    narrow per file, so a selective predicate on EITHER column makes most
+    files skippable — measured directly from the written footers."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from pgvector_db_spark.plans.layouts import write_zordered
+
+    df = (
+        spark.range(20000)
+        .selectExpr(
+            "CAST(id % 141 AS DOUBLE) AS x",
+            "CAST((id * 7919) % 131 AS DOUBLE) AS y",
+            "id AS payload",
+        )
+    )
+    zpath, rpath = str(tmp_path / "z"), str(tmp_path / "r")
+    write_zordered(df, zpath, ["x", "y"], files=16)
+    df.repartition(16).write.parquet(rpath)
+
+    def overlap_fraction(path, col, lo, hi):
+        touched = total = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col:
+                        total += 1
+                        st = c.statistics
+                        if st.min <= hi and st.max >= lo:
+                            touched += 1
+        return touched / total
+
+    # a 10%-of-range predicate on each dimension
+    for col, hi in (("x", 14.0), ("y", 13.0)):
+        z_frac = overlap_fraction(zpath, col, 0.0, hi)
+        r_frac = overlap_fraction(rpath, col, 0.0, hi)
+        assert r_frac == 1.0  # random layout: every file overlaps
+        assert z_frac <= 0.5  # z-order: most files skippable
+    # and the data survives intact
+    assert spark.read.parquet(zpath).count() == 20000
+
+
+def test_runtime_bloom_filter_injected(spark, tables):
+    """Selective dim filter → AQE injects a runtime bloom filter on the
+    fact side, pruning probe rows before the join shuffle (the runtime
+    analogue of static partition pruning; session.py enables it)."""
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li, orders = tables["lineitem"], tables["orders"]
+        sel = orders.filter("o_orderpriority = '1-URGENT'")
+        plan = (
+            li.join(sel, li.l_orderkey == sel.o_orderkey)
+            ._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert "bloom" in plan.lower() or "might_contain" in plan.lower()
+    finally:
+        spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+        spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
