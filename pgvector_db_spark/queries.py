@@ -3522,6 +3522,34 @@ REGISTRY["vs_ivfpq_knn_fullprobe"] = QuerySpec(
 )
 
 
+# Modern SQL surface: GROUP BY ALL (Spark 3.4+/DuckDB both infer the
+# grouping keys from the select list) + top-k of groups. DuckDB's side
+# uses QUALIFY; Spark has no QUALIFY, so the window filter is a
+# subquery — same plan either way (WindowGroupLimit + decimal-exact sum).
+_sql_query(
+    "rel_group_by_all_top_customers",
+    """
+    SELECT o_custkey, n, total FROM (
+      SELECT *, row_number() OVER (ORDER BY total DESC, o_custkey) AS rn FROM (
+        SELECT o_custkey, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY ALL
+      )
+    ) WHERE rn <= 5
+    """,
+    """
+    WITH g AS (
+      SELECT o_custkey, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY ALL
+    )
+    SELECT o_custkey, n, total FROM g
+    QUALIFY row_number() OVER (ORDER BY total DESC, o_custkey) <= 5
+    """,
+    tags=("relational", "modern-sql"),
+)
+
+
 # Mergeable-sketch rollup (Datasketches HLL): per-group sketches union
 # into coarser groups WITHOUT rescanning raw data — the re-aggregatable
 # distinct-count machinery a 100 TB rollup pipeline runs on (you cannot
