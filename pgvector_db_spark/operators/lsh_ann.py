@@ -155,6 +155,32 @@ def build_lsh_layout(
     )
 
 
+def append_lsh_layout(
+    df: DataFrame,
+    path: str,
+    num_bits: int = 6,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> None:
+    """Incremental insert into a persisted LSH layout (the maintenance
+    parity of IVFIndex.append). The hyperplanes are a pure function of
+    (dim, num_bits, seed) — no stored state — so appended rows compute
+    the same signatures as the build and land in the right partitions;
+    only the new batch's files are written, existing data untouched."""
+    from pgvector_db_spark.functions.vector import l2_norm
+
+    dim = len(df.select(vec_col).first()[0])
+    planes = hyperplanes(dim, num_bits, seed)
+    (
+        df.withColumn("sig", lsh_signature(F.col(vec_col), planes))
+        .withColumn("_vnorm", l2_norm(F.col(vec_col)))
+        .repartition("sig")
+        .write.mode("append")
+        .partitionBy("sig")
+        .parquet(path)
+    )
+
+
 def search_lsh_layout(
     spark,
     path: str,

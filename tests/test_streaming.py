@@ -462,3 +462,58 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     )
     assert len(expected) > 0
     assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
+
+
+def test_stream_into_vector_table_keeps_index_fresh(spark, tmp_path):
+    """The reference's notebook loop (embed one text -> insert -> query,
+    ipynb:118-241) as real Structured Streaming into the VectorTable
+    facade: each micro-batch runs the validated insert (SERIAL ids) and
+    lands in the ivfflat index without a rebuild."""
+    from pgvector_db_spark.vector_table import VectorTable
+
+    src = str(tmp_path / "src")
+    rows = [(f"t{i}", [float(i % 5), float((i * 3) % 7), 1.0]) for i in range(30)]
+    df = spark.createDataFrame(rows, "text string, embedding array<float>")
+    df.repartition(3).write.parquet(src)
+
+    vt = VectorTable.create(spark, str(tmp_path / "vt"), dim=3)
+    vt.insert(df.limit(10))
+    vt.create_index(lists=2)
+
+    stream = file_stream(
+        spark, src, "text string, embedding array<float>", max_files_per_trigger=1
+    )
+    q = stream_insert(stream, vt, checkpoint=str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    assert vt.count() == 40
+    # streamed rows are searchable through the probed (index) path
+    got = vt.search([2.0, 6.0, 1.0], k=40, probes=2)
+    assert got.count() == 40
+
+
+def test_lsh_layout_append(spark, tmp_path):
+    from pgvector_db_spark.operators.lsh_ann import (
+        append_lsh_layout,
+        build_lsh_layout,
+        search_lsh_layout,
+    )
+
+    base = spark.createDataFrame(
+        [(i, [float(i % 3) - 1.0, float((i * 7) % 5) - 2.0, 0.5]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "lsh")
+    build_lsh_layout(base, path, num_bits=4)
+    extra = spark.createDataFrame(
+        [(100, [9.0, 9.0, 9.0])], "vec_id long, embedding array<float>"
+    )
+    append_lsh_layout(extra, path, num_bits=4)
+    # the appended row is found through the probed path (its own bucket)
+    got = search_lsh_layout(spark, path, [9.0, 9.0, 9.0], 1, num_bits=4, hamming_probe=0)
+    assert [r["vec_id"] for r in got.collect()] == [100]
+    # full-probe still returns everything
+    allrows = search_lsh_layout(
+        spark, path, [1.0, 0.0, 0.0], 51, num_bits=4, hamming_probe=4
+    )
+    assert allrows.count() == 51
