@@ -3522,6 +3522,85 @@ REGISTRY["vs_ivfpq_knn_fullprobe"] = QuerySpec(
 )
 
 
+# Temperature-based multilingual sampling (the mC4/T5 alpha-sampling op:
+# upsample low-resource languages by sampling ∝ n^alpha, here alpha=0.5).
+# Exactness across engines: sqrt is IEEE-correctly-rounded in both, the
+# weight snaps to an integer grid (floor(sqrt(n)*1e9)) so the total is
+# an exact integer sum, and per-language selection is a deterministic
+# md5 rank — no RNG, same sample in any engine at any parallelism.
+# Scale: one tiny per-lang aggregate (broadcast), one hash-rank window
+# partitioned by lang.
+_TEMP_SAMPLE_SPARK = """
+    WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    w AS (SELECT lang, n,
+                 CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000000) AS BIGINT) AS wi
+          FROM c),
+    tgt AS (SELECT lang,
+                   CAST(floor(CAST(wi AS DOUBLE)
+                        / CAST((SELECT SUM(wi) FROM w) AS DOUBLE) * 300) AS BIGINT)
+                     AS n_take
+            FROM w),
+    r AS (SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang
+                     ORDER BY md5(concat(text, CAST(doc_id AS STRING))), doc_id)
+                   AS rk
+          FROM documents)
+    SELECT r.doc_id, r.lang FROM r JOIN tgt USING (lang) WHERE rk <= n_take
+"""
+_TEMP_SAMPLE_DUCK = """
+    WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    w AS (SELECT lang, n,
+                 CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000000) AS BIGINT) AS wi
+          FROM c),
+    tgt AS (SELECT lang,
+                   CAST(floor(CAST(wi AS DOUBLE)
+                        / CAST((SELECT SUM(wi) FROM w) AS DOUBLE) * 300) AS BIGINT)
+                     AS n_take
+            FROM w),
+    r AS (SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang
+                     ORDER BY md5(text || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          FROM documents)
+    SELECT r.doc_id, r.lang FROM r JOIN tgt USING (lang) WHERE rk <= n_take
+"""
+_sql_query(
+    "ds_temperature_sample",
+    _TEMP_SAMPLE_SPARK,
+    _TEMP_SAMPLE_DUCK,
+    tags=("dataset", "sampling"),
+)
+
+# Sequence packing: assign documents to fixed-token-budget training bins
+# (context-length packing). Contiguous greedy by doc_id — an exact
+# integer global prefix sum. The Spark side is the DISTRIBUTED two-pass
+# scan (operators/packing.py: per-range local cumsum + broadcast
+# partition offsets — no single-partition window); the oracle is the
+# naive global window. Integer arithmetic makes them bitwise equal.
+@register(
+    "ds_pack_sequences",
+    """
+    WITH t AS (SELECT doc_id,
+                      CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                        AS n_tok
+               FROM documents),
+    o AS (SELECT doc_id, n_tok,
+                 SUM(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+          FROM t)
+    SELECT doc_id, n_tok, CAST((cum - n_tok) // 512 AS BIGINT) AS bin_id FROM o
+    """,
+    tags=("dataset", "packing"),
+)
+def ds_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgvector_db_spark.operators.packing import pack_bins
+
+    t = load_tables(spark, sf_dir)
+    toks = t["documents"].select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_tok"),
+    )
+    return pack_bins(toks, "n_tok", "doc_id", budget=512, partitions=8)
+
+
 # Modern SQL surface: GROUP BY ALL (Spark 3.4+/DuckDB both infer the
 # grouping keys from the select list) + top-k of groups. DuckDB's side
 # uses QUALIFY; Spark has no QUALIFY, so the window filter is a

@@ -261,3 +261,24 @@ def test_contamination_overlap(spark):
     # eval side is broadcast: the corpus never shuffles before the pair agg
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_pack_bins_partition_invariant(spark):
+    from pgvector_db_spark.operators.packing import pack_bins
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 90 + 10) for i in range(400)], "doc_id long, n_tok long"
+    )
+
+    def run(p):
+        return sorted(
+            (r["doc_id"], r["bin_id"])
+            for r in pack_bins(df, "n_tok", "doc_id", budget=256, partitions=p).collect()
+        )
+
+    one = run(1)  # degenerate = the naive global window
+    assert run(7) == one and run(32) == one
+    # bins fill to the budget: every bin except possibly the last spans
+    # docs whose preceding cumsum stayed under one budget stride
+    bins = [b for _, b in one]
+    assert bins == sorted(bins)  # contiguous assignment in doc order
