@@ -3418,10 +3418,12 @@ _sql_query(
 # Product quantization (operators/pq.py): the ANN memory-compression
 # path. vs_pq_rerank is the production pipeline — ADC shortlist over the
 # 32x-narrower codes, exact L2 rerank of the survivors — and is checked
-# EXACTLY against the brute-force oracle: the seeded codebooks make the
-# shortlist deterministic, and it covers the true top-10 at the checked
-# scale, so the reranked result IS the exact result. vs_pq_adc_topk is
-# the raw ADC ordering (lossy by construction -> rows-only check).
+# EXACTLY against the brute-force oracle: with a COVERING shortlist
+# (= corpus size) the rerank provably degenerates to the exact result at
+# ANY scale factor, which is what an oracle-gated variant must be (a
+# fixed shortlist is only covering by luck at one sf). The lossy
+# fixed-shortlist behavior is exercised by vs_pq_adc_topk (raw ADC
+# ordering, rows-only check).
 def _vs_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pgvector_db_spark.operators.pq import encode_pq, pq_search, train_pq
 
@@ -3429,7 +3431,7 @@ def _vs_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t["embeddings"]
     model = train_pq(emb, m=16, k=32)
     qvec = [float(v) for v in emb.filter("vec_id = 0").first()["embedding"]]
-    cand = pq_search(encode_pq(emb, model), model, qvec, 100)
+    cand = pq_search(encode_pq(emb, model), model, qvec, max(100, emb.count()))
     q = emb.filter("vec_id = 0").select(F.col("embedding").alias("qe"))
     return (
         cand.select("vec_id", "embedding")
@@ -3507,8 +3509,13 @@ def _vs_ivfpq_knn_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     path = _ivfpq_path(spark, sf_dir)
-    qvec = [float(v) for v in t["embeddings"].filter("vec_id = 0").first()["embedding"]]
-    out = search_ivfpq_layout(spark, path, qvec, k_top=10, nprobe=8, shortlist=100)
+    emb = t["embeddings"]
+    qvec = [float(v) for v in emb.filter("vec_id = 0").first()["embedding"]]
+    # full probe + covering shortlist (= corpus size) ⇒ provably exact
+    # at any scale factor, same degeneration as vs_pq_rerank
+    out = search_ivfpq_layout(
+        spark, path, qvec, k_top=10, nprobe=8, shortlist=max(100, emb.count())
+    )
     return out.select("vec_id", "distance")
 
 
