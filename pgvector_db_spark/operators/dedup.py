@@ -421,3 +421,128 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     finally:
         edges.unpersist()
     return labels
+
+
+class MinHashIndex:
+    """Persisted MinHash/LSH state for INCREMENTAL dedup — the
+    continuous-crawl shape: dedupe each incoming batch against the whole
+    corpus seen so far WITHOUT re-shingling the corpus.
+
+    The state is the banded key table ``(doc_id, band_key)`` plus the
+    per-doc shingle arrays, partitioned by a band-key bucket so a batch
+    probe is a pruned join, not a corpus scan. ``check(batch)`` returns
+    the batch rows that near-duplicate an already-seen doc; ``add``
+    appends the batch's keys/shingles to the state. One batch = one
+    bounded join against matching buckets + one append; existing state
+    files are never rewritten.
+    """
+
+    N_BUCKETS = 64
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        shingle_k: int = 5,
+        num_hashes: int = 16,
+        bands: int = 4,
+        threshold: float = 0.5,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.text_col = text_col
+        self.id_col = id_col
+        self.shingle_k = shingle_k
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.threshold = threshold
+
+    def _prepared(self, df: DataFrame) -> DataFrame:
+        shingles = char_shingles(F.col(self.text_col), self.shingle_k)
+        sh = F.array_distinct(F.transform(shingles, lambda s: F.xxhash64(s)))
+        base = df.select(F.col(self.id_col), sh.alias("_sh")).withColumn(
+            "_sig",
+            minhash_signature(F.col("_sh"), self.num_hashes, hash_fn="xxhash64"),
+        )
+        banded = base.withColumn(
+            "_bk",
+            F.explode(
+                lsh_band_keys(
+                    F.col("_sig"), self.bands, self.num_hashes // self.bands
+                )
+            ),
+        ).select(self.id_col, "_sh", "_bk")
+        return banded.withColumn(
+            "_bucket", F.pmod(F.xxhash64("_bk"), F.lit(self.N_BUCKETS))
+        )
+
+    def exists(self) -> bool:
+        import os
+
+        return os.path.exists(self.path)
+
+    def add(self, df: DataFrame) -> None:
+        (
+            self._prepared(df)
+            .repartition("_bucket")
+            .write.mode("append")
+            .partitionBy("_bucket")
+            .parquet(self.path)
+        )
+
+    def check(self, batch: DataFrame) -> DataFrame:
+        """(batch_id, seen_id, jaccard_sim) for batch docs whose verified
+        jaccard vs some already-seen doc clears the threshold. The probe
+        joins only the state buckets the batch's band keys hash into
+        (partition pruning on _bucket), and the batch side broadcasts —
+        the corpus-sized state never shuffles."""
+        probe = self._prepared(batch)
+        if not self.exists():
+            return (
+                probe.select(
+                    F.col(self.id_col).alias("batch_id"),
+                    F.col(self.id_col).alias("seen_id"),
+                    F.lit(0.0).alias("jaccard_sim"),
+                ).limit(0)
+            )
+        buckets = [r["_bucket"] for r in probe.select("_bucket").distinct().collect()]
+        state = self.spark.read.parquet(self.path).filter(
+            F.col("_bucket").isin(buckets)
+        )
+        p = probe.select(
+            F.col(self.id_col).alias("batch_id"),
+            F.col("_sh").alias("_shb"),
+            "_bk",
+        )
+        cand = (
+            state.join(F.broadcast(p), "_bk")
+            .select(
+                F.col(self.id_col).alias("seen_id"),
+                "batch_id",
+                "_sh",
+                "_shb",
+            )
+            .dropDuplicates(["seen_id", "batch_id"])
+        )
+        return (
+            cand.withColumn("jaccard_sim", jaccard(F.col("_sh"), F.col("_shb")))
+            .filter(F.col("jaccard_sim") >= self.threshold)
+            .select("batch_id", "seen_id", "jaccard_sim")
+        )
+
+    def ingest(self, batch: DataFrame) -> DataFrame:
+        """check + add in one call: returns the batch's SURVIVORS (rows
+        not near-duplicating seen docs) and registers the survivors —
+        not the dups — as seen. The streaming-dedup loop body."""
+        dups = self.check(batch).select("batch_id").distinct()
+        survivors = batch.join(
+            dups.withColumnRenamed("batch_id", self.id_col),
+            self.id_col,
+            "left_anti",
+        )
+        survivors = survivors.persist()
+        survivors.count()
+        self.add(survivors)
+        return survivors

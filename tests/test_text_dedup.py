@@ -282,3 +282,40 @@ def test_pack_bins_partition_invariant(spark):
     # docs whose preceding cumsum stayed under one budget stride
     bins = [b for _, b in one]
     assert bins == sorted(bins)  # contiguous assignment in doc order
+
+
+def test_minhash_index_incremental(spark, tmp_path, tables):
+    from pgvector_db_spark.operators.dedup import MinHashIndex
+
+    docs = tables["documents"].filter("doc_id < 120").persist()
+    idx = MinHashIndex(spark, str(tmp_path / "mh"), threshold=0.5)
+
+    # empty state: nothing is flagged, everything survives
+    b1 = docs.filter("doc_id < 60")
+    assert idx.check(b1).count() == 0
+    assert idx.ingest(b1).count() == b1.count()
+
+    # batch 2 = fresh docs + exact copies of 5 seen docs
+    copies = b1.limit(5).selectExpr(
+        "doc_id + 100000 AS doc_id", "text", "lang", "source", "n_chars"
+    )
+    b2 = docs.filter("doc_id >= 60 and doc_id < 90").unionByName(copies)
+    flagged = idx.check(b2).collect()
+    by_batch = {}
+    for r in flagged:
+        by_batch.setdefault(r["batch_id"], []).append(r)
+    # every exact copy is caught at jaccard 1.0 against its original
+    for r in copies.collect():
+        hits = by_batch.get(r["doc_id"])
+        assert hits and any(
+            h["seen_id"] == r["doc_id"] - 100000 and h["jaccard_sim"] == 1.0
+            for h in hits
+        )
+    # flagged non-copies must be genuine near-dups of SEEN (batch-1) docs
+    assert all(r["seen_id"] < 60 for r in flagged)
+
+    # ingest drops every copy; survivors joined the state
+    s2 = idx.ingest(b2)
+    assert s2.filter("doc_id >= 100000").count() == 0
+    # re-checking the survivors now flags all of them (self-duplicates)
+    assert idx.check(s2).select("batch_id").distinct().count() == s2.count()
