@@ -292,7 +292,9 @@ def search_ivfpq_layout(
     cand = pq_search(
         data.select(id_col, "codes"), model, query_vec, shortlist, id_col=id_col
     )
-    survivors = data.join(cand.select(id_col), id_col, "left_semi")
+    # the shortlist is bounded by the `shortlist` parameter — broadcast it
+    # so the semi-join never shuffles the (partition-pruned) data side
+    survivors = data.join(F.broadcast(cand.select(id_col)), id_col, "left_semi")
     return knn(
         survivors, query_vec, k_top,
         vec_col=vec_col, id_col=id_col, distance="l2",
@@ -331,7 +333,7 @@ def search_pq_layout(
         )
     )
     return (
-        base.join(cand.select(id_col), id_col, "left_semi")
+        base.join(F.broadcast(cand.select(id_col)), id_col, "left_semi")
         .withColumn("distance", d)
         .select(id_col, "distance")
         .orderBy(F.col("distance").asc(), F.col(id_col).asc())
