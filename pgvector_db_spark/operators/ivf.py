@@ -278,6 +278,56 @@ class IVFIndex:
             distance=self.metric, norm_col=norm_col,
         ).drop("_vnorm")
 
+    def search_filtered(
+        self,
+        query_vec: list[float],
+        k: int = 10,
+        filter_expr=None,
+        nprobe: int = 1,
+        max_probes: int | None = None,
+    ) -> DataFrame:
+        """Filtered ANN with pgvector 0.8 iterative-scan semantics
+        (``ivfflat.iterative_scan``): when a relational predicate is
+        selective, a fixed ``nprobe`` can return fewer than ``k``
+        qualifying rows — so probe the ``nprobe`` nearest lists, apply the
+        filter inside the survivors, and if fewer than ``k`` rows qualify
+        DOUBLE the probed-list count and retry, until ``k`` rows qualify
+        or ``max_probes`` lists (default: all) have been read.
+
+        Every iteration stays partition-pruned (``list_id IN probes`` at
+        the scan) and the predicate is pushed into the pruned scan, so
+        the worst case equals one exact filtered scan while typical
+        queries touch a handful of lists; iteration count is bounded by
+        log2(lists). ``filter_expr`` is a Column or SQL string predicate
+        over the indexed row's columns.
+        """
+        ranked = self._rank_lists(query_vec)
+        cap = len(ranked) if max_probes is None else min(max_probes, len(ranked))
+        p = max(1, min(nprobe, cap))
+        while True:
+            probes = [lid for lid, _ in ranked[:p]]
+            data = self._data().filter(F.col("list_id").isin(probes))
+            if filter_expr is not None:
+                data = data.filter(
+                    F.expr(filter_expr) if isinstance(filter_expr, str)
+                    else filter_expr
+                )
+            norm_col = (
+                "_vnorm"
+                if "_vnorm" in data.columns and self.metric == "cosine"
+                else None
+            )
+            out = knn(
+                data, query_vec, k,
+                vec_col=self.vec_col, id_col=self.id_col,
+                distance=self.metric, norm_col=norm_col,
+            ).drop("_vnorm")
+            # take(k) moves ≤ k tiny rows to the driver — the check that
+            # decides whether pgvector would keep scanning
+            if p >= cap or len(out.take(k)) >= k:
+                return out
+            p = min(p * 2, cap)
+
     def batch_search(
         self,
         queries: DataFrame,

@@ -1246,6 +1246,70 @@ def vs_ivf_knn_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _vs_ivf_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pgvector 0.8 iterative index scan (ivfflat.iterative_scan): filtered
+    ANN that widens the probed-list set until k rows satisfy the predicate.
+    Starts at nprobe=1 with a ~10%-selective filter so the widening loop
+    actually triggers. Rows-only (KMeans build not SQL-expressible); the
+    fullprobe degeneration below is the exact oracle."""
+    import os
+    import tempfile
+
+    from pgvector_db_spark.operators.ivf import IVFIndex
+
+    t = load_tables(spark, sf_dir)
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"ivf_cache_{tag}")
+    if not os.path.exists(os.path.join(path, "centroids")):
+        IVFIndex.build(t["embeddings"], path, lists=8)
+    idx = IVFIndex(spark, path, "embedding", "vec_id")
+    q = _query_vec(t["embeddings"], sf_dir)
+    return idx.search_filtered(q, k=10, filter_expr="label = 6", nprobe=1)
+
+
+REGISTRY["vs_ivf_knn_filtered"] = QuerySpec(
+    "vs_ivf_knn_filtered", _vs_ivf_knn_filtered, None,
+    tags=("vector", "A9", "ann", "filtered"),
+)
+
+
+@register(
+    "vs_ivf_knn_filtered_fullprobe",
+    f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    s AS (
+      SELECT vec_id, label,
+             {cosine_distance_sql("embedding", "qe", "duckdb")} AS distance
+      FROM embeddings, q
+      WHERE label = 6
+    )
+    SELECT vec_id, label, distance, 1.0 - distance AS similarity
+    FROM s ORDER BY distance ASC, vec_id ASC LIMIT 10
+    """,
+    tags=("vector", "A9", "ann", "filtered"),
+)
+def vs_ivf_knn_filtered_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative filtered scan started at nprobe = lists: one pass over
+    every partition with the predicate pushed into the scan — provably the
+    exact filtered kNN, so the filtered SQL top-k is a true oracle for the
+    search_filtered read path."""
+    import os
+    import tempfile
+
+    from pgvector_db_spark.operators.ivf import IVFIndex
+
+    t = load_tables(spark, sf_dir)
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"ivf_cache_{tag}")
+    if not os.path.exists(os.path.join(path, "centroids")):
+        IVFIndex.build(t["embeddings"], path, lists=8)
+    idx = IVFIndex(spark, path, "embedding", "vec_id")
+    q = _query_vec(t["embeddings"], sf_dir)
+    return idx.search_filtered(
+        q, k=10, filter_expr="label = 6", nprobe=8
+    ).select("vec_id", "label", "distance", "similarity")
+
+
 @register(
     "vs_ivf_knn_l2_fullprobe",
     f"""

@@ -55,6 +55,57 @@ def test_full_probe_equals_exact(index, tables):
     assert exact == full
 
 
+def test_search_filtered_iterative_widens_until_k(index, tables):
+    """pgvector 0.8 iterative scan: a selective predicate with nprobe=1
+    must widen until k qualifying rows are found. The result is the exact
+    top-k WITHIN the probed lists (pgvector's iterative-scan guarantee,
+    not global exactness — that is the fullprobe case below)."""
+    emb = tables["embeddings"]
+    q = list(emb.filter("vec_id = 0").first()["embedding"])
+    # ~10% of rows carry label 6: one list cannot hold 10 of them, so the
+    # loop provably iterates past its nprobe=1 start
+    one_list = index.search(q, k=10, nprobe=1).filter("label = 6")
+    assert len(one_list.take(10)) < 10
+    res = index.search_filtered(
+        q, k=10, filter_expr="label = 6", nprobe=1
+    ).collect()
+    assert len(res) == 10
+    assert all(r["label"] == 6 for r in res)
+    dists = [r["distance"] for r in res]
+    assert dists == sorted(dists)
+
+
+def test_search_filtered_fullprobe_equals_exact(index, tables):
+    """Widened to every list the iterative scan degenerates to the exact
+    filtered kNN — the same argument that makes the SQL oracle for
+    vs_ivf_knn_filtered_fullprobe valid."""
+    emb = tables["embeddings"]
+    q = list(emb.filter("vec_id = 0").first()["embedding"])
+    exact = [
+        r["vec_id"] for r in knn(emb.filter("label = 6"), q, 10).collect()
+    ]
+    got = [
+        r["vec_id"]
+        for r in index.search_filtered(
+            q, k=10, filter_expr="label = 6", nprobe=LISTS
+        ).collect()
+    ]
+    assert got == exact
+
+
+def test_search_filtered_respects_max_probes(index, tables):
+    """max_probes caps the widening: with a single probed list the result
+    is the filtered top-k of that list only (may be < k rows)."""
+    emb = tables["embeddings"]
+    q = list(emb.filter("vec_id = 0").first()["embedding"])
+    res = index.search_filtered(
+        q, k=10, filter_expr="label = 6", nprobe=1, max_probes=1
+    ).collect()
+    assert len(res) < 10
+    dists = [r["distance"] for r in res]
+    assert dists == sorted(dists)
+
+
 def test_recall_monotone_in_nprobe(index, tables):
     q = list(tables["embeddings"].filter("vec_id = 7").first()["embedding"])
     r1 = index.recall_at_k(tables["embeddings"], q, k=10, nprobe=1)
