@@ -3918,6 +3918,56 @@ _sql_query(
 )
 
 
+# Document chunking: fixed-size overlapping word windows (width 32,
+# stride 24 → 8-word overlap) — the chunk-then-embed primitive of RAG /
+# long-document training pipelines (chunks feed the A12 embedding UDF and
+# the VectorTable lifecycle). Pure integer/array ops, embarrassingly
+# parallel (explode inside the row's partition, no shuffle); at 100 TB
+# chunking is a map-only stage whose output feeds .repartition-free
+# embedding. Spark `sequence(0, n-1, s)` is upper-INCLUSIVE vs DuckDB
+# `range(0, n, s)` upper-EXCLUSIVE — both yield starts < n here.
+def _chunk_sql(dialect: str) -> str:
+    if dialect == "spark":
+        return """
+        WITH w AS (
+          SELECT doc_id, split(text, ' ') AS words FROM documents
+        ),
+        s AS (
+          SELECT doc_id, words,
+                 explode(sequence(0, size(words) - 1, 24)) AS start
+          FROM w WHERE size(words) > 0
+        )
+        SELECT doc_id,
+               CAST(start DIV 24 AS INT) AS chunk_idx,
+               CAST(size(slice(words, start + 1, 32)) AS INT) AS n_words,
+               array_join(slice(words, start + 1, 32), ' ') AS chunk_text
+        FROM s
+        """
+    return """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    s AS (
+      SELECT doc_id, words, t.s AS start
+      FROM w, unnest(range(0, len(words), 24)) AS t(s)
+      WHERE len(words) > 0
+    )
+    SELECT doc_id,
+           CAST(start // 24 AS INT) AS chunk_idx,
+           CAST(len(words[start + 1 : start + 32]) AS INT) AS n_words,
+           array_to_string(words[start + 1 : start + 32], ' ') AS chunk_text
+    FROM s
+    """
+
+
+_sql_query(
+    "ds_chunk_documents",
+    _chunk_sql("spark"),
+    _chunk_sql("duckdb"),
+    tags=("dataset", "chunking", "pipeline"),
+)
+
+
 def all_queries() -> dict[str, SparkQuery]:
     return {name: spec.spark_fn for name, spec in REGISTRY.items()}
 

@@ -83,3 +83,31 @@ def test_insert_after_index_keeps_index_fresh(spark, vt):
     vt.insert(_docs(spark, [("needle", [0.0, 0.0, -50.0])]))
     got = vt.search([0.0, 0.0, -50.0], k=1, probes=3).collect()
     assert got[0]["id"] == 41
+
+
+def test_chunk_embed_search_roundtrip(spark, tables, tmp_path):
+    """The full RAG loop over the facade: chunk documents into overlapping
+    word windows (ds_chunk_documents), fake-embed each chunk (A12 stand-in),
+    load into a VectorTable, index, and search with a known chunk's
+    embedding — the nearest neighbor must be that chunk itself
+    (self-distance 0, reference demo/similarity_search_demo.py:136-143
+    property applied end-to-end)."""
+    from tests.conftest import SF_DIR
+
+    from pgvector_db_spark.functions.embedding import fake_embedding
+    from pgvector_db_spark.queries import REGISTRY
+
+    chunks = REGISTRY["ds_chunk_documents"].spark_fn(spark, SF_DIR)
+    embedded = chunks.select(
+        F.col("chunk_text").alias("text"),
+        fake_embedding(F.col("chunk_text")).cast("array<float>").alias("embedding"),
+    )
+    vt = VectorTable.create(spark, str(tmp_path / "chunks"), dim=8)
+    vt.insert(embedded)
+    assert vt.count() == embedded.count()
+    vt.create_index(lists=4)
+
+    probe = embedded.first()
+    hits = vt.search(list(probe["embedding"]), k=3, probes=4).collect()
+    assert hits[0]["text"] == probe["text"]
+    assert abs(hits[0]["distance"]) < 1e-9
