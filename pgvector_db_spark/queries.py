@@ -510,21 +510,27 @@ _sql_query(
 # Array / higher-order function surface over tokenized text: distinct,
 # sort, slice, size. Dialect-specific names (array_* vs list_*) but
 # identical semantics; sorting makes the array values deterministic.
+# The array result is serialized with array_join so the differential
+# harness (which hashes scalar columns) can compare it — the array ops
+# themselves still run natively on both engines.
 _sql_query(
     "rel_array_funcs",
     """
     SELECT doc_id,
-           slice(array_sort(array_distinct(split(trim(lower(text)), '\\\\s+'))),
-                 1, 5) AS first_terms,
+           array_join(
+             slice(array_sort(array_distinct(split(trim(lower(text)),
+                                                   '\\\\s+'))), 1, 5),
+             ' ') AS first_terms,
            CAST(size(array_distinct(split(trim(lower(text)), '\\\\s+')))
                 AS BIGINT) AS n_unique_terms
     FROM documents
     """,
     """
     SELECT doc_id,
-           list_sort(list_distinct(regexp_split_to_array(trim(lower(text)),
-                                                         '\\s+')))[1:5]
-               AS first_terms,
+           array_to_string(
+             list_sort(list_distinct(regexp_split_to_array(trim(lower(text)),
+                                                           '\\s+')))[1:5],
+             ' ') AS first_terms,
            CAST(len(list_distinct(regexp_split_to_array(trim(lower(text)),
                                                         '\\s+')))
                 AS BIGINT) AS n_unique_terms
