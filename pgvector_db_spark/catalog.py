@@ -55,18 +55,31 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one table, normalizing ns-timestamp columns to TimestampType."""
+    """Read one table, normalizing timestamp columns to TimestampType.
+
+    Two normalizations keep the engine's view of time identical to the
+    DuckDB oracle's:
+      - parquet TIMESTAMP(NANOS) → read as int64 nanos, rebuild micros;
+      - naive parquet timestamps (isAdjustedToUTC=false), which Spark 4
+        infers as TIMESTAMP_NTZ → cast to TIMESTAMP. The session timezone
+        is pinned to UTC (session.py), so the cast preserves the stored
+        wall-clock micros bit-for-bit while restoring the full function
+        surface (unix_micros, window, to_utc_timestamp, …) that rejects
+        NTZ inputs.
+    """
     path = table_path(sf_dir, name)
     ns_cols = _nanos_timestamp_cols(path)
-    if not ns_cols:
-        return spark.read.parquet(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in ns_cols:
         # integer div, not `/`: float division of int64 nanos (~2^61) loses
         # precision beyond double's 53-bit mantissa and can round the
         # microsecond up; `div` truncates exactly like DuckDB's ns→us read
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    for f_ in df.schema.fields:
+        if f_.dataType.typeName() == "timestamp_ntz":
+            df = df.withColumn(f_.name, F.col(f_.name).cast("timestamp"))
     return df
 
 
