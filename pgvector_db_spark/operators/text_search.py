@@ -1,0 +1,162 @@
+"""Full-text relevance search: Okapi BM25 top-k over a document table.
+
+The reference delegates all text querying to Postgres (ILIKE patterns,
+e.g. demo/similarity_search_demo.py:76,85,92); Postgres' own full-text
+surface (tsvector ranking) is the natural extension a user of that stack
+reaches for next. Spark-first design:
+
+  tokenize -> explode -> tf per (doc, term)   [one shuffle on doc_id-term]
+  document-frequency per term                  [tiny: |query terms| rows]
+  corpus stats (N, avgdl)                      [single-row aggregate]
+  per-term BM25 partial score -> sum per doc   [shuffle on doc_id]
+  top-k via TakeOrderedAndProject              [no global sort]
+
+Everything is built-in JVM expressions (no Python UDF). The per-term
+scores are fixed to an integer grid (floor(x*1e6 + 0.5) micro-units)
+before the final SUM so the aggregate is an order-independent BIGINT sum
+— bit-exact against the DuckDB oracle regardless of partition count.
+
+At 100 TB: the only wide exchanges are the two hash aggregations keyed by
+(doc_id, term) then doc_id; df/N/avgdl are scalar or |terms|-row side
+inputs, broadcast. The candidate set is filtered to query terms at the
+explode, so the shuffled volume is O(matching postings), not O(corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_PATTERN = r"\s+"
+
+
+def tokens_col(text_col):
+    """Whitespace tokenization of lowercased, trimmed text (parity with the
+    corpus tokenizer used by the dedup/quality operators)."""
+    return F.split(F.trim(F.lower(text_col)), TOKEN_PATTERN)
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents by BM25 relevance to a bag of query terms.
+
+    Returns (id_col, score_micro BIGINT, n_matched) — score in 1e-6 units
+    on the integer grid (exact, engine-independent); callers wanting the
+    float divide by 1e6.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        tokens_col(F.col(text_col)).alias("_toks"),
+    ).select(
+        F.col(id_col),
+        F.size("_toks").alias("dl"),
+        F.explode("_toks").alias("term"),
+    )
+
+    # corpus stats: one single-row aggregate over doc lengths (computed
+    # from the same tokenization; integer sum / count -> exact avgdl)
+    stats = docs.select(
+        F.size(tokens_col(F.col(text_col))).alias("dl")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+    )
+
+    matched = toks.filter(F.col("term").isin(query_terms))
+
+    tf = matched.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.first("dl").alias("dl"),
+    )
+
+    df_t = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("avgdl", F.col("sum_dl") / F.col("n_docs"))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (F.lit(k1) + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        # integer grid before the order-sensitive double SUM
+        .withColumn(
+            "term_score_micro",
+            F.floor(F.col("term_score") * 1e6 + F.lit(0.5)).cast("bigint"),
+        )
+    )
+
+    agg = scored.groupBy(id_col).agg(
+        F.sum("term_score_micro").alias("score_micro"),
+        F.count(F.lit(1)).alias("n_matched"),
+    )
+    return agg.orderBy(
+        F.col("score_micro").desc(), F.col(id_col).asc()
+    ).limit(k)
+
+
+def bm25_oracle_sql(
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB SQL computing the identical BM25 grid-fixed score."""
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS dl,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+      FROM documents
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM (
+        SELECT len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS dl
+        FROM documents)
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
+      FROM toks WHERE term IN ({terms})
+      GROUP BY doc_id, term
+    ),
+    dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(floor(
+               ln((stats.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+               * (tf.tf * ({k1} + 1.0))
+               / (tf.tf + {k1} * (1.0 - {b} + {b} * tf.dl
+                                  / (CAST(stats.sum_dl AS DOUBLE) / stats.n_docs)))
+               * 1e6 + 0.5) AS BIGINT) AS term_score_micro
+      FROM tf JOIN dft USING (term) CROSS JOIN stats
+    )
+    SELECT doc_id, SUM(term_score_micro) AS score_micro,
+           COUNT(*) AS n_matched
+    FROM scored GROUP BY doc_id
+    ORDER BY score_micro DESC, doc_id ASC LIMIT {k}
+    """

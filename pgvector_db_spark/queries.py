@@ -22,6 +22,7 @@ Determinism rules (SURVEY.md §7 "hard parts"):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -3972,6 +3973,199 @@ _sql_query(
     _chunk_sql("duckdb"),
     tags=("dataset", "chunking", "pipeline"),
 )
+
+
+# ---------------------------------------------------------------------------
+# Full-text relevance search (BM25) — operators/text_search.py
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["vector", "join", "filter"]
+
+from pgvector_db_spark.operators.text_search import (  # noqa: E402
+    bm25_oracle_sql,
+    bm25_topk,
+)
+
+
+@register(
+    "ds_bm25_search",
+    bm25_oracle_sql(_BM25_TERMS, k=20),
+    tags=("dataset", "text", "search"),
+)
+def ds_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 for a 3-term query over `documents` — the
+    full-text ranking surface next to the vector one. All JVM built-ins;
+    per-term scores grid-fixed to integer micro-units so the final sum is
+    order-independent and bit-exact vs the oracle."""
+    t = load_tables(spark, sf_dir)
+    return bm25_topk(t["documents"], _BM25_TERMS, k=20)
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming entries — REAL readStream pipelines, driven to
+# completion with trigger(availableNow) and materialized via the memory
+# sink, then oracle-checked like any batch query. This puts the streaming
+# engine itself (file source -> event-time aggregation -> sink commit)
+# inside the correctness gate rather than only its batch-mode analogues.
+# Bounded replay of a static fixture is deterministic: availableNow drains
+# every file, and complete-mode aggregation emits the full final state, so
+# the result equals the batch aggregation exactly.
+# ---------------------------------------------------------------------------
+
+
+def _run_stream_to_memory(sdf: DataFrame, mode: str = "complete") -> DataFrame:
+    import tempfile
+    import uuid
+
+    name = "mem_" + uuid.uuid4().hex[:10]
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture. The file stream source
+    requires a directory, so the single fixture file is staged once into a
+    cached replay dir per sf_dir (at scale the source would already be a
+    directory of files / a Kafka topic — this staging is fixture plumbing,
+    not engine behavior)."""
+    import shutil
+    import tempfile
+
+    from pgvector_db_spark.catalog import table_path
+    from pgvector_db_spark.streaming.replay import file_stream
+
+    path = table_path(sf_dir, "events")
+    tag = sf_dir.strip("/").replace("/", "_")
+    replay_dir = os.path.join(tempfile.gettempdir(), f"events_replay_{tag}")
+    staged = os.path.join(replay_dir, "events.parquet")
+    if not os.path.exists(staged):
+        os.makedirs(replay_dir, exist_ok=True)
+        shutil.copy(path, staged + ".tmp")
+        os.rename(staged + ".tmp", staged)
+    schema = spark.read.parquet(path).schema
+    src = file_stream(spark, replay_dir, schema)
+    return src.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+@register(
+    "stream_events_window_5min",
+    """
+    SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS bucket_epoch,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window"),
+)
+def stream_events_window_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-min event-time windows with a 10-min watermark over a
+    replayed file stream (streaming/windows.py) — the Structured Streaming
+    run of rel_events_window_5min, checked against the same batch oracle."""
+    from pgvector_db_spark.streaming.windows import tumbling_window_agg
+
+    agg = tumbling_window_agg(
+        _events_stream(spark, sf_dir), "5 minutes", watermark="10 minutes"
+    )
+    out = _run_stream_to_memory(agg)
+    return out.select(
+        F.unix_timestamp("window_start").alias("bucket_epoch"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+@register(
+    "stream_sessionize_events",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC,
+                                 event_id ASC ROWS UNBOUNDED PRECEDING)
+                 AS session_no
+      FROM e
+    )
+    SELECT user_id,
+           CAST(MIN(epoch_us(ts)) AS BIGINT) AS session_start_us,
+           CAST(MAX(epoch_us(ts)) + 1800000000 AS BIGINT) AS session_end_us,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, session_no
+    """,
+    tags=("streaming", "session", "window"),
+)
+def stream_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (F.session_window, 30-min gap) computed BY
+    THE STREAMING ENGINE over the replayed events stream; the oracle is the
+    lag/running-sum islands SQL (session_end = last event + gap, matching
+    session_window's [start, last+gap) span)."""
+    from pgvector_db_spark.streaming.windows import session_window_agg
+
+    sw = session_window_agg(
+        _events_stream(spark, sf_dir), gap="30 minutes", watermark="10 minutes"
+    )
+    out = _run_stream_to_memory(sw)
+    return out.select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events",
+    )
+
+
+@register(
+    "stream_ingest_counts",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+    tags=("streaming", "ingest", "A20", "A21"),
+)
+def stream_ingest_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end streaming ingest (reference A20/A21): replay events as a
+    file stream, foreachBatch -> validated ParquetTable.insert (the
+    pg_insert/pg_copy analogue with its commit protocol), then aggregate
+    the LANDED table — proving the sink wrote exactly the source rows."""
+    import tempfile
+
+    from pgvector_db_spark.sources.table import ParquetTable
+    from pgvector_db_spark.streaming.ingest import stream_insert
+
+    tmp = tempfile.mkdtemp(prefix="stream_ingest_")
+    table = ParquetTable(
+        spark, f"{tmp}/events_landed", required_cols=("event_id", "ts")
+    )
+    q = stream_insert(
+        _events_stream(spark, sf_dir),
+        table,
+        checkpoint=f"{tmp}/ckpt",
+    )
+    # availableNow semantics for a foreachBatch sink: drain what's there
+    q.processAllAvailable()
+    q.stop()
+    landed = spark.read.parquet(f"{tmp}/events_landed")
+    return landed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
 
 
 def all_queries() -> dict[str, SparkQuery]:
