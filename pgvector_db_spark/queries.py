@@ -4168,6 +4168,126 @@ def stream_ingest_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_dedup_ingest",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+    tags=("streaming", "dedup", "state"),
+)
+def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-micro-batch streaming dedup: the events file is replayed
+    TWICE (two files, maxFilesPerTrigger=1 → two micro-batches) through
+    ``dropDuplicates("event_id")``. The second batch is entirely
+    duplicate, so state built in batch 1 must drop every batch-2 row —
+    the aggregated output equals single-copy events exactly. This is the
+    at-least-once-source → exactly-once-table shape of a real ingest
+    pipeline, driven by the state store rather than batch-mode dedup."""
+    import shutil
+    import tempfile
+
+    from pgvector_db_spark.catalog import table_path
+    from pgvector_db_spark.streaming.replay import file_stream
+
+    path = table_path(sf_dir, "events")
+    tag = sf_dir.strip("/").replace("/", "_")
+    replay_dir = os.path.join(tempfile.gettempdir(), f"events_replay2_{tag}")
+    if not os.path.exists(os.path.join(replay_dir, "copy_b.parquet")):
+        os.makedirs(replay_dir, exist_ok=True)
+        shutil.copy(path, os.path.join(replay_dir, "copy_a.parquet"))
+        shutil.copy(path, os.path.join(replay_dir, "copy_b.parquet"))
+    schema = spark.read.parquet(path).schema
+    src = file_stream(spark, replay_dir, schema, max_files_per_trigger=1)
+    src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    deduped = src.dropDuplicates(["event_id"])
+    out = _run_stream_to_memory(deduped, mode="append")
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
+@register(
+    "stream_static_enrich",
+    """
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("streaming", "join"),
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the replayed event stream joined to
+    the static customer dimension (broadcast — no stream-side shuffle),
+    aggregated per market segment in complete mode. The standard
+    dimension-enrichment topology of a production ingest DAG."""
+    t = load_tables(spark, sf_dir)
+    dim = t["customer"].select("c_custkey", "c_mktsegment")
+    src = _events_stream(spark, sf_dir)
+    joined = src.join(
+        F.broadcast(dim), src.user_id == dim.c_custkey, "inner"
+    )
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+    return _run_stream_to_memory(agg, mode="complete")
+
+
+@register(
+    "rel_upsert_orders",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(CASE WHEN o_orderkey % 97 = 0
+                              THEN o_totalprice * 2 ELSE o_totalprice END
+                         AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("relational", "ingest", "upsert"),
+)
+def rel_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed upsert through the mutable-table write path
+    (sources/table.py ParquetTable.upsert — anti-join merge + atomic
+    directory swap): copy `orders` into a scratch table, upsert a mutated
+    subset (every 97th key at double price), and aggregate the LANDED
+    table. The oracle computes the post-merge state relationally, so the
+    gate verifies the on-disk merge, not just the expression."""
+    import shutil
+    import tempfile
+
+    from pgvector_db_spark.sources.table import ParquetTable
+
+    t = load_tables(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="upsert_orders_")
+    try:
+        table = ParquetTable(spark, f"{tmp}/orders", required_cols=("o_orderkey",))
+        table.insert(t["orders"])
+        updates = (
+            t["orders"]
+            .filter(F.col("o_orderkey") % 97 == 0)
+            .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        )
+        table.upsert(updates, "o_orderkey")
+        landed = table.read()
+        out = landed.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        # materialize before the scratch dir disappears
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def all_queries() -> dict[str, SparkQuery]:
     return {name: spec.spark_fn for name, spec in REGISTRY.items()}
 
