@@ -76,14 +76,16 @@ def bm25_topk(
         F.first("dl").alias("dl"),
     )
 
-    df_t = (
-        tf.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
+    # document frequency as a window over the tf postings — derived from
+    # the SAME single corpus scan/aggregation rather than a second one
+    # (the postings list is tiny relative to the corpus, so the extra
+    # exchange on `term` is O(matches), not O(corpus))
+    from pyspark.sql.window import Window as _W
+
+    tf = tf.withColumn("df", F.count(F.lit(1)).over(_W.partitionBy("term")))
 
     scored = (
-        tf.join(F.broadcast(df_t), "term")
-        .crossJoin(F.broadcast(stats))
+        tf.crossJoin(F.broadcast(stats))
         .withColumn("avgdl", F.col("sum_dl") / F.col("n_docs"))
         .withColumn(
             "idf",
