@@ -4239,6 +4239,65 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_interval_join",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_click_value,
+           CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+    tags=("streaming", "join", "stream-stream"),
+)
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream event-time interval join (streaming/joins.py): click
+    and purchase streams correlated within a 30-minute attribution window,
+    with watermarks on both sides bounding the join state. The streaming
+    pair set is aggregated and checked against the batch range-join oracle."""
+    from pgvector_db_spark.streaming.joins import interval_join
+
+    clicks = _events_stream(spark, sf_dir).filter(F.col("event_type") == "click")
+    purchases = _events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = interval_join(
+        clicks, purchases, "user_id", max_delay="30 minutes"
+    )
+    pairs = _run_stream_to_memory(joined, mode="append")
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("l_value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_click_value"),
+        F.sum(F.col("r_value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_purchase_value"),
+    )
+
+
+@register(
+    "stream_stateful_running_counts",
+    """
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS running_count
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "state", "applyInPandasWithState"),
+)
+def stream_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``
+    (streaming/stateful.py): per-user running event counts held in the
+    streaming state store, Arrow-batched pandas state function. Bounded
+    replay drains in one micro-batch, so the final update per key equals
+    the batch GROUP BY oracle."""
+    from pgvector_db_spark.streaming.stateful import running_counts
+
+    out = running_counts(_events_stream(spark, sf_dir), "user_id")
+    return _run_stream_to_memory(out, mode="update")
+
+
+@register(
     "rel_upsert_orders",
     """
     SELECT o_orderstatus,
