@@ -82,6 +82,10 @@ def derived_metrics(spark, sf_dir: str, timings: dict[str, float]) -> dict[str, 
         ("vs_lsh_ann_knn", "knn_lsh_ms"),
         ("vs_ivfpq_knn", "knn_ivfpq_ms"),
         ("vs_matryoshka_rerank", "knn_matryoshka_ms"),
+        ("ds_bm25_search", "bm25_ms"),
+        ("vs_hybrid_rrf_search", "hybrid_rrf_ms"),
+        ("stream_events_window_5min", "stream_window_ms"),
+        ("stream_stream_interval_join", "stream_join_ms"),
     ):
         if name in REGISTRY:
             out[key] = round(run_query(spark, name, sf_dir) * 1000, 1)

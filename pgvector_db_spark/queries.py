@@ -4001,6 +4001,96 @@ def ds_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(t["documents"], _BM25_TERMS, k=20)
 
 
+@register(
+    "vs_hybrid_rrf_search",
+    f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    bm AS ({{bm25}}),
+    bm_ranked AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score_micro DESC, doc_id ASC)
+                 AS text_rank
+      FROM bm
+    ),
+    vs AS (
+      SELECT vec_id AS doc_id,
+             {cosine_distance_sql("embedding", "qe", "duckdb")} AS dist
+      FROM embeddings, q
+      ORDER BY dist ASC, doc_id ASC LIMIT 50
+    ),
+    vs_ranked AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY dist ASC, doc_id ASC) AS vec_rank
+      FROM vs
+    )
+    SELECT COALESCE(b.doc_id, v.doc_id) AS doc_id,
+           CAST(b.text_rank AS BIGINT) AS text_rank,
+           CAST(v.vec_rank AS BIGINT) AS vec_rank,
+           COALESCE(CAST(1 AS DOUBLE) / (60 + b.text_rank), 0.0)
+             + COALESCE(CAST(1 AS DOUBLE) / (60 + v.vec_rank), 0.0)
+               AS rrf_score
+    FROM bm_ranked b FULL OUTER JOIN vs_ranked v ON b.doc_id = v.doc_id
+    ORDER BY rrf_score DESC, doc_id ASC LIMIT 10
+    """,
+    tags=("vector", "text", "hybrid", "search"),
+)
+def vs_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 keyword ranks fused with cosine kNN ranks by
+    reciprocal rank fusion (score = Σ 1/(60+rank)) — the standard
+    lexical+vector pattern a pgvector+tsvector user runs in one engine.
+    Rank-based fusion makes the floats trivially deterministic (1/(60+r)
+    is correctly-rounded IEEE division on both engines, summed in a fixed
+    two-term expression, never an aggregation order). Both candidate lists
+    are top-50 with unique-key tie-breaks; the fused top-10 is exact."""
+    from pgvector_db_spark.functions.vector import cosine_distance
+
+    t = load_tables(spark, sf_dir)
+    docs, emb = t["documents"], t["embeddings"]
+
+    bm = bm25_topk(docs, _BM25_TERMS, k=50)
+    w_text = Window.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
+    bm_ranked = bm.select(
+        "doc_id", F.row_number().over(w_text).cast("bigint").alias("text_rank")
+    )
+
+    q = emb.filter("vec_id = 0").select(F.col("embedding").alias("qe"))
+    vec = (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine_distance("embedding", "qe").alias("dist"),
+        )
+        .orderBy(F.col("dist").asc(), F.col("doc_id").asc())
+        .limit(50)
+    )
+    w_vec = Window.orderBy(F.col("dist").asc(), F.col("doc_id").asc())
+    vec_ranked = vec.select(
+        "doc_id", F.row_number().over(w_vec).cast("bigint").alias("vec_rank")
+    )
+
+    fused = bm_ranked.join(vec_ranked, ["doc_id"], "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(60) + F.col("text_rank")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("vec_rank")), F.lit(0.0))
+    return (
+        fused.select("doc_id", "text_rank", "vec_rank", rrf.alias("rrf_score"))
+        .orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+# splice the BM25 candidate CTE into the hybrid oracle (top-50 grid-fixed
+# scores; same formula as ds_bm25_search)
+REGISTRY["vs_hybrid_rrf_search"] = QuerySpec(
+    "vs_hybrid_rrf_search",
+    REGISTRY["vs_hybrid_rrf_search"].spark_fn,
+    REGISTRY["vs_hybrid_rrf_search"].oracle.format(
+        bm25=bm25_oracle_sql(_BM25_TERMS, k=50).strip()
+    ),
+    REGISTRY["vs_hybrid_rrf_search"].tags,
+)
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming entries — REAL readStream pipelines, driven to
 # completion with trigger(availableNow) and materialized via the memory
