@@ -129,6 +129,12 @@ def load_tables(
     """
     from pgvector_db_spark.functions.sql_registry import register_sql_functions
 
+    # Timestamp semantics (NTZ→LTZ normalization in read_table, epoch
+    # extraction, window bucketing) are defined against a UTC session —
+    # pin it here so correctness doesn't depend on who built the session
+    # (the driver harness constructs its own SparkSession).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
     cached = _REGISTRY_CACHE.get(id(spark))
     if cached is not None and cached[0] == sf_dir and cached[1] == names:
         return cached[2]
