@@ -1983,6 +1983,89 @@ _sql_query(
     tags=("relational", "nulls"),
 )
 
+# Conditional scalar surface: greatest/least (null-tolerant), nullif,
+# coalesce chains, CASE precedence. Integer/decimal outputs → exact.
+_sql_query(
+    "rel_conditional_funcs",
+    """
+    SELECT o_orderkey,
+           greatest(CAST(o_custkey % 7 AS INT), CAST(o_orderkey % 5 AS INT)) AS g,
+           least(CAST(o_custkey % 7 AS INT), CAST(o_orderkey % 5 AS INT)) AS l,
+           nullif(o_orderstatus, 'O') AS status_or_null,
+           coalesce(nullif(o_orderstatus, 'O'), o_orderpriority, 'none')
+               AS first_defined,
+           CASE WHEN o_totalprice > 200000 THEN 'high'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'low' END AS price_band
+    FROM orders
+    """,
+    tags=("relational", "scalar", "conditional"),
+)
+
+# Math scalar surface. sqrt/abs/sign/floor/ceil/round and integer modulo
+# are exactly-rounded / exact on both engines; exp/ln/pow go through the
+# integer grid (floor(x*1e6+0.5)) because libm implementations may differ
+# in the last ulp — the grid makes the comparison representation-proof.
+_sql_query(
+    "rel_math_funcs",
+    """
+    SELECT o_orderkey,
+           CAST(floor(exp(o_totalprice / 600000.0) * 1000000 + 0.5) AS BIGINT)
+               AS exp_grid,
+           CAST(floor(ln(o_totalprice) * 1000000 + 0.5) AS BIGINT) AS ln_grid,
+           CAST(floor(power(o_totalprice, 0.5) * 1000000 + 0.5) AS BIGINT)
+               AS pow_grid,
+           sqrt(CAST(o_orderkey AS DOUBLE)) AS sqrt_exact,
+           abs(CAST(o_custkey % 7 AS INT) - 3) AS abs_v,
+           sign(o_totalprice - 150000) AS sign_v,
+           CAST(floor(o_totalprice) AS BIGINT) AS floor_v,
+           CAST(ceil(o_totalprice) AS BIGINT) AS ceil_v,
+           o_orderkey % 7 AS mod_v
+    FROM orders
+    """,
+    """
+    SELECT o_orderkey,
+           CAST(floor(exp(o_totalprice / 600000.0) * 1000000 + 0.5) AS BIGINT)
+               AS exp_grid,
+           CAST(floor(ln(o_totalprice) * 1000000 + 0.5) AS BIGINT) AS ln_grid,
+           CAST(floor(pow(o_totalprice, 0.5) * 1000000 + 0.5) AS BIGINT)
+               AS pow_grid,
+           sqrt(CAST(o_orderkey AS DOUBLE)) AS sqrt_exact,
+           abs(CAST(o_custkey % 7 AS INT) - 3) AS abs_v,
+           CAST(sign(o_totalprice - 150000) AS DOUBLE) AS sign_v,
+           CAST(floor(o_totalprice) AS BIGINT) AS floor_v,
+           CAST(ceil(o_totalprice) AS BIGINT) AS ceil_v,
+           o_orderkey % 7 AS mod_v
+    FROM orders
+    """,
+    tags=("relational", "scalar", "math"),
+)
+
+# Bitwise scalar surface over integer keys: and/or/xor/shift — exact
+# 64-bit integer semantics on both engines.
+_sql_query(
+    "rel_bitwise_funcs",
+    """
+    SELECT o_orderkey,
+           o_orderkey & 255 AS band,
+           o_orderkey | 4096 AS bor,
+           CAST(o_orderkey ^ 1535 AS BIGINT) AS bxor,
+           shiftleft(o_orderkey & 15, 3) AS shl,
+           shiftright(o_orderkey, 4) AS shr
+    FROM orders
+    """,
+    """
+    SELECT o_orderkey,
+           o_orderkey & 255 AS band,
+           o_orderkey | 4096 AS bor,
+           CAST(xor(o_orderkey, 1535) AS BIGINT) AS bxor,
+           (o_orderkey & 15) << 3 AS shl,
+           o_orderkey >> 4 AS shr
+    FROM orders
+    """,
+    tags=("relational", "scalar", "bitwise"),
+)
+
 # Int8 scalar quantization round-trip (functions/vector.py quantize_*):
 # per-vector symmetric scale, round-to-int8, dequantize, and measure the
 # cosine similarity against the original. round() is half-away-from-zero
