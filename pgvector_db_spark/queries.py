@@ -2629,6 +2629,61 @@ _sql_query(
 
 
 @register(
+    "ds_multimodal_decode",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(0 AS BIGINT) AS n_decode_mismatch,
+           CAST(0 AS BIGINT) AS n_resize_mismatch
+    FROM documents
+    """,
+    tags=("dataset", "multimodal", "udf"),
+)
+def ds_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-verifying multimodal decode: the REAL Arrow-batched
+    ``mapInPandas`` fake-codec decode (operators/multimodal.py) plus the
+    real numpy area-average resize run over binary media, and every row's
+    Python-produced pixels are compared in-plan against an INDEPENDENT
+    JVM expression of the same md5-derived math (digest byte i / 256; 2x2
+    block means). All the arithmetic is exact dyadic rationals, so the
+    comparison is equality, not tolerance. The oracle pins row count and
+    the zero mismatch counts — a Python-UDF boundary checked by two
+    engines computing the same bytes two different ways."""
+    from pgvector_db_spark.operators.multimodal import decode_image, resize_image
+
+    t = load_tables(spark, sf_dir)
+    media = t["documents"].select(
+        "doc_id", F.col("text").cast("binary").alias("media")
+    )
+    decoded = resize_image(decode_image(media, target=(4, 4)), src=(4, 4))
+
+    digest = F.unhex(F.md5(F.col("media")))
+
+    def byte_at(i):  # 1-based substring; conv returns string → double
+        return F.conv(F.hex(F.substring(digest, i, 1)), 16, 10).cast("double")
+
+    expected_px = F.array(
+        *[(byte_at((i % 16) + 1) / F.lit(256.0)).cast("float") for i in range(16)]
+    )
+    blocks = [(0, 1, 4, 5), (2, 3, 6, 7), (8, 9, 12, 13), (10, 11, 14, 15)]
+    def block_mean(b):
+        total = byte_at(b[0] + 1) / F.lit(256.0)
+        for i in b[1:]:
+            total = total + byte_at(i + 1) / F.lit(256.0)
+        return (total / F.lit(4.0)).cast("float")
+
+    expected_rs = F.array(*[block_mean(b) for b in blocks])
+    checked = decoded.select(
+        F.when(F.col("pixels") != expected_px, 1).otherwise(0).alias("bad_px"),
+        F.when(F.col("pixels_resized") != expected_rs, 1).otherwise(0).alias("bad_rs"),
+    )
+    return checked.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("bad_px").cast("bigint").alias("n_decode_mismatch"),
+        F.sum("bad_rs").cast("bigint").alias("n_resize_mismatch"),
+    )
+
+
+@register(
     "ds_pipeline_clean_corpus",
     """
     WITH filtered AS (
