@@ -2628,6 +2628,65 @@ _sql_query(
 )
 
 
+_sql_query(
+    "ds_unigram_logprob",
+    """
+    WITH toks AS (
+      SELECT doc_id, term FROM (
+        SELECT doc_id,
+               explode(split(trim(lower(text)), '\\\\s+')) AS term
+        FROM documents)
+    ),
+    freq AS (
+      SELECT term, COUNT(*) AS tf,
+             SUM(COUNT(*)) OVER () AS total
+      FROM toks GROUP BY term
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(floor(ln(CAST(f.tf AS DOUBLE) / f.total) * 1000000 + 0.5)
+                  AS BIGINT) AS lp_micro
+      FROM toks t JOIN freq f ON t.term = f.term
+    )
+    SELECT doc_id,
+           CAST(SUM(lp_micro) AS BIGINT) AS logprob_micro,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(floor(CAST(SUM(lp_micro) AS DOUBLE) / COUNT(*)) AS BIGINT) AS per_token_micro
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY per_token_micro DESC, doc_id ASC
+    LIMIT 50
+    """,
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+      FROM documents
+    ),
+    freq AS (
+      SELECT term, COUNT(*) AS tf,
+             SUM(COUNT(*)) OVER () AS total
+      FROM toks GROUP BY term
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(floor(ln(CAST(f.tf AS DOUBLE) / f.total) * 1000000 + 0.5)
+                  AS BIGINT) AS lp_micro
+      FROM toks t JOIN freq f ON t.term = f.term
+    )
+    SELECT doc_id,
+           CAST(SUM(lp_micro) AS BIGINT) AS logprob_micro,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(floor(CAST(SUM(lp_micro) AS DOUBLE) / COUNT(*)) AS BIGINT) AS per_token_micro
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY per_token_micro DESC, doc_id ASC
+    LIMIT 50
+    """,
+    tags=("dataset", "text", "quality", "lm"),
+)
+
+
 @register(
     "ds_multimodal_decode",
     """
