@@ -4585,6 +4585,57 @@ def stream_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "stream_continuous_rollup",
+    """
+    SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS bucket_epoch,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1
+    """,
+    tags=("streaming", "rollup", "continuous-aggregate"),
+)
+def stream_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous aggregate (streaming/continuous_agg.py — the
+    TimescaleDB continuous-aggregate analogue): events replayed as THREE
+    micro-batches (3-file split, maxFilesPerTrigger=1), each batch
+    partial-aggregated and additively merged into a persisted rollup
+    table with an atomic swap. Decimal sums are associative, so the
+    incrementally-maintained table equals the one-shot batch rollup
+    bitwise — which is exactly what the oracle computes."""
+    import tempfile
+
+    from pgvector_db_spark.catalog import table_path
+    from pgvector_db_spark.sources.table import ParquetTable
+    from pgvector_db_spark.streaming.continuous_agg import continuous_rollup
+    from pgvector_db_spark.streaming.replay import file_stream
+
+    path = table_path(sf_dir, "events")
+    tag = sf_dir.strip("/").replace("/", "_")
+    replay_dir = os.path.join(tempfile.gettempdir(), f"events_replay3_{tag}")
+    if not os.path.exists(os.path.join(replay_dir, "_SUCCESS")):
+        spark.read.parquet(path).repartition(3).write.mode(
+            "overwrite"
+        ).parquet(replay_dir)
+    schema = spark.read.parquet(path).schema
+    src = file_stream(
+        spark, replay_dir, schema, max_files_per_trigger=1
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    tmp = tempfile.mkdtemp(prefix="cont_rollup_")
+    table = ParquetTable(spark, f"{tmp}/rollup")
+    q = continuous_rollup(src, table, checkpoint=f"{tmp}/ckpt")
+    q.processAllAvailable()
+    q.stop()
+    out = table.read().select(
+        F.col("bucket_epoch").cast("bigint"),
+        F.col("n_events").cast("bigint"),
+        F.col("sum_dec").cast("double").alias("sum_value"),
+    )
+    rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
+
+
+@register(
     "rel_upsert_orders",
     """
     SELECT o_orderstatus,
