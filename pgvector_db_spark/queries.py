@@ -4585,6 +4585,75 @@ def stream_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "rel_partitioned_export_prune",
+    """
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE EXTRACT(year FROM o_orderdate) >= 1997
+    GROUP BY 1
+    """,
+    tags=("relational", "export", "partition-pruning", "A16"),
+)
+def rel_partitioned_export_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's partitioned-export pattern (A16,
+    generate_embeddings.py:122-141) closed end-to-end IN the gate: orders
+    exported Hive-partitioned by year (sources/export.py), read back with
+    a partition filter — Catalyst prunes to the matching directories, the
+    non-matching years are never scanned — and aggregated. The oracle
+    computes the same from the source table, so the check covers the
+    partitioned write, the partition discovery, and the pruned read."""
+    import shutil
+    import tempfile
+
+    t = load_tables(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="export_part_")
+    try:
+        part = t["orders"].withColumn(
+            "order_year", F.year("o_orderdate").cast("bigint")
+        )
+        # the A16 export shape: Hive-partitioned layout, append mode
+        part.write.mode("append").partitionBy("order_year").parquet(
+            f"{tmp}/orders_by_year"
+        )
+        back = spark.read.parquet(f"{tmp}/orders_by_year").filter(
+            F.col("order_year") >= 1997
+        )
+        out = back.groupBy("order_year").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        ).select(F.col("order_year").cast("bigint"), "n_orders", "sum_price")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_sql_query(
+    "rel_distinct_on_latest_order",
+    """
+    SELECT o_custkey, o_orderkey AS latest_order, o_totalprice AS latest_price
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate DESC, o_orderkey DESC)
+                    AS _rn
+      FROM orders
+    ) WHERE _rn = 1
+    """,
+    """
+    SELECT DISTINCT ON (o_custkey)
+           o_custkey, o_orderkey AS latest_order, o_totalprice AS latest_price
+    FROM orders
+    ORDER BY o_custkey, o_orderdate DESC, o_orderkey DESC
+    """,
+    tags=("relational", "window", "distinct-on"),
+)
+
+
+@register(
     "stream_continuous_rollup",
     """
     SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS bucket_epoch,
