@@ -133,7 +133,7 @@ def derived_metrics(spark, sf_dir: str, timings: dict[str, float]) -> dict[str, 
     q = list(t["embeddings"].filter("vec_id = 0").first()["embedding"])
     # pgvector's lists/nprobe dial, measured: recall climbs toward 1.0 as
     # nprobe -> lists while latency stays partition-pruned.
-    for nprobe in (2, 4):
+    for nprobe in (2, 4, 6):
         out[f"ivf_recall_at_10_nprobe{nprobe}"] = idx.recall_at_k(
             t["embeddings"], q, 10, nprobe
         )
