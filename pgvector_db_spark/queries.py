@@ -4304,17 +4304,29 @@ def _run_stream_to_memory(sdf: DataFrame, mode: str = "complete") -> DataFrame:
     import tempfile
     import uuid
 
-    name = "mem_" + uuid.uuid4().hex[:10]
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return sdf.sparkSession.table(name)
+    spark = sdf.sparkSession
+    # State-store tasks pay a fixed per-partition open/commit cost every
+    # micro-batch; the fixture streams carry far less state than even one
+    # executor's worth of 32 shards. 8 shards is plenty here and is a
+    # per-QUERY knob in production too (the shard count is locked into the
+    # checkpoint at first start, so it's sized once per pipeline, not per
+    # cluster — a real deployment sizes it to peak state, e.g. 2-4x cores).
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        name = "mem_" + uuid.uuid4().hex[:10]
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
