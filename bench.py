@@ -62,19 +62,32 @@ def derived_metrics(spark, sf_dir: str, timings: dict[str, float]) -> dict[str, 
     t = load_tables(spark, sf_dir)
     out: dict[str, float] = {}
 
+    # every metric group is isolated: one failing group drops its numbers,
+    # never the whole bench line
+    def _try(fn) -> None:
+        try:
+            fn()
+        except Exception as exc:
+            print(f"bench: derived metric failed: {exc}", file=sys.stderr)
+
     n_docs = t["documents"].count()
     if "ds_embed_fake" in timings and timings["ds_embed_fake"] > 0:
         out["embed_rows_per_sec"] = round(n_docs / timings["ds_embed_fake"], 1)
 
-    tmp = tempfile.mkdtemp(prefix="bench_ingest_")
-    try:
-        table = ParquetTable(spark, os.path.join(tmp, "docs"), required_cols=("text",))
-        t0 = _t.time()
-        table.insert(t["documents"])
-        dt = _t.time() - t0
-        out["ingest_rows_per_sec"] = round(n_docs / dt, 1)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    def _ingest() -> None:
+        tmp = tempfile.mkdtemp(prefix="bench_ingest_")
+        try:
+            table = ParquetTable(
+                spark, os.path.join(tmp, "docs"), required_cols=("text",)
+            )
+            t0 = _t.time()
+            table.insert(t["documents"])
+            dt = _t.time() - t0
+            out["ingest_rows_per_sec"] = round(n_docs / dt, 1)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    _try(_ingest)
 
     for name, key in (
         ("vs_knn_topk", "knn_exact_ms"),
@@ -88,55 +101,64 @@ def derived_metrics(spark, sf_dir: str, timings: dict[str, float]) -> dict[str, 
         ("stream_stream_interval_join", "stream_join_ms"),
     ):
         if name in REGISTRY:
-            out[key] = round(run_query(spark, name, sf_dir) * 1000, 1)
+            _try(lambda n=name, k=key: out.__setitem__(
+                k, round(run_query(spark, n, sf_dir) * 1000, 1)
+            ))
 
     # The on-the-fly LSH number above pays 6 hyperplane dot-products per
     # row with NO pruning — it exists as the no-precompute fallback. The
     # scale path is the persisted signature-partitioned layout, where the
     # probe set is partition pruning at the scan (docs/SCALE_AUDIT.md):
-    from pgvector_db_spark.operators.lsh_ann import (
-        build_lsh_layout,
-        search_lsh_layout,
-    )
+    def _lsh_layout() -> None:
+        from pgvector_db_spark.operators.lsh_ann import (
+            build_lsh_layout,
+            search_lsh_layout,
+        )
 
-    tag = sf_dir.strip("/").replace("/", "_")
-    lsh_path = os.path.join(tempfile.gettempdir(), f"lsh_cache_{tag}")
-    if not os.path.exists(lsh_path):
-        build_lsh_layout(t["embeddings"], lsh_path)
-    qv = list(t["embeddings"].filter("vec_id = 0").first()["embedding"])
-    best = float("inf")
-    for _ in range(2):
-        t0 = _t.time()
-        assert search_lsh_layout(spark, lsh_path, qv, 10).count() >= 0
-        best = min(best, _t.time() - t0)
-    out["knn_lsh_layout_ms"] = round(best * 1000, 1)
+        tag = sf_dir.strip("/").replace("/", "_")
+        lsh_path = os.path.join(tempfile.gettempdir(), f"lsh_cache_{tag}")
+        if not os.path.exists(lsh_path):
+            build_lsh_layout(t["embeddings"], lsh_path)
+        qv = list(t["embeddings"].filter("vec_id = 0").first()["embedding"])
+        best = float("inf")
+        for _ in range(2):
+            t0 = _t.time()
+            assert search_lsh_layout(spark, lsh_path, qv, 10).count() >= 0
+            best = min(best, _t.time() - t0)
+        out["knn_lsh_layout_ms"] = round(best * 1000, 1)
+
+    _try(_lsh_layout)
 
     # training-pipeline headline: near-dup candidate generation throughput
     # (MinHash+LSH over the documents table, Spark side only)
-    from pgvector_db_spark.operators.dedup import minhash_lsh_pairs
+    def _dedup() -> None:
+        from pgvector_db_spark.operators.dedup import minhash_lsh_pairs
 
-    t0 = _t.time()
-    minhash_lsh_pairs(t["documents"], hash_fn="xxhash64").count()
-    out["dedup_docs_per_sec"] = round(n_docs / (_t.time() - t0), 1)
+        t0 = _t.time()
+        minhash_lsh_pairs(t["documents"], hash_fn="xxhash64").count()
+        out["dedup_docs_per_sec"] = round(n_docs / (_t.time() - t0), 1)
+
+    _try(_dedup)
 
     # ANN quality next to ANN latency: recall@10 of the probed IVF search
     # vs the exact kernel (pgvector's nprobe/lists tradeoff, measured).
-    import tempfile
+    def _ivf_recall() -> None:
+        from pgvector_db_spark.operators.ivf import IVFIndex
 
-    from pgvector_db_spark.operators.ivf import IVFIndex
+        tag = sf_dir.strip("/").replace("/", "_")
+        path = os.path.join(tempfile.gettempdir(), f"ivf_cache_{tag}")
+        if not os.path.exists(os.path.join(path, "centroids")):
+            IVFIndex.build(t["embeddings"], path, lists=8)
+        idx = IVFIndex(spark, path, "embedding", "vec_id")
+        q = list(t["embeddings"].filter("vec_id = 0").first()["embedding"])
+        # pgvector's lists/nprobe dial, measured: recall climbs toward 1.0
+        # as nprobe -> lists while latency stays partition-pruned.
+        for nprobe in (2, 4, 6):
+            out[f"ivf_recall_at_10_nprobe{nprobe}"] = idx.recall_at_k(
+                t["embeddings"], q, 10, nprobe
+            )
 
-    tag = sf_dir.strip("/").replace("/", "_")
-    path = os.path.join(tempfile.gettempdir(), f"ivf_cache_{tag}")
-    if not os.path.exists(os.path.join(path, "centroids")):
-        IVFIndex.build(t["embeddings"], path, lists=8)
-    idx = IVFIndex(spark, path, "embedding", "vec_id")
-    q = list(t["embeddings"].filter("vec_id = 0").first()["embedding"])
-    # pgvector's lists/nprobe dial, measured: recall climbs toward 1.0 as
-    # nprobe -> lists while latency stays partition-pruned.
-    for nprobe in (2, 4, 6):
-        out[f"ivf_recall_at_10_nprobe{nprobe}"] = idx.recall_at_k(
-            t["embeddings"], q, 10, nprobe
-        )
+    _try(_ivf_recall)
     return out
 
 
@@ -148,7 +170,16 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name in REGISTRY:
-            timings[name] = round(run_query(spark, name, sf_dir), 4)
+            try:
+                timings[name] = round(run_query(spark, name, sf_dir), 4)
+            except Exception as exc:  # one broken query must not kill the run
+                print(f"bench: {name} failed: {exc}", file=sys.stderr)
+
+    try:
+        derived = derived_metrics(spark, sf_dir, timings)
+    except Exception as exc:
+        print(f"bench: derived metrics failed: {exc}", file=sys.stderr)
+        derived = {}
 
     out = {
         "metric": "headline_suite_sec",
@@ -156,7 +187,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "derived": derived_metrics(spark, sf_dir, timings),
+        "derived": derived,
     }
     print(json.dumps(out))
 
