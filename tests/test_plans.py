@@ -213,3 +213,40 @@ def test_runtime_bloom_filter_injected(spark, tables):
         spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
         spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_bm25_topk_plan_shape(tables):
+    """BM25: partial-before-final aggregation, broadcast side inputs, and
+    a TakeOrderedAndProject top-k — never a global sort; the term filter
+    must sit below the explode so only postings shuffle."""
+    from pgvector_db_spark.operators.text_search import bm25_topk
+
+    df = bm25_topk(tables["documents"], ["vector", "join"], k=10)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Sort [score" not in plan, "global sort instead of top-k"
+
+
+def test_partitioned_export_prunes_partitions(spark, tables, tmp_path):
+    """Reading a Hive-partitioned export with a partition predicate must
+    show the filter under PartitionFilters (directory pruning), not as a
+    row-level DataFilter."""
+    out = str(tmp_path / "orders_by_year")
+    tables["orders"].withColumn(
+        "order_year", F.year("o_orderdate").cast("bigint")
+    ).write.partitionBy("order_year").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("order_year") >= 1997)
+    plan = physical_plan(back)
+    seg = plan.split("PartitionFilters: ")[1].splitlines()[0]
+    assert "order_year" in seg, f"partition filter not pruned: {seg}"
+
+
+def test_hybrid_rrf_no_cartesian(spark):
+    """Hybrid fusion joins two 50-row ranked lists — the merge must be a
+    broadcastable join on doc_id, never a CartesianProduct over the
+    corpus (the only nested-loop allowed is the 1-row query broadcast)."""
+    df = REGISTRY["vs_hybrid_rrf_search"].spark_fn(spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
