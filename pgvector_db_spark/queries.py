@@ -3654,6 +3654,42 @@ _sql_query(
 )
 
 
+def _sparse_l2_knn(dialect: str) -> str:
+    from pgvector_db_spark.functions.sparse import (
+        sparse_dot_sql,
+        sparse_norm_sql,
+    )
+
+    si = sparse_indices_sql("embedding", 0.1, dialect)
+    sv = sparse_values_sql("embedding", 0.1, dialect)
+    # ||a-b||^2 = |a|^2 + |b|^2 - 2 a.b over the retained entries; the
+    # sqrt at the end matches pgvector's sparsevec <-> operator. Norms
+    # and dot use the same sequential folds as the dense kernels, so the
+    # expression is fold-identical on both engines.
+    n_a = sparse_norm_sql("sv", dialect)
+    n_q = sparse_norm_sql("qv", dialect)
+    dot = sparse_dot_sql("si", "sv", "qi", "qv", dialect)
+    dist = f"sqrt(({n_a} * {n_a}) + ({n_q} * {n_q}) - (2.0 * {dot}))"
+    return f"""
+    WITH se AS (SELECT vec_id, label, {si} AS si, {sv} AS sv FROM embeddings),
+         q AS (SELECT si AS qi, sv AS qv FROM se WHERE vec_id = 0)
+    SELECT vec_id, label, {dist} AS distance
+    FROM se, q
+    ORDER BY distance ASC, vec_id ASC
+    LIMIT 10
+    """
+
+
+# sparsevec <->: L2 distance over the retained entries (the third
+# pgvector sparsevec operator class, completing cosine / ip / l2).
+_sql_query(
+    "vs_sparse_l2_topk",
+    _sparse_l2_knn("spark"),
+    _sparse_l2_knn("duckdb"),
+    tags=("vector", "sparse", "l2"),
+)
+
+
 # Cluster-canonical dedup: LSH pairs -> connected components -> keep the
 # min-id doc per cluster (SURVEY.md §2.3 "connected components → keep
 # canonical"). Spark side is the iterative label-propagation loop in
