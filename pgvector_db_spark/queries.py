@@ -1253,6 +1253,52 @@ def vs_ivf_knn_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "vs_ivf_append_fullprobe",
+    f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    s AS (
+      SELECT vec_id, label,
+             {cosine_distance_sql("embedding", "qe", "duckdb")} AS distance
+      FROM embeddings, q
+    )
+    SELECT vec_id, label, distance
+    FROM s ORDER BY distance ASC, vec_id ASC LIMIT 10
+    """,
+    tags=("vector", "A9", "ann", "append"),
+)
+def vs_ivf_append_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance gate-checked end-to-end: the IVF
+    index is built over HALF the embeddings, the other half arrives via
+    ``IVFIndex.append`` (pgvector INSERT-into-indexed-table semantics —
+    assign to frozen centroids, no refit), and a full-probe search over
+    the maintained index must equal the exact kNN over the WHOLE table.
+    Any row lost or mis-written by the append path breaks the hash."""
+    import shutil
+    import tempfile
+
+    from pgvector_db_spark.operators.ivf import IVFIndex
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    tmp = tempfile.mkdtemp(prefix="ivf_append_")
+    try:
+        path = f"{tmp}/idx"
+        IVFIndex.build(half, path, lists=4)
+        idx = IVFIndex(spark, path, "embedding", "vec_id")
+        idx.append(rest)
+        q = _query_vec(emb, sf_dir)
+        out = idx.search(list(q), k=10, nprobe=4).select(
+            "vec_id", "label", "distance"
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _vs_ivf_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pgvector 0.8 iterative index scan (ivfflat.iterative_scan): filtered
     ANN that widens the probed-list set until k rows satisfy the predicate.
