@@ -1254,6 +1254,92 @@ def vs_ivf_knn_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "vs_lsh_append_fullprobe",
+    f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    s AS (
+      SELECT vec_id, label,
+             {cosine_distance_sql("embedding", "qe", "duckdb")} AS distance
+      FROM embeddings, q
+    )
+    SELECT vec_id, label, distance
+    FROM s ORDER BY distance ASC, vec_id ASC LIMIT 10
+    """,
+    tags=("vector", "ann", "layout", "append"),
+)
+def vs_lsh_append_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH layout maintenance gate-checked: build the signature-partitioned
+    layout over half the embeddings, append the rest via
+    ``append_lsh_layout`` (stateless hyperplanes → appended rows land in
+    the correct partitions), then a full-probe search must equal exact kNN
+    over the whole table."""
+    import shutil
+    import tempfile
+
+    from pgvector_db_spark.operators.lsh_ann import (
+        append_lsh_layout,
+        build_lsh_layout,
+        search_lsh_layout,
+    )
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    tmp = tempfile.mkdtemp(prefix="lsh_append_")
+    try:
+        path = f"{tmp}/layout"
+        build_lsh_layout(emb.filter(F.col("vec_id") % 2 == 0), path)
+        append_lsh_layout(emb.filter(F.col("vec_id") % 2 == 1), path)
+        q = _query_vec(emb, sf_dir)
+        out = search_lsh_layout(
+            spark, path, list(q), 10, hamming_probe=6
+        ).select("vec_id", "label", "distance")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "rel_compact_preserves_table",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    """,
+    tags=("relational", "maintenance", "compact"),
+)
+def rel_compact_preserves_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (ParquetTable.compact — the operational fix
+    for streaming-append file sprawl) gate-checked: orders written as many
+    small files, compacted to 4 via the atomic staged swap, and the landed
+    table's count/keys/sum must equal the source exactly."""
+    import shutil
+    import tempfile
+
+    from pgvector_db_spark.sources.table import ParquetTable
+
+    t = load_tables(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="compact_")
+    try:
+        table = ParquetTable(spark, f"{tmp}/orders")
+        table.insert(t["orders"].repartition(64))  # deliberate file sprawl
+        table.compact(target_files=4)
+        landed = table.read()
+        out = landed.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("o_orderkey").alias("n_keys"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
     "vs_ivf_append_fullprobe",
     f"""
     WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
