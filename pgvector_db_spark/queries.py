@@ -4885,6 +4885,29 @@ def stream_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_first_seen",
+    """
+    SELECT user_id, CAST(MIN(epoch_us(ts)) AS BIGINT) AS first_ts_us
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "state", "dedup"),
+)
+def stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming first-seen dedup on an unbounded key space
+    (streaming/stateful.py `first_seen` — applyInPandasWithState with a
+    per-key seen flag): each user emitted exactly once with the earliest
+    event time in their first micro-batch. Bounded single-batch replay →
+    first batch = all data → the oracle is min(ts) per user."""
+    from pgvector_db_spark.streaming.stateful import first_seen
+
+    out = first_seen(_events_stream(spark, sf_dir), "user_id", "ts")
+    got = _run_stream_to_memory(out, mode="update")
+    return got.select(
+        "user_id", F.unix_micros("first_ts").alias("first_ts_us")
+    )
+
+
+@register(
     "rel_upsert_orders",
     """
     SELECT o_orderstatus,
