@@ -2115,6 +2115,71 @@ _sql_query(
     tags=("relational", "nulls"),
 )
 
+# Time-weighted average (TimescaleDB toolkit `time_weight('LOCF')`
+# analogue): each observation holds until the next one, so the average
+# weights values by their holding interval. lag/lead windowing + exact
+# decimal×integer-microsecond arithmetic — the weighted sum is a DECIMAL
+# (order-independent), only the final ratio is a double.
+_TWA = """
+    WITH seg AS (
+      SELECT user_id, value,
+             CAST({epochus}(ts) AS BIGINT) AS t_us,
+             CAST({epochus}(lead(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts ASC, event_id ASC))
+                  AS BIGINT) AS next_us
+      FROM events
+    ),
+    w AS (
+      SELECT user_id,
+             CAST(value AS DECIMAL(18,2)) * (next_us - t_us) AS wv,
+             next_us - t_us AS dt
+      FROM seg WHERE next_us IS NOT NULL
+    )
+    SELECT user_id,
+           -- SUM(wv) is an exact scale-2 decimal; go through an exact
+           -- BIGINT of cents so the only float conversion is int64→double
+           -- (correctly rounded on every engine), never decimal→double
+           -- (implementation-defined rounding at this magnitude)
+           CAST(CAST(CAST(SUM(wv) * 100 AS BIGINT) AS DOUBLE) / 100.0
+                / SUM(dt) AS DOUBLE) AS time_weighted_avg,
+           CAST(SUM(dt) AS BIGINT) AS observed_us
+    FROM w GROUP BY user_id
+"""
+_sql_query(
+    "rel_time_weighted_avg",
+    _TWA.format(epochus="unix_micros"),
+    _TWA.format(epochus="epoch_us"),
+    tags=("relational", "timeseries", "hypertable"),
+)
+
+# Counter aggregate (TimescaleDB toolkit `counter_agg`/`rate` analogue):
+# monotonic-counter semantics over a value stream — negative deltas are
+# counter resets and contribute the raw new value, positive deltas
+# accumulate. Every delta is exact DECIMAL, the total is an
+# order-independent decimal sum.
+_COUNTER = """
+    WITH d AS (
+      SELECT user_id,
+             CAST(value AS DECIMAL(18,2))
+               - lag(CAST(value AS DECIMAL(18,2))) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                 AS delta,
+             CAST(value AS DECIMAL(18,2)) AS v
+      FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(CASE WHEN delta IS NULL OR delta < 0 THEN v
+                         ELSE delta END) AS DOUBLE) AS counter_total,
+           CAST(SUM(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_resets
+    FROM d GROUP BY user_id
+"""
+_sql_query(
+    "rel_counter_agg_rate",
+    _COUNTER,
+    tags=("relational", "timeseries", "hypertable", "counter"),
+)
+
 # Conditional scalar surface: greatest/least (null-tolerant), nullif,
 # coalesce chains, CASE precedence. Integer/decimal outputs → exact.
 _sql_query(
@@ -4441,6 +4506,52 @@ def vs_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         fused.select("doc_id", "text_rank", "vec_rank", rrf.alias("rrf_score"))
         .orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
         .limit(10)
+    )
+
+
+@register(
+    "vs_knn_enriched",
+    f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    hits AS (
+      SELECT vec_id, {cosine_distance_sql("embedding", "qe", "duckdb")} AS distance
+      FROM embeddings, q
+      ORDER BY distance ASC, vec_id ASC LIMIT 10
+    )
+    SELECT h.vec_id, h.distance, d.lang, d.source,
+           CAST(d.n_chars AS BIGINT) AS n_chars
+    FROM hits h JOIN documents d ON d.doc_id = h.vec_id
+    ORDER BY h.distance ASC, h.vec_id ASC
+    """,
+    tags=("vector", "A3", "join", "enrich"),
+)
+def vs_knn_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production search topology: exact kNN top-k, then the k-row
+    result joined back to the documents table for display metadata. The
+    tiny hit list broadcasts, so enrichment adds no shuffle to the scan —
+    search→enrich is `TakeOrderedAndProject` + one broadcast-hash join."""
+    from pgvector_db_spark.functions.vector import cosine_distance
+
+    t = load_tables(spark, sf_dir)
+    emb, docs = t["embeddings"], t["documents"]
+    q = emb.filter("vec_id = 0").select(F.col("embedding").alias("qe"))
+    hits = (
+        emb.crossJoin(F.broadcast(q))
+        .select("vec_id", cosine_distance("embedding", "qe").alias("distance"))
+        .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+    return (
+        F.broadcast(hits)
+        .join(docs, hits.vec_id == docs.doc_id)
+        .select(
+            "vec_id",
+            "distance",
+            "lang",
+            "source",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+        )
+        .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
     )
 
 
