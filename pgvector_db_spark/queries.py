@@ -2004,6 +2004,65 @@ _sql_query(
     tags=("vector", "centroid"),
 )
 
+# Embedding drift monitoring: per-source centroid vs the global centroid,
+# as cosine similarity — the distribution-shift check a continuously-fed
+# embedding table needs. Component means use the same 1e10 grid as
+# vs_label_centroids; the 8-term dot/norm folds are grid-fixed to 1e12
+# BIGINTs before summing, so every aggregate is order-independent and the
+# final cosine is pure double arithmetic over identical integers.
+_DRIFT = """
+    WITH joined AS (
+      SELECT d.source, e.embedding FROM embeddings e
+      JOIN documents d ON d.doc_id = e.vec_id
+    ),
+    comp AS (
+      SELECT source, pos,
+             CAST(SUM(CAST(floor(CAST(comp AS DOUBLE) * 10000000000.0 + 0.5)
+                  AS BIGINT)) AS DOUBLE) / 10000000000.0 / COUNT(*) AS m
+      FROM ({explode_src})
+      GROUP BY source, pos
+    ),
+    gcent AS (
+      SELECT pos,
+             CAST(SUM(CAST(floor(CAST(comp AS DOUBLE) * 10000000000.0 + 0.5)
+                  AS BIGINT)) AS DOUBLE) / 10000000000.0 / COUNT(*) AS m
+      FROM ({explode_all})
+      GROUP BY pos
+    ),
+    grids AS (
+      SELECT c.source,
+             SUM(CAST(floor(c.m * g.m * 1e12 + 0.5) AS BIGINT)) AS dot_grid,
+             SUM(CAST(floor(c.m * c.m * 1e12 + 0.5) AS BIGINT)) AS nc_grid,
+             SUM(CAST(floor(g.m * g.m * 1e12 + 0.5) AS BIGINT)) AS ng_grid
+      FROM comp c JOIN gcent g ON c.pos = g.pos
+      GROUP BY c.source
+    )
+    SELECT source,
+           CAST(dot_grid AS BIGINT) AS dot_grid,
+           CAST(dot_grid / (sqrt(CAST(nc_grid AS DOUBLE))
+                            * sqrt(CAST(ng_grid AS DOUBLE))) AS DOUBLE)
+               AS centroid_cosine
+    FROM grids
+"""
+_sql_query(
+    "vs_centroid_drift_by_source",
+    _DRIFT.format(
+        explode_src="SELECT source, posexplode(embedding) AS (pos, comp) FROM joined",
+        explode_all="SELECT posexplode(embedding) AS (pos, comp) FROM joined",
+    ),
+    _DRIFT.format(
+        explode_src=(
+            "SELECT source, t.i AS pos, embedding[t.i] AS comp FROM joined, "
+            "unnest(range(1, len(embedding) + 1)) AS t(i)"
+        ),
+        explode_all=(
+            "SELECT t.i AS pos, embedding[t.i] AS comp FROM joined, "
+            "unnest(range(1, len(embedding) + 1)) AS t(i)"
+        ),
+    ),
+    tags=("vector", "centroid", "drift", "monitoring"),
+)
+
 # Deterministic hash-based train/test split (the reproducible-split op a
 # training pipeline needs: content-hash mod 100 -> stable assignment that
 # survives reshuffles, re-runs, and engine changes).
