@@ -159,6 +159,37 @@ def derived_metrics(spark, sf_dir: str, timings: dict[str, float]) -> dict[str, 
             )
 
     _try(_ivf_recall)
+
+    # PQ quality dial: recall@10 of the probed IVF+PQ search vs its own
+    # full-probe/covering-shortlist degeneration (= exact L2).
+    def _ivfpq_recall() -> None:
+        from pgvector_db_spark.operators.pq import (
+            build_ivfpq_layout,
+            search_ivfpq_layout,
+        )
+
+        tag = sf_dir.strip("/").replace("/", "_")
+        path = os.path.join(tempfile.gettempdir(), f"ivfpq_cache_{tag}")
+        if not os.path.exists(os.path.join(path, "model.json")):
+            build_ivfpq_layout(t["embeddings"], path, lists=8, m=16, k=32)
+        q = list(t["embeddings"].filter("vec_id = 0").first()["embedding"])
+        exact = {
+            r["vec_id"]
+            for r in search_ivfpq_layout(
+                spark, path, q, k_top=10, nprobe=8, shortlist=100000
+            ).collect()
+        }
+        probed = {
+            r["vec_id"]
+            for r in search_ivfpq_layout(
+                spark, path, q, k_top=10, nprobe=2, shortlist=100
+            ).collect()
+        }
+        out["ivfpq_recall_at_10_nprobe2"] = round(
+            len(exact & probed) / max(1, len(exact)), 2
+        )
+
+    _try(_ivfpq_recall)
     return out
 
 
