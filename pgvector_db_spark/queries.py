@@ -2944,6 +2944,63 @@ _sql_query(
 
 
 @register(
+    "ds_groupwise_normalize",
+    """
+    WITH b AS (
+      SELECT user_id, value,
+             MIN(value) OVER (PARTITION BY user_id) AS mn,
+             MAX(value) OVER (PARTITION BY user_id) AS mx
+      FROM events
+    ),
+    n AS (
+      SELECT user_id,
+             CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+                  ELSE CAST(floor((value - mn) / (mx - mn) * 1000000000 + 0.5)
+                            AS BIGINT) END AS norm_grid
+      FROM b
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(norm_grid) AS BIGINT) AS sum_norm_grid
+    FROM n GROUP BY user_id
+    """,
+    tags=("dataset", "udf", "applyInPandas"),
+)
+def ds_groupwise_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map ``applyInPandas`` in the gate: per-user min-max
+    normalization computed by a pandas function (the grouped-map API the
+    embedding/feature pipelines use for per-group model ops), reduced to
+    grid-fixed integers inside the UDF so the result is exact. The oracle
+    recomputes the same normalization relationally with window min/max —
+    two runtimes (pandas vs SQL window) must agree bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+
+    t = load_tables(spark, sf_dir)
+
+    def norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"].to_numpy(dtype="float64")
+        mn, mx = v.min(), v.max()
+        if mx == mn:
+            grid = np.zeros(len(v), dtype="int64")
+        else:
+            grid = np.floor((v - mn) / (mx - mn) * 1e9 + 0.5).astype("int64")
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_rows": [len(v)],
+                "sum_norm_grid": [int(grid.sum())],
+            }
+        )
+
+    return (
+        t["events"]
+        .select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(norm, "user_id bigint, n_rows bigint, sum_norm_grid bigint")
+    )
+
+
+@register(
     "ds_multimodal_decode",
     """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
