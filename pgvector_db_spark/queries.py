@@ -2944,6 +2944,34 @@ _sql_query(
 
 
 @register(
+    "ds_pandas_udf_token_count",
+    """
+    SELECT CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+')))
+                AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    """,
+    tags=("dataset", "udf", "pandas_udf"),
+)
+def ds_pandas_udf_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar Arrow-vectorized ``@pandas_udf`` in the gate: whitespace
+    token counting done by pandas string ops (one Arrow batch per
+    partition chunk, never per-row Python), aggregated and checked
+    against the pure-SQL tokenizer. Covers the scalar-UDF API next to
+    mapInPandas / applyInPandas / applyInPandasWithState."""
+    from pgvector_db_spark.functions.pandas_udfs import n_tokens
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].filter(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    )
+    return docs.select(n_tokens("text").alias("nt")).agg(
+        F.sum("nt").cast("bigint").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@register(
     "ds_groupwise_normalize",
     """
     WITH b AS (
