@@ -2965,7 +2965,7 @@ def ds_pandas_udf_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t["documents"].filter(
         F.col("text").isNotNull() & (F.trim("text") != "")
     )
-    return docs.select(n_tokens("text").alias("nt")).agg(
+    return docs.select(n_tokens()("text").alias("nt")).agg(
         F.sum("nt").cast("bigint").alias("total_tokens"),
         F.count(F.lit(1)).alias("n_docs"),
     )
@@ -4547,6 +4547,30 @@ _sql_query(
     _chunk_sql("duckdb"),
     tags=("dataset", "chunking", "pipeline"),
 )
+
+
+@register(
+    "ds_udtf_chunk_documents",
+    _chunk_sql("duckdb"),
+    tags=("dataset", "chunking", "udtf"),
+)
+def ds_udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chunker as a Python UDTF (Spark 4 user-defined TABLE function)
+    applied with a LATERAL join — the row-expanding UDF shape. Same
+    chunk semantics as the pure-SQL ds_chunk_documents, so the DuckDB
+    chunking oracle checks the UDTF row expansion exactly."""
+    from pgvector_db_spark.functions.pandas_udfs import chunk_words_udtf
+
+    load_tables(spark, sf_dir)
+    spark.udtf.register("chunk_words", chunk_words_udtf())
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.n_words, c.chunk_text
+        FROM documents d, LATERAL chunk_words(d.text) c
+        """
+    )
+
+
 
 
 # ---------------------------------------------------------------------------
