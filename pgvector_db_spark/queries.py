@@ -2944,6 +2944,45 @@ _sql_query(
 
 
 @register(
+    "ds_predict_batch_udf",
+    """
+    SELECT CAST(SUM(n_chars * 2) AS BIGINT) AS pred0_sum,
+           CAST(SUM(n_chars + 1) AS BIGINT) AS pred1_sum,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents
+    """,
+    tags=("dataset", "udf", "inference", "A12"),
+)
+def ds_predict_batch_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``pyspark.ml.functions.predict_batch_udf`` — the batch-inference
+    wrapper the REAL embedding path uses (per-executor model load, numpy
+    batch in, array out). Here the 'model' is a deterministic integer
+    linear map so the whole plumbing (model factory, batching, Arrow
+    transfer, array column) is oracle-checkable: pred = [x*2, x+1]."""
+    import numpy as np
+    from pyspark.ml.functions import predict_batch_udf
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    def make_model():
+        def predict(batch: np.ndarray) -> np.ndarray:
+            x = batch.astype(np.float64).reshape(-1)
+            return np.stack([x * 2.0, x + 1.0], axis=1)
+
+        return predict
+
+    pred = predict_batch_udf(
+        make_model, return_type=ArrayType(DoubleType()), batch_size=256
+    )
+    t = load_tables(spark, sf_dir)
+    out = t["documents"].select(pred(F.col("n_chars")).alias("p"))
+    return out.agg(
+        F.sum(F.col("p")[0]).cast("bigint").alias("pred0_sum"),
+        F.sum(F.col("p")[1]).cast("bigint").alias("pred1_sum"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@register(
     "ds_pandas_udf_token_count",
     """
     SELECT CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+')))
