@@ -2174,6 +2174,72 @@ _sql_query(
     tags=("relational", "nulls"),
 )
 
+# SCD2 (slowly-changing dimension, type 2) built from a change stream:
+# collapse consecutive equal values per user into effective-dated version
+# rows (valid_from / valid_to, NULL = current). Pure window composition,
+# exact integer microseconds.
+_SCD2 = """
+    WITH c AS (
+      SELECT user_id, ts, event_id, value,
+             lag(value) OVER (PARTITION BY user_id
+                              ORDER BY ts ASC, event_id ASC) AS prev_v
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, ts, event_id, value FROM c
+      WHERE prev_v IS NULL OR prev_v <> value
+    ),
+    versioned AS (
+      SELECT user_id, value,
+             CAST({epochus}(ts) AS BIGINT) AS valid_from_us,
+             CAST({epochus}(lead(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts ASC, event_id ASC))
+                  AS BIGINT) AS valid_to_us,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC) AS version_no
+      FROM changes
+    )
+    SELECT user_id, CAST(version_no AS INT) AS version_no,
+           value, valid_from_us, valid_to_us
+    FROM versioned
+"""
+_sql_query(
+    "rel_scd2_versions",
+    _SCD2.format(epochus="unix_micros"),
+    _SCD2.format(epochus="epoch_us"),
+    tags=("relational", "scd2", "warehouse"),
+)
+
+# Ordered event funnel: view → click → purchase, each stage's timestamp
+# must be at-or-after the previous stage's first occurrence (the classic
+# product-analytics conversion query). Three chained aggregate+join
+# levels; counts are exact integers.
+_sql_query(
+    "rel_funnel_stages",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS v_ts FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS c_ts
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts >= v.v_ts
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS p_ts
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+      GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_viewed,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_clicked_after_view,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchased_after_click
+    """,
+    tags=("relational", "funnel", "analytics"),
+)
+
 # Time-weighted average (TimescaleDB toolkit `time_weight('LOCF')`
 # analogue): each observation holds until the next one, so the average
 # weights values by their holding interval. lag/lead windowing + exact
