@@ -2240,6 +2240,32 @@ _sql_query(
     tags=("relational", "funnel", "analytics"),
 )
 
+# Weekly cohort retention: users bucketed by first-seen week, then for
+# each (cohort, weeks-since) cell the count of distinct active users —
+# the standard retention matrix. Week index = epoch days / 7 (integer,
+# engine-neutral; avoids locale-dependent week-of-year functions).
+_RETENTION = """
+    WITH wk AS (
+      SELECT user_id,
+             CAST(floor({epochs}(ts) / 604800.0) AS BIGINT) AS week_no
+      FROM events
+    ),
+    cohort AS (
+      SELECT user_id, MIN(week_no) AS cohort_week FROM wk GROUP BY user_id
+    )
+    SELECT c.cohort_week,
+           CAST(w.week_no - c.cohort_week AS BIGINT) AS weeks_since,
+           CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS n_active
+    FROM wk w JOIN cohort c ON w.user_id = c.user_id
+    GROUP BY c.cohort_week, weeks_since
+"""
+_sql_query(
+    "rel_retention_cohorts",
+    _RETENTION.format(epochs="unix_timestamp"),
+    _RETENTION.format(epochs="epoch"),
+    tags=("relational", "cohort", "analytics"),
+)
+
 # Time-weighted average (TimescaleDB toolkit `time_weight('LOCF')`
 # analogue): each observation holds until the next one, so the average
 # weights values by their holding interval. lag/lead windowing + exact
