@@ -2240,6 +2240,48 @@ _sql_query(
     tags=("relational", "funnel", "analytics"),
 )
 
+# Market-basket co-occurrence: for every pair of event types, how many
+# users exhibit both (self-join on the distinct user×type set with a
+# type_a < type_b ordering — the support count of 2-itemsets). Exact
+# integer counts; the pair space is |types|², never |users|².
+_sql_query(
+    "rel_cooccurrence_pairs",
+    """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(COUNT(*) AS BIGINT) AS n_users_both
+    FROM ut a JOIN ut b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY a.event_type, b.event_type
+    """,
+    tags=("relational", "basket", "analytics"),
+)
+
+# Percent-of-total via window aggregate: each nation's share of global
+# revenue. Ratios go through exact BIGINT cents on both sides of the
+# division (int64→double is correctly rounded everywhere; decimal→double
+# at this magnitude is not).
+_sql_query(
+    "rel_percent_of_total_revenue",
+    """
+    WITH n AS (
+      SELECT n_name,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                 AS cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+    )
+    SELECT n_name,
+           CAST(cents AS BIGINT) AS revenue_cents,
+           CAST(CAST(cents AS DOUBLE) / CAST(SUM(cents) OVER () AS DOUBLE)
+                AS DOUBLE) AS revenue_share
+    FROM n
+    """,
+    tags=("relational", "window", "share"),
+)
+
 # Weekly cohort retention: users bucketed by first-seen week, then for
 # each (cohort, weeks-since) cell the count of distinct active users —
 # the standard retention matrix. Week index = epoch days / 7 (integer,
