@@ -1026,6 +1026,83 @@ _sql_query(
     tags=("relational", "aggregate"),
 )
 
+# Winsorized mean (robust stats for quality filtering): clip values at
+# the within-group p05/p95, then average. Clipped values are grid-fixed
+# to 1e6 BIGINTs before summing, so the mean is exact given identical
+# percentile interpolation (established by rel_percentiles).
+_sql_query(
+    "rel_winsorized_mean",
+    """
+    WITH b AS (
+      SELECT event_type, value,
+             percentile(value, 0.05) OVER (PARTITION BY event_type) AS lo,
+             percentile(value, 0.95) OVER (PARTITION BY event_type) AS hi
+      FROM events
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(floor(least(greatest(value, lo), hi) * 1000000 + 0.5)
+                  AS BIGINT) AS clipped_grid
+      FROM b
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(floor(CAST(SUM(clipped_grid) AS DOUBLE) / COUNT(*))
+                AS BIGINT) AS winsor_mean_micro
+    FROM g GROUP BY event_type
+    """,
+    """
+    WITH p AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY event_type
+    ),
+    g AS (
+      SELECT e.event_type,
+             CAST(floor(least(greatest(e.value, p.lo), p.hi) * 1000000 + 0.5)
+                  AS BIGINT) AS clipped_grid
+      FROM events e JOIN p ON e.event_type = p.event_type
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(floor(CAST(SUM(clipped_grid) AS DOUBLE) / COUNT(*))
+                AS BIGINT) AS winsor_mean_micro
+    FROM g GROUP BY event_type
+    """,
+    tags=("relational", "robust-stats", "quality"),
+)
+
+# Median absolute deviation (the robust spread measure): a nested
+# percentile — median of |x - median(x)| per group. Both engines use
+# linear-interpolated percentiles over identical inputs.
+_sql_query(
+    "rel_median_abs_deviation",
+    """
+    WITH m AS (
+      SELECT event_type, percentile(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           m.med AS median_value,
+           percentile(abs(e.value - m.med), 0.5) AS mad
+    FROM events e JOIN m ON e.event_type = m.event_type
+    GROUP BY e.event_type, m.med
+    """,
+    """
+    WITH m AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           m.med AS median_value,
+           quantile_cont(abs(e.value - m.med), 0.5) AS mad
+    FROM events e JOIN m ON e.event_type = m.event_type
+    GROUP BY e.event_type, m.med
+    """,
+    tags=("relational", "robust-stats"),
+)
+
 # stddev/corr are float-order-dependent; population forms + round(4) keeps
 # cross-engine agreement far inside the rounding granularity.
 _sql_query(
