@@ -33,12 +33,19 @@ def asof_join(
     left_ts: str = "ts",
     right_ts: str = "ts",
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of left join: latest right row at-or-before each left
-    row's timestamp, per ``key``. Right payload columns come back under
-    their own names (suffixed on collision); unmatched left rows get
-    nulls (left-join semantics). Ties (equal ts) match, right-first.
+    """As-of left join per ``key``: for each left row, the single nearest
+    right row at-or-before its timestamp (``direction="backward"``, the
+    default) or at-or-after it (``direction="forward"``). Right payload
+    columns come back under their own names (suffixed on collision);
+    unmatched left rows get nulls (left-join semantics). Ties (equal ts)
+    match, right-first. Either direction is ONE shuffle on the key — the
+    union-sort carries the latest/next right payload with a running
+    ``last(ignorenulls)`` over the appropriately-ordered window.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     payload = [c for c in right.columns if c not in (key, right_ts)]
     rp_struct = F.struct(*[F.col(c) for c in payload])
 
@@ -57,10 +64,13 @@ def asof_join(
         F.lit(None).cast(rp_type).alias("_rp"),
         *left.columns,
     )
-    # order right (side 0) before left (side 1) at equal ts so ties match
+    # order right (side 0) before left (side 1) at equal ts so ties match;
+    # forward direction just flips the time ordering (nearest-after
+    # becomes the running last over descending time)
+    t_order = F.col("_t").asc() if direction == "backward" else F.col("_t").desc()
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_t").asc(), F.col("_side").asc())
+        .orderBy(t_order, F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = (

@@ -1902,6 +1902,47 @@ def rel_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rel_asof_forward_next_purchase",
+    """
+    SELECT c.event_id, c.user_id,
+           CAST(epoch_us(c.ts) AS BIGINT) AS ts_us,
+           p.event_id AS next_purchase_id,
+           p.value AS next_purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts <= p.ts
+    """,
+    tags=("relational", "asof", "forward"),
+)
+def rel_asof_forward_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (operators/joins.py direction='forward'): each
+    click matched to the user's NEXT purchase at-or-after it — the
+    time-to-conversion primitive. Oracle: DuckDB ASOF LEFT JOIN with the
+    <= comparison (nearest following row)."""
+    from pgvector_db_spark.operators.joins import asof_join
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("next_purchase_id"),
+        F.col("value").alias("next_purchase_value"),
+    )
+    out = asof_join(clicks, purchases, "user_id", direction="forward")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "next_purchase_id",
+        "next_purchase_value",
+    )
+
+
 _BANDS = [(0, 0.0, 50.0), (1, 50.0, 100.0), (2, 100.0, 200.0), (3, 200.0, 400.0)]
 _DUCK_BANDS = ", ".join(f"({b}, {lo}, {hi})" for b, lo, hi in _BANDS)
 
