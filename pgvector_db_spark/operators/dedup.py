@@ -65,6 +65,8 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     hash_fn: str = "md5",
+    broadcast_max_docs: int = 1_000_000,
+    max_band_docs: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding, jaccard-verified.
 
@@ -73,6 +75,25 @@ def minhash_lsh_pairs(
     and id (verification join) — never the full pair space.
     ``hash_fn='xxhash64'`` is the fast production hash; 'md5' matches the
     DuckDB oracle (see functions/text.minhash_signature).
+
+    ``broadcast_max_docs`` caps the verification-join broadcast: up to
+    this many documents the per-doc shingle table is broadcast (the pair
+    relation never shuffles its attached arrays); above it the hint is
+    OMITTED and verification runs as a shuffled hash join — an explicit
+    ``F.broadcast()`` hint is honored unconditionally by the planner, so
+    an unconditional hint would OOM executors once the shingle table
+    outgrows memory at corpus scale.
+
+    ``max_band_docs`` is the skew guard: a band bucket holding ``m``
+    documents yields O(m²) candidate pairs through ONE join task, and a
+    templated/boilerplate corpus concentrates near-identical docs into
+    the same buckets across every band. When set, buckets larger than the
+    cap are excluded from candidate generation (their doc count and
+    bucket count are logged as overflow) — the same move as the
+    ``max_df`` stop-gram guard in :func:`ngram_jaccard_pairs`: an
+    over-full bucket is boilerplate, and any genuinely near-dup pair it
+    holds is usually rediscovered through a less-common band. Default
+    ``None`` (off) preserves exact oracle parity.
     """
     rows_per_band = num_hashes // bands
     shingles = char_shingles(F.col(text_col), shingle_k)
@@ -95,10 +116,35 @@ def minhash_lsh_pairs(
     # recomputing the lineage — materialize once, eagerly (MLlib's LSH
     # does the same). Measured 37s -> ~8s at sf0.1.
     base = base.persist()
-    base.count()
+    n_docs = base.count()
     banded = base.withColumn(
         "_bk", F.explode(lsh_band_keys(F.col("_sig"), bands, rows_per_band))
     ).select(id_col, "_bk")
+
+    if max_band_docs is not None:
+        # Skew guard: drop band buckets whose membership exceeds the cap
+        # BEFORE the self-join, so no task ever materializes a hot
+        # bucket's O(m²) pair space. The hot-key list is tiny by
+        # construction (≤ bands·n/cap keys) — broadcast the anti-join.
+        hot = (
+            banded.groupBy("_bk")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > max_band_docs)
+            .persist()
+        )
+        n_hot = hot.count()
+        if n_hot:
+            import logging
+
+            stats = hot.agg(F.sum("_n").alias("docs")).collect()[0]
+            logging.getLogger(__name__).warning(
+                "minhash_lsh_pairs skew guard: dropping %d band buckets "
+                "(%s member rows) exceeding max_band_docs=%d",
+                n_hot,
+                stats["docs"],
+                max_band_docs,
+            )
+        banded = banded.join(F.broadcast(hot.select("_bk")), "_bk", "left_anti")
 
     cand = (
         banded.alias("a")
@@ -112,13 +158,17 @@ def minhash_lsh_pairs(
 
     # Verification: attach both shingle sets to each candidate pair. The
     # shingle table is per-DOCUMENT (n rows), the candidate table is
-    # per-PAIR (can be O(cluster²) on templated corpora) — broadcast the
-    # doc-side so the heavy pair relation never shuffles its attached
-    # arrays. Auto-broadcast misses this (array payload overshoots the
-    # 10MB size estimate); at cluster scale the same hint holds until the
-    # shingle table outgrows executor memory, where AQE's size check
-    # falls back to the shuffled join.
-    sh = F.broadcast(base.select(F.col(id_col), F.col("_sh")))
+    # per-PAIR (can be O(cluster²) on templated corpora) — broadcasting
+    # the doc side keeps the heavy pair relation from shuffling its
+    # attached arrays. Auto-broadcast misses this (array payload
+    # overshoots the 10MB size estimate), so hint explicitly — but ONLY
+    # below broadcast_max_docs: the hint is honored regardless of actual
+    # size, so past the cap we omit it and let the verification run as a
+    # shuffled hash join on id (pairs shuffle slim (id_a, id_b) rows;
+    # the shingle arrays ride exactly one exchange each).
+    sh = base.select(F.col(id_col), F.col("_sh"))
+    if n_docs <= broadcast_max_docs:
+        sh = F.broadcast(sh)
     verified = (
         cand.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sh", "_sha"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("_sh", "_shb"), "id_b")

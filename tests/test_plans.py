@@ -250,3 +250,26 @@ def test_hybrid_rrf_no_cartesian(spark):
     df = REGISTRY["vs_hybrid_rrf_search"].spark_fn(spark, SF_DIR)
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_minhash_verify_broadcast_is_size_conditional(spark, tables):
+    """The MinHash verification join broadcasts the per-doc shingle table
+    only below ``broadcast_max_docs``; above it the hint must be absent so
+    verification falls back to a shuffled join (an explicit broadcast hint
+    is honored regardless of size and would OOM at corpus scale).
+    autoBroadcastJoinThreshold is disabled so the ONLY way a broadcast can
+    appear in the initial plan is the explicit hint."""
+    from pgvector_db_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = tables["documents"].filter("doc_id < 100")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        hinted = physical_plan(minhash_lsh_pairs(docs, broadcast_max_docs=10**6))
+        assert "BroadcastHashJoin" in hinted, hinted
+        capped = physical_plan(minhash_lsh_pairs(docs, broadcast_max_docs=0))
+        assert "BroadcastHashJoin" not in capped, (
+            "broadcast hint survived above the doc cap:\n" + capped
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

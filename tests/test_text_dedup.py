@@ -319,3 +319,28 @@ def test_minhash_index_incremental(spark, tmp_path, tables):
     assert s2.filter("doc_id >= 100000").count() == 0
     # re-checking the survivors now flags all of them (self-duplicates)
     assert idx.check(s2).select("batch_id").distinct().count() == s2.count()
+
+
+def test_minhash_skew_guard_caps_hot_band_buckets(spark):
+    """Synthetic skew: a 60-doc templated cluster funnels O(60²) pairs
+    through one band bucket. With max_band_docs set below the cluster
+    size, the hot buckets are excluded from candidate generation (the
+    boilerplate cluster drops out) while pairs living in small buckets
+    are still found; with the guard off, the full cluster pair space
+    comes back."""
+    template = "the quick brown fox jumps over the lazy dog again and again "
+    rows = [(i, template + "boilerplate footer common to every crawl page") for i in range(60)]
+    # a genuine near-dup pair, textually far from the template cluster
+    rows += [
+        (100, "completely different document about spark adaptive query execution xyzzy"),
+        (101, "completely different document about spark adaptive query execution xyzzq"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    unguarded = minhash_lsh_pairs(docs, threshold=0.5)
+    assert unguarded.filter("id_a < 100").count() == 60 * 59 // 2
+
+    guarded = minhash_lsh_pairs(docs, threshold=0.5, max_band_docs=50)
+    got = {(r["id_a"], r["id_b"]) for r in guarded.collect()}
+    assert (100, 101) in got, "small-bucket pair lost to the skew guard"
+    assert not any(a < 100 for a, _ in got), "hot-bucket pairs not capped"
