@@ -190,6 +190,39 @@ def derived_metrics(spark, sf_dir: str, timings: dict[str, float]) -> dict[str, 
         )
 
     _try(_ivfpq_recall)
+
+    # corpus-vs-corpus shape: distributed batch ANN with a ~100k-query
+    # batch (queries never touch the driver — IVFIndex.batch_search
+    # mode='distributed'). The number that matters at 100 TB: per-query
+    # cost of one pruned pass over the layout for the WHOLE batch.
+    def _batch_ann_100k() -> None:
+        from pgvector_db_spark.operators.ivf import IVFIndex
+
+        tag = sf_dir.strip("/").replace("/", "_")
+        path = os.path.join(tempfile.gettempdir(), f"ivf_cache_{tag}")
+        if not os.path.exists(os.path.join(path, "centroids")):
+            IVFIndex.build(t["embeddings"], path, lists=8)
+        idx = IVFIndex(spark, path, "embedding", "vec_id")
+        n_emb = t["embeddings"].count()
+        reps = max(1, 100_000 // n_emb)
+        queries = (
+            t["embeddings"]
+            .crossJoin(spark.range(reps).withColumnRenamed("id", "_rep"))
+            .selectExpr(
+                f"vec_id * {reps} + _rep AS query_id",
+                "embedding AS query_vec",
+            )
+        )
+        nq = n_emb * reps
+        t0 = _t.time()
+        assert idx.batch_search(
+            queries, k=10, nprobe=1, mode="distributed"
+        ).count() >= nq  # k results per query (>= nq rows)
+        dt = _t.time() - t0
+        out["batch_ann_queries_per_sec"] = round(nq / dt, 1)
+        out["batch_ann_batch_size"] = nq
+
+    _try(_batch_ann_100k)
     return out
 
 

@@ -80,19 +80,50 @@ def fake_embedding_sql(text_expr: str, dim: int = 8, dialect: str = "spark") -> 
 _MODEL_CACHE: dict[str, object] = {}
 
 
-def _load_model(model_name: str):
+class DeterministicStubModel:
+    """Injectable stand-in for a sentence-transformers model: same
+    ``encode(texts, batch_size=)`` surface (reference
+    generate_embeddings.py:69-92), deterministic SQL-expressible output —
+    component 0 = codepoint length, 1 = first codepoint, 2 = space count,
+    3 = 1.0 — so the REAL inference pipeline (mapInPandas, Arrow batching,
+    per-worker singleton, schema handling) is exercised and
+    oracle-checked end-to-end where torch is absent."""
+
+    dim = 4
+
+    def encode(self, texts, batch_size: int = 32):
+        import numpy as np
+
+        out = np.zeros((len(texts), self.dim), dtype=np.float32)
+        for i, t in enumerate(texts):
+            out[i, 0] = float(len(t))
+            out[i, 1] = float(ord(t[0])) if t else 0.0
+            out[i, 2] = float(t.count(" "))
+            out[i, 3] = 1.0
+        return out
+
+
+def _load_model(model_name: str, factory=None):
     """Per-executor-process model singleton (the reference loads once per
     process at generate_embeddings.py:52-67; on Spark that becomes once per
-    executor python worker)."""
+    executor python worker). ``factory`` — an injected zero-arg callable
+    returning an object with ``.encode(texts, batch_size=)`` — takes
+    precedence over the sentence-transformers hub path, so the full
+    mapInPandas pipeline (Arrow batching, cache, schema) runs with any
+    model implementation, including deterministic stubs in tests."""
     if model_name not in _MODEL_CACHE:
-        try:
-            from sentence_transformers import SentenceTransformer  # type: ignore
-        except ImportError as exc:  # pragma: no cover - heavy dep absent in CI
-            raise NotImplementedError(
-                "sentence-transformers is not installed in this environment; "
-                "use embed_text(..., model='fake') for the deterministic path"
-            ) from exc
-        _MODEL_CACHE[model_name] = SentenceTransformer(model_name)
+        if factory is not None:
+            _MODEL_CACHE[model_name] = factory()
+        else:
+            try:
+                from sentence_transformers import SentenceTransformer  # type: ignore
+            except ImportError as exc:  # pragma: no cover - heavy dep absent in CI
+                raise NotImplementedError(
+                    "sentence-transformers is not installed in this environment; "
+                    "use embed_text(..., model='fake') for the deterministic "
+                    "path or inject model_factory"
+                ) from exc
+            _MODEL_CACHE[model_name] = SentenceTransformer(model_name)
     return _MODEL_CACHE[model_name]
 
 
@@ -103,13 +134,18 @@ def embed_text(
     model: str = "fake",
     dim: int = 8,
     batch_size: int = 500,
+    model_factory=None,
 ) -> DataFrame:
     """Append an embedding column for ``text_col``.
 
     ``model='fake'`` → native-expression deterministic embedding (tests,
-    oracle). Any other name → sentence-transformers via ``mapInPandas``
-    (Arrow-batched, model cached per executor; reference
-    generate_embeddings.py:69-92).
+    oracle). Any other name → the REAL inference path: ``mapInPandas``
+    (Arrow-batched, model cached per executor python worker; reference
+    generate_embeddings.py:69-92). The model object comes from
+    ``model_factory`` when given (shipped by cloudpickle to the workers —
+    anything exposing ``.encode(texts, batch_size=)``, e.g. a
+    deterministic stub where torch is absent) else from
+    sentence-transformers by name.
     """
     if model == "fake":
         return df.withColumn(out_col, fake_embedding(F.col(text_col), dim))
@@ -118,12 +154,14 @@ def embed_text(
     out_schema = f"{fields}, {out_col} array<float>"
 
     def infer(batches: Iterator) -> Iterator:
-        mdl = _load_model(model)
+        mdl = _load_model(model, model_factory)
         for pdf in batches:
             texts = pdf[text_col].fillna("").tolist()
             embs = mdl.encode(texts, batch_size=batch_size)  # type: ignore[attr-defined]
             pdf = pdf.copy()
-            pdf[out_col] = [e.tolist() for e in embs]
+            pdf[out_col] = [
+                e.tolist() if hasattr(e, "tolist") else list(e) for e in embs
+            ]
             yield pdf
 
     return df.mapInPandas(infer, schema=out_schema)

@@ -58,10 +58,14 @@ _FUNCTIONS: dict[str, str] = {
     "vector_dims": """
         CREATE OR REPLACE TEMPORARY FUNCTION vector_dims(a ARRAY<FLOAT>)
         RETURNS INT RETURN size(a)""",
+    # norm hoisted out of the lambda via array_repeat (evaluated once per
+    # row) — transform(a, x -> x / norm) would re-run the O(d) fold per
+    # element; see functions/vector.py:l2_normalize
     "l2_normalize": f"""
         CREATE OR REPLACE TEMPORARY FUNCTION l2_normalize(a ARRAY<FLOAT>)
-        RETURNS ARRAY<DOUBLE> RETURN transform(a,
-          x -> CAST(x AS DOUBLE) / sqrt({dot_sql('a', 'a', 'spark')}))""",
+        RETURNS ARRAY<DOUBLE> RETURN zip_with(a,
+          array_repeat(sqrt({dot_sql('a', 'a', 'spark')}), size(a)),
+          (x, n) -> CAST(x AS DOUBLE) / n)""",
 }
 
 # sparsevec surface (functions/sparse.py), same SQL-UDF treatment; the

@@ -105,10 +105,18 @@ def vector_dims(a: ColumnOrName) -> Column:
 def l2_normalize(a: ColumnOrName) -> Column:
     """Unit-normalize; with normalized vectors cosine top-k reduces to a
     dot-product top-k (one fold instead of three) — the fast path for
-    repeated kNN at scale."""
+    repeated kNN at scale.
+
+    The norm fold is evaluated ONCE per row: Catalyst has no let-binding
+    and does not hoist loop-invariant expressions out of higher-order
+    lambdas, so ``transform(a, x -> x / l2_norm(a))`` would re-run the
+    O(d) fold per element (O(d²) per vector). Instead the norm is
+    materialized into a d-length array via ``array_repeat`` (its scalar
+    argument is evaluated once) and divided element-wise with
+    ``zip_with`` — O(d) total, identical values."""
     col = _c(a)
-    n = l2_norm(col)
-    return F.transform(col, lambda x: _d(x) / n)
+    norms = F.array_repeat(l2_norm(col), F.size(col))
+    return F.zip_with(col, norms, lambda x, n: _d(x) / n)
 
 
 def vector_literal(vec: list[float]) -> Column:

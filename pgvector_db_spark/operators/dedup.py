@@ -426,6 +426,55 @@ def embedding_near_dup_survivors(
     return df.join(dominated, id_col, "left_anti")
 
 
+def embedding_near_dup_survivors_ivf(
+    df: DataFrame,
+    index,
+    assign: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.3,
+) -> DataFrame:
+    """:func:`embedding_near_dup_survivors` with IVF blocking — the actual
+    100 TB shape (the label-blocked variant needs a semantic label; this
+    one manufactures blocks from the data's own geometry).
+
+    Every row is MULTI-ASSIGNED to its ``assign`` nearest IVF centroids
+    (``index`` — operators/ivf.IVFIndex, cosine metric) via the same
+    distributed centroid-broadcast + WindowGroupLimit ranking the batch
+    ANN search uses — no driver collect. Pairs are generated per
+    ``list_id`` block only; multi-assignment recovers near-boundary pairs
+    a single-assignment blocking would miss. ``assign = lists``
+    degenerates to the exact unblocked dedup (every pair co-blocked),
+    which is the oracle for the registry entry; recall at partial
+    ``assign`` is pinned in tests/test_text_dedup.py.
+
+    Scale: pair space is sum over lists of (rows assigned)² instead of
+    n²; the dominated set is distinct ids; the final step is a left-anti
+    hash join. Everything shuffles on list_id / id only — vectors never
+    shuffle more than ``assign`` copies.
+    """
+    probe = index._probe_table_distributed(
+        df.select(F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv0")),
+        nprobe=assign,
+        q_id_col="_qid",
+        q_vec_col="_qv0",
+    )
+    a = probe.select(
+        F.col("_qid").alias("id_a"), "list_id", F.col("_qv").alias("_va")
+    )
+    b = probe.select(
+        F.col("_qid").alias("id_b"), "list_id", F.col("_qv").alias("_vb")
+    )
+    dominated = (
+        a.join(b, "list_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine_similarity(F.col("_va"), F.col("_vb")) >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(dominated, id_col, "left_anti")
+
+
 def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """Small-world connected components over dup pairs (id_a, id_b) →
     (id, component) where component = min id reachable. Label-propagation

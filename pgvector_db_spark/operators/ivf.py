@@ -335,35 +335,71 @@ class IVFIndex:
         nprobe: int = 1,
         q_id_col: str = "query_id",
         q_vec_col: str = "query_vec",
+        mode: str = "auto",
+        driver_batch_max: int = 8192,
     ) -> DataFrame:
         """ANN top-k for a BATCH of query vectors in ONE plan.
 
-        Per-query centroid ranking happens driver-side (the query batch is
-        small by construction — same contract as operators/knn.knn_batch —
-        and centroids are cached), producing a (query_id, list_id, qvec)
-        probe table. The scan reads only the UNION of probed lists
-        (partition pruning), the probe table broadcasts into the data join
-        on ``list_id`` — so each row is scored ONLY against queries that
-        probed its list, not every query — and the ``rank <= k`` predicate
-        compiles to WindowGroupLimit (partial top-k before the shuffle on
-        ``query_id``). At scale this is one pruned pass over nprobe/lists
-        of the data for the whole batch, instead of Q sequential searches.
+        Two probe-table strategies, selected by ``mode``:
+
+        - ``driver`` — per-query centroid ranking on the driver (centroids
+          are cached; the batch is collected). The union of probed lists
+          is known at plan time, so the scan is STATICALLY partition-pruned
+          (``list_id IN (...)``) and the probe table broadcasts. Right for
+          interactive batches (≤ thousands of queries).
+        - ``distributed`` — the corpus-vs-corpus shape (millions of
+          queries: dedup sweeps, retrieval eval). The query batch NEVER
+          leaves the executors: the tiny centroid table broadcasts into a
+          query × centroid scored join, ``row_number() <= nprobe`` compiles
+          to WindowGroupLimit (partial top-nprobe before the query_id
+          shuffle), and the resulting probe table joins the layout on
+          ``list_id``. The probe side is left unhinted — AQE picks a
+          broadcast join when the batch turns out small, and a huge batch
+          probes most lists anyway, making the full scan the right plan.
+        - ``auto`` (default) — ``driver`` when a ``limit(max+1)`` count
+          says the batch is ≤ ``driver_batch_max`` rows, else
+          ``distributed``.
+
+        Both modes use the same fold order everywhere (dot/norm sequential
+        left folds, ties broken by ``list_id``), so they probe identical
+        lists and return bitwise-identical results — pinned by
+        tests/test_ivf.py.
 
         Returns (query_id, vec_id, distance, knn_rank), rank 1 = nearest,
         tie-broken by ``id_col``.
         """
-        from pyspark.sql.window import Window
-
-        from pgvector_db_spark.functions.vector import (
-            cosine_distance,
-            cosine_distance_precomputed,
-        )
-
         if self.metric != "cosine":
             raise NotImplementedError(
                 "batch_search currently supports cosine indexes only; "
                 "use search() per query for l2/ip"
             )
+        if mode == "auto":
+            small = (
+                queries.limit(driver_batch_max + 1).count() <= driver_batch_max
+            )
+            mode = "driver" if small else "distributed"
+        if mode == "driver":
+            probe_df, probed = self._probe_table_driver(
+                queries, nprobe, q_id_col, q_vec_col
+            )
+            return self._score_probes(
+                probe_df, k, q_id_col, probed_lists=probed, broadcast_probes=True
+            )
+        if mode != "distributed":
+            raise ValueError(f"unknown mode: {mode}")
+        probe_df = self._probe_table_distributed(
+            queries, nprobe, q_id_col, q_vec_col
+        )
+        return self._score_probes(
+            probe_df, k, q_id_col, probed_lists=None, broadcast_probes=False
+        )
+
+    def _probe_table_driver(
+        self, queries: DataFrame, nprobe: int, q_id_col: str, q_vec_col: str
+    ) -> tuple[DataFrame, list[int]]:
+        """Driver-side probe table: collect the batch, rank cached
+        centroids per query in Python. Returns (probe_df, probed_lists)
+        so the caller can statically prune the layout scan."""
 
         def _qnorm(vec: list[float]) -> float:
             acc = 0.0
@@ -382,9 +418,73 @@ class IVFIndex:
             pairs,
             f"{q_id_col} bigint, list_id int, _qv array<double>, _qnorm double",
         )
-        probed_lists = sorted({p[1] for p in pairs})
-        data = self._data().filter(F.col("list_id").isin(probed_lists))
-        joined = data.join(F.broadcast(probe_df), "list_id")
+        return probe_df, sorted({p[1] for p in pairs})
+
+    def _probe_table_distributed(
+        self, queries: DataFrame, nprobe: int, q_id_col: str, q_vec_col: str
+    ) -> DataFrame:
+        """Executor-side probe table: broadcast the ``lists``-row centroid
+        table into a query × centroid join, score with the SAME fold order
+        as :meth:`_rank_lists` (float32→float64 element widening is exact,
+        so casting the query vector first matches the driver path's
+        ``float(x)`` bitwise), rank with a WindowGroupLimit top-nprobe.
+        No ``collect`` anywhere — driver memory never bounds the batch."""
+        from pyspark.sql.window import Window
+
+        from pgvector_db_spark.functions.vector import dot_product, l2_norm
+
+        cents = self.spark.createDataFrame(
+            [(lid, c, cn) for lid, c, cn in self._centroids()],
+            "list_id int, _centroid array<double>, _cnorm double",
+        )
+        q = queries.select(
+            F.col(q_id_col).cast("bigint").alias(q_id_col),
+            F.transform(F.col(q_vec_col), lambda x: x.cast("double")).alias(
+                "_qv"
+            ),
+        ).withColumn("_qnorm", l2_norm(F.col("_qv")))
+        # same zero-norm guard as _rank_lists (`if qn and cn else 1.0`)
+        cdist = F.when(
+            (F.col("_qnorm") != 0.0) & (F.col("_cnorm") != 0.0),
+            F.lit(1.0)
+            - dot_product(F.col("_qv"), F.col("_centroid"))
+            / (F.col("_qnorm") * F.col("_cnorm")),
+        ).otherwise(F.lit(1.0))
+        w = Window.partitionBy(q_id_col).orderBy(
+            F.col("_cdist").asc(), F.col("list_id").asc()
+        )
+        return (
+            q.join(F.broadcast(cents))
+            .withColumn("_cdist", cdist)
+            .withColumn("_cr", F.row_number().over(w))
+            .filter(F.col("_cr") <= nprobe)
+            .select(q_id_col, "list_id", "_qv", "_qnorm")
+        )
+
+    def _score_probes(
+        self,
+        probe_df: DataFrame,
+        k: int,
+        q_id_col: str,
+        probed_lists: list[int] | None,
+        broadcast_probes: bool,
+    ) -> DataFrame:
+        """Join the probe table to the layout on ``list_id`` (each row is
+        scored ONLY against queries that probed its list, never the whole
+        batch), exact-cosine score with materialized norms, and take the
+        per-query top-k via WindowGroupLimit."""
+        from pyspark.sql.window import Window
+
+        from pgvector_db_spark.functions.vector import (
+            cosine_distance,
+            cosine_distance_precomputed,
+        )
+
+        data = self._data()
+        if probed_lists is not None:
+            data = data.filter(F.col("list_id").isin(probed_lists))
+        probe = F.broadcast(probe_df) if broadcast_probes else probe_df
+        joined = data.join(probe, "list_id")
         if "_vnorm" in data.columns:
             dist = cosine_distance_precomputed(
                 F.col(self.vec_col), F.col("_qv"),

@@ -34,6 +34,7 @@ def asof_join(
     right_ts: str = "ts",
     suffix: str = "_asof",
     direction: str = "backward",
+    right_order: str | None = None,
 ) -> DataFrame:
     """As-of left join per ``key``: for each left row, the single nearest
     right row at-or-before its timestamp (``direction="backward"``, the
@@ -43,34 +44,48 @@ def asof_join(
     match, right-first. Either direction is ONE shuffle on the key — the
     union-sort carries the latest/next right payload with a running
     ``last(ignorenulls)`` over the appropriately-ordered window.
+
+    ``right_order`` names a right-side column used as a stable secondary
+    sort among right rows sharing (key, ts): the row with the GREATEST
+    ``right_order`` value wins the tie (deterministically), instead of an
+    arbitrary partition-order pick. Supply it whenever right timestamps
+    can collide — e.g. an event id.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     payload = [c for c in right.columns if c not in (key, right_ts)]
     rp_struct = F.struct(*[F.col(c) for c in payload])
 
+    tb_r = (
+        F.col(right_order) if right_order is not None else F.lit(0)
+    ).alias("_tb")
     r = right.select(
         F.col(key).alias("_k"),
         F.col(right_ts).alias("_t"),
         F.lit(0).alias("_side"),
+        tb_r,
         rp_struct.alias("_rp"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
     )
     rp_type = r.schema["_rp"].dataType
+    tb_type = r.schema["_tb"].dataType
     l = left.select(
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_t"),
         F.lit(1).alias("_side"),
+        F.lit(None).cast(tb_type).alias("_tb"),
         F.lit(None).cast(rp_type).alias("_rp"),
         *left.columns,
     )
     # order right (side 0) before left (side 1) at equal ts so ties match;
+    # among tied right rows, ascending _tb + running last ⇒ max right_order
+    # wins; nulls_first keeps left rows' null _tb from outranking anything.
     # forward direction just flips the time ordering (nearest-after
     # becomes the running last over descending time)
     t_order = F.col("_t").asc() if direction == "backward" else F.col("_t").desc()
     w = (
         Window.partitionBy("_k")
-        .orderBy(t_order, F.col("_side").asc())
+        .orderBy(t_order, F.col("_side").asc(), F.col("_tb").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = (

@@ -216,18 +216,33 @@ def batch_search_lsh_layout(
     seed: int = 42,
     q_id_col: str = "query_id",
     q_vec_col: str = "query_vec",
+    mode: str = "auto",
+    driver_batch_max: int = 8192,
 ) -> DataFrame:
     """ANN top-k for a BATCH of queries over the persisted layout, in ONE
-    partition-pruned plan (the LSH twin of ``IVFIndex.batch_search``).
+    plan (the LSH twin of ``IVFIndex.batch_search``).
 
-    Driver-side per-query bucket ranking (signatures are ints; the query
-    batch is small by contract) yields a (query_id, sig, qvec, qnorm)
-    probe table. The scan reads only the UNION of probed sig partitions,
-    the probe table broadcasts into the join on ``sig`` — each row scored
-    only against queries probing its bucket — and ``rank <= k`` compiles
-    to WindowGroupLimit (partial top-k before the query_id shuffle).
+    ``mode='driver'`` (interactive batches): per-query bucket ranking on
+    the driver yields a (query_id, sig, qvec, qnorm) probe table; the
+    scan reads only the UNION of probed sig partitions (static partition
+    pruning) and the probe table broadcasts into the join on ``sig``.
 
-    Returns (query_id, id_col, distance, knn_rank).
+    ``mode='distributed'`` (corpus-vs-corpus batches — millions of
+    queries): the batch never leaves the executors. The signature is the
+    same JVM expression the build used (:func:`lsh_signature` — the
+    hyperplanes ride in as literals), multiprobe expansion is an
+    ``explode`` over the ≤``C(num_bits, hamming_probe)`` XOR masks, and
+    the probe table joins the layout on ``sig`` unhinted (AQE broadcasts
+    it when it turns out small; a huge batch probes every bucket anyway).
+
+    ``mode='auto'`` picks driver for ≤ ``driver_batch_max`` queries.
+    Both modes share every fold order, so results are bitwise identical
+    (pinned by tests/test_knn.py).
+
+    In every mode each row is scored only against queries probing its
+    bucket, and ``rank <= k`` compiles to WindowGroupLimit (partial top-k
+    before the query_id shuffle). Returns (query_id, id_col, distance,
+    knn_rank).
     """
     import math
 
@@ -235,32 +250,67 @@ def batch_search_lsh_layout(
 
     from pgvector_db_spark.functions.vector import (
         cosine_distance_precomputed,
+        l2_norm,
     )
 
-    qrows = queries.select(q_id_col, q_vec_col).collect()
-    dim = len(qrows[0][q_vec_col])
-    planes = hyperplanes(dim, num_bits, seed)
+    if mode == "auto":
+        small = queries.limit(driver_batch_max + 1).count() <= driver_batch_max
+        mode = "driver" if small else "distributed"
 
-    def _qnorm(vec: list[float]) -> float:
-        acc = 0.0
-        for x in vec:  # same sequential fold as l2_norm's aggregate
-            acc += x * x
-        return math.sqrt(acc)
+    if mode == "driver":
+        qrows = queries.select(q_id_col, q_vec_col).collect()
+        dim = len(qrows[0][q_vec_col])
+        planes = hyperplanes(dim, num_bits, seed)
 
-    pairs = [
-        (r[q_id_col], sig, qv, _qnorm(qv))
-        for r in qrows
-        for qv in [[float(x) for x in r[q_vec_col]]]
-        for sig in _probe_signatures(
-            _signature_of(qv, planes), num_bits, hamming_probe
+        def _qnorm(vec: list[float]) -> float:
+            acc = 0.0
+            for x in vec:  # same sequential fold as l2_norm's aggregate
+                acc += x * x
+            return math.sqrt(acc)
+
+        pairs = [
+            (r[q_id_col], sig, qv, _qnorm(qv))
+            for r in qrows
+            for qv in [[float(x) for x in r[q_vec_col]]]
+            for sig in _probe_signatures(
+                _signature_of(qv, planes), num_bits, hamming_probe
+            )
+        ]
+        probe_df = spark.createDataFrame(
+            pairs,
+            f"{q_id_col} bigint, sig int, _qv array<double>, _qnorm double",
         )
-    ]
-    probe_df = spark.createDataFrame(
-        pairs, f"{q_id_col} bigint, sig int, _qv array<double>, _qnorm double"
-    )
-    probed = sorted({p[1] for p in pairs})
-    data = spark.read.parquet(path).filter(F.col("sig").isin(probed))
-    joined = data.join(F.broadcast(probe_df), "sig")
+        probed = sorted({p[1] for p in pairs})
+        data = spark.read.parquet(path).filter(F.col("sig").isin(probed))
+        probe_side = F.broadcast(probe_df)
+    elif mode == "distributed":
+        dim = len(queries.select(q_vec_col).first()[0])
+        planes = hyperplanes(dim, num_bits, seed)
+        masks = [
+            m for m in range(1 << num_bits)
+            if bin(m).count("1") <= hamming_probe
+        ]
+        q = queries.select(
+            F.col(q_id_col).cast("bigint").alias(q_id_col),
+            F.transform(F.col(q_vec_col), lambda x: x.cast("double")).alias(
+                "_qv"
+            ),
+        ).withColumn("_qnorm", l2_norm(F.col("_qv")))
+        qsig = lsh_signature(F.col("_qv"), planes)
+        probe_df = q.select(
+            q_id_col,
+            F.explode(
+                F.array(*[qsig.bitwiseXOR(F.lit(m)) for m in masks])
+            ).alias("sig"),
+            "_qv",
+            "_qnorm",
+        )
+        data = spark.read.parquet(path)
+        probe_side = probe_df
+    else:
+        raise ValueError(f"unknown mode: {mode}")
+
+    joined = data.join(probe_side, "sig")
     if "_vnorm" in data.columns:
         dist = cosine_distance_precomputed(
             F.col(vec_col), F.col("_qv"), F.col("_vnorm"), F.col("_qnorm")

@@ -363,7 +363,7 @@ def rel_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star-schema 5-way join. Dimensions (customer/nation/region) are
     broadcast — only the lineitem⋈orders join shuffles, on the join key.
     At 100 TB: orders/lineitem co-bucketed by orderkey removes that shuffle
-    too (sources/copy.py writes bucketed layouts)."""
+    too (sources/table.py's staged layouts; see docs/SCALE_AUDIT.md)."""
     t = load_tables(spark, sf_dir)
     joined = (
         t["lineitem"]
@@ -962,6 +962,89 @@ _sql_query(
     """,
     tags=("dataset", "embedding", "A12"),
 )
+
+
+@register(
+    "ds_embed_injected_model",
+    """
+    SELECT doc_id,
+           [CAST(length(coalesce(text, '')) AS FLOAT),
+            CAST(CASE WHEN length(coalesce(text, '')) > 0
+                      THEN unicode(substr(text, 1, 1)) ELSE 0 END AS FLOAT),
+            CAST(length(coalesce(text, ''))
+                 - length(replace(coalesce(text, ''), ' ', '')) AS FLOAT),
+            CAST(1.0 AS FLOAT)] AS embedding
+    FROM documents
+    """,
+    tags=("dataset", "embedding", "A12", "A13", "A14", "udf"),
+)
+def ds_embed_injected_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL model-inference path (functions/embedding.embed_text with
+    model != 'fake'; reference generate_embeddings.py:69-92) executed via
+    an injected deterministic stub model: mapInPandas Arrow batching,
+    per-worker model singleton, fillna, batch encode, and the
+    array<float> schema all run for real — only the network weights are
+    replaced. The stub's features are exact small integers in float32, so
+    the DuckDB SQL is an exact oracle (codepoint semantics match: Python
+    len/ord ≡ DuckDB length/unicode)."""
+    from pgvector_db_spark.functions.embedding import (
+        DeterministicStubModel,
+        embed_text,
+    )
+
+    t = load_tables(spark, sf_dir)
+    out = embed_text(
+        t["documents"].select("doc_id", "text"),
+        model="stub-v1",
+        model_factory=DeterministicStubModel,
+        batch_size=64,
+    )
+    return out.select("doc_id", "embedding")
+
+
+@register(
+    "rel_jdbc_roundtrip",
+    """
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderkey % 97 = 0
+    GROUP BY o_orderstatus
+    """,
+    tags=("relational", "jdbc", "A18", "connector"),
+)
+def rel_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE JDBC round-trip (A18; reference utils.py:65-79 connectivity +
+    pg_insert write path): a deterministic orders slice is WRITTEN to an
+    embedded Derby database over spark.write.jdbc and READ BACK over
+    spark.read.jdbc (sources/jdbc.py — the same code that targets
+    Postgres/RDS in production, pointed at ``jdbc:derby:`` via
+    url_override), then aggregated. The oracle aggregates the same slice
+    straight from parquet — equality proves the landed bytes."""
+    import tempfile
+
+    from pgvector_db_spark.sources.jdbc import JDBCConfig, read_jdbc, write_jdbc
+
+    t = load_tables(spark, sf_dir)
+    tag = sf_dir.strip("/").replace("/", "_")
+    cfg = JDBCConfig(
+        host="", database="", user="app", password="app",
+        schema_name="APP", sslmode=None,
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+        url_override=(
+            f"jdbc:derby:{tempfile.gettempdir()}/derby_gate_{tag};create=true"
+        ),
+    )
+    slice_df = t["orders"].filter(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    write_jdbc(slice_df, cfg, "orders_gate", mode="overwrite")
+    back = read_jdbc(spark, cfg, "orders_gate")
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
+    )
 
 
 # -- extended relational coverage -------------------------------------------
@@ -1631,6 +1714,50 @@ def vs_ivf_knn_batch_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.batch_search(qs, k=5, nprobe=8)
 
 
+@register(
+    "vs_ivf_knn_batch_dist_fullprobe",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id <= 2
+    ),
+    s AS (
+      SELECT q.query_id, e.vec_id,
+             {cosine_distance_sql("e.embedding", "q.qe", "duckdb")} AS distance
+      FROM embeddings e, q
+    ),
+    r AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY distance ASC, vec_id ASC) AS INT) AS knn_rank
+      FROM s
+    )
+    SELECT query_id, vec_id, distance, knn_rank FROM r WHERE knn_rank <= 5
+    """,
+    tags=("vector", "A9", "ann", "batch", "distributed"),
+)
+def vs_ivf_knn_batch_dist_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED batch ANN (IVFIndex.batch_search mode='distributed'):
+    the corpus-vs-corpus shape — the query batch never hits the driver;
+    centroids broadcast into an executor-side scored join with a
+    WindowGroupLimit top-nprobe. Probed at nprobe = lists so the exact
+    batch-kNN SQL is a true oracle; distributed == driver bitwise
+    equality at partial nprobe is pinned by tests/test_ivf.py."""
+    import os
+    import tempfile
+
+    from pgvector_db_spark.operators.ivf import IVFIndex
+
+    t = load_tables(spark, sf_dir)
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"ivf_cache_{tag}")
+    if not os.path.exists(os.path.join(path, "centroids")):
+        IVFIndex.build(t["embeddings"], path, lists=8)
+    idx = IVFIndex(spark, path, "embedding", "vec_id")
+    qs = t["embeddings"].filter(F.col("vec_id") <= 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return idx.batch_search(qs, k=5, nprobe=8, mode="distributed")
+
+
 def _vs_lsh_ann_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed ANN top-k (operators/lsh_ann.py): the second
     ANN scale path beside IVF. Approximate → rows-only driver check; exact
@@ -1768,6 +1895,58 @@ def vs_lsh_knn_batch_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "vs_lsh_knn_batch_dist_fullprobe",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id <= 2
+    ),
+    s AS (
+      SELECT q.query_id, e.vec_id,
+             {cosine_distance_sql("e.embedding", "q.qe", "duckdb")} AS distance
+      FROM embeddings e, q
+    ),
+    r AS (
+      SELECT query_id, vec_id, distance,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY distance ASC, vec_id ASC) AS INT)
+                 AS knn_rank
+      FROM s
+    )
+    SELECT query_id, vec_id, distance, knn_rank FROM r WHERE knn_rank <= 5
+    """,
+    tags=("vector", "ann", "layout", "batch", "distributed"),
+)
+def vs_lsh_knn_batch_dist_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED batch ANN over the persisted LSH layout
+    (batch_search_lsh_layout mode='distributed'): signatures computed by
+    the same JVM expression the build used, multiprobe = explode over XOR
+    masks — the query batch never hits the driver. Probed at
+    hamming = num_bits so the exact batch-kNN SQL is a true oracle."""
+    import os
+    import tempfile
+
+    from pgvector_db_spark.operators.lsh_ann import (
+        batch_search_lsh_layout,
+        build_lsh_layout,
+    )
+
+    t = load_tables(spark, sf_dir)
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"lsh_cache_{tag}")
+    if not os.path.exists(path):
+        build_lsh_layout(t["embeddings"], path, num_bits=6)
+    queries = (
+        t["embeddings"]
+        .filter("vec_id <= 2")
+        .selectExpr("vec_id AS query_id", "embedding AS query_vec")
+    )
+    return batch_search_lsh_layout(
+        spark, path, queries, k=5, num_bits=6, hamming_probe=6,
+        mode="distributed",
+    )
+
+
 # -- MinHash / SimHash / fingerprint / lang-id oracles ----------------------
 # DuckDB-side generators replicating functions/text.py primitives exactly
 # (hash32 = first 8 md5 hex chars as bigint; see test parity check).
@@ -1891,7 +2070,7 @@ def rel_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("purchase_id"),
         F.col("value").alias("purchase_value"),
     )
-    out = asof_join(clicks, purchases, "user_id")
+    out = asof_join(clicks, purchases, "user_id", right_order="purchase_id")
     return out.select(
         "event_id",
         "user_id",
@@ -1933,7 +2112,10 @@ def rel_asof_forward_next_purchase(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("event_id").alias("next_purchase_id"),
         F.col("value").alias("next_purchase_value"),
     )
-    out = asof_join(clicks, purchases, "user_id", direction="forward")
+    out = asof_join(
+        clicks, purchases, "user_id", direction="forward",
+        right_order="next_purchase_id",
+    )
     return out.select(
         "event_id",
         "user_id",
@@ -2479,8 +2661,12 @@ _COUNTER = """
       FROM events
     )
     SELECT user_id,
-           CAST(SUM(CASE WHEN delta IS NULL OR delta < 0 THEN v
-                         ELSE delta END) AS DOUBLE) AS counter_total,
+           -- exact BIGINT cents then int64→double (correctly rounded on
+           -- every engine) — never decimal→double directly, matching the
+           -- discipline in rel_time_weighted_avg's _TWA
+           CAST(CAST(SUM(CASE WHEN delta IS NULL OR delta < 0 THEN v
+                              ELSE delta END) * 100 AS BIGINT) AS DOUBLE)
+               / 100.0 AS counter_total,
            CAST(SUM(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_resets
     FROM d GROUP BY user_id
@@ -3113,6 +3299,48 @@ def ds_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "label")
 
 
+@register(
+    "ds_embedding_near_dup_ivf_fullassign",
+    f"""
+    SELECT e.vec_id, e.label FROM embeddings e
+    LEFT JOIN (
+      SELECT DISTINCT b.vec_id
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE {cosine_similarity_sql("a.embedding", "b.embedding", "duckdb")}
+            >= CAST(0.3 AS DOUBLE)
+    ) d ON e.vec_id = d.vec_id
+    WHERE d.vec_id IS NULL
+    """,
+    tags=("dataset", "dedup", "vector", "ann", "distributed"),
+)
+def ds_embedding_near_dup_ivf_fullassign(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVF-blocked semantic dedup (embedding_near_dup_survivors_ivf — the
+    100 TB shape: blocks from the data's own geometry, multi-assigned via
+    the distributed centroid-broadcast ranking, no driver collect).
+    ``assign = lists`` co-blocks every pair, degenerating to the exact
+    unblocked dedup, so the exact all-pairs SQL is a true oracle; partial
+    ``assign`` recall is pinned in tests/test_text_dedup.py."""
+    import os
+    import tempfile
+
+    from pgvector_db_spark.operators.dedup import (
+        embedding_near_dup_survivors_ivf,
+    )
+    from pgvector_db_spark.operators.ivf import IVFIndex
+
+    t = load_tables(spark, sf_dir)
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"ivf_cache_{tag}")
+    if not os.path.exists(os.path.join(path, "centroids")):
+        IVFIndex.build(t["embeddings"], path, lists=8)
+    idx = IVFIndex(spark, path, "embedding", "vec_id")
+    return embedding_near_dup_survivors_ivf(
+        t["embeddings"], idx, assign=8, threshold=0.3
+    ).select("vec_id", "label")
+
+
 # Multimodal columns: opaque bytes + typed metadata (SURVEY §2.3). The
 # byte-level ops are engine-checkable; decode paths are tested Spark-side
 # (operators/multimodal.py) since they need binary fixtures.
@@ -3363,9 +3591,12 @@ def ds_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (total / F.lit(4.0)).cast("float")
 
     expected_rs = F.array(*[block_mean(b) for b in blocks])
+    # null-safe inequality: a regression to NULL pixels must count as a
+    # mismatch ('pixels != expected' is NULL then, and otherwise(0) would
+    # silently pass the zero-mismatch oracle)
     checked = decoded.select(
-        F.when(F.col("pixels") != expected_px, 1).otherwise(0).alias("bad_px"),
-        F.when(F.col("pixels_resized") != expected_rs, 1).otherwise(0).alias("bad_rs"),
+        F.when(~F.col("pixels").eqNullSafe(expected_px), 1).otherwise(0).alias("bad_px"),
+        F.when(~F.col("pixels_resized").eqNullSafe(expected_rs), 1).otherwise(0).alias("bad_rs"),
     )
     return checked.agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -5127,8 +5358,11 @@ def stream_events_window_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH e AS (
       SELECT user_id, event_id, ts,
+             -- >= (not >): session_window spans are half-open
+             -- [start, last+gap), so an event exactly `gap` after the
+             -- previous one starts a NEW session in Spark
              CASE WHEN lag(ts) OVER w IS NULL
-                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
@@ -5231,10 +5465,15 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = table_path(sf_dir, "events")
     tag = sf_dir.strip("/").replace("/", "_")
     replay_dir = os.path.join(tempfile.gettempdir(), f"events_replay2_{tag}")
-    if not os.path.exists(os.path.join(replay_dir, "copy_b.parquet")):
-        os.makedirs(replay_dir, exist_ok=True)
-        shutil.copy(path, os.path.join(replay_dir, "copy_a.parquet"))
-        shutil.copy(path, os.path.join(replay_dir, "copy_b.parquet"))
+    os.makedirs(replay_dir, exist_ok=True)
+    for name in ("copy_a.parquet", "copy_b.parquet"):
+        dst = os.path.join(replay_dir, name)
+        if not os.path.exists(dst):
+            # copy isn't atomic — stage to .tmp and rename so a run killed
+            # mid-copy never leaves a truncated file later runs would reuse
+            # (mirrors _events_stream's staging)
+            shutil.copy(path, dst + ".tmp")
+            os.rename(dst + ".tmp", dst)
     schema = spark.read.parquet(path).schema
     src = file_stream(spark, replay_dir, schema, max_files_per_trigger=1)
     src = src.withColumn("ts", F.col("ts").cast("timestamp"))
@@ -5527,11 +5766,30 @@ def rel_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _interleaved_names() -> list[str]:
+    """Registry names round-robin-interleaved across query families
+    (vs_/rel_/ds_/stream_): every query is self-contained, so ordering is
+    free — and a prefix-of-N sample of the dict then covers every family
+    instead of the registration-order head (stream_*/vs_ivf_* would
+    otherwise cluster at the tail)."""
+    from itertools import zip_longest
+
+    groups: dict[str, list[str]] = {}
+    for name in REGISTRY:
+        groups.setdefault(name.split("_", 1)[0], []).append(name)
+    ordered: list[str] = []
+    for tier in zip_longest(*groups.values()):
+        ordered.extend(n for n in tier if n is not None)
+    return ordered
+
+
 def all_queries() -> dict[str, SparkQuery]:
-    return {name: spec.spark_fn for name, spec in REGISTRY.items()}
+    return {name: REGISTRY[name].spark_fn for name in _interleaved_names()}
 
 
 def all_oracles() -> dict[str, str]:
     return {
-        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+        name: REGISTRY[name].oracle
+        for name in _interleaved_names()
+        if REGISTRY[name].oracle is not None
     }

@@ -8,8 +8,12 @@ only builds the ``spark.read.jdbc`` / ``write.jdbc`` call — URL, ssl
 options, fetch/batch sizing, and the token-provider hook that replaces
 the static password exactly like the reference's RDS path.
 
-No JDBC driver jar ships in this image, so tests cover option
-construction and the token path, not a live connection.
+No *Postgres* driver jar ships in this image, so Postgres tests cover
+option construction and the token path; the live read/write path itself
+IS executed in tests against the embedded Derby engine that ships inside
+Spark's own jars (``url_override`` + ``driver`` point the same
+read_jdbc/write_jdbc code at ``jdbc:derby:``) — see
+tests/test_utils_connectors.py.
 """
 
 from __future__ import annotations
@@ -31,13 +35,19 @@ class JDBCConfig:
     # IAM-style ephemeral credential hook (reference utils.py:65-79):
     # called at connect time when no static password is configured.
     token_provider: Callable[[], str] | None = None
-    sslmode: str = "require"
+    sslmode: str | None = "require"
     fetch_size: int = 10_000
     batch_size: int = 1_000  # reference pg_insert.py:23 default
     extra_options: dict[str, str] = field(default_factory=dict)
+    # non-Postgres engines (embedded Derby in tests, any warehouse in
+    # production): point the SAME read/write code elsewhere
+    driver: str = "org.postgresql.Driver"
+    url_override: str | None = None
 
     @property
     def url(self) -> str:
+        if self.url_override is not None:
+            return self.url_override
         return f"jdbc:postgresql://{self.host}:{self.port}/{self.database}"
 
     def qualified(self, table: str) -> str:
@@ -56,11 +66,12 @@ class JDBCConfig:
             "dbtable": self.qualified(table),
             "user": self.user,
             "password": self.resolve_password(),
-            "driver": "org.postgresql.Driver",
-            "sslmode": self.sslmode,
+            "driver": self.driver,
             "fetchsize": str(self.fetch_size),
             "batchsize": str(self.batch_size),
         }
+        if self.sslmode is not None:
+            opts["sslmode"] = self.sslmode
         opts.update(self.extra_options)
         return opts
 

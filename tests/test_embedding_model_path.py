@@ -1,0 +1,85 @@
+"""Real-model inference path (A12-A14) exercised with an injected stub
+model — the batching/singleton/schema logic of the mapInPandas pipeline
+(reference generate_embeddings.py:69-107) runs for real; only the model
+weights are absent (torch not in image)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pgvector_db_spark.functions.embedding import (
+    DeterministicStubModel,
+    _MODEL_CACHE,
+    _load_model,
+    embed_text,
+)
+
+
+def test_load_model_caches_singleton():
+    """The factory runs ONCE per (process, name) — the per-executor
+    singleton contract the reference's load-once pattern maps to."""
+    calls = []
+
+    def factory():
+        calls.append(1)
+        return DeterministicStubModel()
+
+    _MODEL_CACHE.pop("stub-cache-test", None)
+    m1 = _load_model("stub-cache-test", factory)
+    m2 = _load_model("stub-cache-test", factory)
+    assert m1 is m2
+    assert len(calls) == 1
+    _MODEL_CACHE.pop("stub-cache-test", None)
+
+
+def test_load_model_without_deps_raises_gated_error():
+    _MODEL_CACHE.pop("definitely-not-cached", None)
+    try:
+        _load_model("definitely-not-cached")
+        raised = False
+    except NotImplementedError as exc:
+        raised = True
+        assert "sentence-transformers" in str(exc)
+    assert raised
+
+
+def test_embed_text_injected_model_values_and_schema(spark):
+    """End-to-end through mapInPandas: Arrow batches in, model.encode
+    per batch, array<float> out; values match the stub's definition
+    computed independently in the JVM."""
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "a"), (3, ""), (4, None), (5, "x y z")],
+        "id bigint, text string",
+    )
+    out = embed_text(
+        df, model="stub-unit", model_factory=DeterministicStubModel,
+        batch_size=2,
+    )
+    assert dict(out.dtypes)["embedding"] == "array<float>"
+    rows = {r["id"]: r["embedding"] for r in out.collect()}
+    # null text -> fillna("") -> zero features
+    assert rows[4] == [0.0, 0.0, 0.0, 1.0]
+    assert rows[3] == [0.0, 0.0, 0.0, 1.0]
+    assert rows[1] == [11.0, float(ord("h")), 1.0, 1.0]
+    assert rows[5] == [5.0, float(ord("x")), 2.0, 1.0]
+    # independent JVM check over the whole output: length/first-codepoint/
+    # space-count recomputed as Catalyst expressions must agree row-wise
+    joined = out.withColumn(
+        "ok",
+        (F.col("embedding")[0] == F.length(F.coalesce("text", F.lit("")))
+         .cast("float"))
+        & (F.col("embedding")[2]
+           == (F.length(F.coalesce("text", F.lit("")))
+               - F.length(F.replace(F.coalesce("text", F.lit("")),
+                                    F.lit(" "), F.lit("")))).cast("float")),
+    )
+    assert joined.filter(~F.col("ok")).count() == 0
+
+
+def test_embed_text_preserves_input_columns(spark, tables):
+    docs = tables["documents"].select("doc_id", "source", "text").limit(20)
+    out = embed_text(
+        docs, model="stub-cols", model_factory=DeterministicStubModel
+    )
+    assert out.columns == ["doc_id", "source", "text", "embedding"]
+    assert out.count() == 20

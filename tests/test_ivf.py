@@ -256,3 +256,61 @@ def test_append_l2_metric(spark, tables, tmp_path):
     exact = [r["vec_id"] for r in knn(emb, q, 10, distance="l2").collect()]
     full = [r["vec_id"] for r in idx.search(q, 10, nprobe=4).collect()]
     assert exact == full
+
+
+def test_batch_search_distributed_equals_driver(index, tables):
+    """mode='distributed' (no driver collect of the batch) must be
+    bitwise-identical to mode='driver' at a PARTIAL nprobe — same fold
+    orders ⇒ same centroid ranking ⇒ same probed lists ⇒ same scores."""
+    queries = (
+        tables["embeddings"]
+        .filter("vec_id <= 4")
+        .selectExpr("vec_id AS query_id", "embedding AS query_vec")
+    )
+    drv = sorted(
+        map(tuple, index.batch_search(queries, 5, 2, mode="driver").collect())
+    )
+    dist = sorted(
+        map(
+            tuple,
+            index.batch_search(queries, 5, 2, mode="distributed").collect(),
+        )
+    )
+    assert drv == dist
+
+
+def test_batch_search_auto_routes_large_batches_distributed(index, tables):
+    """auto mode with a tiny driver_batch_max must take the distributed
+    path and still return the exact same rows."""
+    queries = (
+        tables["embeddings"]
+        .filter("vec_id <= 4")
+        .selectExpr("vec_id AS query_id", "embedding AS query_vec")
+    )
+    auto = sorted(
+        map(
+            tuple,
+            index.batch_search(
+                queries, 5, 2, mode="auto", driver_batch_max=2
+            ).collect(),
+        )
+    )
+    drv = sorted(
+        map(tuple, index.batch_search(queries, 5, 2, mode="driver").collect())
+    )
+    assert auto == drv
+
+
+def test_batch_search_distributed_plan_has_no_static_prune(index, tables):
+    """The distributed plan is built without collecting the batch, so it
+    cannot contain a static list_id IN (...) partition filter — the probe
+    side arrives via a join. (Documents the pruning tradeoff: huge
+    batches probe most lists, so the full scan is the intended plan.)"""
+    queries = (
+        tables["embeddings"]
+        .filter("vec_id <= 2")
+        .selectExpr("vec_id AS query_id", "embedding AS query_vec")
+    )
+    df = index.batch_search(queries, 3, 1, mode="distributed")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan

@@ -223,3 +223,40 @@ def test_lsh_batch_matches_per_query_search(spark, tables, tmp_path):
             ).collect()
         ]
         assert by_q[qid] == solo
+
+
+def test_lsh_batch_distributed_equals_driver(spark, tables, tmp_path):
+    """LSH batch mode='distributed' (signatures via the JVM expression,
+    multiprobe via explode — batch never collected) is bitwise-identical
+    to mode='driver' at a partial hamming probe."""
+    from pgvector_db_spark.operators.lsh_ann import (
+        batch_search_lsh_layout,
+        build_lsh_layout,
+    )
+
+    path = str(tmp_path / "lsh_dist")
+    build_lsh_layout(tables["embeddings"], path, num_bits=6)
+    queries = (
+        tables["embeddings"]
+        .filter("vec_id <= 4")
+        .selectExpr("vec_id AS query_id", "embedding AS query_vec")
+    )
+    drv = sorted(
+        map(
+            tuple,
+            batch_search_lsh_layout(
+                spark, path, queries, k=5, num_bits=6, hamming_probe=2,
+                mode="driver",
+            ).collect(),
+        )
+    )
+    dist = sorted(
+        map(
+            tuple,
+            batch_search_lsh_layout(
+                spark, path, queries, k=5, num_bits=6, hamming_probe=2,
+                mode="distributed",
+            ).collect(),
+        )
+    )
+    assert drv == dist

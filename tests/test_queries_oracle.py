@@ -74,3 +74,23 @@ def test_range_join_matches_naive(spark, tables):
     )
     key = lambda r: (r["event_id"], r["band"])
     assert sorted(map(key, fast.collect())) == sorted(map(key, naive.collect()))
+
+
+def test_asof_join_tie_break_is_deterministic(spark):
+    """Multiple right rows sharing (key, ts): with right_order set, the
+    row with the GREATEST order value wins — in both directions — instead
+    of an arbitrary partition-order pick."""
+    from pgvector_db_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "user int, ts int")
+    right = spark.createDataFrame(
+        [(1, 10, 7, "a"), (1, 10, 9, "b"), (1, 10, 8, "c")],
+        "user int, ts int, rid int, tag string",
+    )
+    for direction in ("backward", "forward"):
+        got = asof_join(
+            left, right, "user", "ts", "ts",
+            direction=direction, right_order="rid",
+        ).collect()
+        assert len(got) == 1
+        assert got[0]["tag"] == "b", direction

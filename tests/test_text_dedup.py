@@ -344,3 +344,51 @@ def test_minhash_skew_guard_caps_hot_band_buckets(spark):
     got = {(r["id_a"], r["id_b"]) for r in guarded.collect()}
     assert (100, 101) in got, "small-bucket pair lost to the skew guard"
     assert not any(a < 100 for a, _ in got), "hot-bucket pairs not capped"
+
+
+def test_embedding_near_dup_ivf_partial_assign_recall(spark, tables, tmp_path):
+    """IVF blocking at partial assign: dominated ⊆ exact dominated, so
+    survivors ⊇ exact survivors (blocking can only MISS pairs, never
+    invent them) — and multi-assign recovers most of the pair space."""
+    from pgvector_db_spark.operators.dedup import (
+        embedding_near_dup_survivors,
+        embedding_near_dup_survivors_ivf,
+    )
+    from pgvector_db_spark.operators.ivf import IVFIndex
+
+    emb = tables["embeddings"]
+    idx = IVFIndex.build(emb, str(tmp_path / "idx"), lists=8)
+    exact = {
+        r["vec_id"]
+        for r in embedding_near_dup_survivors(emb, threshold=0.3).collect()
+    }
+    blocked = {
+        r["vec_id"]
+        for r in embedding_near_dup_survivors_ivf(
+            emb, idx, assign=2, threshold=0.3
+        ).collect()
+    }
+    assert blocked >= exact
+    n = emb.count()
+    # multi-assign must catch the bulk of the dominated set
+    dropped_exact, dropped_blocked = n - len(exact), n - len(blocked)
+    assert dropped_blocked >= 0.6 * dropped_exact
+
+
+def test_embedding_near_dup_ivf_plan_is_blocked(spark, tables, tmp_path):
+    """The IVF-blocked plan must contain no cartesian product — the pair
+    space is an equi-join on list_id."""
+    from pgvector_db_spark.operators.dedup import (
+        embedding_near_dup_survivors_ivf,
+    )
+    from pgvector_db_spark.operators.ivf import IVFIndex
+
+    emb = tables["embeddings"]
+    idx = IVFIndex.build(emb, str(tmp_path / "idx2"), lists=8)
+    df = embedding_near_dup_survivors_ivf(emb, idx, assign=2, threshold=0.3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the only nested-loop join allowed is the broadcast of the tiny
+    # `lists`-row centroid table during assignment; the PAIR join itself
+    # must be hash-equi on list_id
+    assert "list_id" in plan.split("Join")[0] or "list_id#" in plan
