@@ -74,6 +74,16 @@ def derived_metrics(spark, sf_dir: str, timings: dict[str, float]) -> dict[str, 
     if "ds_embed_fake" in timings and timings["ds_embed_fake"] > 0:
         out["embed_rows_per_sec"] = round(n_docs / timings["ds_embed_fake"], 1)
 
+    # the REAL inference path (mapInPandas + per-worker model singleton)
+    # with the injected stub model: measures the Arrow/Python pipeline
+    # cost per row — the harness ceiling any real model runs under
+    def _embed_real_path() -> None:
+        dt = run_query(spark, "ds_embed_injected_model", sf_dir)
+        out["embed_mapinpandas_rows_per_sec"] = round(n_docs / dt, 1)
+
+    if "ds_embed_injected_model" in REGISTRY:
+        _try(_embed_real_path)
+
     def _ingest() -> None:
         tmp = tempfile.mkdtemp(prefix="bench_ingest_")
         try:
@@ -99,6 +109,7 @@ def derived_metrics(spark, sf_dir: str, timings: dict[str, float]) -> dict[str, 
         ("vs_hybrid_rrf_search", "hybrid_rrf_ms"),
         ("stream_events_window_5min", "stream_window_ms"),
         ("stream_stream_interval_join", "stream_join_ms"),
+        ("rel_cobucketed_join_revenue", "cobucketed_join_ms"),
     ):
         if name in REGISTRY:
             _try(lambda n=name, k=key: out.__setitem__(

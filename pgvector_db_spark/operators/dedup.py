@@ -242,6 +242,83 @@ def contamination_overlap(
     )
 
 
+def bloom_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_shared: int = 3,
+    num_bits: int = 1 << 17,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """:func:`contamination_overlap` with a Bloom-filter prefilter on the
+    corpus postings — the cheaper 100 TB form: the eval grams collapse
+    into a ``num_bits``-bit Bloom bitmap that rides into the corpus scan
+    as ONE array<bigint> literal (32 bits per word, like
+    functions/vector.binary_quantize — ``pow(2, i)`` is float64-exact for
+    i ≤ 31, so every bit test is a pure codegen'd expression; Spark's
+    own ``bloom_filter_agg``/``might_contain`` are optimizer-internal and
+    not SQL-callable). ``n_hashes`` independent positions per gram come
+    from ``xxhash64(gram, seed)``. The bitmap prunes the overwhelming
+    majority of corpus grams BEFORE the join; the join then verifies
+    survivors exactly — false positives die there, false negatives are
+    impossible — so the result is bitwise the plain path's (the gate
+    query shares ds_decontaminate's oracle).
+
+    Sizing: bits/item ≈ num_bits / distinct eval grams; ~10 bits/item at
+    3 hashes gives ~2% FPP. The bitmap is num_bits/8 bytes regardless of
+    eval size — the point over broadcasting the posting list. Building it
+    collects the ~n_hashes × distinct-grams BIT POSITIONS (ints) to the
+    driver — bounded by the bitmap's own size, never the corpus.
+    """
+    _WORD = 32
+    ev = eval_df.select(
+        F.col(id_col).alias("eval_id"), _word_ngrams(text_col, n).alias("_ng")
+    )
+    ev_post = ev.select("eval_id", F.explode("_ng").alias("_g"))
+
+    def _positions(gcol):
+        return [
+            F.pmod(F.xxhash64(gcol, F.lit(s)), F.lit(num_bits))
+            for s in range(n_hashes)
+        ]
+
+    pos_rows = (
+        ev_post.select(F.explode(F.array(*_positions(F.col("_g")))).alias("p"))
+        .distinct()
+        .collect()
+    )
+    words = [0] * ((num_bits + _WORD - 1) // _WORD)
+    for r in pos_rows:
+        p = int(r["p"])
+        words[p // _WORD] |= 1 << (p % _WORD)
+    bitmap = F.lit(words)
+
+    def _might_contain(gcol):
+        cond = F.lit(True)
+        for pos in _positions(gcol):
+            word = F.element_at(bitmap, (pos / _WORD).cast("int") + 1)
+            bit = F.pow(F.lit(2.0), F.pmod(pos, F.lit(_WORD)).cast("double")).cast(
+                "bigint"
+            )
+            cond = cond & (word.bitwiseAND(bit) != 0)
+        return cond
+
+    tr = train.select(
+        F.col(id_col).alias("train_id"), _word_ngrams(text_col, n).alias("_ng")
+    )
+    tr_post = tr.select("train_id", F.explode("_ng").alias("_g")).filter(
+        _might_contain(F.col("_g"))
+    )
+    return (
+        tr_post.join(F.broadcast(ev_post), "_g")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -1003,6 +1003,56 @@ def ds_embed_injected_model(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_cobucketed_join_revenue",
+    """
+    SELECT o.o_orderpriority,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("relational", "join", "bucketed", "layout"),
+)
+def rel_cobucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fact⋈fact join over CO-BUCKETED layouts (sources/bucketed.py):
+    orders and lineitem persisted bucketed on orderkey into the same
+    bucket count, so the sort-merge join runs with NO Exchange on either
+    side — the write-time contract that removes the one remaining shuffle
+    from the star-join family at 100 TB (docs/SCALE_AUDIT.md). The
+    exchange-free plan is pinned by tests/test_plans.py; this gate entry
+    proves the bucketed read path returns bitwise the same aggregate as
+    the plain parquet join."""
+    import os
+    import tempfile
+
+    from pgvector_db_spark.sources.bucketed import ensure_bucketed
+
+    t = load_tables(spark, sf_dir)
+    # catalog identifiers can't contain '.', so sanitize the sf tag
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"bucketed_{tag}")
+    o = ensure_bucketed(
+        spark, t["orders"], f"orders_b_{tag}", os.path.join(base, "orders"),
+        ["o_orderkey"], num_buckets=8, sort_cols=["o_orderkey"],
+    )
+    li = ensure_bucketed(
+        spark, t["lineitem"], f"lineitem_b_{tag}",
+        os.path.join(base, "lineitem"),
+        ["l_orderkey"], num_buckets=8, sort_cols=["l_orderkey"],
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(revenue.cast("decimal(18,6)")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
     "rel_jdbc_roundtrip",
     """
     SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -1893,6 +1943,71 @@ def vs_lsh_knn_batch_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch_search_lsh_layout(
         spark, path, queries, k=5, num_bits=6, hamming_probe=6
     )
+
+
+@register(
+    "stream_ann_search",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id <= 2
+    ),
+    s AS (
+      SELECT q.query_id, e.vec_id,
+             {cosine_distance_sql("e.embedding", "q.qe", "duckdb")} AS distance
+      FROM embeddings e, q
+    ),
+    r AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY distance ASC, vec_id ASC) AS INT) AS knn_rank
+      FROM s
+    )
+    SELECT query_id, vec_id, distance, knn_rank FROM r WHERE knn_rank <= 5
+    """,
+    tags=("streaming", "vector", "ann", "batch", "distributed"),
+)
+def stream_ann_search_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ANN (streaming/ann.py): query vectors replayed as a REAL
+    file-source stream, each micro-batch answered by one partition-pruned
+    IVFIndex.batch_search plan (mode='distributed' — the probe table is
+    built executor-side) via foreachBatch, results landed as parquet.
+    Probed at nprobe = lists so the exact batch-kNN SQL is a true oracle
+    of the whole stream → probe → land pipeline."""
+    import shutil
+    import tempfile
+
+    from pgvector_db_spark.catalog import table_path
+    from pgvector_db_spark.operators.ivf import IVFIndex
+    from pgvector_db_spark.streaming.ann import stream_ann_search
+    from pgvector_db_spark.streaming.replay import file_stream
+
+    t = load_tables(spark, sf_dir)
+    tag = sf_dir.strip("/").replace("/", "_")
+    ivf_path = os.path.join(tempfile.gettempdir(), f"ivf_cache_{tag}")
+    if not os.path.exists(os.path.join(ivf_path, "centroids")):
+        IVFIndex.build(t["embeddings"], ivf_path, lists=8)
+    idx = IVFIndex(spark, ivf_path, "embedding", "vec_id")
+
+    emb_path = table_path(sf_dir, "embeddings")
+    replay_dir = os.path.join(tempfile.gettempdir(), f"emb_replay_{tag}")
+    os.makedirs(replay_dir, exist_ok=True)
+    dst = os.path.join(replay_dir, "queries.parquet")
+    if not os.path.exists(dst):
+        shutil.copy(emb_path, dst + ".tmp")
+        os.rename(dst + ".tmp", dst)
+    schema = spark.read.parquet(emb_path).schema
+    src = (
+        file_stream(spark, replay_dir, schema)
+        .filter("vec_id <= 2")
+        .selectExpr("vec_id AS query_id", "embedding AS query_vec")
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_ann_")
+    q = stream_ann_search(
+        src, idx, out_path=os.path.join(tmp, "res"),
+        checkpoint=os.path.join(tmp, "ckpt"),
+        k=5, nprobe=8, mode="distributed",
+    )
+    q.awaitTermination()
+    return spark.read.parquet(os.path.join(tmp, "res"))
 
 
 @register(
@@ -4934,6 +5049,44 @@ def ds_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
     return contamination_overlap(
+        docs.filter("doc_id % 97 != 0"),
+        docs.filter("doc_id % 97 = 0"),
+        n=3,
+        min_shared=3,
+    )
+
+
+@register(
+    "ds_bloom_decontaminate",
+    """
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+    ),
+    g AS (
+      SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ng
+      FROM t
+    ),
+    e AS (SELECT doc_id, unnest(ng) AS gram FROM g),
+    ev AS (SELECT doc_id AS eval_id, gram FROM e WHERE doc_id % 97 = 0),
+    tr AS (SELECT doc_id AS train_id, gram FROM e WHERE doc_id % 97 != 0)
+    SELECT train_id, eval_id, COUNT(*) AS n_shared
+    FROM tr JOIN ev USING (gram)
+    GROUP BY train_id, eval_id HAVING COUNT(*) >= 3
+    """,
+    tags=("dataset", "decontamination", "bloom"),
+)
+def ds_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination (operators/dedup.py
+    bloom_decontaminate): eval grams collapse to a Bloom bitmap literal,
+    ``might_contain`` prunes corpus grams before the verify join. The
+    result is exactly the plain path's (false positives verified away,
+    false negatives impossible) — same oracle as ds_decontaminate."""
+    from pgvector_db_spark.operators.dedup import bloom_decontaminate
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    return bloom_decontaminate(
         docs.filter("doc_id % 97 != 0"),
         docs.filter("doc_id % 97 = 0"),
         n=3,

@@ -1,0 +1,56 @@
+"""Streaming ANN search: a stream of query vectors probed against a
+static IVF layout, micro-batch by micro-batch.
+
+The retrieval-serving shape of the batch ANN path (operators/ivf.py):
+queries arrive continuously (Kafka in production; file replay in tests),
+and each micro-batch runs ONE pruned ``batch_search`` plan over the
+layout via ``foreachBatch`` — non-time window functions aren't allowed
+inside a streaming query, so the top-k ranking lives in the batch plan,
+which is exactly where it belongs: every micro-batch gets the identical
+WindowGroupLimit partial top-k the interactive path uses, including the
+``mode='distributed'`` probe table for large batches.
+
+Exactly-once: foreachBatch + the parquet append is idempotent per
+checkpointed batch id under availableNow replay; results land as plain
+parquet any engine can read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+
+def stream_ann_search(
+    queries_stream: DataFrame,
+    index,
+    out_path: str,
+    checkpoint: str,
+    k: int = 10,
+    nprobe: int = 1,
+    mode: str = "auto",
+    q_id_col: str = "query_id",
+    q_vec_col: str = "query_vec",
+) -> StreamingQuery:
+    """Attach a probed top-k search to a streaming query-vector source.
+
+    ``index`` is an operators/ivf.IVFIndex; every micro-batch of
+    (query_id, query_vec) rows is answered with one partition-pruned
+    batch plan and appended to ``out_path``.
+    """
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        res = index.batch_search(
+            batch_df, k=k, nprobe=nprobe,
+            q_id_col=q_id_col, q_vec_col=q_vec_col, mode=mode,
+        )
+        res.write.mode("append").parquet(out_path)
+
+    return (
+        queries_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -273,3 +273,37 @@ def test_minhash_verify_broadcast_is_size_conditional(spark, tables):
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_cobucketed_join_has_no_exchange(spark, tables, tmp_path):
+    """Co-bucketed orders⋈lineitem on orderkey: both scans report the
+    bucket hash partitioning, so the sort-merge join plans with ZERO
+    Exchange — the write-time contract that removes the last fact-table
+    shuffle from the star-join family (sources/bucketed.py)."""
+    from pyspark.sql import functions as F
+
+    from pgvector_db_spark.sources.bucketed import write_bucketed
+
+    write_bucketed(
+        tables["orders"], "orders_bt_plan", str(tmp_path / "o"),
+        ["o_orderkey"], num_buckets=8, sort_cols=["o_orderkey"],
+    )
+    write_bucketed(
+        tables["lineitem"], "lineitem_bt_plan", str(tmp_path / "l"),
+        ["l_orderkey"], num_buckets=8, sort_cols=["l_orderkey"],
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = spark.table("lineitem_bt_plan").join(
+            spark.table("orders_bt_plan"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert df.count() == tables["lineitem"].count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_bt_plan")
+        spark.sql("DROP TABLE IF EXISTS lineitem_bt_plan")

@@ -517,3 +517,38 @@ def test_lsh_layout_append(spark, tmp_path):
         spark, path, [1.0, 0.0, 0.0], 51, num_bits=4, hamming_probe=4
     )
     assert allrows.count() == 51
+
+
+def test_stream_ann_search_matches_batch(spark, tables, tmp_path):
+    """Streaming ANN (foreachBatch over a replayed query stream) returns
+    EXACTLY what one batch_search over the same queries returns at the
+    same partial nprobe — micro-batching must not change the probe set
+    or ranking."""
+    from pgvector_db_spark.operators.ivf import IVFIndex
+    from pgvector_db_spark.streaming.ann import stream_ann_search
+    from pgvector_db_spark.streaming.replay import file_stream
+
+    emb = tables["embeddings"]
+    idx = IVFIndex.build(emb, str(tmp_path / "idx"), lists=8)
+
+    queries = emb.filter("vec_id <= 4").selectExpr(
+        "vec_id AS query_id", "embedding AS query_vec"
+    )
+    replay = str(tmp_path / "replay")
+    # two files -> two micro-batches with maxFilesPerTrigger=1
+    queries.filter("query_id <= 2").coalesce(1).write.parquet(replay)
+    queries.filter("query_id > 2").coalesce(1).write.mode("append").parquet(replay)
+
+    src = file_stream(spark, replay, queries.schema, max_files_per_trigger=1)
+    q = stream_ann_search(
+        src, idx, out_path=str(tmp_path / "res"),
+        checkpoint=str(tmp_path / "ckpt"), k=5, nprobe=2, mode="distributed",
+    )
+    q.awaitTermination()
+    got = sorted(
+        map(tuple, spark.read.parquet(str(tmp_path / "res")).collect())
+    )
+    want = sorted(
+        map(tuple, idx.batch_search(queries, k=5, nprobe=2).collect())
+    )
+    assert got == want

@@ -392,3 +392,47 @@ def test_embedding_near_dup_ivf_plan_is_blocked(spark, tables, tmp_path):
     # `lists`-row centroid table during assignment; the PAIR join itself
     # must be hash-equi on list_id
     assert "list_id" in plan.split("Join")[0] or "list_id#" in plan
+
+
+def test_bloom_decontaminate_equals_plain_path(spark, tables):
+    """The Bloom prefilter must not change the result: false positives
+    are verified away by the exact join, false negatives are impossible
+    (every eval gram's bits are set)."""
+    from pgvector_db_spark.operators.dedup import (
+        bloom_decontaminate,
+        contamination_overlap,
+    )
+
+    docs = tables["documents"]
+    tr, ev = docs.filter("doc_id % 31 != 0"), docs.filter("doc_id % 31 = 0")
+    plain = sorted(
+        map(tuple, contamination_overlap(tr, ev, n=3, min_shared=2).collect())
+    )
+    bloom = sorted(
+        map(tuple, bloom_decontaminate(tr, ev, n=3, min_shared=2).collect())
+    )
+    assert plain == bloom and len(plain) > 0
+
+
+def test_bloom_decontaminate_tiny_bitmap_still_exact(spark, tables):
+    """A deliberately undersized bitmap (high FPP) may pass junk through
+    the prefilter but the verify join keeps the result exact."""
+    from pgvector_db_spark.operators.dedup import (
+        bloom_decontaminate,
+        contamination_overlap,
+    )
+
+    docs = tables["documents"].limit(60)
+    tr, ev = docs.filter("doc_id % 7 != 0"), docs.filter("doc_id % 7 = 0")
+    plain = sorted(
+        map(tuple, contamination_overlap(tr, ev, n=3, min_shared=2).collect())
+    )
+    bloom = sorted(
+        map(
+            tuple,
+            bloom_decontaminate(
+                tr, ev, n=3, min_shared=2, num_bits=256, n_hashes=2
+            ).collect(),
+        )
+    )
+    assert plain == bloom
