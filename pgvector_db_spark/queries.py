@@ -1053,6 +1053,102 @@ def rel_cobucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_jsonl_roundtrip",
+    """
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS meta_chars
+    FROM documents GROUP BY source
+    """,
+    tags=("relational", "source", "jsonl"),
+)
+def rel_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL sink + source round-trip (the interchange format every LLM
+    data pipeline ingests/emits): documents written as JSON lines and
+    read back with an explicit schema — schema-on-read, JSON string
+    escaping (newlines/quotes/unicode) and bigint fidelity all
+    exercised. The oracle aggregates the original parquet; equality
+    proves the round-trip lost nothing."""
+    import tempfile
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    tmp = tempfile.mkdtemp(prefix="jsonl_rt_")
+    path = os.path.join(tmp, "docs_json")
+    docs.write.mode("overwrite").json(path)
+    back = spark.read.schema(docs.schema).json(path)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.sum("n_chars").alias("meta_chars"),
+    )
+
+
+@register(
+    "rel_csv_roundtrip",
+    """
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           strftime(MIN(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS first_date
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("relational", "source", "csv"),
+)
+def rel_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + source round-trip: orders written with header and read
+    back with an explicit schema — quoting, timestamp serialization and
+    double fidelity exercised; the oracle aggregates the original
+    parquet."""
+    import tempfile
+
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"]
+    tmp = tempfile.mkdtemp(prefix="csv_rt_")
+    path = os.path.join(tmp, "orders_csv")
+    orders.write.mode("overwrite").option("header", "true").csv(path)
+    back = (
+        spark.read.schema(orders.schema)
+        .option("header", "true")
+        .csv(path)
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
+        F.date_format(F.min(F.col("o_orderdate").cast("date")), "yyyy-MM-dd")
+        .alias("first_date"),
+    )
+
+
+@register(
+    "rel_orc_roundtrip",
+    """
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+    tags=("relational", "source", "orc"),
+)
+def rel_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source round-trip (the other columnar format Spark
+    ships natively — warehouse interchange): documents written as ORC
+    and read back; the oracle aggregates the original parquet."""
+    import tempfile
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    tmp = tempfile.mkdtemp(prefix="orc_rt_")
+    path = os.path.join(tmp, "docs_orc")
+    docs.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )
+
+
+@register(
     "rel_jdbc_roundtrip",
     """
     SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -3454,6 +3550,52 @@ def ds_embedding_near_dup_ivf_fullassign(
     return embedding_near_dup_survivors_ivf(
         t["embeddings"], idx, assign=8, threshold=0.3
     ).select("vec_id", "label")
+
+
+@register(
+    "ds_maparrow_token_count",
+    """
+    SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars2,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens
+    FROM documents WHERE length(text) > 0
+    """,
+    tags=("dataset", "udf", "arrow"),
+)
+def ds_maparrow_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` — the Arrow-native member of the Python UDF matrix
+    (no pandas materialization at all: RecordBatches in, RecordBatches
+    out, computed with pyarrow.compute kernels). Codepoint length and
+    whitespace token count per doc, oracle-checked against DuckDB's
+    string kernels."""
+    t = load_tables(spark, sf_dir)
+
+    def fn(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            texts = b.column("text")
+            n_chars = pc.cast(pc.utf8_length(texts), pa.int64())
+            toks = pc.cast(
+                pc.list_value_length(
+                    pc.split_pattern_regex(
+                        pc.utf8_trim_whitespace(texts), r"\s+"
+                    )
+                ),
+                pa.int64(),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [b.column("doc_id"), n_chars, toks],
+                ["doc_id", "n_chars2", "n_tokens"],
+            )
+
+    return (
+        t["documents"]
+        .filter(F.length("text") > 0)
+        .select("doc_id", "text")
+        .mapInArrow(fn, "doc_id bigint, n_chars2 bigint, n_tokens bigint")
+    )
 
 
 # Multimodal columns: opaque bytes + typed metadata (SURVEY §2.3). The
