@@ -1053,6 +1053,35 @@ def rel_cobucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_salted_join_events",
+    """
+    WITH d AS (SELECT user_id, COUNT(*) AS user_events FROM events GROUP BY user_id)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(user_events) AS BIGINT) AS weight
+    FROM events JOIN d USING (user_id)
+    GROUP BY event_type
+    """,
+    tags=("relational", "join", "skew"),
+)
+def rel_salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted join (operators/joins.salted_join): the
+    large side's hot keys spread over (key, salt) reducers, the small
+    side replicated num_salts times — results identical to the plain
+    join (the oracle IS the plain join), which is the whole point: salt
+    changes the shuffle, never the answer."""
+    from pgvector_db_spark.operators.joins import salted_join
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("user_id", "event_type")
+    dim = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("user_events"))
+    joined = salted_join(ev, dim, "user_id", num_salts=8)
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("user_events").alias("weight"),
+    )
+
+
+@register(
     "rel_jsonl_roundtrip",
     """
     SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,

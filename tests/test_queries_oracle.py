@@ -94,3 +94,23 @@ def test_asof_join_tie_break_is_deterministic(spark):
         ).collect()
         assert len(got) == 1
         assert got[0]["tag"] == "b", direction
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting redistributes the shuffle, never the rows: inner and left
+    salted joins must return exactly the plain joins' multisets,
+    including unmatched left rows under how='left'."""
+    from pgvector_db_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d")], "k int, lv string"
+    )
+    right = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "z")], "k int, rv string"
+    )
+    for how in ("inner", "left"):
+        plain = sorted(map(tuple, left.join(right, "k", how).collect()))
+        salted = sorted(
+            map(tuple, salted_join(left, right, "k", 4, how).collect())
+        )
+        assert salted == plain, how
