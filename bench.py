@@ -106,6 +106,7 @@ def derived_metrics(spark, sf_dir: str, timings: dict[str, float]) -> dict[str, 
         ("vs_ivfpq_knn", "knn_ivfpq_ms"),
         ("vs_matryoshka_rerank", "knn_matryoshka_ms"),
         ("ds_bm25_search", "bm25_ms"),
+        ("ds_bm25_index_search", "bm25_indexed_ms"),
         ("vs_hybrid_rrf_search", "hybrid_rrf_ms"),
         ("stream_events_window_5min", "stream_window_ms"),
         ("stream_stream_interval_join", "stream_join_ms"),

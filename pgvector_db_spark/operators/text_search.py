@@ -84,6 +84,16 @@ def bm25_topk(
 
     tf = tf.withColumn("df", F.count(F.lit(1)).over(_W.partitionBy("term")))
 
+    return _score_and_topk(tf, stats, k, k1, b, id_col)
+
+
+def _score_and_topk(
+    tf: DataFrame, stats: DataFrame, k: int, k1: float, b: float, id_col: str
+) -> DataFrame:
+    """Shared scoring tail: ``tf`` carries (id, term, tf, dl, df); the
+    SAME expression tree serves the scan path (bm25_topk) and the
+    indexed path (BM25Index.search), so their grid-fixed scores are
+    bitwise identical by construction."""
     scored = (
         tf.crossJoin(F.broadcast(stats))
         .withColumn("avgdl", F.col("sum_dl") / F.col("n_docs"))
@@ -162,3 +172,123 @@ def bm25_oracle_sql(
     FROM scored GROUP BY doc_id
     ORDER BY score_micro DESC, doc_id ASC LIMIT {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Persisted inverted-index layout — the at-scale BM25 (text twin of the
+# IVF layout in operators/ivf.py).
+# ---------------------------------------------------------------------------
+
+
+class BM25Index:
+    """Build-once inverted index: per-query cost is a partition-pruned
+    read of the query terms' postings, never a corpus scan.
+
+    Layout (all plain parquet):
+      postings/  (doc_id, term, tf, dl), partitionBy(bucket) where
+                 bucket = crc32(term) % num_buckets — crc32 because the
+                 driver can compute the probe set with zlib.crc32
+                 byte-identically to Spark's ``crc32`` expression.
+      terms/     (term, df), same bucketing — global document frequency
+                 per term, vocabulary-sized.
+      stats/     single row (n_docs, sum_dl).
+
+    A query reads only the buckets its terms hash into (PartitionFilters
+    at the scan), joins the matching (term, df) rows, broadcasts the
+    1-row stats, and runs the SAME grid-fixed scoring expression as the
+    scan path — bitwise-equal scores, pinned by tests. At 100 TB the
+    build is one corpus pass; each search touches
+    |query terms| / num_buckets of the postings bytes.
+    """
+
+    def __init__(self, spark, path: str, id_col: str = "doc_id"):
+        self.spark = spark
+        self.path = path
+        self.id_col = id_col
+
+    @classmethod
+    def build(
+        cls,
+        docs: DataFrame,
+        path: str,
+        num_buckets: int = 64,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> "BM25Index":
+        import os as _os
+
+        spark = docs.sparkSession
+        toks = docs.select(
+            F.col(id_col), tokens_col(F.col(text_col)).alias("_toks")
+        ).select(
+            F.col(id_col),
+            F.size("_toks").alias("dl"),
+            F.explode("_toks").alias("term"),
+        )
+        tf = toks.groupBy(id_col, "term").agg(
+            F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+        )
+        bucket = F.pmod(F.crc32(F.col("term").cast("binary")), F.lit(num_buckets)).cast("int")
+        (
+            tf.withColumn("bucket", bucket)
+            .repartition("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(_os.path.join(path, "postings"))
+        )
+        dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        (
+            dft.withColumn("bucket", bucket)
+            .repartition("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(_os.path.join(path, "terms"))
+        )
+        stats = (
+            docs.select(F.size(tokens_col(F.col(text_col))).alias("dl"))
+            .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl"))
+            # bucket count rides in the stats row: empty buckets write no
+            # partition dir, so the layout itself can't be trusted for it
+            .withColumn("n_buckets", F.lit(num_buckets))
+        )
+        stats.coalesce(1).write.mode("overwrite").parquet(
+            _os.path.join(path, "stats")
+        )
+        return cls(spark, path, id_col)
+
+    def search(
+        self,
+        query_terms: list[str],
+        k: int = 20,
+        k1: float = 1.2,
+        b: float = 0.75,
+    ) -> DataFrame:
+        import os as _os
+        import zlib
+
+        # driver-side probe set: zlib.crc32 over UTF-8 == Spark's crc32
+        # expression, and the modulo must match build's — the bucket
+        # count is read off the layout's partition dirs
+        post = self.spark.read.parquet(_os.path.join(self.path, "postings"))
+        terms = self.spark.read.parquet(_os.path.join(self.path, "terms"))
+        nb = self._num_buckets()
+        probe = sorted(
+            {zlib.crc32(t.encode("utf-8")) % nb for t in query_terms}
+        )
+        post = post.filter(F.col("bucket").isin(probe)).filter(
+            F.col("term").isin(query_terms)
+        )
+        dft = terms.filter(F.col("bucket").isin(probe)).filter(
+            F.col("term").isin(query_terms)
+        )
+        tf = post.join(F.broadcast(dft.select("term", "df")), "term")
+        stats = self._stats().select("n_docs", "sum_dl")
+        return _score_and_topk(tf, stats, k, k1, b, self.id_col)
+
+    def _stats(self) -> DataFrame:
+        import os as _os
+
+        return self.spark.read.parquet(_os.path.join(self.path, "stats"))
+
+    def _num_buckets(self) -> int:
+        return int(self._stats().first()["n_buckets"])

@@ -5446,6 +5446,30 @@ def ds_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ds_bm25_index_search",
+    bm25_oracle_sql(_BM25_TERMS, k=20),
+    tags=("dataset", "text", "search", "index"),
+)
+def ds_bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over the PERSISTED inverted-index layout (BM25Index — the
+    at-scale form: build is one corpus pass; a query reads only the
+    partition-pruned postings of its terms, never the corpus). Shares
+    the scan path's scoring expression, so the exact BM25 oracle holds
+    bitwise."""
+    import tempfile
+
+    from pgvector_db_spark.operators.text_search import BM25Index
+
+    t = load_tables(spark, sf_dir)
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"bm25_idx_{tag}")
+    if not os.path.exists(os.path.join(path, "stats")):
+        BM25Index.build(t["documents"], path, num_buckets=16)
+    idx = BM25Index(spark, path)
+    return idx.search(_BM25_TERMS, k=20)
+
+
+@register(
     "vs_hybrid_rrf_search",
     f"""
     WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

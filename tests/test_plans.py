@@ -307,3 +307,20 @@ def test_cobucketed_join_has_no_exchange(spark, tables, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS orders_bt_plan")
         spark.sql("DROP TABLE IF EXISTS lineitem_bt_plan")
+
+
+def test_bm25_index_search_prunes_and_matches_scan(spark, tables, tmp_path):
+    """BM25Index.search equals bm25_topk bitwise (shared scoring tail)
+    and its postings scan is partition-pruned on the term bucket."""
+    from pgvector_db_spark.operators.text_search import BM25Index, bm25_topk
+
+    docs = tables["documents"]
+    idx = BM25Index.build(docs, str(tmp_path / "bm25"), num_buckets=16)
+    terms = ["vector", "join", "filter"]
+    scan = sorted(map(tuple, bm25_topk(docs, terms, k=20).collect()))
+    indexed_df = idx.search(terms, k=20)
+    indexed = sorted(map(tuple, indexed_df.collect()))
+    assert scan == indexed
+    plan = indexed_df._jdf.queryExecution().executedPlan().toString()
+    part_filters = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "bucket" in part_filters
