@@ -180,6 +180,12 @@ def bm25_oracle_sql(
 # ---------------------------------------------------------------------------
 
 
+# per-path cache of (n_docs, sum_dl, n_buckets): the 1-row stats read is
+# a full Spark job, pure per-query driver overhead if repeated (same
+# pattern as operators/ivf._CENTROID_CACHE). Invalidated by build().
+_STATS_CACHE: dict[str, tuple[int, int, int]] = {}
+
+
 class BM25Index:
     """Build-once inverted index: per-query cost is a partition-pruned
     read of the query terms' postings, never a corpus scan.
@@ -254,6 +260,7 @@ class BM25Index:
         stats.coalesce(1).write.mode("overwrite").parquet(
             _os.path.join(path, "stats")
         )
+        _STATS_CACHE.pop(path, None)
         return cls(spark, path, id_col)
 
     def search(
@@ -282,13 +289,25 @@ class BM25Index:
             F.col("term").isin(query_terms)
         )
         tf = post.join(F.broadcast(dft.select("term", "df")), "term")
-        stats = self._stats().select("n_docs", "sum_dl")
+        n_docs, sum_dl, _ = self._stats()
+        stats = self.spark.createDataFrame(
+            [(n_docs, sum_dl)], "n_docs bigint, sum_dl bigint"
+        )
         return _score_and_topk(tf, stats, k, k1, b, self.id_col)
 
-    def _stats(self) -> DataFrame:
+    def _stats(self) -> tuple[int, int, int]:
         import os as _os
 
-        return self.spark.read.parquet(_os.path.join(self.path, "stats"))
+        cached = _STATS_CACHE.get(self.path)
+        if cached is None:
+            row = self.spark.read.parquet(
+                _os.path.join(self.path, "stats")
+            ).first()
+            cached = (
+                int(row["n_docs"]), int(row["sum_dl"]), int(row["n_buckets"])
+            )
+            _STATS_CACHE[self.path] = cached
+        return cached
 
     def _num_buckets(self) -> int:
-        return int(self._stats().first()["n_buckets"])
+        return self._stats()[2]
