@@ -227,10 +227,13 @@ def derived_metrics(spark, sf_dir: str, timings: dict[str, float]) -> dict[str, 
         )
         nq = n_emb * reps
         t0 = _t.time()
-        assert idx.batch_search(
+        # count OUTSIDE the assert: under python -O the assert statement
+        # (and the only action with it) would be stripped entirely
+        n_rows = idx.batch_search(
             queries, k=10, nprobe=1, mode="distributed"
-        ).count() >= nq  # k results per query (>= nq rows)
+        ).count()
         dt = _t.time() - t0
+        assert n_rows >= nq  # k results per query (>= nq rows)
         out["batch_ann_queries_per_sec"] = round(nq / dt, 1)
         out["batch_ann_batch_size"] = nq
 

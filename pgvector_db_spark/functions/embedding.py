@@ -111,9 +111,20 @@ def _load_model(model_name: str, factory=None):
     precedence over the sentence-transformers hub path, so the full
     mapInPandas pipeline (Arrow batching, cache, schema) runs with any
     model implementation, including deterministic stubs in tests."""
-    if model_name not in _MODEL_CACHE:
+    # key includes the factory identity: caching by name alone would let
+    # an injected stub poison the name for a later factory-less call
+    # (silently returning stub vectors where real ones were expected)
+    if factory is None:
+        key = model_name
+    else:
+        key = (
+            f"{model_name}#injected:"
+            f"{getattr(factory, '__module__', '?')}."
+            f"{getattr(factory, '__qualname__', repr(factory))}"
+        )
+    if key not in _MODEL_CACHE:
         if factory is not None:
-            _MODEL_CACHE[model_name] = factory()
+            _MODEL_CACHE[key] = factory()
         else:
             try:
                 from sentence_transformers import SentenceTransformer  # type: ignore
@@ -123,8 +134,8 @@ def _load_model(model_name: str, factory=None):
                     "use embed_text(..., model='fake') for the deterministic "
                     "path or inject model_factory"
                 ) from exc
-            _MODEL_CACHE[model_name] = SentenceTransformer(model_name)
-    return _MODEL_CACHE[model_name]
+            _MODEL_CACHE[key] = SentenceTransformer(model_name)
+    return _MODEL_CACHE[key]
 
 
 def embed_text(

@@ -130,17 +130,22 @@ def minhash_lsh_pairs(
             banded.groupBy("_bk")
             .agg(F.count("*").alias("_n"))
             .filter(F.col("_n") > max_band_docs)
-            .persist()
         )
-        n_hot = hot.count()
-        if n_hot:
+        # one collect for the overflow log; the anti-join recomputes the
+        # (cheap, fed-from-persisted-base) aggregation rather than
+        # persisting `hot`, which would leak executor storage for the
+        # session lifetime (nothing here unpersists after the lazy
+        # result's eventual action)
+        stats = hot.agg(
+            F.count(F.lit(1)).alias("k"), F.sum("_n").alias("docs")
+        ).first()
+        if stats["k"]:
             import logging
 
-            stats = hot.agg(F.sum("_n").alias("docs")).collect()[0]
             logging.getLogger(__name__).warning(
                 "minhash_lsh_pairs skew guard: dropping %d band buckets "
                 "(%s member rows) exceeding max_band_docs=%d",
-                n_hot,
+                stats["k"],
                 stats["docs"],
                 max_band_docs,
             )
@@ -230,10 +235,29 @@ def contamination_overlap(
 
     Returns (train_id, eval_id, n_shared) with n_shared >= min_shared.
     """
-    tr = train.select(F.col(id_col).alias("train_id"), _word_ngrams(text_col, n).alias("_ng"))
-    ev = eval_df.select(F.col(id_col).alias("eval_id"), _word_ngrams(text_col, n).alias("_ng"))
-    tr_post = tr.select("train_id", F.explode("_ng").alias("_g"))
-    ev_post = ev.select("eval_id", F.explode("_ng").alias("_g"))
+    tr_post = _gram_postings(train, text_col, id_col, n, "train_id")
+    ev_post = _gram_postings(eval_df, text_col, id_col, n, "eval_id")
+    return _overlap_aggregate(tr_post, ev_post, min_shared)
+
+
+def _gram_postings(
+    df: DataFrame, text_col: str, id_col: str, n: int, out_id: str
+) -> DataFrame:
+    """(out_id, gram) posting list — ONE definition shared by the plain
+    and Bloom-prefiltered decontamination paths, so their gram
+    normalization can never drift apart (the Bloom path's exactness
+    guarantee depends on it)."""
+    g = df.select(
+        F.col(id_col).alias(out_id), _word_ngrams(text_col, n).alias("_ng")
+    )
+    return g.select(out_id, F.explode("_ng").alias("_g"))
+
+
+def _overlap_aggregate(
+    tr_post: DataFrame, ev_post: DataFrame, min_shared: int
+) -> DataFrame:
+    """Shared verify tail: broadcast the (benchmark-sized) eval postings,
+    count shared grams per (train, eval) pair."""
     return (
         tr_post.join(F.broadcast(ev_post), "_g")
         .groupBy("train_id", "eval_id")
@@ -273,10 +297,7 @@ def bloom_decontaminate(
     driver — bounded by the bitmap's own size, never the corpus.
     """
     _WORD = 32
-    ev = eval_df.select(
-        F.col(id_col).alias("eval_id"), _word_ngrams(text_col, n).alias("_ng")
-    )
-    ev_post = ev.select("eval_id", F.explode("_ng").alias("_g"))
+    ev_post = _gram_postings(eval_df, text_col, id_col, n, "eval_id")
 
     def _positions(gcol):
         return [
@@ -305,18 +326,10 @@ def bloom_decontaminate(
             cond = cond & (word.bitwiseAND(bit) != 0)
         return cond
 
-    tr = train.select(
-        F.col(id_col).alias("train_id"), _word_ngrams(text_col, n).alias("_ng")
-    )
-    tr_post = tr.select("train_id", F.explode("_ng").alias("_g")).filter(
+    tr_post = _gram_postings(train, text_col, id_col, n, "train_id").filter(
         _might_contain(F.col("_g"))
     )
-    return (
-        tr_post.join(F.broadcast(ev_post), "_g")
-        .groupBy("train_id", "eval_id")
-        .agg(F.count("*").alias("n_shared"))
-        .filter(F.col("n_shared") >= min_shared)
-    )
+    return _overlap_aggregate(tr_post, ev_post, min_shared)
 
 
 def ngram_jaccard_pairs(
@@ -530,6 +543,13 @@ def embedding_near_dup_survivors_ivf(
     hash join. Everything shuffles on list_id / id only — vectors never
     shuffle more than ``assign`` copies.
     """
+    if index.metric != "cosine":
+        raise NotImplementedError(
+            "embedding_near_dup_survivors_ivf requires a cosine IVF index "
+            "(the distributed centroid ranking and the similarity "
+            "threshold are both cosine); got metric="
+            f"{index.metric!r}"
+        )
     probe = index._probe_table_distributed(
         df.select(F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv0")),
         nprobe=assign,

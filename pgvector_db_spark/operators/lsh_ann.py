@@ -67,11 +67,24 @@ def _signature_of(vec: list[float], planes: list[list[float]]) -> int:
     return sig
 
 
+def _hamming_masks(num_bits: int, hamming_probe: int) -> list[int]:
+    """All bitmasks of weight ≤ hamming_probe — O(C(num_bits, ≤h)) via
+    combinations, NOT O(2^num_bits) enumeration (which would hang the
+    driver at the num_bits≈24+ regimes large bucket spaces need)."""
+    from itertools import combinations
+
+    masks = []
+    for h in range(hamming_probe + 1):
+        for bits in combinations(range(num_bits), h):
+            m = 0
+            for i in bits:
+                m |= 1 << i
+            masks.append(m)
+    return masks
+
+
 def _probe_signatures(qsig: int, num_bits: int, hamming_probe: int) -> list[int]:
-    return [
-        s for s in range(1 << num_bits)
-        if bin(s ^ qsig).count("1") <= hamming_probe
-    ]
+    return [qsig ^ m for m in _hamming_masks(num_bits, hamming_probe)]
 
 
 def similarity_join(
@@ -100,9 +113,7 @@ def similarity_join(
     """
     dim = len(left.select(vec_col).first()[0])
     planes = hyperplanes(dim, num_bits, seed)
-    masks = [
-        m for m in range(1 << num_bits) if bin(m).count("1") <= hamming_probe
-    ]
+    masks = _hamming_masks(num_bits, hamming_probe)
     l2 = left.select(
         F.col(id_col).alias("id_left"),
         F.col(vec_col).alias("_vl"),
@@ -286,10 +297,7 @@ def batch_search_lsh_layout(
     elif mode == "distributed":
         dim = len(queries.select(q_vec_col).first()[0])
         planes = hyperplanes(dim, num_bits, seed)
-        masks = [
-            m for m in range(1 << num_bits)
-            if bin(m).count("1") <= hamming_probe
-        ]
+        masks = _hamming_masks(num_bits, hamming_probe)
         q = queries.select(
             F.col(q_id_col).cast("bigint").alias(q_id_col),
             F.transform(F.col(q_vec_col), lambda x: x.cast("double")).alias(

@@ -32,9 +32,16 @@ def write_bucketed(
     buckets: int = 32,
     sort: bool = True,
 ) -> None:
-    """Persist as a bucketed (+sorted) managed Parquet table. Readers that
+    """Persist as a bucketed (+sorted) MANAGED Parquet table. Readers that
     join or aggregate on ``key`` skip the shuffle (and the sort, if
-    sorted) — Spark's equivalent of a clustered index layout."""
+    sorted) — Spark's equivalent of a clustered index layout.
+
+    For external-path, multi-column-bucket layouts and the co-located
+    fact⋈fact join contract, use ``sources/bucketed.py`` — that module is
+    the canonical bucketed writer; this wrapper keeps the managed-table
+    convenience (stale-table drop + orphaned-warehouse-location cleanup)
+    used by plan tests.
+    """
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
     # a managed-table location orphaned by a previous session (dir present,
@@ -60,20 +67,14 @@ def salted_join(
     how: str = "inner",
     seed: int = 42,
 ) -> DataFrame:
-    """Skew-resistant equi-join: scatter ``left`` across ``salt`` sub-keys,
-    replicate ``right`` once per sub-key, join on (key, salt).
+    """Skew-resistant equi-join — delegates to the canonical
+    ``operators/joins.salted_join`` (deterministic xxhash64 row salt; the
+    old ``F.rand``-based salt here made retried stages non-reproducible).
+    ``seed`` is retained for API compatibility and ignored."""
+    from pgvector_db_spark.operators.joins import salted_join as _sj
 
-    Use when ``right`` is the smaller-but-not-broadcastable side and the
-    key distribution is pathological. Output columns = left's columns +
-    right's non-key columns (same as a plain join on ``key``).
-    """
-    salted_left = left.withColumn(
-        "_salt", (F.rand(seed) * salt).cast("int")
-    )
-    salt_ids = F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("_salt")
-    salted_right = right.select("*", salt_ids)
-    out = salted_left.join(salted_right, [key, "_salt"], how)
-    return out.drop("_salt")
+    del seed
+    return _sj(left, right, key, num_salts=salt, how=how)
 
 
 def zvalue(cols: list, maxima: list[tuple[float, float]], bits: int = 12):

@@ -1205,8 +1205,11 @@ def rel_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         host="", database="", user="app", password="app",
         schema_name="APP", sslmode=None,
         driver="org.apache.derby.jdbc.EmbeddedDriver",
+        # process-unique DB dir: embedded Derby locks its db dir to one
+        # JVM, so concurrent harnesses sharing a path would fail to boot
         url_override=(
-            f"jdbc:derby:{tempfile.gettempdir()}/derby_gate_{tag};create=true"
+            f"jdbc:derby:{tempfile.gettempdir()}/derby_gate_{tag}_{os.getpid()}"
+            ";create=true"
         ),
     )
     slice_df = t["orders"].filter(F.col("o_orderkey") % 97 == 0).select(
@@ -2132,7 +2135,7 @@ def stream_ann_search_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5, nprobe=8, mode="distributed",
     )
     q.awaitTermination()
-    return spark.read.parquet(os.path.join(tmp, "res"))
+    return spark.read.parquet(os.path.join(tmp, "res")).drop("batch_id")
 
 
 @register(
@@ -3606,11 +3609,12 @@ def ds_maparrow_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in batches:
             texts = b.column("text")
             n_chars = pc.cast(pc.utf8_length(texts), pa.int64())
+            # trim SPACES only (utf8_trim(chars=' ')): DuckDB's trim()
+            # and Spark's F.trim strip only ' ', and the oracle relies
+            # on tab/newline-edged text keeping its empty edge token
             toks = pc.cast(
                 pc.list_value_length(
-                    pc.split_pattern_regex(
-                        pc.utf8_trim_whitespace(texts), r"\s+"
-                    )
+                    pc.split_pattern_regex(pc.utf8_trim(texts, " "), r"\s+")
                 ),
                 pa.int64(),
             )

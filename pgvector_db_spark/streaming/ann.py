@@ -10,14 +10,18 @@ which is exactly where it belongs: every micro-batch gets the identical
 WindowGroupLimit partial top-k the interactive path uses, including the
 ``mode='distributed'`` probe table for large batches.
 
-Exactly-once: foreachBatch + the parquet append is idempotent per
-checkpointed batch id under availableNow replay; results land as plain
-parquet any engine can read.
+Exactly-once: results land partitioned by ``batch_id`` with dynamic
+partition overwrite, so a micro-batch retried after a partial write (or
+replayed from the checkpoint after a crash) OVERWRITES its own partition
+instead of appending duplicates — foreachBatch alone is only
+at-least-once. Output is plain parquet any engine can read; drop the
+``batch_id`` column if the provenance isn't wanted.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 
@@ -46,7 +50,14 @@ def stream_ann_search(
             batch_df, k=k, nprobe=nprobe,
             q_id_col=q_id_col, q_vec_col=q_vec_col, mode=mode,
         )
-        res.write.mode("append").parquet(out_path)
+        # idempotent per batch id: a retry overwrites its own partition
+        (
+            res.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_path)
+        )
 
     return (
         queries_stream.writeStream.foreachBatch(process)

@@ -546,7 +546,10 @@ def test_stream_ann_search_matches_batch(spark, tables, tmp_path):
     )
     q.awaitTermination()
     got = sorted(
-        map(tuple, spark.read.parquet(str(tmp_path / "res")).collect())
+        map(
+            tuple,
+            spark.read.parquet(str(tmp_path / "res")).drop("batch_id").collect(),
+        )
     )
     want = sorted(
         map(tuple, idx.batch_search(queries, k=5, nprobe=2).collect())
