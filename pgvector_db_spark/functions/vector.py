@@ -119,6 +119,33 @@ def l2_normalize(a: ColumnOrName) -> Column:
     return F.zip_with(col, norms, lambda x, n: _d(x) / n)
 
 
+def chunk_vector(a: ColumnOrName, n_chunks: int, chunk_dim: int) -> Column:
+    """array<numeric>(n·d) → array<array>(n) of d-dim chunks — the
+    multi-vector (token-vector) view of a packed embedding. Chunk i is
+    elements [i·d+1 .. i·d+d] (1-based slice, matching DuckDB's)."""
+    col = _c(a)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_chunks - 1)),
+        lambda i: F.slice(col, i * F.lit(chunk_dim) + F.lit(1), chunk_dim),
+    )
+
+
+def maxsim_score(doc_chunks: Column, q_chunks: Column) -> Column:
+    """ColBERT-style late-interaction MaxSim over inner product:
+    ``Σ over query chunks of max over doc chunks of dot(qc, dc)``.
+    Deterministic: each dot is the sequential float64 fold, max over
+    finite doubles is order-independent, and the outer sum folds the
+    query chunks in array order — so the same nested expression in
+    DuckDB SQL is bitwise-equal (the vs_maxsim_topk oracle)."""
+    per_q = F.transform(
+        q_chunks,
+        lambda qc: F.array_max(
+            F.transform(doc_chunks, lambda dc: dot_product(qc, dc))
+        ),
+    )
+    return F.aggregate(per_q, F.lit(0.0), lambda acc, x: acc + x)
+
+
 def vector_literal(vec: list[float]) -> Column:
     """Driver-side constant vector → array<double> literal column."""
     return F.array(*[F.lit(float(v)) for v in vec])

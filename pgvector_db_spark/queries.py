@@ -1817,6 +1817,134 @@ def vs_ivf_knn_l2_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.search(list(q), k=10, nprobe=8).select("vec_id", "label", "distance")
 
 
+_MAXSIM_CHUNK_DOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(range(1, 9), i -> "
+    "CAST(qe[qi*8+i] AS DOUBLE) * CAST(embedding[di*8+i] AS DOUBLE))), "
+    "(acc, x) -> acc + x)"
+)
+
+
+@register(
+    "vs_maxsim_topk",
+    f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, label,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(0, 8), qi ->
+               list_max(list_transform(range(0, 8), di -> {_MAXSIM_CHUNK_DOT}))
+             )), (acc2, x2) -> acc2 + x2) AS maxsim
+    FROM embeddings, q
+    ORDER BY maxsim DESC, vec_id ASC LIMIT 10
+    """,
+    tags=("vector", "maxsim", "multivector", "search"),
+)
+def vs_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction retrieval (functions/vector.py
+    maxsim_score): the packed 64-dim embedding viewed as 8 token vectors
+    of 8 dims; score = Σ over query tokens of max over doc tokens of the
+    inner product. Nested higher-order functions, fully codegen'd — and
+    fully oracle-checkable because every fold order is pinned (sequential
+    dot, order-free max, array-order outer sum). TakeOrderedAndProject
+    top-10."""
+    from pgvector_db_spark.functions.vector import chunk_vector, maxsim_score
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    q = emb.filter("vec_id = 0").select(F.col("embedding").alias("qe"))
+    scored = emb.crossJoin(F.broadcast(q)).withColumn(
+        "maxsim",
+        maxsim_score(
+            chunk_vector(F.col("embedding"), 8, 8),
+            chunk_vector(F.col("qe"), 8, 8),
+        ),
+    )
+    return (
+        scored.orderBy(F.col("maxsim").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", "label", "maxsim")
+    )
+
+
+@register(
+    "vs_rag_context_pack",
+    f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    s AS (
+      SELECT e.vec_id,
+             {cosine_distance_sql("e.embedding", "q.qe", "duckdb")} AS distance
+      FROM embeddings e, q
+    ),
+    top AS (
+      SELECT vec_id,
+             CAST(row_number() OVER (ORDER BY distance ASC, vec_id ASC) AS INT)
+                 AS knn_rank
+      FROM s ORDER BY distance ASC, vec_id ASC LIMIT 20
+    ),
+    joined AS (
+      SELECT t.vec_id, t.knn_rank,
+             CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT)
+                 AS n_tokens
+      FROM top t JOIN documents d ON d.doc_id = t.vec_id
+    ),
+    packed AS (
+      SELECT vec_id, knn_rank, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY knn_rank ASC
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM joined
+    )
+    SELECT vec_id, knn_rank, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM packed WHERE cum_tokens <= 1200
+    """,
+    tags=("vector", "rag", "search", "pipeline"),
+)
+def vs_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG context assembly: cosine top-20 → join back to the documents
+    table → pack by relevance order until a 1200-token context budget is
+    exhausted (running-sum window, exact integer token counts). The
+    retrieval→join→pack composition every RAG serving layer runs, in one
+    plan."""
+    from pgvector_db_spark.functions.vector import cosine_distance
+
+    t = load_tables(spark, sf_dir)
+    emb, docs = t["embeddings"], t["documents"]
+    q = emb.filter("vec_id = 0").select(F.col("embedding").alias("qe"))
+    top = (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", cosine_distance("embedding", "qe").alias("distance")
+        )
+        .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .limit(20)
+        .withColumn(
+            "knn_rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("distance").asc(), F.col("vec_id").asc()))
+            .cast("int"),
+        )
+    )
+    joined = top.join(
+        docs.select(
+            F.col("doc_id"),
+            F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_tokens"),
+        ),
+        top["vec_id"] == F.col("doc_id"),
+    )
+    packed = joined.withColumn(
+        "cum_tokens",
+        F.sum("n_tokens")
+        .over(
+            Window.orderBy(F.col("knn_rank").asc()).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .cast("bigint"),
+    )
+    return packed.filter(F.col("cum_tokens") <= 1200).select(
+        "vec_id", "knn_rank", "n_tokens", "cum_tokens"
+    )
+
+
 @register(
     "vs_knn_batch",
     f"""
