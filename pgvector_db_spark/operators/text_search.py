@@ -263,6 +263,84 @@ class BM25Index:
         _STATS_CACHE.pop(path, None)
         return cls(spark, path, id_col)
 
+    def append(
+        self,
+        docs: DataFrame,
+        text_col: str = "text",
+    ) -> None:
+        """Incremental insert (the maintenance parity of IVFIndex.append):
+        the new batch's postings append into their term buckets; the
+        affected buckets' (term, df) rows and the 1-row stats are
+        REWRITTEN (df and n_docs/sum_dl are global counts, so they can't
+        be blind-appended). Only the batch shuffles; existing postings
+        files are untouched; terms/stats rewrites touch the affected
+        buckets' worth of vocabulary rows, not the corpus."""
+        import os as _os
+
+        n_docs0, sum_dl0, nb = self._stats()
+        toks = docs.select(
+            F.col(self.id_col), tokens_col(F.col(text_col)).alias("_toks")
+        ).select(
+            F.col(self.id_col),
+            F.size("_toks").alias("dl"),
+            F.explode("_toks").alias("term"),
+        )
+        tf = toks.groupBy(self.id_col, "term").agg(
+            F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+        )
+        bucket = F.pmod(
+            F.crc32(F.col("term").cast("binary")), F.lit(nb)
+        ).cast("int")
+        (
+            tf.withColumn("bucket", bucket)
+            .repartition("bucket")
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(_os.path.join(self.path, "postings"))
+        )
+        # merge df for the touched terms: old terms table (all buckets —
+        # vocabulary-sized, cheap) + the batch's per-term doc counts
+        delta = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        old = self.spark.read.parquet(
+            _os.path.join(self.path, "terms")
+        ).select("term", "df")
+        merged = (
+            old.unionByName(delta)
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+            .withColumn("bucket", bucket)
+        )
+        # stage-then-swap: the terms dir is being read and rewritten
+        tmp_terms = _os.path.join(self.path, "terms_staged")
+        merged.repartition("bucket").write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(tmp_terms)
+        import shutil as _sh
+
+        final_terms = _os.path.join(self.path, "terms")
+        _sh.rmtree(final_terms)
+        _os.rename(tmp_terms, final_terms)
+
+        batch_stats = docs.select(
+            F.size(tokens_col(F.col(text_col))).alias("dl")
+        ).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+        ).first()
+        new_stats = self.spark.createDataFrame(
+            [(
+                n_docs0 + int(batch_stats["n"]),
+                sum_dl0 + int(batch_stats["s"] or 0),
+                nb,
+            )],
+            "n_docs bigint, sum_dl bigint, n_buckets int",
+        )
+        tmp_stats = _os.path.join(self.path, "stats_staged")
+        new_stats.coalesce(1).write.mode("overwrite").parquet(tmp_stats)
+        final_stats = _os.path.join(self.path, "stats")
+        _sh.rmtree(final_stats)
+        _os.rename(tmp_stats, final_stats)
+        _STATS_CACHE.pop(self.path, None)
+
     def search(
         self,
         query_terms: list[str],

@@ -5602,6 +5602,93 @@ def ds_bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ds_bm25_index_append",
+    bm25_oracle_sql(_BM25_TERMS, k=20),
+    tags=("dataset", "text", "search", "index", "maintenance"),
+)
+def ds_bm25_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental BM25 index maintenance (BM25Index.append — the text
+    twin of vs_ivf_append_fullprobe): the index is built WITHOUT a doc
+    slice, the slice is appended (postings append into buckets; df and
+    corpus stats merged and staged-swapped), and the search over the
+    maintained index must equal the full-corpus BM25 oracle exactly —
+    proving the merge arithmetic, not just the append plumbing."""
+    import shutil
+    import tempfile
+
+    from pgvector_db_spark.operators.text_search import BM25Index
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"bm25_app_{tag}")
+    # rebuild each run: the append below mutates the layout, so a reused
+    # dir would double-append across runs
+    shutil.rmtree(path, ignore_errors=True)
+    BM25Index.build(
+        docs.filter("doc_id % 5 != 0"), path, num_buckets=16
+    )
+    idx = BM25Index(spark, path)
+    idx.append(docs.filter("doc_id % 5 = 0"))
+    return idx.search(_BM25_TERMS, k=20)
+
+
+@register(
+    "stream_bm25_ingest",
+    bm25_oracle_sql(_BM25_TERMS, k=20),
+    tags=("streaming", "text", "search", "index", "maintenance"),
+)
+def stream_bm25_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming full-text index maintenance: documents replayed as a
+    REAL file stream, every micro-batch folded into the persisted BM25
+    inverted index via foreachBatch → BM25Index.append (sequential per
+    micro-batch by the streaming engine's contract). After the stream
+    drains, a search over the maintained index must equal the
+    full-corpus BM25 oracle — the freshness property a continuously
+    ingesting search tier needs."""
+    import shutil
+    import tempfile
+
+    from pgvector_db_spark.catalog import table_path
+    from pgvector_db_spark.operators.text_search import BM25Index
+    from pgvector_db_spark.streaming.replay import file_stream
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"bm25_stream_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    # base index on part of the corpus; the rest arrives as a stream
+    BM25Index.build(docs.filter("doc_id % 3 = 0"), path, num_buckets=16)
+    idx = BM25Index(spark, path)
+
+    doc_path = table_path(sf_dir, "documents")
+    replay_dir = os.path.join(tempfile.gettempdir(), f"docs_replay_{tag}")
+    os.makedirs(replay_dir, exist_ok=True)
+    dst = os.path.join(replay_dir, "docs.parquet")
+    if not os.path.exists(dst):
+        shutil.copy(doc_path, dst + ".tmp")
+        os.rename(dst + ".tmp", dst)
+    schema = spark.read.parquet(doc_path).schema
+    src = file_stream(spark, replay_dir, schema).filter("doc_id % 3 != 0")
+
+    tmp = tempfile.mkdtemp(prefix="bm25_stream_ckpt_")
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.take(1):
+            idx.append(batch_df)
+
+    q = (
+        src.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return idx.search(_BM25_TERMS, k=20)
+
+
+@register(
     "vs_hybrid_rrf_search",
     f"""
     WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
