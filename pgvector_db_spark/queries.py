@@ -3713,6 +3713,120 @@ def ds_embedding_near_dup_ivf_fullassign(
 
 
 @register(
+    "ds_cogroup_user_activity",
+    """
+    WITH c AS (
+      SELECT user_id, COUNT(*) AS n_clicks,
+             SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS click_cents
+      FROM events WHERE event_type = 'click' GROUP BY user_id
+    ),
+    p AS (
+      SELECT user_id, COUNT(*) AS n_purchases,
+             SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS purchase_cents
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+           CAST(COALESCE(n_clicks, 0) AS BIGINT) AS n_clicks,
+           CAST(COALESCE(click_cents, 0) AS BIGINT) AS click_cents,
+           CAST(COALESCE(n_purchases, 0) AS BIGINT) AS n_purchases,
+           CAST(COALESCE(purchase_cents, 0) AS BIGINT) AS purchase_cents
+    FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+    """,
+    tags=("dataset", "udf", "cogroup"),
+)
+def ds_cogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``cogroup().applyInPandas`` — the two-sided grouped-map member of
+    the Python UDF matrix: click and purchase streams co-partitioned per
+    user and merged in one pandas function (the API a feature-join or
+    custom as-of merge uses when Catalyst can't express the pairing).
+    Cents via per-element floor(v*100+0.5) (exact for 2-decimal doubles)
+    so the integer sums match the SQL oracle bitwise."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("user_id", "event_type", "value")
+    clicks = ev.filter("event_type = 'click'")
+    purchases = ev.filter("event_type = 'purchase'")
+
+    def merge(cdf, pdf):
+        import numpy as np
+        import pandas as pd
+
+        uid = cdf["user_id"].iloc[0] if len(cdf) else pdf["user_id"].iloc[0]
+
+        def cents(df):
+            if not len(df):
+                return 0
+            v = df["value"].to_numpy(dtype="float64")
+            return int(np.floor(v * 100 + 0.5).astype("int64").sum())
+
+        return pd.DataFrame(
+            [
+                {
+                    "user_id": int(uid),
+                    "n_clicks": len(cdf),
+                    "click_cents": cents(cdf),
+                    "n_purchases": len(pdf),
+                    "purchase_cents": cents(pdf),
+                }
+            ]
+        )
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            "user_id bigint, n_clicks bigint, click_cents bigint, "
+            "n_purchases bigint, purchase_cents bigint",
+        )
+    )
+
+
+@register(
+    "ds_applyarrow_value_stats",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS total_cents,
+           MAX(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS max_cents
+    FROM events GROUP BY event_type
+    """,
+    tags=("dataset", "udf", "arrow"),
+)
+def ds_applyarrow_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``groupBy().applyInArrow`` — the grouped Arrow-native member of
+    the UDF matrix (pyarrow.Table in, pyarrow.Table out, no pandas).
+    Integer-cent aggregates per event type, exact vs the SQL oracle."""
+    t = load_tables(spark, sf_dir)
+
+    def stats(tbl):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(tbl.column("value"), 100.0), 0.5)),
+            pa.int64(),
+        )
+        return pa.Table.from_pydict(
+            {
+                "event_type": [tbl.column("event_type")[0].as_py()],
+                "n_events": [tbl.num_rows],
+                "total_cents": [pc.sum(cents).as_py()],
+                "max_cents": [pc.max(cents).as_py()],
+            }
+        )
+
+    return (
+        t["events"]
+        .select("event_type", "value")
+        .groupBy("event_type")
+        .applyInArrow(
+            stats,
+            "event_type string, n_events bigint, total_cents bigint, "
+            "max_cents bigint",
+        )
+    )
+
+
+@register(
     "ds_maparrow_token_count",
     """
     SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars2,
