@@ -197,3 +197,68 @@ def test_partitioning_invariance(spark, tables):
 
     assert knn_vals(emb.coalesce(1)) == knn_vals(emb.repartition(17))
     assert agg_vals(li.coalesce(1)) == agg_vals(li.repartition(17, "l_orderkey"))
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    d=st.lists(finite, min_size=8, max_size=8),
+    q=st.lists(finite, min_size=8, max_size=8),
+)
+def test_maxsim_matches_python_reference(spark, d, q):
+    """maxsim_score over 2 chunks of 4 dims equals the plain-Python
+    fold (sequential dots, max, ordered sum) bitwise — the invariant the
+    vs_maxsim_topk oracle depends on."""
+    from pgvector_db_spark.functions.vector import chunk_vector, maxsim_score
+
+    ld, lq = (F.array(*map(F.lit, v)) for v in (d, q))
+    got = _one(
+        spark,
+        [maxsim_score(chunk_vector(ld, 2, 4), chunk_vector(lq, 2, 4)).alias("s")],
+    )["s"]
+
+    def dot(x, y):
+        acc = 0.0
+        for a_, b_ in zip(x, y):
+            acc += a_ * b_
+        return acc
+
+    chunks = lambda v: [v[0:4], v[4:8]]
+    want = 0.0
+    for qc in chunks(q):
+        want += max(dot(qc, dc) for dc in chunks(d))
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab x"), min_size=12, max_size=40
+        ),
+        min_size=4,
+        max_size=8,
+    )
+)
+def test_bloom_decontaminate_always_equals_plain(spark, texts):
+    """For ANY corpus, the Bloom prefilter never changes the overlap
+    result (false positives verified away; false negatives impossible)."""
+    from pgvector_db_spark.operators.dedup import (
+        bloom_decontaminate,
+        contamination_overlap,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    tr, ev = df.filter("doc_id % 2 = 0"), df.filter("doc_id % 2 = 1")
+    plain = sorted(
+        map(tuple, contamination_overlap(tr, ev, n=2, min_shared=1).collect())
+    )
+    bloom = sorted(
+        map(
+            tuple,
+            bloom_decontaminate(
+                tr, ev, n=2, min_shared=1, num_bits=512, n_hashes=2
+            ).collect(),
+        )
+    )
+    assert plain == bloom
