@@ -83,3 +83,46 @@ def test_embed_text_preserves_input_columns(spark, tables):
     )
     assert out.columns == ["doc_id", "source", "text", "embedding"]
     assert out.count() == 20
+
+
+def test_download_distribute_embed_pipeline(spark, tmp_path):
+    """A17 + A12 composed end-to-end without torch: inject a downloader
+    that materializes a 'model dir' (weights file = the stub's config),
+    distribute it to executors via addFile, and run the REAL mapInPandas
+    inference path with a factory that loads its parameters from the
+    distributed dir — the exact production wiring, deterministic parts
+    swapped in."""
+    import json
+    import os
+
+    from pgvector_db_spark.utils import distribute_model_dir, download_model
+
+    def fake_downloader(name, dest):
+        os.makedirs(dest, exist_ok=True)
+        with open(os.path.join(dest, "config.json"), "w") as f:
+            json.dump({"dim": 4, "name": name}, f)
+        return dest
+
+    local_dir = download_model(
+        "org/stub-model", str(tmp_path), downloader=fake_downloader
+    )
+    basename = distribute_model_dir(spark, local_dir)
+
+    class DirLoadedStub(DeterministicStubModel):
+        def __init__(self):
+            import json as _json
+
+            from pyspark import SparkFiles
+
+            path = SparkFiles.get(basename)
+            with open(os.path.join(path, "config.json")) as f:
+                cfg = _json.load(f)
+            assert cfg["dim"] == 4  # the distributed weights are readable
+
+    df = spark.createDataFrame([(1, "ab"), (2, "c d")], "id bigint, text string")
+    out = embed_text(
+        df, model="dir-stub", model_factory=DirLoadedStub, batch_size=8
+    )
+    rows = {r["id"]: r["embedding"] for r in out.collect()}
+    assert rows[1] == [2.0, float(ord("a")), 0.0, 1.0]
+    assert rows[2] == [3.0, float(ord("c")), 1.0, 1.0]
