@@ -123,6 +123,11 @@ def chunk_vector(a: ColumnOrName, n_chunks: int, chunk_dim: int) -> Column:
     """array<numeric>(n·d) → array<array>(n) of d-dim chunks — the
     multi-vector (token-vector) view of a packed embedding. Chunk i is
     elements [i·d+1 .. i·d+d] (1-based slice, matching DuckDB's)."""
+    if n_chunks < 1 or chunk_dim < 1:
+        # sequence(0, -1) would count DOWN and yield garbage chunks
+        raise ValueError(
+            f"n_chunks and chunk_dim must be >= 1, got {n_chunks}/{chunk_dim}"
+        )
     col = _c(a)
     return F.transform(
         F.sequence(F.lit(0), F.lit(n_chunks - 1)),

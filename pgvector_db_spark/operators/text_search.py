@@ -176,34 +176,48 @@ def bm25_oracle_sql(
 
 # ---------------------------------------------------------------------------
 # Persisted inverted-index layout — the at-scale BM25 (text twin of the
-# IVF layout in operators/ivf.py).
+# IVF layout in operators/ivf.py). Lucene-style immutable segments under
+# an atomically-committed manifest.
 # ---------------------------------------------------------------------------
 
 
-# per-path cache of (n_docs, sum_dl, n_buckets): the 1-row stats read is
-# a full Spark job, pure per-query driver overhead if repeated (same
-# pattern as operators/ivf._CENTROID_CACHE). Invalidated by build().
-_STATS_CACHE: dict[str, tuple[int, int, int]] = {}
+# per-(path, segment-set) cache of summed (n_docs, sum_dl): the segment
+# stats read is a Spark job, pure per-query driver overhead if repeated
+# (same pattern as operators/ivf._CENTROID_CACHE).
+_STATS_CACHE: dict[tuple, tuple[int, int]] = {}
 
 
 class BM25Index:
     """Build-once inverted index: per-query cost is a partition-pruned
     read of the query terms' postings, never a corpus scan.
 
-    Layout (all plain parquet):
-      postings/  (doc_id, term, tf, dl), partitionBy(bucket) where
-                 bucket = crc32(term) % num_buckets — crc32 because the
-                 driver can compute the probe set with zlib.crc32
-                 byte-identically to Spark's ``crc32`` expression.
-      terms/     (term, df), same bucketing — global document frequency
-                 per term, vocabulary-sized.
-      stats/     single row (n_docs, sum_dl).
+    Layout — immutable segments + manifest (the Lucene recipe):
+
+      MANIFEST.json        {"num_buckets": N, "segments": [...],
+                            "batch_tags": [...]}, committed by atomic
+                           rename — readers always see a CONSISTENT set.
+      seg_<id>/postings/   (doc_id, term, tf, dl) partitionBy(bucket),
+                           bucket = crc32(term) % N (crc32 because the
+                           driver computes the probe set with zlib.crc32
+                           byte-identically to Spark's ``crc32``).
+      seg_<id>/terms/      (term, df) per segment, same bucketing.
+      seg_<id>/stats/      one row (n_docs, sum_dl).
+
+    ``df``, ``n_docs`` and ``sum_dl`` are ADDITIVE across segments (a doc
+    lives in exactly one segment), so a search unions the segments'
+    pruned postings, sums their per-term df, and sums their stats — the
+    scores are bitwise what a single-segment build over the full corpus
+    produces (gate-checked). ``append`` writes a whole new segment and
+    then commits the manifest: a crash at ANY point leaves the old
+    manifest → old consistent index (an orphaned segment dir is garbage,
+    never read). ``batch_tag`` makes appends idempotent — a Structured
+    Streaming retry of an already-committed micro-batch is a no-op,
+    which is what makes ``stream_bm25_ingest`` exactly-once.
 
     A query reads only the buckets its terms hash into (PartitionFilters
-    at the scan), joins the matching (term, df) rows, broadcasts the
-    1-row stats, and runs the SAME grid-fixed scoring expression as the
-    scan path — bitwise-equal scores, pinned by tests. At 100 TB the
-    build is one corpus pass; each search touches
+    at each segment scan) and runs the SAME grid-fixed scoring expression
+    as the scan path — bitwise-equal scores, pinned by tests. At 100 TB
+    the build is one corpus pass; each search touches
     |query terms| / num_buckets of the postings bytes.
     """
 
@@ -211,6 +225,96 @@ class BM25Index:
         self.spark = spark
         self.path = path
         self.id_col = id_col
+
+    # -- manifest ------------------------------------------------------------
+
+    def _manifest_path(self) -> str:
+        import os as _os
+
+        return _os.path.join(self.path, "MANIFEST.json")
+
+    def _read_manifest(self) -> dict:
+        import json as _json
+
+        with open(self._manifest_path()) as f:
+            return _json.load(f)
+
+    def _commit_manifest(self, manifest: dict) -> None:
+        """Atomic rename commit — readers see the old or the new segment
+        set, never a torn state."""
+        import json as _json
+        import os as _os
+
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(manifest, f)
+        _os.replace(tmp, self._manifest_path())
+
+    # -- segment writer (shared by build and append) -------------------------
+
+    @staticmethod
+    def _write_segment(
+        docs: DataFrame,
+        seg_path: str,
+        num_buckets: int,
+        id_col: str,
+        text_col: str,
+    ) -> None:
+        """One pipeline over the batch: tokenize ONCE (persisted), derive
+        postings, per-term df, and stats from the same materialization."""
+        import os as _os
+
+        base = (
+            docs.select(
+                F.col(id_col), tokens_col(F.col(text_col)).alias("_toks")
+            )
+            .select(F.col(id_col), F.size("_toks").alias("dl"), "_toks")
+            .persist()
+        )
+        try:
+            tf = (
+                base.select(
+                    F.col(id_col), "dl", F.explode("_toks").alias("term")
+                )
+                .groupBy(id_col, "term")
+                .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+                .persist()
+            )
+            try:
+                bucket = F.pmod(
+                    F.crc32(F.col("term").cast("binary")), F.lit(num_buckets)
+                ).cast("int")
+                (
+                    tf.withColumn("bucket", bucket)
+                    .repartition("bucket")
+                    .write.mode("overwrite")
+                    .partitionBy("bucket")
+                    .parquet(_os.path.join(seg_path, "postings"))
+                )
+                (
+                    tf.groupBy("term")
+                    .agg(F.count(F.lit(1)).alias("df"))
+                    .withColumn("bucket", bucket)
+                    .repartition("bucket")
+                    .write.mode("overwrite")
+                    .partitionBy("bucket")
+                    .parquet(_os.path.join(seg_path, "terms"))
+                )
+                (
+                    base.agg(
+                        F.count(F.lit(1)).alias("n_docs"),
+                        F.sum("dl").alias("sum_dl"),
+                    )
+                    .coalesce(1)
+                    .write.mode("overwrite")
+                    .parquet(_os.path.join(seg_path, "stats"))
+                )
+            finally:
+                tf.unpersist()
+        finally:
+            base.unpersist()
+
+    # -- build / append ------------------------------------------------------
 
     @classmethod
     def build(
@@ -223,123 +327,51 @@ class BM25Index:
     ) -> "BM25Index":
         import os as _os
 
-        spark = docs.sparkSession
-        toks = docs.select(
-            F.col(id_col), tokens_col(F.col(text_col)).alias("_toks")
-        ).select(
-            F.col(id_col),
-            F.size("_toks").alias("dl"),
-            F.explode("_toks").alias("term"),
+        _os.makedirs(path, exist_ok=True)
+        seg = "seg_000"
+        cls._write_segment(
+            docs, _os.path.join(path, seg), num_buckets, id_col, text_col
         )
-        tf = toks.groupBy(id_col, "term").agg(
-            F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+        idx = cls(docs.sparkSession, path, id_col)
+        idx._commit_manifest(
+            {"num_buckets": num_buckets, "segments": [seg], "batch_tags": []}
         )
-        bucket = F.pmod(F.crc32(F.col("term").cast("binary")), F.lit(num_buckets)).cast("int")
-        (
-            tf.withColumn("bucket", bucket)
-            .repartition("bucket")
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(_os.path.join(path, "postings"))
-        )
-        dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-        (
-            dft.withColumn("bucket", bucket)
-            .repartition("bucket")
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(_os.path.join(path, "terms"))
-        )
-        stats = (
-            docs.select(F.size(tokens_col(F.col(text_col))).alias("dl"))
-            .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl"))
-            # bucket count rides in the stats row: empty buckets write no
-            # partition dir, so the layout itself can't be trusted for it
-            .withColumn("n_buckets", F.lit(num_buckets))
-        )
-        stats.coalesce(1).write.mode("overwrite").parquet(
-            _os.path.join(path, "stats")
-        )
-        _STATS_CACHE.pop(path, None)
-        return cls(spark, path, id_col)
+        return idx
 
     def append(
         self,
         docs: DataFrame,
         text_col: str = "text",
+        batch_tag: str | None = None,
     ) -> None:
-        """Incremental insert (the maintenance parity of IVFIndex.append):
-        the new batch's postings append into their term buckets; the
-        affected buckets' (term, df) rows and the 1-row stats are
-        REWRITTEN (df and n_docs/sum_dl are global counts, so they can't
-        be blind-appended). Only the batch shuffles; existing postings
-        files are untouched; terms/stats rewrites touch the affected
-        buckets' worth of vocabulary rows, not the corpus."""
+        """Incremental insert (maintenance parity of IVFIndex.append):
+        the batch becomes a NEW immutable segment, committed by the
+        atomic manifest rename — existing segments are never touched, a
+        crash never tears the index, and a replayed ``batch_tag`` is a
+        no-op (exactly-once under streaming retry)."""
         import os as _os
+        import uuid as _uuid
 
-        n_docs0, sum_dl0, nb = self._stats()
-        toks = docs.select(
-            F.col(self.id_col), tokens_col(F.col(text_col)).alias("_toks")
-        ).select(
-            F.col(self.id_col),
-            F.size("_toks").alias("dl"),
-            F.explode("_toks").alias("term"),
+        m = self._read_manifest()
+        if batch_tag is not None and batch_tag in m["batch_tags"]:
+            return
+        seg = f"seg_{_uuid.uuid4().hex[:12]}"
+        self._write_segment(
+            docs,
+            _os.path.join(self.path, seg),
+            m["num_buckets"],
+            self.id_col,
+            text_col,
         )
-        tf = toks.groupBy(self.id_col, "term").agg(
-            F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
-        )
-        bucket = F.pmod(
-            F.crc32(F.col("term").cast("binary")), F.lit(nb)
-        ).cast("int")
-        (
-            tf.withColumn("bucket", bucket)
-            .repartition("bucket")
-            .write.mode("append")
-            .partitionBy("bucket")
-            .parquet(_os.path.join(self.path, "postings"))
-        )
-        # merge df for the touched terms: old terms table (all buckets —
-        # vocabulary-sized, cheap) + the batch's per-term doc counts
-        delta = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-        old = self.spark.read.parquet(
-            _os.path.join(self.path, "terms")
-        ).select("term", "df")
-        merged = (
-            old.unionByName(delta)
-            .groupBy("term")
-            .agg(F.sum("df").alias("df"))
-            .withColumn("bucket", bucket)
-        )
-        # stage-then-swap: the terms dir is being read and rewritten
-        tmp_terms = _os.path.join(self.path, "terms_staged")
-        merged.repartition("bucket").write.mode("overwrite").partitionBy(
-            "bucket"
-        ).parquet(tmp_terms)
-        import shutil as _sh
+        m2 = self._read_manifest()  # re-read: another append may have landed
+        if batch_tag is not None and batch_tag in m2["batch_tags"]:
+            return
+        m2["segments"].append(seg)
+        if batch_tag is not None:
+            m2["batch_tags"].append(batch_tag)
+        self._commit_manifest(m2)
 
-        final_terms = _os.path.join(self.path, "terms")
-        _sh.rmtree(final_terms)
-        _os.rename(tmp_terms, final_terms)
-
-        batch_stats = docs.select(
-            F.size(tokens_col(F.col(text_col))).alias("dl")
-        ).agg(
-            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
-        ).first()
-        new_stats = self.spark.createDataFrame(
-            [(
-                n_docs0 + int(batch_stats["n"]),
-                sum_dl0 + int(batch_stats["s"] or 0),
-                nb,
-            )],
-            "n_docs bigint, sum_dl bigint, n_buckets int",
-        )
-        tmp_stats = _os.path.join(self.path, "stats_staged")
-        new_stats.coalesce(1).write.mode("overwrite").parquet(tmp_stats)
-        final_stats = _os.path.join(self.path, "stats")
-        _sh.rmtree(final_stats)
-        _os.rename(tmp_stats, final_stats)
-        _STATS_CACHE.pop(self.path, None)
+    # -- search --------------------------------------------------------------
 
     def search(
         self,
@@ -350,42 +382,66 @@ class BM25Index:
     ) -> DataFrame:
         import os as _os
         import zlib
+        from functools import reduce
 
+        m = self._read_manifest()
+        nb = m["num_buckets"]
+        segs = m["segments"]
         # driver-side probe set: zlib.crc32 over UTF-8 == Spark's crc32
-        # expression, and the modulo must match build's — the bucket
-        # count is read off the layout's partition dirs
-        post = self.spark.read.parquet(_os.path.join(self.path, "postings"))
-        terms = self.spark.read.parquet(_os.path.join(self.path, "terms"))
-        nb = self._num_buckets()
         probe = sorted(
             {zlib.crc32(t.encode("utf-8")) % nb for t in query_terms}
         )
+        post = reduce(
+            DataFrame.unionByName,
+            [
+                self.spark.read.parquet(
+                    _os.path.join(self.path, s, "postings")
+                )
+                for s in segs
+            ],
+        )
+        terms = reduce(
+            DataFrame.unionByName,
+            [
+                self.spark.read.parquet(_os.path.join(self.path, s, "terms"))
+                for s in segs
+            ],
+        )
+        # filters push through the Union into every segment scan, so the
+        # per-segment bucket pruning is preserved
         post = post.filter(F.col("bucket").isin(probe)).filter(
             F.col("term").isin(query_terms)
         )
-        dft = terms.filter(F.col("bucket").isin(probe)).filter(
-            F.col("term").isin(query_terms)
+        dft = (
+            terms.filter(F.col("bucket").isin(probe))
+            .filter(F.col("term").isin(query_terms))
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))  # df is additive across segments
         )
-        tf = post.join(F.broadcast(dft.select("term", "df")), "term")
-        n_docs, sum_dl, _ = self._stats()
+        tf = post.join(F.broadcast(dft), "term")
+        n_docs, sum_dl = self._stats(segs)
         stats = self.spark.createDataFrame(
             [(n_docs, sum_dl)], "n_docs bigint, sum_dl bigint"
         )
         return _score_and_topk(tf, stats, k, k1, b, self.id_col)
 
-    def _stats(self) -> tuple[int, int, int]:
+    def _stats(self, segs: list[str]) -> tuple[int, int]:
         import os as _os
+        from functools import reduce
 
-        cached = _STATS_CACHE.get(self.path)
+        key = (self.path, tuple(segs))
+        cached = _STATS_CACHE.get(key)
         if cached is None:
-            row = self.spark.read.parquet(
-                _os.path.join(self.path, "stats")
-            ).first()
-            cached = (
-                int(row["n_docs"]), int(row["sum_dl"]), int(row["n_buckets"])
+            all_stats = reduce(
+                DataFrame.unionByName,
+                [
+                    self.spark.read.parquet(_os.path.join(self.path, s, "stats"))
+                    for s in segs
+                ],
             )
-            _STATS_CACHE[self.path] = cached
+            row = all_stats.agg(
+                F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("s")
+            ).first()
+            cached = (int(row["n"]), int(row["s"] or 0))
+            _STATS_CACHE[key] = cached
         return cached
-
-    def _num_buckets(self) -> int:
-        return self._stats()[2]

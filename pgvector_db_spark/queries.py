@@ -2234,7 +2234,10 @@ def stream_ann_search_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pgvector_db_spark.catalog import table_path
     from pgvector_db_spark.operators.ivf import IVFIndex
     from pgvector_db_spark.streaming.ann import stream_ann_search
-    from pgvector_db_spark.streaming.replay import file_stream
+    from pgvector_db_spark.streaming.replay import (
+        file_stream,
+        stage_replay_file,
+    )
 
     t = load_tables(spark, sf_dir)
     tag = sf_dir.strip("/").replace("/", "_")
@@ -2245,11 +2248,7 @@ def stream_ann_search_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb_path = table_path(sf_dir, "embeddings")
     replay_dir = os.path.join(tempfile.gettempdir(), f"emb_replay_{tag}")
-    os.makedirs(replay_dir, exist_ok=True)
-    dst = os.path.join(replay_dir, "queries.parquet")
-    if not os.path.exists(dst):
-        shutil.copy(emb_path, dst + ".tmp")
-        os.rename(dst + ".tmp", dst)
+    stage_replay_file(emb_path, replay_dir, "queries.parquet")
     schema = spark.read.parquet(emb_path).schema
     src = (
         file_stream(spark, replay_dir, schema)
@@ -3756,6 +3755,7 @@ def ds_cogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not len(df):
                 return 0
             v = df["value"].to_numpy(dtype="float64")
+            v = v[~np.isnan(v)]  # SQL SUM skips NULLs; NaN→int64 is UB
             return int(np.floor(v * 100 + 0.5).astype("int64").sum())
 
         return pd.DataFrame(
@@ -5709,7 +5709,7 @@ def ds_bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     tag = sf_dir.strip("/").replace("/", "_")
     path = os.path.join(tempfile.gettempdir(), f"bm25_idx_{tag}")
-    if not os.path.exists(os.path.join(path, "stats")):
+    if not os.path.exists(os.path.join(path, "MANIFEST.json")):
         BM25Index.build(t["documents"], path, num_buckets=16)
     idx = BM25Index(spark, path)
     return idx.search(_BM25_TERMS, k=20)
@@ -5765,7 +5765,10 @@ def stream_bm25_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pgvector_db_spark.catalog import table_path
     from pgvector_db_spark.operators.text_search import BM25Index
-    from pgvector_db_spark.streaming.replay import file_stream
+    from pgvector_db_spark.streaming.replay import (
+        file_stream,
+        stage_replay_file,
+    )
 
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
@@ -5778,11 +5781,7 @@ def stream_bm25_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     doc_path = table_path(sf_dir, "documents")
     replay_dir = os.path.join(tempfile.gettempdir(), f"docs_replay_{tag}")
-    os.makedirs(replay_dir, exist_ok=True)
-    dst = os.path.join(replay_dir, "docs.parquet")
-    if not os.path.exists(dst):
-        shutil.copy(doc_path, dst + ".tmp")
-        os.rename(dst + ".tmp", dst)
+    stage_replay_file(doc_path, replay_dir, "docs.parquet")
     schema = spark.read.parquet(doc_path).schema
     src = file_stream(spark, replay_dir, schema).filter("doc_id % 3 != 0")
 
@@ -5790,7 +5789,9 @@ def stream_bm25_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.take(1):
-            idx.append(batch_df)
+            # batch_tag makes a checkpoint-replayed micro-batch a no-op
+            # (the manifest already lists it) — exactly-once maintenance
+            idx.append(batch_df, batch_tag=f"batch_{batch_id}")
 
     q = (
         src.writeStream.foreachBatch(fold)
@@ -5991,16 +5992,15 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from pgvector_db_spark.catalog import table_path
-    from pgvector_db_spark.streaming.replay import file_stream
+    from pgvector_db_spark.streaming.replay import (
+        file_stream,
+        stage_replay_file,
+    )
 
     path = table_path(sf_dir, "events")
     tag = sf_dir.strip("/").replace("/", "_")
     replay_dir = os.path.join(tempfile.gettempdir(), f"events_replay_{tag}")
-    staged = os.path.join(replay_dir, "events.parquet")
-    if not os.path.exists(staged):
-        os.makedirs(replay_dir, exist_ok=True)
-        shutil.copy(path, staged + ".tmp")
-        os.rename(staged + ".tmp", staged)
+    stage_replay_file(path, replay_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
     src = file_stream(spark, replay_dir, schema)
     return src.withColumn("ts", F.col("ts").cast("timestamp"))
@@ -6143,20 +6143,16 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from pgvector_db_spark.catalog import table_path
-    from pgvector_db_spark.streaming.replay import file_stream
+    from pgvector_db_spark.streaming.replay import (
+        file_stream,
+        stage_replay_file,
+    )
 
     path = table_path(sf_dir, "events")
     tag = sf_dir.strip("/").replace("/", "_")
     replay_dir = os.path.join(tempfile.gettempdir(), f"events_replay2_{tag}")
-    os.makedirs(replay_dir, exist_ok=True)
     for name in ("copy_a.parquet", "copy_b.parquet"):
-        dst = os.path.join(replay_dir, name)
-        if not os.path.exists(dst):
-            # copy isn't atomic — stage to .tmp and rename so a run killed
-            # mid-copy never leaves a truncated file later runs would reuse
-            # (mirrors _events_stream's staging)
-            shutil.copy(path, dst + ".tmp")
-            os.rename(dst + ".tmp", dst)
+        stage_replay_file(path, replay_dir, name)
     schema = spark.read.parquet(path).schema
     src = file_stream(spark, replay_dir, schema, max_files_per_trigger=1)
     src = src.withColumn("ts", F.col("ts").cast("timestamp"))
@@ -6348,7 +6344,10 @@ def stream_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pgvector_db_spark.catalog import table_path
     from pgvector_db_spark.sources.table import ParquetTable
     from pgvector_db_spark.streaming.continuous_agg import continuous_rollup
-    from pgvector_db_spark.streaming.replay import file_stream
+    from pgvector_db_spark.streaming.replay import (
+        file_stream,
+        stage_replay_file,
+    )
 
     path = table_path(sf_dir, "events")
     tag = sf_dir.strip("/").replace("/", "_")

@@ -37,3 +37,24 @@ def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
         .option("rowsPerSecond", rows_per_second)
         .load()
     )
+
+
+def stage_replay_file(src_path: str, replay_dir: str, name: str) -> str:
+    """Stage one fixture file into a replay directory, atomically and
+    freshness-checked — the shared helper behind every file-replay gate
+    query (copy to ``.tmp`` then rename, so a killed run never leaves a
+    truncated file a later run would stream; re-copy when the source's
+    size changed, so a regenerated fixture isn't shadowed by a stale
+    cached copy)."""
+    import os
+    import shutil
+
+    os.makedirs(replay_dir, exist_ok=True)
+    dst = os.path.join(replay_dir, name)
+    if (
+        not os.path.exists(dst)
+        or os.path.getsize(dst) != os.path.getsize(src_path)
+    ):
+        shutil.copy(src_path, dst + ".tmp")
+        os.rename(dst + ".tmp", dst)
+    return dst

@@ -324,3 +324,37 @@ def test_bm25_index_search_prunes_and_matches_scan(spark, tables, tmp_path):
     plan = indexed_df._jdf.queryExecution().executedPlan().toString()
     part_filters = plan.split("PartitionFilters")[1].split("]")[0]
     assert "bucket" in part_filters
+
+
+def test_bm25_append_idempotent_and_crash_safe(spark, tables, tmp_path):
+    """Segment+manifest contract: (1) replaying an already-committed
+    batch_tag is a no-op (streaming retry exactly-once); (2) an orphan
+    segment dir without a manifest commit — the crash-mid-append state —
+    is never read."""
+    import os
+    import shutil
+
+    from pgvector_db_spark.operators.text_search import BM25Index, bm25_topk
+
+    docs = tables["documents"]
+    terms = ["vector", "join", "filter"]
+    idx = BM25Index.build(
+        docs.filter("doc_id % 4 != 0"), str(tmp_path / "idx"), num_buckets=8
+    )
+    idx.append(docs.filter("doc_id % 4 = 0"), batch_tag="b1")
+    want = sorted(map(tuple, bm25_topk(docs, terms, k=20).collect()))
+    got1 = sorted(map(tuple, idx.search(terms, k=20).collect()))
+    assert got1 == want
+
+    # replay the same batch: scores must NOT double-count
+    idx.append(docs.filter("doc_id % 4 = 0"), batch_tag="b1")
+    got2 = sorted(map(tuple, idx.search(terms, k=20).collect()))
+    assert got2 == want
+
+    # crash simulation: a segment dir that never reached the manifest
+    orphan = str(tmp_path / "idx" / "seg_orphan")
+    shutil.copytree(
+        os.path.join(str(tmp_path / "idx"), "seg_000"), orphan
+    )
+    got3 = sorted(map(tuple, idx.search(terms, k=20).collect()))
+    assert got3 == want
