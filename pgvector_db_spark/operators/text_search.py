@@ -443,5 +443,76 @@ class BM25Index:
                 F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("s")
             ).first()
             cached = (int(row["n"]), int(row["s"] or 0))
+            # one live entry per path: every append changes the segment
+            # set, so keeping stale keys would grow without bound under
+            # continuous streaming maintenance
+            for k in [k for k in _STATS_CACHE if k[0] == self.path]:
+                del _STATS_CACHE[k]
             _STATS_CACHE[key] = cached
         return cached
+
+    # -- maintenance ---------------------------------------------------------
+
+    def compact(self) -> None:
+        """Merge every committed segment into one (the Lucene merge /
+        ParquetTable.compact analogue): a long-running streaming ingest
+        accumulates a segment per micro-batch, and each search pays a
+        scan per segment — compaction restores single-segment read cost.
+        Docs are disjoint across segments, so the merge is a pure
+        re-layout: postings union unchanged, per-term df summed, stats
+        summed. Committed by the same atomic manifest rename; a crash
+        leaves the old multi-segment (consistent) view, and the replaced
+        segments' batch_tags stay in the manifest so replays remain
+        no-ops."""
+        import os as _os
+        import uuid as _uuid
+        from functools import reduce
+
+        m = self._read_manifest()
+        if len(m["segments"]) <= 1:
+            return
+        seg = f"seg_{_uuid.uuid4().hex[:12]}"
+        seg_path = _os.path.join(self.path, seg)
+        post = reduce(
+            DataFrame.unionByName,
+            [
+                self.spark.read.parquet(_os.path.join(self.path, s, "postings"))
+                for s in m["segments"]
+            ],
+        )
+        (
+            post.repartition("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(_os.path.join(seg_path, "postings"))
+        )
+        terms = reduce(
+            DataFrame.unionByName,
+            [
+                self.spark.read.parquet(_os.path.join(self.path, s, "terms"))
+                for s in m["segments"]
+            ],
+        )
+        (
+            terms.groupBy("term", "bucket")
+            .agg(F.sum("df").alias("df"))
+            .select("term", "df", "bucket")
+            .repartition("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(_os.path.join(seg_path, "terms"))
+        )
+        n_docs, sum_dl = self._stats(m["segments"])
+        self.spark.createDataFrame(
+            [(n_docs, sum_dl)], "n_docs bigint, sum_dl bigint"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            _os.path.join(seg_path, "stats")
+        )
+        m2 = self._read_manifest()
+        if m2["segments"] != m["segments"]:
+            # a concurrent append landed between our snapshot and now —
+            # committing [seg] would silently drop it; abort (the orphan
+            # segment dir is garbage, never read) and let the caller retry
+            return
+        m2["segments"] = [seg]
+        self._commit_manifest(m2)

@@ -358,3 +358,25 @@ def test_bm25_append_idempotent_and_crash_safe(spark, tables, tmp_path):
     )
     got3 = sorted(map(tuple, idx.search(terms, k=20).collect()))
     assert got3 == want
+
+
+def test_bm25_compact_preserves_scores(spark, tables, tmp_path):
+    """Compaction merges all segments into one without changing a single
+    score (docs disjoint ⇒ postings union unchanged, df/stats additive)."""
+    from pgvector_db_spark.operators.text_search import BM25Index
+
+    docs = tables["documents"]
+    terms = ["vector", "join", "filter"]
+    idx = BM25Index.build(
+        docs.filter("doc_id % 3 = 0"), str(tmp_path / "c"), num_buckets=8
+    )
+    idx.append(docs.filter("doc_id % 3 = 1"), batch_tag="b1")
+    idx.append(docs.filter("doc_id % 3 = 2"), batch_tag="b2")
+    before = sorted(map(tuple, idx.search(terms, k=20).collect()))
+    assert len(idx._read_manifest()["segments"]) == 3
+    idx.compact()
+    m = idx._read_manifest()
+    assert len(m["segments"]) == 1
+    assert set(m["batch_tags"]) == {"b1", "b2"}  # replay guard survives
+    after = sorted(map(tuple, idx.search(terms, k=20).collect()))
+    assert after == before
