@@ -944,6 +944,79 @@ _sql_query(
     tags=("dataset", "text"),
 )
 
+# Gopher-style quality rules (the published heuristic family every
+# pretraining pipeline applies): word-count bounds, mean-word-length
+# bounds, symbol-to-word cap, alphabetic-word floor, stop-word floor.
+# Every ratio comparison is EXACT integer cross-multiplication
+# (e.g. mean length in [3,10] ⇔ 3·n ≤ chars ≤ 10·n) — no float division
+# anywhere, so the rule flags are engine-exact by construction.
+_sql_query(
+    "ds_gopher_quality_filter",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) AS n_words,
+             CAST(aggregate(transform(split(trim(text), '\\\\s+'),
+                  x -> length(x)), 0, (acc, x) -> acc + x) AS BIGINT)
+                 AS word_chars,
+             CAST(size(regexp_extract_all(text, '[^A-Za-z0-9\\\\s]', 0))
+                  AS BIGINT) AS n_symbols,
+             CAST(size(filter(split(trim(text), '\\\\s+'),
+                  x -> x rlike '[A-Za-z]')) AS BIGINT) AS n_alpha_words,
+             CAST(size(filter(split(lower(text), '\\\\s+'),
+                  x -> x IN ('the', 'a', 'of', 'and', 'to', 'in')))
+                  AS BIGINT) AS n_stop
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id, n_words,
+           CAST(n_words BETWEEN 20 AND 100000 AS INT) AS ok_word_count,
+           CAST(3 * n_words <= word_chars AND word_chars <= 10 * n_words
+                AS INT) AS ok_mean_word_len,
+           CAST(10 * n_symbols <= n_words AS INT) AS ok_symbol_ratio,
+           CAST(5 * n_alpha_words >= 4 * n_words AS INT) AS ok_alpha_words,
+           CAST(n_stop >= 2 AS INT) AS ok_stop_words,
+           CAST(n_words BETWEEN 20 AND 100000
+                AND 3 * n_words <= word_chars AND word_chars <= 10 * n_words
+                AND 10 * n_symbols <= n_words
+                AND 5 * n_alpha_words >= 4 * n_words
+                AND n_stop >= 2 AS INT) AS keep
+    FROM w
+    """,
+    """
+    WITH w AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                 AS n_words,
+             CAST(list_sum(list_transform(
+                  regexp_split_to_array(trim(text), '\\s+'),
+                  x -> length(x))) AS BIGINT) AS word_chars,
+             CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+                  AS BIGINT) AS n_symbols,
+             CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                  x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+                 AS n_alpha_words,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                  x -> x IN ('the', 'a', 'of', 'and', 'to', 'in')))
+                  AS BIGINT) AS n_stop
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id, n_words,
+           CAST(n_words BETWEEN 20 AND 100000 AS INT) AS ok_word_count,
+           CAST(3 * n_words <= word_chars AND word_chars <= 10 * n_words
+                AS INT) AS ok_mean_word_len,
+           CAST(10 * n_symbols <= n_words AS INT) AS ok_symbol_ratio,
+           CAST(5 * n_alpha_words >= 4 * n_words AS INT) AS ok_alpha_words,
+           CAST(n_stop >= 2 AS INT) AS ok_stop_words,
+           CAST(n_words BETWEEN 20 AND 100000
+                AND 3 * n_words <= word_chars AND word_chars <= 10 * n_words
+                AND 10 * n_symbols <= n_words
+                AND 5 * n_alpha_words >= 4 * n_words
+                AND n_stop >= 2 AS INT) AS keep
+    FROM w
+    """,
+    tags=("dataset", "text", "quality", "gopher"),
+)
+
 # Deterministic fake-embedding pipeline (A12 in fake mode): md5-derived
 # 8-dim embedding, reduced to scalar outputs for robust hashing.
 _FE = [fake_embedding_component_sql("text", i) for i in range(8)]
