@@ -4152,6 +4152,63 @@ def ds_groupwise_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MM_FEATS = ", ".join(
+    "({h} / 2147483648.0 - 1.0)".format(
+        h=_duck_hex8("md5(text || '_f%d')" % i)
+    )
+    for i in range(8)
+)
+
+
+@register(
+    "ds_multimodal_features",
+    f"""
+    SELECT doc_id, [{_MM_FEATS}] AS features
+    FROM documents
+    """,
+    tags=("dataset", "multimodal", "udf"),
+)
+def ds_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media feature extraction through the REAL Arrow-batched
+    ``mapInPandas`` path (operators/multimodal.media_features — the
+    embed-the-image analogue): md5-derived unit-scaled floats per media
+    blob, computed in Python workers and reproduced exactly by DuckDB
+    SQL (first 4 digest bytes big-endian / 2^31 - 1 — power-of-two
+    division is exact in float64)."""
+    from pgvector_db_spark.operators.multimodal import media_features
+
+    t = load_tables(spark, sf_dir)
+    media = t["documents"].select(
+        "doc_id", F.col("text").cast("binary").alias("media")
+    )
+    return media_features(media, dim=8).select("doc_id", "features")
+
+
+@register(
+    "ds_multimodal_frame_sample",
+    """
+    SELECT d.doc_id, CAST(t.i AS INT) AS frame_idx,
+           substring(d.text,
+                     CAST(floor(t.i * greatest(length(d.text) / 4.0, 1.0))
+                          AS INT) + 1, 16) AS frame_data
+    FROM documents d, range(0, 4) AS t(i)
+    """,
+    tags=("dataset", "multimodal", "video"),
+)
+def ds_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (operators/multimodal.sample_frames): one row
+    per evenly-spaced frame slice, pure Catalyst explode — the row shape
+    real ffmpeg extraction keeps, with the slicing exactly mirrored in
+    the DuckDB oracle (floor ≡ Spark's positive double→int cast)."""
+    from pgvector_db_spark.operators.multimodal import sample_frames
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", F.col("text").alias("media"))
+    return sample_frames(docs, media_col="media", n_frames=4).select(
+        "doc_id", "frame_idx", "frame_data"
+    )
+
+
 @register(
     "ds_multimodal_decode",
     """
