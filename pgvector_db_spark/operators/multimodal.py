@@ -187,3 +187,58 @@ def sample_frames(
         .withColumn("frame_data", F.col("_frame.frame_data"))
         .drop("_frame")
     )
+
+
+def audio_rms_windows(
+    df: DataFrame,
+    media_col: str = "media",
+    window: int = 16,
+) -> DataFrame:
+    """Audio analysis shape: treat the media bytes as unsigned 8-bit PCM
+    samples and emit one row per fixed-size window with its RMS energy —
+    the VAD/silence-trim primitive of an audio pipeline. PURE Catalyst:
+    bytes → hex pairs → integer samples → per-window sqrt(mean(s²)), no
+    Python anywhere. The window mean divides by a power of two and the
+    samples are exact small ints, so the RMS doubles are bit-identical
+    on any engine (the gate oracle recomputes them in DuckDB SQL).
+
+    A real codec front-end (ffmpeg decode to PCM) would replace only the
+    byte source; the windowing/energy plan is the production shape.
+    Output: one row per (input row, window_idx) with ``rms``.
+    """
+    h = F.upper(F.hex(F.col(media_col)))
+    n_samples = (F.length(h) / 2).cast("int")
+    n_windows = F.ceil(n_samples / F.lit(window)).cast("int")
+
+    def sample(j):  # j: 0-based sample index Column → double in [0, 255]
+        pair = F.substring(h, j * 2 + 1, 2)
+        # conv('') is NULL — coalesce to 0 so the final partial window is
+        # zero-padded instead of NULL-poisoned
+        return F.coalesce(F.conv(pair, 16, 10).cast("double"), F.lit(0.0))
+
+    def window_rms(w):
+        sq_sum = F.aggregate(
+            F.sequence(F.lit(0), F.lit(window - 1)),
+            F.lit(0.0),
+            # samples past the end read as empty substring → conv '' = 0,
+            # matching zero-padding of the final partial window
+            lambda acc, i: acc + sample(w * window + i) * sample(w * window + i),
+        )
+        return F.sqrt(sq_sum / F.lit(float(window)))
+
+    # sequence(0, -1) counts DOWN — empty media must yield zero windows
+    wins = F.when(
+        n_windows > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_windows - 1),
+            lambda w: F.struct(
+                w.cast("int").alias("window_idx"), window_rms(w).alias("rms")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<window_idx:int,rms:double>>"))
+    return (
+        df.withColumn("_w", F.explode(wins))
+        .withColumn("window_idx", F.col("_w.window_idx"))
+        .withColumn("rms", F.col("_w.rms"))
+        .drop("_w")
+    )

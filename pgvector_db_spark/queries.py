@@ -4209,6 +4209,68 @@ def ds_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_audio_sample(j_expr: str) -> str:
+    """Unsigned byte at sample index ``j`` from the hex string ``h``
+    (uppercase). instr(alphabet, '') is 1 in DuckDB (empty needle
+    matches), so out-of-range positions need an explicit 0 — matching
+    Spark's conv('')→NULL→coalesce(0) zero-padding."""
+
+    def digit(pos_expr: str) -> str:
+        c = f"substr(h, {pos_expr}, 1)"
+        return (
+            f"CASE WHEN {c} = '' THEN 0 "
+            f"ELSE instr('123456789ABCDEF', {c}) END"
+        )
+
+    a = digit(f"({j_expr})*2 + 1")
+    b = digit(f"({j_expr})*2 + 2")
+    return f"(CAST({a} AS DOUBLE) * 16.0 + CAST({b} AS DOUBLE))"
+
+
+_AUDIO_SQSUM = " + ".join(
+    f"{_duck_audio_sample(f'w*16 + {i}')} * {_duck_audio_sample(f'w*16 + {i}')}"
+    for i in range(16)
+)
+
+
+@register(
+    "ds_audio_rms_windows",
+    f"""
+    WITH m AS (
+      SELECT doc_id, upper(hex(CAST(text AS BLOB))) AS h,
+             octet_length(CAST(text AS BLOB)) AS n_bytes
+      FROM documents WHERE length(text) > 0
+    ),
+    e AS (
+      SELECT doc_id, h,
+             unnest(range(0, CAST(ceil(n_bytes / 16.0) AS BIGINT))) AS w
+      FROM m
+    )
+    SELECT doc_id, CAST(w AS INT) AS window_idx,
+           sqrt(({_AUDIO_SQSUM}) / 16.0) AS rms
+    FROM e
+    """,
+    tags=("dataset", "multimodal", "audio"),
+)
+def ds_audio_rms_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality analysis (operators/multimodal.audio_rms_windows):
+    media bytes as unsigned 8-bit PCM, one row per 16-sample window with
+    its RMS energy — the VAD/silence-trim shape, pure Catalyst (bytes →
+    hex pairs → ints → sqrt(mean(sq))), reproduced exactly in DuckDB SQL
+    (samples are exact small ints; /16 is a power-of-two division)."""
+    from pgvector_db_spark.operators.multimodal import audio_rms_windows
+
+    t = load_tables(spark, sf_dir)
+    media = (
+        t["documents"]
+        .filter(F.length("text") > 0)
+        .select("doc_id", F.col("text").cast("binary").alias("media"))
+    )
+    return audio_rms_windows(media, window=16).select(
+        "doc_id", "window_idx", "rms"
+    )
+
+
 @register(
     "ds_multimodal_decode",
     """
