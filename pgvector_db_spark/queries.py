@@ -2453,6 +2453,74 @@ _DUCK_JACCARD = (
 
 
 @register(
+    "ds_lsh_dedup_recall_report",
+    f"""
+    WITH sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS s FROM documents
+                WHERE doc_id < 150),
+    exact_p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE {_DUCK_JACCARD} >= 0.5
+    ),
+    sig AS (SELECT doc_id, {_DUCK_SIG16} FROM sh),
+    bands AS (
+      SELECT doc_id, unnest([
+        {_duck_band_key(0, 4)}, {_duck_band_key(1, 4)},
+        {_duck_band_key(2, 4)}, {_duck_band_key(3, 4)}
+      ]) AS bk FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+    ),
+    lsh_p AS (
+      SELECT id_a, id_b FROM cand
+      JOIN sh a ON a.doc_id = id_a
+      JOIN sh b ON b.doc_id = id_b
+      WHERE {_DUCK_JACCARD} >= 0.5
+    )
+    SELECT (SELECT COUNT(*) FROM exact_p) AS n_exact_pairs,
+           (SELECT COUNT(*) FROM lsh_p) AS n_lsh_pairs,
+           (SELECT COUNT(*) FROM exact_p e
+            WHERE NOT EXISTS (SELECT 1 FROM lsh_p l
+                              WHERE l.id_a = e.id_a AND l.id_b = e.id_b))
+               AS n_missed
+    """,
+    tags=("dataset", "dedup", "quality-measurement"),
+)
+def ds_lsh_dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-quality measurement INSIDE the engine: on a bounded doc
+    subset, exact all-pairs Jaccard ground truth vs the MinHash-LSH
+    banded pipeline — reporting ground-truth pair count, LSH-recovered
+    count, and misses (pairs whose signatures collide in no band). The
+    all-pairs side is a deliberate bounded cross join (150 docs — this
+    is the SAMPLED audit every production dedup run should ship with,
+    not a corpus-scale op); the LSH side is the production operator
+    itself, so the report measures exactly what runs at scale."""
+    from pgvector_db_spark.functions.text import char_shingles, jaccard
+    from pgvector_db_spark.operators.dedup import minhash_lsh_pairs
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].filter("doc_id < 150")
+    sh = docs.select("doc_id", char_shingles("text", k=5).alias("s"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    exact = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(jaccard(F.col("sa"), F.col("sb")) >= 0.5)
+        .select("id_a", "id_b")
+    )
+    lsh = minhash_lsh_pairs(docs).select("id_a", "id_b")
+    e1 = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    l1 = lsh.agg(F.count(F.lit(1)).alias("n_lsh_pairs"))
+    m1 = exact.join(lsh, ["id_a", "id_b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("n_missed")
+    )
+    return e1.crossJoin(l1).crossJoin(m1)
+
+
+@register(
     "ds_lsh_near_dup_pairs",
     f"""
     WITH sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS s FROM documents),
