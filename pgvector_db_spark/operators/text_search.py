@@ -425,6 +425,16 @@ class BM25Index:
         )
         return _score_and_topk(tf, stats, k, k1, b, self.id_col)
 
+    def doc_count(self) -> int:
+        """Total indexed documents across committed segments (docs are
+        disjoint across segments, so the per-segment counts sum)."""
+        return self._stats(self._read_manifest()["segments"])[0]
+
+    def segment_count(self) -> int:
+        """Number of committed segments (the per-search scan multiplier
+        that ``compact()`` collapses back to 1)."""
+        return len(self._read_manifest()["segments"])
+
     def _stats(self, segs: list[str]) -> tuple[int, int]:
         import os as _os
         from functools import reduce

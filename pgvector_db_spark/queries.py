@@ -1041,12 +1041,14 @@ _sql_query(
     "ds_embed_injected_model",
     """
     SELECT doc_id,
-           [CAST(length(coalesce(text, '')) AS FLOAT),
-            CAST(CASE WHEN length(coalesce(text, '')) > 0
-                      THEN unicode(substr(text, 1, 1)) ELSE 0 END AS FLOAT),
-            CAST(length(coalesce(text, ''))
-                 - length(replace(coalesce(text, ''), ' ', '')) AS FLOAT),
-            CAST(1.0 AS FLOAT)] AS embedding
+           CAST(length(coalesce(text, '')) AS FLOAT) AS e0,
+           CAST(CASE WHEN length(coalesce(text, '')) > 0
+                     THEN unicode(substr(text, 1, 1)) ELSE 0 END AS FLOAT)
+             AS e1,
+           CAST(length(coalesce(text, ''))
+                - length(replace(coalesce(text, ''), ' ', '')) AS FLOAT)
+             AS e2,
+           CAST(1.0 AS FLOAT) AS e3
     FROM documents
     """,
     tags=("dataset", "embedding", "A12", "A13", "A14", "udf"),
@@ -1072,7 +1074,13 @@ def ds_embed_injected_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         model_factory=DeterministicStubModel,
         batch_size=64,
     )
-    return out.select("doc_id", "embedding")
+    # scalar components, not the raw array<float>: the driver gate's
+    # canonicalizer cannot sort list-valued columns (same shape as
+    # ds_embed_fake)
+    return out.select(
+        "doc_id",
+        *[F.col("embedding")[i].alias(f"e{i}") for i in range(4)],
+    )
 
 
 @register(
@@ -1620,7 +1628,12 @@ def _vs_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         IVFIndex.build(t["embeddings"], path, lists=8)
     idx = IVFIndex(spark, path, "embedding", "vec_id")
     q = _query_vec(t["embeddings"], sf_dir)
-    return idx.search(list(q), k=10, nprobe=2)
+    # scalar columns only (match the fullprobe twin's shape): the driver
+    # gate canonicalizes via pandas sort_values, which cannot sort
+    # array<float> columns
+    return idx.search(list(q), k=10, nprobe=2).select(
+        "vec_id", "label", "distance", "similarity"
+    )
 
 
 REGISTRY["vs_ivf_knn"] = QuerySpec(
@@ -1814,7 +1827,10 @@ def _vs_ivf_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         IVFIndex.build(t["embeddings"], path, lists=8)
     idx = IVFIndex(spark, path, "embedding", "vec_id")
     q = _query_vec(t["embeddings"], sf_dir)
-    return idx.search_filtered(q, k=10, filter_expr="label = 6", nprobe=1)
+    # scalar columns only — see vs_ivf_knn
+    return idx.search_filtered(
+        q, k=10, filter_expr="label = 6", nprobe=1
+    ).select("vec_id", "label", "distance", "similarity")
 
 
 REGISTRY["vs_ivf_knn_filtered"] = QuerySpec(
@@ -4220,18 +4236,19 @@ def ds_groupwise_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MM_FEATS = ", ".join(
+_MM_FEATS = [
     "({h} / 2147483648.0 - 1.0)".format(
         h=_duck_hex8("md5(text || '_f%d')" % i)
     )
     for i in range(8)
-)
+]
+_MM_FEAT_COLS = ", ".join(f"{e} AS f{i}" for i, e in enumerate(_MM_FEATS))
 
 
 @register(
     "ds_multimodal_features",
     f"""
-    SELECT doc_id, [{_MM_FEATS}] AS features
+    SELECT doc_id, {_MM_FEAT_COLS}
     FROM documents
     """,
     tags=("dataset", "multimodal", "udf"),
@@ -4249,7 +4266,12 @@ def ds_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = t["documents"].select(
         "doc_id", F.col("text").cast("binary").alias("media")
     )
-    return media_features(media, dim=8).select("doc_id", "features")
+    # per-component scalars (f0..f7), not the raw array<double>: the
+    # driver gate's canonicalizer cannot sort list-valued columns
+    return media_features(media, dim=8).select(
+        "doc_id",
+        *[F.col("features")[i].alias(f"f{i}") for i in range(8)],
+    )
 
 
 @register(
@@ -6004,7 +6026,17 @@ def ds_bm25_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     idx = BM25Index(spark, path)
     idx.append(docs.filter("doc_id % 5 = 0"))
-    return idx.search(_BM25_TERMS, k=20)
+    expected = docs.count()
+    got = idx.doc_count()
+    assert got == expected, (
+        f"BM25 append lost documents: indexed {got}, expected {expected}"
+    )
+    # materialize: the returned frame must not stay lazy over the mutable
+    # /tmp layout — a later run rmtree's and rebuilds this path, so a
+    # deferred re-evaluation would read torn state (r3 verdict item #2)
+    out = idx.search(_BM25_TERMS, k=20)
+    rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
 
 
 @register(
@@ -6060,7 +6092,22 @@ def stream_bm25_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return idx.search(_BM25_TERMS, k=20)
+    # post-stream invariant: base slice + every streamed micro-batch must
+    # land exactly once — any recurrence of a lost/duplicated batch shows
+    # up here as a named assertion, not a silent hash diff
+    expected = docs.count()
+    got = idx.doc_count()
+    assert got == expected, (
+        f"streaming BM25 ingest lost documents: indexed {got}, "
+        f"expected {expected}"
+    )
+    # materialize before returning (see ds_bm25_index_append): the driver
+    # may collect the returned frame after a LATER run of this query has
+    # rmtree'd and rebuilt the /tmp index — a lazy frame would read torn
+    # state (r3 verdict item #2, the one unreproduced driver hash diff)
+    out = idx.search(_BM25_TERMS, k=20)
+    rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
 
 
 @register(

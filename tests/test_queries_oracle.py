@@ -26,6 +26,17 @@ def duck():
 def test_query_matches_oracle(name, spark, duck):
     spec = REGISTRY[name]
     sdf = spec.spark_fn(spark, SF_DIR)
+    # driver-gate compatibility: the gate canonicalizes with pandas
+    # sort_values, which throws on array/map/struct cells — every registry
+    # query must emit scalar columns only (r3 verdict item #1)
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    nested = [
+        (f.name, f.dataType.simpleString())
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert nested == [], f"{name} returns non-scalar columns: {nested}"
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
     if spec.oracle is None:
