@@ -103,25 +103,42 @@ class DeterministicStubModel:
         return out
 
 
-def _load_model(model_name: str, factory=None):
+def _factory_cache_key(model_name: str, factory) -> str:
+    """Driver-side cache key for an injected factory. Includes the
+    factory OBJECT identity, not just its qualname: two distinct closures
+    built in a loop share a qualname but must not share a cached model.
+    Computed on the driver (where ``id()`` is stable for the lifetime of
+    the factory object) and closed over into the worker-side task, so
+    every task of one ``embed_text`` call agrees on the key and the
+    per-worker singleton still holds."""
+    return (
+        f"{model_name}#injected:"
+        f"{getattr(factory, '__module__', '?')}."
+        f"{getattr(factory, '__qualname__', repr(factory))}"
+        f"@{id(factory):#x}"
+    )
+
+
+def _load_model(model_name: str, factory=None, cache_key: str | None = None):
     """Per-executor-process model singleton (the reference loads once per
     process at generate_embeddings.py:52-67; on Spark that becomes once per
     executor python worker). ``factory`` — an injected zero-arg callable
     returning an object with ``.encode(texts, batch_size=)`` — takes
     precedence over the sentence-transformers hub path, so the full
     mapInPandas pipeline (Arrow batching, cache, schema) runs with any
-    model implementation, including deterministic stubs in tests."""
+    model implementation, including deterministic stubs in tests.
+    ``cache_key`` should be precomputed DRIVER-side via
+    ``_factory_cache_key`` when a factory is injected (worker-side
+    ``id()`` would differ per unpickled copy and defeat the cache)."""
     # key includes the factory identity: caching by name alone would let
     # an injected stub poison the name for a later factory-less call
     # (silently returning stub vectors where real ones were expected)
-    if factory is None:
+    if cache_key is not None:
+        key = cache_key
+    elif factory is None:
         key = model_name
     else:
-        key = (
-            f"{model_name}#injected:"
-            f"{getattr(factory, '__module__', '?')}."
-            f"{getattr(factory, '__qualname__', repr(factory))}"
-        )
+        key = _factory_cache_key(model_name, factory)
     if key not in _MODEL_CACHE:
         if factory is not None:
             _MODEL_CACHE[key] = factory()
@@ -163,9 +180,15 @@ def embed_text(
 
     fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
     out_schema = f"{fields}, {out_col} array<float>"
+    # key fixed driver-side so all tasks of this call share one cache slot
+    cache_key = (
+        _factory_cache_key(model, model_factory)
+        if model_factory is not None
+        else None
+    )
 
     def infer(batches: Iterator) -> Iterator:
-        mdl = _load_model(model, model_factory)
+        mdl = _load_model(model, model_factory, cache_key=cache_key)
         for pdf in batches:
             texts = pdf[text_col].fillna("").tolist()
             embs = mdl.encode(texts, batch_size=batch_size)  # type: ignore[attr-defined]

@@ -358,7 +358,13 @@ class IVFIndex:
           probes most lists anyway, making the full scan the right plan.
         - ``auto`` (default) — ``driver`` when a ``limit(max+1)`` count
           says the batch is ≤ ``driver_batch_max`` rows, else
-          ``distributed``.
+          ``distributed``. Costs ONE extra (bounded) Spark job for the
+          routing count, and assumes the batch is DETERMINISTIC: a
+          ``sample``/``rand``-derived ``queries`` frame may count
+          different rows than it later scores. For nondeterministic
+          batches ``.persist()`` (or ``.localCheckpoint()``) the frame
+          first; at scale, skip the probe job entirely by passing
+          ``mode`` explicitly.
 
         Both modes use the same fold order everywhere (dot/norm sequential
         left folds, ties broken by ``list_id``), so they probe identical

@@ -247,8 +247,12 @@ def batch_search_lsh_layout(
     it when it turns out small; a huge batch probes every bucket anyway).
 
     ``mode='auto'`` picks driver for ≤ ``driver_batch_max`` queries.
-    Both modes share every fold order, so results are bitwise identical
-    (pinned by tests/test_knn.py).
+    Auto mode costs ONE extra (bounded) Spark job for the routing count
+    and assumes a DETERMINISTIC query batch — a ``sample``/``rand``-
+    derived frame may count different rows than it later scores;
+    ``.persist()`` such a batch first, or pass ``mode`` explicitly at
+    scale. Both modes share every fold order, so results are bitwise
+    identical (pinned by tests/test_knn.py).
 
     In every mode each row is scored only against queries probing its
     bucket, and ``rank <= k`` compiles to WindowGroupLimit (partial top-k

@@ -24,6 +24,8 @@ explode, so the shuffled volume is O(matching postings), not O(corpus).
 
 from __future__ import annotations
 
+import contextlib as _contextlib
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -250,6 +252,49 @@ class BM25Index:
             _json.dump(manifest, f)
         _os.replace(tmp, self._manifest_path())
 
+    @_contextlib.contextmanager
+    def _manifest_lock(
+        self, timeout: float = 60.0, stale_after: float = 300.0
+    ):
+        """Serialize the manifest read-modify-write commit window across
+        concurrent writers. Without this, two appends could both re-read
+        the same manifest and the last committer would silently drop the
+        other's segment entry (r3 ADVICE). ``O_CREAT|O_EXCL`` is atomic
+        on POSIX filesystems (incl. NFSv4/HDFS-fuse); a lock older than
+        ``stale_after`` is treated as a crashed writer and reclaimed. On
+        object stores without atomic create, run writers under the
+        streaming engine's sequential ``foreachBatch`` contract (the
+        supported single-writer mode) — the lock then simply never
+        contends."""
+        import os as _os
+        import time as _time
+
+        lock = self._manifest_path() + ".lock"
+        deadline = _time.monotonic() + timeout
+        while True:
+            try:
+                fd = _os.open(lock, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
+                break
+            except FileExistsError:
+                try:
+                    if _time.time() - _os.path.getmtime(lock) > stale_after:
+                        _os.unlink(lock)  # crashed writer — reclaim
+                        continue
+                except FileNotFoundError:
+                    continue  # holder released between check and stat
+                if _time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"BM25 manifest lock busy for >{timeout}s: {lock}"
+                    )
+                _time.sleep(0.05)
+        try:
+            _os.write(fd, str(_os.getpid()).encode())
+            _os.close(fd)
+            yield
+        finally:
+            with _contextlib.suppress(FileNotFoundError):
+                _os.unlink(lock)
+
     # -- segment writer (shared by build and append) -------------------------
 
     @staticmethod
@@ -363,13 +408,17 @@ class BM25Index:
             self.id_col,
             text_col,
         )
-        m2 = self._read_manifest()  # re-read: another append may have landed
-        if batch_tag is not None and batch_tag in m2["batch_tags"]:
-            return
-        m2["segments"].append(seg)
-        if batch_tag is not None:
-            m2["batch_tags"].append(batch_tag)
-        self._commit_manifest(m2)
+        # commit under the manifest lock: the segment write above is
+        # side-effect-free until its entry lands, so only this re-read →
+        # commit window needs serializing against concurrent writers
+        with self._manifest_lock():
+            m2 = self._read_manifest()
+            if batch_tag is not None and batch_tag in m2["batch_tags"]:
+                return
+            m2["segments"].append(seg)
+            if batch_tag is not None:
+                m2["batch_tags"].append(batch_tag)
+            self._commit_manifest(m2)
 
     # -- search --------------------------------------------------------------
 
@@ -518,11 +567,13 @@ class BM25Index:
         ).coalesce(1).write.mode("overwrite").parquet(
             _os.path.join(seg_path, "stats")
         )
-        m2 = self._read_manifest()
-        if m2["segments"] != m["segments"]:
-            # a concurrent append landed between our snapshot and now —
-            # committing [seg] would silently drop it; abort (the orphan
-            # segment dir is garbage, never read) and let the caller retry
-            return
-        m2["segments"] = [seg]
-        self._commit_manifest(m2)
+        with self._manifest_lock():
+            m2 = self._read_manifest()
+            if m2["segments"] != m["segments"]:
+                # a concurrent append landed between our snapshot and now —
+                # committing [seg] would silently drop it; abort (the orphan
+                # segment dir is garbage, never read) and let the caller
+                # retry; the lock makes this check-then-commit atomic
+                return
+            m2["segments"] = [seg]
+            self._commit_manifest(m2)

@@ -3159,9 +3159,12 @@ _TWA = """
            -- SUM(wv) is an exact scale-2 decimal; go through an exact
            -- BIGINT of cents so the only float conversion is int64→double
            -- (correctly rounded on every engine), never decimal→double
-           -- (implementation-defined rounding at this magnitude)
-           CAST(CAST(CAST(SUM(wv) * 100 AS BIGINT) AS DOUBLE) / 100.0
-                / SUM(dt) AS DOUBLE) AS time_weighted_avg,
+           -- (implementation-defined rounding at this magnitude).
+           -- floor(x*100 + 0.5) (not a bare CAST) matches the rounding
+           -- discipline of the other cents oracles and keeps the
+           -- quantization away from truncation boundaries
+           CAST(CAST(CAST(floor(SUM(wv) * 100 + 0.5) AS BIGINT) AS DOUBLE)
+                / 100.0 / SUM(dt) AS DOUBLE) AS time_weighted_avg,
            CAST(SUM(dt) AS BIGINT) AS observed_us
     FROM w GROUP BY user_id
 """
@@ -3190,10 +3193,11 @@ _COUNTER = """
     SELECT user_id,
            -- exact BIGINT cents then int64→double (correctly rounded on
            -- every engine) — never decimal→double directly, matching the
-           -- discipline in rel_time_weighted_avg's _TWA
-           CAST(CAST(SUM(CASE WHEN delta IS NULL OR delta < 0 THEN v
-                              ELSE delta END) * 100 AS BIGINT) AS DOUBLE)
-               / 100.0 AS counter_total,
+           -- discipline in rel_time_weighted_avg's _TWA; floor(+0.5)
+           -- rounds instead of truncating (r3 ADVICE)
+           CAST(CAST(floor(SUM(CASE WHEN delta IS NULL OR delta < 0 THEN v
+                                    ELSE delta END) * 100 + 0.5) AS BIGINT)
+                AS DOUBLE) / 100.0 AS counter_total,
            CAST(SUM(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_resets
     FROM d GROUP BY user_id

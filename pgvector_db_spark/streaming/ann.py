@@ -40,7 +40,9 @@ def stream_ann_search(
 
     ``index`` is an operators/ivf.IVFIndex; every micro-batch of
     (query_id, query_vec) rows is answered with one partition-pruned
-    batch plan and appended to ``out_path``.
+    batch plan and landed under its own ``batch_id`` partition of
+    ``out_path`` (dynamic partition overwrite — the exactly-once
+    mechanism described in the module docstring, NOT a blind append).
     """
 
     def process(batch_df: DataFrame, batch_id: int) -> None:

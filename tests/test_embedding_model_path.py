@@ -32,6 +32,32 @@ def test_load_model_caches_singleton():
     _MODEL_CACHE.pop("stub-cache-test", None)
 
 
+def test_same_qualname_factories_get_distinct_cache_slots():
+    """Two factory closures built in a loop share a __qualname__ but carry
+    different captured config — the cache key must include object
+    identity so the second never silently reuses the first's model
+    (r3 ADVICE: embedding.py cache-key collision)."""
+    from pgvector_db_spark.functions.embedding import _factory_cache_key
+
+    factories = []
+    for dim in (2, 3):
+        def factory(d=dim):
+            m = DeterministicStubModel()
+            m.dim = d
+            return m
+
+        factories.append(factory)
+    k1 = _factory_cache_key("loop-stub", factories[0])
+    k2 = _factory_cache_key("loop-stub", factories[1])
+    assert k1 != k2
+    m1 = _load_model("loop-stub", factories[0], cache_key=k1)
+    m2 = _load_model("loop-stub", factories[1], cache_key=k2)
+    assert m1 is not m2
+    assert (m1.dim, m2.dim) == (2, 3)
+    _MODEL_CACHE.pop(k1, None)
+    _MODEL_CACHE.pop(k2, None)
+
+
 def test_load_model_without_deps_raises_gated_error():
     _MODEL_CACHE.pop("definitely-not-cached", None)
     try:

@@ -360,6 +360,69 @@ def test_bm25_append_idempotent_and_crash_safe(spark, tables, tmp_path):
     assert got3 == want
 
 
+def test_bm25_concurrent_appends_both_commit(spark, tables, tmp_path):
+    """Two appends racing the manifest commit: with the manifest lock
+    both segment entries land — pre-lock, the last committer silently
+    dropped the other's entry (r3 ADVICE)."""
+    import threading
+
+    from pgvector_db_spark.operators.text_search import BM25Index, bm25_topk
+
+    docs = tables["documents"]
+    idx = BM25Index.build(
+        docs.filter("doc_id % 3 = 0"), str(tmp_path / "race"), num_buckets=8
+    )
+    errs: list[Exception] = []
+
+    def app(mod: int) -> None:
+        try:
+            idx.append(docs.filter(f"doc_id % 3 = {mod}"), batch_tag=f"t{mod}")
+        except Exception as exc:  # pragma: no cover - diagnostic
+            errs.append(exc)
+
+    threads = [threading.Thread(target=app, args=(m,)) for m in (1, 2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errs == []
+    m = idx._read_manifest()
+    assert len(m["segments"]) == 3
+    assert set(m["batch_tags"]) == {"t1", "t2"}
+    assert idx.doc_count() == docs.count()
+    terms = ["vector", "join", "filter"]
+    want = sorted(map(tuple, bm25_topk(docs, terms, k=20).collect()))
+    got = sorted(map(tuple, idx.search(terms, k=20).collect()))
+    assert got == want
+
+
+def test_bm25_manifest_lock_excludes_and_reclaims_stale(spark, tables, tmp_path):
+    """The lock is mutually exclusive (second acquirer times out) and a
+    stale lock file from a crashed writer is reclaimed."""
+    import os
+    import time
+
+    import pytest as _pytest
+
+    from pgvector_db_spark.operators.text_search import BM25Index
+
+    docs = tables["documents"].limit(50)
+    idx = BM25Index.build(docs, str(tmp_path / "lk"), num_buckets=4)
+    with idx._manifest_lock():
+        with _pytest.raises(TimeoutError):
+            with idx._manifest_lock(timeout=0.3):
+                pass
+    # crashed-writer simulation: a lock file nobody will release
+    lock = idx._manifest_path() + ".lock"
+    with open(lock, "w") as f:
+        f.write("dead")
+    old = time.time() - 1000
+    os.utime(lock, (old, old))
+    with idx._manifest_lock(timeout=1.0, stale_after=300.0):
+        pass  # reclaimed without waiting out the timeout
+    assert not os.path.exists(lock)
+
+
 def test_bm25_compact_preserves_scores(spark, tables, tmp_path):
     """Compaction merges all segments into one without changing a single
     score (docs disjoint ⇒ postings union unchanged, df/stats additive)."""
