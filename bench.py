@@ -203,6 +203,42 @@ def derived_metrics(spark, sf_dir: str, timings: dict[str, float]) -> dict[str, 
 
     _try(_ivfpq_recall)
 
+    # segment-count cost curve: the one unbounded term in the BM25 index
+    # design is a scan per segment — measure search latency on a
+    # streaming-shaped 8-segment index vs the same index compacted to 1,
+    # the number that justifies the compaction policy in
+    # stream_bm25_ingest's fold
+    def _bm25_segments() -> None:
+        from pgvector_db_spark.operators.text_search import BM25Index
+
+        terms = ["vector", "join", "filter"]
+        tmp = tempfile.mkdtemp(prefix="bench_bm25_seg_")
+        try:
+            path = os.path.join(tmp, "idx")
+            BM25Index.build(
+                t["documents"].filter("doc_id % 8 = 0"), path, num_buckets=16
+            )
+            idx = BM25Index(spark, path)
+            for m in range(1, 8):
+                idx.append(t["documents"].filter(f"doc_id % 8 = {m}"))
+
+            def _time_search() -> float:
+                best = float("inf")
+                for _ in range(2):
+                    t0 = _t.time()
+                    assert idx.search(terms, k=20).count() >= 0
+                    best = min(best, _t.time() - t0)
+                return round(best * 1000, 1)
+
+            out["bm25_search_8seg_ms"] = _time_search()
+            idx.compact()
+            assert idx.segment_count() == 1
+            out["bm25_search_1seg_ms"] = _time_search()
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    _try(_bm25_segments)
+
     # corpus-vs-corpus shape: distributed batch ANN with a ~100k-query
     # batch (queries never touch the driver — IVFIndex.batch_search
     # mode='distributed'). The number that matters at 100 TB: per-query

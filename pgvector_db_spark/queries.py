@@ -6049,13 +6049,17 @@ def ds_bm25_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "text", "search", "index", "maintenance"),
 )
 def stream_bm25_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming full-text index maintenance: documents replayed as a
-    REAL file stream, every micro-batch folded into the persisted BM25
-    inverted index via foreachBatch → BM25Index.append (sequential per
-    micro-batch by the streaming engine's contract). After the stream
-    drains, a search over the maintained index must equal the
-    full-corpus BM25 oracle — the freshness property a continuously
-    ingesting search tier needs."""
+    """Streaming full-text index maintenance WITH compaction under load:
+    documents replayed as a REAL multi-file stream (4 micro-batches via
+    maxFilesPerTrigger=1), every micro-batch folded into the persisted
+    BM25 inverted index via foreachBatch → BM25Index.append (sequential
+    per micro-batch by the streaming engine's contract), and segment
+    growth bounded by ``compact()`` whenever the manifest reaches 3
+    segments — the Lucene-style merge policy a continuously ingesting
+    search tier needs, since each search pays a scan per segment. After
+    the stream drains, a final compact must leave ONE segment whose
+    search equals the pre-compact search bitwise AND the full-corpus
+    BM25 oracle."""
     import shutil
     import tempfile
 
@@ -6063,7 +6067,7 @@ def stream_bm25_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pgvector_db_spark.operators.text_search import BM25Index
     from pgvector_db_spark.streaming.replay import (
         file_stream,
-        stage_replay_file,
+        stage_replay_splits,
     )
 
     t = load_tables(spark, sf_dir)
@@ -6076,10 +6080,14 @@ def stream_bm25_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = BM25Index(spark, path)
 
     doc_path = table_path(sf_dir, "documents")
-    replay_dir = os.path.join(tempfile.gettempdir(), f"docs_replay_{tag}")
-    stage_replay_file(doc_path, replay_dir, "docs.parquet")
+    replay_dir = os.path.join(
+        tempfile.gettempdir(), f"docs_replay4_{tag}"
+    )
+    stage_replay_splits(spark, doc_path, replay_dir, n_files=4)
     schema = spark.read.parquet(doc_path).schema
-    src = file_stream(spark, replay_dir, schema).filter("doc_id % 3 != 0")
+    src = file_stream(
+        spark, replay_dir, schema, max_files_per_trigger=1
+    ).filter("doc_id % 3 != 0")
 
     tmp = tempfile.mkdtemp(prefix="bm25_stream_ckpt_")
 
@@ -6088,6 +6096,10 @@ def stream_bm25_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             # batch_tag makes a checkpoint-replayed micro-batch a no-op
             # (the manifest already lists it) — exactly-once maintenance
             idx.append(batch_df, batch_tag=f"batch_{batch_id}")
+        if idx.segment_count() >= 3:
+            # merge policy under streaming load: per-search cost is a
+            # scan per segment, so cap the segment count as we ingest
+            idx.compact()
 
     q = (
         src.writeStream.foreachBatch(fold)
@@ -6096,6 +6108,16 @@ def stream_bm25_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    # compaction-correctness invariant, checked under the streaming shape
+    # that actually creates multi-segment indexes: the final merge must
+    # not change a single score and must leave exactly one segment
+    before = sorted(map(tuple, idx.search(_BM25_TERMS, k=20).collect()))
+    idx.compact()
+    assert idx.segment_count() == 1, (
+        f"compact left {idx.segment_count()} segments, expected 1"
+    )
+    after = sorted(map(tuple, idx.search(_BM25_TERMS, k=20).collect()))
+    assert after == before, "BM25 compaction changed search results"
     # post-stream invariant: base slice + every streamed micro-batch must
     # land exactly once — any recurrence of a lost/duplicated batch shows
     # up here as a named assertion, not a silent hash diff

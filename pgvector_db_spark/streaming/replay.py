@@ -39,6 +39,49 @@ def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
     )
 
 
+def stage_replay_splits(
+    spark: SparkSession, src_path: str, replay_dir: str, n_files: int
+) -> str:
+    """Stage a parquet table as ``n_files`` part files so a
+    ``maxFilesPerTrigger=1`` file stream replays it as ``n_files``
+    micro-batches — the harness for multi-batch maintenance paths
+    (segment growth, compaction policy). Atomic like
+    :func:`stage_replay_file`: written to a ``.tmp`` dir then renamed,
+    with a marker file so a finished staging is reused across runs (the
+    split ASSIGNMENT may vary between Spark runs, but every row lands in
+    exactly one file, which is all additive-stats consumers need)."""
+    import glob
+    import os
+    import shutil
+
+    # underscore-prefixed files are invisible to Spark's file index, so
+    # the marker can live inside the streamed dir; it records the source
+    # size so a regenerated fixture forces a restage
+    marker = os.path.join(replay_dir, f"_staged_{n_files}")
+    src_size = str(os.path.getsize(src_path))
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read() == src_size:
+                return replay_dir
+    shutil.rmtree(replay_dir, ignore_errors=True)
+    tmp = replay_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        spark.read.parquet(src_path)
+        .repartition(n_files)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    for junk in glob.glob(os.path.join(tmp, "_SUCCESS*")) + glob.glob(
+        os.path.join(tmp, "*.crc")
+    ):
+        os.remove(junk)
+    os.rename(tmp, replay_dir)
+    with open(marker, "w") as f:
+        f.write(src_size)
+    return replay_dir
+
+
 def stage_replay_file(src_path: str, replay_dir: str, name: str) -> str:
     """Stage one fixture file into a replay directory, atomically and
     freshness-checked — the shared helper behind every file-replay gate
