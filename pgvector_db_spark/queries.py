@@ -6374,11 +6374,14 @@ def stream_events_window_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH e AS (
       SELECT user_id, event_id, ts,
-             -- >= (not >): session_window spans are half-open
-             -- [start, last+gap), so an event exactly `gap` after the
-             -- previous one starts a NEW session in Spark
+             -- > (strictly): Spark's session_window MERGES an event that
+             -- lands exactly `gap` after its predecessor (the [start,
+             -- last+gap) span is half-open for REPORTING, but the merge
+             -- condition is inclusive of the span end) — pinned
+             -- empirically by tests/test_streaming.py::
+             -- test_session_window_exact_gap_boundary_merges
              CASE WHEN lag(ts) OVER w IS NULL
-                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)

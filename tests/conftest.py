@@ -21,3 +21,11 @@ def spark():
 @pytest.fixture(scope="session")
 def tables(spark):
     return load_tables(spark, SF_DIR)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "realmodel: needs real sentence-transformers/torch weights "
+        "(absent in this image; the test skips itself cleanly)",
+    )

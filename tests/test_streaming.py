@@ -383,6 +383,85 @@ def test_session_window_stream_matches_batch(spark, events_replay_dir, events_sc
     assert sum(r.n_events for r in expected) == spark.read.parquet(events_replay_dir).count()
 
 
+def test_session_window_exact_gap_boundary_merges(spark, tmp_path):
+    """An event landing EXACTLY `gap` after its predecessor MERGES into
+    the session (pinned empirically — r3's verdict assumed the opposite,
+    which this fixture disproved): session_window reports half-open
+    [start, last+gap) spans, but its merge condition is inclusive of the
+    span end. The islands oracle must therefore use `>` (strictly
+    greater starts a new session), and batch and streaming engines must
+    agree at the boundary."""
+    from datetime import datetime, timedelta
+
+    from pgvector_db_spark.streaming.windows import (
+        batch_session_window_agg,
+        session_window_agg,
+    )
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    gap = timedelta(minutes=30)
+    rows = [
+        # user 1: second event lands exactly at t0+gap -> MERGES
+        (1, t0),
+        (1, t0 + gap),
+        (1, t0 + gap + timedelta(seconds=10)),
+        # user 2: second event 1µs PAST the boundary -> new session
+        (2, t0),
+        (2, t0 + gap + timedelta(microseconds=1)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+    got = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in batch_session_window_agg(ev, gap="30 minutes").collect()
+    }
+    expected = {
+        (1, t0, 3),                                    # boundary merged
+        (2, t0, 1),                                    # 1µs past: split
+        (2, t0 + gap + timedelta(microseconds=1), 1),
+    }
+    assert got == expected
+    # the islands oracle with `>` agrees at the exact boundary
+    ev.createOrReplaceTempView("ev_boundary")
+    islands = spark.sql(
+        """
+        WITH e AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                           OR unix_micros(ts) - unix_micros(lag(ts) OVER w)
+                              > 1800000000
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM ev_boundary
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+        ),
+        s AS (
+          SELECT user_id, ts,
+                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                     ROWS UNBOUNDED PRECEDING) AS session_no
+          FROM e
+        )
+        SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+        FROM s GROUP BY user_id, session_no
+        """
+    )
+    assert {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in islands.collect()
+    } == expected
+    # and the STREAMING engine agrees with batch at the boundary
+    src_dir = str(tmp_path / "boundary_events")
+    ev.coalesce(1).write.parquet(src_dir)
+    stream = file_stream(spark, src_dir, ev.schema)
+    agg = session_window_agg(stream, gap="30 minutes", watermark="60 days")
+    run_stream_to_memory(agg, "sess_boundary", mode="complete")
+    got_stream = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in spark.sql(
+            "SELECT user_id, session_start, n_events FROM sess_boundary"
+        ).collect()
+    }
+    assert got_stream == expected
+
+
 def test_batch_session_window_matches_sql_islands(spark, events_replay_dir):
     """F.session_window semantics cross-checked against the independent
     lag/running-sum islands formulation (rel_sessionize_events): same
