@@ -213,6 +213,77 @@ def _word_ngrams(text_col: str, n: int) -> Column:
     return F.array_distinct(grams)
 
 
+def substring_dup_stats(
+    docs: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Substring-level duplication profile (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" signal,
+    re-expressed distributed): for every document, the number of its
+    word-``n``-gram occurrences that also occur in at least one OTHER
+    document. Doc-level MinHash misses boilerplate shared across
+    otherwise-distinct pages; this catches it at span granularity.
+
+    Scale shape (100 TB): ONE pass over the corpus — shingle TEXT never
+    shuffles (each n-gram is hashed the moment it is formed;
+    ``xxhash64`` → 8-byte key, collision odds ~2^-64 per pair), and the
+    doc-frequency comes from a window over the per-(doc, hash) counts
+    instead of a self-join back to the corpus (which Spark would plan as
+    a SECOND full scan + re-shingling). Every exchange after the scan
+    moves only (id, hash, count) triples: partial-agged groupBy
+    (doc, hash), window partitioned by hash, final groupBy doc.
+    ``hash_fn='md5_16'`` swaps in a 16-hex-char md5 prefix computable by
+    any engine — the cross-engine oracle mode (tests pin both modes
+    agree on every count at test scale).
+
+    Returns (id_col, n_shingles, n_dup_shingles, flagged) where
+    ``flagged`` = 1 when dup occurrences are >= half of all occurrences
+    (integer cross-multiplication, no float ratio).
+    """
+    toks = tokens(F.col(text_col))
+    base = docs.select(F.col(id_col), toks.alias("_toks")).filter(
+        F.size("_toks") >= n
+    )
+    shingle = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
+            lambda i: F.array_join(F.slice("_toks", i, n), " "),
+        )
+    ).alias("_shingle")
+    if hash_fn == "xxhash64":
+        h = F.xxhash64("_shingle")
+    elif hash_fn == "md5_16":
+        h = F.substring(F.md5("_shingle"), 1, 16)
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn}")
+    hashed = base.select(id_col, shingle).select(
+        id_col, h.alias("_h")
+    )
+    from pyspark.sql.window import Window
+
+    per_doc = hashed.groupBy(id_col, "_h").agg(F.count("*").alias("_cnt"))
+    # rows of per_doc are unique per (doc, hash), so a plain row count
+    # over the hash partition IS the shingle's document frequency
+    docs_with = F.count(F.lit(1)).over(Window.partitionBy("_h"))
+    return (
+        per_doc.withColumn("_docs_with", docs_with)
+        .groupBy(id_col)
+        .agg(
+            F.sum("_cnt").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("_docs_with") >= 2, F.col("_cnt")).otherwise(0)
+            ).alias("n_dup_shingles"),
+        )
+        .withColumn(
+            "flagged",
+            (F.col("n_dup_shingles") * 2 >= F.col("n_shingles")).cast("int"),
+        )
+    )
+
+
 def contamination_overlap(
     train: DataFrame,
     eval_df: DataFrame,

@@ -4722,6 +4722,79 @@ _sql_query(
 )
 
 
+@register(
+    "ds_substring_dup_rate",
+    f"""
+    WITH b AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents
+      WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 5
+    ),
+    i AS (
+      SELECT doc_id, toks, unnest(range(0, len(toks) - 4)) AS i FROM b
+    ),
+    s AS (
+      SELECT doc_id,
+             substr(md5(array_to_string(toks[i + 1 : i + 5], ' ')),
+                    1, 16) AS h
+      FROM i
+    ),
+    per AS (SELECT doc_id, h, COUNT(*) AS cnt FROM s GROUP BY doc_id, h),
+    df AS (SELECT h, COUNT(*) AS docs_with FROM per GROUP BY h)
+    SELECT p.doc_id,
+           CAST(SUM(p.cnt) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN d.docs_with >= 2 THEN p.cnt ELSE 0 END)
+                AS BIGINT) AS n_dup_shingles,
+           CAST(SUM(CASE WHEN d.docs_with >= 2 THEN p.cnt ELSE 0 END) * 2
+                >= SUM(p.cnt) AS INT) AS flagged
+    FROM per p JOIN df d USING (h)
+    GROUP BY p.doc_id
+    """,
+    tags=("dataset", "dedup", "substring"),
+)
+def ds_substring_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication profile (operators/dedup.
+    substring_dup_stats — the Lee et al. 2022 span-granular dedup signal
+    doc-level MinHash misses): per document, how many of its word-5-gram
+    occurrences appear in other documents, and a boilerplate flag when
+    that is at least half. Gate runs the cross-engine ``md5_16`` hash
+    mode; tests pin that the at-scale ``xxhash64`` mode (8-byte keys,
+    shingle text never shuffles) produces identical counts."""
+    from pgvector_db_spark.operators.dedup import substring_dup_stats
+
+    t = load_tables(spark, sf_dir)
+    return substring_dup_stats(t["documents"], n=5, hash_fn="md5_16")
+
+
+# Deterministic seeded corpus shuffle + sharding — the training-data
+# ordering op: every doc gets a content-independent pseudo-random key
+# (salted id hash), a shard by key mod N, and a reproducible position
+# within its shard. Engine/run/reshuffle stable; at scale this is ONE
+# hash-partitioned exchange (repartition by shard) + sortWithinPartitions,
+# exactly what Catalyst plans for the window below.
+_SHUF_BODY = """
+    WITH h AS (
+      SELECT doc_id, {hash_expr} AS hv FROM documents
+    )
+    SELECT doc_id,
+           CAST(hv % 8 AS INT) AS shard,
+           CAST(row_number() OVER (PARTITION BY hv % 8
+                ORDER BY hv ASC, doc_id ASC) AS INT) AS pos
+    FROM h
+"""
+_sql_query(
+    "ds_seeded_shard_shuffle",
+    _SHUF_BODY.format(
+        hash_expr="CAST(conv(substring(md5(concat(CAST(doc_id AS STRING),"
+        " '_shuf42')), 1, 8), 16, 10) AS BIGINT)"
+    ),
+    _SHUF_BODY.format(
+        hash_expr=_duck_hex8("md5(CAST(doc_id AS VARCHAR) || '_shuf42')")
+    ),
+    tags=("dataset", "sampling", "shuffle"),
+)
+
+
 # --- TPC-H analogue sweep: the remaining distinctive query shapes -------
 # (fixture schema has no partsupp / l_shipmode / c_phone; each analogue
 # keeps the original query's PLAN shape and swaps predicates to fixture

@@ -436,3 +436,47 @@ def test_bloom_decontaminate_tiny_bitmap_still_exact(spark, tables):
         )
     )
     assert plain == bloom
+
+
+def test_substring_dup_stats_hash_modes_agree(spark, tables):
+    """The at-scale xxhash64 mode (8-byte shuffle keys) must produce the
+    same per-doc counts as the cross-engine md5_16 oracle mode — the
+    hash only buckets shingles, and at test scale neither collides."""
+    from pgvector_db_spark.operators.dedup import substring_dup_stats
+
+    docs = tables["documents"]
+    fast = sorted(
+        map(tuple, substring_dup_stats(docs, n=5, hash_fn="xxhash64").collect())
+    )
+    oracle_mode = sorted(
+        map(tuple, substring_dup_stats(docs, n=5, hash_fn="md5_16").collect())
+    )
+    assert fast == oracle_mode
+    assert len(fast) > 0
+
+
+def test_substring_dup_stats_semantics(spark):
+    """Hand-checkable fixture: cross-doc shared spans count, within-doc
+    repeats don't (unless shared), short docs drop out."""
+    from pgvector_db_spark.operators.dedup import substring_dup_stats
+
+    docs = spark.createDataFrame(
+        [
+            # docs 1 and 2 share the 5-gram "a b c d e" (1 occurrence each)
+            (1, "a b c d e x y z w v"),
+            (2, "q a b c d e"),
+            # doc 3: no overlap with anyone
+            (3, "p1 p2 p3 p4 p5 p6"),
+            # doc 4: under 5 tokens -> excluded
+            (4, "too short here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        r["doc_id"]: (r["n_shingles"], r["n_dup_shingles"], r["flagged"])
+        for r in substring_dup_stats(docs, n=5).collect()
+    }
+    assert 4 not in rows
+    assert rows[3] == (2, 0, 0)          # 6 tokens -> 2 shingles, none shared
+    assert rows[1] == (6, 1, 0)          # 10 tokens -> 6 shingles, 1 shared
+    assert rows[2] == (2, 1, 1)          # 6 tokens -> 2 shingles, 1 shared -> flagged
