@@ -203,6 +203,19 @@ def derived_metrics(spark, sf_dir: str, timings: dict[str, float]) -> dict[str, 
 
     _try(_ivfpq_recall)
 
+    # span-granular dedup throughput (substring_dup_stats, xxhash64 mode —
+    # the single-pass window plan): docs/sec through shingle→hash→count
+    def _substring_dedup() -> None:
+        from pgvector_db_spark.operators.dedup import substring_dup_stats
+
+        t0 = _t.time()
+        substring_dup_stats(t["documents"], n=5, hash_fn="xxhash64").count()
+        out["substring_dedup_docs_per_sec"] = round(
+            n_docs / (_t.time() - t0), 1
+        )
+
+    _try(_substring_dedup)
+
     # segment-count cost curve: the one unbounded term in the BM25 index
     # design is a scan per segment — measure search latency on a
     # streaming-shaped 8-segment index vs the same index compacted to 1,
