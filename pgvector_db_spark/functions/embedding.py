@@ -77,7 +77,26 @@ def fake_embedding_sql(text_expr: str, dim: int = 8, dialect: str = "spark") -> 
 # Real-model path (A12-A14): mapInPandas + per-executor singleton.
 # ---------------------------------------------------------------------------
 
-_MODEL_CACHE: dict[str, object] = {}
+# Per-python-worker model cache. OrderedDict + a size cap: injected
+# factories get identity-distinct keys (below), so an unbounded dict
+# would retain one model per factory object a long-lived executor ever
+# saw — with real sentence-transformers weights that's an OOM, not a
+# leak. LRU order: re-use moves an entry to the back, eviction pops the
+# front.
+from collections import OrderedDict as _OrderedDict  # noqa: E402
+
+_MODEL_CACHE: "_OrderedDict[str, object]" = _OrderedDict()
+_MODEL_CACHE_MAX = 4
+
+# Driver-side identity tokens for injected factories: a WeakKeyDictionary
+# plus a monotonic counter gives every factory OBJECT a stable, unique,
+# never-reused token — unlike raw id(), which CPython reuses after GC,
+# silently aliasing a NEW factory to a DEAD one's cached model.
+import itertools as _itertools  # noqa: E402
+import weakref as _weakref  # noqa: E402
+
+_FACTORY_TOKENS: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+_FACTORY_COUNTER = _itertools.count()
 
 
 class DeterministicStubModel:
@@ -107,15 +126,27 @@ def _factory_cache_key(model_name: str, factory) -> str:
     """Driver-side cache key for an injected factory. Includes the
     factory OBJECT identity, not just its qualname: two distinct closures
     built in a loop share a qualname but must not share a cached model.
-    Computed on the driver (where ``id()`` is stable for the lifetime of
-    the factory object) and closed over into the worker-side task, so
-    every task of one ``embed_text`` call agrees on the key and the
+    Identity comes from a weakref-keyed token map with a monotonic
+    counter — NOT ``id()``, which CPython reuses once a factory is
+    garbage-collected (a later, different factory allocated at the same
+    address would silently inherit the dead one's cached model). The key
+    is computed on the driver and closed over into the worker-side task,
+    so every task of one ``embed_text`` call agrees on it and the
     per-worker singleton still holds."""
+    try:
+        tok = _FACTORY_TOKENS.get(factory)
+        if tok is None:
+            tok = next(_FACTORY_COUNTER)
+            _FACTORY_TOKENS[factory] = tok
+    except TypeError:
+        # not weak-referenceable (rare: e.g. some builtins) — fall back
+        # to id(); such callers should pass an explicit cache_key
+        tok = f"id{id(factory):#x}"
     return (
         f"{model_name}#injected:"
         f"{getattr(factory, '__module__', '?')}."
         f"{getattr(factory, '__qualname__', repr(factory))}"
-        f"@{id(factory):#x}"
+        f"@{tok}"
     )
 
 
@@ -152,6 +183,10 @@ def _load_model(model_name: str, factory=None, cache_key: str | None = None):
                     "path or inject model_factory"
                 ) from exc
             _MODEL_CACHE[key] = SentenceTransformer(model_name)
+        while len(_MODEL_CACHE) > _MODEL_CACHE_MAX:
+            _MODEL_CACHE.popitem(last=False)  # evict least-recently used
+    else:
+        _MODEL_CACHE.move_to_end(key)
     return _MODEL_CACHE[key]
 
 

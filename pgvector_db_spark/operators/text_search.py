@@ -269,6 +269,8 @@ class BM25Index:
         import os as _os
         import time as _time
 
+        import uuid as _uuid
+
         lock = self._manifest_path() + ".lock"
         deadline = _time.monotonic() + timeout
         while True:
@@ -278,7 +280,17 @@ class BM25Index:
             except FileExistsError:
                 try:
                     if _time.time() - _os.path.getmtime(lock) > stale_after:
-                        _os.unlink(lock)  # crashed writer — reclaim
+                        # crashed writer — reclaim ATOMICALLY via rename:
+                        # exactly one waiter wins the rename (a plain
+                        # unlink would let a second waiter delete the
+                        # winner's freshly created lock and re-open the
+                        # double-writer window this lock exists to close)
+                        stale = f"{lock}.stale.{_uuid.uuid4().hex[:8]}"
+                        try:
+                            _os.rename(lock, stale)
+                            _os.unlink(stale)
+                        except FileNotFoundError:
+                            pass  # another waiter won the reclaim
                         continue
                 except FileNotFoundError:
                     continue  # holder released between check and stat
@@ -395,6 +407,7 @@ class BM25Index:
         crash never tears the index, and a replayed ``batch_tag`` is a
         no-op (exactly-once under streaming retry)."""
         import os as _os
+        import shutil as _shutil
         import uuid as _uuid
 
         m = self._read_manifest()
@@ -414,6 +427,11 @@ class BM25Index:
         with self._manifest_lock():
             m2 = self._read_manifest()
             if batch_tag is not None and batch_tag in m2["batch_tags"]:
+                # a racing replay committed this batch first — our
+                # segment is an unreachable orphan; reclaim its space
+                _shutil.rmtree(
+                    _os.path.join(self.path, seg), ignore_errors=True
+                )
                 return
             m2["segments"].append(seg)
             if batch_tag is not None:
@@ -524,6 +542,7 @@ class BM25Index:
         segments' batch_tags stay in the manifest so replays remain
         no-ops."""
         import os as _os
+        import shutil as _shutil
         import uuid as _uuid
         from functools import reduce
 
@@ -571,9 +590,18 @@ class BM25Index:
             m2 = self._read_manifest()
             if m2["segments"] != m["segments"]:
                 # a concurrent append landed between our snapshot and now —
-                # committing [seg] would silently drop it; abort (the orphan
-                # segment dir is garbage, never read) and let the caller
-                # retry; the lock makes this check-then-commit atomic
+                # committing [seg] would silently drop it; abort and let
+                # the caller retry; reclaim our never-committed segment
+                # (the lock makes this check-then-commit atomic)
+                _shutil.rmtree(seg_path, ignore_errors=True)
                 return
             m2["segments"] = [seg]
             self._commit_manifest(m2)
+        # the replaced segments are unreachable from the committed
+        # manifest — delete them, or a continuously compacting ingest
+        # grows disk O(total-ever-ingested) instead of O(index). Readers
+        # must MATERIALIZE results before a subsequent compact (every
+        # gate/served path does: search results are collected top-k) —
+        # a lazy frame held across generations would lose its files.
+        for s in m["segments"]:
+            _shutil.rmtree(_os.path.join(self.path, s), ignore_errors=True)

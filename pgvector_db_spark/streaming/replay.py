@@ -50,7 +50,6 @@ def stage_replay_splits(
     with a marker file so a finished staging is reused across runs (the
     split ASSIGNMENT may vary between Spark runs, but every row lands in
     exactly one file, which is all additive-stats consumers need)."""
-    import glob
     import os
     import shutil
 
@@ -72,10 +71,8 @@ def stage_replay_splits(
         .write.mode("overwrite")
         .parquet(tmp)
     )
-    for junk in glob.glob(os.path.join(tmp, "_SUCCESS*")) + glob.glob(
-        os.path.join(tmp, "*.crc")
-    ):
-        os.remove(junk)
+    # _SUCCESS and the dot-prefixed .crc files Spark leaves behind are
+    # hidden from its own file index — no cleanup needed
     os.rename(tmp, replay_dir)
     with open(marker, "w") as f:
         f.write(src_size)

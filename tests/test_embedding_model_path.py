@@ -59,6 +59,61 @@ def test_same_qualname_factories_get_distinct_cache_slots():
     _MODEL_CACHE.pop(k2, None)
 
 
+def test_factory_key_survives_gc_address_reuse():
+    """id() can be reused after a factory is garbage-collected; the
+    weakref-token scheme must give a dead factory's successor a DIFFERENT
+    key even if CPython reallocates the same address (code-review finding:
+    the old id()-based key aliased the successor to the dead factory's
+    cached model)."""
+    import gc
+
+    from pgvector_db_spark.functions.embedding import _factory_cache_key
+
+    def make(dim):
+        def factory(d=dim):
+            m = DeterministicStubModel()
+            m.dim = d
+            return m
+
+        return factory
+
+    f1 = make(2)
+    k1 = _factory_cache_key("gc-test", f1)
+    del f1
+    gc.collect()
+    f2 = make(3)  # may land at the same address as f1
+    k2 = _factory_cache_key("gc-test", f2)
+    assert k1 != k2
+
+
+def test_model_cache_is_bounded():
+    """Per-worker model cache must not grow one entry per factory object
+    forever — a long-lived executor fed fresh (equivalent) factories per
+    call would OOM with real model weights."""
+    from pgvector_db_spark.functions.embedding import (
+        _MODEL_CACHE_MAX,
+        _factory_cache_key,
+    )
+
+    before = dict(_MODEL_CACHE)
+    _MODEL_CACHE.clear()
+    try:
+        keep_alive = []
+        for i in range(_MODEL_CACHE_MAX + 3):
+            def factory(j=i):
+                m = DeterministicStubModel()
+                m.dim = j
+                return m
+
+            keep_alive.append(factory)
+            k = _factory_cache_key("bound-test", factory)
+            _load_model("bound-test", factory, cache_key=k)
+        assert len(_MODEL_CACHE) == _MODEL_CACHE_MAX
+    finally:
+        _MODEL_CACHE.clear()
+        _MODEL_CACHE.update(before)
+
+
 def test_load_model_without_deps_raises_gated_error():
     _MODEL_CACHE.pop("definitely-not-cached", None)
     try:

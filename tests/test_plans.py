@@ -436,10 +436,18 @@ def test_bm25_compact_preserves_scores(spark, tables, tmp_path):
     idx.append(docs.filter("doc_id % 3 = 1"), batch_tag="b1")
     idx.append(docs.filter("doc_id % 3 = 2"), batch_tag="b2")
     before = sorted(map(tuple, idx.search(terms, k=20).collect()))
-    assert len(idx._read_manifest()["segments"]) == 3
+    old_segs = idx._read_manifest()["segments"]
+    assert len(old_segs) == 3
     idx.compact()
     m = idx._read_manifest()
     assert len(m["segments"]) == 1
     assert set(m["batch_tags"]) == {"b1", "b2"}  # replay guard survives
     after = sorted(map(tuple, idx.search(terms, k=20).collect()))
     assert after == before
+    # replaced segments are GC'd at commit (disk stays O(index), not
+    # O(total-ever-ingested) under a continuously compacting ingest)
+    import os
+
+    for s in old_segs:
+        assert not os.path.exists(os.path.join(str(tmp_path / "c"), s))
+    assert os.path.exists(os.path.join(str(tmp_path / "c"), m["segments"][0]))
