@@ -926,7 +926,8 @@ _sql_query(
            CAST(length(text) AS BIGINT) AS n_chars,
            CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) AS n_tokens,
            round(CAST(size(filter(split(lower(text), '\\\\s+'),
-                 w -> w IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
+                 w -> w = 'the' OR w = 'a' OR w = 'of' OR w = 'and'
+                      OR w = 'to' OR w = 'in')) AS DOUBLE)
                  / CAST(size(split(trim(text), '\\\\s+')) AS DOUBLE), 6) AS stopword_ratio
     FROM documents
     WHERE length(text) > 0
@@ -964,7 +965,8 @@ _sql_query(
              CAST(size(filter(split(trim(text), '\\\\s+'),
                   x -> x rlike '[A-Za-z]')) AS BIGINT) AS n_alpha_words,
              CAST(size(filter(split(lower(text), '\\\\s+'),
-                  x -> x IN ('the', 'a', 'of', 'and', 'to', 'in')))
+                  x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and'
+                       OR x = 'to' OR x = 'in'))
                   AS BIGINT) AS n_stop
       FROM documents WHERE length(text) > 0
     )
@@ -6855,6 +6857,297 @@ def rel_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: tokenizer statistics, contrastive-pair mining,
+# classifier-style labeling, and percentile-gated quality filtering —
+# the remaining SURVEY §2.3 training-data pipeline stages.
+# ---------------------------------------------------------------------------
+
+# Tokenizer bootstrapping: adjacent word-pair frequencies — the statistic
+# the first BPE/WordPiece merge iteration is chosen from (Sennrich et al.
+# 2016). Pairs are materialized inside the token array (transform over an
+# index sequence, whole-stage codegen) and exploded once; COUNT then
+# benefits from map-side partial aggregation, so only (pair, partial
+# count) rows shuffle — never the corpus text. Top-50 is
+# TakeOrderedAndProject (per-partition heap, driver merge of 50-row
+# heads), no global sort at any corpus size.
+_sql_query(
+    "ds_bpe_pair_counts",
+    """
+    WITH toks AS (
+      SELECT split(trim(text), '\\\\s+') AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    pairs AS (
+      SELECT explode(transform(sequence(0, size(w) - 2),
+                     i -> concat(w[i], ' ', w[i + 1]))) AS pair
+      FROM toks WHERE size(w) >= 2
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM pairs GROUP BY pair
+    ORDER BY n_occurrences DESC, pair ASC
+    LIMIT 50
+    """,
+    """
+    WITH toks AS (
+      SELECT regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, len(w)),
+                    i -> w[i] || ' ' || w[i + 1])) AS pair
+      FROM toks WHERE len(w) >= 2
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM pairs GROUP BY pair
+    ORDER BY n_occurrences DESC, pair ASC
+    LIMIT 50
+    """,
+    tags=("dataset", "text", "tokenizer"),
+)
+
+# Contrastive-training hard-negative mining: for each query vector, the
+# top-k most-similar vectors carrying a DIFFERENT label (the classic
+# in-batch-negatives upgrade for embedding-model training). The bounded
+# query side (10 rows) broadcasts; ranking is a per-query window top-k,
+# which Spark executes as WindowGroupLimit (partial top-k before the
+# shuffle) — the corpus never sorts globally. Similarity is the float64
+# sequential fold shared by every vs_* oracle, so ranks are engine-exact.
+_HARDNEG_BODY = """
+WITH q AS (
+  SELECT vec_id AS qid, label AS qlabel, embedding AS qe
+  FROM embeddings WHERE vec_id < 10
+),
+scored AS (
+  SELECT q.qid, q.qlabel, e.vec_id AS neg_id, e.label AS neg_label,
+         {sim} AS similarity
+  FROM embeddings e, q
+  WHERE e.label != q.qlabel
+),
+ranked AS (
+  SELECT qid, qlabel, neg_id, neg_label, similarity,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY similarity DESC, neg_id ASC) AS rnk
+  FROM scored
+)
+SELECT qid, qlabel, neg_id, neg_label, similarity,
+       CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 5
+ORDER BY qid ASC, rnk ASC
+"""
+_sql_query(
+    "ds_hard_negative_mining",
+    _HARDNEG_BODY.format(sim=cosine_similarity_sql("embedding", "qe", "spark")),
+    _HARDNEG_BODY.format(sim=cosine_similarity_sql("embedding", "qe", "duckdb")),
+    tags=("dataset", "vector", "contrastive"),
+)
+
+# Classifier-style labeling: k-NN majority vote — the cheap stand-in for
+# model-based quality/domain classifiers (label propagation from a seed
+# set). Same broadcast + WindowGroupLimit shape as hard-negative mining;
+# the vote is a 100-row aggregate after the top-k, so the heavy stage is
+# identical to the serving path already plan-audited. Ties break to the
+# smaller label deterministically on both engines.
+_KNNVOTE_BODY = """
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe
+  FROM embeddings WHERE vec_id BETWEEN 100 AND 119
+),
+scored AS (
+  SELECT q.qid, e.vec_id, e.label, {sim} AS similarity
+  FROM embeddings e, q
+  WHERE e.vec_id != q.qid
+),
+nn AS (
+  SELECT qid, label FROM (
+    SELECT qid, label,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY similarity DESC, vec_id ASC) AS rnk
+    FROM scored
+  ) r WHERE rnk <= 5
+),
+votes AS (
+  SELECT qid, label, CAST(COUNT(*) AS BIGINT) AS n_votes
+  FROM nn GROUP BY qid, label
+)
+SELECT qid, predicted_label, n_votes FROM (
+  SELECT qid, label AS predicted_label, n_votes,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY n_votes DESC, label ASC) AS vr
+  FROM votes
+) v WHERE vr = 1
+ORDER BY qid ASC
+"""
+_sql_query(
+    "ds_knn_label_vote",
+    _KNNVOTE_BODY.format(sim=cosine_similarity_sql("embedding", "qe", "spark")),
+    _KNNVOTE_BODY.format(sim=cosine_similarity_sql("embedding", "qe", "duckdb")),
+    tags=("dataset", "vector", "classifier"),
+)
+
+# Percentile-gated quality filter: keep each language's top quartile by
+# stopword ratio (the FineWeb-style "threshold on a scored corpus" stage).
+# The gate uses percent_rank, NOT an interpolated percentile: percent_rank
+# is (rank-1)/(n-1) — pure integer arithmetic then one division — so the
+# threshold comparison is engine-exact by construction, where an
+# interpolated quantile could differ by one ulp exactly at the knife-edge.
+# The score itself lives on an integer micro-grid (floor(x*1e6 + 0.5))
+# per the module's rounding discipline. One hash exchange on lang, then
+# an in-partition sort for the window — no global sort.
+_sql_query(
+    "ds_quality_percentile_filter",
+    """
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(floor(CAST(size(filter(split(lower(text), '\\\\s+'),
+                  w -> w = 'the' OR w = 'a' OR w = 'of' OR w = 'and'
+                       OR w = 'to' OR w = 'in')) AS DOUBLE)
+                  / CAST(size(split(trim(text), '\\\\s+')) AS DOUBLE)
+                  * 1000000 + 0.5) AS BIGINT) AS stop_ratio_micro
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    s AS (
+      SELECT doc_id, lang, stop_ratio_micro,
+             percent_rank() OVER (PARTITION BY lang
+                                  ORDER BY stop_ratio_micro ASC) AS pr
+      FROM t
+    )
+    SELECT doc_id, lang, stop_ratio_micro
+    FROM s WHERE pr >= 0.75
+    ORDER BY doc_id ASC
+    """,
+    """
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(floor(CAST(len(list_filter(
+                  regexp_split_to_array(lower(text), '\\s+'),
+                  w -> w IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
+                  / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)
+                  * 1000000 + 0.5) AS BIGINT) AS stop_ratio_micro
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    s AS (
+      SELECT doc_id, lang, stop_ratio_micro,
+             percent_rank() OVER (PARTITION BY lang
+                                  ORDER BY stop_ratio_micro ASC) AS pr
+      FROM t
+    )
+    SELECT doc_id, lang, stop_ratio_micro
+    FROM s WHERE pr >= 0.75
+    ORDER BY doc_id ASC
+    """,
+    tags=("dataset", "text", "quality"),
+)
+
+
+# Streaming quality-gated ingest: the continuous form of the Gopher
+# filter — documents arrive as a REAL multi-file stream, each micro-batch
+# is scored and filtered (stateless, so the gate costs one codegen'd
+# projection per batch — no state store), and only the keepers land in
+# the validated table. The gate then aggregates the LANDED files, so the
+# oracle verifies the on-disk result of the whole stream, not just the
+# filter expression. This is the front door of a 100 TB pipeline: the
+# filter runs before anything shuffles or persists, so rejected documents
+# cost exactly one scan.
+_GOPHER_STATS_SPARK = [
+    "doc_id",
+    "lang",
+    "n_chars",
+    "CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) AS n_words",
+    "CAST(aggregate(transform(split(trim(text), '\\\\s+'), x -> length(x)),"
+    " 0, (acc, x) -> acc + x) AS BIGINT) AS word_chars",
+    "CAST(size(regexp_extract_all(text, '[^A-Za-z0-9\\\\s]', 0)) AS BIGINT)"
+    " AS n_symbols",
+    "CAST(size(filter(split(trim(text), '\\\\s+'),"
+    " x -> x rlike '[A-Za-z]')) AS BIGINT) AS n_alpha_words",
+    "CAST(size(filter(split(lower(text), '\\\\s+'),"
+    " x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and'"
+    " OR x = 'to' OR x = 'in')) AS BIGINT) AS n_stop",
+]
+_GOPHER_KEEP = (
+    "n_words BETWEEN 20 AND 100000"
+    " AND 3 * n_words <= word_chars AND word_chars <= 10 * n_words"
+    " AND 10 * n_symbols <= n_words"
+    " AND 5 * n_alpha_words >= 4 * n_words"
+    " AND n_stop >= 2"
+)
+
+
+@register(
+    "stream_quality_gated_ingest",
+    f"""
+    WITH w AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                 AS n_words,
+             CAST(list_sum(list_transform(
+                  regexp_split_to_array(trim(text), '\\s+'),
+                  x -> length(x))) AS BIGINT) AS word_chars,
+             CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+                  AS BIGINT) AS n_symbols,
+             CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                  x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+                 AS n_alpha_words,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                  x -> x IN ('the', 'a', 'of', 'and', 'to', 'in')))
+                  AS BIGINT) AS n_stop
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM w WHERE {_GOPHER_KEEP}
+    GROUP BY lang
+    """,
+    tags=("streaming", "ingest", "quality"),
+)
+def stream_quality_gated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-filtered streaming ingest: documents replayed as 4 real
+    micro-batches (maxFilesPerTrigger=1), each batch quality-scored and
+    filtered inline, keepers landed via foreachBatch →
+    ParquetTable.insert (the validated A20 ingest path). The aggregate
+    runs over the LANDED parquet, so the oracle checks what survived the
+    stream end-to-end."""
+    import tempfile
+
+    from pgvector_db_spark.catalog import table_path
+    from pgvector_db_spark.sources.table import ParquetTable
+    from pgvector_db_spark.streaming.ingest import stream_insert
+    from pgvector_db_spark.streaming.replay import (
+        file_stream,
+        stage_replay_splits,
+    )
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    doc_path = table_path(sf_dir, "documents")
+    replay_dir = os.path.join(tempfile.gettempdir(), f"docs_replay4_{tag}")
+    stage_replay_splits(spark, doc_path, replay_dir, n_files=4)
+    schema = spark.read.parquet(doc_path).schema
+    src = file_stream(spark, replay_dir, schema, max_files_per_trigger=1)
+
+    kept = (
+        src.filter("length(text) > 0")
+        .selectExpr(*_GOPHER_STATS_SPARK, "text", "source")
+        .filter(_GOPHER_KEEP)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
+
+    tmp = tempfile.mkdtemp(prefix="quality_ingest_")
+    table = ParquetTable(
+        spark, f"{tmp}/docs_kept", required_cols=("doc_id",)
+    )
+    q = stream_insert(kept, table, checkpoint=f"{tmp}/ckpt")
+    q.processAllAvailable()
+    q.stop()
+    landed = spark.read.parquet(f"{tmp}/docs_kept")
+    out = landed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+    # materialize before the scratch dir can be rebuilt by a later run
+    rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
 
 
 def _interleaved_names() -> list[str]:
