@@ -7042,6 +7042,88 @@ _sql_query(
 )
 
 
+# TF-IDF keyword extraction: per-document top-3 terms by tf·idf — the
+# classical feature-extraction stage (and the "representative terms"
+# signal cluster-labeling pipelines use). idf = ln(N/df) on the module's
+# micro-grid (same ln-on-double discipline ds_unigram_logprob
+# established). Scale shape: the (doc, term) tf aggregate is the one real
+# shuffle; the df side is vocabulary-sized (broadcastable), N is a
+# 1-row cross join, and the per-doc top-3 is WindowGroupLimit — partial
+# top-k before the shuffle, never a global sort.
+_TFIDF_BODY = """
+WITH toks AS (
+  SELECT doc_id, {explode} AS term
+  FROM documents WHERE length(trim(text)) > 0
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+),
+n AS (
+  SELECT COUNT(*) AS n_docs FROM documents WHERE length(trim(text)) > 0
+),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(floor(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df)
+              * 1000000 + 0.5) AS BIGINT) AS tfidf_micro
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tfidf_micro,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf_micro DESC, term ASC) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, tfidf_micro, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 3
+ORDER BY doc_id ASC, rnk ASC
+"""
+_sql_query(
+    "ds_tfidf_topk_terms",
+    _TFIDF_BODY.format(
+        explode="explode(split(trim(lower(text)), '\\\\s+'))"
+    ),
+    _TFIDF_BODY.format(
+        explode="unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))"
+    ),
+    tags=("dataset", "text", "features"),
+)
+
+# Per-source document cap: keep a deterministic top-K per domain (the C4 /
+# RefinedWeb "bound any single domain's share" rule). Rank-based where
+# ds_stratified_sample is rate-based: the keep-set is a seeded-hash
+# ordering so reruns and engines agree exactly. Per-source top-K plans as
+# WindowGroupLimit after one hash exchange on source — each partition
+# holds at most K·(sources/partition) rows after the pre-shuffle partial
+# limit, so a skewed domain costs K rows, not its full document count.
+_SOURCE_CAP_BODY = """
+WITH h AS (
+  SELECT doc_id, source, {hash_expr} AS hv
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source, hv,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY hv ASC, doc_id ASC) AS rnk
+  FROM h
+)
+SELECT doc_id, source, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 10
+ORDER BY source ASC, rnk ASC
+"""
+_sql_query(
+    "ds_source_cap",
+    _SOURCE_CAP_BODY.format(
+        hash_expr="CAST(conv(substring(md5(concat(text, '_cap')), 1, 8),"
+        " 16, 10) AS BIGINT)"
+    ),
+    _SOURCE_CAP_BODY.format(hash_expr=_duck_hex8("md5(text || '_cap')")),
+    tags=("dataset", "sampling", "mixture"),
+)
+
+
 # Streaming quality-gated ingest: the continuous form of the Gopher
 # filter — documents arrive as a REAL multi-file stream, each micro-batch
 # is scored and filtered (stateless, so the gate costs one codegen'd
