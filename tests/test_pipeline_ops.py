@@ -1,0 +1,148 @@
+"""Property tests for the round-4 pipeline operators — invariants the
+DuckDB oracle can't express (cross-run determinism, independent
+recomputation with numpy/pandas)."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from pgvector_db_spark.queries import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _run(spark, name):
+    return REGISTRY[name].spark_fn(spark, SF_DIR)
+
+
+def test_source_cap_bounds_and_determinism(spark):
+    rows = _run(spark, "ds_source_cap").collect()
+    per_source = Counter(r["source"] for r in rows)
+    assert per_source and all(n <= 10 for n in per_source.values())
+    # every source in the fixture has >=10 docs, so the cap binds exactly
+    assert all(n == 10 for n in per_source.values())
+    again = _run(spark, "ds_source_cap").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_hard_negatives_never_share_query_label(spark):
+    rows = _run(spark, "ds_hard_negative_mining").collect()
+    assert len(rows) == 50  # 10 queries x 5 negatives
+    assert all(r["neg_label"] != r["qlabel"] for r in rows)
+    # ranks are 1..5 per query, similarity non-increasing within a query
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append(r)
+    for negs in by_q.values():
+        negs.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in negs] == [1, 2, 3, 4, 5]
+        sims = [r["similarity"] for r in negs]
+        assert all(a >= b for a, b in zip(sims, sims[1:]))
+
+
+def test_knn_label_vote_is_majority_of_top5(spark):
+    import numpy as np
+
+    rows = {r["qid"]: r for r in _run(spark, "ds_knn_label_vote").collect()}
+    emb = REGISTRY["vs_self_similarity"]  # just to assert registry intact
+    assert emb is not None
+    import duckdb
+
+    con = duckdb.connect()
+    data = con.execute(
+        f"SELECT vec_id, label, embedding FROM '{SF_DIR}/embeddings.parquet'"
+    ).fetchall()
+    vecs = {v: (lab, np.asarray(e, dtype=np.float64)) for v, lab, e in data}
+    for qid in list(rows)[:5]:
+        qlab, qv = vecs[qid]
+        qn = math.sqrt(float(qv @ qv))
+        scored = []
+        for v, (lab, x) in vecs.items():
+            if v == qid:
+                continue
+            sim = float(qv @ x) / (qn * math.sqrt(float(x @ x)))
+            scored.append((-sim, v, lab))
+        scored.sort()
+        top5 = [lab for _, _, lab in scored[:5]]
+        counts = Counter(top5)
+        best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+        assert rows[qid]["predicted_label"] == best[0]
+        assert rows[qid]["n_votes"] == best[1]
+
+
+def test_bpe_pair_total_consistency(spark):
+    import duckdb
+
+    rows = _run(spark, "ds_bpe_pair_counts").collect()
+    assert len(rows) == 50
+    counts = [r["n_occurrences"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    # the most frequent pair's count must match an independent recount
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT text FROM '{SF_DIR}/documents.parquet' WHERE length(trim(text)) > 0"
+    ).fetchall()
+    recount: Counter = Counter()
+    for (text,) in docs:
+        ws = text.strip().split()
+        for a, b in zip(ws, ws[1:]):
+            recount[f"{a} {b}"] += 1
+    top = rows[0]
+    assert recount[top["pair"]] == top["n_occurrences"]
+    assert top["n_occurrences"] == max(recount.values())
+
+
+def test_quality_percentile_keeps_top_quartile_per_lang(spark):
+    import pandas as pd
+
+    kept = _run(spark, "ds_quality_percentile_filter").toPandas()
+    full = (
+        _run(spark, "ds_text_quality")
+        .toPandas()[["doc_id", "lang", "stopword_ratio"]]
+    )
+    full["micro"] = (full["stopword_ratio"] * 1e6 + 0.5).apply(math.floor)
+    for lang, grp in full.groupby("lang"):
+        n = len(grp)
+        ranks = grp["micro"].rank(method="min")
+        pr = (ranks - 1) / (n - 1)
+        expect = set(grp.loc[pr >= 0.75, "doc_id"])
+        got = set(kept.loc[kept["lang"] == lang, "doc_id"])
+        assert got == expect, f"lang {lang}: {got ^ expect}"
+
+
+def test_tfidf_recompute_one_doc(spark):
+    import duckdb
+
+    rows = _run(spark, "ds_tfidf_topk_terms").collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert all(len(v) <= 3 for v in by_doc.values())
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM '{SF_DIR}/documents.parquet' "
+        "WHERE length(trim(text)) > 0"
+    ).fetchall()
+    tf: dict[int, Counter] = {d: Counter(t.strip().lower().split()) for d, t in docs}
+    df: Counter = Counter()
+    for c in tf.values():
+        df.update(c.keys())
+    n_docs = len(docs)
+    some_doc = docs[0][0]
+    scored = sorted(
+        (
+            (-math.floor(c * math.log(n_docs / df[w]) * 1e6 + 0.5), w)
+            for w, c in tf[some_doc].items()
+        ),
+    )[:3]
+    got = sorted((-r["tfidf_micro"], r["term"]) for r in by_doc[some_doc])
+    assert got == scored
+
+
+def test_stream_quality_gate_matches_batch_gopher(spark):
+    """The streamed keep-set must equal the batch Gopher filter's."""
+    gopher = _run(spark, "ds_gopher_quality_filter").collect()
+    n_keep_batch = sum(r["keep"] for r in gopher)
+    streamed = _run(spark, "stream_quality_gated_ingest").collect()
+    assert sum(r["n_kept"] for r in streamed) == n_keep_batch
