@@ -7124,6 +7124,122 @@ _sql_query(
 )
 
 
+# Semi-structured VARIANT path (Spark 4's open-schema story): parse the
+# JSON payload ONCE into a VARIANT and aggregate typed path extractions.
+# At scale this is the shredded-variant scan shape — the typed
+# `variant_get` lets the reader prune to the shredded subcolumn instead
+# of re-parsing JSON text per row (rel_json_events is the string-path
+# contrast). The oracle extracts the same typed path with DuckDB's JSON
+# operators.
+_sql_query(
+    "rel_variant_typed_agg",
+    """
+    WITH v AS (
+      SELECT event_type,
+             variant_get(parse_json(props), '$.k', 'bigint') AS k
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(MAX(k) AS BIGINT) AS max_k
+    FROM v WHERE k >= 10
+    GROUP BY event_type
+    """,
+    """
+    WITH v AS (
+      SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(MAX(k) AS BIGINT) AS max_k
+    FROM v WHERE k >= 10
+    GROUP BY event_type
+    """,
+    tags=("relational", "json", "variant"),
+)
+
+
+# Snapshot time travel: two committed versions of a mutable table read
+# back SIDE BY SIDE from the same commit log (sources/snapshots.py — the
+# reproducible-corpus guarantee a training pipeline needs: "which rows
+# did run X see?"). The oracle computes both states relationally, so the
+# gate verifies that the merge-as-new-version left the parent snapshot
+# byte-identical AND produced the correct merged state.
+@register(
+    "rel_snapshot_time_travel",
+    """
+    WITH v1 AS (
+      SELECT 1 AS version, o_orderstatus,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_price
+      FROM orders GROUP BY o_orderstatus
+    ),
+    v2 AS (
+      SELECT 2 AS version, o_orderstatus,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(CASE WHEN o_orderkey % 97 = 0
+                                THEN o_totalprice * 2 ELSE o_totalprice END
+                           AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT * FROM v1 UNION ALL SELECT * FROM v2
+    """,
+    tags=("relational", "snapshot", "time-travel"),
+)
+def rel_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit orders as snapshot v1, upsert a mutated subset (every 97th
+    key at double price) as v2, then aggregate BOTH versions via
+    time-travel reads. v1's result must be unaffected by the later
+    commit; v2's must equal the relational post-merge state."""
+    import shutil
+    import tempfile
+
+    from pgvector_db_spark.sources.snapshots import SnapshotTable
+
+    t = load_tables(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="snapshot_tt_")
+    try:
+        st = SnapshotTable(
+            spark, f"{tmp}/orders", required_cols=("o_orderkey",)
+        )
+        v1 = st.insert(t["orders"])
+        updates = (
+            t["orders"]
+            .filter(F.col("o_orderkey") % 97 == 0)
+            .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        )
+        v2 = st.upsert(updates, "o_orderkey")
+        assert (v1, v2) == (1, 2), f"unexpected versions {(v1, v2)}"
+
+        def agg(df: DataFrame, version: int) -> DataFrame:
+            return df.groupBy("o_orderstatus").agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_price"),
+            ).select(
+                F.lit(version).alias("version"),
+                "o_orderstatus",
+                "n_orders",
+                "sum_price",
+            )
+
+        out = agg(st.read(version=1), 1).unionByName(
+            agg(st.read(version=2), 2)
+        )
+        # materialize before the scratch dir disappears
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # Streaming quality-gated ingest: the continuous form of the Gopher
 # filter — documents arrive as a REAL multi-file stream, each micro-batch
 # is scored and filtered (stateless, so the gate costs one codegen'd

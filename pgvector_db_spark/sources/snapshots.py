@@ -1,0 +1,223 @@
+"""Versioned snapshot table: time-travel reads over immutable Parquet
+files with a JSON commit log — the engine's reproducible-corpus story.
+
+A training-data pipeline needs to answer "exactly which rows did run X
+train on?" months later. The reference delegates durability to Postgres
+(reference src/pgvector_db/pg_insert.py / pg_copy.py commit per batch);
+here the same guarantee is a Delta-style log over plain Parquet:
+
+    <root>/_log/v00000001.json   {"version", "op", "files", "n_rows"}
+    <root>/data/part-*.parquet   immutable, never rewritten
+
+Every commit writes NEW data files (staged, then moved in) and one new
+manifest listing the file set of that version; the manifest commit is an
+atomic rename under an exclusive lock (sources/commitlog.py), so
+concurrent writers serialize and readers always see a complete version.
+Reads of version N open exactly N's file list — old versions stay
+readable until ``vacuum`` drops them.
+
+Scale notes: the log holds file NAMES, not data — a manifest for a
+100 TB table is megabytes. Reads are ``spark.read.parquet(*files)``:
+partition pruning, predicate pushdown, and column pruning all still
+apply because the files are ordinary Parquet. Upsert is copy-on-write
+like ParquetTable.upsert (one anti-join shuffle) but non-destructive:
+the parent version's files survive, so the merge is also a snapshot.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pgvector_db_spark.sources.commitlog import (
+    commit_json,
+    file_lock,
+    read_json,
+)
+from pgvector_db_spark.sources.table import ParquetTable
+
+
+class SnapshotTable:
+    """Append-only versioned Parquet table with time-travel reads."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        required_cols: tuple[str, ...] = (),
+        vector_dims: dict[str, int] | None = None,
+    ) -> None:
+        self.spark = spark
+        self.path = path.rstrip("/")
+        # reuse the ingest-constraint validation (required cols +
+        # VECTOR(n) dimension checks) without inheriting write paths
+        self._validator = ParquetTable(
+            spark, path, required_cols=required_cols, vector_dims=vector_dims
+        )
+        os.makedirs(self._log_dir(), exist_ok=True)
+        os.makedirs(self._data_dir(), exist_ok=True)
+
+    # -- layout ---------------------------------------------------------------
+
+    def _log_dir(self) -> str:
+        return os.path.join(self.path, "_log")
+
+    def _data_dir(self) -> str:
+        return os.path.join(self.path, "data")
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self._log_dir(), f"v{version:08d}.json")
+
+    def _lock_path(self) -> str:
+        return os.path.join(self._log_dir(), "COMMIT.lock")
+
+    # -- log ------------------------------------------------------------------
+
+    def versions(self) -> list[int]:
+        out = []
+        for name in os.listdir(self._log_dir()):
+            if name.startswith("v") and name.endswith(".json"):
+                out.append(int(name[1:-5]))
+        return sorted(out)
+
+    def latest_version(self) -> int:
+        vs = self.versions()
+        return vs[-1] if vs else 0
+
+    def manifest(self, version: int) -> dict:
+        return read_json(self._manifest_path(version))
+
+    # -- read (time travel) ---------------------------------------------------
+
+    def read(self, version: int | None = None) -> DataFrame:
+        v = self.latest_version() if version is None else version
+        if v == 0:
+            raise FileNotFoundError(f"snapshot table {self.path} is empty")
+        m = self.manifest(v)
+        paths = [os.path.join(self._data_dir(), f) for f in m["files"]]
+        return self.spark.read.parquet(*paths)
+
+    # -- write ----------------------------------------------------------------
+
+    def _stage_files(self, df: DataFrame) -> tuple[list[str], int]:
+        """Write ``df`` as new immutable files under data/ with unique
+        names; returns (file names, row count). Files are invisible until
+        a manifest references them, so a crashed commit leaks files (GC'd
+        by vacuum) but never corrupts a version."""
+        staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(staging)
+        n = self.spark.read.parquet(staging).count()
+        names: list[str] = []
+        for entry in os.listdir(staging):
+            if entry.endswith(".parquet"):
+                name = f"part-{uuid.uuid4().hex}.parquet"
+                os.rename(
+                    os.path.join(staging, entry),
+                    os.path.join(self._data_dir(), name),
+                )
+                names.append(name)
+        shutil.rmtree(staging, ignore_errors=True)
+        if not names:
+            raise OSError("staging produced no parquet files")
+        return names, n
+
+    def _commit(self, op: str, files: list[str], n_rows: int) -> int:
+        with file_lock(self._lock_path()):
+            parent = self.latest_version()
+            version = parent + 1
+            commit_json(
+                self._manifest_path(version),
+                {
+                    "version": version,
+                    "parent": parent,
+                    "op": op,
+                    "files": files,
+                    "n_rows": n_rows,
+                },
+            )
+        return version
+
+    def insert(self, df: DataFrame) -> int:
+        """Validated append as a new version: parent's files + new files.
+        Returns the committed version number."""
+        self._validator.validate(df)
+        names, n = self._stage_files(df)
+        with file_lock(self._lock_path()):
+            parent = self.latest_version()
+            version = parent + 1
+            prev = self.manifest(parent)["files"] if parent else []
+            prev_rows = self.manifest(parent)["n_rows"] if parent else 0
+            commit_json(
+                self._manifest_path(version),
+                {
+                    "version": version,
+                    "parent": parent,
+                    "op": "insert",
+                    "files": prev + names,
+                    "n_rows": prev_rows + n,
+                },
+            )
+        return version
+
+    def overwrite(self, df: DataFrame) -> int:
+        """Full replace as a new version (old versions stay readable)."""
+        self._validator.validate(df)
+        names, n = self._stage_files(df)
+        return self._commit("overwrite", names, n)
+
+    def upsert(self, df: DataFrame, key: str) -> int:
+        """Copy-on-write merge by key, committed as a new version. The
+        parent version is untouched — time travel across the merge."""
+        self._validator.validate(df)
+        if self.latest_version() == 0:
+            return self.overwrite(df)
+        current = self.read()
+        keys = df.select(key).distinct()
+        survivors = current.join(keys, key, "left_anti")
+        merged = survivors.unionByName(df)
+        names, n = self._stage_files(merged)
+        return self._commit("upsert", names, n)
+
+    # -- maintenance ----------------------------------------------------------
+
+    def vacuum(self, keep_last: int = 1) -> int:
+        """Drop all but the last ``keep_last`` versions and delete data
+        files no kept version references (incl. leaked files from crashed
+        commits). Returns the number of files deleted."""
+        with file_lock(self._lock_path()):
+            vs = self.versions()
+            keep = set(vs[-keep_last:]) if keep_last > 0 else set()
+            referenced: set[str] = set()
+            for v in keep:
+                referenced.update(self.manifest(v)["files"])
+            removed = 0
+            for v in vs:
+                if v not in keep:
+                    os.unlink(self._manifest_path(v))
+            for name in os.listdir(self._data_dir()):
+                if name.endswith(".parquet") and name not in referenced:
+                    os.unlink(os.path.join(self._data_dir(), name))
+                    removed += 1
+            return removed
+
+    # -- introspection --------------------------------------------------------
+
+    def history(self) -> DataFrame:
+        """The commit log as a DataFrame (DESCRIBE HISTORY analogue)."""
+        rows = [
+            (
+                m["version"],
+                m["parent"],
+                m["op"],
+                len(m["files"]),
+                m["n_rows"],
+            )
+            for m in (self.manifest(v) for v in self.versions())
+        ]
+        return self.spark.createDataFrame(
+            rows, "version int, parent int, op string, n_files int, n_rows bigint"
+        ).orderBy(F.col("version"))

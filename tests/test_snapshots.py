@@ -1,0 +1,82 @@
+"""SnapshotTable: time-travel invariants the oracle query can't cover —
+version immutability across commits, vacuum GC, leaked-file cleanup,
+history introspection, validation errors."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pgvector_db_spark.sources.snapshots import SnapshotTable
+from pgvector_db_spark.sources.table import SchemaValidationError
+
+
+@pytest.fixture()
+def st(spark, tmp_path):
+    return SnapshotTable(
+        spark, str(tmp_path / "t"), required_cols=("k",)
+    )
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k int, v string")
+
+
+def test_insert_accumulates_and_versions_are_immutable(spark, st):
+    assert st.insert(_df(spark, [(1, "a"), (2, "b")])) == 1
+    assert st.insert(_df(spark, [(3, "c")])) == 2
+    assert st.read(version=1).count() == 2
+    assert st.read(version=2).count() == 3
+    assert st.read().count() == 3  # latest
+    v1_rows = sorted(map(tuple, st.read(version=1).collect()))
+    st.overwrite(_df(spark, [(9, "z")]))
+    # the old snapshot is byte-identical after a later commit
+    assert sorted(map(tuple, st.read(version=1).collect())) == v1_rows
+    assert st.read().count() == 1
+
+
+def test_upsert_merges_and_keeps_parent(spark, st):
+    st.insert(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    st.upsert(_df(spark, [(2, "B"), (4, "d")]), "k")
+    latest = {r["k"]: r["v"] for r in st.read().collect()}
+    assert latest == {1: "a", 2: "B", 3: "c", 4: "d"}
+    parent = {r["k"]: r["v"] for r in st.read(version=1).collect()}
+    assert parent == {1: "a", 2: "b", 3: "c"}
+
+
+def test_vacuum_drops_old_versions_and_leaked_files(spark, st):
+    st.insert(_df(spark, [(1, "a")]))
+    st.overwrite(_df(spark, [(2, "b")]))
+    # simulate a crashed commit: a data file no manifest references
+    leak = os.path.join(str(st._data_dir()), "part-leaked.parquet")
+    with open(leak, "wb") as f:
+        f.write(b"not really parquet")
+    removed = st.vacuum(keep_last=1)
+    assert removed >= 2  # v1's file(s) + the leaked file
+    assert st.versions() == [2]
+    assert st.read().count() == 1
+    with pytest.raises(FileNotFoundError):
+        st.manifest(1)
+
+
+def test_history_matches_commits(spark, st):
+    st.insert(_df(spark, [(1, "a")]))
+    st.insert(_df(spark, [(2, "b")]))
+    st.upsert(_df(spark, [(1, "A")]), "k")
+    hist = [tuple(r) for r in st.history().collect()]
+    assert [h[0] for h in hist] == [1, 2, 3]
+    assert [h[2] for h in hist] == ["insert", "insert", "upsert"]
+    assert hist[1][4] == 2  # n_rows accumulates across inserts
+    assert hist[2][4] == 2  # upsert replaced one key, added none
+
+
+def test_validation_rejects_missing_required_col(spark, st):
+    bad = spark.createDataFrame([(1,)], "x int")
+    with pytest.raises(SchemaValidationError):
+        st.insert(bad)
+
+
+def test_empty_table_read_raises(st):
+    with pytest.raises(FileNotFoundError):
+        st.read()
