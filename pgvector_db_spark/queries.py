@@ -7348,6 +7348,428 @@ def stream_quality_gated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema)
 
 
+# ---------------------------------------------------------------------------
+# Graph: fixed-iteration PageRank over the part<->supplier bipartite graph
+# (the "importance over a link graph" corpus-weighting signal). Spark side
+# is a real iterative DataFrame loop (operators/graph.py); the oracle
+# unrolls the same three power-method steps as CTEs. Determinism: per-row
+# double arithmetic + integer-grid contribution sums (order-independent).
+# ---------------------------------------------------------------------------
+
+def _pagerank_oracle(iterations: int = 3) -> str:
+    teleport = "(CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)"
+    ctes = [
+        "pe AS (SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src, "
+        "'s' || CAST(l_suppkey AS VARCHAR) AS dst FROM lineitem)",
+        "e AS (SELECT src, dst FROM pe UNION ALL SELECT dst, src FROM pe)",
+        "nodes AS (SELECT DISTINCT src AS node FROM e)",
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes)",
+        "deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e "
+        "GROUP BY src)",
+        "r0 AS (SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS rank "
+        "FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"c{i} AS (SELECT e.dst AS node, "
+            f"SUM(CAST(floor(r.rank / d.outdeg * 1e12 + 0.5) AS BIGINT)) AS s "
+            f"FROM e JOIN r{i - 1} r ON e.src = r.node "
+            f"JOIN deg d ON e.src = d.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT node, {teleport} + "
+            f"CAST(0.85 AS DOUBLE) * (s / 1e12) AS rank FROM c{i})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+    SELECT node, CAST(floor(rank * 1e9 + 0.5) AS BIGINT) AS rank_nano
+    FROM r{iterations} ORDER BY rank_nano DESC, node ASC LIMIT 20
+    """
+    )
+
+
+@register(
+    "ds_pagerank_partsupp",
+    _pagerank_oracle(3),
+    tags=("dataset", "graph", "iterative"),
+)
+def ds_pagerank_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank over the part<->supplier graph from lineitem
+    (edges both directions, so no dangling nodes). One shuffle per
+    iteration; contribution sums are exact BIGINT grid sums (map-side
+    partial aggregation, bitwise order-independent)."""
+    from pgvector_db_spark.operators.graph import pagerank
+
+    t = load_tables(spark, sf_dir)
+    pe = t["lineitem"].select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    ).distinct()
+    edges = pe.union(pe.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    ranks = pagerank(edges, iterations=3, damping=0.85)
+    return (
+        ranks.select(
+            "node",
+            F.floor(F.col("rank") * F.lit(1e9) + F.lit(0.5))
+            .cast("bigint")
+            .alias("rank_nano"),
+        )
+        .orderBy(F.col("rank_nano").desc(), F.col("node").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters (operators/sketches.py): the mergeable
+# frequency sketch next to the HLL cardinality rollup. md5-derived bucket
+# hashes make the sketch exactly replayable in SQL; the estimate >= truth
+# overestimate property is visible in the output columns.
+# ---------------------------------------------------------------------------
+
+def _cms_oracle(depth: int = 4, width: int = 64, k: int = 10) -> str:
+    def bucket(j: int) -> str:
+        h = _duck_hex8("md5(t || '_cms%d')" % j)
+        return f"{h} % {width}"
+
+    cells = " UNION ALL ".join(
+        f"SELECT {j} AS j, {bucket(j)} AS b FROM tok" for j in range(depth)
+    )
+    melt = " UNION ALL ".join(
+        f"SELECT t, {j} AS j, {bucket(j)} AS b FROM cand" for j in range(depth)
+    )
+    return f"""
+    WITH raw AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+                 FROM documents),
+    tok AS (SELECT t FROM raw WHERE length(t) > 0),
+    cells AS ({cells}),
+    sketch AS (SELECT j, b, COUNT(*) AS cnt FROM cells GROUP BY j, b),
+    cand AS (SELECT DISTINCT t FROM tok),
+    melt AS ({melt}),
+    est AS (SELECT m.t, MIN(s.cnt) AS est FROM melt m
+            JOIN sketch s ON m.j = s.j AND m.b = s.b GROUP BY m.t),
+    truth AS (SELECT t, COUNT(*) AS true_cnt FROM tok GROUP BY t)
+    SELECT e.t AS token, e.est, tr.true_cnt
+    FROM est e JOIN truth tr ON e.t = tr.t
+    ORDER BY e.est DESC, e.t ASC LIMIT {k}
+    """
+
+
+@register(
+    "ds_cms_heavy_hitters",
+    _cms_oracle(),
+    tags=("dataset", "sketch", "heavy-hitters"),
+)
+def ds_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 tokens by count-min-sketch estimate (depth 4 x width 64),
+    with the exact count joined as an audit column. The sketch is
+    depth*width rows regardless of corpus size — partial sketches merge
+    additively map-side, and the estimation join broadcasts the sketch."""
+    from pgvector_db_spark.operators.sketches import heavy_hitters
+
+    t = load_tables(spark, sf_dir)
+    return heavy_hitters(t["documents"], k=10, depth=4, width=64)
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): hashed-unigram bucket LMs
+# for a target slice (lang='en') vs the raw corpus; per-doc importance
+# score = sum over tokens of the bucket log-likelihood ratio. Bucket
+# stats are 128 rows (broadcast); text never shuffles; the per-doc sum
+# is an exact BIGINT grid sum.
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 128
+
+
+def _dsir_oracle() -> str:
+    h = _duck_hex8("md5(t || '_dsir')")
+    b = f"{h} % {_DSIR_BUCKETS}"
+    return f"""
+    WITH raw AS (SELECT doc_id, lang,
+                        unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+                 FROM documents),
+    tb AS (SELECT doc_id, lang, {b} AS b FROM raw WHERE length(t) > 0),
+    rawb AS (SELECT b, COUNT(*) AS rb FROM tb GROUP BY b),
+    tgtb AS (SELECT b, COUNT(*) AS gb FROM tb WHERE lang = 'en' GROUP BY b),
+    tot AS (SELECT (SELECT COUNT(*) FROM tb) AS tr,
+                   (SELECT COUNT(*) FROM tb WHERE lang = 'en') AS tt),
+    lr AS (SELECT r.b,
+                  ln(CAST(COALESCE(g.gb, 0) + 1 AS DOUBLE) / (tt + {_DSIR_BUCKETS}))
+                - ln(CAST(r.rb + 1 AS DOUBLE) / (tr + {_DSIR_BUCKETS})) AS lr
+           FROM rawb r LEFT JOIN tgtb g ON r.b = g.b CROSS JOIN tot),
+    db AS (SELECT doc_id, b, COUNT(*) AS n FROM tb GROUP BY doc_id, b)
+    SELECT d.doc_id,
+           CAST(SUM(CAST(floor(l.lr * d.n * 1e9 + 0.5) AS BIGINT)) AS BIGINT)
+               AS score_nano,
+           CAST(CASE WHEN SUM(CAST(floor(l.lr * d.n * 1e9 + 0.5) AS BIGINT)) > 0
+                THEN 1 ELSE 0 END AS INT) AS keep
+    FROM db d JOIN lr l ON d.b = l.b GROUP BY d.doc_id
+    """
+
+
+@register(
+    "ds_dsir_importance",
+    _dsir_oracle(),
+    tags=("dataset", "quality", "importance-sampling"),
+)
+def ds_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-unigram importance score per document: positive score =
+    looks more like the target slice than the raw corpus (the DSIR
+    selection rule). 128 bucket stats broadcast to a per-(doc,bucket)
+    count frame; one shuffle on doc_id."""
+    from pgvector_db_spark.functions.text import tokens
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    nb = _DSIR_BUCKETS
+    tok = (
+        docs.select("doc_id", "lang", F.explode(tokens("text")).alias("t"))
+        .filter(F.length("t") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.col("t"), F.lit("_dsir"))), 1, 8),
+                    16,
+                    10,
+                ).cast("bigint")
+                % nb
+            ).alias("b"),
+        )
+    )
+    rawb = tok.groupBy("b").agg(F.count(F.lit(1)).alias("rb"))
+    tgtb = tok.filter(F.col("lang") == "en").groupBy("b").agg(
+        F.count(F.lit(1)).alias("gb")
+    )
+    tot = tok.agg(
+        F.count(F.lit(1)).alias("tr"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("tt"),
+    )
+    lr = (
+        rawb.join(tgtb, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            (
+                F.log((F.coalesce(F.col("gb"), F.lit(0)) + 1).cast("double")
+                      / (F.col("tt") + nb))
+                - F.log((F.col("rb") + 1).cast("double") / (F.col("tr") + nb))
+            ).alias("lr"),
+        )
+    )
+    db = tok.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        db.join(F.broadcast(lr), "b")
+        .withColumn(
+            "contrib",
+            F.floor(F.col("lr") * F.col("n") * F.lit(1e9) + F.lit(0.5)).cast(
+                "bigint"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("score_nano"))
+    )
+    return scored.select(
+        "doc_id",
+        "score_nano",
+        F.when(F.col("score_nano") > 0, 1).otherwise(0).cast("int").alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted reservoir sampling (Efraimidis-Spirakis A-ES): key = ln(u)/w
+# with u a seeded md5-uniform and w = n_chars; the k largest keys are the
+# weighted sample WITHOUT replacement. Deterministic seed -> exact SQL
+# oracle; plans as TakeOrderedAndProject (partial top-k per partition,
+# no global sort).
+# ---------------------------------------------------------------------------
+
+def _wres_oracle(k: int = 20) -> str:
+    h = _duck_hex8("md5(CAST(doc_id AS VARCHAR) || '_wres42')")
+    u = f"(({h} + 1) / CAST(4294967297 AS DOUBLE))"
+    return f"""
+    SELECT doc_id, n_chars,
+           CAST(floor(ln({u}) / n_chars * 1e12 + 0.5) AS BIGINT) AS key_pico
+    FROM documents
+    ORDER BY key_pico DESC, doc_id ASC LIMIT {k}
+    """
+
+
+@register(
+    "ds_weighted_reservoir",
+    _wres_oracle(),
+    tags=("dataset", "sampling"),
+)
+def ds_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded weighted sample of 20 documents, probability proportional
+    to n_chars: per-row key generation is embarrassingly parallel and
+    the top-k is a TakeOrderedAndProject — no shuffle of the corpus."""
+    t = load_tables(spark, sf_dir)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("_wres42"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + 1
+    ) / F.lit(4294967297.0)
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            "n_chars",
+            F.floor(F.log(u) / F.col("n_chars") * F.lit(1e12) + F.lit(0.5))
+            .cast("bigint")
+            .alias("key_pico"),
+        )
+        .orderBy(F.col("key_pico").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC changelog apply (operators/cdc.py): a deterministic I/U/D changelog
+# derived from orders folds to final table state. Batch form below; the
+# streaming form folds seq-resolved micro-batches into a
+# tombstone-carrying ParquetTable, so batch arrival order cannot change
+# the result.
+# ---------------------------------------------------------------------------
+
+_CDC_ORACLE_LOG = """
+    base AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+                    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+             FROM orders),
+    log AS (
+      SELECT k, 0 AS seq, 'I' AS op, status, cents FROM base
+      UNION ALL
+      SELECT k, 1, 'U', 'U1', cents + 10000 FROM base WHERE k % 3 = 0
+      UNION ALL
+      SELECT k, 2, 'U', 'U2', cents + 20000 FROM base WHERE k % 9 = 0
+      UNION ALL
+      SELECT k, 3, 'D', 'D', 0 FROM base WHERE k % 7 = 0
+    ),
+    latest AS (SELECT *, row_number() OVER (PARTITION BY k
+                         ORDER BY seq DESC, op DESC) AS rn FROM log)
+"""
+
+
+def _cdc_changelog(orders: DataFrame) -> DataFrame:
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    ins = base.select("k", F.lit(0).alias("seq"), F.lit("I").alias("op"),
+                      "status", "cents")
+    u1 = base.filter(F.col("k") % 3 == 0).select(
+        "k", F.lit(1).alias("seq"), F.lit("U").alias("op"),
+        F.lit("U1").alias("status"), (F.col("cents") + 10000).alias("cents"))
+    u2 = base.filter(F.col("k") % 9 == 0).select(
+        "k", F.lit(2).alias("seq"), F.lit("U").alias("op"),
+        F.lit("U2").alias("status"), (F.col("cents") + 20000).alias("cents"))
+    dl = base.filter(F.col("k") % 7 == 0).select(
+        "k", F.lit(3).alias("seq"), F.lit("D").alias("op"),
+        F.lit("D").alias("status"), F.lit(0).cast("bigint").alias("cents"))
+    return ins.unionByName(u1).unionByName(u2).unionByName(dl)
+
+
+@register(
+    "rel_cdc_apply",
+    "WITH "
+    + _CDC_ORACLE_LOG
+    + """
+    SELECT k AS o_orderkey, status, cents AS price_cents
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+    tags=("relational", "cdc", "merge"),
+)
+def rel_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch CDC apply: latest-seq-wins per key, tombstones dropped —
+    the MERGE / change-data-feed resolution done engine-side. One
+    WindowGroupLimit shuffle; a hot key costs one row per input
+    partition, not its full history."""
+    from pgvector_db_spark.operators.cdc import apply_changes
+
+    t = load_tables(spark, sf_dir)
+    log = _cdc_changelog(t["orders"])
+    return apply_changes(log, key="k", seq="seq").select(
+        F.col("k").alias("o_orderkey"),
+        "status",
+        F.col("cents").alias("price_cents"),
+    )
+
+
+@register(
+    "stream_cdc_apply",
+    "WITH "
+    + _CDC_ORACLE_LOG
+    + """
+    , state AS (SELECT k, status, cents FROM latest WHERE rn = 1 AND op <> 'D')
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM state GROUP BY status
+    """,
+    tags=("streaming", "cdc", "merge"),
+)
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC fold: the changelog replayed as 4 micro-batches
+    (arbitrary split — resolution is by seq, not arrival order) folded
+    via foreachBatch into a tombstone-carrying ParquetTable; the final
+    snapshot aggregate equals the batch apply bitwise."""
+    import tempfile
+
+    from pgvector_db_spark.operators.cdc import (
+        merge_changes_into,
+        read_state,
+    )
+    from pgvector_db_spark.sources.table import ParquetTable
+    from pgvector_db_spark.streaming.replay import (
+        file_stream,
+        stage_replay_splits,
+    )
+
+    t = load_tables(spark, sf_dir)
+    log = _cdc_changelog(t["orders"])
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    replay_dir = os.path.join(
+        tempfile.gettempdir(), f"cdc_replay4_{tag}"
+    )
+    if not os.path.exists(os.path.join(replay_dir, "_SUCCESS")):
+        log.repartition(4).write.mode("overwrite").parquet(replay_dir)
+    schema = spark.read.parquet(replay_dir).schema
+    src = file_stream(spark, replay_dir, schema, max_files_per_trigger=1)
+
+    tmp = tempfile.mkdtemp(prefix="cdc_state_")
+    table = ParquetTable(spark, f"{tmp}/state")
+
+    def fold(batch: DataFrame, _bid: int) -> None:
+        merge_changes_into(table, batch, key="k", seq="seq")
+
+    q = (
+        src.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = read_state(table).groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("sum_cents"),
+    )
+    # materialize before the scratch dir can be rebuilt by a later run
+    rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
+
+
 def _interleaved_names() -> list[str]:
     """Registry names round-robin-interleaved across query families
     (vs_/rel_/ds_/stream_): every query is self-contained, so ordering is

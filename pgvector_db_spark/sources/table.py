@@ -176,6 +176,20 @@ class ParquetTable:
         survivors = current.join(keys, key, "left_anti")
         return self._swap_in(survivors.unionByName(df))
 
+    def delete(self, keys: DataFrame, key: str) -> int:
+        """Delete rows whose ``key`` appears in ``keys`` (Postgres
+        ``DELETE ... WHERE key IN (...)`` analogue; completes the
+        mutable-table surface next to :meth:`upsert`). Copy-on-write
+        anti join + the same atomic staged swap; at scale the anti join
+        prunes untouched partitions when the key is the partition
+        column. Returns the post-delete row count."""
+        if not self.exists():
+            return 0
+        survivors = self.read().join(
+            keys.select(key).distinct(), key, "left_anti"
+        )
+        return self._swap_in(survivors)
+
     def _swap_in(self, replacement: DataFrame) -> int:
         """Write ``replacement`` to a staging dir and atomically swap it in
         for the current table directory (rollback on failed promote)."""

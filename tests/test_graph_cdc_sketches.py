@@ -1,0 +1,191 @@
+"""Unit/property tests for the round-4 additions: PageRank, count-min
+sketch, CDC apply (batch + table-backed + out-of-order), weighted
+reservoir sampling. Cross-engine exactness is covered by
+test_queries_oracle; these pin the algorithmic invariants."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from pgvector_db_spark.operators.cdc import (
+    apply_changes,
+    merge_changes_into,
+    read_state,
+)
+from pgvector_db_spark.operators.graph import pagerank
+from pgvector_db_spark.operators.sketches import (
+    cms_build,
+    cms_estimate,
+    heavy_hitters,
+)
+from pgvector_db_spark.queries import REGISTRY, _cdc_changelog
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# -- PageRank ---------------------------------------------------------------
+
+
+def test_pagerank_matches_hand_rolled_power_method(spark):
+    # directed triangle a->b->c->a plus a->c: small enough to verify by hand
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")], ["src", "dst"]
+    )
+    got = {
+        r["node"]: r["rank"] for r in pagerank(edges, iterations=3).collect()
+    }
+
+    # independent python replica of the same grid-quantized iteration
+    nodes = ["a", "b", "c"]
+    out = {"a": ["b", "c"], "b": ["c"], "c": ["a"]}
+    rank = {n: 1.0 / 3 for n in nodes}
+    for _ in range(3):
+        contrib = {n: 0 for n in nodes}
+        for u, vs in out.items():
+            c = math.floor(rank[u] / len(vs) * 1e12 + 0.5)
+            for v in vs:
+                contrib[v] += c
+        rank = {
+            n: (1.0 - 0.85) / 3 + 0.85 * (contrib[n] / 1e12) for n in nodes
+        }
+    assert got == rank  # bitwise: same double ops in the same order
+
+
+def test_pagerank_mass_conserved_on_fixture_graph(spark, tables):
+    pe = (
+        tables["lineitem"]
+        .select(
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    edges = pe.union(
+        pe.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ranks = pagerank(edges, iterations=3)
+    total = ranks.agg(F.sum("rank")).first()[0]
+    # both-ways bipartite graph has no dangling mass: sum stays ~1
+    assert abs(total - 1.0) < 1e-6
+    assert ranks.filter("rank <= 0").count() == 0
+
+
+# -- Count-min sketch -------------------------------------------------------
+
+
+def test_cms_estimate_is_an_upper_bound_everywhere(spark, tables):
+    from pgvector_db_spark.functions.text import tokens
+
+    tok = (
+        tables["documents"]
+        .select(F.explode(tokens("text")).alias("t"))
+        .filter(F.length("t") > 0)
+    )
+    sketch = cms_build(tok, depth=4, width=64)
+    # sketch never exceeds depth*width cells, at any corpus size
+    assert sketch.count() <= 4 * 64
+    est = cms_estimate(tok.distinct(), sketch, depth=4, width=64)
+    truth = tok.groupBy("t").agg(F.count(F.lit(1)).alias("true_cnt"))
+    bad = est.join(truth, "t").filter("est < true_cnt").count()
+    assert bad == 0  # CMS overestimates, never underestimates
+
+
+def test_cms_top1_is_the_true_heaviest_token(spark, tables):
+    # the fixture vocabulary is small vs width=64 collisions, so the
+    # true heaviest token must surface at rank 1
+    from pgvector_db_spark.functions.text import tokens
+
+    top = heavy_hitters(tables["documents"], k=1).first()
+    tok = (
+        tables["documents"]
+        .select(F.explode(tokens("text")).alias("t"))
+        .filter(F.length("t") > 0)
+    )
+    true_top = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("t"))
+        .first()
+    )
+    assert top["true_cnt"] == true_top["c"]
+
+
+# -- CDC --------------------------------------------------------------------
+
+
+def test_cdc_batch_apply_equals_table_backed_upsert_delete(spark, tables, tmp_path):
+    from pgvector_db_spark.sources.table import ParquetTable
+
+    log = _cdc_changelog(tables["orders"])
+    expect = sorted(
+        map(tuple, apply_changes(log, key="k", seq="seq").collect())
+    )
+
+    # replay the same log through the mutable-table API in seq order:
+    # upserts for I/U, delete() for D — the Postgres-shaped path
+    table = ParquetTable(spark, str(tmp_path / "state"))
+    for s in [0, 1, 2, 3]:
+        batch = log.filter(F.col("seq") == s)
+        ups = batch.filter("op <> 'D'").select("k", "status", "cents")
+        if s == 0:
+            ups.write.parquet(table.path)
+        elif ups.take(1):
+            table.upsert(ups, key="k")
+        dels = batch.filter("op = 'D'").select("k")
+        if dels.take(1):
+            table.delete(dels, key="k")
+    got = sorted(map(tuple, table.read().collect()))
+    assert got == expect
+
+
+def test_cdc_streaming_fold_is_order_insensitive(spark, tables, tmp_path):
+    log = _cdc_changelog(tables["orders"]).localCheckpoint()
+    from pgvector_db_spark.sources.table import ParquetTable
+
+    finals = []
+    # fold the same log split two ways: by seq ascending, and reversed
+    for tag, seqs in [("fwd", [0, 1, 2, 3]), ("rev", [3, 2, 1, 0])]:
+        table = ParquetTable(spark, str(tmp_path / f"state_{tag}"))
+        for s in seqs:
+            merge_changes_into(
+                table, log.filter(F.col("seq") == s), key="k", seq="seq"
+            )
+        finals.append(sorted(map(tuple, read_state(table).collect())))
+    assert finals[0] == finals[1]
+
+
+def test_parquet_table_delete_removes_only_named_keys(spark, tmp_path):
+    from pgvector_db_spark.sources.table import ParquetTable
+
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], ["k", "v"]
+    )
+    table = ParquetTable(spark, str(tmp_path / "t"))
+    df.write.parquet(table.path)
+    n = table.delete(spark.createDataFrame([(3,), (7,)], ["k"]), key="k")
+    assert n == 8
+    left = {r["k"] for r in table.read().collect()}
+    assert left == set(range(10)) - {3, 7}
+    # deleting absent keys is a no-op, not an error
+    assert table.delete(spark.createDataFrame([(99,)], ["k"]), key="k") == 8
+
+
+# -- Weighted reservoir -----------------------------------------------------
+
+
+def test_weighted_reservoir_prefers_heavy_docs(spark, tables):
+    rows = REGISTRY["ds_weighted_reservoir"].spark_fn(spark, SF_DIR).collect()
+    assert len(rows) == 20
+    sample_mean = sum(r["n_chars"] for r in rows) / len(rows)
+    corpus_mean = tables["documents"].agg(F.avg("n_chars")).first()[0]
+    # weight ∝ n_chars → the sample skews long (robust margin, seeded)
+    assert sample_mean > corpus_mean
+    # deterministic: same seed, same sample
+    again = REGISTRY["ds_weighted_reservoir"].spark_fn(spark, SF_DIR).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
