@@ -34,6 +34,8 @@ def pagerank(
     edges: DataFrame,
     iterations: int = 3,
     damping: float = 0.85,
+    checkpoint_every: int = 5,
+    broadcast_max_nodes: int = 5_000_000,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
 
@@ -47,6 +49,9 @@ def pagerank(
     walk, not a converged fixpoint — fixed iteration count keeps the
     result oracle-checkable and the cost bounded.
     """
+    # edges and outdeg are read every iteration — materialize once
+    # instead of re-running the upstream distinct/scan per iteration
+    edges = edges.localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
@@ -54,13 +59,21 @@ def pagerank(
     )
     # n is one scalar — the only driver-side value in the loop
     n = nodes.count()
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    outdeg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).alias("outdeg")
+    ).localCheckpoint(eager=False)
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     teleport = (1.0 - damping) / n
-    for _ in range(iterations):
+    # rank/outdeg state is 2 small columns x |V|: broadcast it while it
+    # fits (size-conditional — a web-scale |V| falls back to shuffled
+    # joins rather than forcing an OOM broadcast)
+    small = n <= broadcast_max_nodes
+    deg_side = F.broadcast(outdeg) if small else outdeg
+    for it in range(iterations):
+        rank_side = F.broadcast(ranks) if small else ranks
         contribs = (
-            edges.join(ranks, edges["src"] == ranks["node"])
-            .join(outdeg, "src")
+            edges.join(rank_side, edges["src"] == rank_side["node"])
+            .join(deg_side, "src")
             .select(
                 F.col("dst").alias("node"),
                 F.floor(F.col("rank") / F.col("outdeg") * F.lit(GRID) + F.lit(0.5))
@@ -79,5 +92,12 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        ranks = ranks.localCheckpoint(eager=False)
+        # A checkpointed frame loses size stats, which downgrades the
+        # next iteration's rank⋈edge join from AQE-chosen broadcast to
+        # sort-merge — so cut lineage only every few iterations (long
+        # chains), not on every step (the plan for <=5 chained
+        # iterations stays small and its exchanges are each computed
+        # once per action via ReusedExchange).
+        if (it + 1) % checkpoint_every == 0 and (it + 1) < iterations:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks

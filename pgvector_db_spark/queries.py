@@ -7539,25 +7539,19 @@ def ds_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("b"),
         )
     )
-    rawb = tok.groupBy("b").agg(F.count(F.lit(1)).alias("rb"))
-    tgtb = tok.filter(F.col("lang") == "en").groupBy("b").agg(
-        F.count(F.lit(1)).alias("gb")
+    # one aggregation pass yields both per-bucket counts; the corpus
+    # totals are sums OVER the 128-row bucket frame, not a second scan
+    tokb = tok.groupBy("b").agg(
+        F.count(F.lit(1)).alias("rb"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("gb"),
     )
-    tot = tok.agg(
-        F.count(F.lit(1)).alias("tr"),
-        F.count(F.when(F.col("lang") == "en", 1)).alias("tt"),
-    )
-    lr = (
-        rawb.join(tgtb, "b", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "b",
-            (
-                F.log((F.coalesce(F.col("gb"), F.lit(0)) + 1).cast("double")
-                      / (F.col("tt") + nb))
-                - F.log((F.col("rb") + 1).cast("double") / (F.col("tr") + nb))
-            ).alias("lr"),
-        )
+    tot = tokb.agg(F.sum("rb").alias("tr"), F.sum("gb").alias("tt"))
+    lr = tokb.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log((F.col("gb") + 1).cast("double") / (F.col("tt") + nb))
+            - F.log((F.col("rb") + 1).cast("double") / (F.col("tr") + nb))
+        ).alias("lr"),
     )
     db = tok.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("n"))
     scored = (
@@ -7731,10 +7725,7 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_state,
     )
     from pgvector_db_spark.sources.table import ParquetTable
-    from pgvector_db_spark.streaming.replay import (
-        file_stream,
-        stage_replay_splits,
-    )
+    from pgvector_db_spark.streaming.replay import file_stream
 
     t = load_tables(spark, sf_dir)
     log = _cdc_changelog(t["orders"])
