@@ -7761,6 +7761,138 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema)
 
 
+# ---------------------------------------------------------------------------
+# Sequence mining: per-user event-transition (Markov) counts — the
+# "what follows what" statistic behind journey analysis and next-event
+# models. One lag window per user (hash exchange on user_id), then a
+# vocabulary-sized transition aggregate; probabilities grid-fixed ppm.
+# ---------------------------------------------------------------------------
+
+_TRANSITIONS_SQL = """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts ASC, event_id ASC) AS prev_type
+      FROM events
+    ),
+    pairs AS (SELECT prev_type, event_type AS next_type FROM seq
+              WHERE prev_type IS NOT NULL),
+    counts AS (SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+               FROM pairs GROUP BY prev_type, next_type),
+    tot AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS t FROM counts
+            GROUP BY prev_type)
+    SELECT c.prev_type, c.next_type, c.n,
+           CAST(floor(c.n * 1e6 / t.t + 0.5) AS BIGINT) AS prob_ppm
+    FROM counts c JOIN tot t ON c.prev_type = t.prev_type
+    """
+
+_sql_query(
+    "rel_event_transitions",
+    _TRANSITIONS_SQL,
+    _TRANSITIONS_SQL,
+    tags=("relational", "sequence", "markov"),
+)
+
+
+# ---------------------------------------------------------------------------
+# Approximate-percentile accuracy audit (same discipline as
+# rel_approx_distinct_accuracy): exact DISCRETE percentiles — a real data
+# value picked by rank, so bitwise cross-engine — are hash-checked, and
+# Spark's percentile_approx sketch estimates are asserted within 1% as
+# booleans (the estimates themselves are implementation-defined).
+# ---------------------------------------------------------------------------
+
+def _pctl_exact(p: str) -> str:
+    return (
+        f"MAX(CASE WHEN rn = CAST(floor((n - 1) * {p}) AS BIGINT) + 1 "
+        f"THEN value END)"
+    )
+
+
+_PCTL_EXACT_CTE = """
+    WITH r AS (
+      SELECT value,
+             row_number() OVER (ORDER BY value ASC, event_id ASC) AS rn,
+             COUNT(*) OVER () AS n
+      FROM events
+    ),
+    ex AS (SELECT {p25} AS exact_p25, {p50} AS exact_p50, {p75} AS exact_p75
+           FROM r)
+""".format(p25=_pctl_exact("0.25"), p50=_pctl_exact("0.50"),
+           p75=_pctl_exact("0.75"))
+
+_sql_query(
+    "rel_approx_percentile_accuracy",
+    _PCTL_EXACT_CTE
+    + """
+    , ap AS (SELECT percentile_approx(value, array(0.25, 0.50, 0.75), 10000)
+             AS aps FROM events)
+    SELECT exact_p25, exact_p50, exact_p75,
+           CAST(abs(aps[0] - exact_p25) <= 0.01 * abs(exact_p25) AS BOOLEAN)
+               AS p25_within_1pct,
+           CAST(abs(aps[1] - exact_p50) <= 0.01 * abs(exact_p50) AS BOOLEAN)
+               AS p50_within_1pct,
+           CAST(abs(aps[2] - exact_p75) <= 0.01 * abs(exact_p75) AS BOOLEAN)
+               AS p75_within_1pct
+    FROM ex CROSS JOIN ap
+    """,
+    _PCTL_EXACT_CTE
+    + """
+    SELECT exact_p25, exact_p50, exact_p75,
+           TRUE AS p25_within_1pct, TRUE AS p50_within_1pct,
+           TRUE AS p75_within_1pct
+    FROM ex
+    """,
+    tags=("relational", "aggregate", "approximate"),
+)
+
+
+# ---------------------------------------------------------------------------
+# Anomaly detection: per-type z-score outliers. Group moments come from
+# EXACT integer sums (micro-unit BIGINT for the sum, DECIMAL(38,0) for
+# the sum of squares — order-independent), so mean/stddev are identical
+# doubles on both engines; z is grid-fixed. One hash exchange on
+# event_type; the 5-row moment table broadcasts back onto the scan.
+# ---------------------------------------------------------------------------
+
+_ZSCORE_SQL = """
+    WITH m AS (
+      SELECT event_type,
+             CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm,
+             event_id, value
+      FROM events
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(vm) AS BIGINT) AS s,
+             SUM(CAST(vm AS DECIMAL(38,0)) * vm) AS q
+      FROM m GROUP BY event_type
+    ),
+    mom AS (
+      SELECT event_type, n,
+             CAST(s AS DOUBLE) / 1e6 / n AS mean,
+             sqrt((CAST(q AS DOUBLE) / 1e12
+                   - (CAST(s AS DOUBLE) / 1e6) * (CAST(s AS DOUBLE) / 1e6) / n)
+                  / (n - 1)) AS sd
+      FROM stats
+    )
+    SELECT m.event_id, m.event_type, m.value,
+           CAST(floor((m.value - mom.mean) / mom.sd * 1e6 + 0.5) AS BIGINT)
+               AS z_micro
+    FROM m JOIN mom ON m.event_type = mom.event_type
+    WHERE (m.value - mom.mean) / mom.sd > 3.0
+       OR (m.value - mom.mean) / mom.sd < -3.0
+    """
+
+_sql_query(
+    "rel_value_outliers_zscore",
+    _ZSCORE_SQL,
+    _ZSCORE_SQL,
+    tags=("relational", "anomaly", "aggregate"),
+)
+
+
 def _interleaved_names() -> list[str]:
     """Registry names round-robin-interleaved across query families
     (vs_/rel_/ds_/stream_): every query is self-contained, so ordering is
