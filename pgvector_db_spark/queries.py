@@ -7724,8 +7724,12 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         merge_changes_into,
         read_state,
     )
+    from pgvector_db_spark.catalog import table_path
     from pgvector_db_spark.sources.table import ParquetTable
-    from pgvector_db_spark.streaming.replay import file_stream
+    from pgvector_db_spark.streaming.replay import (
+        file_stream,
+        stage_replay_df,
+    )
 
     t = load_tables(spark, sf_dir)
     log = _cdc_changelog(t["orders"])
@@ -7734,8 +7738,9 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay_dir = os.path.join(
         tempfile.gettempdir(), f"cdc_replay4_{tag}"
     )
-    if not os.path.exists(os.path.join(replay_dir, "_SUCCESS")):
-        log.repartition(4).write.mode("overwrite").parquet(replay_dir)
+    # fingerprint = source fixture size: regenerate staging if it changes
+    fp = str(os.path.getsize(table_path(sf_dir, "orders")))
+    stage_replay_df(log, replay_dir, n_files=4, fingerprint=fp)
     schema = spark.read.parquet(replay_dir).schema
     src = file_stream(spark, replay_dir, schema, max_files_per_trigger=1)
 
@@ -7890,6 +7895,73 @@ _sql_query(
     _ZSCORE_SQL,
     _ZSCORE_SQL,
     tags=("relational", "anomaly", "aggregate"),
+)
+
+
+# ---------------------------------------------------------------------------
+# Perplexity-bucketed mixture (CCNet-style): per-language unigram-LM
+# scoring -> quintile buckets -> seeded fixed-size sample per
+# (lang, bucket). The bucket boundary comes from ntile over the
+# per-language order (hash exchange on lang — CCNet's buckets are
+# per-language, which is also what gives the window a partition key; a
+# global-bucket variant at 100 TB would use sampled thresholds broadcast
+# to the scan instead of a global sort). The per-bucket sample is
+# row_number over a seeded md5 order -> WindowGroupLimit partial top-k.
+# ---------------------------------------------------------------------------
+
+def _ppx_mixture_sql(dialect: str) -> str:
+    if dialect == "spark":
+        unnest = "explode(split(trim(lower(text)), '\\\\s+'))"
+        h = (
+            "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), '_ppx42')),"
+            " 1, 8), 16, 10) AS BIGINT)"
+        )
+    else:
+        unnest = "unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))"
+        h = _duck_hex8("md5(CAST(doc_id AS VARCHAR) || '_ppx42')")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {unnest} AS term FROM documents
+    ),
+    freq AS (
+      SELECT term, COUNT(*) AS tf, SUM(COUNT(*)) OVER () AS total
+      FROM toks GROUP BY term
+    ),
+    scored AS (
+      SELECT t.doc_id, t.lang,
+             CAST(floor(ln(CAST(f.tf AS DOUBLE) / f.total) * 1000000 + 0.5)
+                  AS BIGINT) AS lp_micro
+      FROM toks t JOIN freq f ON t.term = f.term
+    ),
+    per_doc AS (
+      SELECT doc_id, lang,
+             CAST(floor(CAST(SUM(lp_micro) AS DOUBLE) / COUNT(*)) AS BIGINT)
+                 AS per_token_micro
+      FROM scored GROUP BY doc_id, lang
+    ),
+    bucketed AS (
+      SELECT doc_id, lang, per_token_micro,
+             CAST(ntile(5) OVER (PARTITION BY lang
+                                 ORDER BY per_token_micro ASC, doc_id ASC)
+                  AS INT) AS ppx_bucket
+      FROM per_doc
+    ),
+    sampled AS (
+      SELECT doc_id, lang, ppx_bucket, per_token_micro,
+             row_number() OVER (PARTITION BY lang, ppx_bucket
+                                ORDER BY {h} ASC, doc_id ASC) AS rn
+      FROM bucketed
+    )
+    SELECT doc_id, lang, ppx_bucket, per_token_micro
+    FROM sampled WHERE rn <= 5
+    """
+
+
+_sql_query(
+    "ds_perplexity_bucket_mixture",
+    _ppx_mixture_sql("spark"),
+    _ppx_mixture_sql("duckdb"),
+    tags=("dataset", "quality", "mixture"),
 )
 
 

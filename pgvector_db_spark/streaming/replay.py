@@ -79,6 +79,34 @@ def stage_replay_splits(
     return replay_dir
 
 
+def stage_replay_df(
+    df: DataFrame, replay_dir: str, n_files: int, fingerprint: str
+) -> str:
+    """Stage a DERIVED DataFrame (no single source file to size-check)
+    as ``n_files`` part files for ``maxFilesPerTrigger=1`` replay, with
+    the same atomicity discipline as :func:`stage_replay_splits`:
+    written to a ``.tmp`` dir, renamed into place, marker recording the
+    caller's ``fingerprint`` so a changed derivation forces a restage.
+    Row-to-file assignment may vary between Spark runs — callers must be
+    split-insensitive (e.g. seq-resolved CDC folds)."""
+    import os
+    import shutil
+
+    marker = os.path.join(replay_dir, f"_staged_{n_files}")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read() == fingerprint:
+                return replay_dir
+    shutil.rmtree(replay_dir, ignore_errors=True)
+    tmp = replay_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    os.rename(tmp, replay_dir)
+    with open(marker, "w") as f:
+        f.write(fingerprint)
+    return replay_dir
+
+
 def stage_replay_file(src_path: str, replay_dir: str, name: str) -> str:
     """Stage one fixture file into a replay directory, atomically and
     freshness-checked — the shared helper behind every file-replay gate
