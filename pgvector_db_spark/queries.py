@@ -7965,6 +7965,92 @@ _sql_query(
 )
 
 
+# ---------------------------------------------------------------------------
+# Streaming weighted reservoir: the A-ES sample is a mergeable top-k
+# (largest ln(u)/w keys), so folding per-micro-batch top-20s into a
+# 20-row state table yields EXACTLY the batch sample — the oracle is the
+# same SQL as ds_weighted_reservoir. This is the streaming form of
+# weight-proportional corpus sampling: state is k rows, constant in
+# stream length.
+# ---------------------------------------------------------------------------
+
+@register(
+    "stream_weighted_reservoir",
+    _wres_oracle(),
+    tags=("streaming", "sampling"),
+)
+def stream_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents replayed as 4 micro-batches; each batch's top-20 A-ES
+    keys merge into a 20-row reservoir table (top-k is associative and
+    commutative under the (key desc, doc_id asc) order, so batch
+    arrival order cannot change the sample)."""
+    import tempfile
+
+    from pgvector_db_spark.catalog import table_path
+    from pgvector_db_spark.sources.table import ParquetTable
+    from pgvector_db_spark.streaming.replay import (
+        file_stream,
+        stage_replay_splits,
+    )
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    doc_path = table_path(sf_dir, "documents")
+    replay_dir = os.path.join(tempfile.gettempdir(), f"docs_replay4_{tag}")
+    stage_replay_splits(spark, doc_path, replay_dir, n_files=4)
+    schema = spark.read.parquet(doc_path).schema
+    src = file_stream(spark, replay_dir, schema, max_files_per_trigger=1)
+
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("_wres42"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + 1
+    ) / F.lit(4294967297.0)
+    keyed = src.select(
+        "doc_id",
+        "n_chars",
+        F.floor(F.log(u) / F.col("n_chars") * F.lit(1e12) + F.lit(0.5))
+        .cast("bigint")
+        .alias("key_pico"),
+    )
+
+    tmp = tempfile.mkdtemp(prefix="wres_stream_")
+    table = ParquetTable(spark, f"{tmp}/reservoir")
+
+    def fold(batch: DataFrame, _bid: int) -> None:
+        top = batch.orderBy(
+            F.col("key_pico").desc(), F.col("doc_id").asc()
+        ).limit(20)
+        if not table.exists():
+            top.write.mode("errorifexists").parquet(table.path)
+            return
+        merged = (
+            table.read()
+            .unionByName(top)
+            .orderBy(F.col("key_pico").desc(), F.col("doc_id").asc())
+            .limit(20)
+        )
+        table._swap_in(merged)
+
+    q = (
+        keyed.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = table.read().select("doc_id", "n_chars", "key_pico")
+    # materialize before the scratch dir can be rebuilt by a later run
+    rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
+
+
 def _interleaved_names() -> list[str]:
     """Registry names round-robin-interleaved across query families
     (vs_/rel_/ds_/stream_): every query is self-contained, so ordering is
