@@ -101,3 +101,49 @@ def pagerank(
         if (it + 1) % checkpoint_every == 0 and (it + 1) < iterations:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: list[str],
+    max_hops: int = 3,
+    broadcast_max_frontier: int = 5_000_000,
+) -> DataFrame:
+    """Hop distance from a seed set: frontier-expansion BFS as a
+    DataFrame loop. Returns ``(node, hop)`` with the MINIMUM hop count
+    (<= max_hops) for every reachable node.
+
+    Per hop: frontier⋈edges (frontier side broadcast while small —
+    size-conditional like :func:`pagerank`'s rank state), distinct new
+    nodes, anti-join against visited. Visited grows monotonically; at
+    web scale partition it by node so the anti join prunes, and spill
+    the per-hop output instead of accumulating a driver-side union.
+    All arithmetic is integer — trivially engine-exact.
+    """
+    spark = edges.sparkSession
+    frontier = spark.createDataFrame(
+        [(s,) for s in seeds], ["node"]
+    ).withColumn("hop", F.lit(0))
+    visited = frontier
+    frontier_size = len(seeds)
+    for hop in range(1, max_hops + 1):
+        if frontier_size == 0:
+            break  # graph exhausted before max_hops
+        fr = (
+            F.broadcast(frontier)
+            if frontier_size <= broadcast_max_frontier
+            else frontier
+        )
+        nxt = (
+            edges.join(fr, edges["src"] == fr["node"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hop", F.lit(hop))
+        ).localCheckpoint()  # materialize: reused as frontier AND visited
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+        # the count is free on the checkpointed frame and doubles as the
+        # early-exit test and next hop's broadcast decision
+        frontier_size = nxt.count()
+    return visited

@@ -7966,6 +7966,65 @@ _sql_query(
 
 
 # ---------------------------------------------------------------------------
+# Graph BFS: hop distance from a seed node over the part<->supplier
+# graph (reachability/blast-radius shape). Frontier-expansion loop in
+# Spark (operators/graph.py bfs_hops); the oracle unrolls three hops as
+# CTEs. Integer-only — trivially engine-exact.
+# ---------------------------------------------------------------------------
+
+def _bfs_oracle(seed: str = "p1", max_hops: int = 3) -> str:
+    ctes = [
+        "pe AS (SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src, "
+        "'s' || CAST(l_suppkey AS VARCHAR) AS dst FROM lineitem)",
+        "e AS (SELECT src, dst FROM pe UNION ALL SELECT dst, src FROM pe)",
+        f"h0 AS (SELECT '{seed}' AS node, 0 AS hop)",
+    ]
+    seen = ["SELECT node FROM h0"]
+    for i in range(1, max_hops + 1):
+        ctes.append(
+            f"f{i} AS (SELECT DISTINCT e.dst AS node FROM e "
+            f"JOIN h{i - 1} ON e.src = h{i - 1}.node)"
+        )
+        ctes.append(
+            f"h{i} AS (SELECT node, {i} AS hop FROM f{i} "
+            f"WHERE node NOT IN ({' UNION ALL '.join(seen)}))"
+        )
+        seen.append(f"SELECT node FROM h{i}")
+    union = " UNION ALL ".join(
+        f"SELECT * FROM h{i}" for i in range(max_hops + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f" SELECT node, CAST(hop AS INT) AS hop FROM ({union})"
+    )
+
+
+@register(
+    "ds_bfs_hops",
+    _bfs_oracle(),
+    tags=("dataset", "graph", "iterative"),
+)
+def ds_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum hop distance (<=3) from part node 'p1' over the
+    part<->supplier graph: per hop one frontier⋈edges join (frontier
+    broadcast while small, size-conditional) + distinct + anti-join
+    against visited."""
+    from pgvector_db_spark.operators.graph import bfs_hops
+
+    t = load_tables(spark, sf_dir)
+    pe = t["lineitem"].select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    ).distinct()
+    edges = pe.union(
+        pe.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return bfs_hops(edges, seeds=["p1"], max_hops=3).select(
+        "node", F.col("hop").cast("int").alias("hop")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Streaming weighted reservoir: the A-ES sample is a mergeable top-k
 # (largest ln(u)/w keys), so folding per-micro-batch top-20s into a
 # 20-row state table yields EXACTLY the batch sample — the oracle is the

@@ -76,6 +76,23 @@ def test_pagerank_mass_conserved_on_fixture_graph(spark, tables):
     assert ranks.filter("rank <= 0").count() == 0
 
 
+def test_bfs_hops_minimum_distance_and_early_exit(spark):
+    from pgvector_db_spark.operators.graph import bfs_hops
+
+    # a -> b -> c -> d chain plus shortcut a -> c: c is hop 1, not 2
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")], ["src", "dst"]
+    )
+    got = {r["node"]: r["hop"] for r in bfs_hops(edges, ["a"], 3).collect()}
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2}
+    # max_hops beyond graph diameter: the loop exits when the frontier
+    # drains, and the result is unchanged
+    again = {
+        r["node"]: r["hop"] for r in bfs_hops(edges, ["a"], 10).collect()
+    }
+    assert again == got
+
+
 # -- Count-min sketch -------------------------------------------------------
 
 
