@@ -36,10 +36,10 @@ from pgvector_db_spark.sources.table import ParquetTable
 
 def latest_changes(changes: DataFrame, key: str, seq: str) -> DataFrame:
     """Reduce a changelog to the highest-``seq`` row per ``key``
-    (ties broken by op desc so a same-seq D beats its I — documented,
-    deterministic; well-formed logs never tie)."""
+    (ties broken tombstone-first so a same-seq D beats its I —
+    documented, deterministic; well-formed logs never tie)."""
     w = Window.partitionBy(key).orderBy(
-        F.col(seq).desc(), F.col("op").desc()
+        F.col(seq).desc(), (F.col("op") == "D").desc(), F.col("op").desc()
     )
     return (
         changes.withColumn("_rn", F.row_number().over(w))

@@ -40,9 +40,11 @@ def pagerank(
     """Fixed-iteration PageRank over a directed edge list.
 
     ``edges`` must have ``src`` / ``dst`` string columns and cover every
-    node as a source (callers with possibly-dangling nodes should add
-    reverse edges or self-loops first — the bipartite both-ways
-    construction in ``ds_pagerank_partsupp`` guarantees it).
+    node as a source (a node with NO out-edges leaks its rank mass, the
+    standard dangling-node caveat — add reverse edges or self-loops
+    first; the bipartite both-ways construction in
+    ``ds_pagerank_partsupp`` guarantees it). Nodes without IN-edges are
+    handled: they keep their teleport rank every iteration.
 
     Returns ``(node, rank)`` with ``rank`` as DOUBLE. Ranks are the
     exact 3-iteration power-method values on the teleporting random
@@ -57,7 +59,9 @@ def pagerank(
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
-    # n is one scalar — the only driver-side value in the loop
+    # n is one scalar — the only driver-side value in the loop; counting
+    # also materializes the checkpointed node set reused every iteration
+    nodes = nodes.localCheckpoint(eager=False)
     n = nodes.count()
     outdeg = edges.groupBy("src").agg(
         F.count(F.lit(1)).alias("outdeg")
@@ -81,16 +85,19 @@ def pagerank(
                 .alias("c"),
             )
         )
-        ranks = (
-            contribs.groupBy("node")
-            .agg(F.sum("c").alias("s"))
-            .select(
-                "node",
-                (
-                    F.lit(teleport)
-                    + F.lit(damping) * (F.col("s") / F.lit(GRID))
-                ).alias("rank"),
-            )
+        summed = contribs.groupBy("node").agg(F.sum("c").alias("s"))
+        if small:
+            summed = F.broadcast(summed)
+        # left-join back onto the full node set: a node with no
+        # in-edges keeps its teleport rank instead of silently
+        # vanishing from the state after the first iteration
+        ranks = nodes.join(summed, "node", "left").select(
+            "node",
+            (
+                F.lit(teleport)
+                + F.lit(damping)
+                * (F.coalesce(F.col("s"), F.lit(0)) / F.lit(GRID))
+            ).alias("rank"),
         )
         # A checkpointed frame loses size stats, which downgrades the
         # next iteration's rank⋈edge join from AQE-chosen broadcast to
@@ -121,11 +128,12 @@ def bfs_hops(
     All arithmetic is integer — trivially engine-exact.
     """
     spark = edges.sparkSession
+    seed_set = sorted(set(seeds))  # dedupe: one (node, 0) row per seed
     frontier = spark.createDataFrame(
-        [(s,) for s in seeds], ["node"]
+        [(s,) for s in seed_set], ["node"]
     ).withColumn("hop", F.lit(0))
     visited = frontier
-    frontier_size = len(seeds)
+    frontier_size = len(seed_set)
     for hop in range(1, max_hops + 1):
         if frontier_size == 0:
             break  # graph exhausted before max_hops

@@ -25,13 +25,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pgvector_db_spark.functions.text import tokens
+from pgvector_db_spark.functions.text import hash32, tokens
 
 
 def _bucket(col, j: int, width: int):
-    """Row-j bucket for a token: hash32(md5(t || '_cms<j>')) % width."""
-    h = F.conv(F.substring(F.md5(F.concat(col, F.lit(f"_cms{j}"))), 1, 8), 16, 10)
-    return (h.cast("bigint") % width).alias(f"b{j}")
+    """Row-j bucket for a token: hash32(t || '_cms<j>') % width."""
+    return (hash32(F.concat(col, F.lit(f"_cms{j}"))) % width).alias(f"b{j}")
 
 
 def cms_build(tok: DataFrame, depth: int = 4, width: int = 64) -> DataFrame:
@@ -78,10 +77,13 @@ def cms_estimate(
             )
         ).alias("cell"),
     ).select("t", "cell.j", "cell.bucket")
+    # LEFT join + coalesce: a cell the sketch never counted is 0, so an
+    # unseen token estimates 0 (and a partial collision takes the min
+    # over ALL depth rows, not just the nonzero ones)
     return (
-        melted.join(F.broadcast(sketch), ["j", "bucket"])
+        melted.join(F.broadcast(sketch), ["j", "bucket"], "left")
         .groupBy("t")
-        .agg(F.min("cnt").alias("est"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )
 
 

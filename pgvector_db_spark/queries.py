@@ -7388,6 +7388,19 @@ def _pagerank_oracle(iterations: int = 3) -> str:
     )
 
 
+def _partsupp_edges(lineitem: DataFrame) -> DataFrame:
+    """Distinct part<->supplier edges from lineitem, both directions —
+    the shared graph fixture for the PageRank and BFS queries (and the
+    shape their unrolled oracles replicate)."""
+    pe = lineitem.select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    ).distinct()
+    return pe.union(
+        pe.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
 @register(
     "ds_pagerank_partsupp",
     _pagerank_oracle(3),
@@ -7401,12 +7414,9 @@ def ds_pagerank_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pgvector_db_spark.operators.graph import pagerank
 
     t = load_tables(spark, sf_dir)
-    pe = t["lineitem"].select(
-        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-    ).distinct()
-    edges = pe.union(pe.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    ranks = pagerank(edges, iterations=3, damping=0.85)
+    ranks = pagerank(
+        _partsupp_edges(t["lineitem"]), iterations=3, damping=0.85
+    )
     return (
         ranks.select(
             "node",
@@ -7518,7 +7528,7 @@ def ds_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     looks more like the target slice than the raw corpus (the DSIR
     selection rule). 128 bucket stats broadcast to a per-(doc,bucket)
     count frame; one shuffle on doc_id."""
-    from pgvector_db_spark.functions.text import tokens
+    from pgvector_db_spark.functions.text import hash32, tokens
 
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
@@ -7529,14 +7539,7 @@ def ds_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "lang",
-            (
-                F.conv(
-                    F.substring(F.md5(F.concat(F.col("t"), F.lit("_dsir"))), 1, 8),
-                    16,
-                    10,
-                ).cast("bigint")
-                % nb
-            ).alias("b"),
+            (hash32(F.concat(F.col("t"), F.lit("_dsir"))) % nb).alias("b"),
         )
     )
     # one aggregation pass yields both per-bucket counts; the corpus
@@ -7580,6 +7583,23 @@ def ds_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # no global sort).
 # ---------------------------------------------------------------------------
 
+def _wres_key() -> F.Column:
+    """A-ES sampling key as grid-fixed picounits — shared by the batch
+    and streaming samplers so 'streaming fold equals batch sample' is
+    enforced by construction, not by keeping two copies in sync."""
+    from pgvector_db_spark.functions.text import hash32
+
+    u = (
+        hash32(F.concat(F.col("doc_id").cast("string"), F.lit("_wres42")))
+        + 1
+    ) / F.lit(4294967297.0)
+    return (
+        F.floor(F.log(u) / F.col("n_chars") * F.lit(1e12) + F.lit(0.5))
+        .cast("bigint")
+        .alias("key_pico")
+    )
+
+
 def _wres_oracle(k: int = 20) -> str:
     h = _duck_hex8("md5(CAST(doc_id AS VARCHAR) || '_wres42')")
     u = f"(({h} + 1) / CAST(4294967297 AS DOUBLE))"
@@ -7601,27 +7621,9 @@ def ds_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     to n_chars: per-row key generation is embarrassingly parallel and
     the top-k is a TakeOrderedAndProject — no shuffle of the corpus."""
     t = load_tables(spark, sf_dir)
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("_wres42"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        + 1
-    ) / F.lit(4294967297.0)
     return (
         t["documents"]
-        .select(
-            "doc_id",
-            "n_chars",
-            F.floor(F.log(u) / F.col("n_chars") * F.lit(1e12) + F.lit(0.5))
-            .cast("bigint")
-            .alias("key_pico"),
-        )
+        .select("doc_id", "n_chars", _wres_key())
         .orderBy(F.col("key_pico").desc(), F.col("doc_id").asc())
         .limit(20)
     )
@@ -7649,7 +7651,8 @@ _CDC_ORACLE_LOG = """
       SELECT k, 3, 'D', 'D', 0 FROM base WHERE k % 7 = 0
     ),
     latest AS (SELECT *, row_number() OVER (PARTITION BY k
-                         ORDER BY seq DESC, op DESC) AS rn FROM log)
+                         ORDER BY seq DESC, (op = 'D') DESC, op DESC)
+               AS rn FROM log)
 """
 
 
@@ -7738,8 +7741,10 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay_dir = os.path.join(
         tempfile.gettempdir(), f"cdc_replay4_{tag}"
     )
-    # fingerprint = source fixture size: regenerate staging if it changes
-    fp = str(os.path.getsize(table_path(sf_dir, "orders")))
+    # fingerprint = fixture size + derivation version: bump the suffix
+    # whenever _cdc_changelog's rules change, or stale staged parquet
+    # would replay the OLD log against the new oracle
+    fp = f"{os.path.getsize(table_path(sf_dir, 'orders'))}:cdclog_v1"
     stage_replay_df(log, replay_dir, n_files=4, fingerprint=fp)
     schema = spark.read.parquet(replay_dir).schema
     src = file_stream(spark, replay_dir, schema, max_files_per_trigger=1)
@@ -8012,16 +8017,9 @@ def ds_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pgvector_db_spark.operators.graph import bfs_hops
 
     t = load_tables(spark, sf_dir)
-    pe = t["lineitem"].select(
-        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-    ).distinct()
-    edges = pe.union(
-        pe.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    return bfs_hops(edges, seeds=["p1"], max_hops=3).select(
-        "node", F.col("hop").cast("int").alias("hop")
-    )
+    return bfs_hops(
+        _partsupp_edges(t["lineitem"]), seeds=["p1"], max_hops=3
+    ).select("node", F.col("hop").cast("int").alias("hop"))
 
 
 # ---------------------------------------------------------------------------
@@ -8059,25 +8057,7 @@ def stream_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(doc_path).schema
     src = file_stream(spark, replay_dir, schema, max_files_per_trigger=1)
 
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("_wres42"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        + 1
-    ) / F.lit(4294967297.0)
-    keyed = src.select(
-        "doc_id",
-        "n_chars",
-        F.floor(F.log(u) / F.col("n_chars") * F.lit(1e12) + F.lit(0.5))
-        .cast("bigint")
-        .alias("key_pico"),
-    )
+    keyed = src.select("doc_id", "n_chars", _wres_key())
 
     tmp = tempfile.mkdtemp(prefix="wres_stream_")
     table = ParquetTable(spark, f"{tmp}/reservoir")

@@ -113,6 +113,44 @@ def test_cms_estimate_is_an_upper_bound_everywhere(spark, tables):
     assert bad == 0  # CMS overestimates, never underestimates
 
 
+def test_cms_unseen_token_estimates_zero_or_collision_min(spark):
+    corpus = spark.createDataFrame(
+        [("aa bb aa",), ("bb cc",)], ["text"]
+    ).selectExpr("explode(split(text, ' ')) AS t")
+    sketch = cms_build(corpus, depth=4, width=64)
+    probe = spark.createDataFrame([("zz_unseen",), ("aa",)], ["t"])
+    est = {r["t"]: r["est"] for r in
+           cms_estimate(probe, sketch, depth=4, width=64).collect()}
+    # unseen token must still get a row; its estimate is bounded by the
+    # emptiest of its 4 cells (0 unless all four collide)
+    assert "zz_unseen" in est and est["zz_unseen"] <= 2
+    assert est["aa"] >= 2  # true count is a lower bound
+
+
+def test_cdc_same_seq_tombstone_wins(spark):
+    from pgvector_db_spark.operators.cdc import latest_changes
+
+    log = spark.createDataFrame(
+        [(1, 5, "I", 100), (1, 5, "D", 0), (2, 1, "U", 7)],
+        ["k", "seq", "op", "cents"],
+    )
+    got = {r["k"]: r["op"] for r in
+           latest_changes(log, key="k", seq="seq").collect()}
+    assert got == {1: "D", 2: "U"}  # documented: same-seq D beats its I
+
+
+def test_pagerank_keeps_zero_indegree_nodes(spark):
+    # 'a' has out-edges but no in-edges: it must keep its teleport rank
+    # every iteration instead of vanishing after iteration 1
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "b")], ["src", "dst"]
+    )
+    ranks = {r["node"]: r["rank"] for r in
+             pagerank(edges, iterations=3).collect()}
+    assert set(ranks) == {"a", "b", "c"}
+    assert ranks["a"] == (1.0 - 0.85) / 3  # pure teleport, present
+
+
 def test_cms_top1_is_the_true_heaviest_token(spark, tables):
     # the fixture vocabulary is small vs width=64 collisions, so the
     # true heaviest token must surface at rank 1
