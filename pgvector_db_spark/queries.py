@@ -7971,6 +7971,62 @@ _sql_query(
 
 
 # ---------------------------------------------------------------------------
+# Co-occurrence mining: top part pairs bought in the same order (the
+# market-basket / recommendation statistic). The pair space is built
+# IN-ARRAY per order (collect_list -> sorted -> in-array pair
+# construction, same shape as ds_bpe_pair_counts) — never a fact⋈fact
+# self-join, so a large order costs |items|^2 rows generated map-side in
+# one task, and only (pair, partial-count) rows shuffle.
+# ---------------------------------------------------------------------------
+
+_COPURCHASE_SPARK = """
+    WITH baskets AS (
+      SELECT l_orderkey,
+             array_sort(collect_set(l_partkey)) AS parts
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    pairs AS (
+      SELECT explode(flatten(transform(
+               sequence(0, size(parts) - 2),
+               i -> transform(slice(parts, i + 2, size(parts) - i - 1),
+                              p -> struct(parts[i] AS a, p AS b))
+             ))) AS pr
+      FROM baskets WHERE size(parts) >= 2
+    )
+    SELECT pr.a AS part_a, pr.b AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM pairs GROUP BY pr.a, pr.b
+    ORDER BY n_orders DESC, part_a ASC, part_b ASC
+    LIMIT 25
+    """
+
+_COPURCHASE_DUCK = """
+    WITH baskets AS (
+      SELECT l_orderkey,
+             list_sort(list_distinct(list(l_partkey))) AS parts
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    expanded AS (
+      SELECT unnest(parts) AS a, parts FROM baskets WHERE len(parts) >= 2
+    ),
+    pairs AS (
+      SELECT a, unnest(list_filter(parts, p -> p > a)) AS b FROM expanded
+    )
+    SELECT a AS part_a, b AS part_b, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM pairs GROUP BY a, b
+    ORDER BY n_orders DESC, part_a ASC, part_b ASC
+    LIMIT 25
+    """
+
+_sql_query(
+    "rel_copurchase_pairs",
+    _COPURCHASE_SPARK,
+    _COPURCHASE_DUCK,
+    tags=("relational", "co-occurrence", "basket"),
+)
+
+
+# ---------------------------------------------------------------------------
 # Graph BFS: hop distance from a seed node over the part<->supplier
 # graph (reachability/blast-radius shape). Frontier-expansion loop in
 # Spark (operators/graph.py bfs_hops); the oracle unrolls three hops as
