@@ -7240,6 +7240,71 @@ def rel_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# Snapshot diff (change-data-feed read): the row-level changes BETWEEN
+# two committed versions, computed from the versioned reads themselves
+# (exceptAll both directions), so the gate verifies the commit log
+# preserves enough to reconstruct per-version deltas — the "what changed
+# since run X" question an incremental training pipeline asks. At scale
+# the except is a hash anti-join per direction; a manifest-level
+# file-diff prunes it to files the newer commit touched.
+@register(
+    "rel_snapshot_diff",
+    """
+    WITH changed AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 97 = 0
+    )
+    SELECT 'delete' AS change_type, o_orderkey, o_orderstatus,
+           o_totalprice
+    FROM changed
+    UNION ALL
+    SELECT 'insert' AS change_type, o_orderkey, o_orderstatus,
+           o_totalprice * 2 AS o_totalprice
+    FROM changed
+    """,
+    tags=("relational", "snapshot", "cdf"),
+)
+def rel_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF between snapshot v1 (orders as committed) and v2 (every 97th
+    key upserted at double price): deletes = v1 rows absent from v2,
+    inserts = v2 rows absent from v1."""
+    import shutil
+    import tempfile
+
+    from pgvector_db_spark.sources.snapshots import SnapshotTable
+
+    t = load_tables(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="snapshot_diff_")
+    try:
+        st = SnapshotTable(
+            spark, f"{tmp}/orders", required_cols=("o_orderkey",)
+        )
+        st.insert(t["orders"])
+        updates = (
+            t["orders"]
+            .filter(F.col("o_orderkey") % 97 == 0)
+            .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        )
+        st.upsert(updates, "o_orderkey")
+
+        cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+        v1 = st.read(version=1).select(*cols)
+        v2 = st.read(version=2).select(*cols)
+        out = (
+            v1.exceptAll(v2).select(F.lit("delete").alias("change_type"), *cols)
+            .unionByName(
+                v2.exceptAll(v1).select(
+                    F.lit("insert").alias("change_type"), *cols
+                )
+            )
+        )
+        # materialize before the scratch dir disappears
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # Streaming quality-gated ingest: the continuous form of the Gopher
 # filter — documents arrive as a REAL multi-file stream, each micro-batch
 # is scored and filtered (stateless, so the gate costs one codegen'd
