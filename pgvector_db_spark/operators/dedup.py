@@ -426,6 +426,21 @@ def ngram_jaccard_pairs(
     Returns (id_a, id_b, jaccard_sim) with id_a < id_b and
     jaccard_sim >= threshold.
     """
+    base, cand = _ngram_candidate_pairs(df, text_col, id_col, n, max_df)
+    return (
+        _join_gram_sets(cand, base, id_col)
+        .withColumn("jaccard_sim", jaccard(F.col("_nga"), F.col("_ngb")))
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", "jaccard_sim")
+    )
+
+
+def _ngram_candidate_pairs(
+    df: DataFrame, text_col: str, id_col: str, n: int, max_df: int
+):
+    """Shared inverted-index candidate generation for the n-gram pair
+    scorers (Jaccard / containment): rare-gram postings self-join, so
+    only documents sharing >=1 sub-max_df gram ever meet."""
     base = df.select(F.col(id_col), _word_ngrams(text_col, n).alias("_ng"))
     # reused by the posting explode (twice, via the self-join) and both
     # verification joins — persist + eager materialize so parallel first
@@ -446,19 +461,45 @@ def ngram_jaccard_pairs(
         )
         .distinct()
     )
-    sets = base
+    return base, cand
+
+
+def _join_gram_sets(cand: DataFrame, base: DataFrame, id_col: str) -> DataFrame:
+    return cand.join(
+        base.select(F.col(id_col).alias("id_a"), F.col("_ng").alias("_nga")),
+        "id_a",
+    ).join(
+        base.select(F.col(id_col).alias("id_b"), F.col("_ng").alias("_ngb")),
+        "id_b",
+    )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.6,
+    max_df: int = 50,
+) -> DataFrame:
+    """Near-duplicate pairs by n-gram CONTAINMENT of the smaller set:
+    |A ∩ B| / min(|A|, |B|). Catches a short document embedded inside a
+    long one, where symmetric Jaccard is diluted by the longer
+    document's extra grams (the asymmetric-duplication case in crawl
+    corpora). Same candidate machinery and shuffle bounds as
+    :func:`ngram_jaccard_pairs`."""
+    base, cand = _ngram_candidate_pairs(df, text_col, id_col, n, max_df)
+    inter = F.size(F.array_intersect(F.col("_nga"), F.col("_ngb"))).cast(
+        "double"
+    )
+    smaller = F.least(
+        F.size(F.col("_nga")), F.size(F.col("_ngb"))
+    ).cast("double")
     return (
-        cand.join(
-            sets.select(F.col(id_col).alias("id_a"), F.col("_ng").alias("_nga")),
-            "id_a",
-        )
-        .join(
-            sets.select(F.col(id_col).alias("id_b"), F.col("_ng").alias("_ngb")),
-            "id_b",
-        )
-        .withColumn("jaccard_sim", jaccard(F.col("_nga"), F.col("_ngb")))
-        .filter(F.col("jaccard_sim") >= threshold)
-        .select("id_a", "id_b", "jaccard_sim")
+        _join_gram_sets(cand, base, id_col)
+        .withColumn("containment", inter / smaller)
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
     )
 
 

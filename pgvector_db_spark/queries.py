@@ -3525,6 +3525,52 @@ def rel_rollup_time_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
     return time_rollup(t["events"], "ts", "value", (300, 3600, 86400))
 
 
+_DUCK_NGRAM_CONTAINMENT = (
+    "CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE) / "
+    "CAST(least(len(a.ng), len(b.ng)) AS DOUBLE)"
+)
+
+
+@register(
+    "ds_ngram_containment",
+    f"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+    ),
+    g AS (
+      SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ng
+      FROM t
+    ),
+    e AS (SELECT doc_id, unnest(ng) AS gram FROM g),
+    rare AS (SELECT gram FROM e GROUP BY gram HAVING count(*) <= 50),
+    p AS (SELECT e.doc_id, e.gram FROM e JOIN rare USING (gram)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM p a JOIN p b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, {_DUCK_NGRAM_CONTAINMENT} AS containment
+    FROM cand
+    JOIN g a ON a.doc_id = id_a
+    JOIN g b ON b.doc_id = id_b
+    WHERE {_DUCK_NGRAM_CONTAINMENT} >= 0.6
+    """,
+    tags=("dataset", "dedup"),
+)
+def ds_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup pairs by containment of the smaller n-gram
+    set — catches short-inside-long duplication that symmetric Jaccard
+    dilutes. Shares the rare-gram inverted-index candidate machinery
+    with ds_ngram_jaccard."""
+    from pgvector_db_spark.operators.dedup import ngram_containment_pairs
+
+    t = load_tables(spark, sf_dir)
+    return ngram_containment_pairs(
+        t["documents"], n=3, threshold=0.6, max_df=50
+    )
+
+
+
 _DUCK_NGRAM_JACCARD = (
     "CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE) / "
     "CAST(len(list_distinct(a.ng || b.ng)) AS DOUBLE)"
