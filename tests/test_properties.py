@@ -262,3 +262,72 @@ def test_bloom_decontaminate_always_equals_plain(spark, texts):
         )
     )
     assert plain == bloom
+
+
+# -- round-4 additions: CMS vs brute force, PageRank vs numpy ---------------
+
+_token = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"])
+
+
+@settings(max_examples=8, deadline=None)
+@given(toks=st.lists(_token, min_size=1, max_size=60))
+def test_cms_estimate_bounds_vs_brute_force(spark, toks):
+    """For every token in a random stream: true <= est <= true + (sum of
+    collision mass), and with 8 tokens over width 64 the estimate is
+    usually exact — check the hard bound plus the exactness bound est <=
+    stream length."""
+    from collections import Counter
+
+    from pgvector_db_spark.operators.sketches import cms_build, cms_estimate
+
+    tok_df = spark.createDataFrame([(t,) for t in toks], ["t"])
+    sketch = cms_build(tok_df, depth=4, width=64)
+    est = {
+        r["t"]: r["est"]
+        for r in cms_estimate(
+            tok_df.distinct(), sketch, depth=4, width=64
+        ).collect()
+    }
+    truth = Counter(toks)
+    for t, c in truth.items():
+        assert c <= est[t] <= len(toks)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    edge_ids=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 5)),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_pagerank_matches_numpy_power_iteration(spark, edge_ids):
+    """The DataFrame loop equals an independent numpy power iteration
+    with the same grid quantization, on random graphs closed under edge
+    reversal (the no-dangling construction the queries use)."""
+    import numpy as np
+
+    from pgvector_db_spark.operators.graph import GRID, pagerank
+
+    pairs = {(f"n{a}", f"n{b}") for a, b in edge_ids if a != b}
+    if not pairs:
+        return
+    edges = sorted(pairs | {(b, a) for a, b in pairs})
+    edf = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["rank"] for r in pagerank(edf, iterations=3).collect()}
+
+    nodes = sorted({x for e in edges for x in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out: dict[str, list[str]] = {m: [] for m in nodes}
+    for a, b in edges:
+        out[a].append(b)
+    rank = np.full(n, 1.0 / n)
+    for _ in range(3):
+        contrib = np.zeros(n, dtype=np.int64)
+        for a in nodes:
+            c = int(np.floor(rank[idx[a]] / len(out[a]) * GRID + 0.5))
+            for b in out[a]:
+                contrib[idx[b]] += c
+        rank = (1.0 - 0.85) / n + 0.85 * (contrib / GRID)
+    assert got == {m: rank[idx[m]] for m in nodes}
