@@ -135,6 +135,57 @@ def test_stream_append_exactly_once(spark, events_replay_dir, events_schema, tmp
     assert spark.read.parquet(out).count() == 1000
 
 
+def test_stream_resume_from_checkpoint_after_new_data(spark, tmp_path):
+    """Checkpoint recovery, the failure-mode case the plain restart test
+    skips: stop after the first slice, land NEW source files, restart
+    from the same checkpoint — the resumed query must pick up only the
+    unseen files (no reprocessing, no gaps)."""
+    import os
+    import shutil
+
+    ev = read_table(spark, SF_DIR, "events")
+    replay = str(tmp_path / "src")
+    stage = str(tmp_path / "stage")
+    ev.filter("event_id < 500").repartition(2).write.parquet(stage)
+    os.makedirs(replay)
+    first = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+    for f in first:
+        shutil.copy(os.path.join(stage, f), os.path.join(replay, f))
+
+    schema = spark.read.parquet(stage).schema
+    table = ParquetTable(
+        spark, str(tmp_path / "sink"), required_cols=("event_id",)
+    )
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_insert(
+        file_stream(spark, replay, schema, max_files_per_trigger=1),
+        table,
+        checkpoint=ckpt,
+    )
+    q.processAllAvailable()
+    q.stop()
+    n_first = ev.filter("event_id < 500").count()
+    assert table.read().count() == n_first
+
+    # second slice arrives while the stream is DOWN
+    stage2 = str(tmp_path / "stage2")
+    ev.filter("event_id >= 500").repartition(2).write.parquet(stage2)
+    for f in os.listdir(stage2):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(stage2, f), os.path.join(replay, f))
+
+    q2 = stream_insert(
+        file_stream(spark, replay, schema, max_files_per_trigger=1),
+        table,
+        checkpoint=ckpt,
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    total = ev.count()
+    assert table.read().count() == total
+    assert table.read().select("event_id").distinct().count() == total
+
+
 def test_stream_upsert_key_unique_and_idempotent(
     spark, events_replay_dir, events_schema, tmp_path
 ):
