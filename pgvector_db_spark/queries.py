@@ -7286,6 +7286,56 @@ def rel_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# Cross-modal retrieval: a TEXT query against a MEDIA corpus through two
+# different encoders into one 8-dim space — the text side uses the fake
+# sentence-embedding math, the media side the md5 feature-extraction
+# math through the REAL Arrow-batched mapInPandas path; scoring is the
+# shared float64 cosine fold. This is the joint-embedding (CLIP-shape)
+# retrieval composition: swap both fakes for real encoders and the plan
+# is unchanged.
+@register(
+    "ds_crossmodal_retrieval",
+    f"""
+    WITH m AS (SELECT doc_id, [{", ".join(_MM_FEATS)}] AS mf FROM documents),
+    q AS (SELECT {_FE8_DUCK} AS qe FROM documents WHERE doc_id = 0)
+    SELECT m.doc_id, {cosine_distance_sql("mf", "qe", "duckdb")} AS distance
+    FROM m, q
+    WHERE m.doc_id != 0
+    ORDER BY distance ASC, m.doc_id ASC
+    LIMIT 10
+    """,
+    tags=("dataset", "multimodal", "vector", "pipeline"),
+)
+def ds_crossmodal_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text->media retrieval: media embeddings from the mapInPandas
+    feature extractor, the text query embedded JVM-side, 1-row broadcast
+    + TakeOrderedAndProject top-10 — the exact-kNN serving shape with a
+    Python encoder boundary only on the corpus side (where real image
+    encoders live)."""
+    from pgvector_db_spark.operators.multimodal import media_features
+
+    t = load_tables(spark, sf_dir)
+    media = t["documents"].select(
+        "doc_id", F.col("text").cast("binary").alias("media")
+    )
+    feats = media_features(media, dim=8).select("doc_id", "features")
+    qdf = (
+        t["documents"]
+        .filter(F.col("doc_id") == 0)
+        .selectExpr(f"{_FE8_SPARK} AS qe")
+    )
+    return (
+        feats.crossJoin(F.broadcast(qdf))
+        .filter(F.col("doc_id") != 0)
+        .selectExpr(
+            "doc_id",
+            f"{cosine_distance_sql('features', 'qe', 'spark')} AS distance",
+        )
+        .orderBy(F.col("distance").asc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
 # Snapshot diff (change-data-feed read): the row-level changes BETWEEN
 # two committed versions, computed from the versioned reads themselves
 # (exceptAll both directions), so the gate verifies the commit log
