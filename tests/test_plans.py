@@ -451,3 +451,31 @@ def test_bm25_compact_preserves_scores(spark, tables, tmp_path):
     for s in old_segs:
         assert not os.path.exists(os.path.join(str(tmp_path / "c"), s))
     assert os.path.exists(os.path.join(str(tmp_path / "c"), m["segments"][0]))
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tables, tmp_path):
+    """Join-driven partition pruning (DPP): a fact table partitioned on
+    the join key, joined to a selectively-filtered dimension, must plan a
+    dynamicpruning subquery on the fact scan — at 100 TB this is what
+    turns a full-fact-scan join into a few-partition read when the dim
+    filter survives only a handful of partition values."""
+    fact_path = str(tmp_path / "orders_by_priority")
+    tables["orders"].write.partitionBy("o_orderpriority").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    # the dim filter is on a NON-join column, so the surviving join-key
+    # values are only known at runtime — static constraint propagation
+    # can't pre-prune, which is exactly the case DPP exists for
+    dim = (
+        tables["orders"]
+        .select("o_orderpriority", "o_orderstatus")
+        .distinct()
+        .filter(F.col("o_orderstatus") == "P")
+        .select("o_orderpriority")
+        .distinct()
+    )
+    joined = fact.join(dim, "o_orderpriority").groupBy("o_orderpriority").count()
+    plan = physical_plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan
+    expect = {r["o_orderpriority"] for r in dim.collect()}
+    got = {r["o_orderpriority"] for r in joined.collect()}
+    assert got == expect and expect
