@@ -7286,6 +7286,44 @@ def rel_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# Corpus report (the "datasheet" aggregate a dataset release ships):
+# per-(lang, source) doc counts, token totals, char stats and the
+# exact-duplicate rate, in one grouped pass plus a tiny dup-count join.
+# Pure Catalyst aggregates — the whole report is one shuffle on the
+# (lang, source) grid plus the md5 groupBy for dup detection.
+_CORPUS_REPORT_SQL_SPARK = """
+    WITH dups AS (
+      SELECT md5(text) AS h, COUNT(*) AS n FROM documents GROUP BY md5(text)
+    ),
+    dup_docs AS (SELECT CAST(SUM(n - 1) AS BIGINT) AS n_dup FROM dups WHERE n > 1),
+    base AS (
+      SELECT lang, source, n_chars,
+             CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           (SELECT n_dup FROM dup_docs) AS corpus_dup_docs
+    FROM base GROUP BY lang, source
+    """
+
+_CORPUS_REPORT_SQL_DUCK = _CORPUS_REPORT_SQL_SPARK.replace(
+    "size(split(trim(text), '\\\\s+'))",
+    "len(regexp_split_to_array(trim(text), '\\s+'))",
+)
+
+_sql_query(
+    "ds_corpus_report",
+    _CORPUS_REPORT_SQL_SPARK,
+    _CORPUS_REPORT_SQL_DUCK,
+    tags=("dataset", "report", "aggregate"),
+)
+
+
 # Cross-modal retrieval: a TEXT query against a MEDIA corpus through two
 # different encoders into one 8-dim space — the text side uses the fake
 # sentence-embedding math, the media side the md5 feature-extraction
