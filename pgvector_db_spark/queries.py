@@ -7286,6 +7286,89 @@ def rel_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# Streaming Markov transitions (streaming/stateful.py event_transitions):
+# the per-user lag() reconstructed across micro-batch boundaries with
+# one (last event) state triple per user. The replay is staged in EVENT
+# ORDER (4 time-sliced files, ascending mtimes, maxFilesPerTrigger=1) so
+# batch i+1's first event per user correctly pairs with batch i's last —
+# the boundary transitions are exactly what a batch lag window computes,
+# which is what the oracle checks.
+@register(
+    "stream_event_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts ASC, event_id ASC) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+    tags=("streaming", "stateful", "markov"),
+)
+def stream_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch stateful transitions: 4 time-ordered micro-batches
+    through applyInPandasWithState; the aggregate over ALL emitted
+    transitions (including the 3 per-user boundary pairs the state
+    carries) equals the batch lag-window result."""
+    import tempfile
+
+    from pgvector_db_spark.catalog import read_table
+    from pgvector_db_spark.streaming.replay import file_stream
+    from pgvector_db_spark.streaming.stateful import event_transitions
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    replay_dir = os.path.join(
+        tempfile.gettempdir(), f"events_tsorder4_{tag}"
+    )
+    marker = os.path.join(replay_dir, "_staged_ts4")
+    if not os.path.exists(marker):
+        import shutil
+
+        ev = read_table(spark, sf_dir, "events").selectExpr(
+            "event_id",
+            "user_id",
+            "event_type",
+            "unix_micros(CAST(ts AS TIMESTAMP)) AS tsu",
+        )
+        n = ev.count()
+        w = Window.orderBy(F.col("tsu").asc(), F.col("event_id").asc())
+        sliced = ev.withColumn(
+            "_slice", ((F.row_number().over(w) - 1) * 4 / n).cast("int")
+        )
+        tmp = replay_dir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(replay_dir, ignore_errors=True)
+        os.makedirs(tmp)
+        for i in range(4):
+            part_dir = os.path.join(tmp, f"_part{i}")
+            sliced.filter(F.col("_slice") == i).drop("_slice").coalesce(
+                1
+            ).write.parquet(part_dir)
+            src_file = next(
+                f
+                for f in os.listdir(part_dir)
+                if f.endswith(".parquet")
+            )
+            dst = os.path.join(tmp, f"{i:02d}.parquet")
+            shutil.move(os.path.join(part_dir, src_file), dst)
+            shutil.rmtree(part_dir)
+            # ascending mtimes pin the file-source processing order
+            os.utime(dst, (1_600_000_000 + i, 1_600_000_000 + i))
+        os.rename(tmp, replay_dir)
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    schema = spark.read.parquet(os.path.join(replay_dir, "00.parquet")).schema
+    src = file_stream(spark, replay_dir, schema, max_files_per_trigger=1)
+    out = _run_stream_to_memory(event_transitions(src), mode="append")
+    return out.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
 # Corpus report (the "datasheet" aggregate a dataset release ships):
 # per-(lang, source) doc counts, token totals, char stats and the
 # exact-duplicate rate, in one grouped pass plus a tiny dup-count join.

@@ -74,6 +74,51 @@ def first_seen(stream_df: DataFrame, key_col: str, ts_col: str) -> DataFrame:
     )
 
 
+def event_transitions(
+    stream_df: DataFrame,
+    key_col: str = "user_id",
+    seq_col: str = "tsu",
+    tie_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming Markov transitions: per-key (prev_type, next_type) pairs
+    across micro-batch boundaries. The per-key state is the LAST event
+    seen, so the first event of batch i+1 pairs with the last event of
+    batch i — the lag() a batch window gives for free, reconstructed
+    exactly under streaming (requires per-key batch arrival in event
+    order, the file-replay contract of the gate query).
+
+    State is one (seq, tie, type) triple per key — constant per key,
+    keyed+shuffled by ``key_col`` so each task owns its shard's state.
+    """
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        rows = pd.concat(list(pdfs)).sort_values([seq_col, tie_col])
+        prev_type = state.get[2] if state.exists else None
+        prevs: list[str] = []
+        nexts: list[str] = []
+        for et in rows[type_col]:
+            if prev_type is not None:
+                prevs.append(prev_type)
+                nexts.append(et)
+            prev_type = et
+        tail = rows.iloc[-1]
+        state.update(
+            (int(tail[seq_col]), int(tail[tie_col]), str(tail[type_col]))
+        )
+        yield pd.DataFrame({"prev_type": prevs, "next_type": nexts})
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType="prev_type string, next_type string",
+        stateStructType=f"{seq_col} bigint, {tie_col} bigint, {type_col} string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def running_totals_tws(
     stream_df: DataFrame, key_col: str, value_col: str
 ) -> DataFrame:
