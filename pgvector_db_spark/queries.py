@@ -3720,6 +3720,56 @@ def ds_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Classifier evaluation: the confusion matrix of the lang-ID heuristic
+# against the fixture labels, with per-cell share of the labeled class in
+# ppm (recall diagonal) — the eval-harness aggregate any labeling
+# operator ships with. One grouped pass over the scored frame.
+@register(
+    "ds_langid_confusion",
+    f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             {_DUCK_LANG_SCORE['de']} AS s_de, {_DUCK_LANG_SCORE['en']} AS s_en,
+             {_DUCK_LANG_SCORE['es']} AS s_es, {_DUCK_LANG_SCORE['fr']} AS s_fr,
+             {_DUCK_LANG_SCORE['zh']} AS s_zh
+      FROM documents
+    ),
+    pred AS (
+      SELECT lang AS labeled_lang, {_DUCK_LANG_CASE} AS predicted_lang FROM s
+    ),
+    cells AS (
+      SELECT labeled_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pred GROUP BY labeled_lang, predicted_lang
+    ),
+    tot AS (SELECT labeled_lang, CAST(SUM(n) AS BIGINT) AS t FROM cells
+            GROUP BY labeled_lang)
+    SELECT c.labeled_lang, c.predicted_lang, c.n,
+           CAST(floor(c.n * 1e6 / t.t + 0.5) AS BIGINT) AS class_share_ppm
+    FROM cells c JOIN tot t ON c.labeled_lang = t.labeled_lang
+    """,
+    tags=("dataset", "text", "evaluation"),
+)
+def ds_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix for the lang-ID heuristic: cells + per-labeled-
+    class share (ppm grid). The diagonal cells are the per-class recall
+    of the classifier-style labeling path."""
+    pred = REGISTRY["ds_lang_id"].spark_fn(spark, sf_dir).select(
+        "labeled_lang", "predicted_lang"
+    )
+    cells = pred.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cells.groupBy("labeled_lang").agg(F.sum("n").alias("t"))
+    return cells.join(tot, "labeled_lang").select(
+        "labeled_lang",
+        "predicted_lang",
+        "n",
+        F.floor(F.col("n") * F.lit(1e6) / F.col("t") + F.lit(0.5))
+        .cast("bigint")
+        .alias("class_share_ppm"),
+    )
+
+
 @register(
     "ds_embedding_top_pairs",
     f"""
