@@ -427,12 +427,13 @@ def ngram_jaccard_pairs(
     jaccard_sim >= threshold.
     """
     base, cand = _ngram_candidate_pairs(df, text_col, id_col, n, max_df)
-    return (
+    out = (
         _join_gram_sets(cand, base, id_col)
         .withColumn("jaccard_sim", jaccard(F.col("_nga"), F.col("_ngb")))
         .filter(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b", "jaccard_sim")
     )
+    return _materialize_and_release(out, base)
 
 
 def _ngram_candidate_pairs(
@@ -462,6 +463,15 @@ def _ngram_candidate_pairs(
         .distinct()
     )
     return base, cand
+
+
+def _materialize_and_release(out: DataFrame, base: DataFrame) -> DataFrame:
+    """Pin the (small) pair result via localCheckpoint, then unpersist the
+    full gram-array cache — without this every call leaks one corpus-sized
+    persisted copy into executor storage for the session lifetime."""
+    out = out.localCheckpoint(eager=True)
+    base.unpersist()
+    return out
 
 
 def _join_gram_sets(cand: DataFrame, base: DataFrame, id_col: str) -> DataFrame:
@@ -495,12 +505,13 @@ def ngram_containment_pairs(
     smaller = F.least(
         F.size(F.col("_nga")), F.size(F.col("_ngb"))
     ).cast("double")
-    return (
+    out = (
         _join_gram_sets(cand, base, id_col)
         .withColumn("containment", inter / smaller)
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment")
     )
+    return _materialize_and_release(out, base)
 
 
 def simhash_pairs(

@@ -7373,8 +7373,16 @@ def stream_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay_dir = os.path.join(
         tempfile.gettempdir(), f"events_tsorder4_{tag}"
     )
+    from pgvector_db_spark.catalog import table_path
+
     marker = os.path.join(replay_dir, "_staged_ts4")
-    if not os.path.exists(marker):
+    # content-aware cache: restage when the fixture file changes
+    src_fp = str(os.path.getsize(table_path(sf_dir, "events")))
+    staged_ok = False
+    if os.path.exists(marker):
+        with open(marker) as f:
+            staged_ok = f.read() == src_fp
+    if not staged_ok:
         import shutil
 
         ev = read_table(spark, sf_dir, "events").selectExpr(
@@ -7409,7 +7417,7 @@ def stream_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.utime(dst, (1_600_000_000 + i, 1_600_000_000 + i))
         os.rename(tmp, replay_dir)
         with open(marker, "w") as f:
-            f.write("ok")
+            f.write(src_fp)
 
     schema = spark.read.parquet(os.path.join(replay_dir, "00.parquet")).schema
     src = file_stream(spark, replay_dir, schema, max_files_per_trigger=1)
@@ -7428,7 +7436,8 @@ _CORPUS_REPORT_SQL_SPARK = """
     WITH dups AS (
       SELECT md5(text) AS h, COUNT(*) AS n FROM documents GROUP BY md5(text)
     ),
-    dup_docs AS (SELECT CAST(SUM(n - 1) AS BIGINT) AS n_dup FROM dups WHERE n > 1),
+    dup_docs AS (SELECT CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) AS n_dup
+                 FROM dups WHERE n > 1),
     base AS (
       SELECT lang, source, n_chars,
              CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) AS n_tokens

@@ -96,7 +96,19 @@ def event_transitions(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         rows = pd.concat(list(pdfs)).sort_values([seq_col, tie_col])
-        prev_type = state.get[2] if state.exists else None
+        prev_type = None
+        if state.exists:
+            last_seq, last_tie, prev_type = state.get
+            head = rows.iloc[0]
+            # the stored (seq, tie) exist to ENFORCE the in-order
+            # contract: a batch older than the state would silently
+            # produce wrong transitions — fail loudly instead
+            if (int(head[seq_col]), int(head[tie_col])) < (last_seq, last_tie):
+                raise ValueError(
+                    f"out-of-order micro-batch for key {key}: "
+                    f"batch head {(int(head[seq_col]), int(head[tie_col]))} "
+                    f"< state {(last_seq, last_tie)}"
+                )
         prevs: list[str] = []
         nexts: list[str] = []
         for et in rows[type_col]:
