@@ -7336,6 +7336,70 @@ def rel_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# Poisson bootstrap (online bootstrap, Chamandy et al. / Owen &
+# Eckles): B resampled replicas of a statistic in ONE pass by giving
+# every (row, replica) a Poisson(1) weight — the resampling scheme that
+# works at any scale because no replica ever materializes the dataset.
+# Weights come from a seeded md5 uniform through the Poisson inverse
+# CDF (literal thresholds, identical doubles on both engines), so the
+# whole simulation is deterministic and oracle-exact. Per-replica means
+# use integer micro-unit sums (order-independent) and a grid-fixed
+# final division.
+
+_POIS_THRESH = [
+    "0.36787944117144233",  # P(X=0)
+    "0.7357588823428847",   # + P(X=1)
+    "0.9196986029286058",   # + P(X=2)
+    "0.9810118431238462",   # + P(X=3)
+    "0.9963401531726563",   # + P(X=4)
+]
+
+
+def _bootstrap_sql(dialect: str, b: int = 32) -> str:
+    if dialect == "spark":
+        h = (
+            "CAST(conv(substring(md5(concat(CAST(event_id AS STRING), '_bs', "
+            "CAST(r.b AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+        )
+        reps = f"LATERAL VIEW explode(sequence(0, {b - 1})) r AS b"
+        frm = f"FROM events {reps}"
+    else:
+        h = _duck_hex8(
+            "md5(CAST(event_id AS VARCHAR) || '_bs' || CAST(r.b AS VARCHAR))"
+        )
+        frm = f"FROM events, (SELECT unnest(range(0, {b})) AS b) r"
+    u = f"(({h} + 1) / CAST(4294967297 AS DOUBLE))"
+    w = (
+        f"CASE WHEN {u} < {_POIS_THRESH[0]} THEN 0 "
+        + " ".join(
+            f"WHEN {u} < {t} THEN {k + 1}"
+            for k, t in enumerate(_POIS_THRESH[1:])
+        )
+        + " ELSE 5 END"
+    )
+    return f"""
+    WITH weighted AS (
+      SELECT r.b AS replica,
+             CAST({w} AS BIGINT) AS w,
+             CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm
+      {frm}
+    )
+    SELECT replica,
+           CAST(SUM(w) AS BIGINT) AS n_eff,
+           CAST(floor(CAST(SUM(w * vm) AS DOUBLE) / SUM(w) + 0.5) AS BIGINT)
+               AS mean_micro
+    FROM weighted GROUP BY replica
+    """
+
+
+_sql_query(
+    "rel_bootstrap_means",
+    _bootstrap_sql("spark"),
+    _bootstrap_sql("duckdb"),
+    tags=("relational", "statistics", "bootstrap"),
+)
+
+
 # Streaming Markov transitions (streaming/stateful.py event_transitions):
 # the per-user lag() reconstructed across micro-batch boundaries with
 # one (last event) state triple per user. The replay is staged in EVENT
