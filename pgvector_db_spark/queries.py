@@ -7336,6 +7336,45 @@ def rel_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# A/B experiment readout: users hashed into two arms, per-arm exposure/
+# conversion counts and the relative conversion lift of B over A on a
+# ppm grid — the experimentation-analytics aggregate. Pure integer
+# arithmetic until one final grid-fixed division; two narrow shuffles
+# (per-user rollup, then a 2-row arm aggregate).
+_AB_LIFT_SQL = """
+    WITH users AS (
+      SELECT user_id,
+             user_id % 2 AS arm,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS converted
+      FROM events GROUP BY user_id
+    ),
+    arms AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(converted) AS BIGINT) AS n_converted
+      FROM users GROUP BY arm
+    )
+    SELECT a.n_users AS a_users, a.n_converted AS a_converted,
+           b.n_users AS b_users, b.n_converted AS b_converted,
+           CAST(floor(CAST(a.n_converted AS DOUBLE) / a.n_users * 1e6 + 0.5)
+                AS BIGINT) AS a_rate_ppm,
+           CAST(floor(CAST(b.n_converted AS DOUBLE) / b.n_users * 1e6 + 0.5)
+                AS BIGINT) AS b_rate_ppm,
+           CAST(floor((CAST(b.n_converted AS DOUBLE) / b.n_users)
+                      / (CAST(a.n_converted AS DOUBLE) / a.n_users)
+                      * 1e6 + 0.5) AS BIGINT) AS rel_lift_ppm
+    FROM (SELECT * FROM arms WHERE arm = 0) a
+    CROSS JOIN (SELECT * FROM arms WHERE arm = 1) b
+    """
+
+_sql_query(
+    "rel_ab_test_lift",
+    _AB_LIFT_SQL,
+    _AB_LIFT_SQL,
+    tags=("relational", "experimentation", "aggregate"),
+)
+
+
 # Poisson bootstrap (online bootstrap, Chamandy et al. / Owen &
 # Eckles): B resampled replicas of a statistic in ONE pass by giving
 # every (row, replica) a Poisson(1) weight — the resampling scheme that
