@@ -80,3 +80,24 @@ def test_validation_rejects_missing_required_col(spark, st):
 def test_empty_table_read_raises(st):
     with pytest.raises(FileNotFoundError):
         st.read()
+
+
+def test_concurrent_inserts_lose_no_commit(spark, st):
+    """Six threads insert concurrently: the manifest lock must serialize
+    commits so every one lands as its own version — no lost update, no
+    version gap, and the final snapshot holds every row exactly once."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def ins(i: int) -> int:
+        return st.insert(_df(spark, [(i * 10 + j, f"v{i}") for j in range(3)]))
+
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        versions = sorted(ex.map(ins, range(6)))
+    assert versions == [1, 2, 3, 4, 5, 6]
+    assert st.latest_version() == 6
+    rows = st.read().collect()
+    assert len(rows) == 18
+    assert len({r["k"] for r in rows}) == 18
+    # every intermediate version remains readable with cumulative rows
+    for v in versions:
+        assert st.read(version=v).count() == st.manifest(v)["n_rows"]
