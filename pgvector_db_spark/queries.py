@@ -7336,6 +7336,44 @@ def rel_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# Seasonal-naive forecast backtest: predict each hourly bucket's total
+# with the value 24 h earlier and score MAE + signed bias — the baseline
+# every forecasting pipeline is judged against, evaluated engine-side in
+# two narrow aggregates (hourly rollup, then a self-join on h-24 and a
+# one-row score). Cents-exact decimal sums; integer absolute errors;
+# one grid-fixed final division.
+
+def _seasonal_backtest_sql(dialect: str) -> str:
+    epoch = "unix_timestamp(ts)" if dialect == "spark" else "epoch(ts)"
+    return f"""
+    WITH hourly AS (
+      SELECT CAST(floor({epoch} / 3600) AS BIGINT) AS h,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      FROM events GROUP BY 1
+    ),
+    scored AS (
+      SELECT a.h, a.cents AS actual, f.cents AS forecast,
+             abs(a.cents - f.cents) AS abs_err,
+             a.cents - f.cents AS err
+      FROM hourly a JOIN hourly f ON f.h = a.h - 24
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(floor(CAST(SUM(abs_err) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
+               AS mae_cents,
+           CAST(floor(CAST(SUM(err) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
+               AS bias_cents
+    FROM scored
+    """
+
+
+_sql_query(
+    "rel_seasonal_naive_backtest",
+    _seasonal_backtest_sql("spark"),
+    _seasonal_backtest_sql("duckdb"),
+    tags=("relational", "timeseries", "forecast"),
+)
+
+
 # A/B experiment readout: users hashed into two arms, per-arm exposure/
 # conversion counts and the relative conversion lift of B over A on a
 # ppm grid — the experimentation-analytics aggregate. Pure integer
