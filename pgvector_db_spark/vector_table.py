@@ -144,6 +144,55 @@ class VectorTable:
     def drop_index(self) -> None:
         shutil.rmtree(self.index_path, ignore_errors=True)
 
+    # -- deletes (DELETE FROM t WHERE id IN (...)) ---------------------------
+
+    @property
+    def _tombstone_path(self) -> str:
+        return os.path.join(self.path, "tombstones")
+
+    def _tombstones(self) -> list[int]:
+        if not os.path.exists(self._tombstone_path):
+            return []
+        return [
+            r[self.id_col]
+            for r in self.spark.read.parquet(self._tombstone_path).collect()
+        ]
+
+    def delete(self, ids: list[int]) -> int:
+        """DELETE analogue: the base table is rewritten immediately
+        (copy-on-write anti join + atomic swap), so scans and exact
+        search stop returning the rows at once. The IVF index keeps its
+        dead entries until :meth:`vacuum` — searches mask them with a
+        tombstone predicate, exactly Postgres' dead-tuple semantics
+        (deleted rows stop matching at query time; the index physically
+        shrinks at VACUUM). The tombstone set is a bounded predicate
+        literal — run vacuum() before it grows past ~10k ids."""
+        keys = self.spark.createDataFrame(
+            [(int(i),) for i in ids], [self.id_col]
+        )
+        n = self._table.delete(keys, self.id_col)
+        if self.has_index():
+            keys.write.mode("append").parquet(self._tombstone_path)
+        return n
+
+    def vacuum(self) -> None:
+        """VACUUM analogue: rebuild the index from live rows only and
+        clear the tombstone set. No-op without an index."""
+        if not self.has_index():
+            shutil.rmtree(self._tombstone_path, ignore_errors=True)
+            return
+        lists = (
+            self.spark.read.parquet(
+                os.path.join(self.index_path, "centroids")
+            ).count()
+        )
+        metric = IVFIndex(
+            self.spark, self.index_path, self.vec_col, self.id_col
+        ).metric
+        self.drop_index()
+        self.create_index(lists=lists, metric=metric)
+        shutil.rmtree(self._tombstone_path, ignore_errors=True)
+
     # -- reads ---------------------------------------------------------------
 
     def search(
@@ -158,4 +207,14 @@ class VectorTable:
                 vec_col=self.vec_col, id_col=self.id_col, distance=self.metric,
             )
         idx = IVFIndex(self.spark, self.index_path, self.vec_col, self.id_col)
+        dead = self._tombstones()
+        if dead:
+            # mask dead index entries; the iterative scan widens probes
+            # if masking leaves fewer than k qualifying rows
+            return idx.search_filtered(
+                query_vec,
+                k,
+                filter_expr=~F.col(self.id_col).isin(dead),
+                nprobe=probes,
+            )
         return idx.search(query_vec, k, nprobe=probes)

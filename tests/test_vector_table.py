@@ -111,3 +111,39 @@ def test_chunk_embed_search_roundtrip(spark, tables, tmp_path):
     hits = vt.search(list(probe["embedding"]), k=3, probes=4).collect()
     assert hits[0]["text"] == probe["text"]
     assert abs(hits[0]["distance"]) < 1e-9
+
+
+def test_delete_masks_index_until_vacuum(spark, vt):
+    """DELETE semantics: rows vanish from scans and exact search at
+    once; the indexed path masks dead entries (pgvector dead-tuple
+    behavior) and still returns k live rows; vacuum() rebuilds the
+    index from live rows and clears tombstones."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (f"doc{i}", [float(x) for x in rng.normal(size=3)]) for i in range(40)
+    ]
+    vt.insert(_docs(spark, rows))
+    vt.create_index(lists=4)
+
+    q = rows[0][1]
+    before = [r["id"] for r in vt.search(q, k=5, probes=4).collect()]
+    victims = before[:2]  # delete the two nearest hits
+    assert vt.delete(victims) == 38
+    assert vt.count() == 38
+
+    # exact path: deleted rows gone immediately
+    exact = [r["id"] for r in vt.search(q, k=5).collect()]
+    assert not set(victims) & set(exact) and len(exact) == 5
+
+    # indexed path: tombstone mask, still k live rows
+    masked = [r["id"] for r in vt.search(q, k=5, probes=4).collect()]
+    assert not set(victims) & set(masked) and len(masked) == 5
+    assert masked == exact  # full-probe masked search == exact survivors
+
+    # vacuum folds the tombstones into a rebuilt index
+    vt.vacuum()
+    assert vt._tombstones() == []
+    after = [r["id"] for r in vt.search(q, k=5, probes=4).collect()]
+    assert after == exact
