@@ -175,6 +175,25 @@ class VectorTable:
             keys.write.mode("append").parquet(self._tombstone_path)
         return n
 
+    def upsert(self, df: DataFrame) -> int:
+        """UPDATE/ON CONFLICT analogue: incoming rows replace same-id
+        rows, new ids append (rows must carry ids, like copy_from). An
+        existing index is REBUILT from the merged table: a replaced
+        row's old index entry and its new one share the id, so the
+        tombstone mask cannot distinguish them — rebuild is the correct
+        (and at this layer, honest) cost; Postgres pays the equivalent
+        via per-row index maintenance under MVCC. Returns the post-merge
+        row count."""
+        if self.id_col not in df.columns:
+            raise ValueError(
+                f"upsert requires the {self.id_col!r} column"
+            )
+        self._table.validate(df)
+        n = self._table.upsert(df, key=self.id_col)
+        if self.has_index():
+            self.vacuum()
+        return n
+
     def vacuum(self) -> None:
         """VACUUM analogue: rebuild the index from live rows only and
         clear the tombstone set. No-op without an index."""

@@ -147,3 +147,29 @@ def test_delete_masks_index_until_vacuum(spark, vt):
     assert vt._tombstones() == []
     after = [r["id"] for r in vt.search(q, k=5, probes=4).collect()]
     assert after == exact
+
+
+def test_upsert_replaces_vectors_and_reindexes(spark, vt):
+    """UPDATE analogue: a replaced embedding must win subsequent
+    searches through BOTH the exact and the rebuilt indexed path."""
+    vt.insert(_docs(spark, [("a", [1.0, 0.0, 0.0]),
+                            ("b", [0.0, 1.0, 0.0]),
+                            ("c", [0.0, 0.0, 1.0])]))
+    vt.create_index(lists=2)
+    # SERIAL ids are content-hash ordered — look "c"'s id up
+    ids = {r["text"]: r["id"] for r in vt.to_df().collect()}
+    # move doc "c" right on top of the query direction
+    upd = spark.createDataFrame(
+        [(ids["c"], "c2", [1.0, 0.0, 0.0])],
+        "id long, text string, embedding array<float>",
+    )
+    assert vt.upsert(upd) == 3
+    q = [1.0, 0.0, 0.0]
+    exact = vt.search(q, k=1).first()
+    indexed = vt.search(q, k=1, probes=2).first()
+    # the winner is one of the two vectors now sitting exactly on q
+    assert exact["id"] in (ids["a"], ids["c"])
+    assert indexed["id"] == exact["id"]
+    row = {r["id"]: r["text"] for r in vt.to_df().collect()}
+    assert row[ids["c"]] == "c2" and vt.count() == 3
+    assert vt._tombstones() == []  # rebuild cleared any mask
