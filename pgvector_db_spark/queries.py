@@ -7336,6 +7336,59 @@ def rel_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# User erasure (GDPR/right-to-be-forgotten): delete every row of a user
+# set from a LANDED table through the copy-on-write delete path, then
+# aggregate the survivors on disk — the oracle checks what the files
+# actually contain after the erasure, not just the filter expression.
+@register(
+    "rel_user_erasure",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE user_id % 37 <> 0
+    GROUP BY event_type
+    """,
+    tags=("relational", "delete", "compliance"),
+)
+def rel_user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erase users (user_id % 37 = 0) from a landed copy of events via
+    ParquetTable.delete (anti join + atomic staged swap), then aggregate
+    the surviving FILES. At scale the table is partitioned by user-id
+    range so the rewrite touches only affected partitions."""
+    import shutil
+    import tempfile
+
+    from pgvector_db_spark.sources.table import ParquetTable
+
+    t = load_tables(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="erasure_")
+    try:
+        table = ParquetTable(spark, f"{tmp}/events")
+        t["events"].write.parquet(table.path)
+        victims = (
+            t["events"]
+            .select("user_id")
+            .filter(F.col("user_id") % 37 == 0)
+            .distinct()
+        )
+        table.delete(victims, key="user_id")
+        out = table.read().groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        # materialize before the scratch dir disappears
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # Seasonal-naive forecast backtest: predict each hourly bucket's total
 # with the value 24 h earlier and score MAE + signed bias — the baseline
 # every forecasting pipeline is judged against, evaluated engine-side in

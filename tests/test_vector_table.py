@@ -173,3 +173,24 @@ def test_upsert_replaces_vectors_and_reindexes(spark, vt):
     row = {r["id"]: r["text"] for r in vt.to_df().collect()}
     assert row[ids["c"]] == "c2" and vt.count() == 3
     assert vt._tombstones() == []  # rebuild cleared any mask
+
+
+def test_failed_staging_write_leaves_table_intact(spark, tmp_path):
+    """Copy-on-write safety: if the replacement's staging write fails
+    (here: the keys frame throws during evaluation), the swap never
+    happens and the original table is untouched — the rollback contract
+    of the staged-swap machinery."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    from pgvector_db_spark.sources.table import ParquetTable
+
+    table = ParquetTable(spark, str(tmp_path / "t"))
+    spark.range(10).withColumnRenamed("id", "k").write.parquet(table.path)
+
+    boom = F.udf(lambda x: 1 // 0, LongType())
+    bad_keys = spark.range(1).select(boom("id").alias("k"))
+    with pytest.raises(Exception):
+        table.delete(bad_keys, key="k")
+    assert table.read().count() == 10  # original files untouched
