@@ -7336,6 +7336,95 @@ def rel_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# Streaming enrich against a MUTATING snapshot dimension (the streaming
+# SCD pattern): each micro-batch joins the snapshot table's LATEST
+# version, and the dimension is upserted mid-stream — batches 0-1 see
+# v1, batches 2-3 see v2. The oracle replays the same quartile split
+# relationally, so the gate verifies per-batch version visibility, not
+# just the join. Reuses the time-ordered replay staging of
+# stream_event_transitions (same slice arithmetic on both sides).
+@register(
+    "stream_snapshot_enrich",
+    """
+    WITH r AS (
+      SELECT user_id, value,
+             row_number() OVER (ORDER BY ts ASC, event_id ASC) AS rn,
+             COUNT(*) OVER () AS n
+      FROM events
+    ),
+    s AS (SELECT user_id, value,
+                 CAST(floor((rn - 1) * 4.0 / n) AS INT) AS slice
+          FROM r),
+    joined AS (
+      SELECT CASE WHEN s.slice >= 2 AND c.c_custkey % 5 = 0
+                  THEN 'CHANGED' ELSE c.c_mktsegment END AS segment,
+             s.value
+      FROM s JOIN customer c ON s.user_id = c.c_custkey
+    )
+    SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM joined GROUP BY segment
+    """,
+    tags=("streaming", "snapshot", "scd"),
+)
+def stream_snapshot_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four time-ordered micro-batches enriched per batch against the
+    snapshot dimension's latest version; the dimension is upserted
+    (every 5th customer re-segmented to 'CHANGED') at the start of
+    batch 2's fold, so the landed enrichment records exactly which
+    version each batch saw."""
+    import tempfile
+
+    from pgvector_db_spark.sources.snapshots import SnapshotTable
+    from pgvector_db_spark.streaming.replay import file_stream
+
+    replay_dir = _stage_events_tsorder(spark, sf_dir)
+    schema = spark.read.parquet(os.path.join(replay_dir, "00.parquet")).schema
+    src = file_stream(spark, replay_dir, schema, max_files_per_trigger=1)
+
+    t = load_tables(spark, sf_dir)
+    dim_v1 = t["customer"].select("c_custkey", "c_mktsegment")
+
+    tmp = tempfile.mkdtemp(prefix="snap_enrich_")
+    snap = SnapshotTable(spark, f"{tmp}/dim", required_cols=("c_custkey",))
+    snap.insert(dim_v1)
+    out_path = f"{tmp}/enriched"
+
+    def fold(batch: DataFrame, bid: int) -> None:
+        if bid == 2:
+            snap.upsert(
+                dim_v1.filter(F.col("c_custkey") % 5 == 0).withColumn(
+                    "c_mktsegment", F.lit("CHANGED")
+                ),
+                "c_custkey",
+            )
+        dim = snap.read()  # latest version at THIS batch
+        enriched = batch.join(
+            F.broadcast(dim), batch["user_id"] == dim["c_custkey"]
+        ).select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("value"),
+        )
+        enriched.write.mode("append").parquet(out_path)
+
+    q = (
+        src.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(out_path).groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+    # materialize before the scratch dir can be rebuilt by a later run
+    rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
+
+
 # User erasure (GDPR/right-to-be-forgotten): delete every row of a user
 # set from a LANDED table through the copy-on-write delete path, then
 # aggregate the survivors on disk — the oracle checks what the files
@@ -7537,6 +7626,66 @@ _sql_query(
 # batch i+1's first event per user correctly pairs with batch i's last —
 # the boundary transitions are exactly what a batch lag window computes,
 # which is what the oracle checks.
+def _stage_events_tsorder(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events as 4 TIME-ORDERED slice files (ascending mtimes pin
+    the file-source processing order) — the shared replay fixture for
+    every gate query that needs per-key batch arrival in event order.
+    Content-aware: restages when the fixture file (or this staging
+    schema, versioned in the marker) changes."""
+    import tempfile
+
+    from pgvector_db_spark.catalog import read_table, table_path
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    replay_dir = os.path.join(
+        tempfile.gettempdir(), f"events_tsorder4_{tag}"
+    )
+    marker = os.path.join(replay_dir, "_staged_ts4")
+    src_fp = f"{os.path.getsize(table_path(sf_dir, 'events'))}:v2"
+    staged_ok = False
+    if os.path.exists(marker):
+        with open(marker) as f:
+            staged_ok = f.read() == src_fp
+    if staged_ok:
+        return replay_dir
+    import shutil
+
+    ev = read_table(spark, sf_dir, "events").selectExpr(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        "unix_micros(CAST(ts AS TIMESTAMP)) AS tsu",
+    )
+    n = ev.count()
+    w = Window.orderBy(F.col("tsu").asc(), F.col("event_id").asc())
+    sliced = ev.withColumn(
+        "_slice", ((F.row_number().over(w) - 1) * 4 / n).cast("int")
+    )
+    tmp = replay_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(replay_dir, ignore_errors=True)
+    os.makedirs(tmp)
+    for i in range(4):
+        part_dir = os.path.join(tmp, f"_part{i}")
+        sliced.filter(F.col("_slice") == i).drop("_slice").coalesce(
+            1
+        ).write.parquet(part_dir)
+        src_file = next(
+            f for f in os.listdir(part_dir) if f.endswith(".parquet")
+        )
+        dst = os.path.join(tmp, f"{i:02d}.parquet")
+        shutil.move(os.path.join(part_dir, src_file), dst)
+        shutil.rmtree(part_dir)
+        # ascending mtimes pin the file-source processing order
+        os.utime(dst, (1_600_000_000 + i, 1_600_000_000 + i))
+    os.rename(tmp, replay_dir)
+    with open(marker, "w") as f:
+        f.write(src_fp)
+    return replay_dir
+
+
+
 @register(
     "stream_event_transitions",
     """
@@ -7557,62 +7706,10 @@ def stream_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     through applyInPandasWithState; the aggregate over ALL emitted
     transitions (including the 3 per-user boundary pairs the state
     carries) equals the batch lag-window result."""
-    import tempfile
-
-    from pgvector_db_spark.catalog import read_table
     from pgvector_db_spark.streaming.replay import file_stream
     from pgvector_db_spark.streaming.stateful import event_transitions
 
-    tag = sf_dir.strip("/").replace("/", "_")
-    replay_dir = os.path.join(
-        tempfile.gettempdir(), f"events_tsorder4_{tag}"
-    )
-    from pgvector_db_spark.catalog import table_path
-
-    marker = os.path.join(replay_dir, "_staged_ts4")
-    # content-aware cache: restage when the fixture file changes
-    src_fp = str(os.path.getsize(table_path(sf_dir, "events")))
-    staged_ok = False
-    if os.path.exists(marker):
-        with open(marker) as f:
-            staged_ok = f.read() == src_fp
-    if not staged_ok:
-        import shutil
-
-        ev = read_table(spark, sf_dir, "events").selectExpr(
-            "event_id",
-            "user_id",
-            "event_type",
-            "unix_micros(CAST(ts AS TIMESTAMP)) AS tsu",
-        )
-        n = ev.count()
-        w = Window.orderBy(F.col("tsu").asc(), F.col("event_id").asc())
-        sliced = ev.withColumn(
-            "_slice", ((F.row_number().over(w) - 1) * 4 / n).cast("int")
-        )
-        tmp = replay_dir + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(replay_dir, ignore_errors=True)
-        os.makedirs(tmp)
-        for i in range(4):
-            part_dir = os.path.join(tmp, f"_part{i}")
-            sliced.filter(F.col("_slice") == i).drop("_slice").coalesce(
-                1
-            ).write.parquet(part_dir)
-            src_file = next(
-                f
-                for f in os.listdir(part_dir)
-                if f.endswith(".parquet")
-            )
-            dst = os.path.join(tmp, f"{i:02d}.parquet")
-            shutil.move(os.path.join(part_dir, src_file), dst)
-            shutil.rmtree(part_dir)
-            # ascending mtimes pin the file-source processing order
-            os.utime(dst, (1_600_000_000 + i, 1_600_000_000 + i))
-        os.rename(tmp, replay_dir)
-        with open(marker, "w") as f:
-            f.write(src_fp)
-
+    replay_dir = _stage_events_tsorder(spark, sf_dir)
     schema = spark.read.parquet(os.path.join(replay_dir, "00.parquet")).schema
     src = file_stream(spark, replay_dir, schema, max_files_per_trigger=1)
     out = _run_stream_to_memory(event_transitions(src), mode="append")
