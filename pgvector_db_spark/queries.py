@@ -7385,6 +7385,8 @@ def stream_snapshot_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     dim_v1 = t["customer"].select("c_custkey", "c_mktsegment")
 
+    import shutil
+
     tmp = tempfile.mkdtemp(prefix="snap_enrich_")
     snap = SnapshotTable(spark, f"{tmp}/dim", required_cols=("c_custkey",))
     snap.insert(dim_v1)
@@ -7407,22 +7409,25 @@ def stream_snapshot_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         enriched.write.mode("append").parquet(out_path)
 
-    q = (
-        src.writeStream.foreachBatch(fold)
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    out = spark.read.parquet(out_path).groupBy("segment").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast("decimal(18,2)"))
-        .cast("double")
-        .alias("sum_value"),
-    )
-    # materialize before the scratch dir can be rebuilt by a later run
-    rows = out.collect()
-    return spark.createDataFrame(rows, out.schema)
+    try:
+        q = (
+            src.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.read.parquet(out_path).groupBy("segment").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        # materialize before the scratch dir disappears
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 # User erasure (GDPR/right-to-be-forgotten): delete every row of a user

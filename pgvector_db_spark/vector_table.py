@@ -31,6 +31,7 @@ layout + pruning search (operators/ivf.py), codegen distance kernels.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -59,6 +60,7 @@ class VectorTable:
         self.vec_col = vec_col
         self.id_col = id_col
         self.metric = metric
+        self._tombstone_cache: list[int] | None = None
         self._table = ParquetTable(
             spark,
             os.path.join(path, "rows"),
@@ -99,6 +101,12 @@ class VectorTable:
         if self._table.exists():
             row = self.to_df().agg(F.max(self.id_col)).first()
             start = (row[0] or 0) if row else 0
+        # SERIAL never reuses: a tombstoned (deleted, not yet vacuumed)
+        # max id would otherwise be recycled and the new live row masked
+        # out of indexed search
+        dead = self._tombstones()
+        if dead:
+            start = max(start, max(dead))
         w = Window.orderBy(F.xxhash64("text", self.vec_col))
         return df.withColumn(
             self.id_col, (F.row_number().over(w) + F.lit(start)).cast("long")
@@ -113,6 +121,7 @@ class VectorTable:
         self._table.insert(df, batch_rows=batch_rows)
         if self.has_index():
             IVFIndex(self.spark, self.index_path, self.vec_col, self.id_col).append(df)
+            self._unmask_written_ids(df)
 
     def copy_from(self, data: DataFrame | str) -> int:
         """pg_copy analogue: staged bulk load + atomic promote. Rows must
@@ -126,6 +135,7 @@ class VectorTable:
         n = self._table.copy_from(df)
         if self.has_index():
             IVFIndex(self.spark, self.index_path, self.vec_col, self.id_col).append(df)
+            self._unmask_written_ids(df)
         return n
 
     # -- index ---------------------------------------------------------------
@@ -148,15 +158,58 @@ class VectorTable:
 
     @property
     def _tombstone_path(self) -> str:
-        return os.path.join(self.path, "tombstones")
+        return os.path.join(self.path, "tombstones.json")
 
     def _tombstones(self) -> list[int]:
-        if not os.path.exists(self._tombstone_path):
-            return []
-        return [
+        # cached driver-side: the set only changes through delete()/
+        # vacuum()/write paths on THIS facade (single-writer, like the
+        # rest of the object), and a serving loop must not pay a read
+        # per search
+        if self._tombstone_cache is None:
+            if os.path.exists(self._tombstone_path):
+                with open(self._tombstone_path) as f:
+                    self._tombstone_cache = json.load(f)
+            else:
+                self._tombstone_cache = []
+        return list(self._tombstone_cache)
+
+    def _write_tombstones(self, ids: list[int]) -> None:
+        ids = sorted(set(int(i) for i in ids))
+        tmp = self._tombstone_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(ids, f)
+        os.replace(tmp, self._tombstone_path)
+        self._tombstone_cache = ids
+
+    def _unmask_written_ids(self, df: DataFrame) -> None:
+        """A write that carries a tombstoned id revives it — drop those
+        ids from the mask so the new live rows stay visible to indexed
+        search. Cheap: intersects the (bounded) tombstone list with the
+        batch's ids via one filtered collect."""
+        dead = set(self._tombstones())
+        if not dead:
+            return
+        revived = [
             r[self.id_col]
-            for r in self.spark.read.parquet(self._tombstone_path).collect()
+            for r in df.select(self.id_col)
+            .filter(F.col(self.id_col).isin(list(dead)))
+            .distinct()
+            .collect()
         ]
+        if revived:
+            self._clear_tombstones(revived)
+
+    def _clear_tombstones(self, ids: list[int] | None = None) -> None:
+        """Drop all tombstones, or just the given ids (a write that
+        reuses a tombstoned id must un-mask it, or the new live row
+        would be invisible to indexed search)."""
+        if ids is None:
+            if os.path.exists(self._tombstone_path):
+                os.remove(self._tombstone_path)
+            self._tombstone_cache = []
+            return
+        left = sorted(set(self._tombstones()) - set(int(i) for i in ids))
+        self._write_tombstones(left)
 
     def delete(self, ids: list[int]) -> int:
         """DELETE analogue: the base table is rewritten immediately
@@ -167,12 +220,15 @@ class VectorTable:
         (deleted rows stop matching at query time; the index physically
         shrinks at VACUUM). The tombstone set is a bounded predicate
         literal — run vacuum() before it grows past ~10k ids."""
+        ids = [int(i) for i in ids]
+        if not ids:
+            return self.count()
         keys = self.spark.createDataFrame(
-            [(int(i),) for i in ids], [self.id_col]
+            [(i,) for i in ids], [self.id_col]
         )
         n = self._table.delete(keys, self.id_col)
         if self.has_index():
-            keys.write.mode("append").parquet(self._tombstone_path)
+            self._write_tombstones(self._tombstones() + ids)
         return n
 
     def upsert(self, df: DataFrame) -> int:
@@ -188,7 +244,7 @@ class VectorTable:
             raise ValueError(
                 f"upsert requires the {self.id_col!r} column"
             )
-        self._table.validate(df)
+        # no explicit validate: ParquetTable.upsert validates the frame
         n = self._table.upsert(df, key=self.id_col)
         if self.has_index():
             self.vacuum()
@@ -196,21 +252,30 @@ class VectorTable:
 
     def vacuum(self) -> None:
         """VACUUM analogue: rebuild the index from live rows only and
-        clear the tombstone set. No-op without an index."""
+        clear the tombstone set. Shrinks ``lists`` to the live row
+        count when deletes left fewer rows than centroids; an emptied
+        table just drops its index (nothing to cluster). No-op without
+        an index."""
         if not self.has_index():
-            shutil.rmtree(self._tombstone_path, ignore_errors=True)
+            self._clear_tombstones()
             return
-        lists = (
+        live = self.count()
+        if live == 0:
+            self.drop_index()
+            self._clear_tombstones()
+            return
+        lists = min(
+            live,
             self.spark.read.parquet(
                 os.path.join(self.index_path, "centroids")
-            ).count()
+            ).count(),
         )
         metric = IVFIndex(
             self.spark, self.index_path, self.vec_col, self.id_col
         ).metric
         self.drop_index()
         self.create_index(lists=lists, metric=metric)
-        shutil.rmtree(self._tombstone_path, ignore_errors=True)
+        self._clear_tombstones()
 
     # -- reads ---------------------------------------------------------------
 

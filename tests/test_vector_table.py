@@ -194,3 +194,42 @@ def test_failed_staging_write_leaves_table_intact(spark, tmp_path):
     with pytest.raises(Exception):
         table.delete(bad_keys, key="k")
     assert table.read().count() == 10  # original files untouched
+
+
+def test_delete_edge_cases_and_id_recycling_guard(spark, vt):
+    """Review regressions: empty delete is a no-op; SERIAL never reuses
+    a tombstoned id (the new live row must stay visible to indexed
+    search); vacuum after deleting everything drops the index cleanly."""
+    rows = [(f"d{i}", [float(i), 1.0, 0.0]) for i in range(8)]
+    vt.insert(_docs(spark, rows))
+    vt.create_index(lists=2)
+
+    assert vt.delete([]) == 8  # no-op, returns current count
+
+    # delete the max id, then insert a new row WITHOUT an id: SERIAL
+    # must skip past the tombstone, and the new row must be findable
+    # through the indexed path
+    max_id = max(r["id"] for r in vt.to_df().collect())
+    vt.delete([max_id])
+    vt.insert(_docs(spark, [("fresh", [0.0, 0.0, -9.0])]))
+    new_id = {r["text"]: r["id"] for r in vt.to_df().collect()}["fresh"]
+    assert new_id > max_id  # not recycled
+    hit = vt.search([0.0, 0.0, -9.0], k=1, probes=2).first()
+    assert hit["id"] == new_id  # visible despite the tombstone set
+
+    # explicit-id write over a tombstoned id revives it
+    vt.delete([new_id])
+    vt.copy_from(
+        spark.createDataFrame(
+            [(new_id, "revived", [0.0, 0.0, -9.0])],
+            "id long, text string, embedding array<float>",
+        )
+    )
+    hit = vt.search([0.0, 0.0, -9.0], k=1, probes=2).first()
+    assert hit["id"] == new_id and new_id not in vt._tombstones()
+
+    # drain the table: vacuum must drop the index, not crash KMeans
+    vt.delete([r["id"] for r in vt.to_df().collect()])
+    assert vt.count() == 0
+    vt.vacuum()
+    assert not vt.has_index() and vt._tombstones() == []
