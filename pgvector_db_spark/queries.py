@@ -72,6 +72,35 @@ def _query_vec(emb: DataFrame, sf_dir: str) -> list[float]:
     return q
 
 
+
+_FIXTURE_TAG_CACHE: dict[str, str] = {}
+
+
+def _fixture_tag(sf_dir: str) -> str:
+    """Path-AND-content cache key for every /tmp-cached fixture (index
+    caches, replay stagings): includes a digest of all fixture tables'
+    file sizes, so regenerated testdata can never be served from a
+    stale cache dir — the whole stale-cache failure class the per-site
+    markers guarded piecemeal."""
+    tag = _FIXTURE_TAG_CACHE.get(sf_dir)
+    if tag is not None:
+        return tag
+    import hashlib
+
+    from pgvector_db_spark.catalog import TABLES, table_path
+
+    base = sf_dir.strip("/").replace("/", "_")
+    try:
+        sizes = ":".join(
+            str(os.path.getsize(table_path(sf_dir, t))) for t in sorted(TABLES)
+        )
+        tag = f"{base}_{hashlib.md5(sizes.encode()).hexdigest()[:8]}"
+    except OSError:
+        tag = base
+    _FIXTURE_TAG_CACHE[sf_dir] = tag
+    return tag
+
+
 def register(name: str, oracle: str | None, tags: tuple[str, ...] = ()):
     def deco(fn: SparkQuery) -> SparkQuery:
         REGISTRY[name] = QuerySpec(name, fn, oracle, tags)
@@ -1113,7 +1142,7 @@ def rel_cobucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     # catalog identifiers can't contain '.', so sanitize the sf tag
-    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    tag = _fixture_tag(sf_dir).replace(".", "_")
     base = os.path.join(tempfile.gettempdir(), f"bucketed_{tag}")
     o = ensure_bucketed(
         spark, t["orders"], f"orders_b_{tag}", os.path.join(base, "orders"),
@@ -1283,7 +1312,7 @@ def rel_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pgvector_db_spark.sources.jdbc import JDBCConfig, read_jdbc, write_jdbc
 
     t = load_tables(spark, sf_dir)
-    tag = sf_dir.strip("/").replace("/", "_")
+    tag = _fixture_tag(sf_dir)
     cfg = JDBCConfig(
         host="", database="", user="app", password="app",
         schema_name="APP", sslmode=None,
@@ -1624,7 +1653,7 @@ def _vs_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pgvector_db_spark.operators.ivf import IVFIndex
 
     t = load_tables(spark, sf_dir)
-    tag = sf_dir.strip("/").replace("/", "_")
+    tag = _fixture_tag(sf_dir)
     path = os.path.join(tempfile.gettempdir(), f"ivf_cache_{tag}")
     if not os.path.exists(os.path.join(path, "centroids")):
         IVFIndex.build(t["embeddings"], path, lists=8)
@@ -1668,7 +1697,7 @@ def vs_ivf_knn_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pgvector_db_spark.operators.ivf import IVFIndex
 
     t = load_tables(spark, sf_dir)
-    tag = sf_dir.strip("/").replace("/", "_")
+    tag = _fixture_tag(sf_dir)
     path = os.path.join(tempfile.gettempdir(), f"ivf_cache_{tag}")
     if not os.path.exists(os.path.join(path, "centroids")):
         IVFIndex.build(t["embeddings"], path, lists=8)
@@ -1823,7 +1852,7 @@ def _vs_ivf_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pgvector_db_spark.operators.ivf import IVFIndex
 
     t = load_tables(spark, sf_dir)
-    tag = sf_dir.strip("/").replace("/", "_")
+    tag = _fixture_tag(sf_dir)
     path = os.path.join(tempfile.gettempdir(), f"ivf_cache_{tag}")
     if not os.path.exists(os.path.join(path, "centroids")):
         IVFIndex.build(t["embeddings"], path, lists=8)
@@ -1867,7 +1896,7 @@ def vs_ivf_knn_filtered_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame
     from pgvector_db_spark.operators.ivf import IVFIndex
 
     t = load_tables(spark, sf_dir)
-    tag = sf_dir.strip("/").replace("/", "_")
+    tag = _fixture_tag(sf_dir)
     path = os.path.join(tempfile.gettempdir(), f"ivf_cache_{tag}")
     if not os.path.exists(os.path.join(path, "centroids")):
         IVFIndex.build(t["embeddings"], path, lists=8)
@@ -1899,7 +1928,7 @@ def vs_ivf_knn_l2_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pgvector_db_spark.operators.ivf import IVFIndex
 
     t = load_tables(spark, sf_dir)
-    tag = sf_dir.strip("/").replace("/", "_")
+    tag = _fixture_tag(sf_dir)
     path = os.path.join(tempfile.gettempdir(), f"ivf_l2_cache_{tag}")
     if not os.path.exists(os.path.join(path, "centroids")):
         IVFIndex.build(t["embeddings"], path, lists=8, metric="l2")
@@ -2100,7 +2129,7 @@ def vs_ivf_knn_batch_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pgvector_db_spark.operators.ivf import IVFIndex
 
     t = load_tables(spark, sf_dir)
-    tag = sf_dir.strip("/").replace("/", "_")
+    tag = _fixture_tag(sf_dir)
     path = os.path.join(tempfile.gettempdir(), f"ivf_cache_{tag}")
     if not os.path.exists(os.path.join(path, "centroids")):
         IVFIndex.build(t["embeddings"], path, lists=8)
@@ -2144,7 +2173,7 @@ def vs_ivf_knn_batch_dist_fullprobe(spark: SparkSession, sf_dir: str) -> DataFra
     from pgvector_db_spark.operators.ivf import IVFIndex
 
     t = load_tables(spark, sf_dir)
-    tag = sf_dir.strip("/").replace("/", "_")
+    tag = _fixture_tag(sf_dir)
     path = os.path.join(tempfile.gettempdir(), f"ivf_cache_{tag}")
     if not os.path.exists(os.path.join(path, "centroids")):
         IVFIndex.build(t["embeddings"], path, lists=8)
@@ -2232,7 +2261,7 @@ def vs_lsh_layout_knn_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     t = load_tables(spark, sf_dir)
-    tag = sf_dir.strip("/").replace("/", "_")
+    tag = _fixture_tag(sf_dir)
     path = os.path.join(tempfile.gettempdir(), f"lsh_cache_{tag}")
     if not os.path.exists(path):
         build_lsh_layout(t["embeddings"], path, num_bits=6)
@@ -2278,7 +2307,7 @@ def vs_lsh_knn_batch_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     t = load_tables(spark, sf_dir)
-    tag = sf_dir.strip("/").replace("/", "_")
+    tag = _fixture_tag(sf_dir)
     path = os.path.join(tempfile.gettempdir(), f"lsh_cache_{tag}")
     if not os.path.exists(path):
         build_lsh_layout(t["embeddings"], path, num_bits=6)
@@ -2331,7 +2360,7 @@ def stream_ann_search_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     t = load_tables(spark, sf_dir)
-    tag = sf_dir.strip("/").replace("/", "_")
+    tag = _fixture_tag(sf_dir)
     ivf_path = os.path.join(tempfile.gettempdir(), f"ivf_cache_{tag}")
     if not os.path.exists(os.path.join(ivf_path, "centroids")):
         IVFIndex.build(t["embeddings"], ivf_path, lists=8)
@@ -2393,7 +2422,7 @@ def vs_lsh_knn_batch_dist_fullprobe(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
     t = load_tables(spark, sf_dir)
-    tag = sf_dir.strip("/").replace("/", "_")
+    tag = _fixture_tag(sf_dir)
     path = os.path.join(tempfile.gettempdir(), f"lsh_cache_{tag}")
     if not os.path.exists(path):
         build_lsh_layout(t["embeddings"], path, num_bits=6)
@@ -3960,7 +3989,7 @@ def ds_embedding_near_dup_ivf_fullassign(
     from pgvector_db_spark.operators.ivf import IVFIndex
 
     t = load_tables(spark, sf_dir)
-    tag = sf_dir.strip("/").replace("/", "_")
+    tag = _fixture_tag(sf_dir)
     path = os.path.join(tempfile.gettempdir(), f"ivf_cache_{tag}")
     if not os.path.exists(os.path.join(path, "centroids")):
         IVFIndex.build(t["embeddings"], path, lists=8)
@@ -5696,7 +5725,7 @@ def _ivfpq_path(spark: SparkSession, sf_dir: str) -> str:
     from pgvector_db_spark.operators.pq import build_ivfpq_layout
 
     t = load_tables(spark, sf_dir)
-    tag = sf_dir.strip("/").replace("/", "_")
+    tag = _fixture_tag(sf_dir)
     path = os.path.join(tempfile.gettempdir(), f"ivfpq_cache_{tag}")
     if not os.path.exists(os.path.join(path, "model.json")):
         build_ivfpq_layout(t["embeddings"], path, lists=8, m=16, k=32)
@@ -6164,7 +6193,7 @@ def ds_bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pgvector_db_spark.operators.text_search import BM25Index
 
     t = load_tables(spark, sf_dir)
-    tag = sf_dir.strip("/").replace("/", "_")
+    tag = _fixture_tag(sf_dir)
     path = os.path.join(tempfile.gettempdir(), f"bm25_idx_{tag}")
     if not os.path.exists(os.path.join(path, "MANIFEST.json")):
         BM25Index.build(t["documents"], path, num_buckets=16)
@@ -6191,7 +6220,7 @@ def ds_bm25_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
-    tag = sf_dir.strip("/").replace("/", "_")
+    tag = _fixture_tag(sf_dir)
     path = os.path.join(tempfile.gettempdir(), f"bm25_app_{tag}")
     # rebuild each run: the append below mutates the layout, so a reused
     # dir would double-append across runs
@@ -6243,7 +6272,7 @@ def stream_bm25_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
-    tag = sf_dir.strip("/").replace("/", "_")
+    tag = _fixture_tag(sf_dir)
     path = os.path.join(tempfile.gettempdir(), f"bm25_stream_{tag}")
     shutil.rmtree(path, ignore_errors=True)
     # base index on part of the corpus; the rest arrives as a stream
@@ -6502,7 +6531,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     path = table_path(sf_dir, "events")
-    tag = sf_dir.strip("/").replace("/", "_")
+    tag = _fixture_tag(sf_dir)
     replay_dir = os.path.join(tempfile.gettempdir(), f"events_replay_{tag}")
     stage_replay_file(path, replay_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
@@ -6656,7 +6685,7 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     path = table_path(sf_dir, "events")
-    tag = sf_dir.strip("/").replace("/", "_")
+    tag = _fixture_tag(sf_dir)
     replay_dir = os.path.join(tempfile.gettempdir(), f"events_replay2_{tag}")
     for name in ("copy_a.parquet", "copy_b.parquet"):
         stage_replay_file(path, replay_dir, name)
@@ -6857,7 +6886,7 @@ def stream_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     path = table_path(sf_dir, "events")
-    tag = sf_dir.strip("/").replace("/", "_")
+    tag = _fixture_tag(sf_dir)
     replay_dir = os.path.join(tempfile.gettempdir(), f"events_replay3_{tag}")
     if not os.path.exists(os.path.join(replay_dir, "_SUCCESS")):
         spark.read.parquet(path).repartition(3).write.mode(
@@ -7641,7 +7670,7 @@ def _stage_events_tsorder(spark: SparkSession, sf_dir: str) -> str:
 
     from pgvector_db_spark.catalog import read_table, table_path
 
-    tag = sf_dir.strip("/").replace("/", "_")
+    tag = _fixture_tag(sf_dir)
     replay_dir = os.path.join(
         tempfile.gettempdir(), f"events_tsorder4_{tag}"
     )
@@ -7954,7 +7983,7 @@ def stream_quality_gated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         stage_replay_splits,
     )
 
-    tag = sf_dir.strip("/").replace("/", "_")
+    tag = _fixture_tag(sf_dir)
     doc_path = table_path(sf_dir, "documents")
     replay_dir = os.path.join(tempfile.gettempdir(), f"docs_replay4_{tag}")
     stage_replay_splits(spark, doc_path, replay_dir, n_files=4)
@@ -8374,7 +8403,7 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     log = _cdc_changelog(t["orders"])
 
-    tag = sf_dir.strip("/").replace("/", "_")
+    tag = _fixture_tag(sf_dir)
     replay_dir = os.path.join(
         tempfile.gettempdir(), f"cdc_replay4_{tag}"
     )
@@ -8743,7 +8772,7 @@ def stream_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         stage_replay_splits,
     )
 
-    tag = sf_dir.strip("/").replace("/", "_")
+    tag = _fixture_tag(sf_dir)
     doc_path = table_path(sf_dir, "documents")
     replay_dir = os.path.join(tempfile.gettempdir(), f"docs_replay4_{tag}")
     stage_replay_splits(spark, doc_path, replay_dir, n_files=4)
