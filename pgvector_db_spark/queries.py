@@ -7365,6 +7365,52 @@ def rel_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# Linear-regression aggregates (Postgres/SQL-standard regr_slope /
+# regr_intercept / corr parity): computed from EXACT integer moment sums
+# (quantity is integral; price on the cents grid; cross-moments summed
+# as DECIMAL(38,0) so no overflow and no float-order dependence), then
+# one grid-fixed double division per coefficient — the native float
+# aggregates would hash-differ across engines, the moment form cannot.
+_REGR_SQL = """
+    WITH d AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+             CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+             CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+             SUM(CAST(x AS DECIMAL(19,0)) * y) AS sxy,
+             SUM(CAST(x AS DECIMAL(19,0)) * x) AS sxx,
+             SUM(CAST(y AS DECIMAL(19,0)) * y) AS syy
+      FROM d
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE) * 1e6 + 0.5)
+                AS BIGINT) AS slope_microcents_per_unit,
+           CAST(floor((CAST(sy AS DOUBLE)
+                       - CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE)
+                         * CAST(sx AS DOUBLE))
+                      / CAST(n AS DOUBLE) + 0.5) AS BIGINT)
+               AS intercept_cents,
+           CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                             * CAST(n * syy - sy * sy AS DOUBLE))
+                      * 1e6 + 0.5) AS BIGINT) AS corr_micro
+    FROM s
+    """
+
+_sql_query(
+    "rel_regr_price_qty",
+    _REGR_SQL,
+    _REGR_SQL,
+    tags=("relational", "aggregate", "regression"),
+)
+
+
 # Streaming enrich against a MUTATING snapshot dimension (the streaming
 # SCD pattern): each micro-batch joins the snapshot table's LATEST
 # version, and the dimension is upserted mid-stream — batches 0-1 see
