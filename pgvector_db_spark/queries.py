@@ -8791,6 +8791,83 @@ def ds_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming count-min sketch: the sketch is ADDITIVE, so folding each
+# micro-batch's partial (j, bucket, count) cells into a <=256-row state
+# table reproduces the batch sketch bitwise — the streaming form of
+# heavy-hitter tracking whose state is constant in stream length. The
+# oracle is the SAME SQL as the batch query (ds_cms_heavy_hitters).
+@register(
+    "stream_cms_heavy_hitters",
+    _cms_oracle(),
+    tags=("streaming", "sketch", "heavy-hitters"),
+)
+def stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents replayed as 4 micro-batches; each batch's partial CMS
+    cells merge additively into the state table. The final top-10
+    estimate (plus the exact-count audit column computed over the full
+    fixture) equals the one-shot batch sketch exactly."""
+    import tempfile
+
+    from pgvector_db_spark.catalog import table_path
+    from pgvector_db_spark.functions.text import tokens
+    from pgvector_db_spark.operators.sketches import cms_build, cms_estimate
+    from pgvector_db_spark.sources.table import ParquetTable
+    from pgvector_db_spark.streaming.replay import (
+        file_stream,
+        stage_replay_splits,
+    )
+
+    tag = _fixture_tag(sf_dir)
+    doc_path = table_path(sf_dir, "documents")
+    replay_dir = os.path.join(tempfile.gettempdir(), f"docs_replay4_{tag}")
+    stage_replay_splits(spark, doc_path, replay_dir, n_files=4)
+    schema = spark.read.parquet(doc_path).schema
+    src = file_stream(spark, replay_dir, schema, max_files_per_trigger=1)
+
+    tmp = tempfile.mkdtemp(prefix="cms_stream_")
+    table = ParquetTable(spark, f"{tmp}/sketch")
+
+    def fold(batch: DataFrame, _bid: int) -> None:
+        tok = batch.select(F.explode(tokens("text")).alias("t")).filter(
+            F.length("t") > 0
+        )
+        part = cms_build(tok, depth=4, width=64)
+        if not table.exists():
+            part.write.mode("errorifexists").parquet(table.path)
+            return
+        merged = (
+            table.read()
+            .unionByName(part)
+            .groupBy("j", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        table._swap_in(merged)
+
+    q = (
+        src.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    t = load_tables(spark, sf_dir)
+    tok = t["documents"].select(F.explode(tokens("text")).alias("t")).filter(
+        F.length("t") > 0
+    )
+    est = cms_estimate(tok.distinct(), table.read(), depth=4, width=64)
+    truth = tok.groupBy("t").agg(F.count(F.lit(1)).alias("true_cnt"))
+    out = (
+        est.join(truth, "t")
+        .orderBy(F.col("est").desc(), F.col("t").asc())
+        .limit(10)
+        .select(F.col("t").alias("token"), "est", "true_cnt")
+    )
+    # materialize before the scratch dir can be rebuilt by a later run
+    rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
+
+
 # Streaming weighted reservoir: the A-ES sample is a mergeable top-k
 # (largest ln(u)/w keys), so folding per-micro-batch top-20s into a
 # 20-row state table yields EXACTLY the batch sample — the oracle is the
