@@ -7410,6 +7410,39 @@ _sql_query(
     tags=("relational", "aggregate", "regression"),
 )
 
+# grouped form: one regression line per l_returnflag (the GROUP BY shape
+# Postgres' regr_* aggregates are typically used in) — same exact-moment
+# discipline, one hash exchange on the group key
+_REGR_GROUPED_SQL = """
+    WITH d AS (
+      SELECT l_returnflag AS grp,
+             CAST(l_quantity AS BIGINT) AS x,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    s AS (
+      SELECT grp,
+             CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+             CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+             CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+             SUM(CAST(x AS DECIMAL(19,0)) * y) AS sxy,
+             SUM(CAST(x AS DECIMAL(19,0)) * x) AS sxx
+      FROM d GROUP BY grp
+    )
+    SELECT grp AS l_returnflag, CAST(n AS BIGINT) AS n_rows,
+           CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE) * 1e6 + 0.5)
+                AS BIGINT) AS slope_microcents_per_unit
+    FROM s
+    """
+
+_sql_query(
+    "rel_regr_by_returnflag",
+    _REGR_GROUPED_SQL,
+    _REGR_GROUPED_SQL,
+    tags=("relational", "aggregate", "regression"),
+)
+
 
 # Streaming enrich against a MUTATING snapshot dimension (the streaming
 # SCD pattern): each micro-batch joins the snapshot table's LATEST
