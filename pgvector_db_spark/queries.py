@@ -8824,6 +8824,108 @@ def ds_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming regression: the moment sums (n, Σx, Σy, Σxy, Σx², Σy²) are
+# ADDITIVE, so folding per-micro-batch partial moments into a 1-row
+# state table yields coefficients identical to the batch fit — the
+# "incremental model fitting" shape: any moment-expressible statistic
+# streams for free with constant state. Oracle = the batch query's SQL.
+@register(
+    "stream_regr_fold",
+    _REGR_SQL,
+    tags=("streaming", "aggregate", "regression"),
+)
+def stream_regr_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineitem replayed as 4 micro-batches; each batch's exact DECIMAL
+    moment sums add into the state row; the final slope/intercept/corr
+    equal the one-shot batch regression bitwise."""
+    import tempfile
+
+    from pgvector_db_spark.catalog import table_path
+    from pgvector_db_spark.sources.table import ParquetTable
+    from pgvector_db_spark.streaming.replay import (
+        file_stream,
+        stage_replay_splits,
+    )
+
+    tag = _fixture_tag(sf_dir)
+    li_path = table_path(sf_dir, "lineitem")
+    replay_dir = os.path.join(tempfile.gettempdir(), f"li_replay4_{tag}")
+    stage_replay_splits(spark, li_path, replay_dir, n_files=4)
+    schema = spark.read.parquet(li_path).schema
+    src = file_stream(spark, replay_dir, schema, max_files_per_trigger=1)
+
+    tmp = tempfile.mkdtemp(prefix="regr_stream_")
+    table = ParquetTable(spark, f"{tmp}/moments")
+
+    def fold(batch: DataFrame, _bid: int) -> None:
+        d = batch.select(
+            F.col("l_quantity").cast("bigint").alias("x"),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("y"),
+        )
+        part = d.agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+            F.sum("x").cast("decimal(38,0)").alias("sx"),
+            F.sum("y").cast("decimal(38,0)").alias("sy"),
+            F.sum(F.col("x").cast("decimal(19,0)") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x").cast("decimal(19,0)") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y").cast("decimal(19,0)") * F.col("y")).alias("syy"),
+        )
+        if not table.exists():
+            part.write.mode("errorifexists").parquet(table.path)
+            return
+        merged = (
+            table.read()
+            .unionByName(part)
+            .agg(
+                *[
+                    F.sum(c).cast("decimal(38,0)").alias(c)
+                    for c in ("n", "sx", "sy", "sxy", "sxx", "syy")
+                ]
+            )
+        )
+        table._swap_in(merged)
+
+    q = (
+        src.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    s = table.read()
+    n, sx, sy, sxy, sxx, syy = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx", "syy"))
+    slope = (n * sxy - sx * sy).cast("double") / (n * sxx - sx * sx).cast("double")
+    out = s.select(
+        n.cast("bigint").alias("n_rows"),
+        F.floor(slope * F.lit(1e6) + F.lit(0.5))
+        .cast("bigint")
+        .alias("slope_microcents_per_unit"),
+        F.floor(
+            (sy.cast("double") - slope * sx.cast("double")) / n.cast("double")
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("intercept_cents"),
+        F.floor(
+            (n * sxy - sx * sy).cast("double")
+            / F.sqrt(
+                (n * sxx - sx * sx).cast("double")
+                * (n * syy - sy * sy).cast("double")
+            )
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("corr_micro"),
+    )
+    # materialize before the scratch dir can be rebuilt by a later run
+    rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
+
+
 # Streaming count-min sketch: the sketch is ADDITIVE, so folding each
 # micro-batch's partial (j, bucket, count) cells into a <=256-row state
 # table reproduces the batch sketch bitwise — the streaming form of
