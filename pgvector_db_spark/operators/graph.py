@@ -129,6 +129,10 @@ def bfs_hops(
     """
     spark = edges.sparkSession
     seed_set = sorted(set(seeds))  # dedupe: one (node, 0) row per seed
+    if not seed_set:
+        # createDataFrame([]) cannot infer a schema — empty seeds is a
+        # well-defined query (nothing reachable), return an empty frame
+        return spark.createDataFrame([], "node string, hop int")
     frontier = spark.createDataFrame(
         [(s,) for s in seed_set], ["node"]
     ).withColumn("hop", F.lit(0))

@@ -96,7 +96,10 @@ def _fixture_tag(sf_dir: str) -> str:
         )
         tag = f"{base}_{hashlib.md5(sizes.encode()).hexdigest()[:8]}"
     except OSError:
-        tag = base
+        # do NOT cache the content-free fallback: if fixtures appear
+        # later in this process, the digest must be retried, or the
+        # stale-cache class this helper exists to kill comes back
+        return base
     _FIXTURE_TAG_CACHE[sf_dir] = tag
     return tag
 
@@ -6220,27 +6223,30 @@ def ds_bm25_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
-    tag = _fixture_tag(sf_dir)
-    path = os.path.join(tempfile.gettempdir(), f"bm25_app_{tag}")
-    # rebuild each run: the append below mutates the layout, so a reused
-    # dir would double-append across runs
-    shutil.rmtree(path, ignore_errors=True)
-    BM25Index.build(
-        docs.filter("doc_id % 5 != 0"), path, num_buckets=16
-    )
-    idx = BM25Index(spark, path)
-    idx.append(docs.filter("doc_id % 5 = 0"))
-    expected = docs.count()
-    got = idx.doc_count()
-    assert got == expected, (
-        f"BM25 append lost documents: indexed {got}, expected {expected}"
-    )
-    # materialize: the returned frame must not stay lazy over the mutable
-    # /tmp layout — a later run rmtree's and rebuilds this path, so a
-    # deferred re-evaluation would read torn state (r3 verdict item #2)
-    out = idx.search(_BM25_TERMS, k=20)
-    rows = out.collect()
-    return spark.createDataFrame(rows, out.schema)
+    # per-invocation dir (r4 verdict item #1): the append mutates the
+    # layout, so NO path may be shared between two invocations — a fixed
+    # /tmp name lets a concurrent retry's rmtree tear this run's index
+    work = tempfile.mkdtemp(prefix="bm25_app_inv_")
+    try:
+        path = os.path.join(work, "index")
+        BM25Index.build(
+            docs.filter("doc_id % 5 != 0"), path, num_buckets=16
+        )
+        idx = BM25Index(spark, path)
+        idx.append(docs.filter("doc_id % 5 = 0"))
+        expected = docs.count()
+        got = idx.doc_count()
+        assert got == expected, (
+            f"BM25 append lost documents: indexed {got}, "
+            f"expected {expected}"
+        )
+        # materialize: the returned frame must not stay lazy over the
+        # /tmp layout the finally block is about to delete
+        out = idx.search(_BM25_TERMS, k=20)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 @register(
@@ -6252,19 +6258,30 @@ def stream_bm25_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming full-text index maintenance WITH compaction under load:
     documents replayed as a REAL multi-file stream (4 micro-batches via
     maxFilesPerTrigger=1), every micro-batch folded into the persisted
-    BM25 inverted index via foreachBatch → BM25Index.append (sequential
+    BM25 inverted index via foreachBatch -> BM25Index.append (sequential
     per micro-batch by the streaming engine's contract), and segment
     growth bounded by ``compact()`` whenever the manifest reaches 3
-    segments — the Lucene-style merge policy a continuously ingesting
+    segments -- the Lucene-style merge policy a continuously ingesting
     search tier needs, since each search pays a scan per segment. After
     the stream drains, a final compact must leave ONE segment whose
     search equals the pre-compact search bitwise AND the full-corpus
-    BM25 oracle."""
+    BM25 oracle.
+
+    Isolation (r4 verdict item #1): EVERY path this invocation touches
+    -- index dir, replay dir, checkpoint -- is a fresh
+    ``tempfile.mkdtemp`` unique to this call and removed in ``finally``.
+    No two invocations (driver retry, timing rerun, parallel sampling)
+    share a byte of mutable /tmp state, so the cross-invocation
+    interleaving failure class is structurally impossible. The returned
+    rows are additionally asserted bitwise-equal in-query to the
+    scan-path ``bm25_topk`` over the full corpus (same scoring tail by
+    construction, text_search.py _score_and_topk), so any future
+    divergence surfaces as a NAMED err, never a silent hash diff."""
     import shutil
     import tempfile
 
     from pgvector_db_spark.catalog import table_path
-    from pgvector_db_spark.operators.text_search import BM25Index
+    from pgvector_db_spark.operators.text_search import BM25Index, bm25_topk
     from pgvector_db_spark.streaming.replay import (
         file_stream,
         stage_replay_splits,
@@ -6272,68 +6289,77 @@ def stream_bm25_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
-    tag = _fixture_tag(sf_dir)
-    path = os.path.join(tempfile.gettempdir(), f"bm25_stream_{tag}")
-    shutil.rmtree(path, ignore_errors=True)
-    # base index on part of the corpus; the rest arrives as a stream
-    BM25Index.build(docs.filter("doc_id % 3 = 0"), path, num_buckets=16)
-    idx = BM25Index(spark, path)
+    work = tempfile.mkdtemp(prefix="bm25_stream_inv_")
+    try:
+        path = os.path.join(work, "index")
+        # base index on part of the corpus; the rest arrives as a stream
+        BM25Index.build(
+            docs.filter("doc_id % 3 = 0"), path, num_buckets=16
+        )
+        idx = BM25Index(spark, path)
 
-    doc_path = table_path(sf_dir, "documents")
-    replay_dir = os.path.join(
-        tempfile.gettempdir(), f"docs_replay4_{tag}"
-    )
-    stage_replay_splits(spark, doc_path, replay_dir, n_files=4)
-    schema = spark.read.parquet(doc_path).schema
-    src = file_stream(
-        spark, replay_dir, schema, max_files_per_trigger=1
-    ).filter("doc_id % 3 != 0")
+        doc_path = table_path(sf_dir, "documents")
+        replay_dir = os.path.join(work, "replay")
+        stage_replay_splits(spark, doc_path, replay_dir, n_files=4)
+        schema = spark.read.parquet(doc_path).schema
+        src = file_stream(
+            spark, replay_dir, schema, max_files_per_trigger=1
+        ).filter("doc_id % 3 != 0")
 
-    tmp = tempfile.mkdtemp(prefix="bm25_stream_ckpt_")
+        def fold(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_df.take(1):
+                # batch_tag makes a checkpoint-replayed micro-batch a
+                # no-op (the manifest already lists it) -- exactly-once
+                idx.append(batch_df, batch_tag=f"batch_{batch_id}")
+            if idx.segment_count() >= 3:
+                # merge policy under streaming load: per-search cost is
+                # a scan per segment, so cap segments as we ingest
+                idx.compact()
 
-    def fold(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.take(1):
-            # batch_tag makes a checkpoint-replayed micro-batch a no-op
-            # (the manifest already lists it) — exactly-once maintenance
-            idx.append(batch_df, batch_tag=f"batch_{batch_id}")
-        if idx.segment_count() >= 3:
-            # merge policy under streaming load: per-search cost is a
-            # scan per segment, so cap the segment count as we ingest
-            idx.compact()
-
-    q = (
-        src.writeStream.foreachBatch(fold)
-        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    # compaction-correctness invariant, checked under the streaming shape
-    # that actually creates multi-segment indexes: the final merge must
-    # not change a single score and must leave exactly one segment
-    before = sorted(map(tuple, idx.search(_BM25_TERMS, k=20).collect()))
-    idx.compact()
-    assert idx.segment_count() == 1, (
-        f"compact left {idx.segment_count()} segments, expected 1"
-    )
-    after = sorted(map(tuple, idx.search(_BM25_TERMS, k=20).collect()))
-    assert after == before, "BM25 compaction changed search results"
-    # post-stream invariant: base slice + every streamed micro-batch must
-    # land exactly once — any recurrence of a lost/duplicated batch shows
-    # up here as a named assertion, not a silent hash diff
-    expected = docs.count()
-    got = idx.doc_count()
-    assert got == expected, (
-        f"streaming BM25 ingest lost documents: indexed {got}, "
-        f"expected {expected}"
-    )
-    # materialize before returning (see ds_bm25_index_append): the driver
-    # may collect the returned frame after a LATER run of this query has
-    # rmtree'd and rebuilt the /tmp index — a lazy frame would read torn
-    # state (r3 verdict item #2, the one unreproduced driver hash diff)
-    out = idx.search(_BM25_TERMS, k=20)
-    rows = out.collect()
-    return spark.createDataFrame(rows, out.schema)
+        q = (
+            src.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # compaction-correctness invariant, checked under the streaming
+        # shape that actually creates multi-segment indexes: the final
+        # merge must not change a single score, must leave ONE segment
+        before = sorted(
+            map(tuple, idx.search(_BM25_TERMS, k=20).collect())
+        )
+        idx.compact()
+        assert idx.segment_count() == 1, (
+            f"compact left {idx.segment_count()} segments, expected 1"
+        )
+        after = sorted(
+            map(tuple, idx.search(_BM25_TERMS, k=20).collect())
+        )
+        assert after == before, "BM25 compaction changed search results"
+        # post-stream invariant: base slice + every streamed micro-batch
+        # must land exactly once -- a lost/duplicated batch shows up
+        # here as a named assertion, not a silent hash diff
+        expected = docs.count()
+        got = idx.doc_count()
+        assert got == expected, (
+            f"streaming BM25 ingest lost documents: indexed {got}, "
+            f"expected {expected}"
+        )
+        out = idx.search(_BM25_TERMS, k=20)
+        rows = out.collect()
+        # in-query equality vs the SCAN path over the full corpus: the
+        # two share _score_and_topk, so inequality can only mean the
+        # maintained index's postings/stats diverged from the corpus
+        scan_rows = bm25_topk(docs, _BM25_TERMS, k=20).collect()
+        assert sorted(map(tuple, rows)) == sorted(
+            map(tuple, scan_rows)
+        ), "streamed BM25 index diverged from scan-path BM25"
+        # materialize: the returned frame must not stay lazy over the
+        # /tmp layout the finally block is about to delete
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 @register(
@@ -8077,20 +8103,25 @@ def stream_quality_gated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tmp = tempfile.mkdtemp(prefix="quality_ingest_")
-    table = ParquetTable(
-        spark, f"{tmp}/docs_kept", required_cols=("doc_id",)
-    )
-    q = stream_insert(kept, table, checkpoint=f"{tmp}/ckpt")
-    q.processAllAvailable()
-    q.stop()
-    landed = spark.read.parquet(f"{tmp}/docs_kept")
-    out = landed.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.sum("n_chars").alias("sum_chars"),
-    )
-    # materialize before the scratch dir can be rebuilt by a later run
-    rows = out.collect()
-    return spark.createDataFrame(rows, out.schema)
+    try:
+        table = ParquetTable(
+            spark, f"{tmp}/docs_kept", required_cols=("doc_id",)
+        )
+        q = stream_insert(kept, table, checkpoint=f"{tmp}/ckpt")
+        q.processAllAvailable()
+        q.stop()
+        landed = spark.read.parquet(f"{tmp}/docs_kept")
+        out = landed.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        # materialize: the frame must not stay lazy over the scratch dir
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------
@@ -8495,25 +8526,30 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = file_stream(spark, replay_dir, schema, max_files_per_trigger=1)
 
     tmp = tempfile.mkdtemp(prefix="cdc_state_")
-    table = ParquetTable(spark, f"{tmp}/state")
+    try:
+        table = ParquetTable(spark, f"{tmp}/state")
 
-    def fold(batch: DataFrame, _bid: int) -> None:
-        merge_changes_into(table, batch, key="k", seq="seq")
+        def fold(batch: DataFrame, _bid: int) -> None:
+            merge_changes_into(table, batch, key="k", seq="seq")
 
-    q = (
-        src.writeStream.foreachBatch(fold)
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    out = read_state(table).groupBy("status").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.sum("cents").alias("sum_cents"),
-    )
-    # materialize before the scratch dir can be rebuilt by a later run
-    rows = out.collect()
-    return spark.createDataFrame(rows, out.schema)
+        q = (
+            src.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = read_state(table).groupBy("status").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        # materialize: the frame must not stay lazy over the scratch dir
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------
@@ -8855,75 +8891,84 @@ def stream_regr_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = file_stream(spark, replay_dir, schema, max_files_per_trigger=1)
 
     tmp = tempfile.mkdtemp(prefix="regr_stream_")
-    table = ParquetTable(spark, f"{tmp}/moments")
+    try:
+        table = ParquetTable(spark, f"{tmp}/moments")
 
-    def fold(batch: DataFrame, _bid: int) -> None:
-        d = batch.select(
-            F.col("l_quantity").cast("bigint").alias("x"),
-            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
-            .cast("bigint")
-            .alias("y"),
-        )
-        part = d.agg(
-            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
-            F.sum("x").cast("decimal(38,0)").alias("sx"),
-            F.sum("y").cast("decimal(38,0)").alias("sy"),
-            F.sum(F.col("x").cast("decimal(19,0)") * F.col("y")).alias("sxy"),
-            F.sum(F.col("x").cast("decimal(19,0)") * F.col("x")).alias("sxx"),
-            F.sum(F.col("y").cast("decimal(19,0)") * F.col("y")).alias("syy"),
-        )
-        if not table.exists():
-            part.write.mode("errorifexists").parquet(table.path)
-            return
-        merged = (
-            table.read()
-            .unionByName(part)
-            .agg(
+        def fold(batch: DataFrame, _bid: int) -> None:
+            d = batch.select(
+                F.col("l_quantity").cast("bigint").alias("x"),
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+                .cast("bigint")
+                .alias("y"),
+            )
+            part = d.agg(
+                F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+                F.sum("x").cast("decimal(38,0)").alias("sx"),
+                F.sum("y").cast("decimal(38,0)").alias("sy"),
+                F.sum(F.col("x").cast("decimal(19,0)") * F.col("y")).alias("sxy"),
+                F.sum(F.col("x").cast("decimal(19,0)") * F.col("x")).alias("sxx"),
+                F.sum(F.col("y").cast("decimal(19,0)") * F.col("y")).alias("syy"),
+            ).withColumn("last_bid", F.lit(_bid).cast("bigint"))
+            if not table.exists():
+                part.write.mode("errorifexists").parquet(table.path)
+                return
+            state = table.read()
+            # exactly-once under foreachBatch's at-least-once retry: the
+            # additive fold is NOT idempotent, so a replayed micro-batch is
+            # skipped when its id is already folded into the (atomically
+            # swapped) state row
+            if state.head().last_bid >= _bid:
+                return
+            merged = state.unionByName(part).agg(
                 *[
                     F.sum(c).cast("decimal(38,0)").alias(c)
                     for c in ("n", "sx", "sy", "sxy", "sxx", "syy")
-                ]
+                ],
+                F.max("last_bid").alias("last_bid"),
             )
-        )
-        table._swap_in(merged)
+            table._swap_in(merged)
 
-    q = (
-        src.writeStream.foreachBatch(fold)
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-
-    s = table.read()
-    n, sx, sy, sxy, sxx, syy = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx", "syy"))
-    slope = (n * sxy - sx * sy).cast("double") / (n * sxx - sx * sx).cast("double")
-    out = s.select(
-        n.cast("bigint").alias("n_rows"),
-        F.floor(slope * F.lit(1e6) + F.lit(0.5))
-        .cast("bigint")
-        .alias("slope_microcents_per_unit"),
-        F.floor(
-            (sy.cast("double") - slope * sx.cast("double")) / n.cast("double")
-            + F.lit(0.5)
+        q = (
+            src.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
         )
-        .cast("bigint")
-        .alias("intercept_cents"),
-        F.floor(
-            (n * sxy - sx * sy).cast("double")
-            / F.sqrt(
-                (n * sxx - sx * sx).cast("double")
-                * (n * syy - sy * sy).cast("double")
+        q.awaitTermination()
+
+        s = table.read()
+        n, sx, sy, sxy, sxx, syy = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx", "syy"))
+        slope = (n * sxy - sx * sy).cast("double") / (n * sxx - sx * sx).cast("double")
+        out = s.select(
+            n.cast("bigint").alias("n_rows"),
+            F.floor(slope * F.lit(1e6) + F.lit(0.5))
+            .cast("bigint")
+            .alias("slope_microcents_per_unit"),
+            F.floor(
+                (sy.cast("double") - slope * sx.cast("double")) / n.cast("double")
+                + F.lit(0.5)
             )
-            * F.lit(1e6)
-            + F.lit(0.5)
+            .cast("bigint")
+            .alias("intercept_cents"),
+            F.floor(
+                (n * sxy - sx * sy).cast("double")
+                / F.sqrt(
+                    (n * sxx - sx * sx).cast("double")
+                    * (n * syy - sy * sy).cast("double")
+                )
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("corr_micro"),
         )
-        .cast("bigint")
-        .alias("corr_micro"),
-    )
-    # materialize before the scratch dir can be rebuilt by a later run
-    rows = out.collect()
-    return spark.createDataFrame(rows, out.schema)
+        # materialize: the frame must not stay lazy over the scratch dir
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 # Streaming count-min sketch: the sketch is ADDITIVE, so folding each
@@ -8960,47 +9005,68 @@ def stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = file_stream(spark, replay_dir, schema, max_files_per_trigger=1)
 
     tmp = tempfile.mkdtemp(prefix="cms_stream_")
-    table = ParquetTable(spark, f"{tmp}/sketch")
+    try:
+        table = ParquetTable(spark, f"{tmp}/sketch")
 
-    def fold(batch: DataFrame, _bid: int) -> None:
-        tok = batch.select(F.explode(tokens("text")).alias("t")).filter(
+        def fold(batch: DataFrame, _bid: int) -> None:
+            tok = batch.select(F.explode(tokens("text")).alias("t")).filter(
+                F.length("t") > 0
+            )
+            part = cms_build(tok, depth=4, width=64).withColumn(
+                "last_bid", F.lit(_bid).cast("bigint")
+            )
+            if not table.exists():
+                part.write.mode("errorifexists").parquet(table.path)
+                return
+            state = table.read()
+            # exactly-once under at-least-once retry: the cell counts
+            # add, so a replayed micro-batch must be a no-op — the
+            # high-water batch id travels with the (atomically swapped)
+            # state cells
+            if state.agg(F.max("last_bid")).head()[0] >= _bid:
+                return
+            merged = (
+                state.unionByName(part)
+                .groupBy("j", "bucket")
+                .agg(
+                    F.sum("cnt").alias("cnt"),
+                    F.max("last_bid").alias("last_bid"),
+                )
+            )
+            table._swap_in(merged)
+
+        q = (
+            src.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        t = load_tables(spark, sf_dir)
+        tok = t["documents"].select(F.explode(tokens("text")).alias("t")).filter(
             F.length("t") > 0
         )
-        part = cms_build(tok, depth=4, width=64)
-        if not table.exists():
-            part.write.mode("errorifexists").parquet(table.path)
-            return
-        merged = (
-            table.read()
-            .unionByName(part)
-            .groupBy("j", "bucket")
-            .agg(F.sum("cnt").alias("cnt"))
+        est = cms_estimate(
+            tok.distinct(),
+            table.read().select("j", "bucket", "cnt"),
+            depth=4,
+            width=64,
         )
-        table._swap_in(merged)
+        truth = tok.groupBy("t").agg(F.count(F.lit(1)).alias("true_cnt"))
+        out = (
+            est.join(truth, "t")
+            .orderBy(F.col("est").desc(), F.col("t").asc())
+            .limit(10)
+            .select(F.col("t").alias("token"), "est", "true_cnt")
+        )
+        # materialize before the scratch dir can be rebuilt by a later run
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        import shutil
 
-    q = (
-        src.writeStream.foreachBatch(fold)
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-
-    t = load_tables(spark, sf_dir)
-    tok = t["documents"].select(F.explode(tokens("text")).alias("t")).filter(
-        F.length("t") > 0
-    )
-    est = cms_estimate(tok.distinct(), table.read(), depth=4, width=64)
-    truth = tok.groupBy("t").agg(F.count(F.lit(1)).alias("true_cnt"))
-    out = (
-        est.join(truth, "t")
-        .orderBy(F.col("est").desc(), F.col("t").asc())
-        .limit(10)
-        .select(F.col("t").alias("token"), "est", "true_cnt")
-    )
-    # materialize before the scratch dir can be rebuilt by a later run
-    rows = out.collect()
-    return spark.createDataFrame(rows, out.schema)
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 # Streaming weighted reservoir: the A-ES sample is a mergeable top-k
@@ -9040,34 +9106,39 @@ def stream_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = src.select("doc_id", "n_chars", _wres_key())
 
     tmp = tempfile.mkdtemp(prefix="wres_stream_")
-    table = ParquetTable(spark, f"{tmp}/reservoir")
+    try:
+        table = ParquetTable(spark, f"{tmp}/reservoir")
 
-    def fold(batch: DataFrame, _bid: int) -> None:
-        top = batch.orderBy(
-            F.col("key_pico").desc(), F.col("doc_id").asc()
-        ).limit(20)
-        if not table.exists():
-            top.write.mode("errorifexists").parquet(table.path)
-            return
-        merged = (
-            table.read()
-            .unionByName(top)
-            .orderBy(F.col("key_pico").desc(), F.col("doc_id").asc())
-            .limit(20)
+        def fold(batch: DataFrame, _bid: int) -> None:
+            top = batch.orderBy(
+                F.col("key_pico").desc(), F.col("doc_id").asc()
+            ).limit(20)
+            if not table.exists():
+                top.write.mode("errorifexists").parquet(table.path)
+                return
+            merged = (
+                table.read()
+                .unionByName(top)
+                .orderBy(F.col("key_pico").desc(), F.col("doc_id").asc())
+                .limit(20)
+            )
+            table._swap_in(merged)
+
+        q = (
+            keyed.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
         )
-        table._swap_in(merged)
+        q.awaitTermination()
+        out = table.read().select("doc_id", "n_chars", "key_pico")
+        # materialize before the scratch dir can be rebuilt by a later run
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        import shutil
 
-    q = (
-        keyed.writeStream.foreachBatch(fold)
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    out = table.read().select("doc_id", "n_chars", "key_pico")
-    # materialize before the scratch dir can be rebuilt by a later run
-    rows = out.collect()
-    return spark.createDataFrame(rows, out.schema)
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _interleaved_names() -> list[str]:

@@ -227,8 +227,10 @@ class VectorTable:
             [(i,) for i in ids], [self.id_col]
         )
         n = self._table.delete(keys, self.id_col)
-        if self.has_index():
-            self._write_tombstones(self._tombstones() + ids)
+        # unconditional: _assign_ids uses the tombstone list as the
+        # SERIAL never-reuse high-water mark, so an unindexed delete of
+        # the max id must still be recorded or the id gets recycled
+        self._write_tombstones(self._tombstones() + ids)
         return n
 
     def upsert(self, df: DataFrame) -> int:
