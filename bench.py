@@ -99,11 +99,45 @@ def derived_metrics(spark, sf_dir: str, timings: dict[str, float]) -> dict[str, 
 
     _try(_ingest)
 
+    # The probed-ANN registry entries now return the self-auditing
+    # scalar row (probe + in-plan exact scan + recall audit), so timing
+    # them would charge the probe for the exact scan it is audited
+    # against. Time the raw probe paths directly instead — these are the
+    # latencies a serving tier pays.
+    def _probe_timings() -> None:
+        from pgvector_db_spark.operators.ivf import IVFIndex
+        from pgvector_db_spark.operators.lsh_ann import lsh_ann_knn
+        from pgvector_db_spark.operators.pq import search_ivfpq_layout
+        from pgvector_db_spark.queries import (
+            _fixture_tag,
+            _ivfpq_path,
+            _query_vec,
+        )
+
+        emb = t["embeddings"]
+        qvec = _query_vec(emb, sf_dir)
+        tag = _fixture_tag(sf_dir)
+        ivf_path = os.path.join(tempfile.gettempdir(), f"ivf_cache_{tag}")
+        if not os.path.exists(os.path.join(ivf_path, "centroids")):
+            IVFIndex.build(emb, ivf_path, lists=8)
+        idx = IVFIndex(spark, ivf_path, "embedding", "vec_id")
+        t0 = _t.time()
+        idx.search(list(qvec), k=10, nprobe=2).collect()
+        out["knn_ivf_ms"] = round((_t.time() - t0) * 1000, 1)
+        t0 = _t.time()
+        lsh_ann_knn(emb, list(qvec), k=10, num_bits=6, hamming_probe=2).collect()
+        out["knn_lsh_ms"] = round((_t.time() - t0) * 1000, 1)
+        pq_path = _ivfpq_path(spark, sf_dir)
+        t0 = _t.time()
+        search_ivfpq_layout(
+            spark, pq_path, qvec, k_top=10, nprobe=2, shortlist=100
+        ).collect()
+        out["knn_ivfpq_ms"] = round((_t.time() - t0) * 1000, 1)
+
+    _try(_probe_timings)
+
     for name, key in (
         ("vs_knn_topk", "knn_exact_ms"),
-        ("vs_ivf_knn", "knn_ivf_ms"),
-        ("vs_lsh_ann_knn", "knn_lsh_ms"),
-        ("vs_ivfpq_knn", "knn_ivfpq_ms"),
         ("vs_matryoshka_rerank", "knn_matryoshka_ms"),
         ("ds_bm25_search", "bm25_ms"),
         ("ds_bm25_index_search", "bm25_indexed_ms"),

@@ -1646,13 +1646,130 @@ _sql_query(
 )
 
 
+def _ann_probe_audit(
+    probe: DataFrame,
+    exact_scan: DataFrame,
+    k: int,
+    recall_floor: int,
+    check_dist: bool = True,
+    id_col: str = "vec_id",
+    dist_col: str = "distance",
+    probe_dist_col: str | None = None,
+) -> DataFrame:
+    """Self-auditing scalar contract for a LOSSY ANN probe (r4 verdict
+    item #2 — no registry entry may lack an oracle). One output row:
+
+    - ``k_returned``      rows the probe produced (must be k)
+    - ``n_dist_exact``    probe rows whose 1e-9-grid distance equals the
+                          exact kernel's distance for the SAME id over
+                          the full corpus (must be k: a probe may miss
+                          neighbors, but every distance it reports must
+                          be the true one)
+    - ``recall_floor_met`` |probe ∩ exact top-k| >= recall_floor, a
+                          floor set safely below the measured recall of
+                          the seeded deterministic index build
+    - ``exact_topk_sum_nano`` grid-summed distances of the exact top-k,
+                          computed in-plan on the Spark side and
+                          independently by the DuckDB oracle from the
+                          same parquet — the genuinely cross-engine
+                          column that keeps the oracle honest
+
+    The first three oracle values are constants — but each is computed
+    for real on the Spark side, so a broken probe path (lost rows, wrong
+    distances, collapsed recall) flips a value and fails the driver's
+    hash compare instead of reporting ``no_oracle``.
+    """
+    nano = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)).cast("bigint")  # noqa: E731
+    topk = exact_scan.orderBy(
+        F.col(dist_col).asc(), F.col(id_col).asc()
+    ).limit(k)
+    tk = topk.select(
+        F.col(id_col).alias("tid"), nano(F.col(dist_col)).alias("tdist")
+    )
+    p = probe.select(
+        F.col(id_col).alias("pid"),
+        nano(F.col(probe_dist_col or dist_col)).alias("pdist"),
+    )
+    sum_frame = tk.agg(
+        F.sum("tdist").cast("bigint").alias("exact_topk_sum_nano")
+    )
+    recall_frame = p.join(
+        F.broadcast(tk.select("tid")), p["pid"] == F.col("tid"), "left"
+    ).agg(
+        F.count("pid").cast("bigint").alias("k_returned"),
+        (
+            F.sum(F.when(F.col("tid").isNotNull(), 1).otherwise(0))
+            >= recall_floor
+        )
+        .cast("int")
+        .alias("recall_floor_met"),
+    )
+    out = recall_frame.crossJoin(sum_frame)
+    if check_dist:
+        c = exact_scan.select(
+            F.col(id_col).alias("cid"), nano(F.col(dist_col)).alias("cdist")
+        )
+        # probe side broadcast (k rows); inner join — a probe id absent
+        # from the corpus (impossible unless the layout corrupted) would
+        # drop a match and surface as n_dist_exact < k
+        dist_frame = c.join(
+            F.broadcast(p), c["cid"] == p["pid"], "inner"
+        ).agg(
+            F.sum(F.when(F.col("cdist") == F.col("pdist"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dist_exact")
+        )
+        out = out.crossJoin(dist_frame).select(
+            "k_returned",
+            "n_dist_exact",
+            "recall_floor_met",
+            "exact_topk_sum_nano",
+        )
+    return out
+
+
+def _ann_audit_oracle(
+    k: int, metric_expr: str, where: str = "", check_dist: bool = True
+) -> str:
+    """DuckDB side of :func:`_ann_probe_audit`: constants for the
+    probe-dependent booleans/counts, a REAL exact-top-k grid-distance
+    sum for the cross-engine column."""
+    dist_cols = (
+        f"CAST({k} AS BIGINT) AS n_dist_exact,\n           "
+        if check_dist
+        else ""
+    )
+    return f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    s AS (
+      SELECT vec_id, {metric_expr} AS distance
+      FROM embeddings, q {where}
+    ),
+    tk AS (SELECT distance FROM s ORDER BY distance ASC, vec_id ASC
+           LIMIT {k})
+    SELECT CAST({k} AS BIGINT) AS k_returned,
+           {dist_cols}CAST(1 AS INT) AS recall_floor_met,
+           CAST(SUM(CAST(floor(distance * 1e9 + 0.5) AS BIGINT)) AS BIGINT)
+               AS exact_topk_sum_nano
+    FROM tk
+    """
+
+
 def _vs_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-probed ANN search (A9). Not SQL-expressible (KMeans build) →
-    rows-only check; exactness vs the full-probe path is covered in
-    tests/test_ivf.py. The index is cached per sf_dir across calls."""
+    """IVF-probed ANN search (A9), reported through the self-auditing
+    scalar contract: the nprobe=2 probe runs for real, and the output
+    row proves (in-plan, against the exact cosine scan) that it returned
+    k rows with true distances and recall over the floor. Floor 4/10 is
+    safely below the measured 6–7/10 of the seeded lists=8 build at
+    sf0.001–0.1. The lossy row-set itself is exercised by tests and by
+    the fullprobe twin, which degenerates to exact."""
     import os
     import tempfile
 
+    from pgvector_db_spark.functions.vector import (
+        cosine_distance,
+        vector_literal,
+    )
     from pgvector_db_spark.operators.ivf import IVFIndex
 
     t = load_tables(spark, sf_dir)
@@ -1662,16 +1779,21 @@ def _vs_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         IVFIndex.build(t["embeddings"], path, lists=8)
     idx = IVFIndex(spark, path, "embedding", "vec_id")
     q = _query_vec(t["embeddings"], sf_dir)
-    # scalar columns only (match the fullprobe twin's shape): the driver
-    # gate canonicalizes via pandas sort_values, which cannot sort
-    # array<float> columns
-    return idx.search(list(q), k=10, nprobe=2).select(
-        "vec_id", "label", "distance", "similarity"
+    probe = idx.search(list(q), k=10, nprobe=2)
+    exact = t["embeddings"].select(
+        "vec_id",
+        cosine_distance(F.col("embedding"), vector_literal(list(q))).alias(
+            "distance"
+        ),
     )
+    return _ann_probe_audit(probe, exact, k=10, recall_floor=4)
 
 
 REGISTRY["vs_ivf_knn"] = QuerySpec(
-    "vs_ivf_knn", _vs_ivf_knn, None, tags=("vector", "A9", "ann")
+    "vs_ivf_knn",
+    _vs_ivf_knn,
+    _ann_audit_oracle(10, cosine_distance_sql("embedding", "qe", "duckdb")),
+    tags=("vector", "A9", "ann"),
 )
 
 
@@ -1847,11 +1969,17 @@ def _vs_ivf_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pgvector 0.8 iterative index scan (ivfflat.iterative_scan): filtered
     ANN that widens the probed-list set until k rows satisfy the predicate.
     Starts at nprobe=1 with a ~10%-selective filter so the widening loop
-    actually triggers. Rows-only (KMeans build not SQL-expressible); the
-    fullprobe degeneration below is the exact oracle."""
+    actually triggers. Reported through the self-auditing scalar
+    contract (see _ann_probe_audit): exact side is the FILTERED cosine
+    scan; floor 1/10 sits below the measured 2–3/10 recall of the
+    nprobe=1 start. The fullprobe twin remains the exact-row oracle."""
     import os
     import tempfile
 
+    from pgvector_db_spark.functions.vector import (
+        cosine_distance,
+        vector_literal,
+    )
     from pgvector_db_spark.operators.ivf import IVFIndex
 
     t = load_tables(spark, sf_dir)
@@ -1861,14 +1989,28 @@ def _vs_ivf_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         IVFIndex.build(t["embeddings"], path, lists=8)
     idx = IVFIndex(spark, path, "embedding", "vec_id")
     q = _query_vec(t["embeddings"], sf_dir)
-    # scalar columns only — see vs_ivf_knn
-    return idx.search_filtered(
-        q, k=10, filter_expr="label = 6", nprobe=1
-    ).select("vec_id", "label", "distance", "similarity")
+    probe = idx.search_filtered(q, k=10, filter_expr="label = 6", nprobe=1)
+    exact = (
+        t["embeddings"]
+        .filter("label = 6")
+        .select(
+            "vec_id",
+            cosine_distance(
+                F.col("embedding"), vector_literal(list(q))
+            ).alias("distance"),
+        )
+    )
+    return _ann_probe_audit(probe, exact, k=10, recall_floor=1)
 
 
 REGISTRY["vs_ivf_knn_filtered"] = QuerySpec(
-    "vs_ivf_knn_filtered", _vs_ivf_knn_filtered, None,
+    "vs_ivf_knn_filtered",
+    _vs_ivf_knn_filtered,
+    _ann_audit_oracle(
+        10,
+        cosine_distance_sql("embedding", "qe", "duckdb"),
+        where="WHERE label = 6",
+    ),
     tags=("vector", "A9", "ann", "filtered"),
 )
 
@@ -2189,20 +2331,35 @@ def vs_ivf_knn_batch_dist_fullprobe(spark: SparkSession, sf_dir: str) -> DataFra
 
 def _vs_lsh_ann_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed ANN top-k (operators/lsh_ann.py): the second
-    ANN scale path beside IVF. Approximate → rows-only driver check; exact
-    recall properties are asserted in tests/test_knn.py."""
+    ANN scale path beside IVF, reported through the self-auditing scalar
+    contract (see _ann_probe_audit). The seeded hyperplanes are
+    deterministic; floor 3/10 sits below the measured 5–7/10 recall at
+    num_bits=6, hamming_probe=2 across sf0.001–0.1."""
+    from pgvector_db_spark.functions.vector import (
+        cosine_distance,
+        vector_literal,
+    )
     from pgvector_db_spark.operators.lsh_ann import lsh_ann_knn
 
     t = load_tables(spark, sf_dir)
     q = _query_vec(t["embeddings"], sf_dir)
-    out = lsh_ann_knn(
+    probe = lsh_ann_knn(
         t["embeddings"], list(q), k=10, num_bits=6, hamming_probe=2
     )
-    return out.select("vec_id", "label", "distance", "similarity")
+    exact = t["embeddings"].select(
+        "vec_id",
+        cosine_distance(F.col("embedding"), vector_literal(list(q))).alias(
+            "distance"
+        ),
+    )
+    return _ann_probe_audit(probe, exact, k=10, recall_floor=3)
 
 
 REGISTRY["vs_lsh_ann_knn"] = QuerySpec(
-    "vs_lsh_ann_knn", _vs_lsh_ann_knn, None, tags=("vector", "ann")
+    "vs_lsh_ann_knn",
+    _vs_lsh_ann_knn,
+    _ann_audit_oracle(10, cosine_distance_sql("embedding", "qe", "duckdb")),
+    tags=("vector", "ann"),
 )
 
 
@@ -5699,18 +5856,37 @@ REGISTRY["vs_pq_rerank"] = QuerySpec(
 
 
 def _vs_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw ADC-ordered top-10 (no rerank), reported through the
+    self-auditing scalar contract: ADC distances are estimates, so no
+    per-id distance check (check_dist=False) — the audit proves k rows
+    returned and recall vs the exact L2 top-10 over the floor (2/10,
+    below the measured 3–5/10 of the seeded m=16,k=32 codebooks)."""
     from pgvector_db_spark.operators.pq import encode_pq, pq_search, train_pq
 
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"]
     model = train_pq(emb, m=16, k=32)
     qvec = _query_vec(emb, sf_dir)
-    out = pq_search(encode_pq(emb, model), model, qvec, 10)
-    return out.select("vec_id", F.round("adc_distance", 6).alias("adc_distance"))
+    probe = pq_search(encode_pq(emb, model), model, qvec, 10)
+    q = emb.filter("vec_id = 0").select(F.col("embedding").alias("qe"))
+    exact = emb.crossJoin(F.broadcast(q)).selectExpr(
+        "vec_id", f"{_L2_EXPR_S} AS distance"
+    )
+    return _ann_probe_audit(
+        probe,
+        exact,
+        k=10,
+        recall_floor=2,
+        check_dist=False,
+        probe_dist_col="adc_distance",
+    )
 
 
 REGISTRY["vs_pq_adc_topk"] = QuerySpec(
-    "vs_pq_adc_topk", _vs_pq_adc_topk, None, tags=("vector", "pq", "ann")
+    "vs_pq_adc_topk",
+    _vs_pq_adc_topk,
+    _ann_audit_oracle(10, _L2_EXPR_D, check_dist=False),
+    tags=("vector", "pq", "ann"),
 )
 
 
@@ -5736,17 +5912,31 @@ def _ivfpq_path(spark: SparkSession, sf_dir: str) -> str:
 
 
 def _vs_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ probed search (nprobe=2, shortlist=100), reported through
+    the self-auditing scalar contract: the rerank distances are EXACT L2
+    over surviving rows, so the per-id distance check applies in full;
+    floor 4/10 sits below the measured 6–8/10 recall."""
     from pgvector_db_spark.operators.pq import search_ivfpq_layout
 
     t = load_tables(spark, sf_dir)
     path = _ivfpq_path(spark, sf_dir)
-    qvec = _query_vec(t["embeddings"], sf_dir)
-    out = search_ivfpq_layout(spark, path, qvec, k_top=10, nprobe=2, shortlist=100)
-    return out.select("vec_id", "distance")
+    emb = t["embeddings"]
+    qvec = _query_vec(emb, sf_dir)
+    probe = search_ivfpq_layout(
+        spark, path, qvec, k_top=10, nprobe=2, shortlist=100
+    )
+    q = emb.filter("vec_id = 0").select(F.col("embedding").alias("qe"))
+    exact = emb.crossJoin(F.broadcast(q)).selectExpr(
+        "vec_id", f"{_L2_EXPR_S} AS distance"
+    )
+    return _ann_probe_audit(probe, exact, k=10, recall_floor=4)
 
 
 REGISTRY["vs_ivfpq_knn"] = QuerySpec(
-    "vs_ivfpq_knn", _vs_ivfpq_knn, None, tags=("vector", "pq", "A9", "ann")
+    "vs_ivfpq_knn",
+    _vs_ivfpq_knn,
+    _ann_audit_oracle(10, _L2_EXPR_D),
+    tags=("vector", "pq", "A9", "ann"),
 )
 
 
