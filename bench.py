@@ -109,17 +109,14 @@ def derived_metrics(spark, sf_dir: str, timings: dict[str, float]) -> dict[str, 
         from pgvector_db_spark.operators.lsh_ann import lsh_ann_knn
         from pgvector_db_spark.operators.pq import search_ivfpq_layout
         from pgvector_db_spark.queries import (
-            _fixture_tag,
+            _ivf_cache,
             _ivfpq_path,
             _query_vec,
         )
 
         emb = t["embeddings"]
         qvec = _query_vec(emb, sf_dir)
-        tag = _fixture_tag(sf_dir)
-        ivf_path = os.path.join(tempfile.gettempdir(), f"ivf_cache_{tag}")
-        if not os.path.exists(os.path.join(ivf_path, "centroids")):
-            IVFIndex.build(emb, ivf_path, lists=8)
+        ivf_path = _ivf_cache(spark, sf_dir, emb)
         idx = IVFIndex(spark, ivf_path, "embedding", "vec_id")
         t0 = _t.time()
         idx.search(list(qvec), k=10, nprobe=2).collect()
@@ -168,10 +165,9 @@ def derived_metrics(spark, sf_dir: str, timings: dict[str, float]) -> dict[str, 
             search_lsh_layout,
         )
 
-        tag = sf_dir.strip("/").replace("/", "_")
-        lsh_path = os.path.join(tempfile.gettempdir(), f"lsh_cache_{tag}")
-        if not os.path.exists(lsh_path):
-            build_lsh_layout(t["embeddings"], lsh_path)
+        from pgvector_db_spark.queries import _lsh_cache
+
+        lsh_path = _lsh_cache(sf_dir, t["embeddings"])
         qv = list(t["embeddings"].filter("vec_id = 0").first()["embedding"])
         best = float("inf")
         for _ in range(2):
@@ -198,10 +194,9 @@ def derived_metrics(spark, sf_dir: str, timings: dict[str, float]) -> dict[str, 
     def _ivf_recall() -> None:
         from pgvector_db_spark.operators.ivf import IVFIndex
 
-        tag = sf_dir.strip("/").replace("/", "_")
-        path = os.path.join(tempfile.gettempdir(), f"ivf_cache_{tag}")
-        if not os.path.exists(os.path.join(path, "centroids")):
-            IVFIndex.build(t["embeddings"], path, lists=8)
+        from pgvector_db_spark.queries import _ivf_cache
+
+        path = _ivf_cache(spark, sf_dir, t["embeddings"])
         idx = IVFIndex(spark, path, "embedding", "vec_id")
         q = list(t["embeddings"].filter("vec_id = 0").first()["embedding"])
         # pgvector's lists/nprobe dial, measured: recall climbs toward 1.0
@@ -221,10 +216,9 @@ def derived_metrics(spark, sf_dir: str, timings: dict[str, float]) -> dict[str, 
             search_ivfpq_layout,
         )
 
-        tag = sf_dir.strip("/").replace("/", "_")
-        path = os.path.join(tempfile.gettempdir(), f"ivfpq_cache_{tag}")
-        if not os.path.exists(os.path.join(path, "model.json")):
-            build_ivfpq_layout(t["embeddings"], path, lists=8, m=16, k=32)
+        from pgvector_db_spark.queries import _ivfpq_path
+
+        path = _ivfpq_path(spark, sf_dir)
         q = list(t["embeddings"].filter("vec_id = 0").first()["embedding"])
         exact = {
             r["vec_id"]
@@ -300,10 +294,9 @@ def derived_metrics(spark, sf_dir: str, timings: dict[str, float]) -> dict[str, 
     def _batch_ann_100k() -> None:
         from pgvector_db_spark.operators.ivf import IVFIndex
 
-        tag = sf_dir.strip("/").replace("/", "_")
-        path = os.path.join(tempfile.gettempdir(), f"ivf_cache_{tag}")
-        if not os.path.exists(os.path.join(path, "centroids")):
-            IVFIndex.build(t["embeddings"], path, lists=8)
+        from pgvector_db_spark.queries import _ivf_cache
+
+        path = _ivf_cache(spark, sf_dir, t["embeddings"])
         idx = IVFIndex(spark, path, "embedding", "vec_id")
         n_emb = t["embeddings"].count()
         reps = max(1, 100_000 // n_emb)

@@ -104,6 +104,89 @@ def _fixture_tag(sf_dir: str) -> str:
     return tag
 
 
+def _atomic_cached_build(path: str, ready: str, build) -> str:
+    """Check-then-build for /tmp-cached fixtures WITHOUT the torn-read
+    race (r4 verdict item #3): a reader arriving between "marker absent"
+    and build-complete must never see a half-built dir. The builder
+    writes into a unique scratch dir (mkdtemp — two concurrent builders
+    cannot collide) and atomically ``os.rename``\\ s the finished tree
+    into place; readers only ever open renamed dirs. If the rename loses
+    a race to another builder, the winner's tree is complete by the same
+    argument, so the loser discards its build and reads the winner's.
+
+    ``ready`` is a path relative to ``path`` whose existence marks a
+    complete build ("" = the dir itself, for layouts whose rename is the
+    only completion signal).
+    """
+    import shutil
+    import tempfile
+
+    def _ready() -> bool:
+        return os.path.exists(os.path.join(path, ready) if ready else path)
+
+    if _ready():
+        return path
+    scratch = tempfile.mkdtemp(
+        prefix=os.path.basename(path) + "_bld_",
+        dir=os.path.dirname(path),
+    )
+    target = os.path.join(scratch, "built")
+    try:
+        build(target)
+        try:
+            os.rename(target, path)
+        except OSError:
+            if not _ready():  # lost the race AND no winner: real error
+                raise
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return path
+
+
+def _ivf_cache(spark: SparkSession, sf_dir: str, emb: DataFrame) -> str:
+    """The shared seeded lists=8 IVF layout for ``sf_dir`` (atomic)."""
+    import tempfile
+
+    from pgvector_db_spark.operators.ivf import IVFIndex
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"ivf_cache_{_fixture_tag(sf_dir)}"
+    )
+    return _atomic_cached_build(
+        path, "centroids", lambda p: IVFIndex.build(emb, p, lists=8)
+    )
+
+
+def _lsh_cache(sf_dir: str, emb: DataFrame) -> str:
+    """The shared num_bits=6 LSH signature layout (atomic)."""
+    import tempfile
+
+    from pgvector_db_spark.operators.lsh_ann import build_lsh_layout
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"lsh_cache_{_fixture_tag(sf_dir)}"
+    )
+    return _atomic_cached_build(
+        path, "", lambda p: build_lsh_layout(emb, p, num_bits=6)
+    )
+
+
+def _bm25_cache(sf_dir: str, docs: DataFrame) -> str:
+    """The shared num_buckets=16 BM25 inverted index (atomic)."""
+    import tempfile
+
+    from pgvector_db_spark.operators.text_search import BM25Index
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"bm25_idx_{_fixture_tag(sf_dir)}"
+    )
+    return _atomic_cached_build(
+        path,
+        "MANIFEST.json",
+        lambda p: BM25Index.build(docs, p, num_buckets=16),
+    )
+
+
 def register(name: str, oracle: str | None, tags: tuple[str, ...] = ()):
     def deco(fn: SparkQuery) -> SparkQuery:
         REGISTRY[name] = QuerySpec(name, fn, oracle, tags)
@@ -1773,10 +1856,7 @@ def _vs_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pgvector_db_spark.operators.ivf import IVFIndex
 
     t = load_tables(spark, sf_dir)
-    tag = _fixture_tag(sf_dir)
-    path = os.path.join(tempfile.gettempdir(), f"ivf_cache_{tag}")
-    if not os.path.exists(os.path.join(path, "centroids")):
-        IVFIndex.build(t["embeddings"], path, lists=8)
+    path = _ivf_cache(spark, sf_dir, t["embeddings"])
     idx = IVFIndex(spark, path, "embedding", "vec_id")
     q = _query_vec(t["embeddings"], sf_dir)
     probe = idx.search(list(q), k=10, nprobe=2)
@@ -1822,10 +1902,7 @@ def vs_ivf_knn_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pgvector_db_spark.operators.ivf import IVFIndex
 
     t = load_tables(spark, sf_dir)
-    tag = _fixture_tag(sf_dir)
-    path = os.path.join(tempfile.gettempdir(), f"ivf_cache_{tag}")
-    if not os.path.exists(os.path.join(path, "centroids")):
-        IVFIndex.build(t["embeddings"], path, lists=8)
+    path = _ivf_cache(spark, sf_dir, t["embeddings"])
     idx = IVFIndex(spark, path, "embedding", "vec_id")
     q = _query_vec(t["embeddings"], sf_dir)
     return idx.search(list(q), k=10, nprobe=8).select(
@@ -1983,10 +2060,7 @@ def _vs_ivf_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pgvector_db_spark.operators.ivf import IVFIndex
 
     t = load_tables(spark, sf_dir)
-    tag = _fixture_tag(sf_dir)
-    path = os.path.join(tempfile.gettempdir(), f"ivf_cache_{tag}")
-    if not os.path.exists(os.path.join(path, "centroids")):
-        IVFIndex.build(t["embeddings"], path, lists=8)
+    path = _ivf_cache(spark, sf_dir, t["embeddings"])
     idx = IVFIndex(spark, path, "embedding", "vec_id")
     q = _query_vec(t["embeddings"], sf_dir)
     probe = idx.search_filtered(q, k=10, filter_expr="label = 6", nprobe=1)
@@ -2041,10 +2115,7 @@ def vs_ivf_knn_filtered_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame
     from pgvector_db_spark.operators.ivf import IVFIndex
 
     t = load_tables(spark, sf_dir)
-    tag = _fixture_tag(sf_dir)
-    path = os.path.join(tempfile.gettempdir(), f"ivf_cache_{tag}")
-    if not os.path.exists(os.path.join(path, "centroids")):
-        IVFIndex.build(t["embeddings"], path, lists=8)
+    path = _ivf_cache(spark, sf_dir, t["embeddings"])
     idx = IVFIndex(spark, path, "embedding", "vec_id")
     q = _query_vec(t["embeddings"], sf_dir)
     return idx.search_filtered(
@@ -2073,10 +2144,13 @@ def vs_ivf_knn_l2_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pgvector_db_spark.operators.ivf import IVFIndex
 
     t = load_tables(spark, sf_dir)
-    tag = _fixture_tag(sf_dir)
-    path = os.path.join(tempfile.gettempdir(), f"ivf_l2_cache_{tag}")
-    if not os.path.exists(os.path.join(path, "centroids")):
-        IVFIndex.build(t["embeddings"], path, lists=8, metric="l2")
+    path = _atomic_cached_build(
+        os.path.join(
+            tempfile.gettempdir(), f"ivf_l2_cache_{_fixture_tag(sf_dir)}"
+        ),
+        "centroids",
+        lambda p: IVFIndex.build(t["embeddings"], p, lists=8, metric="l2"),
+    )
     idx = IVFIndex(spark, path, "embedding", "vec_id")
     q = _query_vec(t["embeddings"], sf_dir)
     return idx.search(list(q), k=10, nprobe=8).select("vec_id", "label", "distance")
@@ -2274,10 +2348,7 @@ def vs_ivf_knn_batch_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pgvector_db_spark.operators.ivf import IVFIndex
 
     t = load_tables(spark, sf_dir)
-    tag = _fixture_tag(sf_dir)
-    path = os.path.join(tempfile.gettempdir(), f"ivf_cache_{tag}")
-    if not os.path.exists(os.path.join(path, "centroids")):
-        IVFIndex.build(t["embeddings"], path, lists=8)
+    path = _ivf_cache(spark, sf_dir, t["embeddings"])
     idx = IVFIndex(spark, path, "embedding", "vec_id")
     qs = t["embeddings"].filter(F.col("vec_id") <= 2).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
@@ -2318,10 +2389,7 @@ def vs_ivf_knn_batch_dist_fullprobe(spark: SparkSession, sf_dir: str) -> DataFra
     from pgvector_db_spark.operators.ivf import IVFIndex
 
     t = load_tables(spark, sf_dir)
-    tag = _fixture_tag(sf_dir)
-    path = os.path.join(tempfile.gettempdir(), f"ivf_cache_{tag}")
-    if not os.path.exists(os.path.join(path, "centroids")):
-        IVFIndex.build(t["embeddings"], path, lists=8)
+    path = _ivf_cache(spark, sf_dir, t["embeddings"])
     idx = IVFIndex(spark, path, "embedding", "vec_id")
     qs = t["embeddings"].filter(F.col("vec_id") <= 2).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
@@ -2421,10 +2489,7 @@ def vs_lsh_layout_knn_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     t = load_tables(spark, sf_dir)
-    tag = _fixture_tag(sf_dir)
-    path = os.path.join(tempfile.gettempdir(), f"lsh_cache_{tag}")
-    if not os.path.exists(path):
-        build_lsh_layout(t["embeddings"], path, num_bits=6)
+    path = _lsh_cache(sf_dir, t["embeddings"])
     q = _query_vec(t["embeddings"], sf_dir)
     return search_lsh_layout(
         spark, path, q, k=10, num_bits=6, hamming_probe=6
@@ -2467,10 +2532,7 @@ def vs_lsh_knn_batch_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     t = load_tables(spark, sf_dir)
-    tag = _fixture_tag(sf_dir)
-    path = os.path.join(tempfile.gettempdir(), f"lsh_cache_{tag}")
-    if not os.path.exists(path):
-        build_lsh_layout(t["embeddings"], path, num_bits=6)
+    path = _lsh_cache(sf_dir, t["embeddings"])
     queries = (
         t["embeddings"]
         .filter("vec_id <= 2")
@@ -2520,13 +2582,11 @@ def stream_ann_search_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     t = load_tables(spark, sf_dir)
-    tag = _fixture_tag(sf_dir)
-    ivf_path = os.path.join(tempfile.gettempdir(), f"ivf_cache_{tag}")
-    if not os.path.exists(os.path.join(ivf_path, "centroids")):
-        IVFIndex.build(t["embeddings"], ivf_path, lists=8)
+    ivf_path = _ivf_cache(spark, sf_dir, t["embeddings"])
     idx = IVFIndex(spark, ivf_path, "embedding", "vec_id")
 
     emb_path = table_path(sf_dir, "embeddings")
+    tag = _fixture_tag(sf_dir)
     replay_dir = os.path.join(tempfile.gettempdir(), f"emb_replay_{tag}")
     stage_replay_file(emb_path, replay_dir, "queries.parquet")
     schema = spark.read.parquet(emb_path).schema
@@ -2582,10 +2642,7 @@ def vs_lsh_knn_batch_dist_fullprobe(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
     t = load_tables(spark, sf_dir)
-    tag = _fixture_tag(sf_dir)
-    path = os.path.join(tempfile.gettempdir(), f"lsh_cache_{tag}")
-    if not os.path.exists(path):
-        build_lsh_layout(t["embeddings"], path, num_bits=6)
+    path = _lsh_cache(sf_dir, t["embeddings"])
     queries = (
         t["embeddings"]
         .filter("vec_id <= 2")
@@ -4149,10 +4206,7 @@ def ds_embedding_near_dup_ivf_fullassign(
     from pgvector_db_spark.operators.ivf import IVFIndex
 
     t = load_tables(spark, sf_dir)
-    tag = _fixture_tag(sf_dir)
-    path = os.path.join(tempfile.gettempdir(), f"ivf_cache_{tag}")
-    if not os.path.exists(os.path.join(path, "centroids")):
-        IVFIndex.build(t["embeddings"], path, lists=8)
+    path = _ivf_cache(spark, sf_dir, t["embeddings"])
     idx = IVFIndex(spark, path, "embedding", "vec_id")
     return embedding_near_dup_survivors_ivf(
         t["embeddings"], idx, assign=8, threshold=0.3
@@ -5904,11 +5958,13 @@ def _ivfpq_path(spark: SparkSession, sf_dir: str) -> str:
     from pgvector_db_spark.operators.pq import build_ivfpq_layout
 
     t = load_tables(spark, sf_dir)
-    tag = _fixture_tag(sf_dir)
-    path = os.path.join(tempfile.gettempdir(), f"ivfpq_cache_{tag}")
-    if not os.path.exists(os.path.join(path, "model.json")):
-        build_ivfpq_layout(t["embeddings"], path, lists=8, m=16, k=32)
-    return path
+    return _atomic_cached_build(
+        os.path.join(
+            tempfile.gettempdir(), f"ivfpq_cache_{_fixture_tag(sf_dir)}"
+        ),
+        "model.json",
+        lambda p: build_ivfpq_layout(t["embeddings"], p, lists=8, m=16, k=32),
+    )
 
 
 def _vs_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6386,10 +6442,7 @@ def ds_bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pgvector_db_spark.operators.text_search import BM25Index
 
     t = load_tables(spark, sf_dir)
-    tag = _fixture_tag(sf_dir)
-    path = os.path.join(tempfile.gettempdir(), f"bm25_idx_{tag}")
-    if not os.path.exists(os.path.join(path, "MANIFEST.json")):
-        BM25Index.build(t["documents"], path, num_buckets=16)
+    path = _bm25_cache(sf_dir, t["documents"])
     idx = BM25Index(spark, path)
     return idx.search(_BM25_TERMS, k=20)
 
@@ -7103,11 +7156,14 @@ def stream_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = table_path(sf_dir, "events")
     tag = _fixture_tag(sf_dir)
-    replay_dir = os.path.join(tempfile.gettempdir(), f"events_replay3_{tag}")
-    if not os.path.exists(os.path.join(replay_dir, "_SUCCESS")):
-        spark.read.parquet(path).repartition(3).write.mode(
-            "overwrite"
-        ).parquet(replay_dir)
+    replay_dir = _atomic_cached_build(
+        os.path.join(tempfile.gettempdir(), f"events_replay3_{tag}"),
+        "_SUCCESS",
+        lambda p: spark.read.parquet(path)
+        .repartition(3)
+        .write.mode("overwrite")
+        .parquet(p),
+    )
     schema = spark.read.parquet(path).schema
     src = file_stream(
         spark, replay_dir, schema, max_files_per_trigger=1
