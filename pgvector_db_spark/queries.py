@@ -6021,6 +6021,151 @@ REGISTRY["vs_ivfpq_knn_fullprobe"] = QuerySpec(
 )
 
 
+# ---------------------------------------------------------------------------
+# Quantized vector search — pgvector's OTHER compression surfaces beside
+# ivfflat: scalar quantization (the halfvec / SQ8 storage mode, pgvector
+# README "half-precision vectors") and binary quantization with Hamming
+# distance (pgvector 0.7 `bit(n)` columns + `<~>`). Both re-expressed
+# Spark-first as pure expressions on the integer grid, so BOTH stages
+# (quantized scoring AND exact rerank) are deterministic and the whole
+# operator is oracle-checked bitwise — unlike the KMeans-backed paths,
+# nothing here needs a seeded build.
+#
+# Scale: quantized scoring is a codegen'd fold over 8-bit/1-bit values —
+# 4x/32x less memory bandwidth than float32 scans; the rerank touches
+# only the bounded shortlist. At 100 TB the quantized column is the one
+# you keep hot; the float column is read for <=shortlist rows per query.
+# ---------------------------------------------------------------------------
+
+# affine SQ8 code for one component: floor((x - vmin)/(vmax - vmin)*255
+# + 0.5) on the BIGINT grid; vmin/vmax are corpus-global (one tiny agg,
+# broadcast), matching the one-pass training a production SQ8 build does
+_SQ8_S = (
+    "CAST(floor((CAST({v} AS DOUBLE) - vmin) / (vmax - vmin) * 255 + 0.5) "
+    "AS BIGINT)"
+)
+_SQ8_DIST_S = (
+    "aggregate(zip_with(embedding, qe, (x, y) -> "
+    f"({_SQ8_S.format(v='x')} - {_SQ8_S.format(v='y')}) * "
+    f"({_SQ8_S.format(v='x')} - {_SQ8_S.format(v='y')})), "
+    "CAST(0 AS BIGINT), (acc, d) -> acc + d)"
+)
+_SQ8_D_X = _SQ8_S.format(v="embedding[i]")
+_SQ8_D_Y = _SQ8_S.format(v="qe[i]")
+_SQ8_DIST_D = (
+    "CAST(list_sum(list_transform(range(1, len(embedding) + 1), i -> "
+    f"({_SQ8_D_X} - {_SQ8_D_Y}) * ({_SQ8_D_X} - {_SQ8_D_Y}))) AS BIGINT)"
+)
+
+
+@register(
+    "vs_sq8_adc_rerank",
+    f"""
+    WITH stats AS (
+      SELECT min(list_aggregate(embedding, 'min')) AS vmin,
+             max(list_aggregate(embedding, 'max')) AS vmax
+      FROM embeddings
+    ),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    s AS (
+      SELECT vec_id, {_SQ8_DIST_D} AS dist_sq8, {_L2_EXPR_D} AS distance
+      FROM embeddings, stats, q
+    ),
+    short AS (
+      SELECT * FROM s ORDER BY dist_sq8 ASC, vec_id ASC LIMIT 50
+    )
+    SELECT vec_id, dist_sq8, distance
+    FROM short ORDER BY distance ASC, vec_id ASC LIMIT 10
+    """,
+    tags=("vector", "quantization", "ann"),
+)
+def vs_sq8_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (SQ8) search with exact rerank: every component
+    affine-coded to 0..255 (corpus-global min/max), candidates scored by
+    INTEGER squared distance over the codes (the 4x-narrower scan), the
+    top-50 shortlist reranked by exact float L2. Deterministic end to
+    end, so the DuckDB oracle replicates the full two-stage pipeline
+    bitwise. pgvector parity: halfvec/quantized storage (pgvector
+    README half-precision indexing)."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    stats = emb.agg(
+        F.min(F.array_min("embedding")).alias("vmin"),
+        F.max(F.array_max("embedding")).alias("vmax"),
+    )
+    q = emb.filter("vec_id = 0").select(F.col("embedding").alias("qe"))
+    scored = (
+        emb.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(q))
+        .selectExpr(
+            "vec_id",
+            f"{_SQ8_DIST_S} AS dist_sq8",
+            f"{_L2_EXPR_S} AS distance",
+        )
+    )
+    short = scored.orderBy(
+        F.col("dist_sq8").asc(), F.col("vec_id").asc()
+    ).limit(50)
+    return short.orderBy(
+        F.col("distance").asc(), F.col("vec_id").asc()
+    ).limit(10)
+
+
+# sign-bit binary quantization + Hamming distance (pgvector bit(n) with
+# the <~> operator): 1 bit per component, distance = number of
+# disagreeing sign bits, exact cosine rerank of the Hamming shortlist
+_HAMMING_S = (
+    "aggregate(zip_with(embedding, qe, (x, y) -> "
+    "CASE WHEN (x >= 0) != (y >= 0) THEN CAST(1 AS BIGINT) "
+    "ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT), (acc, d) -> acc + d)"
+)
+_HAMMING_D = (
+    "CAST(list_sum(list_transform(range(1, len(embedding) + 1), i -> "
+    "CASE WHEN (embedding[i] >= 0) != (qe[i] >= 0) THEN 1 ELSE 0 END)) "
+    "AS BIGINT)"
+)
+
+
+@register(
+    "vs_binary_hamming_knn",
+    f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    s AS (
+      SELECT vec_id, {_HAMMING_D} AS hamming,
+             {cosine_distance_sql("embedding", "qe", "duckdb")} AS distance
+      FROM embeddings, q
+    ),
+    short AS (
+      SELECT * FROM s ORDER BY hamming ASC, vec_id ASC LIMIT 20
+    )
+    SELECT vec_id, hamming, distance
+    FROM short ORDER BY distance ASC, vec_id ASC LIMIT 10
+    """,
+    tags=("vector", "quantization", "ann"),
+)
+def vs_binary_hamming_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized search: sign-bit code per component, Hamming
+    distance (count of disagreeing bits — pgvector 0.7's bit(n) `<~>`),
+    top-20 Hamming shortlist reranked by exact cosine. The 32x-narrower
+    bit scan is the cheap first pass a 100 TB deployment runs over the
+    hot tier; integer Hamming + deterministic rerank make the whole
+    operator bitwise oracle-checkable."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    q = emb.filter("vec_id = 0").select(F.col("embedding").alias("qe"))
+    scored = emb.crossJoin(F.broadcast(q)).selectExpr(
+        "vec_id",
+        f"{_HAMMING_S} AS hamming",
+        f"{cosine_distance_sql('embedding', 'qe', 'spark')} AS distance",
+    )
+    short = scored.orderBy(
+        F.col("hamming").asc(), F.col("vec_id").asc()
+    ).limit(20)
+    return short.orderBy(
+        F.col("distance").asc(), F.col("vec_id").asc()
+    ).limit(10)
+
+
 # Temperature-based multilingual sampling (the mC4/T5 alpha-sampling op:
 # upsample low-resource languages by sampling ∝ n^alpha, here alpha=0.5).
 # Exactness across engines: sqrt is IEEE-correctly-rounded in both, the
