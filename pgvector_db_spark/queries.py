@@ -6111,6 +6111,57 @@ def vs_sq8_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(10)
 
 
+@register(
+    "vs_sq8_layout_knn",
+    f"""
+    WITH stats AS (
+      SELECT min(list_aggregate(embedding, 'min')) AS vmin,
+             max(list_aggregate(embedding, 'max')) AS vmax
+      FROM embeddings
+    ),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    s AS (
+      SELECT vec_id, {_SQ8_DIST_D} AS dist_sq8, {_L2_EXPR_D} AS distance
+      FROM embeddings, stats, q
+    ),
+    short AS (
+      SELECT * FROM s ORDER BY dist_sq8 ASC, vec_id ASC LIMIT 50
+    )
+    SELECT vec_id, dist_sq8, distance
+    FROM short ORDER BY distance ASC, vec_id ASC LIMIT 10
+    """,
+    tags=("vector", "quantization", "ann", "layout"),
+)
+def vs_sq8_layout_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED form of vs_sq8_adc_rerank (operators/sq.py): codes
+    stored as their own column, so the candidate pass scans 4x less
+    than the float column (column pruning visible in the plan — the
+    first scan's ReadSchema carries codes, not embedding) and the float
+    vectors are read only for the broadcast shortlist. Same
+    deterministic arithmetic, same exact oracle — layout changes the
+    plan, not the answer."""
+    import tempfile
+
+    from pgvector_db_spark.operators.sq import (
+        build_sq8_layout,
+        search_sq8_layout,
+    )
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    path = _atomic_cached_build(
+        os.path.join(
+            tempfile.gettempdir(), f"sq8_cache_{_fixture_tag(sf_dir)}"
+        ),
+        "model.json",
+        lambda p: build_sq8_layout(emb, p),
+    )
+    q = _query_vec(emb, sf_dir)
+    return search_sq8_layout(spark, path, list(q), k_top=10, shortlist=50)
+
+
+
+
 # sign-bit binary quantization + Hamming distance (pgvector bit(n) with
 # the <~> operator): 1 bit per component, distance = number of
 # disagreeing sign bits, exact cosine rerank of the Hamming shortlist

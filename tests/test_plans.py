@@ -479,3 +479,21 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tables, tmp_path):
     expect = {r["o_orderpriority"] for r in dim.collect()}
     got = {r["o_orderpriority"] for r in joined.collect()}
     assert got == expect and expect
+
+
+def test_sq8_layout_candidate_scan_prunes_float_column(spark):
+    """The persisted SQ8 layout's first pass must read ONLY the codes
+    column (the 4x-narrower scan is the point of the layout); the float
+    column appears only in the rerank scan — and nothing drops to
+    Python."""
+    import re
+
+    df = REGISTRY["vs_sq8_layout_knn"].spark_fn(spark, SF_DIR)
+    plan = physical_plan(df)
+    schemas = re.findall(r"ReadSchema: (.*)", plan)
+    code_scans = [s for s in schemas if "codes" in s]
+    assert code_scans, f"no codes-column scan in plan: {schemas}"
+    assert all(
+        "embedding" not in s for s in code_scans
+    ), f"candidate scan reads the float column: {code_scans}"
+    assert "Python" not in plan
