@@ -116,20 +116,59 @@ def derived_metrics(spark, sf_dir: str, timings: dict[str, float]) -> dict[str, 
 
         emb = t["embeddings"]
         qvec = _query_vec(emb, sf_dir)
+
+        # same discipline as run_query: two reps, best kept, so codegen
+        # warmup doesn't masquerade as probe latency
+        def _best2(key: str, thunk) -> None:
+            best = float("inf")
+            for _ in range(2):
+                t0 = _t.time()
+                thunk().collect()
+                best = min(best, _t.time() - t0)
+            out[key] = round(best * 1000, 1)
+
         ivf_path = _ivf_cache(spark, sf_dir, emb)
         idx = IVFIndex(spark, ivf_path, "embedding", "vec_id")
-        t0 = _t.time()
-        idx.search(list(qvec), k=10, nprobe=2).collect()
-        out["knn_ivf_ms"] = round((_t.time() - t0) * 1000, 1)
-        t0 = _t.time()
-        lsh_ann_knn(emb, list(qvec), k=10, num_bits=6, hamming_probe=2).collect()
-        out["knn_lsh_ms"] = round((_t.time() - t0) * 1000, 1)
+        _best2("knn_ivf_ms", lambda: idx.search(list(qvec), k=10, nprobe=2))
+        _best2(
+            "knn_lsh_ms",
+            lambda: lsh_ann_knn(
+                emb, list(qvec), k=10, num_bits=6, hamming_probe=2
+            ),
+        )
         pq_path = _ivfpq_path(spark, sf_dir)
-        t0 = _t.time()
-        search_ivfpq_layout(
-            spark, pq_path, qvec, k_top=10, nprobe=2, shortlist=100
-        ).collect()
-        out["knn_ivfpq_ms"] = round((_t.time() - t0) * 1000, 1)
+        _best2(
+            "knn_ivfpq_ms",
+            lambda: search_ivfpq_layout(
+                spark, pq_path, qvec, k_top=10, nprobe=2, shortlist=100
+            ),
+        )
+        # persisted SQ8 layout: codes-column candidate scan + float
+        # rerank of the broadcast shortlist (operators/sq.py)
+        from pgvector_db_spark.operators.sq import (
+            build_sq8_layout,
+            search_sq8_layout,
+        )
+        from pgvector_db_spark.queries import (
+            _atomic_cached_build,
+            _fixture_tag,
+        )
+
+        sq_path = _atomic_cached_build(
+            os.path.join(
+                tempfile.gettempdir(), f"sq8_cache_{_fixture_tag(sf_dir)}"
+            ),
+            "model.json",
+            lambda p: build_sq8_layout(emb, p),
+        )
+        best = float("inf")
+        for _ in range(2):
+            t0 = _t.time()
+            search_sq8_layout(
+                spark, sq_path, list(qvec), k_top=10, shortlist=50
+            ).collect()
+            best = min(best, _t.time() - t0)
+        out["knn_sq8_layout_ms"] = round(best * 1000, 1)
 
     _try(_probe_timings)
 
