@@ -1440,6 +1440,144 @@ _sql_query(
     tags=("relational", "aggregate", "rollup"),
 )
 
+# GROUPING SETS with an arbitrary (non-lattice) set list + GROUPING()
+# disambiguation: (status, priority) detail, priority-only margins, and
+# the grand total — the slice a rollup/cube cannot express. GROUPING()
+# distinguishes a real NULL group key from a superaggregate row, so the
+# output is unambiguous even if a key column were nullable. One
+# Expand+HashAggregate in Spark; identical SQL runs on both engines.
+_GROUPING_SETS_SQL = """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderpriority), ())
+    """
+
+_sql_query(
+    "rel_grouping_sets_orders",
+    _GROUPING_SETS_SQL,
+    _GROUPING_SETS_SQL,
+    tags=("relational", "aggregate", "grouping-sets"),
+)
+
+
+# ---------------------------------------------------------------------------
+# pg_trgm parity: character-trigram fuzzy matching (the Postgres
+# extension the reference's stack reaches for beside pgvector — `%` /
+# similarity() over names). Simplified single-string semantics: lowercase,
+# pad two spaces front / one back, distinct 3-char windows, Jaccard on
+# the ppm grid. Pure string expressions — map-only scan +
+# TakeOrderedAndProject, no join, no shuffle; identical math on both
+# engines so the ranking is bitwise.
+# ---------------------------------------------------------------------------
+
+_TRGM_QUERY_STR = "cold widgett"  # one-letter typo of a real p_name
+
+
+def _trgm_set(expr: str, dialect: str) -> str:
+    padded = f"concat('  ', lower({expr}), ' ')"
+    if dialect == "spark":
+        return (
+            f"array_distinct(transform(sequence(1, length({padded}) - 2), "
+            f"i -> substring({padded}, i, 3)))"
+        )
+    return (
+        f"list_distinct(list_transform(range(1, length({padded}) - 1), "
+        f"i -> substr({padded}, i, 3)))"
+    )
+
+
+def _trgm_sql(dialect: str) -> str:
+    tg = _trgm_set("p_name", dialect)
+    qtg = _trgm_set(f"'{_TRGM_QUERY_STR}'", dialect)
+    inter = (
+        f"size(array_intersect({tg}, {qtg}))"
+        if dialect == "spark"
+        else f"len(list_intersect({tg}, {qtg}))"
+    )
+    size = "size" if dialect == "spark" else "len"
+    return f"""
+    WITH scored AS (
+      SELECT p_partkey, p_name,
+             CAST({inter} AS BIGINT) AS n_shared,
+             CAST({size}({tg}) AS BIGINT) AS n_trgm
+      FROM part
+    )
+    SELECT p_partkey, p_name, n_shared,
+           CAST(floor(CAST(n_shared * 1000000 AS DOUBLE)
+                / (n_trgm + {size}({qtg}) - n_shared) + 0.5) AS BIGINT)
+               AS sim_ppm
+    FROM scored
+    ORDER BY sim_ppm DESC, p_partkey ASC LIMIT 10
+    """
+
+
+_sql_query(
+    "ds_trgm_fuzzy_match",
+    _trgm_sql("spark"),
+    _trgm_sql("duckdb"),
+    tags=("dataset", "text", "fuzzy", "pg_trgm"),
+)
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase search: exact 2-word phrase occurrence counts — the
+# adjacency semantics BM25's bag-of-words cannot express (Postgres
+# tsquery <-> / Lucene PhraseQuery shape). Per-doc count is a codegen'd
+# integer fold over token positions — map-only, zero shuffle; at scale a
+# positional postings layout would prune to docs containing both terms
+# first, then run this same adjacency check.
+# ---------------------------------------------------------------------------
+
+@register(
+    "ds_phrase_search",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+      FROM documents
+    ),
+    counts AS (
+      SELECT doc_id,
+             CASE WHEN len(w) < 2 THEN 0 ELSE
+               CAST(len(list_filter(range(1, len(w)), i ->
+                 w[i] = 'table' AND w[i + 1] = 'scan')) AS BIGINT)
+             END AS n_hits
+      FROM toks
+    )
+    SELECT doc_id, n_hits FROM counts WHERE n_hits > 0
+    ORDER BY n_hits DESC, doc_id ASC LIMIT 20
+    """,
+    tags=("dataset", "text", "search", "phrase"),
+)
+def ds_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    w = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    counts = t["documents"].select(
+        "doc_id", w.alias("w")
+    ).select(
+        "doc_id",
+        F.when(F.size("w") < 2, F.lit(0).cast("bigint"))
+        .otherwise(
+            F.expr(
+                "aggregate(sequence(1, size(w) - 1), CAST(0 AS BIGINT), "
+                "(acc, i) -> acc + IF(element_at(w, i) = 'table' AND "
+                "element_at(w, i + 1) = 'scan', CAST(1 AS BIGINT), "
+                "CAST(0 AS BIGINT)))"
+            )
+        )
+        .alias("n_hits"),
+    )
+    return (
+        counts.filter(F.col("n_hits") > 0)
+        .orderBy(F.col("n_hits").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
 # pivot: explicit value list so Spark .pivot and a CASE-based oracle emit
 # identical column names
 _PIVOT_PRIOS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
