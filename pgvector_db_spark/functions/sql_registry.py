@@ -99,6 +99,33 @@ _FUNCTIONS.update(
 )
 
 
+# pgvector 0.7 bit-vector surface: binary_quantize(vector) -> bit, plus
+# the two bit distances `<~>` (hamming_distance) and `<%>`
+# (jaccard_distance). Codes are ARRAY<INT> of 0/1 (Spark has no bit
+# type); all math is integer folds -> engine-exact.
+_FUNCTIONS.update(
+    {
+        "binary_quantize": """
+        CREATE OR REPLACE TEMPORARY FUNCTION binary_quantize(a ARRAY<FLOAT>)
+        RETURNS ARRAY<INT> RETURN transform(a, x -> IF(x >= 0, 1, 0))""",
+        "hamming_distance": """
+        CREATE OR REPLACE TEMPORARY FUNCTION hamming_distance(a ARRAY<INT>, b ARRAY<INT>)
+        RETURNS BIGINT RETURN aggregate(zip_with(a, b,
+          (x, y) -> IF(x != y, CAST(1 AS BIGINT), CAST(0 AS BIGINT))),
+          CAST(0 AS BIGINT), (acc, d) -> acc + d)""",
+        "jaccard_distance": """
+        CREATE OR REPLACE TEMPORARY FUNCTION jaccard_distance(a ARRAY<INT>, b ARRAY<INT>)
+        RETURNS DOUBLE RETURN 1.0 -
+          CAST(aggregate(zip_with(a, b,
+            (x, y) -> IF(x = 1 AND y = 1, CAST(1 AS BIGINT), CAST(0 AS BIGINT))),
+            CAST(0 AS BIGINT), (acc, d) -> acc + d) AS DOUBLE) /
+          aggregate(zip_with(a, b,
+            (x, y) -> IF(x = 1 OR y = 1, CAST(1 AS BIGINT), CAST(0 AS BIGINT))),
+            CAST(0 AS BIGINT), (acc, d) -> acc + d)""",
+    }
+)
+
+
 def register_sql_functions(spark: SparkSession) -> list[str]:
     """Install the vector function surface into the session (idempotent)."""
     for ddl in _FUNCTIONS.values():

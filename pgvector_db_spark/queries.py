@@ -1578,6 +1578,71 @@ def ds_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
 
+
+# pgvector 0.7 bit-vector SQL surface exercised end-to-end THROUGH the
+# registered SQL functions (functions/sql_registry.py): binary_quantize
+# -> hamming_distance (`<~>`) and jaccard_distance (`<%>`), ranked on
+# the ppm grid. The oracle replicates the same integer folds inline.
+_BIT_CODE_D = (
+    "list_transform(embedding, x -> CASE WHEN x >= 0 THEN 1 ELSE 0 END)"
+)
+
+
+@register(
+    "vs_bit_jaccard_topk",
+    f"""
+    WITH b AS (SELECT vec_id, {_BIT_CODE_D} AS code FROM embeddings),
+    q AS (SELECT code AS qc FROM b WHERE vec_id = 0),
+    s AS (
+      SELECT vec_id,
+             CAST(list_sum(list_transform(range(1, len(code) + 1), i ->
+               CASE WHEN code[i] != qc[i] THEN 1 ELSE 0 END)) AS BIGINT)
+                 AS hamming,
+             CAST(list_sum(list_transform(range(1, len(code) + 1), i ->
+               CASE WHEN code[i] = 1 AND qc[i] = 1 THEN 1 ELSE 0 END))
+                 AS BIGINT) AS n_and,
+             CAST(list_sum(list_transform(range(1, len(code) + 1), i ->
+               CASE WHEN code[i] = 1 OR qc[i] = 1 THEN 1 ELSE 0 END))
+                 AS BIGINT) AS n_or
+      FROM b, q
+    )
+    SELECT vec_id, hamming,
+           CAST(floor((1.0 - CAST(n_and AS DOUBLE) / n_or) * 1000000
+                + 0.5) AS BIGINT) AS jaccard_ppm
+    FROM s ORDER BY jaccard_ppm ASC, vec_id ASC LIMIT 10
+    """,
+    tags=("vector", "quantization", "sql-udf"),
+)
+def vs_bit_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked bit-vector search written as PLAIN SQL against the
+    registered function surface — proving a pgvector user's
+    `binary_quantize(v) <%> q`-style query runs verbatim-shaped here.
+    SQL UDFs are pure SQL bodies, so the whole plan stays in
+    whole-stage codegen."""
+    from pgvector_db_spark.functions.sql_registry import (
+        register_sql_functions,
+    )
+
+    register_sql_functions(spark)
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH b AS (
+          SELECT vec_id, binary_quantize(embedding) AS code
+          FROM embeddings
+        ),
+        q AS (SELECT code AS qc FROM b WHERE vec_id = 0),
+        s AS (
+          SELECT vec_id, hamming_distance(code, qc) AS hamming,
+                 jaccard_distance(code, qc) AS jd
+          FROM b, q
+        )
+        SELECT vec_id, hamming,
+               CAST(floor(jd * 1000000 + 0.5) AS BIGINT) AS jaccard_ppm
+        FROM s ORDER BY jaccard_ppm ASC, vec_id ASC LIMIT 10
+        """
+    )
+
 # pivot: explicit value list so Spark .pivot and a CASE-based oracle emit
 # identical column names
 _PIVOT_PRIOS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
