@@ -187,6 +187,12 @@ def bm25_oracle_sql(
 # stats read is a Spark job, pure per-query driver overhead if repeated
 # (same pattern as operators/ivf._CENTROID_CACHE).
 _STATS_CACHE: dict[tuple, tuple[int, int]] = {}
+# assembled (postings, terms) source frames per (path, segment set): a
+# segment is immutable once committed and any layout change (append,
+# compact) changes the segment list — so the key can never alias stale
+# files. Reusing the frames skips per-search parquet schema inference,
+# the dominant fixed cost of serving at toy scale.
+_FRAMES_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
 
 
 class BM25Index:
@@ -458,22 +464,37 @@ class BM25Index:
         probe = sorted(
             {zlib.crc32(t.encode("utf-8")) % nb for t in query_terms}
         )
-        post = reduce(
-            DataFrame.unionByName,
-            [
-                self.spark.read.parquet(
-                    _os.path.join(self.path, s, "postings")
-                )
-                for s in segs
-            ],
-        )
-        terms = reduce(
-            DataFrame.unionByName,
-            [
-                self.spark.read.parquet(_os.path.join(self.path, s, "terms"))
-                for s in segs
-            ],
-        )
+        fkey = (self.path, tuple(segs))
+        frames = _FRAMES_CACHE.get(fkey)
+        if frames is None:
+            post = reduce(
+                DataFrame.unionByName,
+                [
+                    self.spark.read.parquet(
+                        _os.path.join(self.path, s, "postings")
+                    )
+                    for s in segs
+                ],
+            )
+            terms = reduce(
+                DataFrame.unionByName,
+                [
+                    self.spark.read.parquet(
+                        _os.path.join(self.path, s, "terms")
+                    )
+                    for s in segs
+                ],
+            )
+            # one live entry per path (same bound as _STATS_CACHE):
+            # append/compact change the segment set, so stale keys
+            # would grow without bound under streaming maintenance
+            for stale in [
+                key for key in _FRAMES_CACHE if key[0] == self.path
+            ]:
+                del _FRAMES_CACHE[stale]
+            _FRAMES_CACHE[fkey] = (post, terms)
+        else:
+            post, terms = frames
         # filters push through the Union into every segment scan, so the
         # per-segment bucket pruning is preserved
         post = post.filter(F.col("bucket").isin(probe)).filter(
