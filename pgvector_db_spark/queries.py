@@ -1440,32 +1440,6 @@ _sql_query(
     tags=("relational", "aggregate", "rollup"),
 )
 
-# GROUPING SETS with an arbitrary (non-lattice) set list + GROUPING()
-# disambiguation: (status, priority) detail, priority-only margins, and
-# the grand total — the slice a rollup/cube cannot express. GROUPING()
-# distinguishes a real NULL group key from a superaggregate row, so the
-# output is unambiguous even if a key column were nullable. One
-# Expand+HashAggregate in Spark; identical SQL runs on both engines.
-_GROUPING_SETS_SQL = """
-    SELECT o_orderstatus, o_orderpriority,
-           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
-           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
-           CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-               AS revenue
-    FROM orders
-    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
-                            (o_orderpriority), ())
-    """
-
-_sql_query(
-    "rel_grouping_sets_orders",
-    _GROUPING_SETS_SQL,
-    _GROUPING_SETS_SQL,
-    tags=("relational", "aggregate", "grouping-sets"),
-)
-
-
 # ---------------------------------------------------------------------------
 # pg_trgm parity: character-trigram fuzzy matching (the Postgres
 # extension the reference's stack reaches for beside pgvector — `%` /
