@@ -1938,6 +1938,15 @@ def _ann_probe_audit(
     for real on the Spark side, so a broken probe path (lost rows, wrong
     distances, collapsed recall) flips a value and fails the driver's
     hash compare instead of reporting ``no_oracle``.
+
+    Determinism scope of the floors: LSH hyperplanes and PQ/IVF KMeans
+    are seeded, and KMeans' k-means|| init additionally depends on the
+    input partitioning, which Spark derives from file splits +
+    defaultParallelism — fixed here because the fixtures and the
+    local[32] execution spec are fixed. Floors sit 2 below the recall
+    measured at every sf (verified across multiple sessions/processes);
+    a changed execution environment would need floors re-measured
+    (``python tools/ann_recall_check.py``).
     """
     nano = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)).cast("bigint")  # noqa: E731
     topk = exact_scan.orderBy(
