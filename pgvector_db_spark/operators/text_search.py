@@ -464,7 +464,14 @@ class BM25Index:
         probe = sorted(
             {zlib.crc32(t.encode("utf-8")) % nb for t in query_terms}
         )
-        fkey = (self.path, tuple(segs))
+        # applicationId in the key: the cached DataFrames are bound to a
+        # SparkSession — a restarted session in the same process must
+        # miss, not hand back handles into a stopped context
+        fkey = (
+            self.path,
+            tuple(segs),
+            self.spark.sparkContext.applicationId,
+        )
         frames = _FRAMES_CACHE.get(fkey)
         if frames is None:
             post = reduce(
