@@ -3,10 +3,12 @@ stored as their OWN column so the first-pass candidate scan reads 4x
 less than the float32 column, and the float vectors are touched only for
 the bounded rerank shortlist.
 
-pgvector parity: quantized/half-precision storage (pgvector README
-half-precision indexing). Reference context: the reference delegates all
-vector storage to Postgres/pgvector (src/pgvector_db/setup_database.py);
-this is the layout form of the same compression dial, Spark-first.
+pgvector parity: quantized/half-precision storage (pgvector's halfvec /
+quantized index options). Reference context: the reference stores all
+vectors in a pgvector column it creates itself (reference
+README.md:172-176 table DDL; index creation
+demo/aws_rds_similarity_search_demo.py:134-139); this is the layout
+form of the same storage-compression dial, Spark-first.
 
 Spark-first design:
   build: one corpus aggregate -> corpus-global (vmin, vmax); one
