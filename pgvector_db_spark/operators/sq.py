@@ -40,9 +40,16 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# clamped to the 0..255 grid: a no-op for the corpus the (vmin, vmax)
+# model was trained on, and the defined drift behavior for rows appended
+# later whose components fall outside the frozen range (the SQ8 analogue
+# of IVF's frozen-centroid INSERT semantics — heavy drift degrades
+# quantized-ordering quality, never correctness of the exact rerank;
+# rebuild is the remedy, as with pgvector index rebuilds)
 _CODE = (
-    "CAST(floor((CAST({v} AS DOUBLE) - {vmin}) / ({vmax} - {vmin}) * 255"
-    " + 0.5) AS INT)"
+    "CAST(least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT), "
+    "floor((CAST({v} AS DOUBLE) - {vmin}) / ({vmax} - {vmin}) * 255"
+    " + 0.5))) AS INT)"
 )
 
 
@@ -67,6 +74,29 @@ def build_sq8_layout(
     out.write.mode("errorifexists").parquet(os.path.join(path, "data"))
     with open(os.path.join(path, "model.json"), "w") as f:
         json.dump({"vmin": vmin, "vmax": vmax}, f)
+
+
+def append_sq8_layout(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """INSERT-into-quantized-layout analogue: new rows are coded with
+    the FROZEN (vmin, vmax) model — never refit on insert (refitting
+    would silently re-grid every existing code). Components outside the
+    frozen range clamp to 0/255; searches over the maintained layout
+    stay exact in the rerank stage by construction. Map-only append —
+    no shuffle, existing files untouched."""
+    with open(os.path.join(path, "model.json")) as f:
+        model = json.load(f)
+    code = _CODE.format(
+        v="x", vmin=repr(model["vmin"]), vmax=repr(model["vmax"])
+    )
+    out = df.withColumn(
+        "codes", F.expr(f"transform({vec_col}, x -> {code})")
+    )
+    out.write.mode("append").parquet(os.path.join(path, "data"))
 
 
 def search_sq8_layout(

@@ -6346,6 +6346,77 @@ def vs_sq8_layout_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_sq8_layout(spark, path, list(q), k_top=10, shortlist=50)
 
 
+_SQ8C = (
+    "CAST(least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT), "
+    "floor((CAST({v} AS DOUBLE) - vmin) / (vmax - vmin) * 255 + 0.5)))"
+    " AS BIGINT)"
+)
+_SQ8C_X = _SQ8C.format(v="embedding[i]")
+_SQ8C_Y = _SQ8C.format(v="qe[i]")
+
+
+@register(
+    "vs_sq8_append_knn",
+    f"""
+    WITH stats AS (
+      SELECT min(list_aggregate(embedding, 'min')) AS vmin,
+             max(list_aggregate(embedding, 'max')) AS vmax
+      FROM embeddings WHERE vec_id % 2 = 0
+    ),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    s AS (
+      SELECT vec_id,
+             CAST(list_sum(list_transform(range(1, len(embedding) + 1),
+               i -> ({_SQ8C_X} - {_SQ8C_Y}) * ({_SQ8C_X} - {_SQ8C_Y})))
+               AS BIGINT) AS dist_sq8,
+             {_L2_EXPR_D} AS distance
+      FROM embeddings, stats, q
+    ),
+    short AS (
+      SELECT * FROM s ORDER BY dist_sq8 ASC, vec_id ASC LIMIT 50
+    )
+    SELECT vec_id, dist_sq8, distance
+    FROM short ORDER BY distance ASC, vec_id ASC LIMIT 10
+    """,
+    tags=("vector", "quantization", "ann", "layout", "append"),
+)
+def vs_sq8_append_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 layout MAINTENANCE gate-checked end-to-end (the quantized
+    twin of vs_ivf_append_fullprobe): the layout is built over HALF the
+    embeddings — freezing (vmin, vmax) to that half — the other half
+    arrives via ``append_sq8_layout`` (frozen-model coding, out-of-range
+    components clamp to 0/255), and the two-stage search over the
+    maintained layout must equal the oracle's replication of the SAME
+    frozen-model pipeline over the whole table, bitwise. Any row lost,
+    re-gridded, or mis-coded by the append path breaks the hash.
+    Per-invocation mkdtemp: the layout mutates, so no path is shared
+    between invocations."""
+    import shutil
+    import tempfile
+
+    from pgvector_db_spark.operators.sq import (
+        append_sq8_layout,
+        build_sq8_layout,
+        search_sq8_layout,
+    )
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    work = tempfile.mkdtemp(prefix="sq8_append_inv_")
+    try:
+        path = os.path.join(work, "layout")
+        build_sq8_layout(emb.filter("vec_id % 2 = 0"), path)
+        append_sq8_layout(emb.filter("vec_id % 2 = 1"), path)
+        out = search_sq8_layout(spark, path, list(_query_vec(emb, sf_dir)),
+                                k_top=10, shortlist=50)
+        rows = out.collect()
+        # materialize: the frame must not stay lazy over the layout the
+        # finally block deletes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 
 
 # sign-bit binary quantization + Hamming distance (pgvector bit(n) with
