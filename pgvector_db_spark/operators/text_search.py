@@ -16,6 +16,20 @@ scores are fixed to an integer grid (floor(x*1e6 + 0.5) micro-units)
 before the final SUM so the aggregate is an order-independent BIGINT sum
 — bit-exact against the DuckDB oracle regardless of partition count.
 
+Determinism note (r6): the score pipeline contains NO engine
+transcendental. JVM ``Math.log`` and DuckDB's libm ``ln`` are each
+allowed 1-ulp slack and use different implementations, so the same
+``ln()`` input can produce doubles 1 ulp apart across engines — enough
+to flip ``floor(x*1e6 + 0.5)`` at a grid knife-edge (the r3-r5
+driver-gate divergence on stream_bm25_ingest). The idf term
+``ln((n - df + 0.5)/(df + 0.5) + 1)`` is exactly ``ln(2n+2) - ln(2df+1)``
+— two logs of INTEGERS — and ``ln_bigint`` below evaluates those using
+only exactly-rounded IEEE-754 ops (integer bit-length range reduction +
+atanh Horner series), so Spark and DuckDB produce bitwise-identical
+doubles by construction. All float literals (k1+1, 1-b, ln 2, series
+coefficients) are precomputed in Python and embedded identically on
+both sides.
+
 At 100 TB: the only wide exchanges are the two hash aggregations keyed by
 (doc_id, term) then doc_id; df/N/avgdl are scalar or |terms|-row side
 inputs, broadcast. The candidate set is filtered to query terms at the
@@ -30,6 +44,52 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 TOKEN_PATTERN = r"\s+"
+
+# Deterministic cross-engine ln: exact double for ln(2) and the atanh
+# series coefficients 1/(2k+1), precomputed in Python and embedded as
+# identical literals in both the Spark expression tree and the DuckDB
+# oracle SQL. With r in [1,2), t=(r-1)/(r+1) <= 1/3, so 12 Horner terms
+# leave < 1e-13 relative truncation — far inside the 1e-6 score grid,
+# and (the property that matters) both engines compute the SAME double.
+_LN2 = 0.6931471805599453
+_ATANH_C = [1.0 / (2 * k + 1) for k in range(12)]
+
+
+def ln_bigint(m):
+    """ln of a positive BIGINT column via exactly-rounded IEEE ops only
+    (no libm): m = 2^e * r with e from the binary digit count, r in
+    [1,2) by an exact power-of-two division, then
+    ln(m) = e*ln2 + 2*atanh((r-1)/(r+1)) by a fixed Horner series.
+    Every op (+,-,*,/) is correctly rounded per IEEE-754, so any engine
+    evaluating this tree produces the same double bit pattern —
+    ``_ln_bigint_sql`` is the DuckDB spelling of the identical tree."""
+    e = (F.length(F.conv(m.cast("string"), 10, 2)) - F.lit(1)).cast("int")
+    p = F.call_function("shiftleft", F.lit(1).cast("bigint"), e)
+    r = m.cast("double") / p.cast("double")
+    t = (r - F.lit(1.0)) / (r + F.lit(1.0))
+    t2 = t * t
+    s = F.lit(_ATANH_C[-1])
+    for c in reversed(_ATANH_C[:-1]):
+        s = F.lit(c) + t2 * s
+    return e.cast("double") * F.lit(_LN2) + F.lit(2.0) * t * s
+
+
+def _ln_bigint_sql(m: str) -> str:
+    """DuckDB spelling of ``ln_bigint`` — same ops, same order, same
+    literals (every float literal CAST to DOUBLE so DuckDB's decimal
+    literal typing can't reorder the arithmetic)."""
+    e = f"(length(bin(CAST({m} AS BIGINT))) - 1)"
+    p = f"(CAST(1 AS BIGINT) << {e})"
+    r = f"(CAST({m} AS DOUBLE) / CAST({p} AS DOUBLE))"
+    t = f"(({r} - CAST(1.0 AS DOUBLE)) / ({r} + CAST(1.0 AS DOUBLE)))"
+    t2 = f"({t} * {t})"
+    s = f"CAST({_ATANH_C[-1]!r} AS DOUBLE)"
+    for c in reversed(_ATANH_C[:-1]):
+        s = f"(CAST({c!r} AS DOUBLE) + {t2} * {s})"
+    return (
+        f"(CAST({e} AS DOUBLE) * CAST({_LN2!r} AS DOUBLE)"
+        f" + CAST(2.0 AS DOUBLE) * {t} * {s})"
+    )
 
 
 def tokens_col(text_col):
@@ -95,26 +155,29 @@ def _score_and_topk(
     """Shared scoring tail: ``tf`` carries (id, term, tf, dl, df); the
     SAME expression tree serves the scan path (bm25_topk) and the
     indexed path (BM25Index.search), so their grid-fixed scores are
-    bitwise identical by construction."""
+    bitwise identical by construction. The idf
+    ``ln((n - df + 0.5)/(df + 0.5) + 1) = ln(2n+2) - ln(2df+1)`` is
+    evaluated by the deterministic ``ln_bigint`` (no engine ``ln()``),
+    and the k1/b float constants are pre-folded in Python — every
+    double in the pipeline is engine-independent (see module note)."""
+    k1p1 = k1 + 1.0
+    omb = 1.0 - b
     scored = (
         tf.crossJoin(F.broadcast(stats))
         .withColumn("avgdl", F.col("sum_dl") / F.col("n_docs"))
         .withColumn(
             "idf",
-            F.log(
-                (F.col("n_docs") - F.col("df") + F.lit(0.5))
-                / (F.col("df") + F.lit(0.5))
-                + F.lit(1.0)
-            ),
+            ln_bigint(F.lit(2).cast("bigint") * F.col("n_docs") + F.lit(2))
+            - ln_bigint(F.lit(2).cast("bigint") * F.col("df") + F.lit(1)),
         )
         .withColumn(
             "term_score",
             F.col("idf")
-            * (F.col("tf") * (F.lit(k1) + 1.0))
+            * (F.col("tf") * F.lit(k1p1))
             / (
                 F.col("tf")
                 + F.lit(k1)
-                * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+                * (F.lit(omb) + F.lit(b) * F.col("dl") / F.col("avgdl"))
             ),
         )
         # integer grid before the order-sensitive double SUM
@@ -139,7 +202,17 @@ def bm25_oracle_sql(
     k1: float = 1.2,
     b: float = 0.75,
 ) -> str:
-    """DuckDB SQL computing the identical BM25 grid-fixed score."""
+    """DuckDB SQL computing the identical BM25 grid-fixed score —
+    bitwise, not approximately: the idf uses ``_ln_bigint_sql`` (the
+    DuckDB spelling of ``ln_bigint``'s exact-rounded tree) and the k1/b
+    constants are the same Python-folded double literals the Spark side
+    embeds."""
+    k1p1 = k1 + 1.0
+    omb = 1.0 - b
+    idf = (
+        f"({_ln_bigint_sql('2 * stats.n_docs + 2')}"
+        f" - {_ln_bigint_sql('2 * dft.df + 1')})"
+    )
     terms = ", ".join(f"'{t}'" for t in query_terms)
     return f"""
     WITH toks AS (
@@ -162,10 +235,11 @@ def bm25_oracle_sql(
     scored AS (
       SELECT tf.doc_id,
              CAST(floor(
-               ln((stats.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
-               * (tf.tf * ({k1} + 1.0))
-               / (tf.tf + {k1} * (1.0 - {b} + {b} * tf.dl
-                                  / (CAST(stats.sum_dl AS DOUBLE) / stats.n_docs)))
+               {idf}
+               * (tf.tf * CAST({k1p1!r} AS DOUBLE))
+               / (tf.tf + CAST({k1!r} AS DOUBLE)
+                  * (CAST({omb!r} AS DOUBLE) + CAST({b!r} AS DOUBLE) * tf.dl
+                     / (CAST(stats.sum_dl AS DOUBLE) / stats.n_docs)))
                * 1e6 + 0.5) AS BIGINT) AS term_score_micro
       FROM tf JOIN dft USING (term) CROSS JOIN stats
     )
@@ -193,6 +267,29 @@ _STATS_CACHE: dict[tuple, tuple[int, int]] = {}
 # files. Reusing the frames skips per-search parquet schema inference,
 # the dominant fixed cost of serving at toy scale.
 _FRAMES_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+# one lock for both caches: concurrent searches (the regime
+# tests/test_concurrent_invocation.py drives) would otherwise race the
+# evict-scan against inserts ("dict changed size during iteration") or
+# double-del a key. pop(key, None) + the lock makes evict/insert atomic.
+import threading as _threading
+
+_CACHE_LOCK = _threading.Lock()
+
+
+def _evict_cache(cache: dict, live_path: str) -> None:
+    """Drop same-path entries with a different segment set (superseded by
+    an append/compact) AND entries whose index path no longer exists on
+    disk (per-invocation mkdtemp indexes that were removed — without
+    this, every temporary index leaks one never-evicted entry).
+    Caller holds _CACHE_LOCK."""
+    import os as _os
+
+    for key in [
+        k
+        for k in cache
+        if k[0] == live_path or not _os.path.isdir(k[0])
+    ]:
+        cache.pop(key, None)
 
 
 class BM25Index:
@@ -472,7 +569,8 @@ class BM25Index:
             tuple(segs),
             self.spark.sparkContext.applicationId,
         )
-        frames = _FRAMES_CACHE.get(fkey)
+        with _CACHE_LOCK:
+            frames = _FRAMES_CACHE.get(fkey)
         if frames is None:
             post = reduce(
                 DataFrame.unionByName,
@@ -492,14 +590,13 @@ class BM25Index:
                     for s in segs
                 ],
             )
-            # one live entry per path (same bound as _STATS_CACHE):
-            # append/compact change the segment set, so stale keys
-            # would grow without bound under streaming maintenance
-            for stale in [
-                key for key in _FRAMES_CACHE if key[0] == self.path
-            ]:
-                del _FRAMES_CACHE[stale]
-            _FRAMES_CACHE[fkey] = (post, terms)
+            # bounded cache: one live entry per existing path —
+            # append/compact change the segment set, and removed
+            # (mkdtemp) index paths are swept, so streaming
+            # maintenance can't grow this without bound
+            with _CACHE_LOCK:
+                _evict_cache(_FRAMES_CACHE, self.path)
+                _FRAMES_CACHE[fkey] = (post, terms)
         else:
             post, terms = frames
         # filters push through the Union into every segment scan, so the
@@ -535,7 +632,8 @@ class BM25Index:
         from functools import reduce
 
         key = (self.path, tuple(segs))
-        cached = _STATS_CACHE.get(key)
+        with _CACHE_LOCK:
+            cached = _STATS_CACHE.get(key)
         if cached is None:
             all_stats = reduce(
                 DataFrame.unionByName,
@@ -548,12 +646,11 @@ class BM25Index:
                 F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("s")
             ).first()
             cached = (int(row["n"]), int(row["s"] or 0))
-            # one live entry per path: every append changes the segment
-            # set, so keeping stale keys would grow without bound under
-            # continuous streaming maintenance
-            for k in [k for k in _STATS_CACHE if k[0] == self.path]:
-                del _STATS_CACHE[k]
-            _STATS_CACHE[key] = cached
+            # bounded: one live entry per existing path (appends change
+            # the segment set; removed mkdtemp paths are swept)
+            with _CACHE_LOCK:
+                _evict_cache(_STATS_CACHE, self.path)
+                _STATS_CACHE[key] = cached
         return cached
 
     # -- maintenance ---------------------------------------------------------
