@@ -45,51 +45,15 @@ from pyspark.sql import functions as F
 
 TOKEN_PATTERN = r"\s+"
 
-# Deterministic cross-engine ln: exact double for ln(2) and the atanh
-# series coefficients 1/(2k+1), precomputed in Python and embedded as
-# identical literals in both the Spark expression tree and the DuckDB
-# oracle SQL. With r in [1,2), t=(r-1)/(r+1) <= 1/3, so 12 Horner terms
-# leave < 1e-13 relative truncation — far inside the 1e-6 score grid,
-# and (the property that matters) both engines compute the SAME double.
-_LN2 = 0.6931471805599453
-_ATANH_C = [1.0 / (2 * k + 1) for k in range(12)]
-
-
-def ln_bigint(m):
-    """ln of a positive BIGINT column via exactly-rounded IEEE ops only
-    (no libm): m = 2^e * r with e from the binary digit count, r in
-    [1,2) by an exact power-of-two division, then
-    ln(m) = e*ln2 + 2*atanh((r-1)/(r+1)) by a fixed Horner series.
-    Every op (+,-,*,/) is correctly rounded per IEEE-754, so any engine
-    evaluating this tree produces the same double bit pattern —
-    ``_ln_bigint_sql`` is the DuckDB spelling of the identical tree."""
-    e = (F.length(F.conv(m.cast("string"), 10, 2)) - F.lit(1)).cast("int")
-    p = F.call_function("shiftleft", F.lit(1).cast("bigint"), e)
-    r = m.cast("double") / p.cast("double")
-    t = (r - F.lit(1.0)) / (r + F.lit(1.0))
-    t2 = t * t
-    s = F.lit(_ATANH_C[-1])
-    for c in reversed(_ATANH_C[:-1]):
-        s = F.lit(c) + t2 * s
-    return e.cast("double") * F.lit(_LN2) + F.lit(2.0) * t * s
+# Deterministic cross-engine ln (shared with the other ln-grid queries;
+# see functions/detmath.py for the exactly-rounded-tree argument).
+from pgvector_db_spark.functions.detmath import ln_bigint
 
 
 def _ln_bigint_sql(m: str) -> str:
-    """DuckDB spelling of ``ln_bigint`` — same ops, same order, same
-    literals (every float literal CAST to DOUBLE so DuckDB's decimal
-    literal typing can't reorder the arithmetic)."""
-    e = f"(length(bin(CAST({m} AS BIGINT))) - 1)"
-    p = f"(CAST(1 AS BIGINT) << {e})"
-    r = f"(CAST({m} AS DOUBLE) / CAST({p} AS DOUBLE))"
-    t = f"(({r} - CAST(1.0 AS DOUBLE)) / ({r} + CAST(1.0 AS DOUBLE)))"
-    t2 = f"({t} * {t})"
-    s = f"CAST({_ATANH_C[-1]!r} AS DOUBLE)"
-    for c in reversed(_ATANH_C[:-1]):
-        s = f"(CAST({c!r} AS DOUBLE) + {t2} * {s})"
-    return (
-        f"(CAST({e} AS DOUBLE) * CAST({_LN2!r} AS DOUBLE)"
-        f" + CAST(2.0 AS DOUBLE) * {t} * {s})"
-    )
+    from pgvector_db_spark.functions.detmath import ln_bigint_sql
+
+    return ln_bigint_sql(m, "duckdb")
 
 
 def tokens_col(text_col):

@@ -22,6 +22,7 @@ Determinism rules (SURVEY.md §7 "hard parts"):
 
 from __future__ import annotations
 
+import math
 import os
 from collections.abc import Callable
 from dataclasses import dataclass, field
@@ -3662,41 +3663,51 @@ _sql_query(
 )
 
 # Math scalar surface. sqrt/abs/sign/floor/ceil/round and integer modulo
-# are exactly-rounded / exact on both engines; exp/ln/pow go through the
-# integer grid (floor(x*1e6+0.5)) because libm implementations may differ
-# in the last ulp — the grid makes the comparison representation-proof.
+# are exactly-rounded / exact on both engines. exp/ln/pow previously went
+# through engine libm with a floor(x*1e6+0.5) grid — but the grid is NOT
+# representation-proof at a knife-edge: a 1-ulp cross-engine libm
+# difference flips the floor (this is exactly what held stream_bm25_ingest
+# red in the r3-r5 driver gates). r6: the grids now use
+# functions/detmath.py — Taylor exp, integer-reduction ln (o_totalprice
+# has two decimals, so ln(x) = ln_int(round(100x)) - ln_int(100)), and an
+# explicit x^3 product for pow — identical exactly-rounded trees on both
+# engines. The engine's own exp/ln/pow stay covered by
+# tests/test_detmath.py self-consistency checks (tolerance, not hash).
+
+
+def _math_funcs_sql(dialect: str) -> str:
+    from pgvector_db_spark.functions.detmath import exp_unit_sql, ln_ratio_sql
+
+    expy = exp_unit_sql("(o_totalprice / 600000.0)", dialect)
+    lnx = ln_ratio_sql(
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)", "100", dialect
+    )
+    pw = "(o_totalprice / 100000.0)"
+    sign_v = (
+        "sign(o_totalprice - 150000)"
+        if dialect == "spark"
+        else "CAST(sign(o_totalprice - 150000) AS DOUBLE)"
+    )
+    return f"""
+    SELECT o_orderkey,
+           CAST(floor({expy} * 1000000 + 0.5) AS BIGINT) AS exp_grid,
+           CAST(floor({lnx} * 1000000 + 0.5) AS BIGINT) AS ln_grid,
+           CAST(floor({pw} * {pw} * {pw} * 1000000 + 0.5) AS BIGINT)
+               AS pow_grid,
+           sqrt(CAST(o_orderkey AS DOUBLE)) AS sqrt_exact,
+           abs(CAST(o_custkey % 7 AS INT) - 3) AS abs_v,
+           {sign_v} AS sign_v,
+           CAST(floor(o_totalprice) AS BIGINT) AS floor_v,
+           CAST(ceil(o_totalprice) AS BIGINT) AS ceil_v,
+           o_orderkey % 7 AS mod_v
+    FROM orders
+    """
+
+
 _sql_query(
     "rel_math_funcs",
-    """
-    SELECT o_orderkey,
-           CAST(floor(exp(o_totalprice / 600000.0) * 1000000 + 0.5) AS BIGINT)
-               AS exp_grid,
-           CAST(floor(ln(o_totalprice) * 1000000 + 0.5) AS BIGINT) AS ln_grid,
-           CAST(floor(power(o_totalprice, 0.5) * 1000000 + 0.5) AS BIGINT)
-               AS pow_grid,
-           sqrt(CAST(o_orderkey AS DOUBLE)) AS sqrt_exact,
-           abs(CAST(o_custkey % 7 AS INT) - 3) AS abs_v,
-           sign(o_totalprice - 150000) AS sign_v,
-           CAST(floor(o_totalprice) AS BIGINT) AS floor_v,
-           CAST(ceil(o_totalprice) AS BIGINT) AS ceil_v,
-           o_orderkey % 7 AS mod_v
-    FROM orders
-    """,
-    """
-    SELECT o_orderkey,
-           CAST(floor(exp(o_totalprice / 600000.0) * 1000000 + 0.5) AS BIGINT)
-               AS exp_grid,
-           CAST(floor(ln(o_totalprice) * 1000000 + 0.5) AS BIGINT) AS ln_grid,
-           CAST(floor(pow(o_totalprice, 0.5) * 1000000 + 0.5) AS BIGINT)
-               AS pow_grid,
-           sqrt(CAST(o_orderkey AS DOUBLE)) AS sqrt_exact,
-           abs(CAST(o_custkey % 7 AS INT) - 3) AS abs_v,
-           CAST(sign(o_totalprice - 150000) AS DOUBLE) AS sign_v,
-           CAST(floor(o_totalprice) AS BIGINT) AS floor_v,
-           CAST(ceil(o_totalprice) AS BIGINT) AS ceil_v,
-           o_orderkey % 7 AS mod_v
-    FROM orders
-    """,
+    _math_funcs_sql("spark"),
+    _math_funcs_sql("duckdb"),
     tags=("relational", "scalar", "math"),
 )
 
@@ -4584,40 +4595,25 @@ _sql_query(
 )
 
 
-_sql_query(
-    "ds_unigram_logprob",
-    """
-    WITH toks AS (
-      SELECT doc_id, term FROM (
+def _unigram_logprob_sql(dialect: str) -> str:
+    # ln(tf/total) as the difference of deterministic integer logs
+    # (detmath) — no engine ln() inside the 1e-6 grid (r6; same
+    # knife-edge class as the BM25 idf the r3-r5 driver gate flagged)
+    from pgvector_db_spark.functions.detmath import ln_ratio_sql
+
+    lnr = ln_ratio_sql("f.tf", "f.total", dialect)
+    if dialect == "spark":
+        toks = """SELECT doc_id, term FROM (
         SELECT doc_id,
                explode(split(trim(lower(text)), '\\\\s+')) AS term
-        FROM documents)
-    ),
-    freq AS (
-      SELECT term, COUNT(*) AS tf,
-             SUM(COUNT(*)) OVER () AS total
-      FROM toks GROUP BY term
-    ),
-    scored AS (
-      SELECT t.doc_id,
-             CAST(floor(ln(CAST(f.tf AS DOUBLE) / f.total) * 1000000 + 0.5)
-                  AS BIGINT) AS lp_micro
-      FROM toks t JOIN freq f ON t.term = f.term
-    )
-    SELECT doc_id,
-           CAST(SUM(lp_micro) AS BIGINT) AS logprob_micro,
-           CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           CAST(floor(CAST(SUM(lp_micro) AS DOUBLE) / COUNT(*)) AS BIGINT) AS per_token_micro
-    FROM scored
-    GROUP BY doc_id
-    ORDER BY per_token_micro DESC, doc_id ASC
-    LIMIT 50
-    """,
-    """
-    WITH toks AS (
-      SELECT doc_id,
+        FROM documents)"""
+    else:
+        toks = """SELECT doc_id,
              unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
-      FROM documents
+      FROM documents"""
+    return f"""
+    WITH toks AS (
+      {toks}
     ),
     freq AS (
       SELECT term, COUNT(*) AS tf,
@@ -4626,7 +4622,7 @@ _sql_query(
     ),
     scored AS (
       SELECT t.doc_id,
-             CAST(floor(ln(CAST(f.tf AS DOUBLE) / f.total) * 1000000 + 0.5)
+             CAST(floor({lnr} * 1000000 + 0.5)
                   AS BIGINT) AS lp_micro
       FROM toks t JOIN freq f ON t.term = f.term
     )
@@ -4638,7 +4634,13 @@ _sql_query(
     GROUP BY doc_id
     ORDER BY per_token_micro DESC, doc_id ASC
     LIMIT 50
-    """,
+    """
+
+
+_sql_query(
+    "ds_unigram_logprob",
+    _unigram_logprob_sql("spark"),
+    _unigram_logprob_sql("duckdb"),
     tags=("dataset", "text", "quality", "lm"),
 )
 
@@ -7895,8 +7897,8 @@ _sql_query(
 # TF-IDF keyword extraction: per-document top-3 terms by tf·idf — the
 # classical feature-extraction stage (and the "representative terms"
 # signal cluster-labeling pipelines use). idf = ln(N/df) on the module's
-# micro-grid (same ln-on-double discipline ds_unigram_logprob
-# established). Scale shape: the (doc, term) tf aggregate is the one real
+# micro-grid via detmath's deterministic integer-log difference (r6 — no
+# engine ln() may feed a floor grid; see functions/detmath.py). Scale shape: the (doc, term) tf aggregate is the one real
 # shuffle; the df side is vocabulary-sized (broadcastable), N is a
 # 1-row cross join, and the per-doc top-3 is WindowGroupLimit — partial
 # top-k before the shuffle, never a global sort.
@@ -7916,7 +7918,7 @@ n AS (
 ),
 scored AS (
   SELECT tf.doc_id, tf.term,
-         CAST(floor(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df)
+         CAST(floor(tf.tf * {ln_n_over_df}
               * 1000000 + 0.5) AS BIGINT) AS tfidf_micro
   FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
 ),
@@ -7930,13 +7932,17 @@ SELECT doc_id, term, tfidf_micro, CAST(rnk AS BIGINT) AS rnk
 FROM ranked WHERE rnk <= 3
 ORDER BY doc_id ASC, rnk ASC
 """
+from pgvector_db_spark.functions.detmath import ln_ratio_sql as _ln_ratio_sql  # noqa: E402
+
 _sql_query(
     "ds_tfidf_topk_terms",
     _TFIDF_BODY.format(
-        explode="explode(split(trim(lower(text)), '\\\\s+'))"
+        explode="explode(split(trim(lower(text)), '\\\\s+'))",
+        ln_n_over_df=_ln_ratio_sql("n.n_docs", "df.df", "spark"),
     ),
     _TFIDF_BODY.format(
-        explode="unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))"
+        explode="unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))",
+        ln_n_over_df=_ln_ratio_sql("n.n_docs", "df.df", "duckdb"),
     ),
     tags=("dataset", "text", "features"),
 )
@@ -8980,8 +8986,8 @@ def _dsir_oracle() -> str:
     tot AS (SELECT (SELECT COUNT(*) FROM tb) AS tr,
                    (SELECT COUNT(*) FROM tb WHERE lang = 'en') AS tt),
     lr AS (SELECT r.b,
-                  ln(CAST(COALESCE(g.gb, 0) + 1 AS DOUBLE) / (tt + {_DSIR_BUCKETS}))
-                - ln(CAST(r.rb + 1 AS DOUBLE) / (tr + {_DSIR_BUCKETS})) AS lr
+                  {_ln_ratio_sql(f"(COALESCE(g.gb, 0) + 1)", f"(tt + {_DSIR_BUCKETS})", "duckdb")}
+                - {_ln_ratio_sql(f"(r.rb + 1)", f"(tr + {_DSIR_BUCKETS})", "duckdb")} AS lr
            FROM rawb r LEFT JOIN tgtb g ON r.b = g.b CROSS JOIN tot),
     db AS (SELECT doc_id, b, COUNT(*) AS n FROM tb GROUP BY doc_id, b)
     SELECT d.doc_id,
@@ -9024,11 +9030,13 @@ def ds_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("lang") == "en", 1)).alias("gb"),
     )
     tot = tokb.agg(F.sum("rb").alias("tr"), F.sum("gb").alias("tt"))
+    from pgvector_db_spark.functions.detmath import ln_bigint
+
     lr = tokb.crossJoin(F.broadcast(tot)).select(
         "b",
         (
-            F.log((F.col("gb") + 1).cast("double") / (F.col("tt") + nb))
-            - F.log((F.col("rb") + 1).cast("double") / (F.col("tr") + nb))
+            (ln_bigint(F.col("gb") + 1) - ln_bigint(F.col("tt") + nb))
+            - (ln_bigint(F.col("rb") + 1) - ln_bigint(F.col("tr") + nb))
         ).alias("lr"),
     )
     db = tok.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("n"))
@@ -9058,29 +9066,44 @@ def ds_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # no global sort).
 # ---------------------------------------------------------------------------
 
+# ln of the fixed 2^32+1 denominator, folded once in Python and embedded
+# as the SAME double literal on both sides; ln of the integer numerator
+# goes through detmath — no engine ln() anywhere in the key grid (r6).
+_WRES_LN_DEN = math.log(4294967297)
+
+
 def _wres_key() -> F.Column:
     """A-ES sampling key as grid-fixed picounits — shared by the batch
     and streaming samplers so 'streaming fold equals batch sample' is
-    enforced by construction, not by keeping two copies in sync."""
+    enforced by construction, not by keeping two copies in sync.
+    ln(u) for u = (h+1)/2^32+1 is ln_bigint(h+1) - ln(2^32+1), both
+    deterministic cross-engine."""
+    from pgvector_db_spark.functions.detmath import ln_bigint
     from pgvector_db_spark.functions.text import hash32
 
-    u = (
+    h1 = (
         hash32(F.concat(F.col("doc_id").cast("string"), F.lit("_wres42")))
         + 1
-    ) / F.lit(4294967297.0)
+    ).cast("bigint")
+    lnu = ln_bigint(h1) - F.lit(_WRES_LN_DEN)
     return (
-        F.floor(F.log(u) / F.col("n_chars") * F.lit(1e12) + F.lit(0.5))
+        F.floor(lnu / F.col("n_chars") * F.lit(1e12) + F.lit(0.5))
         .cast("bigint")
         .alias("key_pico")
     )
 
 
 def _wres_oracle(k: int = 20) -> str:
+    from pgvector_db_spark.functions.detmath import ln_bigint_sql
+
     h = _duck_hex8("md5(CAST(doc_id AS VARCHAR) || '_wres42')")
-    u = f"(({h} + 1) / CAST(4294967297 AS DOUBLE))"
+    lnu = (
+        f"({ln_bigint_sql(f'({h} + 1)', 'duckdb')}"
+        f" - CAST({_WRES_LN_DEN!r} AS DOUBLE))"
+    )
     return f"""
     SELECT doc_id, n_chars,
-           CAST(floor(ln({u}) / n_chars * 1e12 + 0.5) AS BIGINT) AS key_pico
+           CAST(floor({lnu} / n_chars * 1e12 + 0.5) AS BIGINT) AS key_pico
     FROM documents
     ORDER BY key_pico DESC, doc_id ASC LIMIT {k}
     """
@@ -9414,7 +9437,7 @@ def _ppx_mixture_sql(dialect: str) -> str:
     ),
     scored AS (
       SELECT t.doc_id, t.lang,
-             CAST(floor(ln(CAST(f.tf AS DOUBLE) / f.total) * 1000000 + 0.5)
+             CAST(floor({_ln_ratio_sql("f.tf", "f.total", dialect)} * 1000000 + 0.5)
                   AS BIGINT) AS lp_micro
       FROM toks t JOIN freq f ON t.term = f.term
     ),

