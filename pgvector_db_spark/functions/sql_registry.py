@@ -105,23 +105,35 @@ _FUNCTIONS.update(
 # type); all math is integer folds -> engine-exact.
 _FUNCTIONS.update(
     {
+        # strict x > 0 (not >=): pgvector's binary_quantize sets a bit
+        # only for positive components, so exact 0.0 maps to 0
+        # (pgvector src/vector.c binary_quantize; r5 ADVICE)
         "binary_quantize": """
         CREATE OR REPLACE TEMPORARY FUNCTION binary_quantize(a ARRAY<FLOAT>)
-        RETURNS ARRAY<INT> RETURN transform(a, x -> IF(x >= 0, 1, 0))""",
+        RETURNS ARRAY<INT> RETURN transform(a, x -> IF(x > 0, 1, 0))""",
         "hamming_distance": """
         CREATE OR REPLACE TEMPORARY FUNCTION hamming_distance(a ARRAY<INT>, b ARRAY<INT>)
         RETURNS BIGINT RETURN aggregate(zip_with(a, b,
           (x, y) -> IF(x != y, CAST(1 AS BIGINT), CAST(0 AS BIGINT))),
           CAST(0 AS BIGINT), (acc, d) -> acc + d)""",
+        # zero-union guard: pgvector returns NaN when both codes are
+        # all-zero (0/0); without the CASE the division yields NULL here
+        # (engine-dependent) — match pgvector (r5 ADVICE)
         "jaccard_distance": """
         CREATE OR REPLACE TEMPORARY FUNCTION jaccard_distance(a ARRAY<INT>, b ARRAY<INT>)
-        RETURNS DOUBLE RETURN 1.0 -
+        RETURNS DOUBLE RETURN CASE
+          WHEN aggregate(zip_with(a, b,
+            (x, y) -> IF(x = 1 OR y = 1, CAST(1 AS BIGINT), CAST(0 AS BIGINT))),
+            CAST(0 AS BIGINT), (acc, d) -> acc + d) = 0
+          THEN CAST('NaN' AS DOUBLE)
+          ELSE 1.0 -
           CAST(aggregate(zip_with(a, b,
             (x, y) -> IF(x = 1 AND y = 1, CAST(1 AS BIGINT), CAST(0 AS BIGINT))),
             CAST(0 AS BIGINT), (acc, d) -> acc + d) AS DOUBLE) /
           aggregate(zip_with(a, b,
             (x, y) -> IF(x = 1 OR y = 1, CAST(1 AS BIGINT), CAST(0 AS BIGINT))),
-            CAST(0 AS BIGINT), (acc, d) -> acc + d)""",
+            CAST(0 AS BIGINT), (acc, d) -> acc + d)
+        END""",
     }
 )
 

@@ -131,8 +131,23 @@ def bfs_hops(
     seed_set = sorted(set(seeds))  # dedupe: one (node, 0) row per seed
     if not seed_set:
         # createDataFrame([]) cannot infer a schema — empty seeds is a
-        # well-defined query (nothing reachable), return an empty frame
-        return spark.createDataFrame([], "node string, hop int")
+        # well-defined query (nothing reachable), return an empty frame.
+        # Derive the node type from the edges schema so integer-keyed
+        # graphs get an integer-typed empty frame, matching the
+        # non-empty branch's inferred type (r5 ADVICE).
+        from pyspark.sql.types import (
+            IntegerType,
+            StructField,
+            StructType,
+        )
+
+        schema = StructType(
+            [
+                StructField("node", edges.schema["src"].dataType),
+                StructField("hop", IntegerType()),
+            ]
+        )
+        return spark.createDataFrame([], schema)
     frontier = spark.createDataFrame(
         [(s,) for s in seed_set], ["node"]
     ).withColumn("hop", F.lit(0))

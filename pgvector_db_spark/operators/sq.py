@@ -66,7 +66,19 @@ def build_sq8_layout(
         F.min(F.array_min(vec_col)).alias("vmin"),
         F.max(F.array_max(vec_col)).alias("vmax"),
     ).head()
+    if row["vmin"] is None or row["vmax"] is None:
+        raise ValueError(
+            "build_sq8_layout: empty corpus (or all-NULL vectors) — "
+            "cannot fit an affine model"
+        )
     vmin, vmax = float(row["vmin"]), float(row["vmax"])
+    if not vmax > vmin:
+        # a constant corpus makes the affine divisor zero, silently
+        # producing NULL codes at build time (r5 ADVICE) — fail loudly
+        raise ValueError(
+            f"build_sq8_layout: degenerate value range "
+            f"[vmin={vmin}, vmax={vmax}] — affine model undefined"
+        )
     code = _CODE.format(v="x", vmin=repr(vmin), vmax=repr(vmax))
     out = df.withColumn(
         "codes", F.expr(f"transform({vec_col}, x -> {code})")

@@ -1558,8 +1558,10 @@ def ds_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registered SQL functions (functions/sql_registry.py): binary_quantize
 # -> hamming_distance (`<~>`) and jaccard_distance (`<%>`), ranked on
 # the ppm grid. The oracle replicates the same integer folds inline.
+# strict > 0 to match pgvector's binary_quantize (exact-0 components map
+# to 0) — kept in lockstep with functions/sql_registry.py (r5 ADVICE)
 _BIT_CODE_D = (
-    "list_transform(embedding, x -> CASE WHEN x >= 0 THEN 1 ELSE 0 END)"
+    "list_transform(embedding, x -> CASE WHEN x > 0 THEN 1 ELSE 0 END)"
 )
 
 
@@ -6424,14 +6426,16 @@ def vs_sq8_append_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sign-bit binary quantization + Hamming distance (pgvector bit(n) with
 # the <~> operator): 1 bit per component, distance = number of
 # disagreeing sign bits, exact cosine rerank of the Hamming shortlist
+# strict > 0 on both sides — pgvector's binary_quantize bit threshold
+# (exact-0 components are 0-bits; r5 ADVICE alignment)
 _HAMMING_S = (
     "aggregate(zip_with(embedding, qe, (x, y) -> "
-    "CASE WHEN (x >= 0) != (y >= 0) THEN CAST(1 AS BIGINT) "
+    "CASE WHEN (x > 0) != (y > 0) THEN CAST(1 AS BIGINT) "
     "ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT), (acc, d) -> acc + d)"
 )
 _HAMMING_D = (
     "CAST(list_sum(list_transform(range(1, len(embedding) + 1), i -> "
-    "CASE WHEN (embedding[i] >= 0) != (qe[i] >= 0) THEN 1 ELSE 0 END)) "
+    "CASE WHEN (embedding[i] > 0) != (qe[i] > 0) THEN 1 ELSE 0 END)) "
     "AS BIGINT)"
 )
 
@@ -9838,9 +9842,16 @@ def stream_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not table.exists():
                 top.write.mode("errorifexists").parquet(table.path)
                 return
+            # exactly-once under foreachBatch's at-least-once retry: a
+            # replayed batch re-unions rows already in the reservoir, and
+            # a duplicated doc_id would occupy two of the 20 slots,
+            # displacing a legitimate row. The A-ES key is a pure
+            # function of doc_id, so replayed rows are bitwise identical
+            # — dedup by doc_id makes the fold idempotent.
             merged = (
                 table.read()
                 .unionByName(top)
+                .dropDuplicates(["doc_id"])
                 .orderBy(F.col("key_pico").desc(), F.col("doc_id").asc())
                 .limit(20)
             )

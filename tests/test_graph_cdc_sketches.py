@@ -244,3 +244,31 @@ def test_weighted_reservoir_prefers_heavy_docs(spark, tables):
     # deterministic: same seed, same sample
     again = REGISTRY["ds_weighted_reservoir"].spark_fn(spark, SF_DIR).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_bfs_empty_seeds_preserves_node_type(spark):
+    """Empty-seed BFS must return a frame whose node column has the
+    edges' src type (r5 ADVICE: the early return hardcoded string)."""
+    from pgvector_db_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src bigint, dst bigint")
+    out = bfs_hops(edges, [], max_hops=3)
+    assert out.count() == 0
+    assert out.schema["node"].dataType == edges.schema["src"].dataType
+
+
+def test_sq8_build_rejects_degenerate_corpus(spark, tmp_path):
+    """Constant or empty corpora make the affine divisor zero — the
+    build must fail loudly, not persist NULL codes (r5 ADVICE)."""
+    import pytest as _pytest
+
+    from pgvector_db_spark.operators.sq import build_sq8_layout
+
+    const = spark.createDataFrame(
+        [(1, [0.5, 0.5]), (2, [0.5, 0.5])], "vec_id bigint, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="degenerate"):
+        build_sq8_layout(const, str(tmp_path / "sq_const"))
+    empty = const.filter("vec_id < 0")
+    with _pytest.raises(ValueError, match="empty corpus"):
+        build_sq8_layout(empty, str(tmp_path / "sq_empty"))

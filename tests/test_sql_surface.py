@@ -112,3 +112,27 @@ def test_sparse_functions_sql(spark):
     assert list(row["ai"]) == [2, 4]
     assert row["sd"] == row["dd"] == 4.0
     assert abs(row["self_d"]) < 1e-12
+
+
+def test_binary_quantize_strict_positive_and_jaccard_nan(spark):
+    """pgvector parity: binary_quantize sets a bit only for x > 0 (an
+    exact 0.0 component is a 0-bit), and jaccard_distance of two
+    all-zero codes is NaN, not NULL (r5 ADVICE)."""
+    import math
+
+    from pgvector_db_spark.functions.sql_registry import (
+        register_sql_functions,
+    )
+
+    register_sql_functions(spark)
+    row = spark.sql(
+        """
+        SELECT binary_quantize(array(CAST(0.0 AS FLOAT), CAST(-1.0 AS FLOAT),
+                                     CAST(2.0 AS FLOAT))) AS code,
+               jaccard_distance(array(0, 0, 0), array(0, 0, 0)) AS jd_zero,
+               jaccard_distance(array(1, 0, 1), array(1, 1, 0)) AS jd
+        """
+    ).first()
+    assert row["code"] == [0, 0, 1]
+    assert math.isnan(row["jd_zero"])
+    assert abs(row["jd"] - (1.0 - 1.0 / 3.0)) < 1e-15
