@@ -7065,6 +7065,102 @@ def stream_bm25_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "vs_bm25_scan_index_parity",
+    bm25_oracle_sql(_BM25_TERMS, k=10),
+    tags=("vector", "text", "search", "canary"),
+)
+def vs_bm25_scan_index_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate triangulation canary for the BM25 family (r5 verdict
+    #4): the driver's sample only ever drew ``stream_bm25_ingest`` from
+    the family in r3-r5, so its reds could not be localized. This entry
+    lives in the vs_ sampling stratum and runs the two NON-streaming
+    paths — scan (``bm25_topk``) and the persisted inverted index
+    (``BM25Index.search`` over the shared read-only fixture) — asserting
+    them bitwise equal in-query before returning the scan rows. Read a
+    future gate as: this red too => scoring/oracle-environment issue;
+    this green with stream_bm25_ingest red => maintenance-path issue."""
+    from pgvector_db_spark.operators.text_search import BM25Index
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    scan = bm25_topk(docs, _BM25_TERMS, k=10)
+    scan_rows = scan.collect()
+    idx_rows = (
+        BM25Index(spark, _bm25_cache(sf_dir, docs))
+        .search(_BM25_TERMS, k=10)
+        .collect()
+    )
+    assert [tuple(r) for r in scan_rows] == [
+        tuple(r) for r in idx_rows
+    ], "BM25 scan path and index path diverged"
+    return spark.createDataFrame(scan_rows, scan.schema)
+
+
+@register(
+    "vs_vector_table_delete_vacuum_knn",
+    f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    s AS (
+      SELECT vec_id AS id,
+             {cosine_distance_sql("embedding", "qe", "duckdb")} AS distance
+      FROM embeddings, q
+      WHERE vec_id < 400 AND vec_id % 7 <> 0
+    )
+    SELECT id, distance, 1.0 - distance AS similarity
+    FROM s ORDER BY distance ASC, id ASC LIMIT 10
+    """,
+    tags=("vector", "table", "delete", "maintenance"),
+)
+def vs_vector_table_delete_vacuum_knn(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """pgvector dead-tuple semantics at the gate (r5 verdict #5): land a
+    400-row slice of ``embeddings`` in a VectorTable, CREATE INDEX,
+    DELETE every id % 7 == 0, then search the INDEXED path with
+    probes = lists — tombstone-masked full probe degenerates to exact
+    kNN over the survivors, which the SQL oracle recomputes. VACUUM
+    rebuilds the index from live rows; the post-vacuum search must be
+    bitwise identical to the masked pre-vacuum one (asserted in-query).
+    Reference parity: DELETE/VACUUM against the pgvector table the
+    reference's psycopg2 client manages (src/pgvector_db/utils.py
+    connection surface); tombstone mask == Postgres dead tuples."""
+    import shutil
+    import tempfile
+
+    from pgvector_db_spark.vector_table import VectorTable
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    dim = len(_query_vec(emb, sf_dir))
+    slice_df = emb.filter("vec_id < 400").select(
+        F.col("vec_id").alias("id"),
+        F.col("vec_id").cast("string").alias("text"),
+        "embedding",
+    )
+    work = tempfile.mkdtemp(prefix="vtab_gate_")
+    try:
+        vt = VectorTable.create(spark, os.path.join(work, "tbl"), dim=dim)
+        vt.copy_from(slice_df)
+        vt.create_index(lists=8)
+        vt.delete([i for i in range(400) if i % 7 == 0])
+        masked = vt.search(_query_vec(emb, sf_dir), k=10, probes=8)
+        masked_rows = masked.select("id", "distance", "similarity").collect()
+        vt.vacuum()
+        after_rows = (
+            vt.search(_query_vec(emb, sf_dir), k=10, probes=8)
+            .select("id", "distance", "similarity")
+            .collect()
+        )
+        assert [tuple(r) for r in masked_rows] == [
+            tuple(r) for r in after_rows
+        ], "vacuum changed tombstone-masked search results"
+        out_schema = masked.select("id", "distance", "similarity").schema
+        return spark.createDataFrame(masked_rows, out_schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
     "vs_hybrid_rrf_search",
     f"""
     WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
