@@ -56,6 +56,63 @@ def ln_bigint(m: Column) -> Column:
     return e.cast("double") * F.lit(LN2) + F.lit(2.0) * t * s
 
 
+def ln_bigint_py(m: int) -> float:
+    """Pure-Python spelling of ``ln_bigint`` — CPython floats are IEEE-754
+    doubles with exactly-rounded +,-,*,/, so this returns the SAME BIT
+    PATTERN the Spark/DuckDB trees produce for the same ``m``
+    (pinned bitwise in tests/test_detmath.py). Use it to fold logs of
+    DRIVER-KNOWN integers (e.g. corpus stats) into plan literals instead
+    of carrying the expression tree in-plan."""
+    e = m.bit_length() - 1
+    r = float(m) / float(1 << e)
+    t = (r - 1.0) / (r + 1.0)
+    t2 = t * t
+    s = ATANH_C[-1]
+    for c in reversed(ATANH_C[:-1]):
+        s = c + t2 * s
+    return float(e) * LN2 + 2.0 * t * s
+
+
+def ln_bigint_staged(df, m: Column, out: str, prefix: str = "_ln"):
+    """Append ``out`` = deterministic ln of positive-BIGINT expression
+    ``m`` to ``df`` via SEQUENTIAL projections.
+
+    Why not just ``df.withColumn(out, ln_bigint(m))``: the inline tree
+    duplicates the t² subexpression once per Horner step (~600 analyzed
+    nodes per call), and Catalyst re-walks it through every optimizer
+    rule and every AQE re-plan — measured ~+0.5 s of DRIVER planning per
+    ln per query at any data size. Staging e/r/t/t² as aliased columns
+    keeps the analyzed tree ~10x smaller: CollapseProject does not
+    inline a non-cheap alias referenced more than once, and whole-stage
+    codegen fuses the projections with subexpression elimination at
+    execution, so the runtime work is identical — and so are the
+    doubles (same ops, same order as ``ln_bigint``/``ln_bigint_sql``).
+    Intermediates are dropped before return; pass a unique ``prefix``
+    when appending several logs to one frame."""
+    e, r, t, t2 = (f"{prefix}_{n}" for n in ("e", "r", "t", "t2"))
+    df = df.withColumn(
+        e, (F.length(F.conv(m.cast("string"), 10, 2)) - F.lit(1)).cast("int")
+    )
+    df = df.withColumn(
+        r,
+        m.cast("double")
+        / F.call_function(
+            "shiftleft", F.lit(1).cast("bigint"), F.col(e)
+        ).cast("double"),
+    )
+    df = df.withColumn(t, (F.col(r) - F.lit(1.0)) / (F.col(r) + F.lit(1.0)))
+    df = df.withColumn(t2, F.col(t) * F.col(t))
+    s = F.lit(ATANH_C[-1])
+    for c in reversed(ATANH_C[:-1]):
+        s = F.lit(c) + F.col(t2) * s
+    df = df.withColumn(
+        out,
+        F.col(e).cast("double") * F.lit(LN2)
+        + F.lit(2.0) * F.col(t) * s,
+    )
+    return df.drop(e, r, t, t2)
+
+
 def ln_bigint_sql(m: str, dialect: str) -> str:
     """SQL spelling of ``ln_bigint`` — same ops, same order, same
     literals. ``dialect`` is ``"spark"`` or ``"duckdb"``; the only

@@ -87,13 +87,15 @@ def bm25_topk(
     )
 
     # corpus stats: one single-row aggregate over doc lengths (computed
-    # from the same tokenization; integer sum / count -> exact avgdl)
-    stats = docs.select(
-        F.size(tokens_col(F.col(text_col))).alias("dl")
-    ).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("dl").alias("sum_dl"),
+    # from the same tokenization; exact integers, collected to the
+    # driver so ln(2n+2)/avgdl fold into plan literals — the index path
+    # has always held its stats driver-side, this converges the two)
+    srow = (
+        docs.select(F.size(tokens_col(F.col(text_col))).alias("dl"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl"))
+        .first()
     )
+    n_docs, sum_dl = int(srow["n_docs"]), int(srow["sum_dl"] or 0)
 
     matched = toks.filter(F.col("term").isin(query_terms))
 
@@ -110,30 +112,42 @@ def bm25_topk(
 
     tf = tf.withColumn("df", F.count(F.lit(1)).over(_W.partitionBy("term")))
 
-    return _score_and_topk(tf, stats, k, k1, b, id_col)
+    return _score_and_topk(tf, n_docs, sum_dl, k, k1, b, id_col)
 
 
 def _score_and_topk(
-    tf: DataFrame, stats: DataFrame, k: int, k1: float, b: float, id_col: str
+    tf: DataFrame, n_docs: int, sum_dl: int, k: int, k1: float, b: float,
+    id_col: str,
 ) -> DataFrame:
     """Shared scoring tail: ``tf`` carries (id, term, tf, dl, df); the
     SAME expression tree serves the scan path (bm25_topk) and the
     indexed path (BM25Index.search), so their grid-fixed scores are
     bitwise identical by construction. The idf
     ``ln((n - df + 0.5)/(df + 0.5) + 1) = ln(2n+2) - ln(2df+1)`` is
-    evaluated by the deterministic ``ln_bigint`` (no engine ``ln()``),
-    and the k1/b float constants are pre-folded in Python — every
-    double in the pipeline is engine-independent (see module note)."""
+    evaluated with NO engine ``ln()``: the corpus stats are driver-known
+    integers, so ``ln(2n+2)`` and ``avgdl`` fold to Python-computed
+    literals (``detmath.ln_bigint_py`` — bitwise-identical to the engine
+    trees), and the per-row ``ln(2df+1)`` runs as the staged
+    deterministic tree. k1/b constants are likewise Python-folded —
+    every double in the pipeline is engine-independent (module note)."""
+    from pgvector_db_spark.functions.detmath import (
+        ln_bigint_py,
+        ln_bigint_staged,
+    )
+
     k1p1 = k1 + 1.0
     omb = 1.0 - b
+    ln_n = ln_bigint_py(2 * n_docs + 2)
+    # CAST-then-divide, matching the oracle's CAST(sum_dl AS DOUBLE)/n
+    avgdl = float(sum_dl) / float(n_docs)
+    scored = ln_bigint_staged(
+        tf,
+        F.lit(2).cast("bigint") * F.col("df") + F.lit(1),
+        "_ln_df",
+        prefix="_lnd",
+    )
     scored = (
-        tf.crossJoin(F.broadcast(stats))
-        .withColumn("avgdl", F.col("sum_dl") / F.col("n_docs"))
-        .withColumn(
-            "idf",
-            ln_bigint(F.lit(2).cast("bigint") * F.col("n_docs") + F.lit(2))
-            - ln_bigint(F.lit(2).cast("bigint") * F.col("df") + F.lit(1)),
-        )
+        scored.withColumn("idf", F.lit(ln_n) - F.col("_ln_df"))
         .withColumn(
             "term_score",
             F.col("idf")
@@ -141,7 +155,7 @@ def _score_and_topk(
             / (
                 F.col("tf")
                 + F.lit(k1)
-                * (F.lit(omb) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+                * (F.lit(omb) + F.lit(b) * F.col("dl") / F.lit(avgdl))
             ),
         )
         # integer grid before the order-sensitive double SUM
@@ -576,10 +590,7 @@ class BM25Index:
         )
         tf = post.join(F.broadcast(dft), "term")
         n_docs, sum_dl = self._stats(segs)
-        stats = self.spark.createDataFrame(
-            [(n_docs, sum_dl)], "n_docs bigint, sum_dl bigint"
-        )
-        return _score_and_topk(tf, stats, k, k1, b, self.id_col)
+        return _score_and_topk(tf, n_docs, sum_dl, k, k1, b, self.id_col)
 
     def doc_count(self) -> int:
         """Total indexed documents across committed segments (docs are

@@ -9130,13 +9130,24 @@ def ds_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("lang") == "en", 1)).alias("gb"),
     )
     tot = tokb.agg(F.sum("rb").alias("tr"), F.sum("gb").alias("tt"))
-    from pgvector_db_spark.functions.detmath import ln_bigint
+    from pgvector_db_spark.functions.detmath import ln_bigint_staged
 
-    lr = tokb.crossJoin(F.broadcast(tot)).select(
+    # staged deterministic logs (same doubles as the inline tree, ~10x
+    # smaller analyzed plan — 4 inline trees cost ~1 s of driver
+    # planning; see detmath.ln_bigint_staged)
+    lrf = tokb.crossJoin(F.broadcast(tot))
+    for col, expr in (
+        ("_ln_gb", F.col("gb") + 1),
+        ("_ln_tt", F.col("tt") + nb),
+        ("_ln_rb", F.col("rb") + 1),
+        ("_ln_tr", F.col("tr") + nb),
+    ):
+        lrf = ln_bigint_staged(lrf, expr, col, prefix=f"_s{col}")
+    lr = lrf.select(
         "b",
         (
-            (ln_bigint(F.col("gb") + 1) - ln_bigint(F.col("tt") + nb))
-            - (ln_bigint(F.col("rb") + 1) - ln_bigint(F.col("tr") + nb))
+            (F.col("_ln_gb") - F.col("_ln_tt"))
+            - (F.col("_ln_rb") - F.col("_ln_tr"))
         ).alias("lr"),
     )
     db = tok.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("n"))

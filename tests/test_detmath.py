@@ -123,3 +123,43 @@ def test_ln_bigint_rejects_nonpositive_semantics(spark):
         .first()
     )
     assert row["ln"] == pytest.approx(math.log(7), rel=1e-13)
+
+
+def test_ln_bigint_py_matches_engines_bitwise(spark):
+    """The pure-Python spelling must return the same bit pattern as the
+    engine trees — it is used to fold driver-known logs (corpus stats)
+    into plan literals."""
+    from pgvector_db_spark.functions.detmath import ln_bigint_py
+
+    rows = (
+        spark.createDataFrame([(v,) for v in _INTS], "m bigint")
+        .select("m", ln_bigint(F.col("m")).alias("ln"))
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(m BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in _INTS])
+    duck = dict(
+        con.execute(
+            f"SELECT m, {ln_bigint_sql('m', 'duckdb')} FROM t"
+        ).fetchall()
+    )
+    for r in rows:
+        py = ln_bigint_py(r["m"])
+        assert _bits(py) == _bits(r["ln"]), r["m"]
+        assert _bits(py) == _bits(duck[r["m"]]), r["m"]
+
+
+def test_ln_bigint_staged_matches_inline_bitwise(spark):
+    """ln_bigint_staged (sequential projections, small analyzed tree)
+    must produce the same doubles as the inline Column tree."""
+    from pgvector_db_spark.functions.detmath import ln_bigint_staged
+
+    df = spark.createDataFrame([(v,) for v in _INTS], "m bigint")
+    inline = {r["m"]: r["ln"] for r in df.select("m", ln_bigint(F.col("m")).alias("ln")).collect()}
+    staged = {
+        r["m"]: r["ln"]
+        for r in ln_bigint_staged(df, F.col("m"), "ln").collect()
+    }
+    for m, v in inline.items():
+        assert _bits(staged[m]) == _bits(v), m

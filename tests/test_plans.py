@@ -225,7 +225,11 @@ def test_bm25_topk_plan_shape(tables):
     plan = physical_plan(df)
     assert "TakeOrderedAndProject" in plan
     assert plan.count("HashAggregate") >= 2
-    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    # r6: corpus stats fold into plan literals (driver-side aggregate),
+    # so the returned plan is a SINGLE postings pipeline — no stats
+    # crossJoin branch and exactly one corpus scan
+    assert plan.count("Scan parquet") == 1
+    assert "BroadcastNestedLoopJoin" not in plan
     assert "Sort [score" not in plan, "global sort instead of top-k"
 
 
