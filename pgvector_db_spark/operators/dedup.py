@@ -367,6 +367,30 @@ def bloom_decontaminate(
     collects the ~n_hashes × distinct-grams BIT POSITIONS (ints) to the
     driver — bounded by the bitmap's own size, never the corpus.
     """
+    ev_post, might_contain = build_gram_bloom(
+        eval_df, text_col, id_col, n, num_bits, n_hashes
+    )
+    tr_post = _gram_postings(train, text_col, id_col, n, "train_id").filter(
+        might_contain(F.col("_g"))
+    )
+    return _overlap_aggregate(tr_post, ev_post, min_shared)
+
+
+def build_gram_bloom(
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_bits: int = 1 << 17,
+    n_hashes: int = 3,
+):
+    """Build the eval-gram Bloom bitmap ONCE and return
+    ``(ev_post, might_contain)``: the eval posting frame and a
+    Column-predicate closure over the bitmap literal. Split out of
+    :func:`bloom_decontaminate` so a STREAMING decontamination gate can
+    pay the (bounded, bitmap-sized) build a single time and reuse the
+    literal across every micro-batch instead of re-collecting the eval
+    positions per trigger."""
     _WORD = 32
     ev_post = _gram_postings(eval_df, text_col, id_col, n, "eval_id")
 
@@ -397,10 +421,7 @@ def bloom_decontaminate(
             cond = cond & (word.bitwiseAND(bit) != 0)
         return cond
 
-    tr_post = _gram_postings(train, text_col, id_col, n, "train_id").filter(
-        _might_contain(F.col("_g"))
-    )
-    return _overlap_aggregate(tr_post, ev_post, min_shared)
+    return ev_post, _might_contain
 
 
 def ngram_jaccard_pairs(

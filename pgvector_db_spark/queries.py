@@ -6633,10 +6633,9 @@ _sql_query(
 # reaches the threshold. Scale shape: eval side is benchmarks — MBs vs
 # 100 TB — so its posting list broadcasts and the corpus side never
 # shuffles before the tiny pair aggregation (operators/dedup.py
-# contamination_overlap).
-@register(
-    "ds_decontaminate",
-    """
+# contamination_overlap). ONE oracle shared by the plain, Bloom, and
+# streaming entries — all three are exact forms of the same check.
+_DECONTAM_ORACLE = """
     WITH t AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
     ),
@@ -6651,7 +6650,12 @@ _sql_query(
     SELECT train_id, eval_id, COUNT(*) AS n_shared
     FROM tr JOIN ev USING (gram)
     GROUP BY train_id, eval_id HAVING COUNT(*) >= 3
-    """,
+    """
+
+
+@register(
+    "ds_decontaminate",
+    _DECONTAM_ORACLE,
     tags=("dataset", "decontamination"),
 )
 def ds_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6669,22 +6673,7 @@ def ds_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ds_bloom_decontaminate",
-    """
-    WITH t AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
-    ),
-    g AS (
-      SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
-             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ng
-      FROM t
-    ),
-    e AS (SELECT doc_id, unnest(ng) AS gram FROM g),
-    ev AS (SELECT doc_id AS eval_id, gram FROM e WHERE doc_id % 97 = 0),
-    tr AS (SELECT doc_id AS train_id, gram FROM e WHERE doc_id % 97 != 0)
-    SELECT train_id, eval_id, COUNT(*) AS n_shared
-    FROM tr JOIN ev USING (gram)
-    GROUP BY train_id, eval_id HAVING COUNT(*) >= 3
-    """,
+    _DECONTAM_ORACLE,
     tags=("dataset", "decontamination", "bloom"),
 )
 def ds_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6703,6 +6692,93 @@ def ds_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=3,
         min_shared=3,
     )
+
+
+@register(
+    "stream_decontaminate_ingest",
+    _DECONTAM_ORACLE,
+    tags=("streaming", "decontamination", "ingest"),
+)
+def stream_decontaminate_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming decontamination gate: the continuous front-door form of
+    ``ds_bloom_decontaminate``. Train documents arrive as 4 REAL
+    micro-batches (maxFilesPerTrigger=1); the eval-gram Bloom bitmap is
+    built ONCE before the stream starts (operators/dedup.build_gram_bloom
+    — the collect is bounded by the bitmap's own size) and rides into
+    every micro-batch scan as the same literal; each batch's trigrams are
+    Bloom-pruned, verified against the broadcast eval postings, and the
+    flagged (train_id, eval_id, n_shared) pairs land via foreachBatch
+    append. A document's grams are complete within the one batch that
+    carries it, so the union of per-batch overlaps is EXACTLY the batch-
+    mode result — the entry shares ds_decontaminate's oracle.
+
+    100 TB shape: rejected documents cost one scan + a codegen'd bitmap
+    test per gram; the corpus never shuffles; per-batch state is zero
+    (stateless gate), so watermarks/state stores are not involved.
+    """
+    import shutil
+    import tempfile
+
+    from pgvector_db_spark.catalog import table_path
+    from pgvector_db_spark.operators.dedup import (
+        _gram_postings,
+        _overlap_aggregate,
+        build_gram_bloom,
+    )
+    from pgvector_db_spark.streaming.replay import (
+        file_stream,
+        stage_replay_splits,
+    )
+
+    tag = _fixture_tag(sf_dir)
+    doc_path = table_path(sf_dir, "documents")
+    replay_dir = os.path.join(tempfile.gettempdir(), f"docs_replay4_{tag}")
+    stage_replay_splits(spark, doc_path, replay_dir, n_files=4)
+    schema = spark.read.parquet(doc_path).schema
+
+    eval_docs = (
+        spark.read.parquet(doc_path).filter("doc_id % 97 = 0")
+    )
+    ev_post, might_contain = build_gram_bloom(eval_docs, n=3)
+
+    src = file_stream(
+        spark, replay_dir, schema, max_files_per_trigger=1
+    ).filter("doc_id % 97 != 0")
+
+    work = tempfile.mkdtemp(prefix="stream_decontam_")
+    out_dir = os.path.join(work, "flagged")
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        post = _gram_postings(batch_df, "text", "doc_id", 3, "train_id")
+        pairs = _overlap_aggregate(
+            post.filter(might_contain(F.col("_g"))), ev_post, 3
+        )
+        # idempotent under foreachBatch's at-least-once replay: each
+        # epoch owns a directory and a replay OVERWRITES it — a plain
+        # shared append would duplicate the replayed batch's pairs
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"e{int(epoch_id)}")
+        )
+
+    try:
+        q = (
+            src.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        # recursiveFileLookup: the per-epoch dirs are plain subdirs (not
+        # key=value), so partition discovery must be bypassed
+        out = spark.read.option("recursiveFileLookup", "true").parquet(
+            out_dir
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 # Data-mixture report: per (source, lang) document and token counts with
