@@ -2795,6 +2795,97 @@ def stream_ann_search_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_ivf_append_ingest",
+    f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    s AS (
+      SELECT vec_id, label,
+             {cosine_distance_sql("embedding", "qe", "duckdb")} AS distance
+      FROM embeddings, q
+    )
+    SELECT vec_id, label, distance
+    FROM s ORDER BY distance ASC, vec_id ASC LIMIT 10
+    """,
+    tags=("streaming", "vector", "maintenance", "ann", "append"),
+)
+def stream_ivf_append_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING vector index maintenance — the IVF twin of
+    ``stream_bm25_ingest``: the index is built over the EVEN half of the
+    embeddings, the odd half arrives as 4 real micro-batches and each
+    batch lands via ``IVFIndex.append`` (pgvector INSERT semantics:
+    assign to frozen centroids, no refit). A full-probe search over the
+    maintained layout must then equal the exact kNN over the WHOLE
+    table — any row lost, duplicated, or mis-assigned by the streaming
+    append path breaks the hash.
+
+    Idempotency: ``IVFIndex.append`` is a parquet mode("append") write,
+    so a replayed micro-batch (foreachBatch is at-least-once) would
+    duplicate rows — a per-epoch applied marker makes replays no-ops.
+    The marker is written after the batch's job commit; the crash window
+    between commit and marker is the same non-transactional-bulk-load
+    caveat pgvector documents for COPY into an indexed table.
+
+    All mutable state (index layout, checkpoint, markers) lives under a
+    per-invocation mkdtemp; the replay staging of the source table is
+    the shared read-only fixture.
+    """
+    import shutil
+    import tempfile
+
+    from pgvector_db_spark.catalog import table_path
+    from pgvector_db_spark.operators.ivf import IVFIndex
+    from pgvector_db_spark.streaming.replay import (
+        file_stream,
+        stage_replay_splits,
+    )
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    emb_path = table_path(sf_dir, "embeddings")
+    tag = _fixture_tag(sf_dir)
+    replay_dir = os.path.join(tempfile.gettempdir(), f"emb_replay4_{tag}")
+    stage_replay_splits(spark, emb_path, replay_dir, n_files=4)
+    schema = spark.read.parquet(emb_path).schema
+
+    work = tempfile.mkdtemp(prefix="stream_ivf_append_")
+    try:
+        path = os.path.join(work, "idx")
+        IVFIndex.build(emb.filter(F.col("vec_id") % 2 == 0), path, lists=4)
+        idx = IVFIndex(spark, path, "embedding", "vec_id")
+
+        applied = os.path.join(work, "applied")
+        os.makedirs(applied, exist_ok=True)
+
+        def sink(batch_df: DataFrame, epoch_id: int) -> None:
+            marker = os.path.join(applied, f"e{int(epoch_id)}")
+            if os.path.exists(marker):
+                return
+            batch = batch_df.filter(F.col("vec_id") % 2 == 1)
+            if not batch.isEmpty():
+                idx.append(batch)
+            with open(marker, "w"):
+                pass
+
+        src = file_stream(spark, replay_dir, schema, max_files_per_trigger=1)
+        q = (
+            src.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+        qv = _query_vec(emb, sf_dir)
+        out = idx.search(list(qv), k=10, nprobe=4).select(
+            "vec_id", "label", "distance"
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
     "vs_lsh_knn_batch_dist_fullprobe",
     f"""
     WITH q AS (
