@@ -1511,7 +1511,7 @@ _sql_query(
 
 @register(
     "ds_phrase_search",
-    """
+    r"""
     WITH toks AS (
       SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
       FROM documents
