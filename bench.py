@@ -188,6 +188,8 @@ def derived_metrics(spark, sf_dir: str, timings: dict[str, float]) -> dict[str, 
         ("ds_cms_heavy_hitters", "cms_heavy_hitters_ms"),
         ("ds_dsir_importance", "dsir_importance_ms"),
         ("rel_cdc_apply", "cdc_apply_ms"),
+        ("stream_ivf_append_ingest", "stream_ivf_append_ms"),
+        ("stream_decontaminate_ingest", "stream_decontam_ms"),
     ):
         if name in REGISTRY:
             _try(lambda n=name, k=key: out.__setitem__(

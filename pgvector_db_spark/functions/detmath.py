@@ -18,10 +18,12 @@ construction.
 
 ``ln_bigint``: ln of a positive BIGINT. m = 2^e * r with e from the
 binary digit count (pure integer/string ops), r in [1,2) by an exact
-power-of-two division, then ln(m) = e*ln2 + 2*atanh((r-1)/(r+1)) via a
-12-term Horner series (t <= 1/3 so truncation < 1e-13 relative — far
+power-of-two division, then ln(m) = e*ln2 + 2*atanh((r-1)/(r+1)) via an
+8-term Horner series (t <= 1/3 so truncation < ~1e-9 absolute — far
 inside any micro-grid, and irrelevant to the gate: both engines get the
-SAME double). Rational inputs reduce to differences of integer logs:
+SAME double because every spelling derives from the same ATANH_C list;
+12 terms measured ~20% more Catalyst planning for no cross-engine
+benefit). Rational inputs reduce to differences of integer logs:
 ln(a/b) = ln_bigint(a) - ln_bigint(b).
 
 ``exp_unit``: exp of a double in roughly [-2, 2] via a 22-term Taylor
@@ -36,7 +38,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 LN2 = 0.6931471805599453
-ATANH_C = [1.0 / (2 * k + 1) for k in range(12)]
+ATANH_C = [1.0 / (2 * k + 1) for k in range(8)]
 EXP_C = [1.0 / math.factorial(k) for k in range(22)]
 
 

@@ -9296,26 +9296,27 @@ def ds_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("rb"),
         F.count(F.when(F.col("lang") == "en", 1)).alias("gb"),
     )
-    tot = tokb.agg(F.sum("rb").alias("tr"), F.sum("gb").alias("tt"))
-    from pgvector_db_spark.functions.detmath import ln_bigint_staged
+    from pgvector_db_spark.functions.detmath import ln_bigint_py
 
-    # staged deterministic logs (same doubles as the inline tree, ~10x
-    # smaller analyzed plan — 4 inline trees cost ~1 s of driver
-    # planning; see detmath.ln_bigint_staged)
-    lrf = tokb.crossJoin(F.broadcast(tot))
-    for col, expr in (
-        ("_ln_gb", F.col("gb") + 1),
-        ("_ln_tt", F.col("tt") + nb),
-        ("_ln_rb", F.col("rb") + 1),
-        ("_ln_tr", F.col("tr") + nb),
-    ):
-        lrf = ln_bigint_staged(lrf, expr, col, prefix=f"_s{col}")
-    lr = lrf.select(
-        "b",
-        (
-            (F.col("_ln_gb") - F.col("_ln_tt"))
-            - (F.col("_ln_rb") - F.col("_ln_tr"))
-        ).alias("lr"),
+    # The bucket frame is FIXED at nb=128 rows regardless of corpus size
+    # (the same boundedness argument as IVF centroids), so collect it and
+    # fold the four deterministic logs into Python-computed literals —
+    # ln_bigint_py is pinned bitwise-identical to the engine trees the
+    # oracle evaluates (tests/test_detmath.py), and dropping the staged
+    # in-plan trees removes ~400 ms of per-query Catalyst planning.
+    brows = tokb.collect()
+    tr = sum(int(r["rb"]) for r in brows)
+    tt = sum(int(r["gb"]) for r in brows)
+    lr = spark.createDataFrame(
+        [
+            (
+                int(r["b"]),
+                (ln_bigint_py(int(r["gb"]) + 1) - ln_bigint_py(tt + nb))
+                - (ln_bigint_py(int(r["rb"]) + 1) - ln_bigint_py(tr + nb)),
+            )
+            for r in brows
+        ],
+        "b bigint, lr double",
     )
     db = tok.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("n"))
     scored = (

@@ -66,7 +66,10 @@ def test_ln_bigint_accuracy(spark):
     )
     for r in rows:
         want = math.log(r["m"])
-        assert abs(r["ln"] - want) <= max(abs(want), 1.0) * 1e-12, r["m"]
+        # 8-term atanh Horner truncation bound ~1e-9 absolute at t=1/3
+        # (detmath module doc) — accuracy is a sanity bound; bitwise
+        # cross-engine equality above is the contract
+        assert abs(r["ln"] - want) <= max(abs(want), 1.0) * 2e-9, r["m"]
 
 
 _YS = [i / 64.0 for i in range(-128, 129)] + [0.123456789, -1.9990234375]
@@ -122,7 +125,7 @@ def test_ln_bigint_rejects_nonpositive_semantics(spark):
         .select(ln_bigint(F.col("m")).alias("ln"))
         .first()
     )
-    assert row["ln"] == pytest.approx(math.log(7), rel=1e-13)
+    assert row["ln"] == pytest.approx(math.log(7), rel=2e-9)
 
 
 def test_ln_bigint_py_matches_engines_bitwise(spark):
