@@ -115,17 +115,47 @@ def ln_bigint_staged(df, m: Column, out: str, prefix: str = "_ln"):
     return df.drop(e, r, t, t2)
 
 
+def bitlen_minus1_sql(m: str, dialect: str) -> str:
+    """Bit length minus one (= the exact integer floor(log2)) of a
+    positive BIGINT SQL expression, per dialect.
+
+    Spark: binary digit count via ``conv`` (the engine is pinned by the
+    container, so the idiom's behavior is env-identical).
+
+    DuckDB: floor(log2) + EXACT integer correction. The r6 spelling
+    ``length(bin(CAST(m AS BIGINT))) - 1`` assumed bin() returns minimal
+    digits — true of the local DuckDB 1.0.0 but an engine-specific
+    string idiom whose width semantics are exactly the kind of thing a
+    different DuckDB version could change, and the driver's DuckDB
+    version is unknown (r6 VERDICT "What's wrong" #1: a padded bin()
+    makes every oracle idf wrong while preserving rows_match). This
+    spelling assumes only that log2() lands within +-0.5 of the true
+    value (any libm does, by ~15 orders of magnitude); the CASE ladder
+    then pins the integer EXACTLY with pure BIGINT shifts/compares, so
+    the result is version-proof arithmetic, not a string idiom."""
+    if dialect == "spark":
+        return f"(length(conv(CAST({m} AS STRING), 10, 2)) - 1)"
+    if dialect == "duckdb":
+        mm = f"CAST({m} AS BIGINT)"
+        e0 = f"CAST(floor(log2(CAST({mm} AS DOUBLE))) AS BIGINT)"
+        return (
+            f"(CASE WHEN ({mm} >> {e0}) = 0 THEN ({e0} - 1)"
+            f" WHEN ({mm} >> ({e0} + 1)) >= 1 THEN ({e0} + 1)"
+            f" ELSE {e0} END)"
+        )
+    raise ValueError(f"unknown dialect: {dialect}")  # pragma: no cover
+
+
 def ln_bigint_sql(m: str, dialect: str) -> str:
     """SQL spelling of ``ln_bigint`` — same ops, same order, same
     literals. ``dialect`` is ``"spark"`` or ``"duckdb"``; the only
-    differences are the binary-digit-count idiom and the shift spelling.
-    Every float literal is CAST to DOUBLE so DuckDB's decimal literal
-    typing can't change the arithmetic."""
+    differences are the bit-length idiom (``bitlen_minus1_sql``) and the
+    shift spelling. Every float literal is CAST to DOUBLE so DuckDB's
+    decimal literal typing can't change the arithmetic."""
+    e = bitlen_minus1_sql(m, dialect)
     if dialect == "spark":
-        e = f"(length(conv(CAST({m} AS STRING), 10, 2)) - 1)"
         p = f"shiftleft(CAST(1 AS BIGINT), {e})"
     elif dialect == "duckdb":
-        e = f"(length(bin(CAST({m} AS BIGINT))) - 1)"
         p = f"(CAST(1 AS BIGINT) << {e})"
     else:  # pragma: no cover - caller bug
         raise ValueError(f"unknown dialect: {dialect}")

