@@ -166,3 +166,41 @@ def test_ln_bigint_staged_matches_inline_bitwise(spark):
     }
     for m, v in inline.items():
         assert _bits(staged[m]) == _bits(v), m
+
+
+def test_bitlen_minus1_duckdb_spelling_exact():
+    """The r7 DuckDB bit-length spelling (floor(log2) + exact integer
+    CASE/shift correction — replacing the version-sensitive bin()
+    string idiom) must equal Python int.bit_length()-1 for every probe
+    integer including the 2^k boundaries up to 2^63-1."""
+    from pgvector_db_spark.functions.detmath import bitlen_minus1_sql
+
+    ints = sorted(
+        set(
+            _INTS
+            + [2**62, 2**62 + 5, 2**63 - 1]
+            + [2**k for k in range(52, 63)]
+            + [2**k - 1 for k in range(52, 64)]
+            + [2**k + 1 for k in range(52, 63)]
+        )
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(m BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in ints])
+    rows = con.execute(
+        f"SELECT m, {bitlen_minus1_sql('m', 'duckdb')} FROM t"
+    ).fetchall()
+    for m, e in rows:
+        assert int(e) == m.bit_length() - 1, m
+
+
+def test_bitlen_minus1_spark_spelling_exact(spark):
+    from pgvector_db_spark.functions.detmath import bitlen_minus1_sql
+
+    ints = sorted(set(_INTS + [2**62, 2**63 - 1]))
+    df = spark.createDataFrame([(v,) for v in ints], "m bigint")
+    rows = df.selectExpr(
+        "m", f"{bitlen_minus1_sql('m', 'spark')} AS e"
+    ).collect()
+    for r in rows:
+        assert int(r["e"]) == int(r["m"]).bit_length() - 1, r["m"]

@@ -480,3 +480,71 @@ def test_substring_dup_stats_semantics(spark):
     assert rows[3] == (2, 0, 0)          # 6 tokens -> 2 shingles, none shared
     assert rows[1] == (6, 1, 0)          # 10 tokens -> 6 shingles, 1 shared
     assert rows[2] == (2, 1, 1)          # 6 tokens -> 2 shingles, 1 shared -> flagged
+
+
+# -- r7: BM25 pure-Python recompute + empty-corpus guard ---------------------
+
+
+def test_bm25_topk_py_matches_spark_bitwise(tables):
+    """The engine-free third spelling of the BM25 scoring tail must be
+    BIT-IDENTICAL to the Spark result — it is the decisive in-query
+    verifier stream_bm25_ingest raises on (r7)."""
+    from pgvector_db_spark.operators.text_search import (
+        bm25_topk,
+        bm25_topk_py,
+        tokens_col,
+    )
+
+    docs = tables["documents"]
+    terms = ["vector", "join", "filter"]
+    got = [
+        (int(r[0]), int(r[1]), int(r[2]))
+        for r in bm25_topk(docs, terms, k=20).collect()
+    ]
+    post_rows = (
+        docs.select("doc_id", tokens_col(F.col("text")).alias("_t"))
+        .select(
+            "doc_id",
+            F.size("_t").alias("dl"),
+            F.explode("_t").alias("term"),
+        )
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+        .select("doc_id", "term", "tf", "dl")
+        .collect()
+    )
+    crow = (
+        docs.select(tokens_col(F.col("text")).alias("_t"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.size("_t")).alias("s"))
+        .first()
+    )
+    want = bm25_topk_py(post_rows, int(crow["n"]), int(crow["s"]), k=20)
+    assert got == want
+
+
+def test_bm25_empty_corpus_returns_empty(spark):
+    """BM25 over zero documents is zero rows, not ZeroDivisionError
+    (r6 ADVICE)."""
+    from pgvector_db_spark.operators.text_search import bm25_topk
+
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    out = bm25_topk(empty, ["anything"], k=5)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id",
+        "score_micro",
+        "n_matched",
+    ]
+
+
+def test_bm25_terms_absent_from_corpus(spark):
+    """Query terms that match nothing produce zero rows (the idf CASE
+    fold must not break on df=0 / empty postings)."""
+    from pgvector_db_spark.operators.text_search import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta gamma delta")],
+        "doc_id bigint, text string",
+    )
+    assert bm25_topk(docs, ["zzz_not_there"], k=5).collect() == []
