@@ -211,6 +211,249 @@ def _score_and_topk(
     ).limit(k)
 
 
+def _normalize_batch_queries(queries) -> list[tuple[int, list[str]]]:
+    """Canonical batch-query form shared by the Spark plan, the oracle
+    generator, and the pure-Python recompute: qids as ints, each
+    query's terms deduped and sorted (BM25 bag-of-words scores a term
+    once per (query, doc); a repeated query term must not double a
+    score)."""
+    return [
+        (int(qid), sorted(set(terms))) for qid, terms in queries
+    ]
+
+
+def bm25_batch_topk(
+    docs: DataFrame,
+    queries,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Batch BM25: score MANY bag-of-terms queries in ONE plan — the
+    text twin of the distributed batch-ANN probe tables
+    (operators/ivf.py batch path). ``queries`` is a list of
+    ``(qid, [terms])``.
+
+    Returns (qid, id_col, rnk, score_micro, n_matched) for each
+    query's top-k, ordered by (qid, rnk) with the usual unique-key
+    tie-break (score desc, id asc).
+
+    At 100 TB: the corpus is tokenized ONCE for the union of all query
+    terms — the matched postings shuffle once regardless of how many
+    queries share them (never O(queries x corpus)); the (qid, term)
+    probe table is a driver literal that broadcasts; per-query top-k is
+    a rank window PARTITIONED by qid (WindowGroupLimit takes partial
+    top-k per task before the exchange), never a global sort. The idf
+    fold is the same driver-side literal CASE as ``bm25_topk`` — the
+    union vocabulary is driver-known by definition.
+    """
+    qnorm = _normalize_batch_queries(queries)
+    all_terms = sorted({t for _, ts in qnorm for t in ts})
+    srow = (
+        docs.select(tokens_col(F.col(text_col)).alias("_toks"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size("_toks")).alias("sum_dl"),
+            *[
+                F.sum(
+                    F.array_contains("_toks", t).cast("bigint")
+                ).alias(f"_df_{i}")
+                for i, t in enumerate(all_terms)
+            ],
+        )
+        .first()
+    )
+    n_docs, sum_dl = int(srow["n_docs"]), int(srow["sum_dl"] or 0)
+    spark = docs.sparkSession
+    if n_docs == 0 or not all_terms:
+        from pyspark.sql.types import (
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        id_type = docs.schema[id_col].dataType
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("qid", LongType(), True),
+                    StructField(id_col, id_type, True),
+                    StructField("rnk", LongType(), False),
+                    StructField("score_micro", LongType(), True),
+                    StructField("n_matched", LongType(), False),
+                ]
+            ),
+        )
+    df_by_term = {
+        t: int(srow[f"_df_{i}"] or 0) for i, t in enumerate(all_terms)
+    }
+
+    tf = (
+        docs.select(
+            F.col(id_col), tokens_col(F.col(text_col)).alias("_toks")
+        )
+        .select(
+            F.col(id_col),
+            F.size("_toks").alias("dl"),
+            F.explode("_toks").alias("term"),
+        )
+        .filter(F.col("term").isin(all_terms))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    return _batch_score_and_topk(
+        tf, n_docs, sum_dl, df_by_term, qnorm, k, k1, b, id_col
+    )
+
+
+def _batch_score_and_topk(
+    tf: DataFrame,
+    n_docs: int,
+    sum_dl: int,
+    df_by_term: dict,
+    qnorm,
+    k: int,
+    k1: float,
+    b: float,
+    id_col: str,
+) -> DataFrame:
+    """Shared batch scoring tail (scan path ``bm25_batch_topk`` and the
+    indexed ``BM25Index.batch_search``): same idf literal fold and grid
+    as ``_score_and_topk``, plus the broadcast (qid, term) probe join
+    and the qid-partitioned rank window."""
+    from pgvector_db_spark.functions.detmath import ln_bigint_py
+
+    spark = tf.sparkSession
+    k1p1 = k1 + 1.0
+    omb = 1.0 - b
+    ln_n = ln_bigint_py(2 * n_docs + 2)
+    avgdl = float(sum_dl) / float(n_docs)
+    idf_by_term = {
+        t: ln_n - ln_bigint_py(2 * int(df) + 1)
+        for t, df in df_by_term.items()
+    }
+    qpairs = spark.createDataFrame(
+        [(qid, t) for qid, ts in qnorm for t in ts],
+        "qid bigint, term string",
+    )
+    idf = None
+    for t, v in sorted(idf_by_term.items()):
+        cond = F.col("term") == F.lit(t)
+        idf = (
+            F.when(cond, F.lit(v))
+            if idf is None
+            else idf.when(cond, F.lit(v))
+        )
+    scored = (
+        tf.join(F.broadcast(qpairs), "term")
+        .withColumn("idf", idf)
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * F.lit(k1p1))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(omb) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+            ),
+        )
+        .withColumn(
+            "term_score_micro",
+            F.floor(F.col("term_score") * 1e6 + F.lit(0.5)).cast("bigint"),
+        )
+    )
+    agg = scored.groupBy("qid", id_col).agg(
+        F.sum("term_score_micro").alias("score_micro"),
+        F.count(F.lit(1)).alias("n_matched"),
+    )
+    from pyspark.sql.window import Window as _W
+
+    w = _W.partitionBy("qid").orderBy(
+        F.col("score_micro").desc(), F.col(id_col).asc()
+    )
+    return (
+        agg.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .select("qid", id_col, "rnk", "score_micro", "n_matched")
+        .orderBy("qid", "rnk")
+    )
+
+
+def bm25_batch_oracle_sql(
+    queries,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB SQL computing the identical batch-BM25 result — same
+    grid, same deterministic ln tree, same (qid, term) pair set as the
+    Spark plan (both derive from ``_normalize_batch_queries``)."""
+    qnorm = _normalize_batch_queries(queries)
+    pairs = ", ".join(
+        f"({qid}, '{t}')" for qid, ts in qnorm for t in ts
+    )
+    all_terms = sorted({t for _, ts in qnorm for t in ts})
+    terms = ", ".join(f"'{t}'" for t in all_terms)
+    k1p1 = k1 + 1.0
+    omb = 1.0 - b
+    idf = (
+        f"({_ln_bigint_sql('2 * stats.n_docs + 2')}"
+        f" - {_ln_bigint_sql('2 * dft.df + 1')})"
+    )
+    return f"""
+    WITH q(qid, term) AS (VALUES {pairs}),
+    toks AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS dl,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+      FROM documents
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM (
+        SELECT len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS dl
+        FROM documents)
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
+      FROM toks WHERE term IN ({terms})
+      GROUP BY doc_id, term
+    ),
+    dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT q.qid, tf.doc_id,
+             CAST(floor(
+               {idf}
+               * (tf.tf * CAST({k1p1!r} AS DOUBLE))
+               / (tf.tf + CAST({k1!r} AS DOUBLE)
+                  * (CAST({omb!r} AS DOUBLE) + CAST({b!r} AS DOUBLE) * tf.dl
+                     / (CAST(stats.sum_dl AS DOUBLE)
+                        / CAST(stats.n_docs AS DOUBLE))))
+               * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             AS BIGINT) AS term_score_micro
+      FROM tf JOIN dft USING (term) JOIN q USING (term) CROSS JOIN stats
+    ),
+    agg AS (
+      SELECT qid, doc_id, SUM(term_score_micro) AS score_micro,
+             COUNT(*) AS n_matched
+      FROM scored GROUP BY qid, doc_id
+    ),
+    ranked AS (
+      SELECT qid, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY score_micro DESC, doc_id ASC)
+               AS rnk,
+             score_micro, n_matched
+      FROM agg
+    )
+    SELECT CAST(qid AS BIGINT) AS qid, doc_id, CAST(rnk AS BIGINT) AS rnk,
+           score_micro, n_matched
+    FROM ranked WHERE rnk <= {k} ORDER BY qid, rnk
+    """
+
+
 def bm25_topk_py(
     tf_rows,
     n_docs: int,
@@ -694,6 +937,87 @@ class BM25Index:
         n_docs, sum_dl = self._stats(segs)
         return _score_and_topk(
             post, n_docs, sum_dl, df_by_term, k, k1, b, self.id_col
+        )
+
+    def batch_search(
+        self,
+        queries,
+        k: int = 10,
+        k1: float = 1.2,
+        b: float = 0.75,
+    ) -> DataFrame:
+        """Batch form of :meth:`search` — many (qid, [terms]) queries
+        against the persisted layout in ONE plan. Reads only the union
+        of the queries' buckets (one pruned postings scan serves every
+        query), folds idf from the segment term stats exactly like
+        ``search``, and shares ``_batch_score_and_topk`` with the scan
+        path, so results are bitwise the scan path's. At scale this is
+        the BM25 serving tier's bulk path: per-batch cost is
+        O(matched postings of the union vocabulary), not
+        O(queries x corpus)."""
+        import os as _os
+        import zlib
+        from functools import reduce
+
+        qnorm = _normalize_batch_queries(queries)
+        all_terms = sorted({t for _, ts in qnorm for t in ts})
+        m = self._read_manifest()
+        nb = m["num_buckets"]
+        segs = m["segments"]
+        probe = sorted(
+            {zlib.crc32(t.encode("utf-8")) % nb for t in all_terms}
+        )
+        post = reduce(
+            DataFrame.unionByName,
+            [
+                self.spark.read.parquet(
+                    _os.path.join(self.path, s, "postings")
+                )
+                for s in segs
+            ],
+        ).filter(F.col("bucket").isin(probe)).filter(
+            F.col("term").isin(all_terms)
+        )
+        terms = reduce(
+            DataFrame.unionByName,
+            [
+                self.spark.read.parquet(
+                    _os.path.join(self.path, s, "terms")
+                )
+                for s in segs
+            ],
+        )
+        dft_rows = (
+            terms.filter(F.col("bucket").isin(probe))
+            .filter(F.col("term").isin(all_terms))
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+            .collect()
+        )
+        df_by_term = {r["term"]: int(r["df"]) for r in dft_rows}
+        n_docs, sum_dl = self._stats(segs)
+        if n_docs == 0 or not df_by_term:
+            from pyspark.sql.types import (
+                LongType,
+                StructField,
+                StructType,
+            )
+
+            id_type = post.schema[self.id_col].dataType
+            return self.spark.createDataFrame(
+                [],
+                StructType(
+                    [
+                        StructField("qid", LongType(), True),
+                        StructField(self.id_col, id_type, True),
+                        StructField("rnk", LongType(), False),
+                        StructField("score_micro", LongType(), True),
+                        StructField("n_matched", LongType(), False),
+                    ]
+                ),
+            )
+        return _batch_score_and_topk(
+            post, n_docs, sum_dl, df_by_term, qnorm, k, k1, b, self.id_col
         )
 
     def doc_count(self) -> int:

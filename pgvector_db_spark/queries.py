@@ -7362,6 +7362,59 @@ def vs_bm25_scan_index_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(scan_rows, scan.schema)
 
 
+# Batch BM25 — the text twin of the distributed batch-ANN probe: many
+# bag-of-terms queries scored in ONE plan (corpus tokenized once for the
+# union vocabulary; (qid,term) probe table broadcast; per-query top-k
+# via a qid-partitioned rank window = WindowGroupLimit partial top-k).
+_BM25_BATCH_QUERIES = [
+    (0, ["vector", "join", "filter"]),
+    (1, ["index", "scan", "column"]),
+    (2, ["vector", "spark", "stream"]),
+    (3, ["window", "sort", "merge", "join"]),
+]
+
+from pgvector_db_spark.operators.text_search import (  # noqa: E402
+    bm25_batch_oracle_sql,
+    bm25_batch_topk,
+)
+
+
+@register(
+    "ds_bm25_batch_search",
+    bm25_batch_oracle_sql(_BM25_BATCH_QUERIES, k=10),
+    tags=("dataset", "text", "search", "batch"),
+)
+def ds_bm25_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 BM25 results for FOUR queries in one plan (r7). The
+    at-scale property under test: the matched postings shuffle once
+    regardless of query count — a 100k-query batch is the same plan
+    with a bigger broadcast probe table, exactly like the batch-ANN
+    distributed probe tables (queries.py stream_ann_search family).
+    Shares bm25_topk's driver-folded deterministic idf, so the whole
+    result is bitwise-oracled."""
+    t = load_tables(spark, sf_dir)
+    return bm25_batch_topk(t["documents"], _BM25_BATCH_QUERIES, k=10)
+
+
+@register(
+    "ds_bm25_batch_index_search",
+    bm25_batch_oracle_sql(_BM25_BATCH_QUERIES, k=10),
+    tags=("dataset", "text", "search", "batch", "index"),
+)
+def ds_bm25_batch_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch queries served from the PERSISTED inverted index
+    (BM25Index.batch_search): ONE pruned postings read over the union
+    of the queries' buckets serves all four queries — the BM25 serving
+    tier's bulk path, mirroring the distributed batch-ANN probe tables.
+    Shares the scan path's scoring tail, so the full-corpus batch
+    oracle holds bitwise."""
+    from pgvector_db_spark.operators.text_search import BM25Index
+
+    t = load_tables(spark, sf_dir)
+    idx = BM25Index(spark, _bm25_cache(sf_dir, t["documents"]))
+    return idx.batch_search(_BM25_BATCH_QUERIES, k=10)
+
+
 # ---------------------------------------------------------------------------
 # detmath cross-engine probes (r7, VERDICT #5): until now exactly ONE
 # sampled query (stream_bm25_ingest) carried a deterministic-ln-tree

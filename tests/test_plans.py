@@ -501,3 +501,83 @@ def test_sq8_layout_candidate_scan_prunes_float_column(spark):
         "embedding" not in s for s in code_scans
     ), f"candidate scan reads the float column: {code_scans}"
     assert "Python" not in plan
+
+
+def test_bm25_batch_matches_single_query_and_dedups_terms(tables):
+    """Each qid's rows in the batch plan equal the single-query scan
+    bitwise (shared grid + driver-folded idf), and repeated terms in a
+    query score once (bag-of-words term-set semantics, enforced by
+    _normalize_batch_queries on BOTH the Spark plan and the oracle)."""
+    from pgvector_db_spark.operators.text_search import (
+        bm25_batch_topk,
+        bm25_topk,
+    )
+
+    docs = tables["documents"]
+    queries = [(0, ["vector", "join"]), (1, ["index", "scan", "scan"])]
+    batch = bm25_batch_topk(docs, queries, k=10)
+    got = {
+        qid: sorted(
+            (r["doc_id"], r["score_micro"], r["n_matched"], r["rnk"])
+            for r in batch.collect()
+            if r["qid"] == qid
+        )
+        for qid in (0, 1)
+    }
+    for qid, terms in [(0, ["vector", "join"]), (1, ["index", "scan"])]:
+        single = bm25_topk(docs, sorted(set(terms)), k=10).collect()
+        ranked = sorted(
+            single, key=lambda r: (-r["score_micro"], r["doc_id"])
+        )
+        want = sorted(
+            (r["doc_id"], r["score_micro"], r["n_matched"], i + 1)
+            for i, r in enumerate(ranked)
+        )
+        assert got[qid] == want, f"qid {qid} diverges from single-query scan"
+
+
+def test_bm25_batch_plan_shape(tables):
+    """The batch top-k must be a qid-partitioned rank window (partial
+    per-task top-k via WindowGroupLimit — never a global sort) and the
+    whole scoring pipeline stays JVM-side."""
+    from pgvector_db_spark.operators.text_search import bm25_batch_topk
+
+    df = bm25_batch_topk(
+        tables["documents"], [(0, ["vector"]), (1, ["join", "filter"])], k=5
+    )
+    plan = physical_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert "Python" not in plan
+
+
+def test_bm25_batch_index_matches_scan(spark, tables, tmp_path):
+    """BM25Index.batch_search == bm25_batch_topk bitwise: the pruned
+    union-bucket postings read feeds the same _batch_score_and_topk
+    tail, so the persisted layout serves batches losslessly."""
+    from pgvector_db_spark.operators.text_search import (
+        BM25Index,
+        bm25_batch_topk,
+    )
+
+    docs = tables["documents"]
+    idx = BM25Index.build(docs, str(tmp_path / "bm25b"), num_buckets=16)
+    queries = [(7, ["vector", "filter"]), (9, ["index", "merge"])]
+    scan = sorted(map(tuple, bm25_batch_topk(docs, queries, k=10).collect()))
+    indexed = sorted(map(tuple, idx.batch_search(queries, k=10).collect()))
+    assert scan == indexed
+
+
+def test_bm25_batch_empty_inputs(spark, tables):
+    """Empty query list and empty corpus both yield an empty, correctly
+    typed frame (no ZeroDivisionError — the ADVICE r6 guard extends to
+    the batch path)."""
+    from pgvector_db_spark.operators.text_search import bm25_batch_topk
+
+    docs = tables["documents"]
+    assert bm25_batch_topk(docs, [], k=5).count() == 0
+    empty = docs.filter(F.lit(False))
+    out = bm25_batch_topk(empty, [(0, ["vector"])], k=5)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "qid", "doc_id", "rnk", "score_micro", "n_matched",
+    ]
