@@ -7416,6 +7416,72 @@ def ds_bm25_batch_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# MMR diversity rerank (r7): the step every RAG layer adds on top of
+# raw cosine top-k — greedy maximal-marginal-relevance selection so the
+# k passages are relevant but not redundant. Candidate generation is
+# the existing distributed kNN machinery (per-qid rank window); the
+# greedy runs per bounded qid group via applyInPandas; the oracle is an
+# INDEPENDENT unrolled k-step greedy CTE (operators/mmr.py docstring
+# has the bit-parity argument: identical IEEE op order end to end).
+# ---------------------------------------------------------------------------
+
+_MMR_QIDS = "0, 17, 99"
+_MMR_N, _MMR_K, _MMR_LAM = 8, 4, 0.7
+
+
+def _mmr_cand_cte(dialect: str) -> str:
+    from pgvector_db_spark.functions.vector import cosine_similarity_sql
+
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qe FROM embeddings
+      WHERE vec_id IN ({_MMR_QIDS})
+    ),
+    scored AS (
+      SELECT q.qid, e.vec_id, e.embedding,
+             {cosine_similarity_sql("e.embedding", "q.qe", dialect)} AS rel
+      FROM embeddings e JOIN q ON e.vec_id != q.qid
+    ),
+    cand AS (
+      SELECT qid, vec_id, rel, embedding FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY qid ORDER BY rel DESC, vec_id ASC) AS rn
+        FROM scored
+      ) WHERE rn <= {_MMR_N}
+    )"""
+
+
+def _mmr_oracle() -> str:
+    from pgvector_db_spark.operators.mmr import mmr_oracle_steps_sql
+
+    return mmr_oracle_steps_sql(
+        _mmr_cand_cte("duckdb"), _MMR_K, _MMR_LAM, "duckdb"
+    )
+
+
+@register(
+    "vs_mmr_diversity_rerank",
+    _mmr_oracle(),
+    tags=("vector", "rag", "rerank", "udf"),
+)
+def vs_mmr_diversity_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR top-4 (lambda=0.7) over each of three queries' cosine top-8
+    candidates. Spark side: candidate gen in SQL (per-qid rank window —
+    WindowGroupLimit partial top-k), greedy via applyInPandas over the
+    bounded group (operators/mmr.py — pure-Python folds in the exact
+    dot_sql op order). Oracle: independent unrolled greedy CTE. The two
+    implementations share NO code path beyond the candidate SQL, so a
+    pass is a genuine differential check of the greedy itself."""
+    from pgvector_db_spark.operators.mmr import mmr_rerank_batch
+
+    load_tables(spark, sf_dir)
+    cands = spark.sql(
+        _mmr_cand_cte("spark") + "\n    SELECT * FROM cand"
+    )
+    return mmr_rerank_batch(cands, k=_MMR_K, lam=_MMR_LAM)
+
+
+# ---------------------------------------------------------------------------
 # detmath cross-engine probes (r7, VERDICT #5): until now exactly ONE
 # sampled query (stream_bm25_ingest) carried a deterministic-ln-tree
 # oracle, so a driver-environment bug in that tree was indistinguishable
