@@ -567,6 +567,157 @@ def bm25_oracle_sql(
     """
 
 
+def bm25_prf_topk(
+    docs: DataFrame,
+    seed_terms: list[str],
+    k: int = 10,
+    fb_docs: int = 10,
+    fb_terms: int = 3,
+    min_term_len: int = 4,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (Rocchio/RM-style):
+    run BM25 with the seed terms, take the top ``fb_docs`` results as
+    implicit relevance feedback, pick the ``fb_terms`` most frequent
+    non-seed terms (>= ``min_term_len`` chars) from those docs, and
+    rescore the corpus with the expanded term set. The classic recall
+    lever when seed queries are short.
+
+    At 100 TB: stage 1 is the ordinary distributed BM25; the only
+    driver-side materialization is the feedback set (``fb_docs`` ids ~
+    10 rows) and the expansion terms (``fb_terms`` rows, selected by a
+    TakeOrderedAndProject over the feedback docs' vocabulary — the
+    feedback frame is a semi-join of the corpus against 10 ids, pruned
+    at the scan). Stage 3 is another ordinary BM25 with a slightly
+    longer literal term list. Nothing unbounded ever reaches the
+    driver.
+
+    Determinism: every stage ranks on integers (grid score, term
+    counts) with id/term ASC tie-breaks, so the composite pipeline is
+    exactly reproducible by the self-contained three-stage oracle SQL
+    (``bm25_prf_oracle_sql``), which recomputes the SAME feedback set
+    and expansion choice relationally."""
+    seed_terms = sorted(set(seed_terms))
+    fb_rows = bm25_topk(
+        docs, seed_terms, k=fb_docs, k1=k1, b=b,
+        id_col=id_col, text_col=text_col,
+    ).collect()
+    fb_ids = [r[id_col] for r in fb_rows]
+    if fb_ids:
+        exp_rows = (
+            docs.filter(F.col(id_col).isin(fb_ids))
+            .select(F.explode(tokens_col(F.col(text_col))).alias("term"))
+            .filter(F.length("term") >= min_term_len)
+            .filter(~F.col("term").isin(seed_terms))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("tf_fb"))
+            .orderBy(F.col("tf_fb").desc(), F.col("term").asc())
+            .limit(fb_terms)
+            .collect()
+        )
+        expansion = [r["term"] for r in exp_rows]
+    else:
+        expansion = []
+    expanded = sorted(set(seed_terms) | set(expansion))
+    return bm25_topk(
+        docs, expanded, k=k, k1=k1, b=b, id_col=id_col, text_col=text_col
+    )
+
+
+def bm25_prf_oracle_sql(
+    seed_terms: list[str],
+    k: int = 10,
+    fb_docs: int = 10,
+    fb_terms: int = 3,
+    min_term_len: int = 4,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """Self-contained three-stage DuckDB SQL: seed BM25 -> feedback-doc
+    expansion-term selection -> expanded BM25, all inside one query (the
+    oracle cannot collect mid-way, so the expansion choice itself is
+    recomputed relationally — a genuinely independent implementation of
+    the whole pipeline). Same grid, same deterministic ln tree, same
+    integer tie-breaks as the Spark side."""
+    k1p1 = k1 + 1.0
+    omb = 1.0 - b
+    seeds = ", ".join(f"'{t}'" for t in sorted(set(seed_terms)))
+
+    def _score(tf: str, dft: str) -> str:
+        idf = (
+            f"({_ln_bigint_sql('2 * stats.n_docs + 2')}"
+            f" - {_ln_bigint_sql(f'2 * {dft}.df + 1')})"
+        )
+        return (
+            f"CAST(floor({idf}"
+            f" * ({tf}.tf * CAST({k1p1!r} AS DOUBLE))"
+            f" / ({tf}.tf + CAST({k1!r} AS DOUBLE)"
+            f"    * (CAST({omb!r} AS DOUBLE) + CAST({b!r} AS DOUBLE)"
+            f"       * {tf}.dl"
+            f"       / (CAST(stats.sum_dl AS DOUBLE)"
+            f"          / CAST(stats.n_docs AS DOUBLE))))"
+            f" * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+            f" AS BIGINT)"
+        )
+
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS dl,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+      FROM documents
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM (
+        SELECT len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS dl
+        FROM documents)
+    ),
+    tf1 AS (
+      SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
+      FROM toks WHERE term IN ({seeds})
+      GROUP BY doc_id, term
+    ),
+    dft1 AS (SELECT term, COUNT(*) AS df FROM tf1 GROUP BY term),
+    fb AS (
+      SELECT doc_id FROM (
+        SELECT tf1.doc_id, SUM({_score('tf1', 'dft1')}) AS score_micro
+        FROM tf1 JOIN dft1 USING (term) CROSS JOIN stats
+        GROUP BY tf1.doc_id
+        ORDER BY score_micro DESC, doc_id ASC LIMIT {fb_docs}
+      )
+    ),
+    exp_terms AS (
+      SELECT term FROM (
+        SELECT term,
+               ROW_NUMBER() OVER (
+                 ORDER BY COUNT(*) DESC, term ASC) AS trn
+        FROM toks JOIN fb USING (doc_id)
+        WHERE length(term) >= {min_term_len} AND term NOT IN ({seeds})
+        GROUP BY term
+      ) WHERE trn <= {fb_terms}
+    ),
+    qterms AS (
+      SELECT term FROM exp_terms
+      UNION
+      SELECT unnest([{seeds}]) AS term
+    ),
+    tf2 AS (
+      SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
+      FROM toks WHERE term IN (SELECT term FROM qterms)
+      GROUP BY doc_id, term
+    ),
+    dft2 AS (SELECT term, COUNT(*) AS df FROM tf2 GROUP BY term)
+    SELECT tf2.doc_id, SUM({_score('tf2', 'dft2')}) AS score_micro,
+           COUNT(*) AS n_matched
+    FROM tf2 JOIN dft2 USING (term) CROSS JOIN stats
+    GROUP BY tf2.doc_id
+    ORDER BY score_micro DESC, doc_id ASC LIMIT {k}
+    """
+
+
 # ---------------------------------------------------------------------------
 # Persisted inverted-index layout — the at-scale BM25 (text twin of the
 # IVF layout in operators/ivf.py). Lucene-style immutable segments under

