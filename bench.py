@@ -177,6 +177,11 @@ def derived_metrics(spark, sf_dir: str, timings: dict[str, float]) -> dict[str, 
         ("vs_matryoshka_rerank", "knn_matryoshka_ms"),
         ("ds_bm25_search", "bm25_ms"),
         ("ds_bm25_index_search", "bm25_indexed_ms"),
+        ("ds_bm25_batch_search", "bm25_batch4_ms"),
+        ("ds_bm25_batch_index_search", "bm25_batch4_indexed_ms"),
+        ("ds_bm25_prf_expansion", "bm25_prf_ms"),
+        ("ds_ql_dirichlet_search", "ql_dirichlet_ms"),
+        ("vs_mmr_diversity_rerank", "mmr_rerank_ms"),
         ("vs_hybrid_rrf_search", "hybrid_rrf_ms"),
         ("stream_events_window_5min", "stream_window_ms"),
         ("stream_stream_interval_join", "stream_join_ms"),

@@ -718,6 +718,228 @@ def bm25_prf_oracle_sql(
     """
 
 
+def ql_dirichlet_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    mu: int = 2000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Query-likelihood ranking with Dirichlet smoothing (Zhai &
+    Lafferty, SIGIR'01) — the other classic probabilistic text scorer
+    next to BM25. Rank-equivalent sparse decomposition over docs
+    matching >= 1 query term:
+
+        score(d) = SUM_{t in q∩d} ln(1 + tf*|C| / (mu*cf_t))
+                 + |q| * (ln(mu) - ln(dl + mu))
+
+    With integer ``mu``, EVERY log argument is a positive BIGINT
+    (mu*cf + tf*|C|, mu*cf, mu, dl+mu), so the whole scorer runs on the
+    deterministic cross-engine ln tree (functions/detmath.py) — no
+    engine transcendental anywhere. Each term contribution and the
+    per-doc length part are fixed to the 1e-6 grid BEFORE summation, so
+    the aggregate is an order-independent BIGINT sum.
+
+    At 100 TB: same shape as ``bm25_topk`` — the corpus-stats pass
+    collects |C| and the <=|q| collection frequencies to the driver
+    (so ln(mu*cf) folds to literals); matched postings are filtered at
+    the explode; the only in-plan ln trees run per matched POSTING row
+    (ln(mu*cf + tf*|C|)) and per matched DOC (ln(dl+mu)) — inputs that
+    are genuinely data-dependent and unbounded, unlike the df-driven
+    idf that r7 folded driver-side."""
+    from pgvector_db_spark.functions.detmath import (
+        ln_bigint_py,
+        ln_bigint_staged,
+    )
+
+    terms = sorted(set(query_terms))
+
+    def _eq(term: str):
+        # single-arg lambda: a two-arg signature would make pyspark
+        # pass the ELEMENT INDEX as the second argument
+        return lambda x: x == F.lit(term)
+
+    srow = (
+        docs.select(tokens_col(F.col(text_col)).alias("_toks"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size("_toks")).alias("sum_dl"),
+            *[
+                F.sum(
+                    F.size(F.filter(F.col("_toks"), _eq(t)))
+                ).alias(f"_cf_{i}")
+                for i, t in enumerate(terms)
+            ],
+        )
+        .first()
+    )
+    n_docs = int(srow["n_docs"])
+    coll = int(srow["sum_dl"] or 0)
+    cf_by_term = {
+        t: int(srow[f"_cf_{i}"] or 0)
+        for i, t in enumerate(terms)
+        if srow[f"_cf_{i}"]
+    }
+    spark = docs.sparkSession
+    live = sorted(cf_by_term)
+    if n_docs == 0 or not live:
+        from pyspark.sql.types import (
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        id_type = docs.schema[id_col].dataType
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField(id_col, id_type, True),
+                    StructField("score_micro", LongType(), True),
+                    StructField("n_matched", LongType(), False),
+                ]
+            ),
+        )
+    nq = float(len(live))
+    ln_mu = ln_bigint_py(mu)
+
+    tf = (
+        docs.select(
+            F.col(id_col), tokens_col(F.col(text_col)).alias("_toks")
+        )
+        .select(
+            F.col(id_col),
+            F.size("_toks").alias("dl"),
+            F.explode("_toks").alias("term"),
+        )
+        .filter(F.col("term").isin(live))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    # per-term driver-folded literals: mu*cf (BIGINT) and ln(mu*cf)
+    mucf = None
+    ln_mucf = None
+    for t in live:
+        cond = F.col("term") == F.lit(t)
+        mc = mu * cf_by_term[t]
+        lv = ln_bigint_py(mc)
+        mucf = (
+            F.when(cond, F.lit(mc))
+            if mucf is None
+            else mucf.when(cond, F.lit(mc))
+        )
+        ln_mucf = (
+            F.when(cond, F.lit(lv))
+            if ln_mucf is None
+            else ln_mucf.when(cond, F.lit(lv))
+        )
+    scored = tf.withColumn(
+        "_m",
+        (mucf.cast("bigint") + F.col("tf") * F.lit(coll)).cast("bigint"),
+    )
+    scored = ln_bigint_staged(scored, F.col("_m"), "_ln_num", prefix="_qn")
+    scored = scored.withColumn(
+        "c_micro",
+        F.floor(
+            (F.col("_ln_num") - ln_mucf)
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        ).cast("bigint"),
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.sum("c_micro").alias("sum_c"),
+        F.count(F.lit(1)).alias("n_matched"),
+        F.min("dl").alias("dl"),
+    )
+    agg = ln_bigint_staged(
+        agg,
+        (F.col("dl") + F.lit(mu)).cast("bigint"),
+        "_ln_dlmu",
+        prefix="_qd",
+    )
+    return (
+        agg.withColumn(
+            "score_micro",
+            F.col("sum_c")
+            + F.floor(
+                F.lit(nq)
+                * (F.lit(ln_mu) - F.col("_ln_dlmu"))
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            ).cast("bigint"),
+        )
+        .select(id_col, "score_micro", "n_matched")
+        .orderBy(
+            F.col("score_micro").desc(), F.col(id_col).asc()
+        )
+        .limit(k)
+    )
+
+
+def ql_dirichlet_oracle_sql(
+    query_terms: list[str],
+    k: int = 10,
+    mu: int = 2000,
+) -> str:
+    """DuckDB SQL computing the identical Dirichlet QL grid score —
+    collection stats, live-term cf, per-posting and per-doc ln trees
+    all recomputed relationally (``ln_bigint_sql`` spelling, bitwise
+    the Spark doubles). nq counts terms PRESENT in the corpus (the
+    Spark side drops cf=0 terms), via a scalar subquery."""
+    terms = ", ".join(f"'{t}'" for t in sorted(set(query_terms)))
+    ln_num = _ln_bigint_sql(
+        f"{mu} * cf.cf + tf.tf * stats.sum_dl"
+    )
+    ln_mucf = _ln_bigint_sql(f"{mu} * cf.cf")
+    ln_mu = _ln_bigint_sql(str(mu))
+    ln_dlmu = _ln_bigint_sql(f"agg.dl + {mu}")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS dl,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+      FROM documents
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM (
+        SELECT len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS dl
+        FROM documents)
+    ),
+    cf AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS cf
+      FROM toks WHERE term IN ({terms}) GROUP BY term
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
+      FROM toks WHERE term IN ({terms})
+      GROUP BY doc_id, term
+    ),
+    contrib AS (
+      SELECT tf.doc_id, tf.dl,
+             CAST(floor(
+               ({ln_num} - {ln_mucf})
+               * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             AS BIGINT) AS c_micro
+      FROM tf JOIN cf USING (term) CROSS JOIN stats
+    ),
+    agg AS (
+      SELECT doc_id, SUM(c_micro) AS sum_c,
+             COUNT(*) AS n_matched, MIN(dl) AS dl
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT agg.doc_id,
+           agg.sum_c + CAST(floor(
+             CAST((SELECT COUNT(*) FROM cf) AS DOUBLE)
+             * ({ln_mu} - {ln_dlmu})
+             * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+           AS BIGINT) AS score_micro,
+           agg.n_matched
+    FROM agg
+    ORDER BY score_micro DESC, agg.doc_id ASC LIMIT {k}
+    """
+
+
 # ---------------------------------------------------------------------------
 # Persisted inverted-index layout — the at-scale BM25 (text twin of the
 # IVF layout in operators/ivf.py). Lucene-style immutable segments under

@@ -7377,6 +7377,7 @@ from pgvector_db_spark.operators.text_search import (  # noqa: E402
     bm25_batch_oracle_sql,
     bm25_batch_topk,
     bm25_prf_oracle_sql,
+    ql_dirichlet_oracle_sql,
 )
 
 
@@ -7414,6 +7415,27 @@ def ds_bm25_batch_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     idx = BM25Index(spark, _bm25_cache(sf_dir, t["documents"]))
     return idx.batch_search(_BM25_BATCH_QUERIES, k=10)
+
+
+_QL_TERMS = ["vector", "join", "filter"]
+
+
+@register(
+    "ds_ql_dirichlet_search",
+    ql_dirichlet_oracle_sql(_QL_TERMS, k=10, mu=2000),
+    tags=("dataset", "text", "search", "detmath"),
+)
+def ds_ql_dirichlet_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood top-10 with Dirichlet smoothing (mu=2000) —
+    the second classic probabilistic text scorer next to BM25, and a
+    second full consumer of the deterministic cross-engine ln tree:
+    with integer mu every log argument is a positive BIGINT, so the
+    whole score is grid-exact on both engines
+    (operators/text_search.py ql_dirichlet_topk)."""
+    from pgvector_db_spark.operators.text_search import ql_dirichlet_topk
+
+    t = load_tables(spark, sf_dir)
+    return ql_dirichlet_topk(t["documents"], _QL_TERMS, k=10, mu=2000)
 
 
 _PRF_SEEDS = ["vector", "index"]

@@ -604,3 +604,42 @@ def test_bm25_prf_expansion_composition(spark, tables):
         .collect()
     )
     assert {r["term"] for r in exp_rows} <= fb_vocab
+
+
+def test_ql_dirichlet_guards_and_semantics(spark, tables):
+    """Dirichlet QL: (1) absent terms drop from scoring AND from the
+    |q| length-normalization count (cf=0 has no smoothed estimate in
+    the sparse decomposition); (2) empty corpus / all-absent queries
+    return an empty typed frame; (3) the score is monotone in tf for
+    fixed dl (the ln(1 + tf*C/(mu*cf)) term grows with tf)."""
+    from pyspark.sql import Row
+    from pgvector_db_spark.operators.text_search import ql_dirichlet_topk
+
+    docs = tables["documents"]
+    with_absent = sorted(map(tuple, ql_dirichlet_topk(
+        docs, ["vector", "join", "zzqqxplugh"], k=10
+    ).collect()))
+    without = sorted(map(tuple, ql_dirichlet_topk(
+        docs, ["vector", "join"], k=10
+    ).collect()))
+    assert with_absent == without
+
+    empty = docs.filter("doc_id < 0")
+    out = ql_dirichlet_topk(empty, ["vector"], k=5)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "score_micro", "n_matched",
+    ]
+    assert ql_dirichlet_topk(docs, ["zzqqxplugh"], k=5).count() == 0
+
+    tiny = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="apple pear plum kiwi"),
+            Row(doc_id=2, text="apple apple plum kiwi"),
+        ]
+    )
+    r = {
+        row["doc_id"]: row["score_micro"]
+        for row in ql_dirichlet_topk(tiny, ["apple"], k=2).collect()
+    }
+    assert r[2] > r[1]
