@@ -718,6 +718,201 @@ def bm25_prf_oracle_sql(
     """
 
 
+def bm25_snippet_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 5,
+    window: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Best-window snippet extraction (Lucene highlighter semantics,
+    integer-exact): for each of the query's BM25 top-k docs, find the
+    ``window``-token span containing the MOST query-term occurrences
+    (leftmost on ties) and return its start position, match count and
+    text. The display layer of a search engine, expressed relationally.
+
+    Returns (id_col, snippet_start BIGINT 1-based, snippet_matches
+    BIGINT, snippet STRING), ordered by id.
+
+    At 100 TB: only the k result docs enter the positional stage (the
+    ``isin`` filter prunes at the scan), so the posexplode + per-doc
+    range-frame window is O(k x doc length) — display-time work, not
+    corpus work. All ranking is integer counts with leftmost
+    tie-breaks; the snippet string is a deterministic slice+join, so
+    the whole result is exactly oracle-checkable."""
+    from pyspark.sql.window import Window as _W
+
+    terms = sorted(set(query_terms))
+    top_ids = [
+        r[id_col]
+        for r in bm25_topk(
+            docs, terms, k=k, k1=k1, b=b, id_col=id_col, text_col=text_col
+        ).collect()
+    ]
+    spark = docs.sparkSession
+    if not top_ids:
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        id_type = docs.schema[id_col].dataType
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField(id_col, id_type, True),
+                    StructField("snippet_start", LongType(), True),
+                    StructField("snippet_matches", LongType(), True),
+                    StructField("snippet", StringType(), True),
+                ]
+            ),
+        )
+    hits = docs.filter(F.col(id_col).isin(top_ids)).select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("_toks")
+    )
+    pos = hits.select(
+        F.col(id_col),
+        F.posexplode("_toks").alias("p0", "term"),
+    ).select(
+        F.col(id_col),
+        (F.col("p0") + F.lit(1)).cast("bigint").alias("pos"),
+        F.col("term"),
+    )
+    wf = (
+        _W.partitionBy(id_col)
+        .orderBy("pos")
+        .rangeBetween(_W.currentRow, window - 1)
+    )
+    wcnt = pos.withColumn(
+        "wcnt",
+        F.sum(
+            F.when(F.col("term").isin(terms), F.lit(1)).otherwise(F.lit(0))
+        ).over(wf).cast("bigint"),
+    )
+    rank_w = _W.partitionBy(id_col).orderBy(
+        F.col("wcnt").desc(), F.col("pos").asc()
+    )
+    best = (
+        wcnt.withColumn("rn", F.row_number().over(rank_w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col("pos").alias("snippet_start"),
+            F.col("wcnt").alias("snippet_matches"),
+        )
+    )
+    return (
+        best.join(F.broadcast(hits), id_col)
+        .select(
+            F.col(id_col),
+            "snippet_start",
+            "snippet_matches",
+            F.array_join(
+                F.slice(
+                    F.col("_toks"),
+                    F.col("snippet_start").cast("int"),
+                    window,
+                ),
+                " ",
+            ).alias("snippet"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def bm25_snippet_oracle_sql(
+    query_terms: list[str],
+    k: int = 5,
+    window: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB SQL for the identical snippet result: BM25 top-k CTE
+    (same grid as ``bm25_oracle_sql``), positional unnest, the same
+    range-frame window count, leftmost-max selection, and the same
+    slice+join snippet string."""
+    terms_sorted = sorted(set(query_terms))
+    terms = ", ".join(f"'{t}'" for t in terms_sorted)
+    k1p1 = k1 + 1.0
+    omb = 1.0 - b
+    idf = (
+        f"({_ln_bigint_sql('2 * stats.n_docs + 2')}"
+        f" - {_ln_bigint_sql('2 * dft.df + 1')})"
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS dl,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+      FROM documents
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM (
+        SELECT len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS dl
+        FROM documents)
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
+      FROM toks WHERE term IN ({terms})
+      GROUP BY doc_id, term
+    ),
+    dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    top AS (
+      SELECT tf.doc_id, SUM(CAST(floor(
+               {idf}
+               * (tf.tf * CAST({k1p1!r} AS DOUBLE))
+               / (tf.tf + CAST({k1!r} AS DOUBLE)
+                  * (CAST({omb!r} AS DOUBLE) + CAST({b!r} AS DOUBLE) * tf.dl
+                     / (CAST(stats.sum_dl AS DOUBLE)
+                        / CAST(stats.n_docs AS DOUBLE))))
+               * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             AS BIGINT)) AS score_micro
+      FROM tf JOIN dft USING (term) CROSS JOIN stats
+      GROUP BY tf.doc_id
+      ORDER BY score_micro DESC, doc_id ASC LIMIT {k}
+    ),
+    arrs AS (
+      SELECT d.doc_id,
+             regexp_split_to_array(trim(lower(d.text)), '\\s+') AS toks
+      FROM documents d JOIN top USING (doc_id)
+    ),
+    pos AS (
+      SELECT doc_id, toks,
+             unnest(toks) AS term,
+             generate_subscripts(toks, 1) AS pos
+      FROM arrs
+    ),
+    wcnt AS (
+      SELECT doc_id, toks, pos,
+             CAST(SUM(CASE WHEN term IN ({terms}) THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     RANGE BETWEEN CURRENT ROW
+                     AND {window - 1} FOLLOWING) AS BIGINT) AS wcnt
+      FROM pos
+    ),
+    best AS (
+      SELECT doc_id, toks, pos AS snippet_start, wcnt AS snippet_matches
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY doc_id ORDER BY wcnt DESC, pos ASC) AS rn
+        FROM wcnt
+      ) WHERE rn = 1
+    )
+    SELECT doc_id, CAST(snippet_start AS BIGINT) AS snippet_start,
+           snippet_matches,
+           array_to_string(
+             toks[snippet_start : snippet_start + {window} - 1], ' ')
+             AS snippet
+    FROM best ORDER BY doc_id
+    """
+
+
 def ql_dirichlet_topk(
     docs: DataFrame,
     query_terms: list[str],

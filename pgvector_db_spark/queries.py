@@ -7377,6 +7377,7 @@ from pgvector_db_spark.operators.text_search import (  # noqa: E402
     bm25_batch_oracle_sql,
     bm25_batch_topk,
     bm25_prf_oracle_sql,
+    bm25_snippet_oracle_sql,
     ql_dirichlet_oracle_sql,
 )
 
@@ -7436,6 +7437,28 @@ def ds_ql_dirichlet_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return ql_dirichlet_topk(t["documents"], _QL_TERMS, k=10, mu=2000)
+
+
+_SNIPPET_TERMS = ["vector", "join", "filter"]
+
+
+@register(
+    "ds_bm25_snippet_extract",
+    bm25_snippet_oracle_sql(_SNIPPET_TERMS, k=5, window=10),
+    tags=("dataset", "text", "search", "snippet"),
+)
+def ds_bm25_snippet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-window snippet extraction (r7): for the query's BM25 top-5
+    docs, the 10-token span with the most query-term occurrences
+    (leftmost tie), plus its text — Lucene-highlighter display
+    semantics done relationally. Only the 5 result docs enter the
+    positional stage; ranking is all-integer, the snippet string a
+    deterministic slice+join (operators/text_search.py
+    bm25_snippet_topk)."""
+    from pgvector_db_spark.operators.text_search import bm25_snippet_topk
+
+    t = load_tables(spark, sf_dir)
+    return bm25_snippet_topk(t["documents"], _SNIPPET_TERMS, k=5, window=10)
 
 
 _PRF_SEEDS = ["vector", "index"]

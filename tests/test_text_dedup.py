@@ -643,3 +643,36 @@ def test_ql_dirichlet_guards_and_semantics(spark, tables):
         for row in ql_dirichlet_topk(tiny, ["apple"], k=2).collect()
     }
     assert r[2] > r[1]
+
+
+def test_bm25_snippet_semantics(spark):
+    """Snippet window selection: max matched-term count wins, leftmost
+    on ties (a window STARTING before the first match can tie and then
+    wins by position); the snippet string is the exact token slice."""
+    from pyspark.sql import Row
+    from pgvector_db_spark.operators.text_search import bm25_snippet_topk
+
+    docs = spark.createDataFrame(
+        [
+            # matches at positions 3 and 5 (1-based): with window=3 the
+            # best window is [3,5] with 2 matches
+            Row(doc_id=1, text="aa bb cat dd cat ff gg"),
+            # single match at position 6: windows starting 4,5,6 all
+            # contain it -> leftmost start 4
+            Row(doc_id=2, text="aa bb cc dd ee cat gg hh"),
+        ]
+    )
+    out = {
+        r["doc_id"]: (r["snippet_start"], r["snippet_matches"], r["snippet"])
+        for r in bm25_snippet_topk(docs, ["cat"], k=2, window=3).collect()
+    }
+    assert out[1] == (3, 2, "cat dd cat")
+    assert out[2] == (4, 1, "dd ee cat")
+    # window clamped at the end of short docs
+    short = spark.createDataFrame([Row(doc_id=9, text="xx cat")])
+    row = bm25_snippet_topk(short, ["cat"], k=1, window=5).collect()[0]
+    assert (row["snippet_start"], row["snippet"]) == (1, "xx cat")
+    # empty corpus
+    assert bm25_snippet_topk(
+        docs.filter("doc_id < 0"), ["cat"], k=2, window=3
+    ).count() == 0
