@@ -7439,6 +7439,136 @@ def ds_ql_dirichlet_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ql_dirichlet_topk(t["documents"], _QL_TERMS, k=10, mu=2000)
 
 
+# ---------------------------------------------------------------------------
+# Rocchio relevance feedback (r7): the vector twin of PRF — move the
+# query vector toward the centroid of its own top results, search again.
+# q' = alpha*q + beta*mean(feedback). The centroid is the exactness
+# hazard (a SUM of doubles is order-dependent), so each component is
+# fixed to the 1e-10 grid BEFORE summation (the per-label-centroid
+# pattern, queries.py:3355); the derived q' is then a handful of exact
+# double ops. Spark folds the 64 grid sums driver-side into a literal
+# query vector and issues a standard kNN (exactly how a pgvector client
+# would serve Rocchio: the vector update is tiny, the search is the
+# work); the oracle runs the ENTIRE pipeline in one SQL statement.
+# ---------------------------------------------------------------------------
+
+_ROC_SEED, _ROC_FB, _ROC_K = 0, 10, 10
+_ROC_ALPHA, _ROC_BETA = 1.0, 0.75
+
+
+def _rocchio_fb_sql(dialect: str) -> str:
+    """CTE: the feedback set = cosine top-N to the seed (excl. self)."""
+    from pgvector_db_spark.functions.vector import cosine_similarity_sql
+
+    return f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings
+               WHERE vec_id = {_ROC_SEED}),
+    fb AS (
+      SELECT vec_id, embedding FROM (
+        SELECT e.vec_id, e.embedding,
+               {cosine_similarity_sql("e.embedding", "q.qe", dialect)} AS sim
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id != {_ROC_SEED}
+        ORDER BY sim DESC, vec_id ASC LIMIT {_ROC_FB}
+      )
+    )"""
+
+
+def _rocchio_oracle() -> str:
+    from pgvector_db_spark.functions.vector import cosine_similarity_sql
+
+    a = f"CAST('{_ROC_ALPHA!r}' AS DOUBLE)"
+    b = f"CAST('{_ROC_BETA!r}' AS DOUBLE)"
+    return f"""{_rocchio_fb_sql("duckdb")},
+    comps AS (
+      SELECT generate_subscripts(embedding, 1) AS pos,
+             unnest(embedding) AS val
+      FROM fb
+    ),
+    grid AS (
+      SELECT pos,
+             SUM(CAST(floor(CAST(val AS DOUBLE)
+                 * CAST(10000000000.0 AS DOUBLE)
+                 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS sum_g,
+             COUNT(*) AS cnt
+      FROM comps GROUP BY pos
+    ),
+    qprime AS (
+      SELECT list({a} * CAST(q.qe[grid.pos] AS DOUBLE)
+                  + {b} * (CAST(grid.sum_g AS DOUBLE)
+                           / (CAST(grid.cnt AS DOUBLE)
+                              * CAST(10000000000.0 AS DOUBLE)))
+                  ORDER BY grid.pos) AS qv
+      FROM grid CROSS JOIN q
+    )
+    SELECT e.vec_id, e.label,
+           {cosine_similarity_sql("e.embedding", "p.qv", "duckdb")}
+             AS similarity
+    FROM embeddings e CROSS JOIN qprime p
+    WHERE e.vec_id != {_ROC_SEED}
+    ORDER BY similarity DESC, vec_id ASC LIMIT {_ROC_K}
+    """
+
+
+@register(
+    "vs_rocchio_feedback_knn",
+    _rocchio_oracle(),
+    tags=("vector", "rag", "feedback"),
+)
+def vs_rocchio_feedback_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rocchio pseudo-relevance feedback in embedding space (r7): take
+    the seed's cosine top-10, move the query toward their grid-exact
+    centroid (alpha=1, beta=0.75), and search again with the derived
+    vector. The only driver materialization is the 64-row grid-sum
+    frame (dim-bounded, the idf-fold pattern); the second search is the
+    ordinary TakeOrderedAndProject kNN with a literal query vector."""
+    from pgvector_db_spark.functions.vector import (
+        cosine_similarity_sql,
+        vector_literal_sql,
+    )
+
+    load_tables(spark, sf_dir)
+    fb = spark.sql(
+        _rocchio_fb_sql("spark") + "\n    SELECT vec_id, embedding FROM fb"
+    )
+    grid_rows = (
+        fb.select(F.posexplode("embedding").alias("p0", "val"))
+        .select(
+            (F.col("p0") + F.lit(1)).alias("pos"),
+            F.floor(
+                F.col("val").cast("double")
+                * F.lit(10000000000.0)
+                + F.lit(0.5)
+            ).cast("bigint").alias("g"),
+        )
+        .groupBy("pos")
+        .agg(F.sum("g").alias("sum_g"), F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    seed = spark.sql(
+        f"SELECT embedding FROM embeddings WHERE vec_id = {_ROC_SEED}"
+    ).first()["embedding"]
+    by_pos = {int(r["pos"]): (int(r["sum_g"]), int(r["cnt"])) for r in grid_rows}
+    qprime = []
+    for i, qi in enumerate(seed, start=1):
+        sum_g, cnt = by_pos[i]
+        # identical IEEE op order to the oracle's qprime CTE:
+        # a*q[i] + b*(sum_g / (cnt * 1e10))
+        qprime.append(
+            _ROC_ALPHA * float(qi)
+            + _ROC_BETA * (float(sum_g) / (float(cnt) * 10000000000.0))
+        )
+    qv = vector_literal_sql(qprime, "spark")
+    return spark.sql(
+        f"""
+    SELECT vec_id, label,
+           {cosine_similarity_sql("embedding", qv, "spark")} AS similarity
+    FROM embeddings WHERE vec_id != {_ROC_SEED}
+    ORDER BY similarity DESC, vec_id ASC LIMIT {_ROC_K}
+    """
+    )
+
+
 _SNIPPET_TERMS = ["vector", "join", "filter"]
 
 

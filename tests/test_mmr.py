@@ -97,3 +97,40 @@ def test_mmr_applyinpandas_matches_unrolled_sql_twin(spark, tables):
     assert sorted(map(tuple, fast.collect())) == sorted(
         map(tuple, twin.collect())
     )
+
+
+def test_rocchio_feedback_shifts_ranking(spark, tables):
+    """Rocchio: the derived query must stay anchored near the seed's
+    neighborhood (high overlap with the seed's own top-k is expected —
+    beta only nudges) while being a genuinely different vector: the
+    similarity VALUES must differ from the seed's, and repeated runs
+    are bit-identical (grid-exact centroid)."""
+    from pgvector_db_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    run1 = REGISTRY["vs_rocchio_feedback_knn"].spark_fn(spark, sf).collect()
+    run2 = REGISTRY["vs_rocchio_feedback_knn"].spark_fn(spark, sf).collect()
+    assert [tuple(r) for r in run1] == [tuple(r) for r in run2]
+    assert len(run1) == 10
+    seed_top = spark.sql(
+        """
+        WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id != 0
+        ORDER BY aggregate(zip_with(e.embedding, q.qe,
+                  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)
+              / (sqrt(aggregate(zip_with(e.embedding, e.embedding,
+                  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))
+               * sqrt(aggregate(zip_with(q.qe, q.qe,
+                  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))) DESC,
+              e.vec_id ASC
+        LIMIT 10
+        """
+    ).collect()
+    seed_ids = {r["vec_id"] for r in seed_top}
+    roc_ids = {r["vec_id"] for r in run1}
+    # anchored: majority overlap with the seed's own neighborhood
+    assert len(seed_ids & roc_ids) >= 5
