@@ -296,6 +296,26 @@ def norm_sql(a: str, dialect: str = "spark") -> str:
     return f"sqrt({dot_sql(a, a, dialect)})"
 
 
+def l2sq_sql(a: str, b: str, dialect: str = "spark") -> str:
+    """Squared L2 distance as the same sequential left fold as
+    ``dot_sql`` — the KMeans/assignment kernel (no sqrt: argmin is
+    order-preserving and the squared grid keeps inertia exact)."""
+    if dialect == "spark":
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> "
+            f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+            f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+            f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, len({a}) + 1), i -> "
+        f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) * "
+        f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
 def cosine_similarity_sql(a: str, b: str, dialect: str = "spark") -> str:
     return f"({dot_sql(a, b, dialect)} / ({norm_sql(a, dialect)} * {norm_sql(b, dialect)}))"
 

@@ -7569,6 +7569,130 @@ def vs_rocchio_feedback_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# KMeans (Lloyd) as a first-class registered op (r7): 2 full iterations
+# over the embeddings table with seeded centroids, reported as
+# per-cluster sizes + grid-exact inertia. The IVF layout already runs a
+# seeded KMeans INSIDE index construction (operators/ivf.py); this
+# entry makes the algorithm itself a differentially-checked surface.
+# Exactness: assignments use the fold-order squared-L2 kernel
+# (functions/vector.py l2sq_sql — argmin over bitwise-identical
+# doubles, cid ASC ties); updated centroids go through the 1e-10 grid
+# (means are exact-integer sums divided in one deterministic op
+# sequence); inertia is floor(d2*1e6+0.5) summed as BIGINT.
+# At 100 TB: the centroid side is k rows (broadcast — Spark plans the
+# 4-row cross join as BroadcastNestedLoop), each iteration is ONE pass
+# + ONE k×dim-bounded aggregation; iterations are unrolled CTEs, the
+# same shape a driver loop would submit per step.
+# ---------------------------------------------------------------------------
+
+_KM_SEEDS = [0, 100, 200, 300]
+
+
+def _kmeans_sql(dialect: str) -> str:
+    from pgvector_db_spark.functions.vector import l2sq_sql
+
+    cid_case = "CASE vec_id " + " ".join(
+        f"WHEN {v} THEN {i}" for i, v in enumerate(_KM_SEEDS)
+    ) + " END"
+    seeds = ", ".join(str(v) for v in _KM_SEEDS)
+    d2 = l2sq_sql("e.embedding", "ct.v", dialect)
+    mean = (
+        "CAST(sum_g AS DOUBLE) / (CAST(cnt AS DOUBLE)"
+        " * CAST(10000000000.0 AS DOUBLE))"
+    )
+    # map-side argmin (the MLlib shape): the k centroids ride along as
+    # ONE broadcast array-of-structs row; each embedding row reduces
+    # over it with nested HOFs — zero exchange keyed by vec_id. Strict
+    # '<' keeps the FIRST minimum, and the array is sorted by cid, so
+    # ties break cid ASC on both engines.
+    if dialect == "spark":
+        best = (
+            f"aggregate(transform(cents, ct -> named_struct("
+            f"'d', {d2}, 'c', ct.c)), "
+            f"named_struct('d', CAST('1e308' AS DOUBLE), "
+            f"'c', CAST(-1 AS BIGINT)), "
+            f"(acc, x) -> CASE WHEN x.d < acc.d THEN x ELSE acc END)"
+        )
+        arr0 = (
+            "array_sort(collect_list(named_struct("
+            "'c', CAST(cid AS BIGINT), 'v', cvec)))"
+        )
+        comps = """
+      SELECT cid, p0 + 1 AS pos,
+             CAST(floor(CAST(val AS DOUBLE)
+               * CAST(10000000000.0 AS DOUBLE)
+               + CAST(0.5 AS DOUBLE)) AS BIGINT) AS g
+      FROM (SELECT cid, posexplode(embedding) AS (p0, val) FROM assign1)
+    """
+        cent1_agg = (
+            "transform(array_sort(collect_list("
+            f"named_struct('pos', pos, 'm', {mean}))), s -> s.m)"
+        )
+    else:
+        best = (
+            f"list_reduce(list_prepend("
+            f"{{'d': CAST('1e308' AS DOUBLE), 'c': CAST(-1 AS BIGINT)}}, "
+            f"list_transform(cents, ct -> "
+            f"{{'d': {d2}, 'c': ct.c}})), "
+            f"(acc, x) -> CASE WHEN x.d < acc.d THEN x ELSE acc END)"
+        )
+        arr0 = (
+            "list({'c': CAST(cid AS BIGINT), 'v': cvec} ORDER BY cid)"
+        )
+        comps = """
+      SELECT cid,
+             generate_subscripts(embedding, 1) AS pos,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+               * CAST(10000000000.0 AS DOUBLE)
+               + CAST(0.5 AS DOUBLE)) AS BIGINT) AS g
+      FROM assign1
+    """
+        cent1_agg = f"list({mean} ORDER BY pos)"
+    return f"""
+    WITH cent0 AS (
+      SELECT {cid_case} AS cid, embedding AS cvec
+      FROM embeddings WHERE vec_id IN ({seeds})
+    ),
+    cents0 AS (SELECT {arr0} AS cents FROM cent0),
+    assign1 AS (
+      SELECT vec_id, embedding, best.c AS cid FROM (
+        SELECT e.vec_id, e.embedding, {best} AS best
+        FROM embeddings e CROSS JOIN cents0
+      )
+    ),
+    comps1 AS ({comps}),
+    grid1 AS (
+      SELECT cid, pos, SUM(g) AS sum_g, COUNT(*) AS cnt
+      FROM comps1 GROUP BY cid, pos
+    ),
+    cent1 AS (
+      SELECT cid, {cent1_agg} AS cvec
+      FROM grid1 GROUP BY cid
+    ),
+    cents1 AS (SELECT {arr0} AS cents FROM cent1),
+    assign2 AS (
+      SELECT vec_id, best.c AS cid, best.d AS d2 FROM (
+        SELECT e.vec_id, {best} AS best
+        FROM embeddings e CROSS JOIN cents1
+      )
+    )
+    SELECT CAST(cid AS BIGINT) AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(CAST(floor(d2 * CAST(1000000.0 AS DOUBLE)
+             + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS inertia_micro
+    FROM assign2 GROUP BY cid ORDER BY cluster
+    """
+
+
+_sql_query(
+    "ds_kmeans_lloyd",
+    _kmeans_sql("spark"),
+    _kmeans_sql("duckdb"),
+    tags=("dataset", "clustering", "ml"),
+)
+
+
 _SNIPPET_TERMS = ["vector", "join", "filter"]
 
 
