@@ -10079,72 +10079,67 @@ def ds_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pgvector_db_spark.functions.detmath import ln_bigint_py
 
-    # ONE tokenize pass total (r7; the r6 shape tokenized the corpus
-    # twice — once for the bucket stats, once for the per-doc counts,
-    # the residual half of the +54% r6 regression): aggregate straight
-    # to the per-(doc,bucket) count frame — text gone, bounded by
-    # n_docs x 128 — persist it, and derive BOTH the 128-row bucket LM
-    # stats and the final scores from that one materialization. lang is
-    # per-document, so first(lang) is deterministic per group.
+    # ONE corpus tokenize pass, materialized via localCheckpoint rather
+    # than persist(): the text leaves the plan at the first aggregation
+    # and the per-(doc,bucket) count frame — bounded by n_docs x 128 —
+    # is what BOTH the 128-row bucket-LM stats and the final scores read.
+    # Shape chosen by alternating same-session A/B at sf0.1 (4 reps):
+    # localCheckpoint 1.31-1.59 s == lazy two-tokenize 1.39-1.61 s <<
+    # persist()+collect-roundtrip 1.93-2.46 s (the unpersist-in-finally
+    # pattern forces an extra collect/createDataFrame barrier; checkpoint
+    # blocks are GC-owned, so the returned frame stays lazy). At cluster
+    # scale this reads the corpus text ONCE — the two-pass shape re-scans
+    # it for the bucket stats. lang is per-document, so first(lang) is
+    # deterministic per group.
     db = (
         tok.groupBy("doc_id", "b")
         .agg(F.count(F.lit(1)).alias("n"), F.first("lang").alias("lang"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    try:
-        # The bucket frame is FIXED at nb=128 rows regardless of corpus
-        # size (the same boundedness argument as IVF centroids), so
-        # collect it and fold the four deterministic logs into
-        # Python-computed literals — ln_bigint_py is pinned
-        # bitwise-identical to the engine trees the oracle evaluates
-        # (tests/test_detmath.py).
-        brows = (
-            db.groupBy("b")
-            .agg(
-                F.sum("n").alias("rb"),
-                F.sum(
-                    F.when(F.col("lang") == "en", F.col("n")).otherwise(0)
-                ).alias("gb"),
+    # The bucket frame is FIXED at nb=128 rows regardless of corpus size
+    # (the same boundedness argument as IVF centroids), so collect it and
+    # fold the four deterministic logs into Python-computed literals —
+    # ln_bigint_py is pinned bitwise-identical to the engine trees the
+    # oracle evaluates (tests/test_detmath.py).
+    brows = (
+        db.groupBy("b")
+        .agg(
+            F.sum("n").alias("rb"),
+            F.sum(
+                F.when(F.col("lang") == "en", F.col("n")).otherwise(0)
+            ).alias("gb"),
+        )
+        .collect()
+    )
+    tr = sum(int(r["rb"]) for r in brows)
+    tt = sum(int(r["gb"]) for r in brows)
+    lr = spark.createDataFrame(
+        [
+            (
+                int(r["b"]),
+                (ln_bigint_py(int(r["gb"]) + 1) - ln_bigint_py(tt + nb))
+                - (ln_bigint_py(int(r["rb"]) + 1) - ln_bigint_py(tr + nb)),
             )
-            .collect()
+            for r in brows
+        ],
+        "b bigint, lr double",
+    )
+    scored = (
+        db.join(F.broadcast(lr), "b")
+        .withColumn(
+            "contrib",
+            F.floor(F.col("lr") * F.col("n") * F.lit(1e9) + F.lit(0.5)).cast(
+                "bigint"
+            ),
         )
-        tr = sum(int(r["rb"]) for r in brows)
-        tt = sum(int(r["gb"]) for r in brows)
-        lr = spark.createDataFrame(
-            [
-                (
-                    int(r["b"]),
-                    (ln_bigint_py(int(r["gb"]) + 1) - ln_bigint_py(tt + nb))
-                    - (ln_bigint_py(int(r["rb"]) + 1) - ln_bigint_py(tr + nb)),
-                )
-                for r in brows
-            ],
-            "b bigint, lr double",
-        )
-        scored = (
-            db.join(F.broadcast(lr), "b")
-            .withColumn(
-                "contrib",
-                F.floor(
-                    F.col("lr") * F.col("n") * F.lit(1e9) + F.lit(0.5)
-                ).cast("bigint"),
-            )
-            .groupBy("doc_id")
-            .agg(F.sum("contrib").alias("score_nano"))
-        )
-        out = scored.select(
-            "doc_id",
-            "score_nano",
-            F.when(F.col("score_nano") > 0, 1)
-            .otherwise(0)
-            .cast("int")
-            .alias("keep"),
-        )
-        # materialize before unpersisting the frame the plan reads
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
-    finally:
-        db.unpersist()
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("score_nano"))
+    )
+    return scored.select(
+        "doc_id",
+        "score_nano",
+        F.when(F.col("score_nano") > 0, 1).otherwise(0).cast("int").alias("keep"),
+    )
 
 
 # ---------------------------------------------------------------------------
