@@ -7589,7 +7589,11 @@ def vs_rocchio_feedback_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KM_SEEDS = [0, 100, 200, 300]
 
 
-def _kmeans_sql(dialect: str) -> str:
+def _kmeans_ctes(dialect: str) -> str:
+    """Shared WITH-clause prefix: seeded centroids -> assign1 -> one
+    grid-exact Lloyd update -> assign2 (vec_id, embedding, cid, d2).
+    Used by both ds_kmeans_lloyd (per-cluster stats tail) and
+    ds_semdedup_prune (within-cluster pairwise prune tail)."""
     from pgvector_db_spark.functions.vector import l2sq_sql
 
     cid_case = "CASE vec_id " + " ".join(
@@ -7672,11 +7676,15 @@ def _kmeans_sql(dialect: str) -> str:
     ),
     cents1 AS (SELECT {arr0} AS cents FROM cent1),
     assign2 AS (
-      SELECT vec_id, best.c AS cid, best.d AS d2 FROM (
-        SELECT e.vec_id, {best} AS best
+      SELECT vec_id, embedding, best.c AS cid, best.d AS d2 FROM (
+        SELECT e.vec_id, e.embedding, {best} AS best
         FROM embeddings e CROSS JOIN cents1
       )
-    )
+    )"""
+
+
+def _kmeans_sql(dialect: str) -> str:
+    return f"""{_kmeans_ctes(dialect)}
     SELECT CAST(cid AS BIGINT) AS cluster,
            CAST(COUNT(*) AS BIGINT) AS n_points,
            CAST(SUM(CAST(floor(d2 * CAST(1000000.0 AS DOUBLE)
@@ -7690,6 +7698,47 @@ _sql_query(
     _kmeans_sql("spark"),
     _kmeans_sql("duckdb"),
     tags=("dataset", "clustering", "ml"),
+)
+
+
+# SemDeDup (Abbas et al. 2023): semantic dedup by clustering embeddings
+# first and comparing pairs ONLY within a cluster — the cluster blocking
+# is what makes embedding-space dedup feasible at corpus scale (O(sum
+# c_i^2) instead of O(n^2); the LSH-banded and IVF-blocked variants of
+# the same idea are ds_lsh_near_dup_pairs / ds_embedding_near_dup_*).
+# Clusters come from the SAME seeded 2-iteration Lloyd CTEs as
+# ds_kmeans_lloyd (_kmeans_ctes); a point is pruned when ANY lower-id
+# point in its cluster has cosine similarity >= tau (deterministic
+# keep-lowest-id rule; chains prune transitively-similar followers even
+# if their anchor was itself pruned — the standard greedy sweep).
+# Exactness: the cosine kernel is the fold-identical sequential tree
+# (functions/vector.py), so the >= tau comparison is over bitwise-equal
+# doubles on both engines — no knife edge.
+_SEMDEDUP_TAU = 0.3
+
+
+def _semdedup_sql(dialect: str) -> str:
+    from pgvector_db_spark.functions.vector import cosine_similarity_sql
+
+    cos = cosine_similarity_sql("a.embedding", "b.embedding", dialect)
+    return f"""{_kmeans_ctes(dialect)}
+    , dup AS (
+      SELECT DISTINCT b.vec_id AS v
+      FROM assign2 a JOIN assign2 b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE {cos} >= CAST({_SEMDEDUP_TAU} AS DOUBLE)
+    )
+    SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster,
+           CASE WHEN d.v IS NULL THEN 1 ELSE 0 END AS keep
+    FROM assign2 a LEFT JOIN dup d ON d.v = a.vec_id
+    """
+
+
+_sql_query(
+    "ds_semdedup_prune",
+    _semdedup_sql("spark"),
+    _semdedup_sql("duckdb"),
+    tags=("dataset", "dedup", "clustering", "embedding"),
 )
 
 
