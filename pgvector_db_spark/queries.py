@@ -7589,35 +7589,51 @@ def vs_rocchio_feedback_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KM_SEEDS = [0, 100, 200, 300]
 
 
-def _kmeans_ctes(dialect: str) -> str:
-    """Shared WITH-clause prefix: seeded centroids -> assign1 -> one
-    grid-exact Lloyd update -> assign2 (vec_id, embedding, cid, d2).
-    Used by both ds_kmeans_lloyd (per-cluster stats tail) and
-    ds_semdedup_prune (within-cluster pairwise prune tail)."""
+def _km_best_expr(dialect: str) -> str:
+    """The map-side argmin fragment (the MLlib shape): the k centroids
+    ride along as ONE broadcast array-of-structs column ``cents``; each
+    embedding row (table alias ``e``) reduces over it with nested HOFs —
+    zero exchange keyed by row id. Strict '<' keeps the FIRST minimum,
+    and the array is sorted by cid, so ties break cid ASC on both
+    engines. Shared by the KMeans/SemDeDup CTEs and the streaming
+    mini-batch fold (stream_kmeans_update uses it via F.expr)."""
     from pgvector_db_spark.functions.vector import l2sq_sql
 
-    cid_case = "CASE vec_id " + " ".join(
-        f"WHEN {v} THEN {i}" for i, v in enumerate(_KM_SEEDS)
-    ) + " END"
-    seeds = ", ".join(str(v) for v in _KM_SEEDS)
     d2 = l2sq_sql("e.embedding", "ct.v", dialect)
-    mean = (
-        "CAST(sum_g AS DOUBLE) / (CAST(cnt AS DOUBLE)"
-        " * CAST(10000000000.0 AS DOUBLE))"
-    )
-    # map-side argmin (the MLlib shape): the k centroids ride along as
-    # ONE broadcast array-of-structs row; each embedding row reduces
-    # over it with nested HOFs — zero exchange keyed by vec_id. Strict
-    # '<' keeps the FIRST minimum, and the array is sorted by cid, so
-    # ties break cid ASC on both engines.
     if dialect == "spark":
-        best = (
+        return (
             f"aggregate(transform(cents, ct -> named_struct("
             f"'d', {d2}, 'c', ct.c)), "
             f"named_struct('d', CAST('1e308' AS DOUBLE), "
             f"'c', CAST(-1 AS BIGINT)), "
             f"(acc, x) -> CASE WHEN x.d < acc.d THEN x ELSE acc END)"
         )
+    return (
+        f"list_reduce(list_prepend("
+        f"{{'d': CAST('1e308' AS DOUBLE), 'c': CAST(-1 AS BIGINT)}}, "
+        f"list_transform(cents, ct -> "
+        f"{{'d': {d2}, 'c': ct.c}})), "
+        f"(acc, x) -> CASE WHEN x.d < acc.d THEN x ELSE acc END)"
+    )
+
+
+def _kmeans_ctes(dialect: str) -> str:
+    """Shared WITH-clause prefix: seeded centroids -> assign1 (vec_id,
+    embedding, cid, d2 vs the SEED centroid) -> one grid-exact Lloyd
+    update -> assign2 (vec_id, embedding, cid, d2). Used by
+    ds_kmeans_lloyd (per-cluster stats tail), ds_semdedup_prune
+    (within-cluster pairwise prune tail), and stream_kmeans_update's
+    oracle (assign1/grid1 — one frozen-centroid accumulation pass)."""
+    cid_case = "CASE vec_id " + " ".join(
+        f"WHEN {v} THEN {i}" for i, v in enumerate(_KM_SEEDS)
+    ) + " END"
+    seeds = ", ".join(str(v) for v in _KM_SEEDS)
+    best = _km_best_expr(dialect)
+    mean = (
+        "CAST(sum_g AS DOUBLE) / (CAST(cnt AS DOUBLE)"
+        " * CAST(10000000000.0 AS DOUBLE))"
+    )
+    if dialect == "spark":
         arr0 = (
             "array_sort(collect_list(named_struct("
             "'c', CAST(cid AS BIGINT), 'v', cvec)))"
@@ -7634,13 +7650,6 @@ def _kmeans_ctes(dialect: str) -> str:
             f"named_struct('pos', pos, 'm', {mean}))), s -> s.m)"
         )
     else:
-        best = (
-            f"list_reduce(list_prepend("
-            f"{{'d': CAST('1e308' AS DOUBLE), 'c': CAST(-1 AS BIGINT)}}, "
-            f"list_transform(cents, ct -> "
-            f"{{'d': {d2}, 'c': ct.c}})), "
-            f"(acc, x) -> CASE WHEN x.d < acc.d THEN x ELSE acc END)"
-        )
         arr0 = (
             "list({'c': CAST(cid AS BIGINT), 'v': cvec} ORDER BY cid)"
         )
@@ -7660,7 +7669,7 @@ def _kmeans_ctes(dialect: str) -> str:
     ),
     cents0 AS (SELECT {arr0} AS cents FROM cent0),
     assign1 AS (
-      SELECT vec_id, embedding, best.c AS cid FROM (
+      SELECT vec_id, embedding, best.c AS cid, best.d AS d2 FROM (
         SELECT e.vec_id, e.embedding, {best} AS best
         FROM embeddings e CROSS JOIN cents0
       )
@@ -7740,6 +7749,218 @@ _sql_query(
     _semdedup_sql("duckdb"),
     tags=("dataset", "dedup", "clustering", "embedding"),
 )
+
+
+def _stream_kmeans_oracle() -> str:
+    """Batch equivalent of the streamed mini-batch accumulation: one
+    frozen-seed-centroid assignment pass (assign1/grid1 from the shared
+    KMeans CTEs), per-cluster counts, grid inertia vs the seed
+    centroids, and the 1e-10-grid updated-centroid checksum. Because
+    every streamed partial is an integer sum, the fold is
+    order-independent and the drained state equals this one-shot SQL
+    bitwise."""
+    return f"""{_kmeans_ctes("duckdb")}
+    , means AS (
+      SELECT cid,
+             CAST(SUM(CAST(floor(CAST(sum_g AS DOUBLE)
+               / CAST(cnt AS DOUBLE)
+               + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT)
+               AS centroid_grid_sum
+      FROM grid1 GROUP BY cid
+    ),
+    stats AS (
+      SELECT cid, COUNT(*) AS n_points,
+             SUM(CAST(floor(d2 * CAST(1000000.0 AS DOUBLE)
+               + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS inertia
+      FROM assign1 GROUP BY cid
+    )
+    SELECT CAST(s.cid AS BIGINT) AS cluster,
+           CAST(s.n_points AS BIGINT) AS n_points,
+           CAST(s.inertia AS BIGINT) AS inertia_micro,
+           m.centroid_grid_sum
+    FROM stats s JOIN means m ON m.cid = s.cid
+    """
+
+
+@register(
+    "stream_kmeans_update",
+    _stream_kmeans_oracle(),
+    tags=("streaming", "clustering", "ml"),
+)
+def stream_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mini-batch KMeans accumulation as a REAL stream (the MLlib
+    StreamingKMeans shape, frozen-centroid variant): embeddings replay
+    as 4 micro-batches; each batch assigns rows to the FROZEN seed
+    centroids with the same map-side argmin fragment as ds_kmeans_lloyd
+    (`_km_best_expr` via F.expr over a broadcast cents row) and folds
+    per-(cluster,pos) 1e-10-grid component sums plus per-cluster
+    count/grid-inertia partials into an atomically-swapped state table.
+    Every partial is an integer SUM, so the fold is order-independent
+    and replay-safe (last_bid guard, the stream_regr_fold pattern); the
+    drained state equals the one-shot batch accumulation bitwise —
+    which is exactly what the DuckDB oracle computes. Final per-cluster
+    row: size, inertia vs the seed centroid, and the updated-centroid
+    checksum (per-pos floor(sum_g/cnt + 0.5) summed).
+
+    At scale: centroids are a k-row broadcast; per batch ONE pass over
+    the arriving rows + a k×dim-bounded aggregation; state is k×dim
+    rows. This is the accumulate step of distributed mini-batch KMeans —
+    a centroid refresh is the tiny means projection, and re-freezing is
+    a state swap."""
+    import tempfile
+
+    from pgvector_db_spark.catalog import table_path
+    from pgvector_db_spark.sources.table import ParquetTable
+    from pgvector_db_spark.streaming.replay import (
+        file_stream,
+        stage_replay_splits,
+    )
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    seeds = ", ".join(str(v) for v in _KM_SEEDS)
+    cid_case = "CASE vec_id " + " ".join(
+        f"WHEN {v} THEN {i}" for i, v in enumerate(_KM_SEEDS)
+    ) + " END"
+    # frozen centroids: ONE broadcast row, same construction as the
+    # cents0 CTE (struct field names and cid sort match _km_best_expr)
+    cents0 = (
+        emb.filter(f"vec_id IN ({seeds})")
+        .selectExpr(f"{cid_case} AS cid", "embedding AS cvec")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("cid").cast("bigint").alias("c"),
+                        F.col("cvec").alias("v"),
+                    )
+                )
+            ).alias("cents")
+        )
+    )
+    best = _km_best_expr("spark")
+
+    emb_path = table_path(sf_dir, "embeddings")
+    tag = _fixture_tag(sf_dir)
+    replay_dir = os.path.join(tempfile.gettempdir(), f"emb_replay4_{tag}")
+    stage_replay_splits(spark, emb_path, replay_dir, n_files=4)
+    schema = spark.read.parquet(emb_path).schema
+    src = file_stream(spark, replay_dir, schema, max_files_per_trigger=1)
+
+    work = tempfile.mkdtemp(prefix="kmeans_stream_")
+    try:
+        table = ParquetTable(spark, os.path.join(work, "state"))
+
+        def fold(batch: DataFrame, _bid: int) -> None:
+            assigned = (
+                batch.alias("e")
+                .crossJoin(F.broadcast(cents0))
+                .select(
+                    F.expr(best).alias("best"),
+                    F.col("embedding"),
+                )
+                .select(
+                    F.col("best.c").alias("cid"),
+                    F.col("best.d").alias("d2"),
+                    "embedding",
+                )
+            )
+            # per-(cid,pos) grid component sums — the comps1 spelling
+            grid = (
+                assigned.select(
+                    "cid", F.posexplode("embedding").alias("p0", "val")
+                )
+                .select(
+                    "cid",
+                    (F.col("p0") + 1).cast("bigint").alias("pos"),
+                    F.floor(
+                        F.col("val").cast("double")
+                        * F.lit(10000000000.0)
+                        + F.lit(0.5)
+                    )
+                    .cast("bigint")
+                    .alias("g"),
+                )
+                .groupBy("cid", "pos")
+                .agg(
+                    F.sum("g").alias("sum_g"),
+                    F.count(F.lit(1)).alias("cnt"),
+                )
+            )
+            # per-cluster count + grid inertia ride as pos=0 sentinel
+            # rows of the same state table (sum_g=inertia, cnt=n)
+            stats = assigned.groupBy("cid").agg(
+                F.sum(
+                    F.floor(
+                        F.col("d2") * F.lit(1000000.0) + F.lit(0.5)
+                    ).cast("bigint")
+                ).alias("sum_g"),
+                F.count(F.lit(1)).alias("cnt"),
+            ).select("cid", F.lit(0).cast("bigint").alias("pos"), "sum_g", "cnt")
+            part = grid.unionByName(stats).withColumn(
+                "last_bid", F.lit(_bid).cast("bigint")
+            )
+            if not table.exists():
+                part.write.mode("errorifexists").parquet(table.path)
+                return
+            state = table.read()
+            # integer sums are additive but NOT idempotent: skip a
+            # checkpoint-replayed micro-batch whose id is already folded
+            if state.agg(F.max("last_bid")).first()[0] >= _bid:
+                return
+            merged = (
+                state.unionByName(part)
+                .groupBy("cid", "pos")
+                .agg(
+                    F.sum("sum_g").alias("sum_g"),
+                    F.sum("cnt").alias("cnt"),
+                    F.max("last_bid").alias("last_bid"),
+                )
+            )
+            table._swap_in(merged)
+
+        q = (
+            src.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        s = table.read()
+        means = (
+            s.filter("pos >= 1")
+            .select(
+                "cid",
+                F.floor(
+                    F.col("sum_g").cast("double")
+                    / F.col("cnt").cast("double")
+                    + F.lit(0.5)
+                )
+                .cast("bigint")
+                .alias("m"),
+            )
+            .groupBy("cid")
+            .agg(F.sum("m").cast("bigint").alias("centroid_grid_sum"))
+        )
+        stats = s.filter("pos = 0").select(
+            "cid",
+            F.col("cnt").cast("bigint").alias("n_points"),
+            F.col("sum_g").cast("bigint").alias("inertia_micro"),
+        )
+        out = stats.join(means, "cid").select(
+            F.col("cid").cast("bigint").alias("cluster"),
+            "n_points",
+            "inertia_micro",
+            "centroid_grid_sum",
+        )
+        rows = out.collect()
+        # materialize before the finally block deletes the state files
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
 
 
 _SNIPPET_TERMS = ["vector", "join", "filter"]

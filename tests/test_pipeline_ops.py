@@ -146,3 +146,61 @@ def test_stream_quality_gate_matches_batch_gopher(spark):
     n_keep_batch = sum(r["keep"] for r in gopher)
     streamed = _run(spark, "stream_quality_gated_ingest").collect()
     assert sum(r["n_kept"] for r in streamed) == n_keep_batch
+
+
+def test_semdedup_keep_rule_recompute(spark):
+    """SemDeDup semantics verified independently in numpy: a point is
+    pruned iff SOME lower-id point in its cluster has cosine >= tau
+    (the deterministic keep-lowest-id sweep, queries._semdedup_sql)."""
+    import numpy as np
+
+    from pgvector_db_spark.queries import _SEMDEDUP_TAU
+
+    rows = _run(spark, "ds_semdedup_prune").collect()
+    emb = {
+        int(r["vec_id"]): np.array(r["embedding"], dtype=np.float64)
+        for r in spark.sql(
+            f"SELECT vec_id, embedding FROM '{SF_DIR}/embeddings.parquet'"
+        ).collect()
+    }
+    # every vector exactly once, both keep branches exercised
+    assert sorted(int(r["vec_id"]) for r in rows) == sorted(emb)
+    keeps = {int(r["keep"]) for r in rows}
+    assert keeps == {0, 1}
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(int(r["cluster"]), []).append(r)
+    for members in by_cluster.values():
+        members.sort(key=lambda r: int(r["vec_id"]))
+        for i, r in enumerate(members):
+            v = emb[int(r["vec_id"])]
+            has_lower_sim = any(
+                float(
+                    np.dot(v, emb[int(o["vec_id"])])
+                    / (
+                        np.linalg.norm(v)
+                        * np.linalg.norm(emb[int(o["vec_id"])])
+                    )
+                )
+                >= _SEMDEDUP_TAU - 1e-9
+                for o in members[:i]
+            )
+            has_lower_sim_strict = any(
+                float(
+                    np.dot(v, emb[int(o["vec_id"])])
+                    / (
+                        np.linalg.norm(v)
+                        * np.linalg.norm(emb[int(o["vec_id"])])
+                    )
+                )
+                >= _SEMDEDUP_TAU + 1e-9
+                for o in members[:i]
+            )
+            # numpy's fused reductions can differ from the engines'
+            # sequential fold by ulps, so only assert outside a band
+            # around the threshold: a strict hit must prune, a clear
+            # miss must keep
+            if has_lower_sim_strict:
+                assert int(r["keep"]) == 0, r
+            elif not has_lower_sim:
+                assert int(r["keep"]) == 1, r
