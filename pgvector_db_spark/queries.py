@@ -9212,6 +9212,74 @@ _sql_query(
 )
 
 
+# Quality-threshold calibration sweep: the step that PICKS the quality
+# filter's cutoff — precision/recall of the stopword-ratio score against
+# a weak label (lang = 'en', the standard proxy when no human labels
+# exist) at ten fixed thresholds. Scale shape: the corpus collapses to a
+# per-distinct-grid-score (score, n, n_pos) frame FIRST (bounded by the
+# 1e6 grid, in practice a few hundred rows), so the 10-threshold sweep
+# is a cross join against a tiny aggregate, never a re-scan per
+# threshold. Ratios are two exactly-rounded double ops (div, mul) in
+# identical order on both engines; empty-keep thresholds report -1.
+def _quality_sweep_sql(score_expr: str) -> str:
+    ths = ", ".join(
+        f"({v})" for v in range(0, 1000000, 100000)
+    )
+    ratio = (
+        "CAST(floor(CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE)"
+        " * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    )
+    prec = ratio.format(num="pos_kept", den="n_kept")
+    rec = ratio.format(num="pos_kept", den="tot_pos")
+    return f"""
+    WITH t AS (
+      SELECT {score_expr} AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    b AS (
+      SELECT score, COUNT(*) AS n, SUM(pos) AS np
+      FROM t GROUP BY score
+    ),
+    tot AS (SELECT SUM(np) AS tot_pos FROM b),
+    th(th) AS (VALUES {ths}),
+    agg AS (
+      SELECT th,
+             SUM(CASE WHEN b.score >= th THEN n ELSE 0 END) AS n_kept,
+             SUM(CASE WHEN b.score >= th THEN np ELSE 0 END) AS pos_kept
+      FROM th CROSS JOIN b GROUP BY th
+    )
+    SELECT CAST(th AS BIGINT) AS threshold_micro,
+           CAST(n_kept AS BIGINT) AS n_kept,
+           CAST(pos_kept AS BIGINT) AS pos_kept,
+           CASE WHEN n_kept = 0 THEN CAST(-1 AS BIGINT)
+                ELSE {prec} END AS precision_micro,
+           CASE WHEN tot_pos = 0 THEN CAST(-1 AS BIGINT)
+                ELSE {rec} END AS recall_micro
+    FROM agg CROSS JOIN tot
+    ORDER BY threshold_micro ASC
+    """
+
+
+_QSWEEP_SCORE_SPARK = """CAST(floor(CAST(size(filter(split(lower(text), '\\\\s+'),
+                  w -> w = 'the' OR w = 'a' OR w = 'of' OR w = 'and'
+                       OR w = 'to' OR w = 'in')) AS DOUBLE)
+                  / CAST(size(split(trim(text), '\\\\s+')) AS DOUBLE)
+                  * 1000000 + 0.5) AS BIGINT)"""
+_QSWEEP_SCORE_DUCK = """CAST(floor(CAST(len(list_filter(
+                  regexp_split_to_array(lower(text), '\\s+'),
+                  w -> w IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
+                  / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)
+                  * 1000000 + 0.5) AS BIGINT)"""
+
+_sql_query(
+    "ds_quality_threshold_sweep",
+    _quality_sweep_sql(_QSWEEP_SCORE_SPARK),
+    _quality_sweep_sql(_QSWEEP_SCORE_DUCK),
+    tags=("dataset", "quality", "calibration"),
+)
+
+
 # TF-IDF keyword extraction: per-document top-3 terms by tf·idf — the
 # classical feature-extraction stage (and the "representative terms"
 # signal cluster-labeling pipelines use). idf = ln(N/df) on the module's
