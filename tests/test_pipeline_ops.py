@@ -159,9 +159,9 @@ def test_semdedup_keep_rule_recompute(spark):
     rows = _run(spark, "ds_semdedup_prune").collect()
     emb = {
         int(r["vec_id"]): np.array(r["embedding"], dtype=np.float64)
-        for r in spark.sql(
-            f"SELECT vec_id, embedding FROM '{SF_DIR}/embeddings.parquet'"
-        ).collect()
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
     }
     # every vector exactly once, both keep branches exercised
     assert sorted(int(r["vec_id"]) for r in rows) == sorted(emb)
