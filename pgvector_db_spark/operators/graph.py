@@ -132,18 +132,27 @@ def bfs_hops(
     if not seed_set:
         # createDataFrame([]) cannot infer a schema — empty seeds is a
         # well-defined query (nothing reachable), return an empty frame.
-        # Derive the node type from the edges schema so integer-keyed
-        # graphs get an integer-typed empty frame, matching the
-        # non-empty branch's inferred type (r5 ADVICE).
+        # Match the NON-empty branch's resulting type exactly: there the
+        # frontier comes from createDataFrame over Python seed values
+        # (ints infer LongType) and the union with edge endpoints widens
+        # any narrower integer key to LONG — so integral src types map
+        # to LongType here too, other types pass through (r5 ADVICE,
+        # sharpened by the r7 review).
         from pyspark.sql.types import (
+            ByteType,
             IntegerType,
+            LongType,
+            ShortType,
             StructField,
             StructType,
         )
 
+        node_type = edges.schema["src"].dataType
+        if isinstance(node_type, (ByteType, ShortType, IntegerType)):
+            node_type = LongType()
         schema = StructType(
             [
-                StructField("node", edges.schema["src"].dataType),
+                StructField("node", node_type),
                 StructField("hop", IntegerType()),
             ]
         )

@@ -165,11 +165,17 @@ def mmr_oracle_steps_sql(
     for triangulation). ``cand_cte`` must define a relation ``cand``
     with columns (qid, vec_id, rel, embedding).
 
-    Step 1 is argmax rel; step i joins the i-1 selected rows per qid,
-    takes the max pairwise sim as the redundancy penalty (``greatest``
-    of bitwise-identical doubles), and argmaxes the MMR score. Every
-    float literal goes through the STRING->DOUBLE cast
-    (functions/vector.py vector_literal_sql rationale)."""
+    Step 1 argmaxes the SAME score expression the Python greedy
+    computes (lam*rel − (1−lam)*0.0), NOT raw rel: multiplication by
+    lam is monotonic over the reals but NOT injective over doubles —
+    two distinct rels can round to one lam*rel, and at such a collision
+    the Python side falls to its id-ASC tie-break while a raw-rel
+    window would still distinguish them (r7 review finding). Step i
+    joins the i-1 selected rows per qid, takes the max pairwise sim as
+    the redundancy penalty (``greatest`` of bitwise-identical doubles),
+    and argmaxes the MMR score. Every float literal goes through the
+    STRING->DOUBLE cast (functions/vector.py vector_literal_sql
+    rationale)."""
     omlam = 1.0 - lam
     lam_sql = f"CAST('{lam!r}' AS DOUBLE)"
     omlam_sql = f"CAST('{omlam!r}' AS DOUBLE)"
@@ -182,7 +188,10 @@ def mmr_oracle_steps_sql(
                AS mmr_score
       FROM (
         SELECT c.*, ROW_NUMBER() OVER (
-          PARTITION BY qid ORDER BY rel DESC, vec_id ASC) AS rn
+          PARTITION BY qid
+          ORDER BY {lam_sql} * rel - {omlam_sql} * CAST(0.0 AS DOUBLE)
+                     DESC,
+                   vec_id ASC) AS rn
         FROM cand c
       ) WHERE rn = 1
     )"""

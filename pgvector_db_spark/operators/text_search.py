@@ -136,6 +136,25 @@ def _empty_topk(spark, id_col: str, id_type) -> DataFrame:
     return spark.createDataFrame([], schema)
 
 
+def _empty_batch_topk(spark, id_col: str, id_type) -> DataFrame:
+    """Empty (qid, id, rnk, score_micro, n_matched) frame — the batch
+    twin of :func:`_empty_topk`, shared by ``bm25_batch_topk`` and
+    ``BM25Index.batch_search`` so the two paths cannot drift (r7
+    review)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("qid", LongType(), True),
+            StructField(id_col, id_type, True),
+            StructField("rnk", LongType(), False),
+            StructField("score_micro", LongType(), True),
+            StructField("n_matched", LongType(), False),
+        ]
+    )
+    return spark.createDataFrame([], schema)
+
+
 def _score_and_topk(
     tf: DataFrame,
     n_docs: int,
@@ -268,24 +287,8 @@ def bm25_batch_topk(
     n_docs, sum_dl = int(srow["n_docs"]), int(srow["sum_dl"] or 0)
     spark = docs.sparkSession
     if n_docs == 0 or not all_terms:
-        from pyspark.sql.types import (
-            LongType,
-            StructField,
-            StructType,
-        )
-
-        id_type = docs.schema[id_col].dataType
-        return spark.createDataFrame(
-            [],
-            StructType(
-                [
-                    StructField("qid", LongType(), True),
-                    StructField(id_col, id_type, True),
-                    StructField("rnk", LongType(), False),
-                    StructField("score_micro", LongType(), True),
-                    StructField("n_matched", LongType(), False),
-                ]
-            ),
+        return _empty_batch_topk(
+            spark, id_col, docs.schema[id_col].dataType
         )
     df_by_term = {
         t: int(srow[f"_df_{i}"] or 0) for i, t in enumerate(all_terms)
@@ -382,6 +385,63 @@ def _batch_score_and_topk(
     )
 
 
+def _bm25_toks_stats_ctes() -> str:
+    """The toks/stats CTE text shared by EVERY BM25 oracle generator.
+    Factored (r7 review) so the four generators cannot drift out of
+    bitwise lockstep: a tokenize or stats change edits exactly one
+    spelling."""
+    return """toks AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS dl,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+      FROM documents
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM (
+        SELECT len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS dl
+        FROM documents)
+    )"""
+
+
+def _bm25_tf_dft_ctes(terms_pred: str, tf: str = "tf", dft: str = "dft") -> str:
+    """The (doc,term) tf + per-term df CTE pair over ``toks``, with the
+    query-term predicate inlined. ``terms_pred`` is the full IN-list
+    body (quoted literals or a subquery)."""
+    return f"""{tf} AS (
+      SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
+      FROM toks WHERE term IN ({terms_pred})
+      GROUP BY doc_id, term
+    ),
+    {dft} AS (SELECT term, COUNT(*) AS df FROM {tf} GROUP BY term)"""
+
+
+def _bm25_term_score_sql(
+    k1: float, b: float, tf: str = "tf", dft: str = "dft"
+) -> str:
+    """The grid-fixed per-(doc,term) BM25 contribution — the ONE DuckDB
+    spelling of the score every oracle generator embeds (idf via the
+    deterministic ln tree, Python-folded k1/b literals, 1e6 grid). Must
+    stay bitwise-identical to ``_score_and_topk``'s column expressions
+    and ``bm25_topk_py``."""
+    k1p1 = k1 + 1.0
+    omb = 1.0 - b
+    idf = (
+        f"({_ln_bigint_sql('2 * stats.n_docs + 2')}"
+        f" - {_ln_bigint_sql(f'2 * {dft}.df + 1')})"
+    )
+    return (
+        f"CAST(floor({idf}"
+        f" * ({tf}.tf * CAST({k1p1!r} AS DOUBLE))"
+        f" / ({tf}.tf + CAST({k1!r} AS DOUBLE)"
+        f"    * (CAST({omb!r} AS DOUBLE) + CAST({b!r} AS DOUBLE)"
+        f"       * {tf}.dl"
+        f"       / (CAST(stats.sum_dl AS DOUBLE)"
+        f"          / CAST(stats.n_docs AS DOUBLE))))"
+        f" * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        f" AS BIGINT)"
+    )
+
+
 def bm25_batch_oracle_sql(
     queries,
     k: int = 10,
@@ -397,42 +457,13 @@ def bm25_batch_oracle_sql(
     )
     all_terms = sorted({t for _, ts in qnorm for t in ts})
     terms = ", ".join(f"'{t}'" for t in all_terms)
-    k1p1 = k1 + 1.0
-    omb = 1.0 - b
-    idf = (
-        f"({_ln_bigint_sql('2 * stats.n_docs + 2')}"
-        f" - {_ln_bigint_sql('2 * dft.df + 1')})"
-    )
     return f"""
     WITH q(qid, term) AS (VALUES {pairs}),
-    toks AS (
-      SELECT doc_id,
-             len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS dl,
-             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
-      FROM documents
-    ),
-    stats AS (
-      SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM (
-        SELECT len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS dl
-        FROM documents)
-    ),
-    tf AS (
-      SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
-      FROM toks WHERE term IN ({terms})
-      GROUP BY doc_id, term
-    ),
-    dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    {_bm25_toks_stats_ctes()},
+    {_bm25_tf_dft_ctes(terms)},
     scored AS (
       SELECT q.qid, tf.doc_id,
-             CAST(floor(
-               {idf}
-               * (tf.tf * CAST({k1p1!r} AS DOUBLE))
-               / (tf.tf + CAST({k1!r} AS DOUBLE)
-                  * (CAST({omb!r} AS DOUBLE) + CAST({b!r} AS DOUBLE) * tf.dl
-                     / (CAST(stats.sum_dl AS DOUBLE)
-                        / CAST(stats.n_docs AS DOUBLE))))
-               * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
-             AS BIGINT) AS term_score_micro
+             {_bm25_term_score_sql(k1, b)} AS term_score_micro
       FROM tf JOIN dft USING (term) JOIN q USING (term) CROSS JOIN stats
     ),
     agg AS (
@@ -522,42 +553,13 @@ def bm25_oracle_sql(
     DuckDB spelling of ``ln_bigint``'s exact-rounded tree) and the k1/b
     constants are the same Python-folded double literals the Spark side
     embeds."""
-    k1p1 = k1 + 1.0
-    omb = 1.0 - b
-    idf = (
-        f"({_ln_bigint_sql('2 * stats.n_docs + 2')}"
-        f" - {_ln_bigint_sql('2 * dft.df + 1')})"
-    )
     terms = ", ".join(f"'{t}'" for t in query_terms)
     return f"""
-    WITH toks AS (
-      SELECT doc_id,
-             len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS dl,
-             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
-      FROM documents
-    ),
-    stats AS (
-      SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM (
-        SELECT len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS dl
-        FROM documents)
-    ),
-    tf AS (
-      SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
-      FROM toks WHERE term IN ({terms})
-      GROUP BY doc_id, term
-    ),
-    dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    WITH {_bm25_toks_stats_ctes()},
+    {_bm25_tf_dft_ctes(terms)},
     scored AS (
       SELECT tf.doc_id,
-             CAST(floor(
-               {idf}
-               * (tf.tf * CAST({k1p1!r} AS DOUBLE))
-               / (tf.tf + CAST({k1!r} AS DOUBLE)
-                  * (CAST({omb!r} AS DOUBLE) + CAST({b!r} AS DOUBLE) * tf.dl
-                     / (CAST(stats.sum_dl AS DOUBLE)
-                        / CAST(stats.n_docs AS DOUBLE))))
-               * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
-             AS BIGINT) AS term_score_micro
+             {_bm25_term_score_sql(k1, b)} AS term_score_micro
       FROM tf JOIN dft USING (term) CROSS JOIN stats
     )
     SELECT doc_id, SUM(term_score_micro) AS score_micro,
@@ -642,45 +644,14 @@ def bm25_prf_oracle_sql(
     recomputed relationally — a genuinely independent implementation of
     the whole pipeline). Same grid, same deterministic ln tree, same
     integer tie-breaks as the Spark side."""
-    k1p1 = k1 + 1.0
-    omb = 1.0 - b
     seeds = ", ".join(f"'{t}'" for t in sorted(set(seed_terms)))
 
     def _score(tf: str, dft: str) -> str:
-        idf = (
-            f"({_ln_bigint_sql('2 * stats.n_docs + 2')}"
-            f" - {_ln_bigint_sql(f'2 * {dft}.df + 1')})"
-        )
-        return (
-            f"CAST(floor({idf}"
-            f" * ({tf}.tf * CAST({k1p1!r} AS DOUBLE))"
-            f" / ({tf}.tf + CAST({k1!r} AS DOUBLE)"
-            f"    * (CAST({omb!r} AS DOUBLE) + CAST({b!r} AS DOUBLE)"
-            f"       * {tf}.dl"
-            f"       / (CAST(stats.sum_dl AS DOUBLE)"
-            f"          / CAST(stats.n_docs AS DOUBLE))))"
-            f" * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
-            f" AS BIGINT)"
-        )
+        return _bm25_term_score_sql(k1, b, tf, dft)
 
     return f"""
-    WITH toks AS (
-      SELECT doc_id,
-             len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS dl,
-             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
-      FROM documents
-    ),
-    stats AS (
-      SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM (
-        SELECT len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS dl
-        FROM documents)
-    ),
-    tf1 AS (
-      SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
-      FROM toks WHERE term IN ({seeds})
-      GROUP BY doc_id, term
-    ),
-    dft1 AS (SELECT term, COUNT(*) AS df FROM tf1 GROUP BY term),
+    WITH {_bm25_toks_stats_ctes()},
+    {_bm25_tf_dft_ctes(seeds, "tf1", "dft1")},
     fb AS (
       SELECT doc_id FROM (
         SELECT tf1.doc_id, SUM({_score('tf1', 'dft1')}) AS score_micro
@@ -704,12 +675,7 @@ def bm25_prf_oracle_sql(
       UNION
       SELECT unnest([{seeds}]) AS term
     ),
-    tf2 AS (
-      SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
-      FROM toks WHERE term IN (SELECT term FROM qterms)
-      GROUP BY doc_id, term
-    ),
-    dft2 AS (SELECT term, COUNT(*) AS df FROM tf2 GROUP BY term)
+    {_bm25_tf_dft_ctes("SELECT term FROM qterms", "tf2", "dft2")}
     SELECT tf2.doc_id, SUM({_score('tf2', 'dft2')}) AS score_micro,
            COUNT(*) AS n_matched
     FROM tf2 JOIN dft2 USING (term) CROSS JOIN stats
@@ -839,40 +805,12 @@ def bm25_snippet_oracle_sql(
     slice+join snippet string."""
     terms_sorted = sorted(set(query_terms))
     terms = ", ".join(f"'{t}'" for t in terms_sorted)
-    k1p1 = k1 + 1.0
-    omb = 1.0 - b
-    idf = (
-        f"({_ln_bigint_sql('2 * stats.n_docs + 2')}"
-        f" - {_ln_bigint_sql('2 * dft.df + 1')})"
-    )
     return f"""
-    WITH toks AS (
-      SELECT doc_id,
-             len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS dl,
-             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
-      FROM documents
-    ),
-    stats AS (
-      SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM (
-        SELECT len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS dl
-        FROM documents)
-    ),
-    tf AS (
-      SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
-      FROM toks WHERE term IN ({terms})
-      GROUP BY doc_id, term
-    ),
-    dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    WITH {_bm25_toks_stats_ctes()},
+    {_bm25_tf_dft_ctes(terms)},
     top AS (
-      SELECT tf.doc_id, SUM(CAST(floor(
-               {idf}
-               * (tf.tf * CAST({k1p1!r} AS DOUBLE))
-               / (tf.tf + CAST({k1!r} AS DOUBLE)
-                  * (CAST({omb!r} AS DOUBLE) + CAST({b!r} AS DOUBLE) * tf.dl
-                     / (CAST(stats.sum_dl AS DOUBLE)
-                        / CAST(stats.n_docs AS DOUBLE))))
-               * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
-             AS BIGINT)) AS score_micro
+      SELECT tf.doc_id,
+             SUM({_bm25_term_score_sql(k1, b)}) AS score_micro
       FROM tf JOIN dft USING (term) CROSS JOIN stats
       GROUP BY tf.doc_id
       ORDER BY score_micro DESC, doc_id ASC LIMIT {k}
@@ -1165,14 +1103,21 @@ def _evict_cache(cache: dict, live_path: str) -> None:
     """Drop same-path entries with a different segment set (superseded by
     an append/compact) AND entries whose index path no longer exists on
     disk (per-invocation mkdtemp indexes that were removed — without
-    this, every temporary index leaks one never-evicted entry).
-    Caller holds _CACHE_LOCK."""
+    this, every temporary index leaks one never-evicted entry). The
+    liveness probe only applies to LOCAL paths: ``os.path.isdir`` is
+    always False for a URI like ``s3://...``, so sweeping on it would
+    permanently evict every remote index's entry on each insert (r7
+    review finding) — remote entries are evicted only by their own
+    path's segment-set change. Caller holds _CACHE_LOCK."""
     import os as _os
+
+    def _local(p: str) -> bool:
+        return "://" not in p
 
     for key in [
         k
         for k in cache
-        if k[0] == live_path or not _os.path.isdir(k[0])
+        if k[0] == live_path or (_local(k[0]) and not _os.path.isdir(k[0]))
     ]:
         cache.pop(key, None)
 
@@ -1428,27 +1373,17 @@ class BM25Index:
 
     # -- search --------------------------------------------------------------
 
-    def search(
-        self,
-        query_terms: list[str],
-        k: int = 20,
-        k1: float = 1.2,
-        b: float = 0.75,
-    ) -> DataFrame:
+    def _source_frames(self, segs: list[str]):
+        """Assembled (postings, terms) union frames for a segment set,
+        via _FRAMES_CACHE (keyed on path + segment set + applicationId —
+        segments are immutable and any layout change changes the list,
+        so a key can never alias stale files). Shared by ``search`` and
+        ``batch_search`` so both skip the per-call parquet schema
+        inference (r7 review finding: batch_search previously re-read
+        the segments every call)."""
         import os as _os
-        import zlib
         from functools import reduce
 
-        m = self._read_manifest()
-        nb = m["num_buckets"]
-        segs = m["segments"]
-        # driver-side probe set: zlib.crc32 over UTF-8 == Spark's crc32
-        probe = sorted(
-            {zlib.crc32(t.encode("utf-8")) % nb for t in query_terms}
-        )
-        # applicationId in the key: the cached DataFrames are bound to a
-        # SparkSession — a restarted session in the same process must
-        # miss, not hand back handles into a stopped context
         fkey = (
             self.path,
             tuple(segs),
@@ -1484,6 +1419,25 @@ class BM25Index:
                 _FRAMES_CACHE[fkey] = (post, terms)
         else:
             post, terms = frames
+        return post, terms
+
+    def search(
+        self,
+        query_terms: list[str],
+        k: int = 20,
+        k1: float = 1.2,
+        b: float = 0.75,
+    ) -> DataFrame:
+        import zlib
+
+        m = self._read_manifest()
+        nb = m["num_buckets"]
+        segs = m["segments"]
+        # driver-side probe set: zlib.crc32 over UTF-8 == Spark's crc32
+        probe = sorted(
+            {zlib.crc32(t.encode("utf-8")) % nb for t in query_terms}
+        )
+        post, terms = self._source_frames(segs)
         # filters push through the Union into every segment scan, so the
         # per-segment bucket pruning is preserved
         post = post.filter(F.col("bucket").isin(probe)).filter(
@@ -1523,9 +1477,7 @@ class BM25Index:
         the BM25 serving tier's bulk path: per-batch cost is
         O(matched postings of the union vocabulary), not
         O(queries x corpus)."""
-        import os as _os
         import zlib
-        from functools import reduce
 
         qnorm = _normalize_batch_queries(queries)
         all_terms = sorted({t for _, ts in qnorm for t in ts})
@@ -1535,25 +1487,9 @@ class BM25Index:
         probe = sorted(
             {zlib.crc32(t.encode("utf-8")) % nb for t in all_terms}
         )
-        post = reduce(
-            DataFrame.unionByName,
-            [
-                self.spark.read.parquet(
-                    _os.path.join(self.path, s, "postings")
-                )
-                for s in segs
-            ],
-        ).filter(F.col("bucket").isin(probe)).filter(
+        post, terms = self._source_frames(segs)
+        post = post.filter(F.col("bucket").isin(probe)).filter(
             F.col("term").isin(all_terms)
-        )
-        terms = reduce(
-            DataFrame.unionByName,
-            [
-                self.spark.read.parquet(
-                    _os.path.join(self.path, s, "terms")
-                )
-                for s in segs
-            ],
         )
         dft_rows = (
             terms.filter(F.col("bucket").isin(probe))
@@ -1565,24 +1501,10 @@ class BM25Index:
         df_by_term = {r["term"]: int(r["df"]) for r in dft_rows}
         n_docs, sum_dl = self._stats(segs)
         if n_docs == 0 or not df_by_term:
-            from pyspark.sql.types import (
-                LongType,
-                StructField,
-                StructType,
-            )
-
-            id_type = post.schema[self.id_col].dataType
-            return self.spark.createDataFrame(
-                [],
-                StructType(
-                    [
-                        StructField("qid", LongType(), True),
-                        StructField(self.id_col, id_type, True),
-                        StructField("rnk", LongType(), False),
-                        StructField("score_micro", LongType(), True),
-                        StructField("n_matched", LongType(), False),
-                    ]
-                ),
+            return _empty_batch_topk(
+                self.spark,
+                self.id_col,
+                post.schema[self.id_col].dataType,
             )
         return _batch_score_and_topk(
             post, n_docs, sum_dl, df_by_term, qnorm, k, k1, b, self.id_col

@@ -6851,6 +6851,11 @@ def stream_decontaminate_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(doc_path).filter("doc_id % 97 = 0")
     )
     ev_post, might_contain = build_gram_bloom(eval_docs, n=3)
+    # the bitmap is a literal, but ev_post (the verify side) is a LAZY
+    # frame over the eval scan + gram explode — materialize it once so
+    # the per-trigger cost is just the bounded broadcast join, not a
+    # re-gram of the eval set every micro-batch (r7 review finding)
+    ev_post = ev_post.localCheckpoint(eager=True)
 
     src = file_stream(
         spark, replay_dir, schema, max_files_per_trigger=1

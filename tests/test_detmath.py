@@ -117,15 +117,38 @@ def test_engine_libm_still_covered_self_consistent(spark):
 
 
 def test_ln_bigint_rejects_nonpositive_semantics(spark):
-    """Callers must feed positive integers; document the failure shape
-    (conv of a nonpositive value yields a nonsense exponent rather than
-    an error) so no call site relies on it."""
-    row = (
-        spark.createDataFrame([(7,)], "m bigint")
-        .select(ln_bigint(F.col("m")).alias("ln"))
-        .first()
+    """Callers must feed positive integers; pin BOTH halves of the
+    contract (the r7 review flagged that this test previously never
+    exercised a nonpositive value): a positive input is accurate, and a
+    NONPOSITIVE input is UNDEFINED — the engine tree returns finite
+    garbage (measured: ln_bigint(0) ≈ -4.04, nowhere near any real
+    log), while ln_bigint_py raises for 0 and returns DIFFERENT garbage
+    for negatives — so the spellings do NOT agree there and every call
+    site must guard m >= 1 before the tree (they all do: df/tf/counts
+    are >= 1 by construction)."""
+    rows = (
+        spark.createDataFrame([(7,), (0,), (-3,)], "m bigint")
+        .select("m", ln_bigint(F.col("m")).alias("ln"))
+        .collect()
     )
-    assert row["ln"] == pytest.approx(math.log(7), rel=2e-9)
+    by_m = {int(r["m"]): r["ln"] for r in rows}
+    assert by_m[7] == pytest.approx(math.log(7), rel=2e-9)
+    # the garbage must stay garbage: if a future tree change makes a
+    # nonpositive input return something close to a real log, a caller
+    # could start silently relying on it
+    for m, bogus in ((0, None), (-3, math.log(3))):
+        v = by_m[m]
+        assert v is not None and v == v, f"failure shape changed: {v}"
+        if bogus is not None:
+            assert v != pytest.approx(bogus, rel=1e-6), (
+                f"ln_bigint({m}) ~ ln({abs(m)}) — nonpositive inputs "
+                "must not look meaningful"
+            )
+    from pgvector_db_spark.functions.detmath import ln_bigint_py
+
+    with pytest.raises(ValueError):
+        ln_bigint_py(0)
+    assert ln_bigint_py(-3) != by_m[-3]  # spellings diverge: must guard
 
 
 def test_ln_bigint_py_matches_engines_bitwise(spark):
