@@ -9083,6 +9083,71 @@ _sql_query(
     tags=("dataset", "text", "tokenizer"),
 )
 
+# Collocation extraction by pointwise mutual information — the classic
+# "new york"/"machine learning" phrase-discovery signal (Church & Hanks
+# 1990), and the phrase-merging heuristic word2vec-style pipelines run
+# before training. PMI = ln(N·c(a,b) / (c(a,·)·c(·,b))) over adjacent
+# word pairs, all marginals taken from the SAME pair frame so the
+# probabilities are self-consistent. Every log argument is a positive
+# BIGINT product, so the whole score runs on the deterministic
+# cross-engine ln tree (functions/detmath.ln_ratio_sql) — a third
+# full detmath consumer next to BM25 idf and Dirichlet QL. Scale shape:
+# one explode + one (a,b) aggregation; the marginal frames are
+# vocabulary-sized (join keys, broadcastable); min-support c_ab >= 3
+# prunes the long tail before the join; TakeOrderedAndProject top-20.
+def _collocation_pmi_sql(dialect: str) -> str:
+    from pgvector_db_spark.functions.detmath import ln_ratio_sql
+
+    if dialect == "spark":
+        toks = "split(trim(lower(text)), '\\\\s+')"
+        pairs = (
+            "explode(transform(sequence(0, size(w) - 2), "
+            "i -> named_struct('a', w[i], 'b', w[i + 1])))"
+        )
+        guard = "size(w) >= 2"
+    else:
+        toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+        pairs = (
+            "unnest(list_transform(range(1, len(w)), "
+            "i -> {'a': w[i], 'b': w[i + 1]}))"
+        )
+        guard = "len(w) >= 2"
+    pmi = ln_ratio_sql("tot.np * cab.c_ab", "ca.c_a * cb.c_b", dialect)
+    return f"""
+    WITH toks AS (
+      SELECT {toks} AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    pr AS (
+      SELECT p.a AS a, p.b AS b FROM (
+        SELECT {pairs} AS p FROM toks WHERE {guard}
+      )
+    ),
+    cab AS (SELECT a, b, COUNT(*) AS c_ab FROM pr GROUP BY a, b),
+    ca AS (SELECT a, COUNT(*) AS c_a FROM pr GROUP BY a),
+    cb AS (SELECT b, COUNT(*) AS c_b FROM pr GROUP BY b),
+    tot AS (SELECT COUNT(*) AS np FROM pr),
+    scored AS (
+      SELECT a, b, c_ab,
+             CAST(floor({pmi} * CAST(1000000.0 AS DOUBLE)
+               + CAST(0.5 AS DOUBLE)) AS BIGINT) AS pmi_micro
+      FROM cab JOIN ca USING (a) JOIN cb USING (b) CROSS JOIN tot
+      WHERE c_ab >= 3
+    )
+    SELECT a, b, CAST(c_ab AS BIGINT) AS n_pair, pmi_micro
+    FROM scored
+    ORDER BY pmi_micro DESC, a ASC, b ASC LIMIT 20
+    """
+
+
+_sql_query(
+    "ds_collocation_pmi",
+    _collocation_pmi_sql("spark"),
+    _collocation_pmi_sql("duckdb"),
+    tags=("dataset", "text", "collocation", "detmath"),
+)
+
+
 # Contrastive-training hard-negative mining: for each query vector, the
 # top-k most-similar vectors carrying a DIFFERENT label (the classic
 # in-batch-negatives upgrade for embedding-model training). The bounded
