@@ -7732,13 +7732,28 @@ _SEMDEDUP_TAU = 0.3
 
 
 def _semdedup_sql(dialect: str) -> str:
-    from pgvector_db_spark.functions.vector import cosine_similarity_sql
+    from pgvector_db_spark.functions.vector import dot_sql, norm_sql
 
-    cos = cosine_similarity_sql("a.embedding", "b.embedding", dialect)
+    # Norms hoisted to ONE per-vector column instead of recomputed per
+    # pair (the pairwise stage evaluates O(sum c_i^2) expressions —
+    # at sf0.1 that is ~500k pairs, so the inline cosine paid 3 folds
+    # per pair where 1 suffices). Bitwise-identical to the inline
+    # spelling: cosine_similarity_sql is dot/(sqrt(aa)*sqrt(bb)) and
+    # this is the SAME IEEE op sequence with the two sqrt factors
+    # computed once per vector.
+    cos = (
+        f"({dot_sql('a.embedding', 'b.embedding', dialect)}"
+        f" / (a.nrm * b.nrm))"
+    )
     return f"""{_kmeans_ctes(dialect)}
-    , dup AS (
+    , an AS (
+      SELECT vec_id, cid, embedding,
+             {norm_sql('embedding', dialect)} AS nrm
+      FROM assign2
+    ),
+    dup AS (
       SELECT DISTINCT b.vec_id AS v
-      FROM assign2 a JOIN assign2 b
+      FROM an a JOIN an b
         ON a.cid = b.cid AND a.vec_id < b.vec_id
       WHERE {cos} >= CAST({_SEMDEDUP_TAU} AS DOUBLE)
     )
