@@ -676,3 +676,38 @@ def test_bm25_snippet_semantics(spark):
     assert bm25_snippet_topk(
         docs.filter("doc_id < 0"), ["cat"], k=2, window=3
     ).count() == 0
+
+
+def test_bm25_batch_empty_paths_share_schema(spark, tmp_path):
+    """Both batch empty paths — scan over zero docs and index search
+    with only absent terms — return the SAME typed empty frame via the
+    shared _empty_batch_topk helper (r7 review: the two schemas were
+    previously duplicated and could drift)."""
+    from pyspark.sql import Row
+
+    from pgvector_db_spark.operators.text_search import (
+        BM25Index,
+        bm25_batch_topk,
+    )
+
+    queries = [(0, ["anything"]), (1, ["else"])]
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    scan_out = bm25_batch_topk(empty, queries, k=3)
+    assert scan_out.collect() == []
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha beta gamma")]
+    )
+    path = str(tmp_path / "bidx")
+    BM25Index.build(docs, path, num_buckets=4)
+    idx = BM25Index(spark, path)
+    idx_out = idx.batch_search(queries, k=3)
+    assert idx_out.collect() == []
+    assert scan_out.schema == idx_out.schema
+    assert [f.name for f in scan_out.schema.fields] == [
+        "qid",
+        "doc_id",
+        "rnk",
+        "score_micro",
+        "n_matched",
+    ]
