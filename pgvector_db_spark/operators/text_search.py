@@ -467,7 +467,8 @@ def bm25_batch_oracle_sql(
       FROM tf JOIN dft USING (term) JOIN q USING (term) CROSS JOIN stats
     ),
     agg AS (
-      SELECT qid, doc_id, SUM(term_score_micro) AS score_micro,
+      SELECT qid, doc_id,
+             CAST(SUM(term_score_micro) AS BIGINT) AS score_micro,
              COUNT(*) AS n_matched
       FROM scored GROUP BY qid, doc_id
     ),
@@ -562,7 +563,7 @@ def bm25_oracle_sql(
              {_bm25_term_score_sql(k1, b)} AS term_score_micro
       FROM tf JOIN dft USING (term) CROSS JOIN stats
     )
-    SELECT doc_id, SUM(term_score_micro) AS score_micro,
+    SELECT doc_id, CAST(SUM(term_score_micro) AS BIGINT) AS score_micro,
            COUNT(*) AS n_matched
     FROM scored GROUP BY doc_id
     ORDER BY score_micro DESC, doc_id ASC LIMIT {k}
@@ -676,7 +677,8 @@ def bm25_prf_oracle_sql(
       SELECT unnest([{seeds}]) AS term
     ),
     {_bm25_tf_dft_ctes("SELECT term FROM qterms", "tf2", "dft2")}
-    SELECT tf2.doc_id, SUM({_score('tf2', 'dft2')}) AS score_micro,
+    SELECT tf2.doc_id, CAST(SUM({_score('tf2', 'dft2')}) AS BIGINT)
+               AS score_micro,
            COUNT(*) AS n_matched
     FROM tf2 JOIN dft2 USING (term) CROSS JOIN stats
     GROUP BY tf2.doc_id
@@ -810,7 +812,8 @@ def bm25_snippet_oracle_sql(
     {_bm25_tf_dft_ctes(terms)},
     top AS (
       SELECT tf.doc_id,
-             SUM({_bm25_term_score_sql(k1, b)}) AS score_micro
+             CAST(SUM({_bm25_term_score_sql(k1, b)}) AS BIGINT)
+                 AS score_micro
       FROM tf JOIN dft USING (term) CROSS JOIN stats
       GROUP BY tf.doc_id
       ORDER BY score_micro DESC, doc_id ASC LIMIT {k}
@@ -1062,11 +1065,11 @@ def ql_dirichlet_oracle_sql(
       FROM contrib GROUP BY doc_id
     )
     SELECT agg.doc_id,
-           agg.sum_c + CAST(floor(
+           CAST(agg.sum_c + CAST(floor(
              CAST((SELECT COUNT(*) FROM cf) AS DOUBLE)
              * ({ln_mu} - {ln_dlmu})
              * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
-           AS BIGINT) AS score_micro,
+           AS BIGINT) AS BIGINT) AS score_micro,
            agg.n_matched
     FROM agg
     ORDER BY score_micro DESC, agg.doc_id ASC LIMIT {k}

@@ -3531,7 +3531,8 @@ _sql_query(
     SELECT COUNT(*) AS n_rows,
            COUNT(p) AS n_nonnull,
            CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_nonnull,
-           SUM(CASE WHEN p <=> NULL THEN 1 ELSE 0 END) AS n_null_safe_eq
+           CAST(SUM(CASE WHEN p <=> NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_safe_eq
     FROM v
     """,
     """
@@ -3543,7 +3544,8 @@ _sql_query(
     SELECT COUNT(*) AS n_rows,
            COUNT(p) AS n_nonnull,
            CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_nonnull,
-           SUM(CASE WHEN p IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS n_null_safe_eq
+           CAST(SUM(CASE WHEN p IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_safe_eq
     FROM v
     """,
     tags=("relational", "nulls"),
@@ -4031,7 +4033,8 @@ _sql_query(
 def _duck_profile_col(c: str) -> str:
     return f"""
     SELECT '{c}' AS column_name, COUNT(*) AS n_rows,
-           SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nulls,
            COUNT(DISTINCT {c}) AS n_distinct,
            CAST(MIN({c}) AS VARCHAR) AS min_str,
            CAST(MAX({c}) AS VARCHAR) AS max_str
@@ -4597,7 +4600,8 @@ def ds_cogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ds_applyarrow_value_stats",
     """
     SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
-           SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS total_cents,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_cents,
            MAX(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS max_cents
     FROM events GROUP BY event_type
     """,
@@ -5082,7 +5086,7 @@ def ds_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM dedup
     )
     SELECT lang, COUNT(*) AS n_docs,
-           SUM(nt) AS total_tokens,
+           CAST(SUM(nt) AS BIGINT) AS total_tokens,
            CAST(CAST(SUM(CAST(nc AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
                 AS DOUBLE) AS avg_chars
     FROM m GROUP BY lang
@@ -5125,10 +5129,10 @@ _sql_query(
     "rel_q12_priority_class",
     """
     SELECT l_returnflag,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -5170,7 +5174,8 @@ _sql_query(
            CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS totalprice_cents,
            sum_qty
     FROM customer, orders,
-         (SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+         (SELECT l_orderkey,
+                 CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
           FROM lineitem GROUP BY l_orderkey
           HAVING SUM(CAST(l_quantity AS BIGINT)) > 300) lq
     WHERE o_orderkey = lq.l_orderkey AND c_custkey = o_custkey
@@ -5344,7 +5349,7 @@ _SS_BODY = """
       FROM documents
     )
     SELECT a.lang, r.keep_pm, COUNT(*) AS n_kept,
-           SUM(CAST(a.n_chars AS BIGINT)) AS kept_chars
+           CAST(SUM(CAST(a.n_chars AS BIGINT)) AS BIGINT) AS kept_chars
     FROM assigned a JOIN rates r ON a.lang = r.lang
     WHERE a.h < r.keep_pm
     GROUP BY a.lang, r.keep_pm

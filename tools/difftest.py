@@ -25,6 +25,51 @@ from pgvector_db_spark import get_spark  # noqa: E402
 from pgvector_db_spark.catalog import TABLES, table_path  # noqa: E402
 
 
+# Allowed DuckDB arrow result types per Spark column type (simpleString).
+# The r7 driver gate stayed red for five rounds on queries whose VALUES
+# were equal but whose oracle column was HUGEINT (SUM(BIGINT) ->
+# decimal128(38,0) in arrow) while Spark returned int64: fetchall()'s
+# Python-int coercion made that invisible locally (int == Decimal is
+# True), while the driver's canonicalizer hashed the representations
+# differently. This check makes type drift a named local failure.
+_ARROW_OK = {
+    "bigint": {"int64"},
+    "int": {"int32"},
+    "smallint": {"int16"},
+    "tinyint": {"int8"},
+    "double": {"double", "float64"},
+    "float": {"float", "float32"},
+    "string": {"string", "large_string"},
+    "boolean": {"bool"},
+    "date": {"date32[day]"},
+    "binary": {"binary", "large_binary"},
+}
+
+
+def type_mismatches(spark_schema, arrow_schema) -> list[str]:
+    """Column-level Spark-vs-DuckDB(arrow) result-type disagreements."""
+    duck = {f.name: str(f.type) for f in arrow_schema}
+    bad = []
+    for field in spark_schema.fields:
+        st = field.dataType.simpleString()
+        dt = duck.get(field.name)
+        if dt is None:
+            continue  # name mismatch is reported separately
+        if st.startswith("decimal("):
+            want = {"decimal128(" + st[8:-1].replace(",", ", ") + ")"}
+        elif st.startswith("timestamp"):
+            want = None if dt.startswith("timestamp") else set()
+        elif st.startswith("array"):
+            want = None if dt.startswith(("list", "large_list")) else set()
+        else:
+            want = _ARROW_OK.get(st)
+        if want is None:
+            continue
+        if dt not in want:
+            bad.append(f"{field.name}: spark={st} duck={dt}")
+    return bad
+
+
 def canon(val):
     if isinstance(val, float):
         if math.isnan(val):
@@ -74,6 +119,7 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            sschema = sdf.schema
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as exc:
             print(f"FAIL {name}: spark error: {exc}")
@@ -86,8 +132,11 @@ def main() -> int:
             continue
         try:
             res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            atbl = res.fetch_arrow_table()
+            dcols = atbl.schema.names
+            drows = [
+                tuple(d[c] for c in dcols) for d in atbl.to_pylist()
+            ]
         except Exception as exc:
             print(f"FAIL {name}: duckdb error: {exc}")
             n_fail += 1
@@ -97,6 +146,12 @@ def main() -> int:
         dt = time.time() - t0
         if sorted(scols) != sorted(dcols):
             print(f"FAIL {name}: columns {sorted(scols)} != {sorted(dcols)}")
+            n_fail += 1
+            failures.append(name)
+            continue
+        tbad = type_mismatches(sschema, atbl.schema)
+        if tbad:
+            print(f"FAIL {name}: result types differ: {'; '.join(tbad)}")
             n_fail += 1
             failures.append(name)
             continue
