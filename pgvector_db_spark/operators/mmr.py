@@ -117,7 +117,14 @@ def mmr_rerank_batch(
     """Distributed batch MMR: ``candidates`` holds each query's bounded
     top-N rows (qid, id, embedding, rel-to-query); the greedy runs per
     qid group via ``applyInPandas``. Returns
-    (qid, vec_id, rnk, mmr_score, rel) ordered by (qid, rnk)."""
+    (qid, vec_id, rnk, mmr_score, rel) ordered by (qid, rnk).
+
+    Precondition: every candidate embedding has nonzero norm (true of
+    any real embedding model's output). ``_cos_sim`` divides by the
+    norm product, so a zero-norm vector is rejected here with a NAMED
+    error instead of surfacing as a ZeroDivisionError inside the Spark
+    task (and instead of silently diverging from the SQL twin's 0/0
+    arithmetic, whose NULL/NaN result is engine-specific)."""
     import pandas as pd
 
     def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -132,6 +139,13 @@ def mmr_rerank_batch(
             )
             for _, r in pdf.iterrows()
         ]
+        for cid, _, emb in cands:
+            if _dot(emb, emb) == 0.0:
+                raise ValueError(
+                    f"mmr_rerank_batch: zero-norm embedding for "
+                    f"candidate {cid} (qid {qid}) — cosine penalty "
+                    f"undefined; filter degenerate vectors upstream"
+                )
         # deterministic scan order for the argmax: id ASC (the SQL
         # window's tie-break); rel order does not matter because every
         # candidate is examined

@@ -230,6 +230,29 @@ def _score_and_topk(
     ).limit(k)
 
 
+def _sql_str(t: str) -> str:
+    """Single-quoted SQL string literal with quotes doubled — the
+    oracle generators interpolate user-supplied query terms, and a
+    term containing ``'`` must not produce malformed (or injectable)
+    oracle SQL while the Spark side handles it fine (r7 ADVICE)."""
+    return "'" + str(t).replace("'", "''") + "'"
+
+
+def _term_list(terms) -> str:
+    """Comma-joined quoted term literals; raises on an empty list so a
+    degenerate query surfaces as a named error on BOTH engines instead
+    of a malformed ``IN ()`` / ``VALUES`` clause on the oracle side
+    only."""
+    terms = list(terms)
+    if not terms:
+        raise ValueError(
+            "BM25 oracle: empty query-term list (the Spark side "
+            "returns the typed empty frame; there is no oracle SQL "
+            "for zero terms)"
+        )
+    return ", ".join(_sql_str(t) for t in terms)
+
+
 def _normalize_batch_queries(queries) -> list[tuple[int, list[str]]]:
     """Canonical batch-query form shared by the Spark plan, the oracle
     generator, and the pure-Python recompute: qids as ints, each
@@ -452,11 +475,16 @@ def bm25_batch_oracle_sql(
     grid, same deterministic ln tree, same (qid, term) pair set as the
     Spark plan (both derive from ``_normalize_batch_queries``)."""
     qnorm = _normalize_batch_queries(queries)
+    if not any(ts for _, ts in qnorm):
+        raise ValueError(
+            "bm25_batch_oracle_sql: no query has any terms (a "
+            "malformed VALUES clause is not a valid oracle)"
+        )
     pairs = ", ".join(
-        f"({qid}, '{t}')" for qid, ts in qnorm for t in ts
+        f"({qid}, {_sql_str(t)})" for qid, ts in qnorm for t in ts
     )
     all_terms = sorted({t for _, ts in qnorm for t in ts})
-    terms = ", ".join(f"'{t}'" for t in all_terms)
+    terms = _term_list(all_terms)
     return f"""
     WITH q(qid, term) AS (VALUES {pairs}),
     {_bm25_toks_stats_ctes()},
@@ -554,7 +582,7 @@ def bm25_oracle_sql(
     DuckDB spelling of ``ln_bigint``'s exact-rounded tree) and the k1/b
     constants are the same Python-folded double literals the Spark side
     embeds."""
-    terms = ", ".join(f"'{t}'" for t in query_terms)
+    terms = _term_list(query_terms)
     return f"""
     WITH {_bm25_toks_stats_ctes()},
     {_bm25_tf_dft_ctes(terms)},
@@ -645,7 +673,7 @@ def bm25_prf_oracle_sql(
     recomputed relationally — a genuinely independent implementation of
     the whole pipeline). Same grid, same deterministic ln tree, same
     integer tie-breaks as the Spark side."""
-    seeds = ", ".join(f"'{t}'" for t in sorted(set(seed_terms)))
+    seeds = _term_list(sorted(set(seed_terms)))
 
     def _score(tf: str, dft: str) -> str:
         return _bm25_term_score_sql(k1, b, tf, dft)
@@ -806,7 +834,7 @@ def bm25_snippet_oracle_sql(
     range-frame window count, leftmost-max selection, and the same
     slice+join snippet string."""
     terms_sorted = sorted(set(query_terms))
-    terms = ", ".join(f"'{t}'" for t in terms_sorted)
+    terms = _term_list(terms_sorted)
     return f"""
     WITH {_bm25_toks_stats_ctes()},
     {_bm25_tf_dft_ctes(terms)},
@@ -1023,7 +1051,7 @@ def ql_dirichlet_oracle_sql(
     all recomputed relationally (``ln_bigint_sql`` spelling, bitwise
     the Spark doubles). nq counts terms PRESENT in the corpus (the
     Spark side drops cf=0 terms), via a scalar subquery."""
-    terms = ", ".join(f"'{t}'" for t in sorted(set(query_terms)))
+    terms = _term_list(sorted(set(query_terms)))
     ln_num = _ln_bigint_sql(
         f"{mu} * cf.cf + tf.tf * stats.sum_dl"
     )

@@ -753,7 +753,7 @@ _sql_query(
     "rel_scalar_string",
     """
     SELECT doc_id,
-           length(text) AS text_len,
+           CAST(length(text) AS BIGINT) AS text_len,
            upper(substring(text, 1, 10)) AS head_upper,
            concat(lang, ':', source) AS lang_source,
            CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words_approx
@@ -3207,7 +3207,7 @@ _DUCK_BANDS = ", ".join(f"({b}, {lo}, {hi})" for b, lo, hi in _BANDS)
 @register(
     "rel_range_join_value_bands",
     f"""
-    SELECT band, COUNT(*) AS n_events,
+    SELECT CAST(band AS BIGINT) AS band, COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events e
     JOIN (SELECT * FROM (VALUES {_DUCK_BANDS}) AS b(band, lo, hi)) b
@@ -3764,8 +3764,10 @@ _sql_query(
     "rel_conditional_funcs",
     """
     SELECT o_orderkey,
-           greatest(CAST(o_custkey % 7 AS INT), CAST(o_orderkey % 5 AS INT)) AS g,
-           least(CAST(o_custkey % 7 AS INT), CAST(o_orderkey % 5 AS INT)) AS l,
+           CAST(greatest(CAST(o_custkey % 7 AS INT),
+                         CAST(o_orderkey % 5 AS INT)) AS BIGINT) AS g,
+           CAST(least(CAST(o_custkey % 7 AS INT),
+                      CAST(o_orderkey % 5 AS INT)) AS BIGINT) AS l,
            nullif(o_orderstatus, 'O') AS status_or_null,
            coalesce(nullif(o_orderstatus, 'O'), o_orderpriority, 'none')
                AS first_defined,
@@ -7760,7 +7762,7 @@ def _semdedup_sql(dialect: str) -> str:
       SELECT DISTINCT b.vec_id AS v
       FROM an a JOIN an b
         ON a.cid = b.cid AND a.vec_id < b.vec_id
-      WHERE {cos} >= CAST({_SEMDEDUP_TAU} AS DOUBLE)
+      WHERE {cos} >= CAST('{_SEMDEDUP_TAU!r}' AS DOUBLE)
     )
     SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster,
            CASE WHEN d.v IS NULL THEN 1 ELSE 0 END AS keep
@@ -7931,7 +7933,10 @@ def stream_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             state = table.read()
             # integer sums are additive but NOT idempotent: skip a
             # checkpoint-replayed micro-batch whose id is already folded
-            if state.agg(F.max("last_bid")).first()[0] >= _bid:
+            # (max() is None if the first folded part was empty — treat
+            # as "nothing applied yet" rather than raising on None >= int)
+            prev = state.agg(F.max("last_bid")).first()[0]
+            if prev is not None and prev >= _bid:
                 return
             merged = (
                 state.unionByName(part)
@@ -9923,7 +9928,7 @@ def _bootstrap_sql(dialect: str, b: int = 32) -> str:
              CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm
       {frm}
     )
-    SELECT replica,
+    SELECT CAST(replica AS BIGINT) AS replica,
            CAST(SUM(w) AS BIGINT) AS n_eff,
            CAST(floor(CAST(SUM(w * vm) AS DOUBLE) / SUM(w) + 0.5) AS BIGINT)
                AS mean_micro
@@ -11341,8 +11346,9 @@ def stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             # exactly-once under at-least-once retry: the cell counts
             # add, so a replayed micro-batch must be a no-op — the
             # high-water batch id travels with the (atomically swapped)
-            # state cells
-            if state.agg(F.max("last_bid")).head()[0] >= _bid:
+            # state cells (max() is None over an empty state: not folded)
+            prev = state.agg(F.max("last_bid")).head()[0]
+            if prev is not None and prev >= _bid:
                 return
             merged = (
                 state.unionByName(part)
