@@ -1,0 +1,158 @@
+"""Distributed exact statistics over unbounded samples.
+
+``ks_two_sample``: the two-sample Kolmogorov-Smirnov statistic,
+D = sup_x |F1(x) - F2(x)|, computed EXACTLY in integer arithmetic:
+with i(x), j(x) the cumulative counts of each sample at pooled point x,
+
+    D = max |i*n2 - j*n1| / (n1*n2)
+
+so the numerator ``d_num = max |i*n2 - j*n1|`` is an exact BIGINT and
+the only float is one final correctly-rounded division — cross-engine
+hashable on the micro grid.
+
+Scale shape (the packing.py two-pass prefix-sum pattern, NOT a global
+window): the cumulative counts need a total order over distinct values,
+which a single-partition window would serialize. Instead:
+
+1. ``groupBy(value)`` → per-value counts per sample (one shuffle; the
+   frame shrinks to |distinct values|);
+2. ``repartitionByRange(value)`` + per-PARTITION cumulative window
+   (parallel; each partition sorts locally);
+3. per-partition totals collected to the driver (bounded: one row per
+   partition), prefix-folded into offsets, broadcast back as a literal
+   map — each partition's local cumsum + its offset is the global
+   cumulative count.
+
+At 100 TB the only data-sized shuffles are the groupBy and the range
+exchange; the driver sees ``partitions`` rows, never values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    g1,
+    g2,
+    partitions: int = 32,
+) -> DataFrame:
+    """One-row frame ``(n1, n2, d_num, d_micro)`` — all BIGINT — for
+    the two-sample KS statistic between ``group_col == g1`` and
+    ``group_col == g2`` over ``value_col``."""
+    s = df.filter(
+        F.col(group_col).isin([g1, g2]) & F.col(value_col).isNotNull()
+    ).select(
+        F.col(value_col).alias("v"),
+        F.when(F.col(group_col) == g1, F.lit(1))
+        .otherwise(F.lit(2))
+        .alias("t"),
+    )
+    g = s.groupBy("v").agg(
+        F.sum(F.when(F.col("t") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+        F.sum(F.when(F.col("t") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c2"),
+    )
+    ranged = g.repartitionByRange(partitions, F.col("v"))
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = (
+        ranged.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_l1", F.sum("c1").over(w))
+        .withColumn("_l2", F.sum("c2").over(w))
+    )
+    # materialize once so the totals collect and the final aggregate see
+    # the SAME pid assignment (AQE may otherwise re-plan the exchange);
+    # localCheckpoint over persist per the r7 dsir measurement
+    local = local.localCheckpoint(eager=True)
+    totals = {
+        int(r["_pid"]): (int(r["t1"]), int(r["t2"]))
+        for r in local.groupBy("_pid")
+        .agg(F.sum("c1").alias("t1"), F.sum("c2").alias("t2"))
+        .collect()
+    }
+    off, a1, a2 = {}, 0, 0
+    for p in sorted(totals):
+        off[p] = (a1, a2)
+        a1 += totals[p][0]
+        a2 += totals[p][1]
+    n1, n2 = a1, a2
+    if n1 == 0 or n2 == 0:
+        raise ValueError(
+            f"ks_two_sample: empty sample (n1={n1}, n2={n2}) for groups "
+            f"{g1!r}/{g2!r}"
+        )
+    omap1 = F.create_map(
+        *[F.lit(x) for p, (o1, _) in off.items() for x in (p, o1)]
+    )
+    omap2 = F.create_map(
+        *[F.lit(x) for p, (_, o2) in off.items() for x in (p, o2)]
+    )
+    i = F.col("_l1") + omap1[F.col("_pid")]
+    j = F.col("_l2") + omap2[F.col("_pid")]
+    diff = F.abs(i * F.lit(n2) - j * F.lit(n1))
+    out = local.agg(F.max(diff).cast("bigint").alias("d_num"))
+    return out.select(
+        F.lit(n1).cast("bigint").alias("n1"),
+        F.lit(n2).cast("bigint").alias("n2"),
+        "d_num",
+        F.floor(
+            F.col("d_num").cast("double")
+            / F.lit(float(n1) * float(n2))
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("d_micro"),
+    )
+
+
+def ks_two_sample_oracle_sql(
+    value_expr: str, group_expr: str, g1_lit: str, g2_lit: str, frm: str
+) -> str:
+    """DuckDB oracle: the same integer KS numerator via a plain
+    cumulative window over distinct values (the oracle runs at audit
+    scale; the Spark side owns the distributed shape). ``d_micro``
+    divides the same two exact integers and lands on the same grid —
+    note the double product n1*n2 (not integer-multiply-then-convert)
+    to match the Spark spelling ``float(n1) * float(n2)``."""
+    return f"""
+    WITH s AS (
+      SELECT {value_expr} AS v,
+             CASE WHEN {group_expr} = {g1_lit} THEN 1 ELSE 2 END AS t
+      {frm} AND {group_expr} IN ({g1_lit}, {g2_lit})
+    ),
+    g AS (
+      SELECT v,
+             CAST(SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN t = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      FROM s GROUP BY v
+    ),
+    c AS (
+      SELECT CAST(SUM(c1) OVER (ORDER BY v) AS BIGINT) AS i,
+             CAST(SUM(c2) OVER (ORDER BY v) AS BIGINT) AS j
+      FROM g
+    ),
+    n AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+      FROM g
+    )
+    SELECT n.n1, n.n2,
+           CAST(MAX(abs(c.i * n.n2 - c.j * n.n1)) AS BIGINT) AS d_num,
+           CAST(floor(CAST(MAX(abs(c.i * n.n2 - c.j * n.n1)) AS DOUBLE)
+                / (CAST(n.n1 AS DOUBLE) * CAST(n.n2 AS DOUBLE))
+                * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             AS BIGINT) AS d_micro
+    FROM c CROSS JOIN n GROUP BY n.n1, n.n2
+    """

@@ -7374,6 +7374,79 @@ def vs_bm25_scan_index_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(scan_rows, scan.schema)
 
 
+# Cross-encoder rerank — the second retrieval stage (retrieve wide &
+# cheap, rerank narrow & expensive; operators/rerank.py). Stage 1 is
+# the distributed BM25 top-50; stage 2 scores only those 50 (query,
+# text) pairs, so the expensive pairwise scorer's cost is
+# corpus-size-independent — the 100 TB property. Two gate entries: the
+# pure-Catalyst fake scorer, and the REAL mapInPandas inference path
+# with an injected stub computing the identical score in Python
+# (ds_embed_injected_model pattern) — both against the same oracle.
+def _ce_rerank_oracle() -> str:
+    from pgvector_db_spark.operators.rerank import cross_encoder_oracle_sql
+
+    return cross_encoder_oracle_sql(
+        bm25_oracle_sql(_BM25_TERMS, k=50), _BM25_TERMS, k=10
+    )
+
+
+def _ce_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-50 joined back to text — the bounded stage-1 frame.
+    The 50-row id list broadcasts into the corpus scan (one map-side
+    semi-join; the corpus text never shuffles)."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    top = bm25_topk(docs, _BM25_TERMS, k=50).select("doc_id")
+    return docs.select("doc_id", "text").join(F.broadcast(top), "doc_id")
+
+
+@register(
+    "vs_cross_encoder_rerank",
+    _ce_rerank_oracle(),
+    tags=("vector", "text", "search", "rerank"),
+)
+def vs_cross_encoder_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-50 → fake-cross-encoder rerank to top-10 (pure Catalyst
+    pair score: term overlap in micro units + md5 tiebreak — SQL-exact
+    on both engines)."""
+    from pgvector_db_spark.operators.rerank import cross_encoder_rerank
+
+    return cross_encoder_rerank(
+        _ce_candidates(spark, sf_dir), _BM25_TERMS, k=10
+    )
+
+
+@register(
+    "vs_cross_encoder_injected",
+    _ce_rerank_oracle(),
+    tags=("vector", "text", "search", "rerank", "udf"),
+)
+def vs_cross_encoder_injected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL cross-encoder inference path (mapInPandas, per-executor
+    scorer singleton, Arrow batching, micro-grid score landing) driven
+    by an injected deterministic stub whose ``predict`` computes the
+    fake pair score in pure Python — the full plumbing runs for real,
+    bit-checkable against the same DuckDB oracle."""
+    from pgvector_db_spark.operators.rerank import (
+        DeterministicStubScorer,
+        cross_encoder_rerank,
+    )
+
+    terms = list(_BM25_TERMS)
+
+    def factory():
+        return DeterministicStubScorer(terms)
+
+    factory.__qualname__ = "DeterministicStubScorer:v1"
+    return cross_encoder_rerank(
+        _ce_candidates(spark, sf_dir),
+        _BM25_TERMS,
+        k=10,
+        model="stub-ce-v1",
+        model_factory=factory,
+    )
+
+
 # Batch BM25 — the text twin of the distributed batch-ANN probe: many
 # bag-of-terms queries scored in ONE plan (corpus tokenized once for the
 # union vocabulary; (qid,term) probe table broadcast; per-query top-k
@@ -9942,6 +10015,32 @@ _sql_query(
     _bootstrap_sql("duckdb"),
     tags=("relational", "statistics", "bootstrap"),
 )
+
+
+def _ks_oracle() -> str:
+    from pgvector_db_spark.operators.stats import ks_two_sample_oracle_sql
+
+    return ks_two_sample_oracle_sql(
+        "value", "event_type", "'click'", "'purchase'",
+        "FROM events WHERE value IS NOT NULL",
+    )
+
+
+@register(
+    "rel_ks_two_sample",
+    _ks_oracle(),
+    tags=("relational", "statistics", "ks"),
+)
+def rel_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test (click vs purchase value
+    distributions), EXACT integer numerator. The distributed shape is
+    the packing.py two-pass prefix sum — range-partitioned per-partition
+    cumulative windows + a bounded per-partition offset fold — never a
+    single-partition global window (operators/stats.py)."""
+    from pgvector_db_spark.operators.stats import ks_two_sample
+
+    t = load_tables(spark, sf_dir)
+    return ks_two_sample(t["events"], "value", "event_type", "click", "purchase")
 
 
 # Streaming Markov transitions (streaming/stateful.py event_transitions):

@@ -1,0 +1,147 @@
+"""operators/rerank.py (cross-encoder second stage) and
+operators/stats.py (distributed exact KS test)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from pgvector_db_spark.operators.rerank import (
+    DeterministicStubScorer,
+    cross_encoder_rerank,
+    fake_pair_score,
+    fake_pair_score_duck_sql,
+    fake_pair_score_py,
+)
+from pgvector_db_spark.operators.stats import (
+    ks_two_sample,
+    ks_two_sample_oracle_sql,
+)
+
+TERMS = ["vector", "join", "filter"]
+
+DOCS = [
+    (1, "vector search with a join and a filter pass"),
+    (2, "no matching words at all here"),
+    (3, "join join join"),  # repeated term must count once
+    (4, "Vector FILTER mixed case"),
+    (5, ""),  # empty text: overlap 0, tie still defined
+    (6, "filter vector"),
+]
+
+
+@pytest.fixture(scope="module")
+def cand(spark):
+    return spark.createDataFrame(DOCS, "doc_id bigint, text string")
+
+
+def test_fake_score_three_spellings_agree(spark, cand):
+    """Column expr == DuckDB SQL == pure Python, per row."""
+    got = {
+        int(r["doc_id"]): int(r["s"])
+        for r in cand.select(
+            "doc_id", fake_pair_score(TERMS, F.col("text")).alias("s")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE d AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in DOCS)
+        + ") AS v(doc_id, text)"
+    )
+    duck = {
+        int(i): int(s)
+        for i, s in con.execute(
+            f"SELECT doc_id, {fake_pair_score_duck_sql(TERMS, 'text')} FROM d"
+        ).fetchall()
+    }
+    py = {i: fake_pair_score_py(TERMS, t) for i, t in DOCS}
+    assert got == duck == py
+    # semantic spot checks: overlap dominates the tiebreak
+    assert py[1] // 10_000_000 == 3
+    assert py[2] // 10_000_000 == 0
+    assert py[3] // 10_000_000 == 1
+    assert py[4] // 10_000_000 == 2  # lowercased text matches the terms
+    assert py[6] // 10_000_000 == 2
+
+
+def test_rerank_fake_vs_injected_bitwise(spark, cand):
+    """The mapInPandas path with the stub scorer must equal the pure
+    Catalyst fake path row-for-row (same micro grid)."""
+    fake = cross_encoder_rerank(cand, TERMS, k=4).collect()
+
+    def factory():
+        return DeterministicStubScorer(TERMS)
+
+    inj = cross_encoder_rerank(
+        cand, TERMS, k=4, model="stub-t", model_factory=factory
+    ).collect()
+    assert [tuple(r) for r in fake] == [tuple(r) for r in inj]
+    assert [r["rnk"] for r in fake] == [1, 2, 3, 4]
+    assert fake[0]["doc_id"] == 1  # only 3-term overlap
+
+
+def test_rerank_k_larger_than_candidates(spark, cand):
+    out = cross_encoder_rerank(cand, TERMS, k=50).collect()
+    assert len(out) == len(DOCS)
+    scores = [r["ce_score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_ks_matches_oracle_and_brute_force(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (float(rng.randint(0, 40)) / 4.0, "a" if i % 3 else "b")
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "value double, grp string")
+    got = ks_two_sample(df, "value", "grp", "a", "b", partitions=8).first()
+    # brute force
+    a = sorted(v for v, g in rows if g == "a")
+    b = sorted(v for v, g in rows if g == "b")
+    pts = sorted(set(a + b))
+    d_num = max(
+        abs(
+            sum(1 for x in a if x <= p) * len(b)
+            - sum(1 for x in b if x <= p) * len(a)
+        )
+        for p in pts
+    )
+    assert (int(got["n1"]), int(got["n2"]), int(got["d_num"])) == (
+        len(a),
+        len(b),
+        d_num,
+    )
+    # oracle spelling agrees bit-for-bit including the micro grid
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE e AS SELECT * FROM (VALUES "
+        + ", ".join(f"({v!r}, '{g}')" for v, g in rows)
+        + ") AS t(value, grp)"
+    )
+    sql = ks_two_sample_oracle_sql(
+        "value", "grp", "'a'", "'b'", "FROM e WHERE value IS NOT NULL"
+    )
+    n1, n2, dn, dm = con.execute(sql).fetchone()
+    assert (int(n1), int(n2), int(dn), int(dm)) == (
+        int(got["n1"]),
+        int(got["n2"]),
+        int(got["d_num"]),
+        int(got["d_micro"]),
+    )
+
+
+def test_ks_identical_samples_zero(spark):
+    rows = [(float(v), g) for v in range(50) for g in ("a", "b")]
+    df = spark.createDataFrame(rows, "value double, grp string")
+    got = ks_two_sample(df, "value", "grp", "a", "b", partitions=4).first()
+    assert int(got["d_num"]) == 0 and int(got["d_micro"]) == 0
+
+
+def test_ks_empty_sample_raises(spark):
+    df = spark.createDataFrame([(1.0, "a")], "value double, grp string")
+    with pytest.raises(ValueError, match="empty sample"):
+        ks_two_sample(df, "value", "grp", "a", "b")
