@@ -182,6 +182,9 @@ def derived_metrics(spark, sf_dir: str, timings: dict[str, float]) -> dict[str, 
         ("ds_bm25_prf_expansion", "bm25_prf_ms"),
         ("ds_ql_dirichlet_search", "ql_dirichlet_ms"),
         ("vs_mmr_diversity_rerank", "mmr_rerank_ms"),
+        ("vs_cross_encoder_rerank", "ce_rerank_ms"),
+        ("vs_cross_encoder_injected", "ce_rerank_udf_ms"),
+        ("rel_ks_two_sample", "ks_two_sample_ms"),
         ("vs_hybrid_rrf_search", "hybrid_rrf_ms"),
         ("stream_events_window_5min", "stream_window_ms"),
         ("stream_stream_interval_join", "stream_join_ms"),

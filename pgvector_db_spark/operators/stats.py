@@ -103,7 +103,15 @@ def ks_two_sample(
     j = F.col("_l2") + omap2[F.col("_pid")]
     diff = F.abs(i * F.lit(n2) - j * F.lit(n1))
     out = local.agg(F.max(diff).cast("bigint").alias("d_num"))
-    return out.select(
+    return _ks_result(out, n1, n2)
+
+
+def _ks_result(d_num_frame: DataFrame, n1: int, n2: int) -> DataFrame:
+    """The ONE spelling of the (n1, n2, d_num, d_micro) result row,
+    shared by raw-sample and binned KS so the micro-grid division
+    cannot drift between them (matches the oracle's
+    CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) product order)."""
+    return d_num_frame.select(
         F.lit(n1).cast("bigint").alias("n1"),
         F.lit(n2).cast("bigint").alias("n2"),
         "d_num",
@@ -116,6 +124,37 @@ def ks_two_sample(
         .cast("bigint")
         .alias("d_micro"),
     )
+
+
+def binned_ks(
+    hist: DataFrame,
+    bin_col: str = "bin",
+    c1_col: str = "c1",
+    c2_col: str = "c2",
+) -> DataFrame:
+    """KS statistic over a pre-binned pair of histograms: ``hist`` has
+    one row per bin with both samples' counts. The cumulative window
+    here IS a single global sort — over the BOUNDED bin frame (|bins|
+    rows by construction), not the samples, so the single-partition
+    shape is correct; raw samples must go through
+    :func:`ks_two_sample`'s two-pass form instead."""
+    tot = hist.agg(
+        F.sum(c1_col).alias("t1"), F.sum(c2_col).alias("t2")
+    ).first()
+    n1 = int(tot["t1"] or 0)
+    n2 = int(tot["t2"] or 0)
+    if n1 == 0 or n2 == 0:
+        raise ValueError(
+            f"binned_ks: empty sample (n1={n1}, n2={n2})"
+        )
+    w = Window.orderBy(bin_col).rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        F.sum(c1_col).over(w).cast("bigint").alias("i"),
+        F.sum(c2_col).over(w).cast("bigint").alias("j"),
+    )
+    diff = F.abs(F.col("i") * F.lit(n2) - F.col("j") * F.lit(n1))
+    out = cum.agg(F.max(diff).cast("bigint").alias("d_num"))
+    return _ks_result(out, n1, n2)
 
 
 def ks_two_sample_oracle_sql(

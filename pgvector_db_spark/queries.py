@@ -10026,6 +10026,55 @@ def _ks_oracle() -> str:
     )
 
 
+# Chi-square independence (returnflag x orderpriority): observed cell
+# counts are exact integers; expected = r*c/n and the squared-deviation
+# ratio are correctly-rounded double ops on those integers (identical
+# spelling both engines), and each CELL's contribution lands on the 1e-6
+# grid as BIGINT BEFORE the final sum — integer summation is
+# order-independent, so no float-accumulation knife edge exists. The
+# unpartitioned windows run over the BOUNDED cell frame (|flags| x
+# |priorities| ~ 15 rows), not the fact table; the only data-sized work
+# is the first grouped count (map-side partial).
+_CHI2_SQL = """
+    WITH cells AS (
+      SELECT l_returnflag AS rf, o_orderpriority AS pri,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY l_returnflag, o_orderpriority
+    ),
+    tot AS (
+      SELECT rf, pri, o,
+             CAST(SUM(o) OVER (PARTITION BY rf) AS BIGINT) AS r,
+             CAST(SUM(o) OVER (PARTITION BY pri) AS BIGINT) AS c,
+             CAST(SUM(o) OVER () AS BIGINT) AS n
+      FROM cells
+    ),
+    contrib AS (
+      SELECT n, rf, pri,
+             CAST(floor(
+               (CAST(o AS DOUBLE)
+                - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(o AS DOUBLE)
+                  - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+               / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+               * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             AS BIGINT) AS chi_micro
+      FROM tot
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_total,
+           CAST((COUNT(DISTINCT rf) - 1) * (COUNT(DISTINCT pri) - 1)
+                AS BIGINT) AS dof,
+           CAST(SUM(chi_micro) AS BIGINT) AS chi2_micro
+    FROM contrib
+"""
+
+_sql_query(
+    "rel_chi2_independence",
+    _CHI2_SQL,
+    tags=("relational", "statistics", "chi2"),
+)
+
+
 @register(
     "rel_ks_two_sample",
     _ks_oracle(),
@@ -11490,6 +11539,135 @@ def stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         import shutil
 
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# Streaming distribution-drift monitor — the production training-data
+# pipeline's guardrail: a REFERENCE value distribution (here the
+# even-event_id half, standing in for "last validated snapshot") vs the
+# LIVE stream (odd half, 4 real micro-batches). State is a per-bin
+# BIGINT histogram (bounded: one row per value bin, constant in stream
+# length) folded additively with the last_bid replay guard; the drained
+# state joins the reference histogram and the exact binned-KS statistic
+# (operators/stats.binned_ks — pure-integer numerator) decides drift.
+# At 100 TB the state stays |bins| rows and each micro-batch contributes
+# one map-side grouped count.
+def _drift_oracle() -> str:
+    from pgvector_db_spark.operators.stats import ks_two_sample_oracle_sql
+
+    return ks_two_sample_oracle_sql(
+        "CAST(floor(value / 25.0) AS BIGINT)",
+        "event_id % 2",
+        "0",
+        "1",
+        "FROM events WHERE value IS NOT NULL",
+    )
+
+
+@register(
+    "stream_drift_binned_ks",
+    _drift_oracle(),
+    tags=("streaming", "statistics", "drift", "ks"),
+)
+def stream_drift_binned_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-vs-stream drift via exact binned KS (module comment
+    above). Exactly-once is additionally PROVEN in-query: the drained
+    state's total must equal the static odd-half count."""
+    import shutil
+    import tempfile
+
+    from pgvector_db_spark.catalog import table_path
+    from pgvector_db_spark.operators.stats import binned_ks
+    from pgvector_db_spark.sources.table import ParquetTable
+    from pgvector_db_spark.streaming.replay import (
+        file_stream,
+        stage_replay_splits,
+    )
+
+    tag = _fixture_tag(sf_dir)
+    ev_path = table_path(sf_dir, "events")
+    replay_dir = os.path.join(
+        tempfile.gettempdir(), f"events_replay4ks_{tag}"
+    )
+    stage_replay_splits(spark, ev_path, replay_dir, n_files=4)
+    schema = spark.read.parquet(ev_path).schema
+    src = (
+        file_stream(spark, replay_dir, schema, max_files_per_trigger=1)
+        .filter("event_id % 2 = 1 AND value IS NOT NULL")
+    )
+    _bin = F.floor(F.col("value") / F.lit(25.0)).cast("bigint")
+
+    tmp = tempfile.mkdtemp(prefix="drift_ks_")
+    try:
+        table = ParquetTable(spark, f"{tmp}/hist")
+
+        def fold(batch: DataFrame, _bid: int) -> None:
+            part = (
+                batch.select(_bin.alias("bin"))
+                .groupBy("bin")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+                .withColumn("last_bid", F.lit(_bid).cast("bigint"))
+            )
+            if not table.exists():
+                part.write.mode("errorifexists").parquet(table.path)
+                return
+            state = table.read()
+            prev = state.agg(F.max("last_bid")).head()[0]
+            if prev is not None and prev >= _bid:
+                return
+            merged = (
+                state.unionByName(part)
+                .groupBy("bin")
+                .agg(
+                    F.sum("cnt").alias("cnt"),
+                    F.max("last_bid").alias("last_bid"),
+                )
+            )
+            table._swap_in(merged)
+
+        q = (
+            src.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        ev = load_tables(spark, sf_dir)["events"]
+        # exactly-once proof: the folded histogram mass equals the
+        # static odd-half row count
+        live_total = int(
+            (table.read().agg(F.sum("cnt")).head()[0]) or 0
+        )
+        want_total = ev.filter(
+            "event_id % 2 = 1 AND value IS NOT NULL"
+        ).count()
+        _require(
+            live_total == want_total,
+            f"drift state lost/duplicated rows: folded {live_total}, "
+            f"static odd half has {want_total}",
+        )
+        ref = (
+            ev.filter("event_id % 2 = 0 AND value IS NOT NULL")
+            .select(_bin.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+        )
+        live = table.read().select(
+            "bin", F.col("cnt").cast("bigint").alias("c2")
+        )
+        hist = (
+            ref.join(live, "bin", "full_outer")
+            .select(
+                "bin",
+                F.coalesce("c1", F.lit(0)).cast("bigint").alias("c1"),
+                F.coalesce("c2", F.lit(0)).cast("bigint").alias("c2"),
+            )
+        )
+        out = binned_ks(hist)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
 

@@ -145,3 +145,42 @@ def test_ks_empty_sample_raises(spark):
     df = spark.createDataFrame([(1.0, "a")], "value double, grp string")
     with pytest.raises(ValueError, match="empty sample"):
         ks_two_sample(df, "value", "grp", "a", "b")
+
+
+def test_binned_ks_equals_raw_ks_on_integer_values(spark):
+    """When values are already integers, binning at width 1 must give
+    the identical statistic to the raw two-pass form."""
+    import random
+
+    from pgvector_db_spark.operators.stats import binned_ks
+
+    rng = random.Random(11)
+    rows = [
+        (float(rng.randint(0, 30)), "a" if rng.random() < 0.6 else "b")
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "value double, grp string")
+    raw = ks_two_sample(df, "value", "grp", "a", "b", partitions=8).first()
+    hist = (
+        df.groupBy(F.col("value").cast("bigint").alias("bin"))
+        .agg(
+            F.sum(F.when(F.col("grp") == "a", 1).otherwise(0))
+            .cast("bigint")
+            .alias("c1"),
+            F.sum(F.when(F.col("grp") == "b", 1).otherwise(0))
+            .cast("bigint")
+            .alias("c2"),
+        )
+    )
+    binned = binned_ks(hist).first()
+    assert tuple(raw) == tuple(binned)
+
+
+def test_binned_ks_empty_side_raises(spark):
+    from pgvector_db_spark.operators.stats import binned_ks
+
+    hist = spark.createDataFrame(
+        [(0, 5, 0), (1, 3, 0)], "bin bigint, c1 bigint, c2 bigint"
+    )
+    with pytest.raises(ValueError, match="empty sample"):
+        binned_ks(hist)
