@@ -34,17 +34,19 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def ks_two_sample(
+def _global_cums(
     df: DataFrame,
     value_col: str,
     group_col: str,
     g1,
     g2,
-    partitions: int = 32,
-) -> DataFrame:
-    """One-row frame ``(n1, n2, d_num, d_micro)`` — all BIGINT — for
-    the two-sample KS statistic between ``group_col == g1`` and
-    ``group_col == g2`` over ``value_col``."""
+    partitions: int,
+    caller: str,
+):
+    """Shared distributed machinery for order statistics over two
+    samples: per-distinct-value counts ``(v, c1, c2)`` with GLOBAL
+    inclusive cumulative counts ``(i, j)`` attached via the two-pass
+    prefix sum. Returns ``(frame, n1, n2)``; raises on an empty side."""
     s = df.filter(
         F.col(group_col).isin([g1, g2]) & F.col(value_col).isNotNull()
     ).select(
@@ -90,7 +92,7 @@ def ks_two_sample(
     n1, n2 = a1, a2
     if n1 == 0 or n2 == 0:
         raise ValueError(
-            f"ks_two_sample: empty sample (n1={n1}, n2={n2}) for groups "
+            f"{caller}: empty sample (n1={n1}, n2={n2}) for groups "
             f"{g1!r}/{g2!r}"
         )
     omap1 = F.create_map(
@@ -99,11 +101,75 @@ def ks_two_sample(
     omap2 = F.create_map(
         *[F.lit(x) for p, (_, o2) in off.items() for x in (p, o2)]
     )
-    i = F.col("_l1") + omap1[F.col("_pid")]
-    j = F.col("_l2") + omap2[F.col("_pid")]
-    diff = F.abs(i * F.lit(n2) - j * F.lit(n1))
-    out = local.agg(F.max(diff).cast("bigint").alias("d_num"))
+    cums = local.select(
+        "v",
+        "c1",
+        "c2",
+        (F.col("_l1") + omap1[F.col("_pid")]).alias("i"),
+        (F.col("_l2") + omap2[F.col("_pid")]).alias("j"),
+    )
+    return cums, n1, n2
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    g1,
+    g2,
+    partitions: int = 32,
+) -> DataFrame:
+    """One-row frame ``(n1, n2, d_num, d_micro)`` — all BIGINT — for
+    the two-sample KS statistic between ``group_col == g1`` and
+    ``group_col == g2`` over ``value_col``."""
+    cums, n1, n2 = _global_cums(
+        df, value_col, group_col, g1, g2, partitions, "ks_two_sample"
+    )
+    diff = F.abs(F.col("i") * F.lit(n2) - F.col("j") * F.lit(n1))
+    out = cums.agg(F.max(diff).cast("bigint").alias("d_num"))
     return _ks_result(out, n1, n2)
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    g1,
+    g2,
+    partitions: int = 32,
+) -> DataFrame:
+    """Two-sample Mann-Whitney U (rank-sum) with exact tie handling:
+    every sample-1 member of the tie block at value v has midrank
+    ``before + (t+1)/2`` (before = count of strictly smaller values,
+    t = block size), so ``2·R1 = Σ c1·(2·before + t + 1)`` is a pure
+    BIGINT and ``2·U1 = 2·R1 − n1·(n1+1)`` is exact. One-row output
+    ``(n1, n2, two_u1, auc_micro)`` — all BIGINT; ``auc_micro`` is the
+    common-language effect size U1/(n1·n2) on the 1e-6 grid (one
+    correctly-rounded division of exact integers, identical spelling
+    in the oracle). Same distributed shape as :func:`ks_two_sample`."""
+    cums, n1, n2 = _global_cums(
+        df, value_col, group_col, g1, g2, partitions, "mann_whitney_u"
+    )
+    before = (F.col("i") - F.col("c1")) + (F.col("j") - F.col("c2"))
+    contrib = F.col("c1") * (
+        F.lit(2) * before + (F.col("c1") + F.col("c2")) + F.lit(1)
+    )
+    two_r1 = cums.agg(F.sum(contrib).cast("bigint").alias("two_r1"))
+    return two_r1.select(
+        F.lit(n1).cast("bigint").alias("n1"),
+        F.lit(n2).cast("bigint").alias("n2"),
+        (F.col("two_r1") - F.lit(n1 * (n1 + 1)))
+        .cast("bigint")
+        .alias("two_u1"),
+        F.floor(
+            (F.col("two_r1") - F.lit(n1 * (n1 + 1))).cast("double")
+            / F.lit(2.0 * float(n1) * float(n2))
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("auc_micro"),
+    )
 
 
 def _ks_result(d_num_frame: DataFrame, n1: int, n2: int) -> DataFrame:
@@ -155,6 +221,50 @@ def binned_ks(
     diff = F.abs(F.col("i") * F.lit(n2) - F.col("j") * F.lit(n1))
     out = cum.agg(F.max(diff).cast("bigint").alias("d_num"))
     return _ks_result(out, n1, n2)
+
+
+def mann_whitney_oracle_sql(
+    value_expr: str, group_expr: str, g1_lit: str, g2_lit: str, frm: str
+) -> str:
+    """DuckDB oracle for :func:`mann_whitney_u` — same integer 2·R1
+    fold over a plain cumulative window; the auc_micro division uses
+    the identical left-associated (2·n1)·n2 double product."""
+    return f"""
+    WITH s AS (
+      SELECT {value_expr} AS v,
+             CASE WHEN {group_expr} = {g1_lit} THEN 1 ELSE 2 END AS t
+      {frm} AND {group_expr} IN ({g1_lit}, {g2_lit})
+    ),
+    g AS (
+      SELECT v,
+             CAST(SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN t = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      FROM s GROUP BY v
+    ),
+    c AS (
+      SELECT c1, c2,
+             CAST(SUM(c1) OVER (ORDER BY v) AS BIGINT) AS i,
+             CAST(SUM(c2) OVER (ORDER BY v) AS BIGINT) AS j
+      FROM g
+    ),
+    n AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+      FROM g
+    ),
+    r AS (
+      SELECT CAST(SUM(c1 * (2 * ((i - c1) + (j - c2)) + (c1 + c2) + 1))
+                  AS BIGINT) AS two_r1
+      FROM c
+    )
+    SELECT n.n1, n.n2,
+           CAST(r.two_r1 - n.n1 * (n.n1 + 1) AS BIGINT) AS two_u1,
+           CAST(floor(CAST(r.two_r1 - n.n1 * (n.n1 + 1) AS DOUBLE)
+                / (CAST(2.0 AS DOUBLE) * CAST(n.n1 AS DOUBLE)
+                   * CAST(n.n2 AS DOUBLE))
+                * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             AS BIGINT) AS auc_micro
+    FROM r CROSS JOIN n
+    """
 
 
 def ks_two_sample_oracle_sql(

@@ -10075,6 +10075,33 @@ _sql_query(
 )
 
 
+def _mw_oracle() -> str:
+    from pgvector_db_spark.operators.stats import mann_whitney_oracle_sql
+
+    return mann_whitney_oracle_sql(
+        "value", "event_type", "'click'", "'purchase'",
+        "FROM events WHERE value IS NOT NULL",
+    )
+
+
+@register(
+    "rel_mann_whitney_u",
+    _mw_oracle(),
+    tags=("relational", "statistics", "rank"),
+)
+def rel_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (click vs purchase values) with exact midrank tie
+    handling — 2·R1 and 2·U1 as pure BIGINTs, AUC effect size on the
+    micro grid. Shares ks_two_sample's two-pass distributed machinery
+    (operators/stats.py _global_cums)."""
+    from pgvector_db_spark.operators.stats import mann_whitney_u
+
+    t = load_tables(spark, sf_dir)
+    return mann_whitney_u(
+        t["events"], "value", "event_type", "click", "purchase"
+    )
+
+
 @register(
     "rel_ks_two_sample",
     _ks_oracle(),

@@ -176,6 +176,59 @@ def test_binned_ks_equals_raw_ks_on_integer_values(spark):
     assert tuple(raw) == tuple(binned)
 
 
+def test_mann_whitney_matches_brute_force_and_oracle(spark):
+    import random
+
+    from pgvector_db_spark.operators.stats import (
+        mann_whitney_oracle_sql,
+        mann_whitney_u,
+    )
+
+    rng = random.Random(3)
+    rows = [
+        (float(rng.randint(0, 25)) / 2.0, "a" if rng.random() < 0.5 else "b")
+        for _ in range(250)
+    ]
+    df = spark.createDataFrame(rows, "value double, grp string")
+    got = mann_whitney_u(df, "value", "grp", "a", "b", partitions=8).first()
+    # brute force with midranks
+    pooled = sorted((v, g) for v, g in rows)
+    vals = [v for v, _ in pooled]
+    two_r1 = 0
+    for idx, (v, g) in enumerate(pooled):
+        if g != "a":
+            continue
+        lo = vals.index(v)  # first index of the tie block
+        hi = len(vals) - vals[::-1].index(v)  # one past last
+        two_r1 += (lo + 1) + hi  # 2 * midrank = (lo+1 + hi)
+    n1 = sum(1 for _, g in rows if g == "a")
+    n2 = len(rows) - n1
+    assert int(got["two_u1"]) == two_r1 - n1 * (n1 + 1)
+    assert (int(got["n1"]), int(got["n2"])) == (n1, n2)
+    # oracle bit parity including auc_micro
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE e AS SELECT * FROM (VALUES "
+        + ", ".join(f"({v!r}, '{g}')" for v, g in rows)
+        + ") AS t(value, grp)"
+    )
+    sql = mann_whitney_oracle_sql(
+        "value", "grp", "'a'", "'b'", "FROM e WHERE value IS NOT NULL"
+    )
+    assert tuple(int(x) for x in con.execute(sql).fetchone()) == tuple(
+        int(x) for x in got
+    )
+
+
+def test_mann_whitney_auc_half_for_identical(spark):
+    from pgvector_db_spark.operators.stats import mann_whitney_u
+
+    rows = [(float(v), g) for v in range(40) for g in ("a", "b")]
+    df = spark.createDataFrame(rows, "value double, grp string")
+    got = mann_whitney_u(df, "value", "grp", "a", "b", partitions=4).first()
+    assert int(got["auc_micro"]) == 500000
+
+
 def test_binned_ks_empty_side_raises(spark):
     from pgvector_db_spark.operators.stats import binned_ks
 
