@@ -3467,6 +3467,64 @@ _sql_query(
     tags=("dataset", "split"),
 )
 
+# Group-integrity split (GroupShuffleSplit): assignment is a function
+# of the GROUP key (user_id), not the row, so no user's events straddle
+# splits — the train/test-leakage guard every behavioral-data pipeline
+# needs (ds_train_test_split hashes row content and cannot give this
+# property). leak_users is a structural audit column: users appearing
+# in >1 split, 0 by construction on both engines. Map-only assignment
+# (hash of the grouping key); the only shuffle is the final aggregate.
+_sql_query(
+    "ds_group_split_no_leakage",
+    """
+    WITH assigned AS (
+      SELECT user_id, event_id,
+             CASE WHEN CAST(conv(substring(md5(concat(CAST(user_id AS STRING),
+                            '_gs')), 1, 8), 16, 10) AS BIGINT) % 1000 < 800
+                       THEN 'train'
+                  WHEN CAST(conv(substring(md5(concat(CAST(user_id AS STRING),
+                            '_gs')), 1, 8), 16, 10) AS BIGINT) % 1000 < 900
+                       THEN 'val'
+                  ELSE 'test' END AS split
+      FROM events
+    ),
+    leak AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS leak_users FROM (
+        SELECT user_id FROM assigned
+        GROUP BY user_id HAVING COUNT(DISTINCT split) > 1
+      )
+    )
+    SELECT split,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           (SELECT leak_users FROM leak) AS leak_users
+    FROM assigned GROUP BY split
+    """,
+    f"""
+    WITH assigned AS (
+      SELECT user_id, event_id,
+             CASE WHEN {_duck_hex8("md5(CAST(user_id AS VARCHAR) || '_gs')")}
+                       % 1000 < 800 THEN 'train'
+                  WHEN {_duck_hex8("md5(CAST(user_id AS VARCHAR) || '_gs')")}
+                       % 1000 < 900 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM events
+    ),
+    leak AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS leak_users FROM (
+        SELECT user_id FROM assigned
+        GROUP BY user_id HAVING COUNT(DISTINCT split) > 1
+      )
+    )
+    SELECT split,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           (SELECT leak_users FROM leak) AS leak_users
+    FROM assigned GROUP BY split
+    """,
+    tags=("dataset", "split", "leakage"),
+)
+
 # Correlated EXISTS / NOT EXISTS (beyond the IN/semi-join family).
 _sql_query(
     "rel_exists_subquery",
@@ -6998,6 +7056,27 @@ _sql_query(
     _matryoshka_sql("spark"),
     _matryoshka_sql("duckdb"),
     tags=("vector", "subvector", "ann"),
+)
+
+
+# PCA top principal component by fixed-depth power iteration — the
+# whole eigensolver (covariance from exact grid/DECIMAL sums, 3
+# unrolled normalize-multiply steps, sign canonicalization, per-vector
+# projection) is ONE generated SQL statement, identical ops both
+# engines (operators/pca.py). dim=8 = the Matryoshka leading slice;
+# ONE corpus aggregate pass + ONE map-only projection pass at any
+# scale — everything between is a 1-row frame.
+def _pca_sql(dialect: str) -> str:
+    from pgvector_db_spark.operators.pca import pca_power_sql
+
+    return pca_power_sql(dialect, dim=8, iters=3, k=20)
+
+
+_sql_query(
+    "vs_pca_power_projection",
+    _pca_sql("spark"),
+    _pca_sql("duckdb"),
+    tags=("vector", "pca", "linalg"),
 )
 
 
