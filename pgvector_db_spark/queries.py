@@ -9260,6 +9260,111 @@ _sql_query(
     tags=("dataset", "text", "tokenizer"),
 )
 
+# BPE tokenizer TRAINING (the full merge loop, not just round-1 pair
+# counts): 4 rounds of count-adjacent-pairs -> argmax merge ->
+# greedy-re-encode-corpus, as ONE dual-dialect SQL statement. The
+# re-encode is a left-to-right greedy fold expressed as a higher-order
+# array fold (Spark `aggregate` with an explicit empty accumulator;
+# DuckDB `list_reduce` over singleton-wrapped tokens — first-element
+# init makes the two semantics identical), so each round is one
+# map-only corpus pass plus one (pair, count) shuffle with map-side
+# partials — the textbook distributed BPE trainer, zero Python. Tokens
+# never contain spaces (they come from a whitespace split; merges
+# concatenate without a separator), so the space-joined pair string is
+# an injective key and the (count DESC, pair ASC) argmax is a total
+# order on both engines.
+def _bpe_train_sql(dialect: str, rounds: int = 4) -> str:
+    if dialect == "spark":
+        tok0 = "split(trim(text), '\\\\s+')"
+
+        def pairs(enc: str) -> str:
+            return (
+                f"explode(transform(sequence(0, size({enc}) - 2), "
+                f"i -> concat({enc}[i], ' ', {enc}[i + 1])))"
+            )
+
+        def size(enc: str) -> str:
+            return f"size({enc})"
+
+        def part(pair: str, i: int) -> str:
+            return f"element_at(split({pair}, ' '), {i})"
+
+        def fold(enc: str, l: str, r: str) -> str:
+            return (
+                f"aggregate({enc}, CAST(array() AS array<string>), "
+                f"(acc, x) -> CASE WHEN size(acc) = 0 THEN array(x) "
+                f"WHEN element_at(acc, -1) = {l} AND x = {r} "
+                f"THEN concat(slice(acc, 1, size(acc) - 1), "
+                f"array(concat({l}, {r}))) "
+                f"ELSE concat(acc, array(x)) END)"
+            )
+    elif dialect == "duckdb":
+        tok0 = "regexp_split_to_array(trim(text), '\\s+')"
+
+        def pairs(enc: str) -> str:
+            return (
+                f"unnest(list_transform(range(1, len({enc})), "
+                f"i -> {enc}[i] || ' ' || {enc}[i + 1]))"
+            )
+
+        def size(enc: str) -> str:
+            return f"len({enc})"
+
+        def part(pair: str, i: int) -> str:
+            return f"string_split({pair}, ' ')[{i}]"
+
+        def fold(enc: str, l: str, r: str) -> str:
+            return (
+                f"CASE WHEN len({enc}) = 0 THEN CAST([] AS VARCHAR[]) "
+                f"ELSE list_reduce(list_transform({enc}, t -> [t]), "
+                f"(acc, x) -> CASE WHEN acc[-1] = {l} AND x[1] = {r} "
+                f"THEN acc[1:len(acc)-1] || [{l} || {r}] "
+                f"ELSE acc || x END) END"
+            )
+    else:  # pragma: no cover - caller bug
+        raise ValueError(f"unknown dialect: {dialect}")
+
+    ctes = [
+        f"enc0 AS (SELECT {tok0} AS enc FROM documents"
+        f" WHERE length(trim(text)) > 0)"
+    ]
+    outs = []
+    for r in range(1, rounds + 1):
+        prev = f"enc{r - 1}"
+        ctes.append(
+            f"p{r} AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS c"
+            f" FROM (SELECT {pairs('enc')} AS pair FROM {prev}"
+            f" WHERE {size('enc')} >= 2) GROUP BY pair)"
+        )
+        ctes.append(
+            f"m{r} AS (SELECT {part('pair', 1)} AS l,"
+            f" {part('pair', 2)} AS r, c"
+            f" FROM p{r} ORDER BY c DESC, pair ASC LIMIT 1)"
+        )
+        ctes.append(
+            f"enc{r} AS (SELECT {fold('enc', 'm.l', 'm.r')} AS enc"
+            f" FROM {prev} CROSS JOIN m{r} m)"
+        )
+        outs.append(
+            f"SELECT CAST({r} AS BIGINT) AS merge_no, l AS left_tok,"
+            f" r AS right_tok, c AS pair_count,"
+            f" (SELECT CAST(SUM({size('enc')}) AS BIGINT) FROM enc{r})"
+            f" AS n_tokens_after FROM m{r}"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL\n".join(outs)
+        + "\nORDER BY merge_no"
+    )
+
+
+_sql_query(
+    "ds_bpe_train_merges",
+    _bpe_train_sql("spark"),
+    _bpe_train_sql("duckdb"),
+    tags=("dataset", "text", "tokenizer", "bpe"),
+)
+
 # Collocation extraction by pointwise mutual information — the classic
 # "new york"/"machine learning" phrase-discovery signal (Church & Hanks
 # 1990), and the phrase-merging heuristic word2vec-style pipelines run

@@ -329,6 +329,50 @@ def test_pca_power_matches_pure_python_and_eigh(spark):
     assert abs(float(top @ v2)) > 0.99
 
 
+def test_bpe_greedy_fold_semantics_cross_engine(spark):
+    """The greedy left-to-right merge fold: 'a a a' under merge (a,a)
+    must become [aa, a] (non-overlapping, leftmost-first) — identical
+    between the Spark aggregate() spelling and DuckDB list_reduce."""
+    from pgvector_db_spark.catalog import _REGISTRY_CACHE
+    from pgvector_db_spark.queries import _bpe_train_sql
+
+    # this test REPLACES the 'documents' temp view — invalidate
+    # load_tables' per-session registry cache afterwards so later tests
+    # re-register the fixture views instead of trusting the stale cache
+    corpora = [
+        ["a a a", "b b"],  # odd run: greedy non-overlap
+        ["x a b a b b", "a b"],  # interleaved
+        ["solo"],  # no pairs in one doc
+    ]
+    try:
+        for docs in corpora:
+            df = spark.createDataFrame(
+                [(i, t) for i, t in enumerate(docs)], "doc_id bigint, text string"
+            )
+            df.createOrReplaceTempView("documents")
+            got = [tuple(r) for r in spark.sql(_bpe_train_sql("spark", rounds=2)).collect()]
+            con = duckdb.connect()
+            con.execute(
+                "CREATE TABLE documents AS SELECT * FROM (VALUES "
+                + ", ".join(f"({i}, '{t}')" for i, t in enumerate(docs))
+                + ") AS v(doc_id, text)"
+            )
+            want = [tuple(r) for r in con.execute(_bpe_train_sql("duckdb", rounds=2)).fetchall()]
+            assert got == want, f"docs={docs}: spark={got} duck={want}"
+        # greedy property spot-check: 'a a a' has pairs (a,a)x2 > (b,b)x1;
+        # the leftmost-first non-overlapping re-encode leaves
+        # 'aa a' + 'b b' = 4 tokens
+        df = spark.createDataFrame([(0, "a a a"), (1, "b b")], "doc_id bigint, text string")
+        df.createOrReplaceTempView("documents")
+        rows = spark.sql(_bpe_train_sql("spark", rounds=1)).collect()
+        assert (rows[0]["left_tok"], rows[0]["right_tok"]) == ("a", "a")
+        assert int(rows[0]["pair_count"]) == 2
+        assert int(rows[0]["n_tokens_after"]) == 4
+    finally:
+        spark.catalog.dropTempView("documents")
+        _REGISTRY_CACHE.pop(id(spark), None)
+
+
 def test_binned_ks_empty_side_raises(spark):
     from pgvector_db_spark.operators.stats import binned_ks
 
