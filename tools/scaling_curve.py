@@ -53,6 +53,13 @@ HEAVY = {
     # meaningful quadratic evidence for SemDeDup is the 0.01 -> 0.1
     # step, where the vector count actually grows
     "ds_collocation_pmi",
+    # r8: text/fact-table-bound new families get the extra decade
+    # (vs_cross_encoder_rerank's stage 1 is ds_bm25_search, already
+    # covered; vs_pca_power_projection reads embeddings — same verbatim-
+    # copy caveat as SemDeDup)
+    "rel_ks_two_sample",
+    "rel_chi2_independence",
+    "ds_bpe_train_merges",
 }
 
 # one representative per major operator family
@@ -74,6 +81,11 @@ QUERIES = [
     "ds_semdedup_prune",      # cluster-blocked pairwise cosine (r7)
     "ds_collocation_pmi",     # pair agg + vocab-sized marginal joins (r7)
     "ds_quality_threshold_sweep",  # bounded per-score agg + 10-way sweep (r7)
+    "vs_cross_encoder_rerank",    # BM25 stage-1 + bounded pair rerank (r8)
+    "rel_ks_two_sample",          # two-pass prefix-sum order stat (r8)
+    "rel_chi2_independence",      # fact-sized count + bounded cells (r8)
+    "ds_bpe_train_merges",        # 4x (pair count + HOF re-encode) (r8)
+    "vs_pca_power_projection",    # 1 agg pass + 1 projection pass (r8)
 ]
 
 
