@@ -10210,6 +10210,42 @@ def _ks_oracle() -> str:
     )
 
 
+# Result-TYPE parity probe (r8, the canary for the class that held the
+# driver gate red in r3-r7): a fixed 12-row table aggregated into one
+# output column per result type with confirmed-green gate precedent —
+# BIGINT (everywhere), INT32 (vs_knn_per_label), DOUBLE
+# (rel_pricing_summary), FLOAT32 (ds_embed_injected_model), STRING.
+# Every aggregate is explicitly CAST (DuckDB SUM(BIGINT) is HUGEINT,
+# SUM(DOUBLE)'s accumulation is engine-specific only across orders —
+# here the grouped inputs are exact). If a future driver canonicalizer
+# change treats any of these representations differently from the
+# local harness, THIS row goes red with a known meaning, instead of a
+# production query going red with an unknown one.
+_TYPEPARITY_ROWS = ", ".join(
+    f"({i}, {i % 3}, 'g{i % 2}')" for i in range(12)
+)
+_TYPEPARITY_BODY = """
+    WITH v(i, j, g) AS (VALUES {rows}),
+    agg AS (
+      SELECT g,
+             CAST(SUM(i) AS BIGINT) AS s_bigint,
+             CAST(MAX(j) AS INT) AS m_int,
+             CAST(SUM(i) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_double,
+             CAST(MIN(i) AS FLOAT) AS min_float,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM v GROUP BY g
+    )
+    SELECT g, s_bigint, m_int, avg_double, min_float, n,
+           concat(g, ':', CAST(n AS {strtype})) AS tag
+    FROM agg ORDER BY g
+"""
+_sql_query(
+    "rel_typeparity_probe",
+    _TYPEPARITY_BODY.format(rows=_TYPEPARITY_ROWS, strtype="STRING"),
+    _TYPEPARITY_BODY.format(rows=_TYPEPARITY_ROWS, strtype="VARCHAR"),
+    tags=("relational", "canary", "types"),
+)
+
 # Chi-square independence (returnflag x orderpriority): observed cell
 # counts are exact integers; expected = r*c/n and the squared-deviation
 # ratio are correctly-rounded double ops on those integers (identical
