@@ -32,6 +32,40 @@ computing the same doubles — is what the differential gate checks.
 from __future__ import annotations
 
 
+def pca_moments(df, vec_col: str = "embedding", dim: int = 8):
+    """One-row frame of the EXACT covariance moments of ``df``'s lead
+    ``dim``-subvector on the 1e-6 grid: ``n`` (BIGINT), ``s{a}``
+    (BIGINT component sums), ``p{a}_{b}`` for a<=b (DECIMAL(38,0)
+    product sums). Integer partials are associative/commutative, so
+    per-micro-batch moment rows FOLD by plain cell addition into
+    exactly the whole-corpus aggregate — the streaming-PCA state."""
+    from pyspark.sql import functions as F
+
+    D = range(dim)
+    g = df.select(
+        *[
+            F.floor(
+                F.col(vec_col)[a].cast("double") * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias(f"g{a}")
+            for a in D
+        ]
+    )
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    aggs += [F.sum(f"g{a}").cast("bigint").alias(f"s{a}") for a in D]
+    aggs += [
+        F.sum(
+            (F.col(f"g{a}") * F.col(f"g{b}")).cast("decimal(38,0)")
+        ).alias(f"p{a}_{b}")
+        for a in D
+        for b in D
+        if a <= b
+    ]
+    return g.agg(*aggs)
+
+
 def _chain(terms: list[str]) -> str:
     """Left-associated sum chain — the one evaluation order every
     spelling uses."""
@@ -49,10 +83,21 @@ def pca_power_sql(
     dim: int = 8,
     iters: int = 3,
     k: int = 20,
+    agg_literals: dict | None = None,
 ) -> str:
     """Full SELECT: ``(vec_id, label, proj_micro)`` — the top-k |lead
     subvector| projections onto the power-iterated first principal
-    component (sign fixed so component 0 is non-negative)."""
+    component (sign fixed so component 0 is non-negative).
+
+    ``agg_literals``: optional pre-computed moment row ``{"n": int,
+    "s": [int]*dim, "p": {(a,b): int for a<=b}}`` — when given, the
+    ``agg`` CTE is emitted as integer LITERALS instead of the corpus
+    aggregate (the streaming-maintenance path: moments folded
+    incrementally from micro-batches are the SAME exact integers the
+    batch aggregate produces, and integer-literal→DOUBLE conversion is
+    correctly rounded just like CAST(SUM(...) AS DOUBLE), so the
+    eigenvector — and every projection — is bitwise the batch result).
+    The projection pass still scans ``table``."""
     if dialect == "spark":
         def comp(a: int) -> str:
             return f"CAST({vec_col}[{a}] AS DOUBLE)"
@@ -85,9 +130,25 @@ def pca_power_sql(
         for a in D
         for b in D
     )
+    if agg_literals is None:
+        agg_cte = f"agg AS (SELECT COUNT(*) AS n, {sums}, {prods} FROM gr)"
+    else:
+        lits = [f"CAST({int(agg_literals['n'])} AS BIGINT) AS n"]
+        lits += [
+            f"CAST({int(agg_literals['s'][a])} AS BIGINT) AS s{a}"
+            for a in D
+        ]
+        lits += [
+            f"CAST({int(agg_literals['p'][(a, b)])} AS DECIMAL(38,0))"
+            f" AS p{a}_{b}"
+            for a in D
+            for b in D
+            if a <= b
+        ]
+        agg_cte = f"agg AS (SELECT {', '.join(lits)})"
     ctes = [
         f"gr AS (SELECT {id_col}, label, {g_cols} FROM {table})",
-        f"agg AS (SELECT COUNT(*) AS n, {sums}, {prods} FROM gr)",
+        agg_cte,
         f"cov AS (SELECT {cov} FROM agg)",
     ]
     prev = None  # None = v0 is the all-ones vector

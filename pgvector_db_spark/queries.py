@@ -7080,6 +7080,111 @@ _sql_query(
 )
 
 
+@register(
+    "stream_pca_update",
+    _pca_sql("duckdb"),
+    tags=("streaming", "pca", "linalg", "maintenance"),
+)
+def stream_pca_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING PCA maintenance: the covariance moments (n, component
+    sums, product sums — exact BIGINT/DECIMAL cells, pca.pca_moments)
+    fold ADDITIVELY per micro-batch into a 1-row state table
+    (last_bid replay guard, atomic swap). Because integer partials are
+    associative, the drained state holds exactly the whole-corpus
+    moments, and re-emitting them as literals into the SAME generated
+    power-iteration SQL (pca_power_sql agg_literals) reproduces the
+    batch `vs_pca_power_projection` result BITWISE — which is what the
+    (unchanged batch) oracle checks. The model-maintenance shape: the
+    stream never re-scans history; state is one row of 45 integers
+    regardless of corpus size."""
+    import shutil
+    import tempfile
+
+    from pgvector_db_spark.catalog import table_path
+    from pgvector_db_spark.operators.pca import pca_moments, pca_power_sql
+    from pgvector_db_spark.sources.table import ParquetTable
+    from pgvector_db_spark.streaming.replay import (
+        file_stream,
+        stage_replay_splits,
+    )
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    emb_path = table_path(sf_dir, "embeddings")
+    tag = _fixture_tag(sf_dir)
+    replay_dir = os.path.join(
+        tempfile.gettempdir(), f"emb_replay4_{tag}"
+    )
+    stage_replay_splits(spark, emb_path, replay_dir, n_files=4)
+    schema = spark.read.parquet(emb_path).schema
+    src = file_stream(spark, replay_dir, schema, max_files_per_trigger=1)
+
+    _dim = 8
+    _mcols = (
+        [f"s{a}" for a in range(_dim)]
+        + [f"p{a}_{b}" for a in range(_dim) for b in range(_dim) if a <= b]
+    )
+    tmp = tempfile.mkdtemp(prefix="pca_stream_")
+    try:
+        table = ParquetTable(spark, f"{tmp}/moments")
+
+        def fold(batch: DataFrame, _bid: int) -> None:
+            part = pca_moments(batch, dim=_dim).withColumn(
+                "last_bid", F.lit(_bid).cast("bigint")
+            )
+            if not table.exists():
+                part.write.mode("errorifexists").parquet(table.path)
+                return
+            state = table.read()
+            prev = state.agg(F.max("last_bid")).head()[0]
+            if prev is not None and prev >= _bid:
+                return
+            merged = state.unionByName(part).agg(
+                F.sum("n").cast("bigint").alias("n"),
+                *[
+                    F.sum(c).cast(
+                        "bigint" if c.startswith("s") else "decimal(38,0)"
+                    ).alias(c)
+                    for c in _mcols
+                ],
+                F.max("last_bid").alias("last_bid"),
+            )
+            table._swap_in(merged)
+
+        q = (
+            src.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        row = table.read().head()
+        want_n = emb.count()
+        _require(
+            int(row["n"]) == want_n,
+            f"streaming PCA moments lost rows: folded n={int(row['n'])}, "
+            f"corpus has {want_n}",
+        )
+        lits = {
+            "n": int(row["n"]),
+            "s": [int(row[f"s{a}"]) for a in range(_dim)],
+            "p": {
+                (a, b): int(row[f"p{a}_{b}"])
+                for a in range(_dim)
+                for b in range(_dim)
+                if a <= b
+            },
+        }
+        out = spark.sql(
+            pca_power_sql("spark", dim=_dim, iters=3, k=20, agg_literals=lits)
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # Document chunking: fixed-size overlapping word windows (width 32,
 # stride 24 → 8-word overlap) — the chunk-then-embed primitive of RAG /
 # long-document training pipelines (chunks feed the A12 embedding UDF and

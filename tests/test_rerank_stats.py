@@ -381,3 +381,17 @@ def test_binned_ks_empty_side_raises(spark):
     )
     with pytest.raises(ValueError, match="empty sample"):
         binned_ks(hist)
+
+
+def test_pca_moments_fold_associative(spark):
+    """Streaming-PCA correctness hinges on moment additivity: the
+    cell-wise sum of per-half moment rows must equal the whole-corpus
+    moments exactly (integers, no rounding)."""
+    from pgvector_db_spark.operators.pca import pca_moments
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    whole = pca_moments(emb).head()
+    h1 = pca_moments(emb.filter("vec_id % 2 = 0")).head()
+    h2 = pca_moments(emb.filter("vec_id % 2 = 1")).head()
+    for c in whole.asDict():
+        assert int(whole[c]) == int(h1[c]) + int(h2[c]), c
