@@ -4822,6 +4822,81 @@ _sql_query(
 )
 
 
+# Min-K% Prob membership/contamination score (Shi et al. 2023,
+# "Detecting Pretraining Data from Large Language Models"): a document
+# whose LEAST-likely tokens are still unusually likely under the corpus
+# LM is suspiciously familiar — the published signal for detecting
+# memorized/contaminated text, next to the n-gram-overlap decontam ops.
+# Shape: the detmath ln runs once per VOCAB row (bounded), per-token
+# logprobs come from a postings-shaped join, and the bottom-20% pick is
+# a rank window PARTITIONED by doc_id (per-doc bounded) — no global
+# window, no transcendental on the hot path. k = max(1, floor(n/5))
+# via float division: n/5.0 is >=0.2 away from any non-multiple
+# integer, 15 orders of magnitude beyond a double ulp, so floor is
+# knife-edge-free; sums/averages land as BIGINT micro units.
+def _minkprob_sql(dialect: str) -> str:
+    from pgvector_db_spark.functions.detmath import ln_ratio_sql
+
+    lnr = ln_ratio_sql("f.tf", "f.total", dialect)
+    if dialect == "spark":
+        toks = """SELECT doc_id, term FROM (
+        SELECT doc_id,
+               explode(split(trim(lower(text)), '\\\\s+')) AS term
+        FROM documents)"""
+    else:
+        toks = """SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+      FROM documents"""
+    return f"""
+    WITH toks AS (
+      {toks}
+    ),
+    freq AS (
+      SELECT term, COUNT(*) AS tf,
+             SUM(COUNT(*)) OVER () AS total
+      FROM toks GROUP BY term
+    ),
+    scored AS (
+      SELECT t.doc_id, t.term,
+             CAST(floor({lnr} * 1000000 + 0.5)
+                  AS BIGINT) AS lp_micro
+      FROM toks t JOIN freq f ON t.term = f.term
+    ),
+    ranked AS (
+      SELECT doc_id, lp_micro,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY lp_micro ASC, term ASC) AS rnk,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n
+      FROM scored
+    ),
+    mink AS (
+      SELECT doc_id,
+             CAST(MAX(n) AS BIGINT) AS n_tokens,
+             CAST(GREATEST(CAST(1 AS BIGINT),
+                  CAST(floor(CAST(MAX(n) AS DOUBLE)
+                       / CAST(5.0 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS k,
+             CAST(SUM(CASE WHEN rnk <= GREATEST(CAST(1 AS BIGINT),
+                  CAST(floor(CAST(n AS DOUBLE) / CAST(5.0 AS DOUBLE))
+                       AS BIGINT))
+                  THEN lp_micro ELSE 0 END) AS BIGINT) AS mink_sum_micro
+      FROM ranked GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, k, mink_sum_micro,
+           CAST(floor(CAST(mink_sum_micro AS DOUBLE) / CAST(k AS DOUBLE))
+                AS BIGINT) AS mink_avg_micro
+    FROM mink
+    ORDER BY mink_avg_micro DESC, doc_id ASC LIMIT 50
+    """
+
+
+_sql_query(
+    "ds_minkprob_contamination",
+    _minkprob_sql("spark"),
+    _minkprob_sql("duckdb"),
+    tags=("dataset", "text", "decontamination", "lm"),
+)
+
+
 @register(
     "ds_predict_batch_udf",
     """
