@@ -198,6 +198,11 @@ def derived_metrics(spark, sf_dir: str, timings: dict[str, float]) -> dict[str, 
         ("rel_cdc_apply", "cdc_apply_ms"),
         ("stream_ivf_append_ingest", "stream_ivf_append_ms"),
         ("stream_decontaminate_ingest", "stream_decontam_ms"),
+        ("ds_minkprob_contamination", "minkprob_ms"),
+        ("ds_bpe_train_merges", "bpe_train4_ms"),
+        ("vs_pca_power_projection", "pca_projection_ms"),
+        ("stream_pca_update", "stream_pca_ms"),
+        ("stream_drift_binned_ks", "stream_drift_ms"),
     ):
         if name in REGISTRY:
             _try(lambda n=name, k=key: out.__setitem__(

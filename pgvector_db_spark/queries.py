@@ -6232,9 +6232,10 @@ _sql_query(
 # operators/dedup.connected_components (O(diameter) shuffles); the oracle
 # recomputes the same components declaratively as a recursive-CTE
 # transitive closure, so the loop's fixpoint is checked end-to-end.
-@register(
-    "ds_cluster_dedup",
-    f"""
+# The LSH->jaccard->transitive-closure CTE chain, shared by BOTH
+# cluster-dedup oracles so the keep-rule variants cannot drift out of
+# lockstep (the r7-review single-spelling rule).
+_CC_ORACLE_CTES = f"""
     WITH RECURSIVE sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS s FROM documents),
     sig AS (SELECT doc_id, {_DUCK_SIG16} FROM sh),
     bands AS (
@@ -6262,7 +6263,13 @@ _sql_query(
       SELECT src, src FROM edges
       UNION
       SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r
-    )
+    )"""
+
+
+@register(
+    "ds_cluster_dedup",
+    _CC_ORACLE_CTES
+    + """
     SELECT id AS doc_id, MIN(r) AS component,
            CAST(MIN(r) = id AS INT) AS is_canonical
     FROM reach GROUP BY id
@@ -6282,6 +6289,58 @@ def ds_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("doc_id"),
         "component",
         (F.col("component") == F.col("id")).cast("int").alias("is_canonical"),
+    )
+
+
+# Quality-aware canonical selection (r8): production dedup keeps the
+# BEST copy of each near-dup cluster, not an arbitrary one — the keep
+# rule is (n_chars DESC, doc_id ASC) per component instead of min-id.
+# Same components (shared CTE chain / same Spark CC loop); only the
+# representative choice differs, and it is a per-component bounded
+# window.
+@register(
+    "ds_cluster_dedup_best_quality",
+    _CC_ORACLE_CTES
+    + """,
+    comp AS (
+      SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id
+    ),
+    ranked AS (
+      SELECT c.doc_id, c.component,
+             ROW_NUMBER() OVER (PARTITION BY c.component
+                                ORDER BY d.n_chars DESC, c.doc_id ASC)
+                 AS rnk
+      FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    )
+    SELECT doc_id, component,
+           CAST(rnk = 1 AS INT) AS is_kept
+    FROM ranked
+    """,
+    tags=("dataset", "dedup", "graph", "quality"),
+)
+def ds_cluster_dedup_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters via the same LSH->CC loop as ds_cluster_dedup,
+    but the kept representative is the highest-quality member
+    (n_chars DESC, doc_id ASC) — the keep-best-copy rule real cleaning
+    pipelines apply."""
+    from pgvector_db_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    comp = connected_components(minhash_lsh_pairs(docs)).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    j = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return j.select(
+        "doc_id",
+        "component",
+        (F.row_number().over(w) == 1).cast("int").alias("is_kept"),
     )
 
 
