@@ -1654,3 +1654,228 @@ class BM25Index:
         # a lazy frame held across generations would lose its files.
         for s in m["segments"]:
             _shutil.rmtree(_os.path.join(self.path, s), ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Retrieval-quality evaluation: nDCG@k / MRR / recall@k of the BM25
+# ranking against deterministic AND-semantics relevance labels (a doc is
+# "relevant" iff it contains EVERY query term — BM25 itself scores with
+# OR semantics, so the metric is not trivially 1). This is the IR eval
+# harness every search stack ships next to its ranker (the reference's
+# Postgres stack would reach for pg_trgm + manual judgments; here the
+# labels are derivable so the whole evaluation is oracle-checkable).
+#
+# Determinism: the log2 discounts 1/log2(r+1) for r=1..k are folded
+# DRIVER-SIDE from the bit-pinned detmath tree (ln_bigint_py — the
+# DSIR-fold pattern; no transcendental in either plan), fixed to the
+# 1e-9 grid as BIGINT nano-units so DCG/IDCG are order-independent
+# integer sums; the final recall/MRR/nDCG ratios are single
+# correctly-rounded double ops spelled identically on both engines.
+#
+# At 100 TB: the corpus-sized work is exactly bm25_topk's two passes
+# plus one tokenize->filter->group for the label set (map-side partial,
+# shuffles only matching postings); everything downstream operates on
+# <= k-row or 1-row frames (the unpartitioned rank window is over the
+# ALREADY-LIMITED k-row result — the bounded-candidate pattern).
+# ---------------------------------------------------------------------------
+
+
+def ndcg_discount_nano(k: int) -> list[tuple[int, int]]:
+    """(rank, floor(1/log2(rank+1) * 1e9 + 0.5)) for rank = 1..k, every
+    log from the bit-pinned ``ln_bigint_py`` tree — the Python-folded
+    discount table both engines embed as literals."""
+    import math as _math
+
+    from pgvector_db_spark.functions.detmath import ln_bigint_py
+
+    ln2 = ln_bigint_py(2)
+    return [
+        (r, int(_math.floor(ln2 / ln_bigint_py(r + 1) * 1e9 + 0.5)))
+        for r in range(1, k + 1)
+    ]
+
+
+def retrieval_eval_metrics(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One-row IR evaluation of ``bm25_topk`` against AND-semantics
+    relevance: (n_relevant, n_retrieved, n_hits, first_rel_rank,
+    recall_micro, mrr_micro, dcg_nano, idcg_nano, ndcg_micro), all
+    BIGINT, bit-exact against ``retrieval_eval_oracle_sql``."""
+    from pyspark.sql.window import Window
+
+    spark = docs.sparkSession
+    terms = sorted(set(query_terms))
+    nt = len(terms)
+
+    top = bm25_topk(
+        docs, terms, k=k, k1=k1, b=b, id_col=id_col, text_col=text_col
+    )
+    topk = top.select(
+        F.col(id_col),
+        F.row_number()
+        .over(Window.orderBy(F.col("score_micro").desc(), F.col(id_col).asc()))
+        .alias("rnk"),
+    )
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(tokens_col(F.col(text_col))).alias("term"),
+    )
+    rel = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy(id_col)
+        .agg(F.count_distinct("term").alias("_ntm"))
+        .filter(F.col("_ntm") == nt)
+        .select(id_col)
+    )
+    nrel = rel.agg(F.count(F.lit(1)).cast("bigint").alias("n_relevant"))
+    nretr = topk.agg(F.count(F.lit(1)).cast("bigint").alias("n_retrieved"))
+
+    disc = spark.createDataFrame(
+        ndcg_discount_nano(k), "rnk int, d_nano bigint"
+    )
+    hits = topk.join(rel, id_col).join(F.broadcast(disc), "rnk")
+    hagg = hits.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+        F.coalesce(F.min("rnk"), F.lit(0)).cast("bigint").alias(
+            "first_rel_rank"
+        ),
+        F.coalesce(F.sum("d_nano"), F.lit(0)).cast("bigint").alias(
+            "dcg_nano"
+        ),
+    )
+    ideal = (
+        disc.crossJoin(nrel)
+        .filter(F.col("rnk") <= F.least(F.col("n_relevant"), F.lit(k)))
+        .agg(
+            F.coalesce(F.sum("d_nano"), F.lit(0)).cast("bigint").alias(
+                "idcg_nano"
+            )
+        )
+    )
+
+    half, mil = F.lit(0.5), F.lit(1000000.0)
+    out = hagg.crossJoin(nretr).crossJoin(ideal).crossJoin(nrel)
+    recall = (
+        F.when(F.col("n_relevant") == 0, F.lit(0))
+        .otherwise(
+            F.floor(
+                F.col("n_hits").cast("double")
+                / F.col("n_relevant").cast("double")
+                * mil
+                + half
+            )
+        )
+        .cast("bigint")
+    )
+    mrr = (
+        F.when(F.col("first_rel_rank") == 0, F.lit(0))
+        .otherwise(
+            F.floor(mil / F.col("first_rel_rank").cast("double") + half)
+        )
+        .cast("bigint")
+    )
+    ndcg = (
+        F.when(F.col("idcg_nano") == 0, F.lit(0))
+        .otherwise(
+            F.floor(
+                F.col("dcg_nano").cast("double")
+                / F.col("idcg_nano").cast("double")
+                * mil
+                + half
+            )
+        )
+        .cast("bigint")
+    )
+    return out.select(
+        "n_relevant",
+        "n_retrieved",
+        "n_hits",
+        "first_rel_rank",
+        recall.alias("recall_micro"),
+        mrr.alias("mrr_micro"),
+        "dcg_nano",
+        "idcg_nano",
+        ndcg.alias("ndcg_micro"),
+    )
+
+
+def retrieval_eval_oracle_sql(
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB SQL computing the identical one-row evaluation — the same
+    BM25 scored CTEs every other oracle shares, the same Python-folded
+    discount literals, the same grid spellings."""
+    terms = sorted(set(query_terms))
+    nt = len(terms)
+    tlist = _term_list(terms)
+    disc_vals = ", ".join(
+        f"({r}, {d})" for r, d in ndcg_discount_nano(k)
+    )
+    return f"""
+    WITH disc(rnk, d_nano) AS (VALUES {disc_vals}),
+    {_bm25_toks_stats_ctes()},
+    {_bm25_tf_dft_ctes(tlist)},
+    scored AS (
+      SELECT tf.doc_id,
+             {_bm25_term_score_sql(k1, b)} AS term_score_micro
+      FROM tf JOIN dft USING (term) CROSS JOIN stats
+    ),
+    agg AS (
+      SELECT doc_id, CAST(SUM(term_score_micro) AS BIGINT) AS score_micro
+      FROM scored GROUP BY doc_id
+    ),
+    topk AS (
+      SELECT doc_id, rnk FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id ASC)
+                 AS rnk
+        FROM agg) WHERE rnk <= {k}
+    ),
+    rel AS (SELECT doc_id FROM tf GROUP BY doc_id HAVING COUNT(*) = {nt}),
+    nrel AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_relevant FROM rel),
+    nretr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_retrieved FROM topk),
+    hits AS (
+      SELECT t.rnk, d.d_nano
+      FROM topk t JOIN rel r ON t.doc_id = r.doc_id
+                  JOIN disc d ON d.rnk = t.rnk
+    ),
+    hagg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_hits,
+             CAST(COALESCE(MIN(rnk), 0) AS BIGINT) AS first_rel_rank,
+             CAST(COALESCE(SUM(d_nano), 0) AS BIGINT) AS dcg_nano
+      FROM hits
+    ),
+    ideal AS (
+      SELECT CAST(COALESCE(SUM(d.d_nano), 0) AS BIGINT) AS idcg_nano
+      FROM disc d CROSS JOIN nrel
+      WHERE d.rnk <= LEAST(nrel.n_relevant, {k})
+    )
+    SELECT nrel.n_relevant, nretr.n_retrieved, h.n_hits, h.first_rel_rank,
+           CASE WHEN nrel.n_relevant = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(floor(CAST(h.n_hits AS DOUBLE)
+                     / CAST(nrel.n_relevant AS DOUBLE)
+                     * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                     AS BIGINT) END AS recall_micro,
+           CASE WHEN h.first_rel_rank = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(floor(CAST(1000000.0 AS DOUBLE)
+                     / CAST(h.first_rel_rank AS DOUBLE)
+                     + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS mrr_micro,
+           h.dcg_nano, i.idcg_nano,
+           CASE WHEN i.idcg_nano = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(floor(CAST(h.dcg_nano AS DOUBLE)
+                     / CAST(i.idcg_nano AS DOUBLE)
+                     * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                     AS BIGINT) END AS ndcg_micro
+    FROM hagg h CROSS JOIN ideal i CROSS JOIN nrel CROSS JOIN nretr
+    """

@@ -7842,6 +7842,35 @@ def ds_ql_dirichlet_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ql_dirichlet_topk(t["documents"], _QL_TERMS, k=10, mu=2000)
 
 
+def _retrieval_eval_oracle() -> str:
+    from pgvector_db_spark.operators.text_search import (
+        retrieval_eval_oracle_sql,
+    )
+
+    return retrieval_eval_oracle_sql(_BM25_TERMS, k=10)
+
+
+@register(
+    "ds_retrieval_eval_metrics",
+    _retrieval_eval_oracle(),
+    tags=("dataset", "text", "search", "evaluation"),
+)
+def ds_retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IR evaluation harness: nDCG@10 / MRR / recall@10 of the BM25
+    ranking against deterministic AND-semantics relevance labels (a doc
+    is relevant iff it contains EVERY query term). The log2 discounts
+    are Python-folded from the bit-pinned detmath tree (1e-9 grid), so
+    DCG/IDCG are order-independent BIGINT sums and the whole one-row
+    report is bit-exact cross-engine
+    (operators/text_search.py retrieval_eval_metrics)."""
+    from pgvector_db_spark.operators.text_search import (
+        retrieval_eval_metrics,
+    )
+
+    t = load_tables(spark, sf_dir)
+    return retrieval_eval_metrics(t["documents"], _BM25_TERMS, k=10)
+
+
 # ---------------------------------------------------------------------------
 # Rocchio relevance feedback (r7): the vector twin of PRF — move the
 # query vector toward the centroid of its own top results, search again.

@@ -711,3 +711,54 @@ def test_bm25_batch_empty_paths_share_schema(spark, tmp_path):
         "score_micro",
         "n_matched",
     ]
+
+
+# -- r8: retrieval evaluation metrics ----------------------------------------
+
+
+def test_ndcg_discount_fold_is_deterministic():
+    """The Python-folded log2 discount table is the ONLY transcendental
+    input to the IR eval — pin it: rank 1 discounts to exactly 1e9
+    (log2(2)=1), values strictly decrease, and re-folding reproduces the
+    same integers (pure function of the bit-pinned detmath tree)."""
+    from pgvector_db_spark.operators.text_search import ndcg_discount_nano
+
+    d = ndcg_discount_nano(10)
+    assert d[0] == (1, 1_000_000_000)
+    vals = [v for _, v in d]
+    assert vals == sorted(vals, reverse=True) and len(set(vals)) == 10
+    assert ndcg_discount_nano(10) == d
+
+
+def test_retrieval_eval_perfect_and_empty_cases(spark):
+    """Hand-checkable corpus: when the only relevant doc is ranked
+    first, nDCG = MRR = recall = 1.0 exactly; with no relevant docs all
+    ratio metrics are 0 (guarded, not div-by-zero)."""
+    from pgvector_db_spark.operators.text_search import (
+        retrieval_eval_metrics,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha beta"),
+            (2, "alpha gamma gamma delta"),
+            (3, "delta epsilon zeta eta"),
+        ],
+        "doc_id bigint, text string",
+    )
+    row = retrieval_eval_metrics(docs, ["alpha", "beta"], k=5).first()
+    assert row["n_relevant"] == 1
+    assert row["n_hits"] == 1
+    assert row["first_rel_rank"] == 1
+    assert row["recall_micro"] == 1_000_000
+    assert row["mrr_micro"] == 1_000_000
+    assert row["ndcg_micro"] == 1_000_000
+
+    row0 = retrieval_eval_metrics(docs, ["alpha", "zeta"], k=5).first()
+    assert row0["n_relevant"] == 0
+    assert row0["n_hits"] == 0
+    assert row0["first_rel_rank"] == 0
+    assert row0["recall_micro"] == 0
+    assert row0["mrr_micro"] == 0
+    assert row0["idcg_nano"] == 0
+    assert row0["ndcg_micro"] == 0
