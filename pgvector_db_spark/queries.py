@@ -4897,6 +4897,123 @@ _sql_query(
 )
 
 
+# Multinomial Naive Bayes text classifier — TRAIN AND CLASSIFY in one
+# statement (self-classification of lang from tokens; the shape of every
+# bag-of-words quality/domain/language classifier a data pipeline runs
+# before a learned model exists). Laplace +1 smoothing makes absent
+# (class, term) pairs contribute ln(0+1) = 0, so the ONLY detmath ln
+# work is on frames bounded by the model, not the corpus: ln(cnt+1)
+# once per OBSERVED (class, term) row (<= |C|x|V|), ln(tok_c + V) and
+# the prior ln-ratio once per class. Per-doc scoring is then pure
+# integer arithmetic: score(d,c) = prior_c + SUM_t tf*lnum(c,t)
+# - n_tokens(d)*lden_c, all on the 1e-6 BIGINT grid (order-independent
+# sums). At 100 TB: one tokenize pass, two grouped counts (map-side
+# partials), a |C|-way fanout of the per-doc postings (|C|=5), and a
+# per-doc-PARTITIONED argmax window — no global window, text never
+# shuffles, the model frames broadcast.
+def _naive_bayes_sql(dialect: str) -> str:
+    from pgvector_db_spark.functions.detmath import (
+        ln_bigint_sql,
+        ln_ratio_sql,
+    )
+
+    if dialect == "spark":
+        toks = """SELECT doc_id, lang, term FROM (
+        SELECT doc_id, lang,
+               explode(split(trim(lower(text)), '\\\\s+')) AS term
+        FROM documents)"""
+    else:
+        toks = """SELECT doc_id, lang,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+      FROM documents"""
+    ln_cnt = ln_bigint_sql("arg", dialect)
+    ln_den = ln_bigint_sql("arg", dialect)
+    ln_prior = ln_ratio_sql("docs_c", "n_docs", dialect)
+    grid = "* CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)"
+    return f"""
+    WITH toks AS (
+      {toks}
+    ),
+    doccls AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs_c
+      FROM documents GROUP BY lang
+    ),
+    ndocs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    counts AS (
+      SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks GROUP BY lang, term
+    ),
+    clstok AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS tok_c
+      FROM toks GROUP BY lang
+    ),
+    vocab AS (
+      SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS v FROM toks
+    ),
+    lnum_in AS (
+      SELECT lang, term, CAST(cnt + 1 AS BIGINT) AS arg FROM counts
+    ),
+    lnum AS (
+      SELECT lang, term,
+             CAST(floor({ln_cnt} {grid}) AS BIGINT) AS lnum_micro
+      FROM lnum_in
+    ),
+    lden_in AS (
+      SELECT c.lang, CAST(c.tok_c + vocab.v AS BIGINT) AS arg
+      FROM clstok c CROSS JOIN vocab
+    ),
+    clsparam AS (
+      SELECT li.lang,
+             CAST(floor({ln_den} {grid}) AS BIGINT) AS lden_micro,
+             CAST(floor({ln_prior} {grid}) AS BIGINT) AS prior_micro
+      FROM lden_in li JOIN doccls USING (lang) CROSS JOIN ndocs
+    ),
+    dtf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, term
+    ),
+    dlen AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok
+      FROM toks GROUP BY doc_id
+    ),
+    numsum AS (
+      SELECT d.doc_id, l.lang,
+             CAST(SUM(d.tf * l.lnum_micro) AS BIGINT) AS num_micro
+      FROM dtf d JOIN lnum l ON d.term = l.term
+      GROUP BY d.doc_id, l.lang
+    ),
+    scorefull AS (
+      SELECT dl.doc_id, cp.lang,
+             CAST(cp.prior_micro + COALESCE(ns.num_micro, 0)
+                  - dl.n_tok * cp.lden_micro AS BIGINT) AS score_micro
+      FROM dlen dl CROSS JOIN clsparam cp
+      LEFT JOIN numsum ns
+        ON ns.doc_id = dl.doc_id AND ns.lang = cp.lang
+    ),
+    pred AS (
+      SELECT doc_id, lang AS pred_lang FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score_micro DESC, lang ASC)
+                 AS rnk
+        FROM scorefull) WHERE rnk = 1
+    )
+    SELECT d.lang AS true_lang, p.pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+    GROUP BY d.lang, p.pred_lang
+    ORDER BY true_lang, pred_lang
+    """
+
+
+_sql_query(
+    "ds_naive_bayes_langid",
+    _naive_bayes_sql("spark"),
+    _naive_bayes_sql("duckdb"),
+    tags=("dataset", "text", "classifier", "lm"),
+)
+
+
 @register(
     "ds_predict_batch_udf",
     """

@@ -204,3 +204,76 @@ def test_semdedup_keep_rule_recompute(spark):
                 assert int(r["keep"]) == 0, r
             elif not has_lower_sim:
                 assert int(r["keep"]) == 1, r
+
+
+def test_naive_bayes_recompute_tiny_corpus(spark):
+    """Independent pure-Python NB recompute on a hand corpus: train
+    counts, Laplace-smoothed per-class log-likelihoods (ln_bigint_py,
+    the same bit-pinned tree), argmax with the same (score desc, lang
+    asc) tie-break — the SQL classifier must agree on every doc."""
+    import math as m
+
+    from pgvector_db_spark.functions.detmath import ln_bigint_py
+    from pgvector_db_spark.queries import REGISTRY
+
+    rows = [
+        (0, "le chat noir dort", "fr"),
+        (1, "the black cat sleeps", "en"),
+        (2, "le chien mange bien", "fr"),
+        (3, "the dog eats well", "en"),
+        (4, "le chat mange", "fr"),
+        (5, "the cat eats", "en"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, l, "s0", len(t)) for i, t, l in rows],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    from pgvector_db_spark import catalog
+    from pgvector_db_spark.queries import _naive_bayes_sql
+
+    docs.createOrReplaceTempView("documents")
+    try:
+        out = {
+            (r["true_lang"], r["pred_lang"]): r["n_docs"]
+            for r in spark.sql(_naive_bayes_sql("spark")).collect()
+        }
+    finally:
+        spark.catalog.dropTempView("documents")
+        catalog._REGISTRY_CACHE.pop(id(spark), None)
+
+    # pure-Python recompute
+    toks = {i: t.split() for i, t, _ in rows}
+    langs = sorted({l for _, _, l in rows})
+    by_lang = {l: [] for l in langs}
+    for i, t, l in rows:
+        by_lang[l].extend(toks[i])
+    vocab = {w for ws in toks.values() for w in ws}
+    V, n_docs = len(vocab), len(rows)
+    grid = lambda x: int(m.floor(x * 1e6 + 0.5))
+    pred = {}
+    for i, t, _ in rows:
+        best = None
+        for l in langs:
+            cnt = Counter(by_lang[l])
+            prior = grid(
+                ln_bigint_py(sum(1 for r in rows if r[2] == l))
+                - ln_bigint_py(n_docs)
+            )
+            num = sum(
+                tf * grid(ln_bigint_py(cnt[w] + 1))
+                for w, tf in Counter(toks[i]).items()
+            )
+            den = len(toks[i]) * grid(
+                ln_bigint_py(len(by_lang[l]) + V)
+            )
+            score = prior + num - den
+            if best is None or (score, ) > (best[0], ) or (
+                score == best[0] and l < best[1]
+            ):
+                if best is None or score > best[0]:
+                    best = (score, l)
+        pred[i] = best[1]
+    want = Counter((rows[i][2], pred[i]) for i in pred)
+    assert out == dict(want)
+    # and the classifier actually separates the two obvious languages
+    assert all(t == p for (t, p) in out)
