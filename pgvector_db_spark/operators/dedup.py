@@ -505,6 +505,106 @@ def _join_gram_sets(cand: DataFrame, base: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    tau_num: int = 3,
+    tau_den: int = 5,
+) -> DataFrame:
+    """Set-similarity self-join by PREFIX FILTERING (the All-Pairs /
+    PPJoin candidate scheme of Bayardo et al. WWW'07 and Xiao et al.
+    WWW'08, the published scalable algorithm for exact-threshold
+    similarity joins): order every document's distinct word-n-grams by
+    a global canonical order (document frequency asc, gram asc — rarest
+    first), keep only each doc's first ``s - ceil(tau*s) + 1`` grams as
+    its probing prefix, and join docs on SHARED PREFIX GRAMS only.
+
+    Unlike the rare-gram candidate cap (``ngram_jaccard_pairs``'s
+    ``max_df`` stop-gram guard, which silently misses pairs sharing
+    only frequent grams), prefix filtering is LOSSLESS: Jaccard >= tau
+    implies the intersection has >= ceil(tau*max(sa, sb)) grams, and
+    the prefix lemma then guarantees the two prefixes share >= 1 gram
+    — so after exact verification the output EQUALS the brute-force
+    join, by theorem. The threshold compare is an integer
+    cross-multiply (``tau_den * inter >= tau_num * union``), never a
+    float epsilon.
+
+    Scale shape (100 TB): df counting and the prefix self-join shuffle
+    only (gram, id) postings — and only the PREFIX postings, which the
+    canonical order biases toward the rarest grams, so the heaviest
+    posting lists (stop-grams) never enter the join; the global order
+    is never materialized as a global rank (each doc sorts its OWN
+    grams in a per-doc window); verification touches candidate pairs
+    only. Returns (id_a, id_b, n_inter, n_union, jaccard_micro) with
+    id_a < id_b and Jaccard >= tau_num/tau_den.
+    """
+    from pyspark.sql.window import Window
+
+    base = df.select(F.col(id_col), _word_ngrams(text_col, n).alias("_ng"))
+    base = base.persist()
+    base.count()
+    posting = base.select(
+        F.col(id_col), F.size("_ng").alias("_s"), F.explode("_ng").alias("_g")
+    )
+    dfreq = posting.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = posting.join(dfreq, "_g").withColumn(
+        "_pos",
+        F.row_number().over(
+            Window.partitionBy(id_col).orderBy(F.asc("_df"), F.asc("_g"))
+        ),
+    )
+    # p = s - ceil(tau*s) + 1, ceil via pure integer arithmetic
+    prefix = ranked.filter(
+        F.col("_pos")
+        <= F.col("_s")
+        - F.expr(f"(({tau_num} * _s + {tau_den - 1}) div {tau_den})")
+        + 1
+    ).select(F.col(id_col), F.col("_s"), F.col("_g"))
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "_g")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        # lossless length filter: J >= tau needs tau_den*min >= tau_num*max
+        .filter(
+            F.lit(tau_den) * F.least(F.col("a._s"), F.col("b._s"))
+            >= F.lit(tau_num) * F.greatest(F.col("a._s"), F.col("b._s"))
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    out = (
+        _join_gram_sets(cand, base, id_col)
+        .withColumn(
+            "n_inter",
+            F.size(F.array_intersect("_nga", "_ngb")).cast("bigint"),
+        )
+        .withColumn(
+            "n_union",
+            F.size(F.array_distinct(F.concat("_nga", "_ngb"))).cast("bigint"),
+        )
+        .filter(
+            F.lit(tau_den) * F.col("n_inter")
+            >= F.lit(tau_num) * F.col("n_union")
+        )
+        .withColumn(
+            "jaccard_micro",
+            F.floor(
+                F.col("n_inter").cast("double")
+                / F.col("n_union").cast("double")
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            ).cast("bigint"),
+        )
+        .select("id_a", "id_b", "n_inter", "n_union", "jaccard_micro")
+    )
+    return _materialize_and_release(out, base)
+
+
 def ngram_containment_pairs(
     df: DataFrame,
     text_col: str = "text",

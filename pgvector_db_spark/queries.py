@@ -4231,6 +4231,57 @@ def ds_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(t["documents"], n=3, threshold=0.3, max_df=50)
 
 
+@register(
+    "ds_prefix_filter_jaccard_join",
+    """
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+    ),
+    g AS (
+      SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ng
+      FROM t
+    ),
+    e AS (SELECT doc_id, unnest(ng) AS gram FROM g),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    ),
+    v AS (
+      SELECT id_a, id_b,
+             CAST(len(list_intersect(a.ng, b.ng)) AS BIGINT) AS n_inter,
+             CAST(len(list_distinct(a.ng || b.ng)) AS BIGINT) AS n_union
+      FROM cand
+      JOIN g a ON a.doc_id = id_a
+      JOIN g b ON b.doc_id = id_b
+    )
+    SELECT id_a, id_b, n_inter, n_union,
+           CAST(floor(CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE)
+                * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                AS BIGINT) AS jaccard_micro
+    FROM v WHERE 5 * n_inter >= 3 * n_union
+    ORDER BY id_a, id_b
+    """,
+    tags=("dataset", "dedup"),
+)
+def ds_prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin-style prefix-filtered set-similarity self-join (word
+    trigram Jaccard >= 3/5): candidates come ONLY from shared
+    df-ordered PREFIX grams — and because prefix filtering is lossless
+    (unlike ds_ngram_jaccard's max_df stop-gram cap), the oracle is the
+    full brute-force inverted join: the algorithm must reproduce it
+    EXACTLY, by theorem (operators/dedup.py
+    prefix_filter_jaccard_pairs)."""
+    from pgvector_db_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    t = load_tables(spark, sf_dir)
+    return prefix_filter_jaccard_pairs(
+        t["documents"], n=3, tau_num=3, tau_den=5
+    )
+
+
 _DUCK_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
 _DUCK_TOKHASH = (
     f"list_transform({_DUCK_TOKENS}, t -> {_duck_hex8('md5(t)')})"

@@ -762,3 +762,34 @@ def test_retrieval_eval_perfect_and_empty_cases(spark):
     assert row0["mrr_micro"] == 0
     assert row0["idcg_nano"] == 0
     assert row0["ndcg_micro"] == 0
+
+
+# -- r8: prefix-filtered set-similarity join ---------------------------------
+
+
+def test_prefix_filter_join_is_lossless(tables):
+    """The PPJoin prefix-filter candidate scheme must reproduce the
+    UNPRUNED inverted-join result exactly (the prefix lemma guarantee)
+    — compare against ngram_jaccard_pairs with the stop-gram cap
+    effectively disabled and the same 0.6 threshold."""
+    from pgvector_db_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = tables["documents"]
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_inter"], r["n_union"])
+        for r in prefix_filter_jaccard_pairs(
+            docs, n=3, tau_num=3, tau_den=5
+        ).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(
+            docs, n=3, threshold=0.6, max_df=10**9
+        ).collect()
+    }
+    assert set(got) == want
+    # sanity: every verified pair really clears the integer threshold
+    assert all(5 * i >= 3 * u for i, u in got.values())
