@@ -305,3 +305,135 @@ def ks_two_sample_oracle_sql(
              AS BIGINT) AS d_micro
     FROM c CROSS JOIN n GROUP BY n.n1, n.n2
     """
+
+
+def roc_curve_points(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    neg,
+    pos,
+    deciles: int = 9,
+    partitions: int = 32,
+) -> DataFrame:
+    """Exact classifier operating points — the ROC/PR curve sampled at
+    the pooled score deciles. Treating ``group_col == pos`` as the
+    positive class and ``value_col`` as the classifier score, each
+    decile q picks the smallest score v whose pooled inclusive
+    cumulative count reaches q/10 of the sample (an integer
+    cross-multiplied rank compare — no ceil, no float rank), and the
+    confusion matrix for "predict positive when score > v" falls
+    straight out of the global cumulative counts:
+    TP = n2 − j(v), FP = n1 − i(v), TN = i(v), FN = j(v).
+
+    All counts are exact BIGINTs from the same two-pass distributed
+    machinery as KS/Mann-Whitney (``_global_cums`` — never a global
+    window over samples); the rate columns are one correctly-rounded
+    division each onto the 1e-6 grid. Returns ``deciles`` rows:
+    (q, thr, tp, fp, tn, fn, tpr_micro, fpr_micro, precision_micro).
+    """
+    cums, n1, n2 = _global_cums(
+        df, value_col, group_col, neg, pos, partitions, "roc_curve_points"
+    )
+    spark = df.sparkSession
+    qdf = spark.range(1, deciles + 1).select(
+        F.col("id").cast("int").alias("q")
+    )
+    n = n1 + n2
+    pick = (
+        qdf.crossJoin(cums.select("v", "i", "j"))
+        .filter(
+            (F.col("i") + F.col("j")) * F.lit(deciles + 1)
+            >= F.col("q") * F.lit(n)
+        )
+        .groupBy("q")
+        .agg(F.min("v").alias("thr"))
+    )
+    pts = pick.join(
+        cums.select(F.col("v").alias("thr"), "i", "j"), "thr"
+    )
+    tp = (F.lit(n2) - F.col("j")).cast("bigint")
+    fp = (F.lit(n1) - F.col("i")).cast("bigint")
+    half, mil = F.lit(0.5), F.lit(1000000.0)
+    rate = lambda num, den: F.floor(
+        num.cast("double") / den * mil + half
+    ).cast("bigint")
+    return pts.select(
+        "q",
+        "thr",
+        tp.alias("tp"),
+        fp.alias("fp"),
+        F.col("i").cast("bigint").alias("tn"),
+        F.col("j").cast("bigint").alias("fn"),
+        rate(tp, F.lit(float(n2))).alias("tpr_micro"),
+        rate(fp, F.lit(float(n1))).alias("fpr_micro"),
+        F.when(tp + fp == 0, F.lit(0))
+        .otherwise(rate(tp, (tp + fp).cast("double")))
+        .cast("bigint")
+        .alias("precision_micro"),
+    ).orderBy("q")
+
+
+def roc_points_oracle_sql(
+    value_expr: str,
+    group_expr: str,
+    neg_lit: str,
+    pos_lit: str,
+    frm: str,
+    deciles: int = 9,
+) -> str:
+    """DuckDB oracle for :func:`roc_curve_points` — plain cumulative
+    windows at audit scale, the same integer rank compare and the same
+    grid spellings."""
+    qvals = ", ".join(f"({q})" for q in range(1, deciles + 1))
+    return f"""
+    WITH s AS (
+      SELECT {value_expr} AS v,
+             CASE WHEN {group_expr} = {neg_lit} THEN 1 ELSE 2 END AS t
+      {frm} AND {group_expr} IN ({neg_lit}, {pos_lit})
+    ),
+    g AS (
+      SELECT v,
+             CAST(SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN t = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      FROM s GROUP BY v
+    ),
+    c AS (
+      SELECT v,
+             CAST(SUM(c1) OVER (ORDER BY v) AS BIGINT) AS i,
+             CAST(SUM(c2) OVER (ORDER BY v) AS BIGINT) AS j
+      FROM g
+    ),
+    n AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+      FROM g
+    ),
+    q(q) AS (VALUES {qvals}),
+    pick AS (
+      SELECT q.q, MIN(c.v) AS thr
+      FROM q CROSS JOIN n
+      JOIN c ON (c.i + c.j) * {deciles + 1} >= q.q * (n.n1 + n.n2)
+      GROUP BY q.q
+    ),
+    pts AS (
+      SELECT p.q, p.thr, n.n1, n.n2, c.i, c.j
+      FROM pick p JOIN c ON c.v = p.thr CROSS JOIN n
+    )
+    SELECT CAST(q AS INT) AS q, thr,
+           CAST(n2 - j AS BIGINT) AS tp,
+           CAST(n1 - i AS BIGINT) AS fp,
+           CAST(i AS BIGINT) AS tn,
+           CAST(j AS BIGINT) AS fn,
+           CAST(floor(CAST(n2 - j AS DOUBLE) / CAST(n2 AS DOUBLE)
+                * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             AS BIGINT) AS tpr_micro,
+           CAST(floor(CAST(n1 - i AS DOUBLE) / CAST(n1 AS DOUBLE)
+                * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             AS BIGINT) AS fpr_micro,
+           CASE WHEN (n2 - j) + (n1 - i) = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(floor(CAST(n2 - j AS DOUBLE)
+                     / CAST((n2 - j) + (n1 - i) AS DOUBLE)
+                     * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                  AS BIGINT) END AS precision_micro
+    FROM pts ORDER BY q
+    """

@@ -10775,6 +10775,36 @@ def rel_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_two_sample(t["events"], "value", "event_type", "click", "purchase")
 
 
+def _roc_oracle() -> str:
+    from pgvector_db_spark.operators.stats import roc_points_oracle_sql
+
+    return roc_points_oracle_sql(
+        "value", "event_type", "'click'", "'purchase'",
+        "FROM events WHERE value IS NOT NULL",
+    )
+
+
+@register(
+    "rel_roc_curve_points",
+    _roc_oracle(),
+    tags=("relational", "statistics", "classifier", "evaluation"),
+)
+def rel_roc_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC/PR operating points at the pooled score deciles
+    (click = negative, purchase = positive, value = score): per-decile
+    threshold picked by integer cross-multiplied rank compare, the
+    confusion matrix read straight off the global cumulative counts —
+    TP/FP/TN/FN exact BIGINTs on the same two-pass distributed
+    machinery as KS/Mann-Whitney (operators/stats.py
+    roc_curve_points), rates on the 1e-6 grid."""
+    from pgvector_db_spark.operators.stats import roc_curve_points
+
+    t = load_tables(spark, sf_dir)
+    return roc_curve_points(
+        t["events"], "value", "event_type", "click", "purchase"
+    )
+
+
 # Streaming Markov transitions (streaming/stateful.py event_transitions):
 # the per-user lag() reconstructed across micro-batch boundaries with
 # one (last event) state triple per user. The replay is staged in EVENT

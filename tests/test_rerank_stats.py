@@ -395,3 +395,65 @@ def test_pca_moments_fold_associative(spark):
     h2 = pca_moments(emb.filter("vec_id % 2 = 1")).head()
     for c in whole.asDict():
         assert int(whole[c]) == int(h1[c]) + int(h2[c]), c
+
+
+def test_roc_points_match_brute_force(spark):
+    """Brute-force recompute of every decile operating point: same
+    threshold pick (smallest v with 10*(i+j) >= q*n), same predict-
+    positive-above-threshold confusion counts."""
+    import math
+    import random
+
+    from pgvector_db_spark.operators.stats import roc_curve_points
+
+    rng = random.Random(11)
+    rows = [
+        (float(rng.randint(0, 30)) / 3.0, "neg" if i % 3 else "pos")
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "value double, grp string")
+    got = {
+        r["q"]: r.asDict()
+        for r in roc_curve_points(
+            df, "value", "grp", "neg", "pos", partitions=8
+        ).collect()
+    }
+    neg = sorted(v for v, g in rows if g == "neg")
+    pos = sorted(v for v, g in rows if g == "pos")
+    n1, n2, n = len(neg), len(pos), len(rows)
+    vals = sorted(set(neg + pos))
+    for q in range(1, 10):
+        thr = next(
+            v
+            for v in vals
+            if 10
+            * (
+                sum(1 for x in neg if x <= v)
+                + sum(1 for x in pos if x <= v)
+            )
+            >= q * n
+        )
+        i = sum(1 for x in neg if x <= thr)
+        j = sum(1 for x in pos if x <= thr)
+        tp, fp, tn, fn = n2 - j, n1 - i, i, j
+        g = got[q]
+        assert (g["thr"], g["tp"], g["fp"], g["tn"], g["fn"]) == (
+            thr,
+            tp,
+            fp,
+            tn,
+            fn,
+        ), q
+        assert g["tpr_micro"] == int(
+            math.floor(tp / float(n2) * 1e6 + 0.5)
+        )
+    # curve invariants: thresholds rise, tpr/fpr fall, totals conserved
+    qs = sorted(got)
+    thrs = [got[q]["thr"] for q in qs]
+    assert thrs == sorted(thrs)
+    tprs = [got[q]["tpr_micro"] for q in qs]
+    fprs = [got[q]["fpr_micro"] for q in qs]
+    assert tprs == sorted(tprs, reverse=True)
+    assert fprs == sorted(fprs, reverse=True)
+    assert all(got[q]["tp"] + got[q]["fn"] == n2 for q in qs)
+    assert all(got[q]["fp"] + got[q]["tn"] == n1 for q in qs)
