@@ -12384,6 +12384,186 @@ def stream_drift_binned_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# Streaming classifier-quality monitor — the online twin of
+# rel_roc_curve_points: a fixed decision rule (score > 50 predicts
+# 'purchase') is evaluated against ground truth as events arrive; the
+# state is the 2x2 confusion matrix (FOUR BIGINT cells — constant in
+# stream length), folded additively per micro-batch under the last_bid
+# replay guard. Drained counts give precision/recall/F1/accuracy as
+# single correctly-rounded divisions of exact integers. At 100 TB each
+# micro-batch contributes one map-side grouped count of <= 4 rows.
+_CONF_THR = 50.0
+
+
+@register(
+    "stream_confusion_monitor",
+    f"""
+    WITH s AS (
+      SELECT CASE WHEN value > CAST('{_CONF_THR!r}' AS DOUBLE)
+                  THEN 1 ELSE 0 END AS pred,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS actual
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+    ),
+    m AS (
+      SELECT CAST(SUM(pred * actual) AS BIGINT) AS tp,
+             CAST(SUM(pred * (1 - actual)) AS BIGINT) AS fp,
+             CAST(SUM((1 - pred) * (1 - actual)) AS BIGINT) AS tn,
+             CAST(SUM((1 - pred) * actual) AS BIGINT) AS fn
+      FROM s
+    )
+    SELECT tp, fp, tn, fn,
+           CASE WHEN tp + fp = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(floor(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+                     * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                  AS BIGINT) END AS precision_micro,
+           CASE WHEN tp + fn = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(floor(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+                     * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                  AS BIGINT) END AS recall_micro,
+           CASE WHEN 2 * tp + fp + fn = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(floor(CAST(2 * tp AS DOUBLE)
+                     / CAST(2 * tp + fp + fn AS DOUBLE)
+                     * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                  AS BIGINT) END AS f1_micro,
+           CAST(floor(CAST(tp + tn AS DOUBLE)
+                / CAST(tp + fp + tn + fn AS DOUBLE)
+                * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             AS BIGINT) AS accuracy_micro
+    FROM m
+    """,
+    tags=("streaming", "statistics", "classifier", "evaluation"),
+)
+def stream_confusion_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online classifier evaluation (module comment above): 4 real
+    micro-batches fold (pred, actual) counts into a 4-cell state with
+    exactly-once replay protection; the drained matrix must equal the
+    batch confusion matrix bit-for-bit — which is what the oracle
+    computes over the whole table."""
+    import shutil
+    import tempfile
+
+    from pgvector_db_spark.catalog import table_path
+    from pgvector_db_spark.sources.table import ParquetTable
+    from pgvector_db_spark.streaming.replay import (
+        file_stream,
+        stage_replay_splits,
+    )
+
+    tag = _fixture_tag(sf_dir)
+    ev_path = table_path(sf_dir, "events")
+    replay_dir = os.path.join(
+        tempfile.gettempdir(), f"events_replay4conf_{tag}"
+    )
+    stage_replay_splits(spark, ev_path, replay_dir, n_files=4)
+    schema = spark.read.parquet(ev_path).schema
+    src = (
+        file_stream(spark, replay_dir, schema, max_files_per_trigger=1)
+        .filter(
+            "value IS NOT NULL AND event_type IN ('click', 'purchase')"
+        )
+    )
+    pred = (F.col("value") > F.lit(_CONF_THR)).cast("int")
+    actual = (F.col("event_type") == "purchase").cast("int")
+
+    tmp = tempfile.mkdtemp(prefix="conf_mon_")
+    try:
+        table = ParquetTable(spark, f"{tmp}/conf")
+
+        def fold(batch: DataFrame, _bid: int) -> None:
+            part = (
+                batch.select(pred.alias("pred"), actual.alias("actual"))
+                .groupBy("pred", "actual")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+                .withColumn("last_bid", F.lit(_bid).cast("bigint"))
+            )
+            if not table.exists():
+                part.write.mode("errorifexists").parquet(table.path)
+                return
+            state = table.read()
+            prev = state.agg(F.max("last_bid")).head()[0]
+            if prev is not None and prev >= _bid:
+                return
+            merged = (
+                state.unionByName(part)
+                .groupBy("pred", "actual")
+                .agg(
+                    F.sum("cnt").alias("cnt"),
+                    F.max("last_bid").alias("last_bid"),
+                )
+            )
+            table._swap_in(merged)
+
+        q = (
+            src.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        ev = load_tables(spark, sf_dir)["events"]
+        # exactly-once proof: folded mass equals the static filtered count
+        folded = int((table.read().agg(F.sum("cnt")).head()[0]) or 0)
+        want = ev.filter(
+            "value IS NOT NULL AND event_type IN ('click', 'purchase')"
+        ).count()
+        _require(
+            folded == want,
+            f"confusion state lost/duplicated rows: folded {folded}, "
+            f"static filtered count is {want}",
+        )
+        cells = table.read()
+        cell = lambda p, a: F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("pred") == p) & (F.col("actual") == a),
+                    F.col("cnt"),
+                )
+            ),
+            F.lit(0),
+        ).cast("bigint")
+        m = cells.agg(
+            cell(1, 1).alias("tp"),
+            cell(1, 0).alias("fp"),
+            cell(0, 0).alias("tn"),
+            cell(0, 1).alias("fn"),
+        )
+        half, mil = F.lit(0.5), F.lit(1000000.0)
+        ratio = lambda num, den: F.floor(
+            num.cast("double") / den.cast("double") * mil + half
+        ).cast("bigint")
+        guarded = lambda num, den: (
+            F.when(den == 0, F.lit(0))
+            .otherwise(ratio(num, den))
+            .cast("bigint")
+        )
+        out = m.select(
+            "tp",
+            "fp",
+            "tn",
+            "fn",
+            guarded(F.col("tp"), F.col("tp") + F.col("fp")).alias(
+                "precision_micro"
+            ),
+            guarded(F.col("tp"), F.col("tp") + F.col("fn")).alias(
+                "recall_micro"
+            ),
+            guarded(
+                F.lit(2) * F.col("tp"),
+                F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn"),
+            ).alias("f1_micro"),
+            ratio(
+                F.col("tp") + F.col("tn"),
+                F.col("tp") + F.col("fp") + F.col("tn") + F.col("fn"),
+            ).alias("accuracy_micro"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # Streaming weighted reservoir: the A-ES sample is a mergeable top-k
 # (largest ln(u)/w keys), so folding per-micro-batch top-20s into a
 # 20-row state table yields EXACTLY the batch sample — the oracle is the
