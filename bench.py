@@ -203,6 +203,10 @@ def derived_metrics(spark, sf_dir: str, timings: dict[str, float]) -> dict[str, 
         ("vs_pca_power_projection", "pca_projection_ms"),
         ("stream_pca_update", "stream_pca_ms"),
         ("stream_drift_binned_ks", "stream_drift_ms"),
+        ("ds_retrieval_eval_metrics", "retrieval_eval_ms"),
+        ("ds_naive_bayes_langid", "naive_bayes_ms"),
+        ("ds_prefix_filter_jaccard_join", "prefix_filter_join_ms"),
+        ("rel_roc_curve_points", "roc_points_ms"),
     ):
         if name in REGISTRY:
             _try(lambda n=name, k=key: out.__setitem__(

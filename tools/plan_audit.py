@@ -68,6 +68,19 @@ AUDITED = [
     "vs_cross_encoder_rerank",
     # r8: chi2 — one fact-sized grouped count, then bounded-cell windows
     "rel_chi2_independence",
+    # r8: Naive Bayes — one tokenize fanned into model-bounded grouped
+    # counts (map-side partials) + the |C|-way per-doc scoring join;
+    # the argmax window must be doc_id-PARTITIONED, never global
+    "ds_naive_bayes_langid",
+    # r8: IR eval — the BM25 scan stages plus ONE extra map-side label
+    # pass; everything after must be <= k-row / 1-row broadcast joins
+    "ds_retrieval_eval_metrics",
+    # NOT rel_roc_curve_points: built on stats._global_cums (the same
+    # localCheckpoint barrier as KS/MW — shape in docs/SCALE_AUDIT.md).
+    # NOT ds_prefix_filter_jaccard_join: returns via the shared
+    # _materialize_and_release localCheckpoint (the ngram-pairs class).
+    # NOT stream_confusion_monitor: collect/createDataFrame over the
+    # drained 4-cell state (the stream_kmeans_update class).
     # NOT rel_ks_two_sample / rel_mann_whitney_u: their two-pass prefix
     # sum localCheckpoints the cum frame mid-build (the dsir class), so
     # the captured tail would be an agg over ExistingRDD — the range
