@@ -5065,6 +5065,134 @@ _sql_query(
 )
 
 
+# T5-style span-corruption planning (Raffel et al. 2020): decide which
+# token positions to mask with a DETERMINISTIC per-(doc, position) hash
+# gate (~15%), then count contiguous masked runs — the span structure
+# the denoising objective's sentinel tokens replace. The pipeline-side
+# value is the masking PLAN and its audit statistics (mask ratio, span
+# count, mean span length), computed without materializing corrupted
+# text. Runs/islands come from a lag window PARTITIONED by doc_id
+# (per-doc bounded, never global); everything aggregates to one row.
+# At 100 TB: one tokenize pass; the only shuffle is the per-doc window
+# exchange on doc_id.
+def _span_corruption_sql(dialect: str) -> str:
+    if dialect == "spark":
+        toks = """SELECT doc_id, pos + 1 AS pos, term FROM (
+        SELECT doc_id, posexplode(split(trim(text), '\\\\s+')) AS (pos, term)
+        FROM documents)"""
+        h = (
+            "CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':', "
+            "CAST(pos AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+        )
+    else:
+        hexpr = _duck_hex8(
+            "md5(CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR))"
+        )
+        toks = f"""SELECT doc_id, CAST(s.pos AS BIGINT) AS pos,
+             s.term AS term FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w) + 1),
+                      i -> {{'pos': i, 'term': w[i]}})) AS s
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+              FROM documents))"""
+        h = hexpr
+    return f"""
+    WITH toks AS (
+      {toks}
+    ),
+    marked AS (
+      SELECT doc_id, pos,
+             CASE WHEN {h} % 100 < 15 THEN 1 ELSE 0 END AS m
+      FROM toks
+    ),
+    runs AS (
+      SELECT doc_id, pos, m,
+             LAG(m) OVER (PARTITION BY doc_id ORDER BY pos) AS pm
+      FROM marked
+    ),
+    perdoc AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tok_d,
+             CAST(SUM(m) AS BIGINT) AS n_masked_d,
+             CAST(SUM(CASE WHEN m = 1 AND (pm IS NULL OR pm = 0)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_spans_d
+      FROM runs GROUP BY doc_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok_d) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_masked_d) AS BIGINT) AS n_masked,
+           CAST(SUM(n_spans_d) AS BIGINT) AS n_spans,
+           CAST(floor(CAST(SUM(n_masked_d) AS DOUBLE)
+                / CAST(SUM(n_tok_d) AS DOUBLE)
+                * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             AS BIGINT) AS mask_ratio_micro,
+           CASE WHEN SUM(n_spans_d) = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(floor(CAST(SUM(n_masked_d) AS DOUBLE)
+                     / CAST(SUM(n_spans_d) AS DOUBLE)
+                     * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                  AS BIGINT) END AS avg_span_len_micro
+    FROM perdoc
+    """
+
+
+_sql_query(
+    "ds_span_corruption_plan",
+    _span_corruption_sql("spark"),
+    _span_corruption_sql("duckdb"),
+    tags=("dataset", "corpus", "masking"),
+)
+
+
+# Length-bucketed batching report — the OTHER production sequence-
+# batching strategy next to first-fit packing (ds_pack_sequences):
+# round every document up to its power-of-two token-length bucket and
+# audit the padding economics per bucket (docs, real tokens, padding
+# tokens, utilization). The bucket is computed by PURE INTEGER bit
+# arithmetic — ceil_pow2(n) = 1 << (bitlen(n-1)) via the same
+# comparison-ladder bit-length the detmath ln tree uses (no log2
+# float knife edge). Map-only per-doc lengths, then a grouped count
+# over ~log2(max_len) buckets with map-side partials — nothing else.
+def _length_bucket_sql(dialect: str) -> str:
+    from pgvector_db_spark.functions.detmath import bitlen_minus1_sql
+
+    if dialect == "spark":
+        nlen = "size(split(trim(text), '\\\\s+'))"
+        shift = f"shiftleft(CAST(1 AS BIGINT), {bitlen_minus1_sql('n_tok - 1', 'spark')} + 1)"
+    else:
+        nlen = "len(regexp_split_to_array(trim(text), '\\s+'))"
+        shift = f"(CAST(1 AS BIGINT) << ({bitlen_minus1_sql('n_tok - 1', 'duckdb')} + 1))"
+    return f"""
+    WITH lens AS (
+      SELECT doc_id, CAST({nlen} AS BIGINT) AS n_tok FROM documents
+    ),
+    bucketed AS (
+      SELECT doc_id, n_tok,
+             CASE WHEN n_tok <= 1 THEN CAST(1 AS BIGINT)
+                  ELSE CAST({shift} AS BIGINT) END AS bucket
+      FROM lens
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS real_tokens,
+           CAST(SUM(bucket - n_tok) AS BIGINT) AS padding_tokens,
+           CAST(floor(CAST(SUM(n_tok) AS DOUBLE)
+                / (CAST(COUNT(*) AS DOUBLE) * CAST(bucket AS DOUBLE))
+                * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             AS BIGINT) AS utilization_micro
+    FROM bucketed
+    GROUP BY bucket
+    ORDER BY bucket
+    """
+
+
+_sql_query(
+    "ds_length_bucket_padding_report",
+    _length_bucket_sql("spark"),
+    _length_bucket_sql("duckdb"),
+    tags=("dataset", "corpus", "batching"),
+)
+
+
 @register(
     "ds_predict_batch_udf",
     """
