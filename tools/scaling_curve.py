@@ -60,6 +60,14 @@ HEAVY = {
     "rel_ks_two_sample",
     "rel_chi2_independence",
     "ds_bpe_train_merges",
+    # r8 end-of-round additions: all documents/events-bound (make_sf1
+    # scales both), so the extra decade is meaningful for each
+    "ds_naive_bayes_langid",
+    "ds_retrieval_eval_metrics",
+    "ds_prefix_filter_jaccard_join",
+    "rel_roc_curve_points",
+    "ds_span_corruption_plan",
+    "ds_length_bucket_padding_report",
 }
 
 # one representative per major operator family
@@ -86,6 +94,12 @@ QUERIES = [
     "rel_chi2_independence",      # fact-sized count + bounded cells (r8)
     "ds_bpe_train_merges",        # 4x (pair count + HOF re-encode) (r8)
     "vs_pca_power_projection",    # 1 agg pass + 1 projection pass (r8)
+    "ds_naive_bayes_langid",      # model-bounded ln + |C|-way scoring (r8)
+    "ds_retrieval_eval_metrics",  # BM25 passes + label pass + k-row tails (r8)
+    "ds_prefix_filter_jaccard_join",  # lossless prefix-filtered join (r8)
+    "rel_roc_curve_points",       # decile confusion over two-pass cums (r8)
+    "ds_span_corruption_plan",    # hash-gated masking + doc-run windows (r8)
+    "ds_length_bucket_padding_report",  # map-only lengths + tiny agg (r8)
 ]
 
 
