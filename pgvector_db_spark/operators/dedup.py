@@ -284,6 +284,129 @@ def substring_dup_stats(
     )
 
 
+def substring_span_removal(
+    docs: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Exact-substring dedup as a TRANSFORM (the removal step of Lee et
+    al. 2022, not just the report ``substring_dup_stats`` emits): delete
+    every word-``n``-gram span that also occurs in at least one other
+    document, merge overlapping/adjacent spans, and rebuild the cleaned
+    text per document.
+
+    Scale shape (100 TB): shingle text is hashed the moment it is formed
+    — every exchange after the scan moves (id, position, hash) triples,
+    never text. The duplicate-start set comes from one groupBy(hash)
+    document-frequency pass joined back on the 8-byte hash; span
+    merging is a per-document window over that document's duplicate
+    starts (bounded by document length, never a global window); the
+    cleaned text is rebuilt map-side with array HOFs from the covered-
+    position set carried as one small array per document.
+    ``hash_fn='md5_16'`` is the cross-engine oracle mode.
+
+    Returns (id_col, n_tokens, n_removed, n_spans, cleaned_hash8) —
+    ``n_removed`` counts deleted token positions, ``n_spans`` the merged
+    removal spans (starts closer than ``n`` coalesce), ``cleaned_hash8``
+    an md5 prefix of the space-rejoined surviving tokens (empty string
+    when the whole document is boilerplate).
+    """
+    from pyspark.sql.window import Window
+
+    toks = tokens(F.col(text_col))
+    base = docs.select(F.col(id_col), toks.alias("_toks")).filter(
+        F.size("_toks") >= n
+    )
+    # (start, shingle) pairs, 1-based starts; hash immediately
+    pairs = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
+            lambda i: F.struct(
+                i.alias("i"),
+                F.array_join(F.slice("_toks", i, n), " ").alias("sh"),
+            ),
+        )
+    ).alias("_p")
+    if hash_fn == "xxhash64":
+        h = F.xxhash64(F.col("_p.sh"))
+    elif hash_fn == "md5_16":
+        h = F.substring(F.md5(F.col("_p.sh")), 1, 16)
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn}")
+    hashed = base.select(id_col, pairs).select(
+        id_col, F.col("_p.i").alias("_i"), h.alias("_h")
+    )
+    dup_hashes = (
+        hashed.groupBy("_h")
+        .agg(F.countDistinct(id_col).alias("_dw"))
+        .filter(F.col("_dw") >= 2)
+        .select("_h")
+    )
+    dup = (
+        hashed.join(dup_hashes, "_h")
+        .select(id_col, "_i")
+        .distinct()
+    )
+    # merged spans: a duplicate start opens a new span iff it begins
+    # beyond the previous start's reach (same-width intervals → the
+    # running max end is simply lag(start) + n - 1; adjacency merges)
+    w = Window.partitionBy(id_col).orderBy("_i")
+    spans = (
+        dup.withColumn("_lg", F.lag("_i").over(w))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("_lg").isNull() | (F.col("_i") > F.col("_lg") + n),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_spans")
+        )
+    )
+    cov = (
+        dup.select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("_i"), F.col("_i") + (n - 1))
+            ).alias("_cp"),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(
+            F.collect_set("_cp").alias("_cov"),
+            F.count("*").cast("bigint").alias("n_removed"),
+        )
+    )
+    joined = base.join(cov, id_col, "left").join(spans, id_col, "left")
+    cov_arr = F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.size("_toks")),
+            lambda p: F.when(
+                ~F.array_contains(cov_arr, p), F.element_at("_toks", p)
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return joined.select(
+        id_col,
+        F.size("_toks").cast("bigint").alias("n_tokens"),
+        F.coalesce(F.col("n_removed"), F.lit(0).cast("bigint")).alias(
+            "n_removed"
+        ),
+        F.coalesce(F.col("n_spans"), F.lit(0).cast("bigint")).alias(
+            "n_spans"
+        ),
+        F.substring(F.md5(F.array_join(kept, " ")), 1, 8).alias(
+            "cleaned_hash8"
+        ),
+    )
+
+
 def contamination_overlap(
     train: DataFrame,
     eval_df: DataFrame,

@@ -12771,6 +12771,88 @@ def stream_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# --- Exact-substring span REMOVAL (the Lee et al. 2022 transform; the
+# registry already reports the signal via ds_substring_dup_rate, this is
+# the dedup that acts on it). All exchanges move (id, pos, hash) triples;
+# span merge is a per-document window; text is rebuilt map-side with
+# array HOFs. Gate runs the cross-engine md5_16 hash mode; tests pin the
+# xxhash64 at-scale mode produces identical output.
+@register(
+    "ds_substring_span_removal",
+    """
+    WITH b AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents
+      WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 5
+    ),
+    st AS (
+      SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i FROM b
+    ),
+    s AS (
+      SELECT doc_id, i,
+             substr(md5(array_to_string(toks[i : i + 4], ' ')), 1, 16) AS h
+      FROM st
+    ),
+    df AS (
+      SELECT h FROM (
+        SELECT h, COUNT(DISTINCT doc_id) AS dw FROM s GROUP BY h
+      ) WHERE dw >= 2
+    ),
+    dup AS (SELECT DISTINCT s.doc_id, s.i FROM s JOIN df USING (h)),
+    isl AS (
+      SELECT doc_id, i,
+             lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS lg
+      FROM dup
+    ),
+    spans AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN lg IS NULL OR i > lg + 5 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_spans
+      FROM isl GROUP BY doc_id
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, unnest(range(i, i + 5)) AS p FROM dup
+    ),
+    rem AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_removed
+      FROM cov GROUP BY doc_id
+    ),
+    pos AS (
+      SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS p FROM b
+    ),
+    kept AS (
+      SELECT pos.doc_id, pos.p, pos.toks[pos.p] AS tok
+      FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+      WHERE cov.p IS NULL
+    ),
+    cln AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS cleaned
+      FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(len(b.toks) AS BIGINT) AS n_tokens,
+           COALESCE(r.n_removed, CAST(0 AS BIGINT)) AS n_removed,
+           COALESCE(sp.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+           substr(md5(COALESCE(c.cleaned, '')), 1, 8) AS cleaned_hash8
+    FROM b
+    LEFT JOIN rem r USING (doc_id)
+    LEFT JOIN spans sp USING (doc_id)
+    LEFT JOIN cln c USING (doc_id)
+    """,
+    tags=("dataset", "dedup", "substring"),
+)
+def ds_substring_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup transform (operators/dedup.
+    substring_span_removal): delete every cross-document word-5-gram
+    span, merge overlapping spans, rebuild cleaned text; per-doc output
+    is (token count, removed count, merged span count, cleaned-text md5
+    prefix). The reporting twin is ds_substring_dup_rate."""
+    from pgvector_db_spark.operators.dedup import substring_span_removal
+
+    t = load_tables(spark, sf_dir)
+    return substring_span_removal(t["documents"], n=5, hash_fn="md5_16")
+
+
 def _interleaved_names() -> list[str]:
     """Registry names round-robin-interleaved across query families
     (vs_/rel_/ds_/stream_): every query is self-contained, so ordering is

@@ -793,3 +793,77 @@ def test_prefix_filter_join_is_lossless(tables):
     assert set(got) == want
     # sanity: every verified pair really clears the integer threshold
     assert all(5 * i >= 3 * u for i, u in got.values())
+
+
+# -- r8: exact-substring span REMOVAL ----------------------------------------
+
+
+def test_substring_span_removal_semantics(spark):
+    """Hand-checkable corpus: overlapping cross-doc spans merge into one
+    removal span, disjoint spans stay separate, a fully-duplicated doc
+    cleans to the empty string, within-doc-only repeats are NOT removed
+    (document frequency, not occurrence count, drives removal)."""
+    import hashlib
+
+    from pgvector_db_spark.operators.dedup import substring_span_removal
+
+    docs = spark.createDataFrame(
+        [
+            (1, "z1 a b c d e f z2 z3 z4"),
+            (2, "a b c d e f q1 q2 q3 q4"),
+            (3, "m1 m2 m3 m4 m5"),
+            (4, "m1 m2 m3 m4 m5"),
+            (5, "u1 u2 u3 u4 u5 u6"),
+            (6, "a b c d e k1 k2 k3 k4 k5 k6 m1 m2 m3 m4 m5"),
+            (7, "r1 r2 r3 r4 r5 r1 r2 r3 r4 r5"),
+        ],
+        "doc_id bigint, text string",
+    )
+
+    def h8(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()[:8]
+
+    rows = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["n_removed"],
+            r["n_spans"],
+            r["cleaned_hash8"],
+        )
+        for r in substring_span_removal(docs, n=5).collect()
+    }
+    # docs 1/2 share "a b c d e" and "b c d e f": two overlapping starts
+    # merge into ONE span covering 6 tokens
+    assert rows[1] == (10, 6, 1, h8("z1 z2 z3 z4"))
+    assert rows[2] == (10, 6, 1, h8("q1 q2 q3 q4"))
+    # exact duplicate pair: everything removed, cleaned text empty
+    assert rows[3] == (5, 5, 1, h8(""))
+    assert rows[4] == (5, 5, 1, h8(""))
+    # unique doc: untouched
+    assert rows[5] == (6, 0, 0, h8("u1 u2 u3 u4 u5 u6"))
+    # two DISJOINT shared spans (head 1-5, tail 12-16): two spans
+    assert rows[6] == (16, 10, 2, h8("k1 k2 k3 k4 k5 k6"))
+    # "r1..r5" repeats only WITHIN doc 7 -> document frequency 1 -> kept
+    assert rows[7] == (10, 0, 0, h8("r1 r2 r3 r4 r5 r1 r2 r3 r4 r5"))
+
+
+def test_substring_span_removal_hash_modes_agree(tables):
+    """The at-scale xxhash64 mode must reproduce the md5_16 oracle-mode
+    output exactly on the fixture corpus (hashes only bucket shingles)."""
+    from pgvector_db_spark.operators.dedup import substring_span_removal
+
+    docs = tables["documents"]
+    fast = sorted(
+        map(
+            tuple,
+            substring_span_removal(docs, n=5, hash_fn="xxhash64").collect(),
+        )
+    )
+    oracle_mode = sorted(
+        map(
+            tuple,
+            substring_span_removal(docs, n=5, hash_fn="md5_16").collect(),
+        )
+    )
+    assert fast == oracle_mode
+    assert len(fast) > 0
