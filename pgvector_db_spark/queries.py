@@ -12853,6 +12853,119 @@ def ds_substring_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_span_removal(t["documents"], n=5, hash_fn="md5_16")
 
 
+# --- k-center coreset selection (farthest-point sampling) ------------------
+# Gonzalez's 2-approximation for the k-center objective — the classic
+# coreset / diversity-pruning selector a training-data pipeline uses to
+# pick maximally-spread exemplars from an embedding pool. K bounded
+# driver iterations; each is ONE distributed pass (TakeOrderedAndProject
+# argmax, no global sort) updating a running min-distance column against
+# the newest center carried as a plan literal — at 100 TB the loop ships
+# K×dim doubles through the driver, never rows. Exactness: the fold-order
+# squared-L2 kernel (l2sq_sql) is bitwise cross-engine; selection orders
+# by (md DESC, vec_id ASC); radii land on the 1e-6 grid.
+
+_KCENTER_K = 8
+
+
+def _kcenter_oracle(dialect: str = "duckdb") -> str:
+    """Unrolled farthest-point chain: d0 = distances to the vec_id=0
+    seed; p_k = argmax row; d_k = least(d_{k-1}, dist to p_k).
+    MATERIALIZED pins DuckDB to linear evaluation of the chain (each
+    d_k is referenced twice: by p_{k+1} and d_{k+1})."""
+    from pgvector_db_spark.functions.vector import l2sq_sql
+
+    mat = "MATERIALIZED " if dialect == "duckdb" else ""
+    parts = [
+        f"""WITH d0 AS {mat}(
+      SELECT e.vec_id, e.embedding,
+             {l2sq_sql('e.embedding', 'q.qe', dialect)} AS md
+      FROM embeddings e,
+           (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+    )"""
+    ]
+    for k in range(1, _KCENTER_K):
+        parts.append(
+            f"""p{k} AS {mat}(
+      SELECT vec_id, embedding, md FROM d{k - 1}
+      ORDER BY md DESC, vec_id ASC LIMIT 1
+    )"""
+        )
+        if k < _KCENTER_K - 1:
+            parts.append(
+                f"""d{k} AS {mat}(
+      SELECT d.vec_id, d.embedding,
+             least(d.md, {l2sq_sql('d.embedding', 'p.embedding', dialect)})
+               AS md
+      FROM d{k - 1} d, p{k} p
+    )"""
+            )
+    selects = [
+        "SELECT CAST(0 AS BIGINT) AS step, CAST(vec_id AS BIGINT) AS vec_id,"
+        " CAST(0 AS BIGINT) AS radius_micro"
+        " FROM embeddings WHERE vec_id = 0"
+    ]
+    for k in range(1, _KCENTER_K):
+        selects.append(
+            f"SELECT CAST({k} AS BIGINT), CAST(vec_id AS BIGINT),"
+            f" CAST(floor(md * 1e6 + 0.5) AS BIGINT) FROM p{k}"
+        )
+    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register(
+    "vs_kcenter_coreset",
+    _kcenter_oracle("duckdb"),
+    tags=("vector", "coreset", "sampling"),
+)
+def vs_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Farthest-point-sampling coreset over the embeddings table
+    (seed = vec_id 0, K=8): at each step the point farthest from its
+    nearest already-chosen center joins the coreset; the reported
+    radius_micro is the k-center objective value that selection
+    removed. The oracle evaluates the identical chain as unrolled
+    MATERIALIZED CTEs."""
+    import math as _math
+
+    from pgvector_db_spark.functions.vector import (
+        l2sq_sql,
+        vector_literal_sql,
+    )
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"].select("vec_id", "embedding")
+    seed = emb.filter("vec_id = 0").first()
+    _require(seed is not None, "kcenter: seed vec_id=0 missing")
+    rows = [(0, int(seed["vec_id"]), 0)]
+    seed_lit = vector_literal_sql(
+        [float(v) for v in seed["embedding"]], "spark"
+    )
+    cur = emb.withColumn(
+        "md", F.expr(l2sq_sql("embedding", seed_lit, "spark"))
+    )
+    for step in range(1, _KCENTER_K):
+        # flatten lineage so each pick is one pass, not a re-derivation
+        cur = cur.localCheckpoint(eager=True)
+        far = (
+            cur.orderBy(F.col("md").desc(), F.col("vec_id").asc())
+            .select("vec_id", "md", "embedding")
+            .first()
+        )
+        # same IEEE op sequence as the SQL grid: md*1e6 -> +0.5 -> floor
+        rows.append(
+            (step, int(far["vec_id"]), int(_math.floor(far["md"] * 1e6 + 0.5)))
+        )
+        lit = vector_literal_sql(
+            [float(v) for v in far["embedding"]], "spark"
+        )
+        cur = cur.withColumn(
+            "md",
+            F.least(F.col("md"), F.expr(l2sq_sql("embedding", lit, "spark"))),
+        )
+    return spark.createDataFrame(
+        rows, "step bigint, vec_id bigint, radius_micro bigint"
+    )
+
+
 def _interleaved_names() -> list[str]:
     """Registry names round-robin-interleaved across query families
     (vs_/rel_/ds_/stream_): every query is self-contained, so ordering is

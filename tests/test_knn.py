@@ -260,3 +260,50 @@ def test_lsh_batch_distributed_equals_driver(spark, tables, tmp_path):
         )
     )
     assert drv == dist
+
+
+def test_kcenter_coreset_matches_pure_python(spark):
+    """Farthest-point sampling must equal a pure-Python greedy recompute
+    over the same embeddings — same IEEE op order (sequential squared-L2
+    fold, least() chaining), argmax ties broken by vec_id ASC."""
+    import math
+
+    from pgvector_db_spark.queries import _KCENTER_K, REGISTRY
+    from tests.conftest import SF_DIR
+
+    got = [
+        (r["step"], r["vec_id"], r["radius_micro"])
+        for r in sorted(
+            REGISTRY["vs_kcenter_coreset"].spark_fn(spark, SF_DIR).collect(),
+            key=lambda r: r["step"],
+        )
+    ]
+
+    from pgvector_db_spark.catalog import load_tables
+
+    pts = {
+        int(r["vec_id"]): [float(v) for v in r["embedding"]]
+        for r in load_tables(spark, SF_DIR)["embeddings"]
+        .select("vec_id", "embedding")
+        .collect()
+    }
+
+    def l2sq(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    md = {vid: l2sq(vec, pts[0]) for vid, vec in pts.items()}
+    want = [(0, 0, 0)]
+    for step in range(1, _KCENTER_K):
+        far = max(md, key=lambda vid: (md[vid], -vid))
+        want.append((step, far, int(math.floor(md[far] * 1e6 + 0.5))))
+        for vid, vec in pts.items():
+            d = l2sq(vec, pts[far])
+            if d < md[vid]:
+                md[vid] = d
+    assert got == want
+    # coreset radii are non-increasing (greedy k-center invariant)
+    radii = [r for _, _, r in got[1:]]
+    assert radii == sorted(radii, reverse=True)
