@@ -12966,6 +12966,82 @@ def vs_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Welch's t-test (unequal-variance two-sample mean test) -----------------
+# Completes the registry's hypothesis-test family (KS, Mann-Whitney,
+# chi-square): group moments are EXACT integer sums on the cent grid
+# (events.value carries 2 decimals), so n·q − s² is an exact BIGINT and
+# every downstream double (means, Welch variance, t, the
+# Welch–Satterthwaite df) is one deterministic op sequence from exact
+# integers — bitwise cross-engine with a single dialect-neutral SQL
+# body. At 100 TB: one map-side-combined groupBy over two keys; the
+# test statistic folds from a 2-row frame.
+_WELCH_SQL = """
+    WITH v AS (
+      SELECT event_type,
+             CAST(floor(value * CAST(100.0 AS DOUBLE)
+                        + CAST(0.5 AS DOUBLE)) AS BIGINT) AS vc
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(vc) AS BIGINT) AS s,
+             CAST(SUM(vc * vc) AS BIGINT) AS q
+      FROM v GROUP BY event_type
+    ),
+    w AS (
+      SELECT CAST(MAX(CASE WHEN event_type = 'click' THEN n END) AS BIGINT) AS n1,
+             CAST(MAX(CASE WHEN event_type = 'click' THEN s END) AS BIGINT) AS s1,
+             CAST(MAX(CASE WHEN event_type = 'click' THEN q END) AS BIGINT) AS q1,
+             CAST(MAX(CASE WHEN event_type = 'purchase' THEN n END) AS BIGINT) AS n2,
+             CAST(MAX(CASE WHEN event_type = 'purchase' THEN s END) AS BIGINT) AS s2,
+             CAST(MAX(CASE WHEN event_type = 'purchase' THEN q END) AS BIGINT) AS q2
+      FROM g
+    ),
+    m AS (
+      SELECT n1, n2,
+             CAST(s1 AS DOUBLE)
+               / (CAST(n1 AS DOUBLE) * CAST(100.0 AS DOUBLE)) AS m1,
+             CAST(s2 AS DOUBLE)
+               / (CAST(n2 AS DOUBLE) * CAST(100.0 AS DOUBLE)) AS m2,
+             CAST(n1 * q1 - s1 * s1 AS DOUBLE)
+               / (CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE)
+                  * CAST(10000.0 AS DOUBLE)) AS var1,
+             CAST(n2 * q2 - s2 * s2 AS DOUBLE)
+               / (CAST(n2 AS DOUBLE) * CAST(n2 - 1 AS DOUBLE)
+                  * CAST(10000.0 AS DOUBLE)) AS var2
+      FROM w
+    ),
+    se AS (
+      SELECT n1, n2, m1, m2, var1, var2,
+             var1 / CAST(n1 AS DOUBLE) + var2 / CAST(n2 AS DOUBLE) AS se2
+      FROM m
+    )
+    SELECT n1, n2,
+           CAST(floor((m1 - m2) * CAST(1000000.0 AS DOUBLE)
+                      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS mean_diff_micro,
+           CAST(floor((m1 - m2) / sqrt(se2) * CAST(1000000.0 AS DOUBLE)
+                      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS t_micro,
+           CAST(floor(se2 * se2
+                      / ((var1 / CAST(n1 AS DOUBLE))
+                         * (var1 / CAST(n1 AS DOUBLE))
+                         / CAST(n1 - 1 AS DOUBLE)
+                         + (var2 / CAST(n2 AS DOUBLE))
+                           * (var2 / CAST(n2 AS DOUBLE))
+                           / CAST(n2 - 1 AS DOUBLE))
+                      * CAST(1000000.0 AS DOUBLE)
+                      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS df_micro
+    FROM se
+"""
+
+_sql_query(
+    "rel_welch_ttest",
+    _WELCH_SQL,
+    tags=("relational", "statistics", "ttest"),
+)
+
+
 def _interleaved_names() -> list[str]:
     """Registry names round-robin-interleaved across query families
     (vs_/rel_/ds_/stream_): every query is self-contained, so ordering is

@@ -457,3 +457,55 @@ def test_roc_points_match_brute_force(spark):
     assert fprs == sorted(fprs, reverse=True)
     assert all(got[q]["tp"] + got[q]["fn"] == n2 for q in qs)
     assert all(got[q]["fp"] + got[q]["tn"] == n1 for q in qs)
+
+
+def test_welch_ttest_matches_brute_force(spark):
+    """rel_welch_ttest must equal a pure-Python Welch recompute from the
+    raw values — same cent-grid integer moments, same IEEE op order for
+    mean/variance/t/df."""
+    import math
+
+    from pgvector_db_spark.catalog import load_tables
+    from pgvector_db_spark.queries import REGISTRY
+    from tests.conftest import SF_DIR
+
+    row = REGISTRY["rel_welch_ttest"].spark_fn(spark, SF_DIR).first()
+
+    vals = {
+        "click": [],
+        "purchase": [],
+    }
+    for r in (
+        load_tables(spark, SF_DIR)["events"]
+        .select("event_type", "value")
+        .where("value IS NOT NULL AND event_type IN ('click','purchase')")
+        .collect()
+    ):
+        vals[r["event_type"]].append(
+            int(math.floor(r["value"] * 100.0 + 0.5))
+        )
+
+    def moments(vs):
+        n = len(vs)
+        s = sum(vs)
+        q = sum(v * v for v in vs)
+        m = float(s) / (float(n) * 100.0)
+        var = float(n * q - s * s) / (float(n) * float(n - 1) * 10000.0)
+        return n, m, var
+
+    n1, m1, v1 = moments(vals["click"])
+    n2, m2, v2 = moments(vals["purchase"])
+    se2 = v1 / float(n1) + v2 / float(n2)
+    t = (m1 - m2) / math.sqrt(se2)
+    df = (se2 * se2) / (
+        (v1 / float(n1)) * (v1 / float(n1)) / float(n1 - 1)
+        + (v2 / float(n2)) * (v2 / float(n2)) / float(n2 - 1)
+    )
+    assert row["n1"] == n1 and row["n2"] == n2
+    assert row["mean_diff_micro"] == int(
+        math.floor((m1 - m2) * 1000000.0 + 0.5)
+    )
+    assert row["t_micro"] == int(math.floor(t * 1000000.0 + 0.5))
+    assert row["df_micro"] == int(math.floor(df * 1000000.0 + 0.5))
+    # df is between min(n1,n2)-1 and n1+n2-2 (Welch-Satterthwaite bound)
+    assert (min(n1, n2) - 1) * 10**6 <= row["df_micro"] <= (n1 + n2 - 2) * 10**6
