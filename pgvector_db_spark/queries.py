@@ -9837,7 +9837,10 @@ _sql_query(
 # concatenate without a separator), so the space-joined pair string is
 # an injective key and the (count DESC, pair ASC) argmax is a total
 # order on both engines.
-def _bpe_train_sql(dialect: str, rounds: int = 4) -> str:
+def _bpe_dialect(dialect: str):
+    """Shared dialect fragments for the BPE trainer AND the corpus
+    encoder: (tok0, pairs, size, part, fold). ``fold`` is the greedy
+    left-to-right single-merge re-encode pass."""
     if dialect == "spark":
         tok0 = "split(trim(text), '\\\\s+')"
 
@@ -9887,7 +9890,11 @@ def _bpe_train_sql(dialect: str, rounds: int = 4) -> str:
             )
     else:  # pragma: no cover - caller bug
         raise ValueError(f"unknown dialect: {dialect}")
+    return tok0, pairs, size, part, fold
 
+
+def _bpe_train_sql(dialect: str, rounds: int = 4) -> str:
+    tok0, pairs, size, part, fold = _bpe_dialect(dialect)
     ctes = [
         f"enc0 AS (SELECT {tok0} AS enc FROM documents"
         f" WHERE length(trim(text)) > 0)"
@@ -9926,6 +9933,59 @@ _sql_query(
     "ds_bpe_train_merges",
     _bpe_train_sql("spark"),
     _bpe_train_sql("duckdb"),
+    tags=("dataset", "text", "tokenizer", "bpe"),
+)
+
+
+# BPE corpus ENCODING — the apply side of the trainer above: the same
+# 4 merge rounds are learned in-statement, then every document is
+# greedily re-encoded and reported as per-doc token economics
+# (raw/encoded token counts, merges applied) plus an md5 prefix of the
+# exact encoded sequence. This is the "tokenize the corpus with the
+# trained tokenizer" pass of a training-data pipeline: each round is
+# one map-only corpus pass; the merge rule rides along as a 1-row
+# broadcast (Spark plans the CROSS JOIN as BroadcastNestedLoop), so
+# documents never shuffle.
+def _bpe_encode_sql(dialect: str, rounds: int = 4) -> str:
+    tok0, pairs, size, part, fold = _bpe_dialect(dialect)
+    join_fn = "array_join" if dialect == "spark" else "array_to_string"
+    ctes = [
+        f"e0 AS (SELECT doc_id, {tok0} AS enc FROM documents"
+        f" WHERE length(trim(text)) > 0)"
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"e{r - 1}"
+        ctes.append(
+            f"p{r} AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS c"
+            f" FROM (SELECT {pairs('enc')} AS pair FROM {prev}"
+            f" WHERE {size('enc')} >= 2) GROUP BY pair)"
+        )
+        ctes.append(
+            f"m{r} AS (SELECT {part('pair', 1)} AS l,"
+            f" {part('pair', 2)} AS r, c"
+            f" FROM p{r} ORDER BY c DESC, pair ASC LIMIT 1)"
+        )
+        ctes.append(
+            f"e{r} AS (SELECT doc_id, {fold('enc', 'm.l', 'm.r')} AS enc"
+            f" FROM {prev} CROSS JOIN m{r} m)"
+        )
+    last = f"e{rounds}"
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        f"SELECT a.doc_id,"
+        f" CAST({size('a.enc')} AS BIGINT) AS n_tokens_raw,"
+        f" CAST({size('b.enc')} AS BIGINT) AS n_tokens_bpe,"
+        f" CAST({size('a.enc')} - {size('b.enc')} AS BIGINT)"
+        f" AS n_merges_applied,"
+        f" substr(md5({join_fn}(b.enc, ' ')), 1, 8) AS enc_hash8\n"
+        f"FROM e0 a JOIN {last} b ON a.doc_id = b.doc_id"
+    )
+
+
+_sql_query(
+    "ds_bpe_encode_corpus",
+    _bpe_encode_sql("spark"),
+    _bpe_encode_sql("duckdb"),
     tags=("dataset", "text", "tokenizer", "bpe"),
 )
 

@@ -509,3 +509,28 @@ def test_welch_ttest_matches_brute_force(spark):
     assert row["df_micro"] == int(math.floor(df * 1000000.0 + 0.5))
     # df is between min(n1,n2)-1 and n1+n2-2 (Welch-Satterthwaite bound)
     assert (min(n1, n2) - 1) * 10**6 <= row["df_micro"] <= (n1 + n2 - 2) * 10**6
+
+
+def test_bpe_encode_consistent_with_trainer(spark):
+    """The encoder's total post-merge token count must equal the
+    trainer's round-4 n_tokens_after (same merges, same greedy fold),
+    and merges applied must be non-negative and bounded by raw length."""
+    from pgvector_db_spark.catalog import load_tables
+    from pgvector_db_spark.queries import _bpe_encode_sql, _bpe_train_sql
+    from tests.conftest import SF_DIR
+
+    load_tables(spark, SF_DIR)
+    train = {
+        r["merge_no"]: r["n_tokens_after"]
+        for r in spark.sql(_bpe_train_sql("spark")).collect()
+    }
+    enc = spark.sql(_bpe_encode_sql("spark")).collect()
+    assert sum(r["n_tokens_bpe"] for r in enc) == train[4]
+    assert all(
+        0 <= r["n_merges_applied"] <= r["n_tokens_raw"] for r in enc
+    )
+    # greedy single-pair merge: one merge per round max per adjacency,
+    # so per doc at most 4 rounds x floor(raw/2) merges
+    assert all(
+        r["n_tokens_bpe"] >= (r["n_tokens_raw"] + 1) // 2 - 3 for r in enc
+    )
