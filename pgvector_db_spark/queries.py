@@ -13102,6 +13102,52 @@ _sql_query(
 )
 
 
+# --- Curriculum ordering: quality-ranked round-robin over sources -----------
+# The data-ORDERING stage of a training pipeline: rank every document
+# within its source by the stopword-ratio quality score (shared with
+# ds_quality_threshold_sweep), then interleave sources round-robin so
+# the stream opens with each source's best documents instead of one
+# source's contiguous block. The deliverable at scale is the SORT KEY
+# (rank_in_source, source, doc_id) — explicit positions are only
+# materialized for the bounded head via TakeOrderedAndProject + a
+# 64-row window, never a global row_number. At 100 TB the per-source
+# rank swaps to the two-pass rank machinery in operators/stats.py
+# (_global_cums) when a single source outgrows one partition.
+def _curriculum_sql(score_expr: str) -> str:
+    return f"""
+    WITH s AS (
+      SELECT doc_id, source, {score_expr} AS score_micro
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    r AS (
+      SELECT doc_id, source, score_micro,
+             CAST(row_number() OVER (PARTITION BY source
+                  ORDER BY score_micro DESC, doc_id ASC) AS BIGINT)
+               AS rank_in_source
+      FROM s
+    ),
+    head AS (
+      SELECT doc_id, source, rank_in_source, score_micro
+      FROM r
+      ORDER BY rank_in_source ASC, source ASC, doc_id ASC
+      LIMIT 64
+    )
+    SELECT CAST(row_number() OVER (ORDER BY rank_in_source ASC,
+                source ASC, doc_id ASC) AS BIGINT) AS position,
+           doc_id, source, rank_in_source,
+           CAST(score_micro AS BIGINT) AS score_micro
+    FROM head
+    """
+
+
+_sql_query(
+    "ds_curriculum_interleave",
+    _curriculum_sql(_QSWEEP_SCORE_SPARK),
+    _curriculum_sql(_QSWEEP_SCORE_DUCK),
+    tags=("dataset", "ordering", "curriculum"),
+)
+
+
 def _interleaved_names() -> list[str]:
     """Registry names round-robin-interleaved across query families
     (vs_/rel_/ds_/stream_): every query is self-contained, so ordering is

@@ -277,3 +277,27 @@ def test_naive_bayes_recompute_tiny_corpus(spark):
     assert out == dict(want)
     # and the classifier actually separates the two obvious languages
     assert all(t == p for (t, p) in out)
+
+
+def test_curriculum_interleave_round_robin(spark):
+    """The curriculum head must open with every source's rank-1 doc,
+    walk ranks in non-decreasing order, and number positions 1..64."""
+    from pgvector_db_spark.catalog import load_tables
+    from pgvector_db_spark.queries import REGISTRY
+    from tests.conftest import SF_DIR
+
+    rows = sorted(
+        REGISTRY["ds_curriculum_interleave"].spark_fn(spark, SF_DIR).collect(),
+        key=lambda r: r["position"],
+    )
+    assert [r["position"] for r in rows] == list(range(1, 65))
+    ranks = [r["rank_in_source"] for r in rows]
+    assert ranks == sorted(ranks)
+    n_sources = (
+        load_tables(spark, SF_DIR)["documents"]
+        .select("source")
+        .distinct()
+        .count()
+    )
+    assert [r["rank_in_source"] for r in rows[:n_sources]] == [1] * n_sources
+    assert len({r["source"] for r in rows[:n_sources]}) == n_sources
