@@ -207,6 +207,11 @@ def derived_metrics(spark, sf_dir: str, timings: dict[str, float]) -> dict[str, 
         ("ds_naive_bayes_langid", "naive_bayes_ms"),
         ("ds_prefix_filter_jaccard_join", "prefix_filter_join_ms"),
         ("rel_roc_curve_points", "roc_points_ms"),
+        ("ds_substring_span_removal", "substring_span_removal_ms"),
+        ("vs_kcenter_coreset", "kcenter_coreset_ms"),
+        ("rel_welch_ttest", "welch_ttest_ms"),
+        ("ds_bpe_encode_corpus", "bpe_encode_ms"),
+        ("ds_curriculum_interleave", "curriculum_ms"),
     ):
         if name in REGISTRY:
             _try(lambda n=name, k=key: out.__setitem__(

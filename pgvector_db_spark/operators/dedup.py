@@ -338,17 +338,24 @@ def substring_span_removal(
     hashed = base.select(id_col, pairs).select(
         id_col, F.col("_p.i").alias("_i"), h.alias("_h")
     )
-    dup_hashes = (
-        hashed.groupBy("_h")
-        .agg(F.countDistinct(id_col).alias("_dw"))
-        .filter(F.col("_dw") >= 2)
-        .select("_h")
+    # document frequency WITHOUT a second corpus scan: fold each doc's
+    # start positions for a hash into one row (starts are unique per
+    # doc, so rows of per_doc are (doc, hash)-distinct and a plain row
+    # count over the hash partition IS the hash's document frequency —
+    # the substring_dup_stats shape), then explode the survivors back.
+    per_doc = hashed.groupBy(id_col, "_h").agg(
+        F.collect_list("_i").alias("_ps")
     )
+    docs_with = F.count(F.lit(1)).over(Window.partitionBy("_h"))
     dup = (
-        hashed.join(dup_hashes, "_h")
-        .select(id_col, "_i")
-        .distinct()
+        per_doc.withColumn("_dw", docs_with)
+        .filter(F.col("_dw") >= 2)
+        .select(id_col, F.explode("_ps").alias("_i"))
     )
+    # both the span-merge branch and the covered-position branch read
+    # dup; checkpoint the small (id, pos) frame so the corpus is
+    # tokenized exactly once, not once per branch
+    dup = dup.localCheckpoint(eager=True)
     # merged spans: a duplicate start opens a new span iff it begins
     # beyond the previous start's reach (same-width intervals → the
     # running max end is simply lag(start) + n - 1; adjacency merges)

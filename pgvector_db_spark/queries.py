@@ -13148,6 +13148,99 @@ _sql_query(
 )
 
 
+# --- Per-document token (Shannon) entropy — the vocabulary-diversity
+# quality signal (low entropy = repetitive/template text; the
+# complement of ds_repetition_ratio's surface n-gram check). H =
+# (1/L)·Σ tf·(ln L − ln tf). Every ln argument is an integer ≤ 256, so
+# the ENTIRE log table folds to driver literals via detmath.ln_bigint_py
+# (the DSIR-fold pattern taken to its limit: no ln tree in either
+# engine's plan at all — both engines just join the same 256-row
+# literal grid). Σ tf·Δln_micro is an exact BIGINT; the single closing
+# division is one exactly-rounded double op. Scale shape: one tokenize
+# pass, one (doc, term) aggregate with map-side partials, two
+# broadcast joins against the 256-row grid.
+_ENTROPY_LNMAX = 256
+
+
+def _token_entropy_sql(dialect: str) -> str:
+    import math as _math
+
+    from pgvector_db_spark.functions.detmath import ln_bigint_py
+
+    vals = ", ".join(
+        f"({m}, {int(_math.floor(ln_bigint_py(m) * 1e6 + 0.5))})"
+        for m in range(1, _ENTROPY_LNMAX + 1)
+    )
+    tok = (
+        "explode(split(trim(text), '\\\\s+'))"
+        if dialect == "spark"
+        else "unnest(regexp_split_to_array(trim(text), '\\s+'))"
+    )
+    return f"""
+    WITH lntab(m, lnm) AS (VALUES {vals}),
+    t AS (
+      SELECT doc_id, {tok} AS term
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM t GROUP BY doc_id, term
+    ),
+    dl AS (
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct
+      FROM tf GROUP BY doc_id
+    ),
+    s AS (
+      SELECT tf.doc_id,
+             CAST(SUM(tf.tf * (l2.lnm - l1.lnm)) AS BIGINT) AS acc
+      FROM tf
+      JOIN dl ON tf.doc_id = dl.doc_id
+      JOIN lntab l1 ON l1.m = tf.tf
+      JOIN lntab l2 ON l2.m = dl.n_tokens
+      GROUP BY tf.doc_id
+    )
+    SELECT dl.doc_id, dl.n_tokens, dl.n_distinct,
+           CAST(floor(CAST(s.acc AS DOUBLE) / CAST(dl.n_tokens AS DOUBLE)
+                      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS entropy_micro
+    FROM dl JOIN s ON dl.doc_id = s.doc_id
+    """
+
+
+_sql_query(
+    "ds_token_entropy",
+    _token_entropy_sql("spark"),
+    _token_entropy_sql("duckdb"),
+    tags=("dataset", "quality", "entropy"),
+)
+
+
+# --- k-anonymity report — the data-governance gate a pipeline runs
+# before releasing quasi-identifier columns: group the table by the
+# quasi-identifier tuple and report the anonymity floor (min group
+# size), how many groups and rows sit under k=5, and the total group
+# count. One map-side-combined groupBy over the QI tuple, then a
+# 4-value fold over the (bounded-by-distinct-QI) group frame — the
+# same shape at any scale.
+_sql_query(
+    "rel_k_anonymity_report",
+    """
+    WITH g AS (
+      SELECT c_mktsegment, c_nationkey, CAST(COUNT(*) AS BIGINT) AS n
+      FROM customer GROUP BY c_mktsegment, c_nationkey
+    )
+    SELECT CAST(MIN(n) AS BIGINT) AS k_floor,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS groups_below_k5,
+           CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+             AS rows_below_k5
+    FROM g
+    """,
+    tags=("relational", "governance", "privacy"),
+)
+
+
 def _interleaved_names() -> list[str]:
     """Registry names round-robin-interleaved across query families
     (vs_/rel_/ds_/stream_): every query is self-contained, so ordering is

@@ -301,3 +301,45 @@ def test_curriculum_interleave_round_robin(spark):
     )
     assert [r["rank_in_source"] for r in rows[:n_sources]] == [1] * n_sources
     assert len({r["source"] for r in rows[:n_sources]}) == n_sources
+
+
+def test_token_entropy_matches_pure_python(spark):
+    """ds_token_entropy must equal a pure-Python recompute with the same
+    driver-folded micro-grid logs (no engine transcendental anywhere)."""
+    import math
+    from collections import Counter
+
+    from pgvector_db_spark.catalog import load_tables
+    from pgvector_db_spark.functions.detmath import ln_bigint_py
+    from pgvector_db_spark.queries import REGISTRY
+    from tests.conftest import SF_DIR
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_distinct"], r["entropy_micro"])
+        for r in REGISTRY["ds_token_entropy"].spark_fn(spark, SF_DIR).collect()
+    }
+    lnm = {
+        m: int(math.floor(ln_bigint_py(m) * 1e6 + 0.5)) for m in range(1, 257)
+    }
+    docs = (
+        load_tables(spark, SF_DIR)["documents"]
+        .select("doc_id", "text")
+        .collect()
+    )
+    checked = 0
+    for r in docs:
+        text = (r["text"] or "").strip()
+        if not text:
+            continue
+        tf = Counter(text.split())
+        L = sum(tf.values())
+        acc = sum(c * (lnm[L] - lnm[c]) for c in tf.values())
+        want = int(math.floor(float(acc) / float(L) + 0.5))
+        assert got[r["doc_id"]] == (L, len(tf), want)
+        checked += 1
+    assert checked == len(got) > 0
+    # uniform-token docs have zero entropy; entropy <= ln(L)
+    for L, nd, e in got.values():
+        assert 0 <= e <= lnm[L] + 1
+        if nd == 1:
+            assert e == 0

@@ -97,7 +97,24 @@ AUDITED = [
     # NOT rel_user_erasure / vs_bm25_scan_index_parity /
     # vs_vector_table_delete_vacuum_knn / rel_approx_percentile_accuracy:
     # they materialize via collect/createDataFrame, so a captured "plan"
-    # would be a bare ExistingRDD scan. NOT ds_dsir_importance (r7:
+    # would be a bare ExistingRDD scan.
+    # r8: Welch t-test — ONE map-side-combined two-key groupBy; the
+    # statistic folds from the 2-row frame (no window, no join)
+    "rel_welch_ttest",
+    # r8: BPE corpus encode — each round must be a map-only corpus pass
+    # with the 1-row merge rule as BroadcastNestedLoop, docs never shuffle
+    "ds_bpe_encode_corpus",
+    # r8: curriculum — per-source window + TakeOrderedAndProject head;
+    # the 64-row position window must sit above the LIMIT, never global
+    "ds_curriculum_interleave",
+    # NOT ds_substring_span_removal: the shingle/document-frequency
+    # stage lives behind the dup-frame localCheckpoint (the dsir class);
+    # the returned plan audits the base scan + bounded span/cover
+    # branches (shape in docs/SCALE_AUDIT.md).
+    # NOT vs_kcenter_coreset: the result frame is createDataFrame over
+    # the K driver-collected centers; the per-iteration argmax passes
+    # are separate jobs (shape in docs/SCALE_AUDIT.md).
+    # NOT ds_dsir_importance (r7:
     # single-tokenize localCheckpoint): the returned plan's base is the
     # checkpointed RDD, so the capture would show the broadcast join/agg
     # tail over ExistingRDD — the corpus-scan stage it exists to audit is
