@@ -212,6 +212,8 @@ def derived_metrics(spark, sf_dir: str, timings: dict[str, float]) -> dict[str, 
         ("rel_welch_ttest", "welch_ttest_ms"),
         ("ds_bpe_encode_corpus", "bpe_encode_ms"),
         ("ds_curriculum_interleave", "curriculum_ms"),
+        ("ds_kneser_ney_bigram_score", "kneser_ney_ms"),
+        ("ds_token_entropy", "token_entropy_ms"),
     ):
         if name in REGISTRY:
             _try(lambda n=name, k=key: out.__setitem__(

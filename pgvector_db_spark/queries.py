@@ -13241,6 +13241,88 @@ _sql_query(
 )
 
 
+# --- Interpolated Kneser-Ney bigram LM scoring ------------------------------
+# The canonical n-gram smoothing (Kneser & Ney 1995; Chen & Goodman
+# 1999) as a corpus-train + corpus-score pass: with discount D = 3/4,
+# P_KN(w2|w1) = max(c12−D,0)/c1 + D·N1+(w1·)/c1 · N1+(·w2)/NT — every
+# term rational, so the whole probability reduces to ONE integer ratio
+# ((4·c12−3)·NT + 3·N1l·N1r) / (4·c1·NT) and ln P runs on the
+# deterministic cross-engine integer-log tree (detmath.ln_ratio_sql),
+# evaluated once per bigram TYPE (model-bounded), never per occurrence.
+# Scale shape: one pair-explode pass; the model CTEs are grouped
+# aggregates of the (w1,w2) frame with map-side partials; scoring joins
+# occurrences back on the bigram key and folds exact BIGINT micro sums
+# per doc. Self-scoring the training corpus means every scored bigram
+# is in the model (c12 ≥ 1) — no out-of-vocabulary backoff branch.
+# BIGINT headroom: (4·c12)·NT needs c12·NT < 2^61; at trillion-token
+# scale shard the model by w1-hash and renormalize NT per shard.
+def _kneser_ney_sql(dialect: str) -> str:
+    from pgvector_db_spark.functions.detmath import ln_ratio_sql
+
+    if dialect == "spark":
+        toks = "split(trim(text), '\\\\s+')"
+        pairs = (
+            "explode(transform(sequence(0, size(w) - 2), "
+            "i -> named_struct('w1', w[i], 'w2', w[i + 1])))"
+        )
+        guard = "size(w) >= 2"
+    else:
+        toks = "regexp_split_to_array(trim(text), '\\s+')"
+        pairs = (
+            "unnest(list_transform(range(1, len(w)), "
+            "i -> {'w1': w[i], 'w2': w[i + 1]}))"
+        )
+        guard = "len(w) >= 2"
+    lnp = ln_ratio_sql("num", "den", dialect)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {toks} AS w FROM documents
+      WHERE length(trim(text)) > 0
+    ),
+    bg AS (
+      SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM (
+        SELECT doc_id, {pairs} AS p FROM toks WHERE {guard}
+      )
+    ),
+    cb AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM bg GROUP BY w1, w2
+    ),
+    cl AS (
+      SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+             CAST(COUNT(*) AS BIGINT) AS n1l
+      FROM cb GROUP BY w1
+    ),
+    cr AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1r FROM cb GROUP BY w2),
+    nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS ntypes FROM cb),
+    model AS (
+      SELECT w1, w2,
+             CAST((4 * c12 - 3) * ntypes + 3 * n1l * n1r AS BIGINT) AS num,
+             CAST(4 * c1 * ntypes AS BIGINT) AS den
+      FROM cb JOIN cl USING (w1) JOIN cr USING (w2) CROSS JOIN nt
+    ),
+    scored AS (
+      SELECT w1, w2,
+             CAST(floor({lnp} * CAST(1000000.0 AS DOUBLE)
+               + CAST(0.5 AS DOUBLE)) AS BIGINT) AS lnp_micro
+      FROM model
+    )
+    SELECT bg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(s.lnp_micro) AS BIGINT) AS ll_micro
+    FROM bg JOIN scored s ON bg.w1 = s.w1 AND bg.w2 = s.w2
+    GROUP BY bg.doc_id
+    """
+
+
+_sql_query(
+    "ds_kneser_ney_bigram_score",
+    _kneser_ney_sql("spark"),
+    _kneser_ney_sql("duckdb"),
+    tags=("dataset", "text", "language-model", "detmath"),
+)
+
+
 def _interleaved_names() -> list[str]:
     """Registry names round-robin-interleaved across query families
     (vs_/rel_/ds_/stream_): every query is self-contained, so ordering is

@@ -534,3 +534,57 @@ def test_bpe_encode_consistent_with_trainer(spark):
     assert all(
         r["n_tokens_bpe"] >= (r["n_tokens_raw"] + 1) // 2 - 3 for r in enc
     )
+
+
+def test_kneser_ney_matches_hand_model(spark):
+    """KN bigram scoring on a hand corpus must equal the closed-form
+    model (exact integer ratios, ln via ln_bigint_py — the same bit
+    pattern as both engines' trees)."""
+    import math
+    from fractions import Fraction
+
+    from pgvector_db_spark.catalog import _REGISTRY_CACHE
+    from pgvector_db_spark.functions.detmath import ln_bigint_py
+    from pgvector_db_spark.queries import _kneser_ney_sql
+
+    try:
+        df = spark.createDataFrame(
+            [(1, "a b a b c"), (2, "b c a")], "doc_id bigint, text string"
+        )
+        df.createOrReplaceTempView("documents")
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["ll_micro"])
+            for r in spark.sql(_kneser_ney_sql("spark")).collect()
+        }
+
+        # model: c12 (a,b)=2 (b,a)=1 (b,c)=2 (c,a)=1; NT=4
+        # num/den per type from ((4c12-3)NT + 3*n1l*n1r) / (4*c1*NT)
+        nd = {
+            ("a", "b"): (5 * 4 + 3 * 1 * 1, 4 * 2 * 4),
+            ("b", "a"): (1 * 4 + 3 * 2 * 2, 4 * 3 * 4),
+            ("b", "c"): (5 * 4 + 3 * 2 * 1, 4 * 3 * 4),
+            ("c", "a"): (1 * 4 + 3 * 1 * 2, 4 * 1 * 4),
+        }
+        lnp = {
+            k: int(
+                math.floor(
+                    (ln_bigint_py(num) - ln_bigint_py(den)) * 1e6 + 0.5
+                )
+            )
+            for k, (num, den) in nd.items()
+        }
+        d1 = [("a", "b"), ("b", "a"), ("a", "b"), ("b", "c")]
+        d2 = [("b", "c"), ("c", "a")]
+        assert got[1] == (4, sum(lnp[p] for p in d1))
+        assert got[2] == (2, sum(lnp[p] for p in d2))
+        # KN invariant: observed-continuation mass per context < 1
+        for w1, c1 in (("a", 2), ("b", 3), ("c", 1)):
+            mass = sum(
+                Fraction(num, den)
+                for (a, _), (num, den) in nd.items()
+                if a == w1
+            )
+            assert mass < 1
+    finally:
+        spark.catalog.dropTempView("documents")
+        _REGISTRY_CACHE.pop(id(spark), None)

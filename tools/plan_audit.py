@@ -107,6 +107,12 @@ AUDITED = [
     # r8: curriculum — per-source window + TakeOrderedAndProject head;
     # the 64-row position window must sit above the LIMIT, never global
     "ds_curriculum_interleave",
+    # r8: Kneser-Ney — the ln tree must sit on the model-TYPE frame
+    # (bounded), scoring is one occurrences->model join + grouped sum
+    "ds_kneser_ney_bigram_score",
+    # r8: token entropy — 256-row literal grid broadcast joins, one
+    # tokenize pass, no ln tree anywhere in the plan
+    "ds_token_entropy",
     # NOT ds_substring_span_removal: the shingle/document-frequency
     # stage lives behind the dup-frame localCheckpoint (the dsir class);
     # the returned plan audits the base scan + bounded span/cover
