@@ -13323,6 +13323,138 @@ _sql_query(
 )
 
 
+# --- Streaming token-entropy quality monitor --------------------------------
+# The live twin of ds_token_entropy: documents arrive in micro-batches;
+# each batch computes per-doc entropy ENTIRELY map-side (the 256-row
+# ln grid rides as an array literal indexed by element_at — no join,
+# no shuffle before the ≤11-row bin count) and folds an additive
+# entropy histogram (0.5-nat bins) into the state table with the
+# last_bid exactly-once guard. Final histogram equals the one-shot
+# batch histogram bitwise — proven by the oracle, which recomputes it
+# from the full table through the join-shaped batch pipeline.
+def _entropy_expr_spark() -> str:
+    import math as _math
+
+    from pgvector_db_spark.functions.detmath import ln_bigint_py
+
+    lns = ", ".join(
+        f"CAST({int(_math.floor(ln_bigint_py(m) * 1e6 + 0.5))} AS BIGINT)"
+        for m in range(1, _ENTROPY_LNMAX + 1)
+    )
+    # acc = Σ_distinct-terms tf·(ln L − ln tf), exact BIGINT
+    return f"""
+    CAST(floor(CAST(aggregate(array_distinct(w),
+          CAST(0 AS BIGINT),
+          (a, t) -> a + size(filter(w, x -> x = t))
+            * (element_at(array({lns}), size(w))
+               - element_at(array({lns}), size(filter(w, x -> x = t))))
+        ) AS DOUBLE) / CAST(size(w) AS DOUBLE)
+        + CAST(0.5 AS DOUBLE)) AS BIGINT)
+    """
+
+
+@register(
+    "stream_entropy_histogram_monitor",
+    f"""
+    WITH ent AS ({_token_entropy_sql("duckdb")})
+    SELECT CAST(floor(entropy_micro / 500000.0) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM ent GROUP BY 1
+    """,
+    tags=("streaming", "quality", "entropy"),
+)
+def stream_entropy_histogram_monitor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Documents replayed as 4 micro-batches; each batch bins its docs'
+    map-side entropy scores and adds the ≤11-row partial histogram into
+    the state table (additive fold, last_bid replay guard). The drained
+    histogram must equal the batch pipeline's bitwise."""
+    import tempfile
+
+    from pgvector_db_spark.catalog import table_path
+    from pgvector_db_spark.sources.table import ParquetTable
+    from pgvector_db_spark.streaming.replay import (
+        file_stream,
+        stage_replay_splits,
+    )
+
+    tag = _fixture_tag(sf_dir)
+    docs_path = table_path(sf_dir, "documents")
+    replay_dir = os.path.join(
+        tempfile.gettempdir(), f"docs_replay4_{tag}"
+    )
+    stage_replay_splits(spark, docs_path, replay_dir, n_files=4)
+    schema = spark.read.parquet(docs_path).schema
+    src = file_stream(spark, replay_dir, schema, max_files_per_trigger=1)
+
+    ent = _entropy_expr_spark()
+    tmp = tempfile.mkdtemp(prefix="entropy_stream_")
+    try:
+        table = ParquetTable(spark, f"{tmp}/hist")
+
+        def fold(batch: DataFrame, _bid: int) -> None:
+            part = (
+                batch.filter("length(trim(text)) > 0")
+                .selectExpr(
+                    "split(trim(text), '\\\\s+') AS w"
+                )
+                .selectExpr(f"({ent}) AS entropy_micro")
+                .selectExpr(
+                    "CAST(floor(entropy_micro / 500000.0) AS BIGINT) AS bin"
+                )
+                .groupBy("bin")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+                .withColumn("last_bid", F.lit(_bid).cast("bigint"))
+            )
+            if not table.exists():
+                part.write.mode("errorifexists").parquet(table.path)
+                return
+            state = table.read()
+            prev = state.agg(F.max("last_bid")).first()[0]
+            # additive fold is not idempotent: skip an already-folded
+            # replay (at-least-once foreachBatch contract)
+            if prev is not None and prev >= _bid:
+                return
+            merged = (
+                state.unionByName(part)
+                .groupBy("bin")
+                .agg(
+                    F.sum("n_docs").cast("bigint").alias("n_docs"),
+                    F.max("last_bid").alias("last_bid"),
+                )
+            )
+            table._swap_in(merged)
+
+        q = (
+            src.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        out = table.read().select("bin", "n_docs")
+        # exactly-once mass check: the folded histogram must account for
+        # every non-empty document exactly once
+        total = out.agg(F.sum("n_docs")).first()[0]
+        expected = (
+            load_tables(spark, sf_dir)["documents"]
+            .filter("length(trim(text)) > 0")
+            .count()
+        )
+        _require(
+            total == expected,
+            f"entropy monitor lost mass: folded {total} != {expected}",
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _interleaved_names() -> list[str]:
     """Registry names round-robin-interleaved across query families
     (vs_/rel_/ds_/stream_): every query is self-contained, so ordering is

@@ -685,3 +685,36 @@ def test_stream_ann_search_matches_batch(spark, tables, tmp_path):
         map(tuple, idx.batch_search(queries, k=5, nprobe=2).collect())
     )
     assert got == want
+
+
+def test_entropy_monitor_matches_batch_histogram(spark):
+    """The streaming monitor's map-side HOF entropy (array-literal ln
+    grid, no join) must reproduce the batch join-pipeline histogram
+    (ds_token_entropy binned) bitwise — two independent Spark spellings
+    of the same integer arithmetic."""
+    from pyspark.sql import functions as F
+
+    from pgvector_db_spark.queries import REGISTRY
+    from tests.conftest import SF_DIR
+
+    got = {
+        r["bin"]: r["n_docs"]
+        for r in REGISTRY["stream_entropy_histogram_monitor"]
+        .spark_fn(spark, SF_DIR)
+        .collect()
+    }
+    want = {
+        r["bin"]: r["n"]
+        for r in REGISTRY["ds_token_entropy"]
+        .spark_fn(spark, SF_DIR)
+        .select(
+            F.expr(
+                "CAST(floor(entropy_micro / 500000.0) AS BIGINT)"
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .collect()
+    }
+    assert got == want
+    assert sum(got.values()) > 0
