@@ -68,6 +68,11 @@ HEAVY = {
     "rel_roc_curve_points",
     "ds_span_corruption_plan",
     "ds_length_bucket_padding_report",
+    # r8 continuation: documents-bound additions, each one decade more
+    "ds_substring_span_removal",
+    "ds_token_entropy",
+    "ds_kneser_ney_bigram_score",
+    "ds_bpe_encode_corpus",
 }
 
 # one representative per major operator family
@@ -100,6 +105,12 @@ QUERIES = [
     "rel_roc_curve_points",       # decile confusion over two-pass cums (r8)
     "ds_span_corruption_plan",    # hash-gated masking + doc-run windows (r8)
     "ds_length_bucket_padding_report",  # map-only lengths + tiny agg (r8)
+    "ds_substring_span_removal",  # 1-pass shingle df + checkpointed dup (r8)
+    "ds_token_entropy",           # 256-row literal-grid joins, no ln tree (r8)
+    "ds_kneser_ney_bigram_score", # model-TYPE-bounded ln + occurrence join (r8)
+    "ds_bpe_encode_corpus",       # 4 map-only merge rounds + doc join (r8)
+    "ds_curriculum_interleave",   # per-source rank + bounded head (r8)
+    "rel_welch_ttest",            # two-key moment agg, 2-row tail (r8)
 ]
 
 
