@@ -190,6 +190,20 @@ def main() -> None:
             "hash per (shingle, component) at a fraction of the cost with "
             "the same collision statistics."
         ),
+        "",
+        wrap(
+            "Note: the sf1 replica reuses document TEXT verbatim (10 exact "
+            "copies of every doc), so OUTPUT-bound similarity families "
+            "measure their own result growth there, not plan overhead: "
+            "`ds_prefix_filter_jaccard_join` is a LOSSLESS exact-threshold "
+            "join, and each 10-copy text group owes C(10,2)=45 pairs where "
+            "sf0.1 owed at most a few — its sf1 column is quadratic in the "
+            "duplicate factor by the problem's definition (the informative "
+            "cell for its plan is the 0.01→0.1 step, where texts are "
+            "distinct). `ds_substring_span_removal` at sf1 likewise runs "
+            "in the everything-is-boilerplate regime (every 5-gram has 10 "
+            "copies) and still grows sub-linearly."
+        ),
     ]
     out.write_text("\n".join(lines) + "\n")
     print(f"wrote {out}")
