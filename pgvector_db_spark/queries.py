@@ -13207,12 +13207,32 @@ def _token_entropy_sql(dialect: str) -> str:
     """
 
 
-_sql_query(
+@register(
     "ds_token_entropy",
-    _token_entropy_sql("spark"),
     _token_entropy_sql("duckdb"),
     tags=("dataset", "quality", "entropy"),
 )
+def ds_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side runs the MAP-SIDE HOF spelling (per-doc tf via
+    array HOFs, the 256-row ln grid as an array literal indexed by
+    element_at): ZERO exchanges — the join-shaped SQL of
+    ``_token_entropy_sql`` is what the oracle evaluates, and Spark
+    would inline its CTE chain into THREE corpus scans. The two
+    spellings are bitwise-equal integer arithmetic
+    (tests/test_streaming.py pins HOF == join pipeline)."""
+    t = load_tables(spark, sf_dir)
+    ent = _entropy_expr_spark()
+    return (
+        t["documents"]
+        .filter("length(trim(text)) > 0")
+        .selectExpr("doc_id", "split(trim(text), '\\\\s+') AS w")
+        .selectExpr(
+            "doc_id",
+            "CAST(size(w) AS BIGINT) AS n_tokens",
+            "CAST(size(array_distinct(w)) AS BIGINT) AS n_distinct",
+            f"({ent}) AS entropy_micro",
+        )
+    )
 
 
 # --- k-anonymity report — the data-governance gate a pipeline runs
@@ -13315,12 +13335,81 @@ def _kneser_ney_sql(dialect: str) -> str:
     """
 
 
-_sql_query(
+@register(
     "ds_kneser_ney_bigram_score",
-    _kneser_ney_sql("spark"),
     _kneser_ney_sql("duckdb"),
     tags=("dataset", "text", "language-model", "detmath"),
 )
+def ds_kneser_ney_bigram_score(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spark side builds the model ONCE: the bigram-TYPE frame is
+    localCheckpointed (Spark would inline ``_kneser_ney_sql``'s CTE
+    chain into EIGHT corpus scans — cb feeds cl/cr/nt/model and each
+    re-derives the pair explode), NT folds to a driver literal, and the
+    corpus is tokenized exactly twice: once into the checkpointed type
+    frame, once for the occurrences→model scoring join. Identical
+    integer num/den and the same detmath ln spelling keep it bitwise
+    equal to the oracle's chain (tests pin the hand model)."""
+    from pgvector_db_spark.functions.detmath import ln_ratio_sql
+
+    t = load_tables(spark, sf_dir)
+    pair_expr = (
+        "explode(transform(sequence(0, size(w) - 2), "
+        "i -> named_struct('w1', w[i], 'w2', w[i + 1])))"
+    )
+
+    def bigrams() -> DataFrame:
+        return (
+            t["documents"]
+            .filter("length(trim(text)) > 0")
+            .selectExpr("doc_id", "split(trim(text), '\\\\s+') AS w")
+            .filter("size(w) >= 2")
+            .selectExpr("doc_id", f"{pair_expr} AS p")
+            .selectExpr("doc_id", "p.w1 AS w1", "p.w2 AS w2")
+        )
+
+    cb = (
+        bigrams()
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+        .localCheckpoint(eager=True)
+    )
+    ntypes = cb.count()
+    cl = cb.groupBy("w1").agg(
+        F.sum("c12").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("n1l"),
+    )
+    cr = cb.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1r")
+    )
+    model = (
+        cb.join(cl, "w1")
+        .join(cr, "w2")
+        .selectExpr(
+            "w1",
+            "w2",
+            f"CAST((4 * c12 - 3) * {ntypes} + 3 * n1l * n1r AS BIGINT)"
+            " AS num",
+            f"CAST(4 * c1 * {ntypes} AS BIGINT) AS den",
+        )
+        .selectExpr(
+            "w1",
+            "w2",
+            f"CAST(floor({ln_ratio_sql('num', 'den', 'spark')}"
+            " * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+            " AS BIGINT) AS lnp_micro",
+        )
+    )
+    return (
+        bigrams()
+        .join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("lnp_micro").cast("bigint").alias("ll_micro"),
+        )
+    )
 
 
 # --- Streaming token-entropy quality monitor --------------------------------
@@ -13341,13 +13430,16 @@ def _entropy_expr_spark() -> str:
         f"CAST({int(_math.floor(ln_bigint_py(m) * 1e6 + 0.5))} AS BIGINT)"
         for m in range(1, _ENTROPY_LNMAX + 1)
     )
-    # acc = Σ_distinct-terms tf·(ln L − ln tf), exact BIGINT
+    # acc = Σ_distinct-terms tf·(ln L − ln tf), exact BIGINT; each
+    # term's tf is computed ONCE (transform), not per fold step
     return f"""
-    CAST(floor(CAST(aggregate(array_distinct(w),
+    CAST(floor(CAST(aggregate(
+          transform(array_distinct(w),
+                    t -> size(filter(w, x -> x = t))),
           CAST(0 AS BIGINT),
-          (a, t) -> a + size(filter(w, x -> x = t))
+          (a, tf) -> a + tf
             * (element_at(array({lns}), size(w))
-               - element_at(array({lns}), size(filter(w, x -> x = t))))
+               - element_at(array({lns}), tf))
         ) AS DOUBLE) / CAST(size(w) AS DOUBLE)
         + CAST(0.5 AS DOUBLE)) AS BIGINT)
     """

@@ -107,11 +107,12 @@ AUDITED = [
     # r8: curriculum — per-source window + TakeOrderedAndProject head;
     # the 64-row position window must sit above the LIMIT, never global
     "ds_curriculum_interleave",
-    # r8: Kneser-Ney — the ln tree must sit on the model-TYPE frame
-    # (bounded), scoring is one occurrences->model join + grouped sum
+    # r8: Kneser-Ney — the captured tail is the scoring pass: ONE
+    # tokenize/explode + the broadcast model join + grouped sum (the
+    # model side is the checkpointed type frame)
     "ds_kneser_ney_bigram_score",
-    # r8: token entropy — 256-row literal grid broadcast joins, one
-    # tokenize pass, no ln tree anywhere in the plan
+    # r8: token entropy — entirely map-side: one scan, Generate-free
+    # HOF projection, no exchange, no ln tree anywhere in the plan
     "ds_token_entropy",
     # NOT ds_substring_span_removal: the shingle/document-frequency
     # stage lives behind the dup-frame localCheckpoint (the dsir class);
