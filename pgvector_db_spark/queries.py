@@ -5057,12 +5057,116 @@ def _naive_bayes_sql(dialect: str) -> str:
     """
 
 
-_sql_query(
+@register(
     "ds_naive_bayes_langid",
-    _naive_bayes_sql("spark"),
     _naive_bayes_sql("duckdb"),
     tags=("dataset", "text", "classifier", "lm"),
 )
+def ds_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side tokenizes ONCE: the (doc, lang, term, tf) type frame
+    is localCheckpointed and every other frame — class/term counts,
+    vocabulary, class token totals, document lengths, class priors —
+    derives from it (the inlined CTE chain of ``_naive_bayes_sql``
+    would scan the corpus EIGHT times; caught by the captured plan).
+    Per-class parameters fold to driver literals via ``ln_bigint_py``
+    (bit-identical to the oracle's in-plan trees); the per-(class,term)
+    ln stays in-plan on the model-bounded counts frame."""
+    import math as _math
+
+    from pgvector_db_spark.functions.detmath import (
+        ln_bigint_py,
+        ln_bigint_sql,
+    )
+
+    t = load_tables(spark, sf_dir)
+    toks = t["documents"].selectExpr(
+        "doc_id",
+        "lang",
+        "explode(split(trim(lower(text)), '\\\\s+')) AS term",
+    )
+    dtf0 = (
+        toks.groupBy("doc_id", "lang", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    counts = dtf0.groupBy("lang", "term").agg(
+        F.sum("tf").cast("bigint").alias("cnt")
+    )
+    vocab = dtf0.select("term").distinct().count()
+    dlen = dtf0.groupBy("doc_id", "lang").agg(
+        F.sum("tf").cast("bigint").alias("n_tok")
+    )
+    # class token totals and per-class doc counts in ONE bounded collect
+    cls_rows = (
+        dlen.groupBy("lang")
+        .agg(
+            F.sum("n_tok").alias("tok"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    clstok = {r["lang"]: int(r["tok"]) for r in cls_rows}
+    doccls = {r["lang"]: int(r["n"]) for r in cls_rows}
+    n_docs = sum(doccls.values())
+
+    def _grid(x: float) -> int:
+        return int(_math.floor(x * 1e6 + 0.5))
+
+    clsparam = spark.createDataFrame(
+        [
+            (
+                lang,
+                _grid(ln_bigint_py(clstok[lang] + vocab)),
+                _grid(ln_bigint_py(doccls[lang]) - ln_bigint_py(n_docs)),
+            )
+            for lang in sorted(doccls)
+        ],
+        "lang string, lden_micro bigint, prior_micro bigint",
+    )
+    lnum = counts.selectExpr(
+        "lang", "term", "CAST(cnt + 1 AS BIGINT) AS arg"
+    ).selectExpr(
+        "lang",
+        "term",
+        f"CAST(floor({ln_bigint_sql('arg', 'spark')}"
+        " * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        " AS BIGINT) AS lnum_micro",
+    )
+    numsum = (
+        dtf0.select("doc_id", "term", "tf")
+        .join(lnum, "term")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(F.col("tf") * F.col("lnum_micro"))
+            .cast("bigint")
+            .alias("num_micro")
+        )
+    )
+    scorefull = (
+        dlen.select("doc_id", "n_tok")
+        .crossJoin(clsparam)
+        .join(numsum, ["doc_id", "lang"], "left")
+        .selectExpr(
+            "doc_id",
+            "lang",
+            "CAST(prior_micro + COALESCE(num_micro, 0)"
+            " - n_tok * lden_micro AS BIGINT) AS score_micro",
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), F.col("lang").asc()
+    )
+    pred = (
+        scorefull.withColumn("rnk", F.row_number().over(w))
+        .filter("rnk = 1")
+        .select("doc_id", F.col("lang").alias("pred_lang"))
+    )
+    truth = dlen.select("doc_id", F.col("lang").alias("true_lang"))
+    return (
+        truth.join(pred, "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
 
 
 # T5-style span-corruption planning (Raffel et al. 2020): decide which
@@ -8430,12 +8534,113 @@ def _kmeans_sql(dialect: str) -> str:
     """
 
 
-_sql_query(
+def _kmeans_assign2_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-side twin of the ``_kmeans_ctes`` chain as a staged
+    computation: seed centroids collected (k rows), assign1 computed in
+    ONE embeddings pass and localCheckpointed, the 1e-10-grid Lloyd
+    means collected (k×dim values, the bounded model), assign2 computed
+    in one pass over the CHECKPOINTED assign1 — Spark would inline the
+    CTE chain into repeated embeddings scans (9 in ds_semdedup_prune's
+    captured plan; caught r8 and restructured). Bitwise equal to the
+    chain: centroid literals round-trip exactly through repr/CAST, the
+    argmin kernel and grid-mean spelling are the shared expressions."""
+    from pgvector_db_spark.functions.vector import vector_literal_sql
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    seeds = {
+        int(r["vec_id"]): [float(v) for v in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin(_KM_SEEDS)).collect()
+    }
+    _require(
+        len(seeds) == len(_KM_SEEDS), "kmeans: seed vectors missing"
+    )
+
+    def cents_lit(vecs: dict[int, list[float]]) -> str:
+        entries = ", ".join(
+            f"named_struct('c', CAST({cid} AS BIGINT), "
+            f"'v', {vector_literal_sql(vecs[cid], 'spark')})"
+            for cid in sorted(vecs)
+        )
+        return f"array({entries})"
+
+    best = _km_best_expr("spark")
+
+    def assign(frame: DataFrame, lit: str) -> DataFrame:
+        # the shared argmin kernel spells the row side `e.embedding`
+        # (the SQL chain's table alias) — alias the frame to match
+        return (
+            frame.select("vec_id", "embedding")
+            .withColumn("cents", F.expr(lit))
+            .alias("e")
+            .selectExpr("vec_id", "embedding", f"{best} AS best")
+            .selectExpr(
+                "vec_id", "embedding", "best.c AS cid", "best.d AS d2"
+            )
+        )
+
+    seed_vecs = {i: seeds[v] for i, v in enumerate(_KM_SEEDS)}
+    assign1 = assign(emb, cents_lit(seed_vecs)).localCheckpoint(
+        eager=True
+    )
+    mean = (
+        "CAST(sum_g AS DOUBLE) / (CAST(cnt AS DOUBLE)"
+        " * CAST(10000000000.0 AS DOUBLE))"
+    )
+    grid1 = (
+        assign1.selectExpr(
+            "cid", "posexplode(embedding) AS (p0, val)"
+        )
+        .selectExpr(
+            "cid",
+            "p0 + 1 AS pos",
+            "CAST(floor(CAST(val AS DOUBLE)"
+            " * CAST(10000000000.0 AS DOUBLE)"
+            " + CAST(0.5 AS DOUBLE)) AS BIGINT) AS g",
+        )
+        .groupBy("cid", "pos")
+        .agg(
+            F.sum("g").alias("sum_g"), F.count(F.lit(1)).alias("cnt")
+        )
+    )
+    cent1_rows = grid1.selectExpr("cid", "pos", f"{mean} AS m").collect()
+    cent1: dict[int, dict[int, float]] = {}
+    for r in cent1_rows:
+        cent1.setdefault(int(r["cid"]), {})[int(r["pos"])] = float(r["m"])
+    cent1_vecs = {
+        cid: [comps[p] for p in sorted(comps)]
+        for cid, comps in cent1.items()
+    }
+    return assign(assign1, cents_lit(cent1_vecs))
+
+
+@register(
     "ds_kmeans_lloyd",
-    _kmeans_sql("spark"),
     _kmeans_sql("duckdb"),
     tags=("dataset", "clustering", "ml"),
 )
+def ds_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster stats tail over the staged assign2
+    (``_kmeans_assign2_frame`` — one embeddings pass per Lloyd
+    half-step instead of the inlined chain's rescans)."""
+    assign2 = _kmeans_assign2_frame(spark, sf_dir)
+    return (
+        assign2.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.sum(
+                F.expr(
+                    "CAST(floor(d2 * CAST(1000000.0 AS DOUBLE)"
+                    " + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("inertia_micro"),
+        )
+        .selectExpr(
+            "CAST(cid AS BIGINT) AS cluster", "n_points", "inertia_micro"
+        )
+    )
 
 
 # SemDeDup (Abbas et al. 2023): semantic dedup by clustering embeddings
@@ -8486,12 +8691,51 @@ def _semdedup_sql(dialect: str) -> str:
     """
 
 
-_sql_query(
+@register(
     "ds_semdedup_prune",
-    _semdedup_sql("spark"),
     _semdedup_sql("duckdb"),
     tags=("dataset", "dedup", "clustering", "embedding"),
 )
+def ds_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup tail over the staged assign2 — the assignment frame is
+    localCheckpointed once and feeds the norm projection, BOTH sides of
+    the within-cluster pair join, and the final keep-mask join (the
+    inlined chain re-derived it from raw embeddings each time: 9 scans
+    in the r8 captured plan)."""
+    from pgvector_db_spark.functions.vector import dot_sql, norm_sql
+
+    assign2 = _kmeans_assign2_frame(spark, sf_dir).localCheckpoint(
+        eager=True
+    )
+    an = assign2.selectExpr(
+        "vec_id",
+        "cid",
+        "embedding",
+        f"{norm_sql('embedding', 'spark')} AS nrm",
+    )
+    cos = (
+        f"({dot_sql('a.embedding', 'b.embedding', 'spark')}"
+        f" / (a.nrm * b.nrm))"
+    )
+    dup = (
+        an.alias("a")
+        .join(
+            an.alias("b"),
+            F.expr(f"a.cid = b.cid AND a.vec_id < b.vec_id AND {cos}"
+                   f" >= CAST('{_SEMDEDUP_TAU!r}' AS DOUBLE)"),
+        )
+        .selectExpr("b.vec_id AS v")
+        .distinct()
+    )
+    return (
+        assign2.alias("a")
+        .join(dup.alias("d"), F.expr("d.v = a.vec_id"), "left")
+        .selectExpr(
+            "a.vec_id",
+            "CAST(a.cid AS BIGINT) AS cluster",
+            "CASE WHEN d.v IS NULL THEN 1 ELSE 0 END AS keep",
+        )
+    )
 
 
 def _stream_kmeans_oracle() -> str:
@@ -9929,12 +10173,80 @@ def _bpe_train_sql(dialect: str, rounds: int = 4) -> str:
     )
 
 
-_sql_query(
+def _bpe_loop(
+    spark: SparkSession,
+    sf_dir: str,
+    rounds: int = 4,
+    want_totals: bool = False,
+):
+    """Driver-loop BPE trainer shared by the trainer and encoder
+    queries: per round, ONE pair-count pass over the checkpointed
+    encoding picks the merge (argmax collected — one 1-row driver
+    fetch), then a map-only greedy re-encode with the merge as plan
+    literals. The unrolled-CTE spelling (``_bpe_train_sql``) is what
+    the DuckDB oracle evaluates (DuckDB materializes the chain); Spark
+    would inline it into 17 corpus scans (caught by the captured plan),
+    so here each round reads the checkpointed previous encoding — the
+    PageRank-style lineage cut. Returns (final enc frame carrying
+    doc_id/enc/n_raw, merges list)."""
+    tok0, pairs, size, part, fold = _bpe_dialect("spark")
+    t = load_tables(spark, sf_dir)
+    enc = (
+        t["documents"]
+        .filter("length(trim(text)) > 0")
+        .selectExpr("doc_id", f"{tok0} AS enc")
+        .selectExpr(
+            "doc_id", "enc", f"CAST({size('enc')} AS BIGINT) AS n_raw"
+        )
+    )
+    merges = []
+    for rnd in range(1, rounds + 1):
+        enc = enc.localCheckpoint(eager=True)
+        m = (
+            enc.filter(f"{size('enc')} >= 2")
+            .selectExpr(f"{pairs('enc')} AS pair")
+            .groupBy("pair")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("pair").asc())
+            .first()
+        )
+        # the oracle's unrolled chain always emits `rounds` rows; a
+        # pairless corpus cannot be represented there — raise loudly
+        _require(m is not None, f"bpe round {rnd}: no pairs left")
+        left, right = m["pair"].split(" ", 1)
+        le = "'" + left.replace("'", "''") + "'"
+        re_ = "'" + right.replace("'", "''") + "'"
+        enc = enc.selectExpr(
+            "doc_id", f"{fold('enc', le, re_)} AS enc", "n_raw"
+        )
+        total = None
+        if want_totals:
+            total = int(
+                enc.agg(
+                    F.sum(F.expr(f"CAST({size('enc')} AS BIGINT)"))
+                ).first()[0]
+            )
+        merges.append((rnd, left, right, int(m["c"]), total))
+    return enc, merges
+
+
+@register(
     "ds_bpe_train_merges",
-    _bpe_train_sql("spark"),
     _bpe_train_sql("duckdb"),
     tags=("dataset", "text", "tokenizer", "bpe"),
 )
+def ds_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 4-round BPE trainer as the driver loop (``_bpe_loop``):
+    merge selection and counts are bitwise the oracle's because pair
+    counts are integers and the (count DESC, pair ASC) argmax is a
+    total order; the greedy re-encode fold is the same expression per
+    round with the merge spliced as literals."""
+    _, merges = _bpe_loop(spark, sf_dir, rounds=4, want_totals=True)
+    return spark.createDataFrame(
+        merges,
+        "merge_no bigint, left_tok string, right_tok string,"
+        " pair_count bigint, n_tokens_after bigint",
+    )
 
 
 # BPE corpus ENCODING — the apply side of the trainer above: the same
@@ -9982,12 +10294,25 @@ def _bpe_encode_sql(dialect: str, rounds: int = 4) -> str:
     )
 
 
-_sql_query(
+@register(
     "ds_bpe_encode_corpus",
-    _bpe_encode_sql("spark"),
     _bpe_encode_sql("duckdb"),
     tags=("dataset", "text", "tokenizer", "bpe"),
 )
+def ds_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoder on the shared ``_bpe_loop``: after the 4 learned merges
+    re-encode the checkpointed corpus, the per-doc token economics are
+    one map-only projection (raw/encoded counts, merges applied, exact
+    encoded-sequence md5 prefix)."""
+    _, _, size, _, _ = _bpe_dialect("spark")
+    enc, _merges = _bpe_loop(spark, sf_dir, rounds=4)
+    return enc.selectExpr(
+        "doc_id",
+        "n_raw AS n_tokens_raw",
+        f"CAST({size('enc')} AS BIGINT) AS n_tokens_bpe",
+        f"CAST(n_raw - {size('enc')} AS BIGINT) AS n_merges_applied",
+        "substr(md5(array_join(enc, ' ')), 1, 8) AS enc_hash8",
+    )
 
 # Collocation extraction by pointwise mutual information — the classic
 # "new york"/"machine learning" phrase-discovery signal (Church & Hanks

@@ -53,9 +53,6 @@ AUDITED = [
     # partitioned WindowGroupLimit top-k is the shape under audit
     "ds_bm25_batch_search",
     "ds_bm25_batch_index_search",
-    # r7: SemDeDup — the shape under audit is the cluster-blocked
-    # self-join (pairwise cosine only within a cid partition)
-    "ds_semdedup_prune",
     # r7: the sweep must aggregate to the bounded per-score frame
     # BEFORE the 10-threshold cross join (never 10 corpus scans)
     "ds_quality_threshold_sweep",
@@ -68,10 +65,6 @@ AUDITED = [
     "vs_cross_encoder_rerank",
     # r8: chi2 — one fact-sized grouped count, then bounded-cell windows
     "rel_chi2_independence",
-    # r8: Naive Bayes — one tokenize fanned into model-bounded grouped
-    # counts (map-side partials) + the |C|-way per-doc scoring join;
-    # the argmax window must be doc_id-PARTITIONED, never global
-    "ds_naive_bayes_langid",
     # r8: IR eval — the BM25 scan stages plus ONE extra map-side label
     # pass; everything after must be <= k-row / 1-row broadcast joins
     "ds_retrieval_eval_metrics",
@@ -101,9 +94,6 @@ AUDITED = [
     # r8: Welch t-test — ONE map-side-combined two-key groupBy; the
     # statistic folds from the 2-row frame (no window, no join)
     "rel_welch_ttest",
-    # r8: BPE corpus encode — each round must be a map-only corpus pass
-    # with the 1-row merge rule as BroadcastNestedLoop, docs never shuffle
-    "ds_bpe_encode_corpus",
     # r8: curriculum — per-source window + TakeOrderedAndProject head;
     # the 64-row position window must sit above the LIMIT, never global
     "ds_curriculum_interleave",
@@ -114,6 +104,12 @@ AUDITED = [
     # r8: token entropy — entirely map-side: one scan, Generate-free
     # HOF projection, no exchange, no ln tree anywhere in the plan
     "ds_token_entropy",
+    # NOT ds_semdedup_prune / ds_naive_bayes_langid /
+    # ds_bpe_encode_corpus (r8 rescan sweep): their Spark sides now
+    # stage through localCheckpointed frames (assign2 / the (doc, lang,
+    # term, tf) type frame / the per-round encoding), so the returned
+    # plans root at ExistingRDD — the staged shapes are documented in
+    # docs/SCALE_AUDIT.md "r8 rescan sweep".
     # NOT ds_substring_span_removal: the shingle/document-frequency
     # stage lives behind the dup-frame localCheckpoint (the dsir class);
     # the returned plan audits the base scan + bounded span/cover
