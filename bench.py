@@ -214,6 +214,8 @@ def derived_metrics(spark, sf_dir: str, timings: dict[str, float]) -> dict[str, 
         ("ds_curriculum_interleave", "curriculum_ms"),
         ("ds_kneser_ney_bigram_score", "kneser_ney_ms"),
         ("ds_token_entropy", "token_entropy_ms"),
+        ("ds_bradley_terry_ranking", "bradley_terry_ms"),
+        ("rel_zorder_layout_prune", "zorder_layout_ms"),
     ):
         if name in REGISTRY:
             _try(lambda n=name, k=key: out.__setitem__(

@@ -4441,6 +4441,80 @@ def ds_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ds_rater_agreement_kappa",
+    f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             {_DUCK_LANG_SCORE['de']} AS s_de, {_DUCK_LANG_SCORE['en']} AS s_en,
+             {_DUCK_LANG_SCORE['es']} AS s_es, {_DUCK_LANG_SCORE['fr']} AS s_fr,
+             {_DUCK_LANG_SCORE['zh']} AS s_zh
+      FROM documents
+    ),
+    pred AS (
+      SELECT lang AS labeled_lang, {_DUCK_LANG_CASE} AS predicted_lang FROM s
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN labeled_lang = predicted_lang
+                            THEN 1 ELSE 0 END) AS BIGINT) AS agree
+            FROM pred),
+    rowt AS (SELECT labeled_lang AS c, CAST(COUNT(*) AS BIGINT) AS r
+             FROM pred GROUP BY 1),
+    colt AS (SELECT predicted_lang AS c, CAST(COUNT(*) AS BIGINT) AS p
+             FROM pred GROUP BY 1),
+    pe AS (SELECT CAST(COALESCE(SUM(r * p), 0) AS BIGINT) AS pe_num
+           FROM rowt JOIN colt USING (c))
+    SELECT n AS n_docs, agree AS n_agree, pe_num,
+           CAST(floor(CAST(n * agree - pe_num AS DOUBLE) * 1e6
+                / CAST(n * n - pe_num AS DOUBLE) + 0.5) AS BIGINT)
+             AS kappa_micro
+    FROM tot, pe
+    """,
+    tags=("dataset", "text", "evaluation", "agreement"),
+)
+def ds_rater_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the gold ``lang`` labels and the n-gram
+    lang-ID heuristic — the labeling-pipeline QA statistic (chance-
+    corrected inter-annotator agreement). Exact integer identity:
+    kappa = (N*agree - sum_c row_c*col_c) / (N^2 - sum_c row_c*col_c),
+    so the only floats are one exactly-rounded multiply + divide onto
+    the micro grid. One scan for the marginals, class-count-sized joins
+    after."""
+    pred = REGISTRY["ds_lang_id"].spark_fn(spark, sf_dir).select(
+        "labeled_lang", "predicted_lang"
+    )
+    tot = pred.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col("labeled_lang") == F.col("predicted_lang")).cast("bigint")
+        ).alias("agree"),
+    )
+    rowt = pred.groupBy(F.col("labeled_lang").alias("c")).agg(
+        F.count(F.lit(1)).alias("r")
+    )
+    colt = pred.groupBy(F.col("predicted_lang").alias("c")).agg(
+        F.count(F.lit(1)).alias("p")
+    )
+    pe = rowt.join(colt, "c").agg(
+        F.coalesce(F.sum(F.col("r") * F.col("p")), F.lit(0))
+        .cast("bigint")
+        .alias("pe_num")
+    )
+    return tot.crossJoin(pe).select(
+        F.col("n").alias("n_docs"),
+        F.col("agree").alias("n_agree"),
+        "pe_num",
+        F.floor(
+            (F.col("n") * F.col("agree") - F.col("pe_num")).cast("double")
+            * F.lit(1e6)
+            / (F.col("n") * F.col("n") - F.col("pe_num")).cast("double")
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("kappa_micro"),
+    )
+
+
+@register(
     "ds_embedding_top_pairs",
     f"""
     SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
@@ -9868,6 +9942,188 @@ def rel_partitioned_export_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout clustering: the multi-dimensional file-skipping
+# layout for 100 TB scans. Both dimensions are min/max-normalized to 16
+# bits, bit-interleaved into a 32-bit Morton code, and files are the
+# code's top-4-bit prefix blocks — a pure MAP-SIDE assignment (z-prefix
+# blocks ARE contiguous z-ranges, so no global sort or range exchange is
+# needed to form them; at scale: repartition("zfile") +
+# sortWithinPartitions("z") + write). The report computes per-file
+# min/max envelopes (exactly what parquet footers would carry) and how
+# many files a rectangle predicate scans under the z-layout vs an
+# insertion-ordered layout. Pure integer + one correctly-rounded double
+# division per normalization — cross-engine exact.
+# ---------------------------------------------------------------------------
+
+_Z_RECT = (0, 32767, 16384, 49151)  # xn in [x0,x1], yn in [y0,y1]
+
+
+def _zorder_terms_sql(xcol: str, ycol: str) -> str:
+    terms = [
+        f"((({xcol} >> {k}) & 1) * {1 << (2 * k)})" for k in range(16)
+    ] + [
+        f"((({ycol} >> {k}) & 1) * {1 << (2 * k + 1)})" for k in range(16)
+    ]
+    return " + ".join(terms)
+
+
+def _zorder_oracle() -> str:
+    x0, x1, y0, y1 = _Z_RECT
+    prune = f"(maxx < {x0} OR minx > {x1} OR maxy < {y0} OR miny > {y1})"
+    return f"""
+    WITH base AS (
+      SELECT o_orderkey AS ok, o_custkey AS x,
+             CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS y
+      FROM orders),
+    mm AS (SELECT MIN(x) AS xmin, MAX(x) AS xmax, MIN(y) AS ymin,
+                  MAX(y) AS ymax, MIN(ok) AS okmin, MAX(ok) AS okmax
+           FROM base),
+    norm AS (
+      SELECT ok,
+        CAST(floor(CAST((x - xmin) * 65535 AS DOUBLE)
+             / CAST(GREATEST(xmax - xmin, 1) AS DOUBLE)) AS BIGINT) AS xn,
+        CAST(floor(CAST((y - ymin) * 65535 AS DOUBLE)
+             / CAST(GREATEST(ymax - ymin, 1) AS DOUBLE)) AS BIGINT) AS yn,
+        LEAST(CAST(floor(CAST((ok - okmin) * 16 AS DOUBLE)
+             / CAST(okmax - okmin + 1 AS DOUBLE)) AS BIGINT), 15) AS rowfile
+      FROM base, mm),
+    z AS (SELECT ok, xn, yn, rowfile,
+                 {_zorder_terms_sql("xn", "yn")} AS zv
+          FROM norm),
+    files AS (
+      SELECT layout, f, CAST(COUNT(*) AS BIGINT) AS cnt,
+             MIN(xn) AS minx, MAX(xn) AS maxx,
+             MIN(yn) AS miny, MAX(yn) AS maxy
+      FROM (SELECT 'zorder' AS layout, CAST((zv >> 28) & 15 AS BIGINT) AS f,
+                   xn, yn FROM z
+            UNION ALL
+            SELECT 'roworder' AS layout, rowfile AS f, xn, yn FROM z)
+      GROUP BY layout, f),
+    matching AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS rows_matching FROM z
+      WHERE xn BETWEEN {x0} AND {x1} AND yn BETWEEN {y0} AND {y1})
+    SELECT layout, CAST(COUNT(*) AS BIGINT) AS files_total,
+           CAST(SUM(CASE WHEN NOT {prune} THEN 1 ELSE 0 END) AS BIGINT)
+             AS files_scanned,
+           CAST(SUM(CASE WHEN NOT {prune} THEN cnt ELSE 0 END) AS BIGINT)
+             AS rows_scanned,
+           (SELECT rows_matching FROM matching) AS rows_matching
+    FROM files GROUP BY layout ORDER BY layout
+    """
+
+
+@register(
+    "rel_zorder_layout_prune",
+    _zorder_oracle(),
+    tags=("relational", "layout", "zorder", "pruning"),
+)
+def rel_zorder_layout_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order layout vs insertion-order layout, as a file-skipping
+    report: per-file (min,max) envelopes on both dimensions and the
+    files/rows a rectangle predicate must scan under each. The z-file id
+    is the Morton code's top-4-bit prefix — map-side arithmetic, no sort;
+    the whole query is one scan + a 32-group aggregate."""
+    x0, x1, y0, y1 = _Z_RECT
+    t = load_tables(spark, sf_dir)
+    base = t["orders"].select(
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_custkey").alias("x"),
+        F.floor(F.unix_timestamp("o_orderdate") / F.lit(86400))
+        .cast("bigint")
+        .alias("y"),
+    )
+    mm = base.agg(
+        F.min("x").alias("xmin"),
+        F.max("x").alias("xmax"),
+        F.min("y").alias("ymin"),
+        F.max("y").alias("ymax"),
+        F.min("ok").alias("okmin"),
+        F.max("ok").alias("okmax"),
+    )
+
+    def _norm(col: str, lo: str, hi: str):
+        return F.floor(
+            ((F.col(col) - F.col(lo)) * F.lit(65535)).cast("double")
+            / F.greatest(F.col(hi) - F.col(lo), F.lit(1)).cast("double")
+        ).cast("bigint")
+
+    norm = base.crossJoin(F.broadcast(mm)).select(
+        "ok",
+        _norm("x", "xmin", "xmax").alias("xn"),
+        _norm("y", "ymin", "ymax").alias("yn"),
+        F.least(
+            F.floor(
+                ((F.col("ok") - F.col("okmin")) * F.lit(16)).cast("double")
+                / (F.col("okmax") - F.col("okmin") + F.lit(1)).cast("double")
+            ).cast("bigint"),
+            F.lit(15),
+        ).alias("rowfile"),
+    )
+    zv = None
+    for k in range(16):
+        xterm = (
+            F.shiftright(F.col("xn"), k).bitwiseAND(F.lit(1))
+            * F.lit(1 << (2 * k))
+        )
+        yterm = (
+            F.shiftright(F.col("yn"), k).bitwiseAND(F.lit(1))
+            * F.lit(1 << (2 * k + 1))
+        )
+        zv = xterm + yterm if zv is None else zv + xterm + yterm
+    z = norm.withColumn("zv", zv)
+    melted = z.select(
+        F.lit("zorder").alias("layout"),
+        F.shiftright(F.col("zv"), 28).bitwiseAND(F.lit(15))
+        .cast("bigint")
+        .alias("f"),
+        "xn",
+        "yn",
+    ).unionByName(
+        z.select(
+            F.lit("roworder").alias("layout"),
+            F.col("rowfile").alias("f"),
+            "xn",
+            "yn",
+        )
+    )
+    files = melted.groupBy("layout", "f").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("xn").alias("minx"),
+        F.max("xn").alias("maxx"),
+        F.min("yn").alias("miny"),
+        F.max("yn").alias("maxy"),
+    )
+    pruned = (
+        (F.col("maxx") < F.lit(x0))
+        | (F.col("minx") > F.lit(x1))
+        | (F.col("maxy") < F.lit(y0))
+        | (F.col("miny") > F.lit(y1))
+    )
+    matching = z.filter(
+        F.col("xn").between(x0, x1) & F.col("yn").between(y0, y1)
+    ).agg(F.count(F.lit(1)).alias("rows_matching"))
+    return (
+        files.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).alias("files_total"),
+            F.sum(F.when(~pruned, 1).otherwise(0)).alias("files_scanned"),
+            F.sum(F.when(~pruned, F.col("cnt")).otherwise(0)).alias(
+                "rows_scanned"
+            ),
+        )
+        .crossJoin(F.broadcast(matching))
+        .select(
+            "layout",
+            "files_total",
+            "files_scanned",
+            "rows_scanned",
+            "rows_matching",
+        )
+        .orderBy("layout")
+    )
+
+
 _sql_query(
     "rel_distinct_on_latest_order",
     """
@@ -11769,6 +12025,121 @@ def ds_pagerank_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank_nano").desc(), F.col("node").asc())
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise-preference ranking (operators/ranking.py): Bradley-Terry MM
+# iterations over a match log derived from lineitem — the RLHF
+# preference-aggregation shape. Spark side is a real iterative loop on the
+# per-item state frame; the oracle unrolls the same MM steps as CTEs.
+# Determinism: pair terms snapped to a BIGINT grid before every
+# order-sensitive sum (the pagerank pattern).
+# ---------------------------------------------------------------------------
+
+def _bt_match_sql() -> str:
+    """Shared match derivation (DuckDB spelling): consecutive lineitems
+    of an order are a supplier-vs-supplier comparison; higher
+    extendedprice wins, price ties go to the lower suppkey."""
+    return (
+        "seq AS (SELECT l_suppkey AS a, l_extendedprice AS pa, "
+        "lead(l_suppkey) OVER w AS b, lead(l_extendedprice) OVER w AS pb "
+        "FROM lineitem "
+        # (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+        # order by every consumed column so tied rows are interchangeable
+        # and the (supplier, price) sequence is engine-independent.
+        "WINDOW w AS (PARTITION BY l_orderkey "
+        "ORDER BY l_linenumber, l_suppkey, l_extendedprice)), "
+        "m AS (SELECT "
+        "CASE WHEN pa > pb THEN a WHEN pa < pb THEN b "
+        "WHEN a < b THEN a ELSE b END AS winner, "
+        "CASE WHEN pa > pb THEN b WHEN pa < pb THEN a "
+        "WHEN a < b THEN b ELSE a END AS loser "
+        "FROM seq WHERE b IS NOT NULL AND a <> b)"
+    )
+
+
+def _bradley_terry_oracle(iterations: int = 6) -> str:
+    ctes = [
+        _bt_match_sql(),
+        "pairs AS MATERIALIZED (SELECT LEAST(winner, loser) AS i, "
+        "GREATEST(winner, loser) AS j, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(CASE WHEN winner < loser THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS w_i FROM m GROUP BY 1, 2)",
+        "edges AS MATERIALIZED (SELECT i, j, n FROM pairs "
+        "UNION ALL SELECT j AS i, i AS j, n FROM pairs)",
+        "st AS MATERIALIZED (SELECT item, CAST(SUM(w) AS BIGINT) + 1 AS "
+        "wins, CAST(SUM(g) AS BIGINT) + 2 AS games FROM ("
+        "SELECT i AS item, w_i AS w, n AS g FROM pairs "
+        "UNION ALL SELECT j AS item, n - w_i AS w, n AS g FROM pairs) "
+        "GROUP BY item)",
+        "p0 AS MATERIALIZED (SELECT item, CAST(1000000 AS BIGINT) AS p "
+        "FROM st)",
+    ]
+    for k in range(1, iterations + 1):
+        ctes.append(
+            f"s{k} AS MATERIALIZED (SELECT e.i AS item, "
+            f"SUM(CAST(floor(e.n * 1e12 / CAST(pi.p + pj.p AS DOUBLE) + 0.5) "
+            f"AS BIGINT)) AS s "
+            f"FROM edges e JOIN p{k - 1} pi ON e.i = pi.item "
+            f"JOIN p{k - 1} pj ON e.j = pj.item GROUP BY e.i)"
+        )
+        ctes.append(
+            f"p{k} AS MATERIALIZED (SELECT st.item, CAST(floor(st.wins * 1e12 / "
+            f"CAST(s{k}.s + CAST(floor(2e12 / CAST(po.p + 1000000 AS DOUBLE) "
+            f"+ 0.5) AS BIGINT) AS DOUBLE) + 0.5) AS BIGINT) AS p "
+            f"FROM st JOIN s{k} ON st.item = s{k}.item "
+            f"JOIN p{k - 1} po ON st.item = po.item)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+    SELECT st.item, st.wins, st.games, p{iterations}.p AS strength_micro
+    FROM st JOIN p{iterations} ON st.item = p{iterations}.item
+    ORDER BY strength_micro DESC, st.item ASC LIMIT 20
+    """
+    )
+
+
+@register(
+    "ds_bradley_terry_ranking",
+    _bradley_terry_oracle(6),
+    tags=("dataset", "ranking", "iterative"),
+)
+def ds_bradley_terry_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry supplier strengths from in-order price duels
+    (operators/ranking.py): consecutive lineitems of an order are a
+    pairwise comparison; 6 MM iterations on the micro-unit BIGINT grid.
+    The match log is aggregated to per-pair counts ONCE; every iteration
+    joins the |items|-row state (broadcast) against the edge frame."""
+    from pgvector_db_spark.operators.ranking import bradley_terry
+
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_suppkey", "l_extendedprice"
+    )
+    seq = t["lineitem"].select(
+        F.col("l_suppkey").alias("a"),
+        F.col("l_extendedprice").alias("pa"),
+        F.lead("l_suppkey").over(w).alias("b"),
+        F.lead("l_extendedprice").over(w).alias("pb"),
+    )
+    matches = seq.filter(
+        F.col("b").isNotNull() & (F.col("a") != F.col("b"))
+    ).select(
+        F.when(F.col("pa") > F.col("pb"), F.col("a"))
+        .when(F.col("pa") < F.col("pb"), F.col("b"))
+        .when(F.col("a") < F.col("b"), F.col("a"))
+        .otherwise(F.col("b"))
+        .alias("winner"),
+        F.when(F.col("pa") > F.col("pb"), F.col("b"))
+        .when(F.col("pa") < F.col("pb"), F.col("a"))
+        .when(F.col("a") < F.col("b"), F.col("b"))
+        .otherwise(F.col("a"))
+        .alias("loser"),
+    )
+    ranked = bradley_terry(matches, iterations=6)
+    return ranked.orderBy(
+        F.col("strength_micro").desc(), F.col("item").asc()
+    ).limit(20)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,125 @@
+"""Unit tests for the preference-ranking and layout operators:
+Bradley-Terry MM (operators/ranking.py), the Z-order layout report, and
+Cohen's kappa. Cross-engine exactness is covered by test_queries_oracle;
+these pin the algorithmic invariants against pure-Python replicas."""
+
+from __future__ import annotations
+
+import math
+
+from pgvector_db_spark.operators.ranking import GRID, P0, bradley_terry
+from pgvector_db_spark.queries import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _bt_python(match_list, iterations=6):
+    """Pure-Python replica of the grid-quantized MM iteration — the same
+    IEEE ops in the same order as the Column expressions."""
+    pairs: dict[tuple[int, int], list[int]] = {}
+    for w, l in match_list:
+        i, j = min(w, l), max(w, l)
+        n_w = pairs.setdefault((i, j), [0, 0])
+        n_w[0] += 1
+        if w < l:
+            n_w[1] += 1
+    items = sorted({x for p in pairs for x in p})
+    wins = {it: 1 for it in items}
+    games = {it: 2 for it in items}
+    for (i, j), (n, wi) in pairs.items():
+        wins[i] += wi
+        wins[j] += n - wi
+        games[i] += n
+        games[j] += n
+    p = {it: P0 for it in items}
+    for _ in range(iterations):
+        s = {it: 0 for it in items}
+        for (i, j), (n, _wi) in pairs.items():
+            t_ij = math.floor(n * GRID / float(p[i] + p[j]) + 0.5)
+            s[i] += t_ij
+            s[j] += t_ij
+        p = {
+            it: math.floor(
+                wins[it]
+                * GRID
+                / float(
+                    s[it] + math.floor(2.0 * GRID / float(p[it] + P0) + 0.5)
+                )
+                + 0.5
+            )
+            for it in items
+        }
+    return {it: (wins[it], games[it], p[it]) for it in items}
+
+
+def test_bradley_terry_matches_pure_python(spark):
+    # 1 beats 2 thrice, 2 beats 1 once, 2 beats 3 twice, 3 beats 1 once
+    log = [(1, 2), (1, 2), (1, 2), (2, 1), (2, 3), (2, 3), (3, 1)]
+    df = spark.createDataFrame(log, ["winner", "loser"])
+    got = {
+        r["item"]: (r["wins"], r["games"], r["strength_micro"])
+        for r in bradley_terry(df, iterations=6).collect()
+    }
+    assert got == _bt_python(log, iterations=6)
+
+
+def test_bradley_terry_dominant_item_ranks_first(spark):
+    # item 9 beats everyone twice; 1/2/3 split their games evenly
+    log = []
+    for other in (1, 2, 3):
+        log += [(9, other)] * 2
+    log += [(1, 2), (2, 3), (3, 1)]
+    df = spark.createDataFrame(log, ["winner", "loser"])
+    out = {
+        r["item"]: r["strength_micro"]
+        for r in bradley_terry(df, iterations=6).collect()
+    }
+    assert max(out, key=out.get) == 9
+    assert all(out[9] > out[i] for i in (1, 2, 3))
+
+
+def test_bradley_terry_zero_win_item_stays_positive(spark):
+    df = spark.createDataFrame(
+        [(1, 2), (1, 2), (3, 2)], ["winner", "loser"]
+    )
+    out = {
+        r["item"]: r["strength_micro"]
+        for r in bradley_terry(df, iterations=6).collect()
+    }
+    # item 2 never wins a real game; the ghost prior keeps it positive
+    assert out[2] > 0
+    assert out[1] > out[2]
+
+
+def test_zorder_layout_beats_roworder_on_fixture(spark):
+    rows = {
+        r["layout"]: r
+        for r in REGISTRY["rel_zorder_layout_prune"]
+        .spark_fn(spark, SF_DIR)
+        .collect()
+    }
+    z, ro = rows["zorder"], rows["roworder"]
+    assert z["files_total"] == ro["files_total"] == 16
+    # both layouts must scan at least every matching row
+    for r in (z, ro):
+        assert r["rows_scanned"] >= r["rows_matching"]
+    assert z["rows_matching"] == ro["rows_matching"]
+    # the point of the layout: the z-curve prunes, insertion order can't
+    assert z["files_scanned"] < ro["files_scanned"]
+    assert z["rows_scanned"] < ro["rows_scanned"]
+
+
+def test_kappa_bounds_and_identity(spark):
+    row = (
+        REGISTRY["ds_rater_agreement_kappa"]
+        .spark_fn(spark, SF_DIR)
+        .collect()[0]
+    )
+    n, agree, pe_num = row["n_docs"], row["n_agree"], row["pe_num"]
+    assert 0 < agree <= n
+    # exact integer identity reproduced in python
+    expect = math.floor(
+        float(n * agree - pe_num) * 1e6 / float(n * n - pe_num) + 0.5
+    )
+    assert row["kappa_micro"] == expect
+    assert -1_000_000 <= row["kappa_micro"] <= 1_000_000

@@ -104,6 +104,12 @@ AUDITED = [
     # r8: token entropy — entirely map-side: one scan, Generate-free
     # HOF projection, no exchange, no ln tree anywhere in the plan
     "ds_token_entropy",
+    # r8: z-order layout — must be ONE scan + map-side Morton arithmetic
+    # + a 32-group aggregate; no sort, no range exchange anywhere
+    "rel_zorder_layout_prune",
+    # r8: Bradley-Terry — the 6 MM iterations over the checkpointed
+    # pairs/stats frames; each iteration's state join must be broadcast
+    "ds_bradley_terry_ranking",
     # NOT ds_semdedup_prune / ds_naive_bayes_langid /
     # ds_bpe_encode_corpus (r8 rescan sweep): their Spark sides now
     # stage through localCheckpointed frames (assign2 / the (doc, lang,
