@@ -57,16 +57,28 @@ def bradley_terry(
         F.col("loser").cast("bigint").alias("loser"),
     )
     # One pass over the (arbitrarily large) match log -> per-pair counts.
-    pairs = (
-        m.select(
-            F.least("winner", "loser").alias("i"),
-            F.greatest("winner", "loser").alias("j"),
-            (F.col("winner") < F.col("loser")).cast("bigint").alias("wi"),
-        )
-        .groupBy("i", "j")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("wi").alias("w_i"))
-        .localCheckpoint(eager=False)
+    pairs = m.select(
+        F.least("winner", "loser").alias("i"),
+        F.greatest("winner", "loser").alias("j"),
+        (F.col("winner") < F.col("loser")).cast("bigint").alias("wi"),
+    ).groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("wi").alias("w_i")
     )
+    return bradley_terry_from_pairs(
+        pairs, iterations=iterations, broadcast_max_items=broadcast_max_items
+    )
+
+
+def bradley_terry_from_pairs(
+    pairs: DataFrame,
+    iterations: int = 6,
+    broadcast_max_items: int = 5_000_000,
+) -> DataFrame:
+    """MM iterations over an already-aggregated per-pair count frame
+    ``(i, j, n, w_i)`` with i < j — the entry point for incrementally
+    maintained count state (the streaming fold), sharing every op with
+    the batch path so results are bitwise identical."""
+    pairs = pairs.select("i", "j", "n", "w_i").localCheckpoint(eager=False)
     edges = pairs.select("i", "j", "n").unionByName(
         pairs.select(F.col("j").alias("i"), F.col("i").alias("j"), "n")
     )

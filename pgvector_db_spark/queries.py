@@ -4897,6 +4897,91 @@ _sql_query(
 )
 
 
+# Content-defined chunking dedup (the LBFS/rsync/backup-system shape,
+# here as the corpus-storage signal for near-identical crawl snapshots):
+# chunk boundaries are decided by each word's OWN hash (content-defined,
+# so an insertion only reshapes its local chunk — shift-resistant, unlike
+# fixed-size blocks), chunks are fingerprinted by a position-tagged
+# commutative BIGINT sum (order-aware yet aggregation-order-independent),
+# and the dedup report groups on the fingerprint. Scale shape: boundary
+# flags and word signatures are map-side; the windows partition by
+# doc_id (bounded by document length); the ONLY corpus-wide shuffle
+# carries (signature, counts) — the text itself never moves.
+def _cdc_chunk_sql(dialect: str) -> str:
+    if dialect == "spark":
+        tok = (
+            "SELECT doc_id, pos, word FROM docs "
+            "LATERAL VIEW posexplode(w) t AS pos, word"
+        )
+        h = (
+            "CAST(conv(substring(md5(word || '{salt}'), 1, 8), 16, 10) "
+            "AS BIGINT)"
+        )
+        docs = (
+            "SELECT doc_id, split(trim(text), '\\\\s+') AS w FROM documents "
+            "WHERE length(trim(text)) > 0"
+        )
+        cast_str = "CAST(rel AS STRING)"
+    else:
+        tok = (
+            "SELECT doc_id, unnest(range(1, len(w) + 1)) - 1 AS pos, "
+            "unnest(w) AS word FROM docs"
+        )
+        h = _duck_hex8("md5(word || '{salt}')")
+        docs = (
+            "SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w "
+            "FROM documents WHERE length(trim(text)) > 0"
+        )
+        cast_str = "CAST(rel AS VARCHAR)"
+    hb = h.format(salt="_cdcb")
+    hs = h.replace("word ||", "word || '@' || " + cast_str + " ||").format(
+        salt="_cdcs"
+    )
+    return f"""
+    WITH docs AS ({docs}),
+    tok AS ({tok}),
+    flagged AS (
+      SELECT doc_id, pos, word,
+             CASE WHEN {hb} % 16 = 0 THEN 1 ELSE 0 END AS b
+      FROM tok),
+    ch AS (
+      SELECT doc_id, pos, word,
+             SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_no
+      FROM flagged),
+    rel AS (
+      SELECT doc_id, chunk_no, word,
+             pos - MIN(pos) OVER (PARTITION BY doc_id, chunk_no) AS rel
+      FROM ch),
+    chunks AS (
+      SELECT doc_id, chunk_no,
+             CAST(SUM({hs}) AS BIGINT) AS sig,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(length(word)) AS BIGINT) AS n_chars
+      FROM rel GROUP BY doc_id, chunk_no),
+    grp AS (
+      SELECT sig, n_words, n_chars, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM chunks GROUP BY sig, n_words, n_chars)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM docs) AS n_docs,
+           CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+           CAST(COUNT(*) AS BIGINT) AS n_unique_chunks,
+           CAST(floor((SUM(cnt) - COUNT(*)) * 1e6 / SUM(cnt) + 0.5)
+                AS BIGINT) AS dup_chunk_ppm,
+           CAST(SUM(cnt * n_chars) AS BIGINT) AS chunk_bytes_total,
+           CAST(SUM(n_chars) AS BIGINT) AS chunk_bytes_unique,
+           CAST(floor((SUM(cnt * n_chars) - SUM(n_chars)) * 1e6
+                / SUM(cnt * n_chars) + 0.5) AS BIGINT) AS savings_ppm
+    FROM grp
+    """
+
+
+_sql_query(
+    "ds_content_chunk_dedup",
+    _cdc_chunk_sql("spark"),
+    _cdc_chunk_sql("duckdb"),
+    tags=("dataset", "dedup", "chunking"),
+)
+
+
 def _unigram_logprob_sql(dialect: str) -> str:
     # ln(tf/total) as the difference of deterministic integer logs
     # (detmath) — no engine ln() inside the 1e-6 grid (r6; same
@@ -12140,6 +12225,120 @@ def ds_bradley_terry_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.orderBy(
         F.col("strength_micro").desc(), F.col("item").asc()
     ).limit(20)
+
+
+@register(
+    "stream_preference_rank_update",
+    _bradley_terry_oracle(6),
+    tags=("streaming", "ranking", "fold"),
+)
+def stream_preference_rank_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online preference aggregation: the match log replayed as 4
+    micro-batches (votes arriving continuously); per-pair (n, w_i)
+    counts fold ADDITIVELY into atomically-swapped state with a
+    last_bid exactly-once guard (the stream_regr_fold pattern); the
+    drained state feeds the SAME MM loop as the batch operator
+    (operators/ranking.py bradley_terry_from_pairs), so the final
+    rankings equal ds_bradley_terry_ranking — and the shared oracle —
+    bitwise. State is |pairs| rows (items^2-bounded), constant in
+    stream length."""
+    import shutil
+    import tempfile
+
+    from pgvector_db_spark.operators.ranking import bradley_terry_from_pairs
+    from pgvector_db_spark.sources.table import ParquetTable
+    from pgvector_db_spark.streaming.replay import (
+        file_stream,
+        stage_replay_df,
+    )
+
+    tag = _fixture_tag(sf_dir)
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_suppkey", "l_extendedprice"
+    )
+    seq = t["lineitem"].select(
+        F.col("l_suppkey").alias("a"),
+        F.col("l_extendedprice").alias("pa"),
+        F.lead("l_suppkey").over(w).alias("b"),
+        F.lead("l_extendedprice").over(w).alias("pb"),
+    )
+    matches = seq.filter(
+        F.col("b").isNotNull() & (F.col("a") != F.col("b"))
+    ).select(
+        F.when(F.col("pa") > F.col("pb"), F.col("a"))
+        .when(F.col("pa") < F.col("pb"), F.col("b"))
+        .when(F.col("a") < F.col("b"), F.col("a"))
+        .otherwise(F.col("b"))
+        .cast("bigint")
+        .alias("winner"),
+        F.when(F.col("pa") > F.col("pb"), F.col("b"))
+        .when(F.col("pa") < F.col("pb"), F.col("a"))
+        .when(F.col("a") < F.col("b"), F.col("b"))
+        .otherwise(F.col("a"))
+        .cast("bigint")
+        .alias("loser"),
+    )
+    replay_dir = os.path.join(
+        tempfile.gettempdir(), f"bt_match_replay4_{tag}"
+    )
+    stage_replay_df(matches, replay_dir, 4, fingerprint=f"btm1_{tag}")
+    src = file_stream(
+        spark, replay_dir, matches.schema, max_files_per_trigger=1
+    )
+    tmp = tempfile.mkdtemp(prefix="bt_stream_")
+    try:
+        table = ParquetTable(spark, f"{tmp}/pair_counts")
+
+        def fold(batch: DataFrame, _bid: int) -> None:
+            part = (
+                batch.select(
+                    F.least("winner", "loser").alias("i"),
+                    F.greatest("winner", "loser").alias("j"),
+                    (F.col("winner") < F.col("loser"))
+                    .cast("bigint")
+                    .alias("wi"),
+                )
+                .groupBy("i", "j")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("wi").alias("w_i"),
+                )
+                .withColumn("last_bid", F.lit(_bid).cast("bigint"))
+            )
+            if not table.exists():
+                part.write.mode("errorifexists").parquet(table.path)
+                return
+            state = table.read()
+            prev = state.agg(F.max("last_bid")).first()[0]
+            # additive fold is NOT idempotent: a replayed micro-batch
+            # (foreachBatch is at-least-once) must be a no-op
+            if (prev if prev is not None else -1) >= _bid:
+                return
+            merged = state.unionByName(part).groupBy("i", "j").agg(
+                F.sum("n").cast("bigint").alias("n"),
+                F.sum("w_i").cast("bigint").alias("w_i"),
+                F.max("last_bid").alias("last_bid"),
+            )
+            table._swap_in(merged)
+
+        q = (
+            src.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        pairs = table.read().select("i", "j", "n", "w_i")
+        ranked = bradley_terry_from_pairs(pairs, iterations=6)
+        out = ranked.orderBy(
+            F.col("strength_micro").desc(), F.col("item").asc()
+        ).limit(20)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

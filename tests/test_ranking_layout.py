@@ -109,6 +109,40 @@ def test_zorder_layout_beats_roworder_on_fixture(spark):
     assert z["rows_scanned"] < ro["rows_scanned"]
 
 
+def test_streaming_preference_rank_equals_batch(spark):
+    batch = (
+        REGISTRY["ds_bradley_terry_ranking"].spark_fn(spark, SF_DIR).collect()
+    )
+    streamed = (
+        REGISTRY["stream_preference_rank_update"]
+        .spark_fn(spark, SF_DIR)
+        .collect()
+    )
+    # additive per-pair count folds + the shared MM loop => bitwise equal
+    assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
+
+
+def test_content_chunk_dedup_invariants(spark):
+    row = (
+        REGISTRY["ds_content_chunk_dedup"].spark_fn(spark, SF_DIR).collect()[0]
+    )
+    assert 0 < row["n_unique_chunks"] <= row["n_chunks"]
+    assert 0 < row["chunk_bytes_unique"] <= row["chunk_bytes_total"]
+    # ppm ratios recomputed exactly
+    assert row["dup_chunk_ppm"] == math.floor(
+        (row["n_chunks"] - row["n_unique_chunks"]) * 1e6 / row["n_chunks"]
+        + 0.5
+    )
+    assert row["savings_ppm"] == math.floor(
+        (row["chunk_bytes_total"] - row["chunk_bytes_unique"])
+        * 1e6
+        / row["chunk_bytes_total"]
+        + 0.5
+    )
+    # the fixture corpus genuinely contains duplicated chunks
+    assert row["dup_chunk_ppm"] > 0
+
+
 def test_kappa_bounds_and_identity(spark):
     row = (
         REGISTRY["ds_rater_agreement_kappa"]

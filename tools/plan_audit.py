@@ -110,6 +110,12 @@ AUDITED = [
     # r8: Bradley-Terry — the 6 MM iterations over the checkpointed
     # pairs/stats frames; each iteration's state join must be broadcast
     "ds_bradley_terry_ranking",
+    # r8: content-defined chunking — map-side flags + doc_id-partitioned
+    # windows; the only corpus-wide exchange carries (sig, counts)
+    "ds_content_chunk_dedup",
+    # NOT stream_preference_rank_update: returns via collect/
+    # createDataFrame over the drained pair-count state (the
+    # stream_kmeans_update class).
     # NOT ds_semdedup_prune / ds_naive_bayes_langid /
     # ds_bpe_encode_corpus (r8 rescan sweep): their Spark sides now
     # stage through localCheckpointed frames (assign2 / the (doc, lang,
