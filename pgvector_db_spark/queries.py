@@ -10157,27 +10157,41 @@ def rel_zorder_layout_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         zv = xterm + yterm if zv is None else zv + xterm + yterm
     z = norm.withColumn("zv", zv)
-    melted = z.select(
-        F.lit("zorder").alias("layout"),
-        F.shiftright(F.col("zv"), 28).bitwiseAND(F.lit(15))
-        .cast("bigint")
-        .alias("f"),
+    # ONE corpus pass: each row emits its (layout, file) assignment for
+    # BOTH layouts via an in-row explode (no union rescan), and the
+    # rectangle-match indicator folds into the same per-file aggregate —
+    # per-layout SUM(n_match) equals the global matching count because
+    # files partition the rows.
+    pair = z.select(
         "xn",
         "yn",
-    ).unionByName(
-        z.select(
-            F.lit("roworder").alias("layout"),
-            F.col("rowfile").alias("f"),
-            "xn",
-            "yn",
-        )
-    )
-    files = melted.groupBy("layout", "f").agg(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.shiftright(F.col("zv"), 28)
+                    .bitwiseAND(F.lit(15))
+                    .cast("bigint")
+                    .alias("f"),
+                ),
+                F.struct(
+                    F.lit("roworder").alias("layout"),
+                    F.col("rowfile").cast("bigint").alias("f"),
+                ),
+            )
+        ).alias("lf"),
+    ).select(F.col("lf.layout").alias("layout"), F.col("lf.f").alias("f"), "xn", "yn")
+    files = pair.groupBy("layout", "f").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.min("xn").alias("minx"),
         F.max("xn").alias("maxx"),
         F.min("yn").alias("miny"),
         F.max("yn").alias("maxy"),
+        F.sum(
+            (
+                F.col("xn").between(x0, x1) & F.col("yn").between(y0, y1)
+            ).cast("bigint")
+        ).alias("n_match"),
     )
     pruned = (
         (F.col("maxx") < F.lit(x0))
@@ -10185,9 +10199,6 @@ def rel_zorder_layout_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         | (F.col("maxy") < F.lit(y0))
         | (F.col("miny") > F.lit(y1))
     )
-    matching = z.filter(
-        F.col("xn").between(x0, x1) & F.col("yn").between(y0, y1)
-    ).agg(F.count(F.lit(1)).alias("rows_matching"))
     return (
         files.groupBy("layout")
         .agg(
@@ -10196,14 +10207,7 @@ def rel_zorder_layout_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~pruned, F.col("cnt")).otherwise(0)).alias(
                 "rows_scanned"
             ),
-        )
-        .crossJoin(F.broadcast(matching))
-        .select(
-            "layout",
-            "files_total",
-            "files_scanned",
-            "rows_scanned",
-            "rows_matching",
+            F.sum("n_match").cast("bigint").alias("rows_matching"),
         )
         .orderBy("layout")
     )
