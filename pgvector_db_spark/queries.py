@@ -14160,6 +14160,75 @@ _sql_query(
 )
 
 
+_sql_query(
+    "rel_l_diversity_report",
+    """
+    WITH g AS (
+      SELECT c_mktsegment, c_nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+                  AS BIGINT) AS l
+      FROM customer GROUP BY c_mktsegment, c_nationkey
+    )
+    SELECT CAST(MIN(l) AS BIGINT) AS l_floor,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS groups_below_l3,
+           CAST(SUM(CASE WHEN l < 3 THEN n ELSE 0 END) AS BIGINT)
+             AS rows_below_l3
+    FROM g
+    """,
+    tags=("relational", "governance", "privacy"),
+)
+
+
+# Exponential smoothing with α = 1/2: every weight is a power of two, so
+# each term value·2^-k is EXACT (scaling by 2^-k only shifts the
+# exponent — no mantissa rounding), and snapping each term to the micro
+# grid before the BIGINT sum makes the per-user fold bitwise
+# order-independent. Per-user windows only (the sessionize class);
+# weight exponents clamp at 62 — older contributions are sub-grid
+# anyway. The general-α EWMA needs pow() (engine transcendental); α=1/2
+# is the deterministic member of the family, which is why it is the one
+# in the gate.
+def _ewma_sql(dialect: str) -> str:
+    two_e = (
+        "shiftleft(CAST(1 AS BIGINT), e)"
+        if dialect == "spark"
+        else "(CAST(1 AS BIGINT) << e)"
+    )
+    return f"""
+    WITH seq AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER w AS i,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    terms AS (
+      SELECT user_id, n,
+             LEAST(CASE WHEN i = 1 THEN n - 1 ELSE n - i + 1 END, 62) AS e,
+             value
+      FROM seq
+    )
+    SELECT user_id, CAST(MIN(n) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(floor(value / CAST({two_e} AS DOUBLE) * 1e6 + 0.5)
+                AS BIGINT)) AS BIGINT) AS ewma_micro
+    FROM terms
+    GROUP BY user_id
+    ORDER BY ewma_micro DESC, user_id ASC
+    LIMIT 20
+    """
+
+
+_sql_query(
+    "rel_ewma_user_value",
+    _ewma_sql("spark"),
+    _ewma_sql("duckdb"),
+    tags=("relational", "timeseries", "ewma"),
+)
+
+
 # --- Interpolated Kneser-Ney bigram LM scoring ------------------------------
 # The canonical n-gram smoothing (Kneser & Ney 1995; Chen & Goodman
 # 1999) as a corpus-train + corpus-score pass: with discount D = 3/4,

@@ -143,6 +143,37 @@ def test_content_chunk_dedup_invariants(spark):
     assert row["dup_chunk_ppm"] > 0
 
 
+def test_ewma_matches_pure_python(spark, tables):
+    rows = (
+        tables["events"]
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], r["value"])
+        )
+    expect = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        n = len(evs)
+        total = 0
+        for i, (_, _, v) in enumerate(evs, start=1):
+            e = min(n - 1 if i == 1 else n - i + 1, 62)
+            total += math.floor(v / float(1 << e) * 1e6 + 0.5)
+        expect[u] = (n, total)
+    got = (
+        REGISTRY["rel_ewma_user_value"].spark_fn(spark, SF_DIR).collect()
+    )
+    top = sorted(
+        ((v[1], -u) for u, v in expect.items()), reverse=True
+    )[:20]
+    assert [(r["user_id"], r["n_events"], r["ewma_micro"]) for r in got] == [
+        (-nu, expect[-nu][0], s) for s, nu in top
+    ]
+
+
 def test_kappa_bounds_and_identity(spark):
     row = (
         REGISTRY["ds_rater_agreement_kappa"]

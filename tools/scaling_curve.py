@@ -73,6 +73,12 @@ HEAVY = {
     "ds_token_entropy",
     "ds_kneser_ney_bigram_score",
     "ds_bpe_encode_corpus",
+    # r8 session additions: lineitem/orders/documents-bound — the match
+    # log, the layout scan, and the chunk fingerprints all grow with
+    # the replica, so each earns the extra decade
+    "ds_bradley_terry_ranking",
+    "rel_zorder_layout_prune",
+    "ds_content_chunk_dedup",
 }
 
 # one representative per major operator family
@@ -111,6 +117,10 @@ QUERIES = [
     "ds_bpe_encode_corpus",       # 4 map-only merge rounds + doc join (r8)
     "ds_curriculum_interleave",   # per-source rank + bounded head (r8)
     "rel_welch_ttest",            # two-key moment agg, 2-row tail (r8)
+    "ds_bradley_terry_ranking",   # match-log agg + items-bounded MM loop (r8)
+    "rel_zorder_layout_prune",    # 1 scan + map-side Morton + 32-group agg (r8)
+    "ds_content_chunk_dedup",     # per-doc windows + signature-only shuffle (r8)
+    "ds_rater_agreement_kappa",   # marginal scan + class-count joins (r8)
 ]
 
 
