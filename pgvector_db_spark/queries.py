@@ -3962,6 +3962,76 @@ _sql_query(
 # Quantized kNN: the whole search runs on the int8 grid (dequantized in
 # the distance expression) — the storage-optimized read path, exactly
 # oracle-checkable because the grid is identical on both engines.
+# Rank-biased overlap (Webber et al. 2010) between the exact-cosine and
+# int8-quantized rankings — the top-weighted rank-agreement metric the
+# IR-eval family (nDCG/MRR/recall) lacks: it compares two RANKINGS, not
+# a ranking against labels, so it is the right lens on "what did
+# quantization do to my retrieval order". p = 1/2 is the deterministic
+# member of the family: the weight (1-p)p^(d-1) = 2^-d makes every
+# per-depth term X_d / (d·2^d) a ratio of exact integers — one
+# correctly-rounded division per depth, snapped to the nano grid BEFORE
+# the 20-term sum. Both rankings tie-break on vec_id; the r <= 20
+# filters take the WindowGroupLimit partial top-k path at scale.
+def _rbo_sql(dialect: str, k: int = 20) -> str:
+    mx = _SQ_SPARK_MX if dialect == "spark" else _SQ_DUCK_MX
+    tf = "transform" if dialect == "spark" else "list_transform"
+    dd = " UNION ALL ".join(
+        f"SELECT {d} AS d, {d * (1 << d)} AS den" for d in range(1, k + 1)
+    )
+    return f"""
+    WITH s AS (
+      SELECT vec_id, embedding,
+             CASE WHEN {mx} > 0.0 THEN 127.0 / {mx} ELSE 1.0 END AS scale
+      FROM embeddings
+    ),
+    g AS (
+      SELECT vec_id, embedding,
+             {tf}(embedding, x -> round(CAST(x AS DOUBLE) * scale) / scale)
+               AS dq
+      FROM s
+    ),
+    q AS (SELECT embedding AS qe, dq AS qq FROM g WHERE vec_id = 0),
+    de AS (
+      SELECT g.vec_id,
+             {cosine_distance_sql("g.embedding", "qe", dialect)} AS dist_e,
+             {cosine_distance_sql("g.dq", "qq", dialect)} AS dist_q
+      FROM g, q
+    ),
+    re AS (SELECT vec_id, r FROM (
+             SELECT vec_id,
+                    ROW_NUMBER() OVER (ORDER BY dist_e ASC, vec_id ASC) AS r
+             FROM de) t WHERE r <= {k}),
+    rq AS (SELECT vec_id, r FROM (
+             SELECT vec_id,
+                    ROW_NUMBER() OVER (ORDER BY dist_q ASC, vec_id ASC) AS r
+             FROM de) t WHERE r <= {k}),
+    matched AS (
+      SELECT GREATEST(re.r, rq.r) AS m, re.r AS re_r, rq.r AS rq_r
+      FROM re JOIN rq ON re.vec_id = rq.vec_id
+    ),
+    dd AS ({dd}),
+    xd AS (
+      SELECT d, den, CAST(COUNT(m) AS BIGINT) AS x
+      FROM dd LEFT JOIN matched ON m <= d GROUP BY d, den
+    )
+    SELECT CAST({k} AS BIGINT) AS k,
+           (SELECT x FROM xd WHERE d = {k}) AS overlap_at_k,
+           CAST(SUM(CAST(floor(x * 1e9 / CAST(den AS DOUBLE) + 0.5)
+                AS BIGINT)) AS BIGINT) AS rbo_min_nano,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM matched
+            WHERE re_r = 1 AND rq_r = 1) AS top1_same
+    FROM xd
+    """
+
+
+_sql_query(
+    "vs_rbo_rank_agreement",
+    _rbo_sql("spark"),
+    _rbo_sql("duckdb"),
+    tags=("vector", "quantization", "evaluation", "rbo"),
+)
+
+
 def _sq_knn(dialect: str) -> str:
     mx = _SQ_SPARK_MX if dialect == "spark" else _SQ_DUCK_MX
     tf = "transform" if dialect == "spark" else "list_transform"

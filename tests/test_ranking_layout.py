@@ -143,6 +143,24 @@ def test_content_chunk_dedup_invariants(spark):
     assert row["dup_chunk_ppm"] > 0
 
 
+def test_rbo_bounds_and_full_agreement_identity(spark):
+    row = (
+        REGISTRY["vs_rbo_rank_agreement"].spark_fn(spark, SF_DIR).collect()[0]
+    )
+    k = row["k"]
+    assert 0 <= row["overlap_at_k"] <= k
+    assert row["top1_same"] in (0, 1)
+    # RBO_min is bounded by the weight mass actually summed: for p=1/2
+    # and identical rankings X_d = d, so the max is sum(2^-d) < 1
+    max_nano = sum(
+        math.floor(d * 1e9 / (d * (1 << d)) + 0.5) for d in range(1, k + 1)
+    )
+    assert 0 <= row["rbo_min_nano"] <= max_nano
+    if row["overlap_at_k"] == k and row["top1_same"] == 1:
+        # near-identity: high agreement must put RBO near the ceiling
+        assert row["rbo_min_nano"] >= max_nano - 10_000_000
+
+
 def test_ewma_matches_pure_python(spark, tables):
     rows = (
         tables["events"]
