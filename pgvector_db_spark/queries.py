@@ -4584,6 +4584,102 @@ def ds_rater_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _margin_calibration_oracle() -> str:
+    from pgvector_db_spark.functions.detmath import bitlen_minus1_sql
+
+    langs = ("de", "en", "es", "fr", "zh")
+
+    def others(l: str) -> str:
+        return "greatest(" + ", ".join(
+            f"s_{o}" for o in langs if o != l
+        ) + ")"
+
+    second = "greatest(" + ", ".join(
+        f"least(s_{l}, {others(l)})" for l in langs
+    ) + ")"
+    bl = bitlen_minus1_sql("(best - second)", "duckdb")
+    return f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             {_DUCK_LANG_SCORE['de']} AS s_de, {_DUCK_LANG_SCORE['en']} AS s_en,
+             {_DUCK_LANG_SCORE['es']} AS s_es, {_DUCK_LANG_SCORE['fr']} AS s_fr,
+             {_DUCK_LANG_SCORE['zh']} AS s_zh
+      FROM documents
+    ),
+    m AS (
+      SELECT lang, {_DUCK_LANG_CASE} AS predicted_lang,
+             greatest(s_de, s_en, s_es, s_fr, s_zh) AS best,
+             {second} AS second
+      FROM s
+    ),
+    b AS (
+      SELECT CASE WHEN best - second = 0 THEN -1 ELSE {bl} END AS bucket,
+             CASE WHEN predicted_lang = lang THEN 1 ELSE 0 END AS ok
+      FROM m
+    )
+    SELECT CAST(bucket AS BIGINT) AS margin_log2_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ok) AS BIGINT) AS n_correct,
+           CAST(floor(SUM(ok) * 1e6 / COUNT(*) + 0.5) AS BIGINT) AS acc_ppm
+    FROM b GROUP BY bucket ORDER BY margin_log2_bucket
+    """
+
+
+@register(
+    "ds_margin_calibration_report",
+    _margin_calibration_oracle(),
+    tags=("dataset", "text", "evaluation", "calibration"),
+)
+def ds_margin_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based calibration of the lang-ID classifier: does a larger
+    winning margin (best − second-best stopword-hit score) actually mean
+    higher accuracy? Reliability-diagram semantics without softmax — the
+    margin is an exact integer, so buckets are exact floor(log2) (no
+    transcendental), with bucket −1 for tied argmaxes. Map-side margins
+    + a |buckets|-row aggregate; second-best via the max-of-pairwise-min
+    identity (pure greatest/least, no per-doc sort)."""
+    from pgvector_db_spark.functions.text import lang_scores
+
+    t = load_tables(spark, sf_dir)
+    langs = ["de", "en", "es", "fr", "zh"]
+    scores = lang_scores("text")
+    scored = t["documents"].select(
+        F.col("lang").alias("labeled_lang"),
+        *[scores[l].alias(f"s_{l}") for l in langs],
+    )
+    cols = {l: F.col(f"s_{l}") for l in langs}
+    best = F.greatest(*cols.values())
+    pred = F.when(cols["de"] >= best, "de")
+    for l in langs[1:]:
+        pred = pred.when(cols[l] >= best, l)
+
+    def _others(l: str):
+        return F.greatest(*[cols[o] for o in langs if o != l])
+
+    second = F.greatest(*[F.least(cols[l], _others(l)) for l in langs])
+    margin = best - second
+    bucket = F.when(margin == 0, F.lit(-1)).otherwise(
+        F.length(F.conv(margin.cast("string"), 10, 2)) - F.lit(1)
+    )
+    b = scored.select(
+        bucket.cast("bigint").alias("bucket"),
+        (pred == F.col("labeled_lang")).cast("bigint").alias("ok"),
+    )
+    return (
+        b.groupBy(F.col("bucket").alias("margin_log2_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ok").cast("bigint").alias("n_correct"),
+            F.floor(
+                F.sum("ok") * F.lit(1e6) / F.count(F.lit(1)) + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("acc_ppm"),
+        )
+        .orderBy("margin_log2_bucket")
+    )
+
+
 @register(
     "ds_embedding_top_pairs",
     f"""
@@ -14227,6 +14323,42 @@ _sql_query(
     FROM g
     """,
     tags=("relational", "governance", "privacy"),
+)
+
+
+# Join-key skew diagnostic: the pre-flight report a 100 TB join plan
+# needs (salt or not? AQE skew-split threshold?). Per-key counts bucket
+# by exact integer floor(log2) — MAP-SIDE bucket assignment over the
+# (already tiny) key-count frame, so the report is one groupBy over the
+# fact table plus a |buckets|-row aggregate; the share column divides by
+# the scalar total. detmath.bitlen_minus1_sql keeps the bucket exact in
+# both engines (no string idiom, no libm dependence).
+def _join_skew_sql(dialect: str) -> str:
+    from pgvector_db_spark.functions.detmath import bitlen_minus1_sql
+
+    bl = bitlen_minus1_sql("n", dialect)
+    return f"""
+    WITH k AS (
+      SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY o_custkey
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM k),
+    b AS (SELECT {bl} AS bucket, n FROM k)
+    SELECT CAST(bucket AS BIGINT) AS freq_log2_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(MAX(n) AS BIGINT) AS max_key_rows,
+           CAST(floor(SUM(n) * 1e6 / (SELECT t FROM tot) + 0.5) AS BIGINT)
+             AS row_share_ppm
+    FROM b GROUP BY bucket ORDER BY freq_log2_bucket
+    """
+
+
+_sql_query(
+    "rel_join_skew_report",
+    _join_skew_sql("spark"),
+    _join_skew_sql("duckdb"),
+    tags=("relational", "skew", "diagnostics"),
 )
 
 

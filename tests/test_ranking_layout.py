@@ -192,6 +192,37 @@ def test_ewma_matches_pure_python(spark, tables):
     ]
 
 
+def test_join_skew_report_partitions_the_keyspace(spark, tables):
+    rows = (
+        REGISTRY["rel_join_skew_report"].spark_fn(spark, SF_DIR).collect()
+    )
+    n_keys = sum(r["n_keys"] for r in rows)
+    n_rows = sum(r["n_rows"] for r in rows)
+    assert n_keys == tables["orders"].select("o_custkey").distinct().count()
+    assert n_rows == tables["orders"].count()
+    for r in rows:
+        # bucket b holds keys with counts in [2^b, 2^(b+1))
+        assert (1 << r["freq_log2_bucket"]) <= r["max_key_rows"]
+        assert r["max_key_rows"] < (1 << (r["freq_log2_bucket"] + 1))
+        assert r["row_share_ppm"] == math.floor(
+            r["n_rows"] * 1e6 / n_rows + 0.5
+        )
+
+
+def test_margin_calibration_counts_cover_corpus(spark, tables):
+    rows = (
+        REGISTRY["ds_margin_calibration_report"]
+        .spark_fn(spark, SF_DIR)
+        .collect()
+    )
+    assert sum(r["n_docs"] for r in rows) == tables["documents"].count()
+    for r in rows:
+        assert 0 <= r["n_correct"] <= r["n_docs"]
+        assert r["acc_ppm"] == math.floor(
+            r["n_correct"] * 1e6 / r["n_docs"] + 0.5
+        )
+
+
 def test_kappa_bounds_and_identity(spark):
     row = (
         REGISTRY["ds_rater_agreement_kappa"]
