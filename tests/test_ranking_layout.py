@@ -63,6 +63,17 @@ def test_bradley_terry_matches_pure_python(spark):
     assert got == _bt_python(log, iterations=6)
 
 
+def test_bradley_terry_is_match_order_invariant(spark):
+    # per-pair counts + grid-snapped terms => the log's order and
+    # partitioning cannot change a single bit of the output
+    log = [(1, 2), (2, 3), (3, 1), (1, 2), (1, 3), (2, 1), (3, 2)]
+    a = spark.createDataFrame(log, ["winner", "loser"])
+    b = spark.createDataFrame(list(reversed(log)), ["winner", "loser"]).repartition(7)
+    ra = sorted(tuple(r) for r in bradley_terry(a, iterations=6).collect())
+    rb = sorted(tuple(r) for r in bradley_terry(b, iterations=6).collect())
+    assert ra == rb
+
+
 def test_bradley_terry_dominant_item_ranks_first(spark):
     # item 9 beats everyone twice; 1/2/3 split their games evenly
     log = []
