@@ -218,6 +218,7 @@ def derived_metrics(spark, sf_dir: str, timings: dict[str, float]) -> dict[str, 
         ("rel_zorder_layout_prune", "zorder_layout_ms"),
         ("ds_content_chunk_dedup", "content_chunk_dedup_ms"),
         ("stream_preference_rank_update", "stream_pref_rank_ms"),
+        ("stream_chunk_dedup_ingest", "stream_chunk_dedup_ms"),
     ):
         if name in REGISTRY:
             _try(lambda n=name, k=key: out.__setitem__(

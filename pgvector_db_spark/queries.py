@@ -5073,7 +5073,11 @@ _sql_query(
 # flags and word signatures are map-side; the windows partition by
 # doc_id (bounded by document length); the ONLY corpus-wide shuffle
 # carries (signature, counts) — the text itself never moves.
-def _cdc_chunk_sql(dialect: str) -> str:
+def _cdc_chunk_ctes(dialect: str, table: str = "documents") -> str:
+    """The CTE chain from raw ``table`` text to the per-(doc, chunk)
+    ``chunks`` frame — shared by the batch report, its oracle, and the
+    per-micro-batch fold of ``stream_chunk_dedup_ingest`` (chunking is
+    per-doc, so any doc-partitioned batching folds to the same totals)."""
     if dialect == "spark":
         tok = (
             "SELECT doc_id, pos, word FROM docs "
@@ -5084,7 +5088,7 @@ def _cdc_chunk_sql(dialect: str) -> str:
             "AS BIGINT)"
         )
         docs = (
-            "SELECT doc_id, split(trim(text), '\\\\s+') AS w FROM documents "
+            f"SELECT doc_id, split(trim(text), '\\\\s+') AS w FROM {table} "
             "WHERE length(trim(text)) > 0"
         )
         cast_str = "CAST(rel AS STRING)"
@@ -5095,16 +5099,15 @@ def _cdc_chunk_sql(dialect: str) -> str:
         )
         h = _duck_hex8("md5(word || '{salt}')")
         docs = (
-            "SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w "
-            "FROM documents WHERE length(trim(text)) > 0"
+            f"SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w "
+            f"FROM {table} WHERE length(trim(text)) > 0"
         )
         cast_str = "CAST(rel AS VARCHAR)"
     hb = h.format(salt="_cdcb")
     hs = h.replace("word ||", "word || '@' || " + cast_str + " ||").format(
         salt="_cdcs"
     )
-    return f"""
-    WITH docs AS ({docs}),
+    return f"""docs AS ({docs}),
     tok AS ({tok}),
     flagged AS (
       SELECT doc_id, pos, word,
@@ -5123,7 +5126,12 @@ def _cdc_chunk_sql(dialect: str) -> str:
              CAST(SUM({hs}) AS BIGINT) AS sig,
              CAST(COUNT(*) AS BIGINT) AS n_words,
              CAST(SUM(length(word)) AS BIGINT) AS n_chars
-      FROM rel GROUP BY doc_id, chunk_no),
+      FROM rel GROUP BY doc_id, chunk_no)"""
+
+
+def _cdc_chunk_sql(dialect: str) -> str:
+    return f"""
+    WITH {_cdc_chunk_ctes(dialect)},
     grp AS (
       SELECT sig, n_words, n_chars, CAST(COUNT(*) AS BIGINT) AS cnt
       FROM chunks GROUP BY sig, n_words, n_chars)
@@ -5146,6 +5154,139 @@ _sql_query(
     _cdc_chunk_sql("duckdb"),
     tags=("dataset", "dedup", "chunking"),
 )
+
+
+@register(
+    "stream_chunk_dedup_ingest",
+    _cdc_chunk_sql("duckdb"),
+    tags=("streaming", "dedup", "chunking"),
+)
+def stream_chunk_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-crawl storage dedup, the 29th real streaming run:
+    documents replayed as 4 micro-batches; each batch's chunk
+    signatures (the SAME CTE chain as the batch operator, applied to
+    the batch view) fold ADDITIVELY into per-signature count state —
+    chunking is per-doc, so doc-partitioned batching folds to the batch
+    totals exactly. The doc count rides as a reserved (sig=0,
+    n_words=-1) state row so ONE atomic swap carries counts and meta
+    under the same last_bid exactly-once guard. The report over the
+    drained state equals ``ds_content_chunk_dedup`` and its oracle
+    bitwise. State is |unique signatures| rows — the size any dedup
+    index pays; at scale partition it by sig bucket (the MinHashIndex
+    layout) so each fold is a pruned merge, not a full rewrite."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pgvector_db_spark.catalog import table_path
+    from pgvector_db_spark.sources.table import ParquetTable
+    from pgvector_db_spark.streaming.replay import (
+        file_stream,
+        stage_replay_splits,
+    )
+
+    tag = _fixture_tag(sf_dir)
+    doc_path = table_path(sf_dir, "documents")
+    replay_dir = os.path.join(tempfile.gettempdir(), f"docs_replay4_{tag}")
+    stage_replay_splits(spark, doc_path, replay_dir, n_files=4)
+    schema = spark.read.parquet(doc_path).schema
+    src = file_stream(spark, replay_dir, schema, max_files_per_trigger=1)
+    view = f"chunk_batch_{uuid.uuid4().hex}"
+    tmp = tempfile.mkdtemp(prefix="chunk_stream_")
+    try:
+        table = ParquetTable(spark, f"{tmp}/chunk_counts")
+
+        def fold(batch: DataFrame, _bid: int) -> None:
+            # the micro-batch frame belongs to the stream's own session
+            # clone — register and query the view THERE, not on the
+            # outer session (TABLE_OR_VIEW_NOT_FOUND otherwise)
+            batch.createOrReplaceTempView(view)
+            chunks = batch.sparkSession.sql(
+                f"WITH {_cdc_chunk_ctes('spark', view)} "
+                "SELECT sig, n_words, n_chars FROM chunks"
+            )
+            part = chunks.groupBy("sig", "n_words", "n_chars").agg(
+                F.count(F.lit(1)).cast("bigint").alias("cnt")
+            )
+            meta = (
+                batch.filter(F.length(F.trim("text")) > 0)
+                .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+                .select(
+                    F.lit(0).cast("bigint").alias("sig"),
+                    F.lit(-1).cast("bigint").alias("n_words"),
+                    F.lit(0).cast("bigint").alias("n_chars"),
+                    "cnt",
+                )
+            )
+            part = part.unionByName(meta).withColumn(
+                "last_bid", F.lit(_bid).cast("bigint")
+            )
+            if not table.exists():
+                part.write.mode("errorifexists").parquet(table.path)
+                return
+            state = table.read()
+            prev = state.agg(F.max("last_bid")).first()[0]
+            # additive fold is NOT idempotent — replays must be no-ops
+            if (prev if prev is not None else -1) >= _bid:
+                return
+            merged = state.unionByName(part).groupBy(
+                "sig", "n_words", "n_chars"
+            ).agg(
+                F.sum("cnt").cast("bigint").alias("cnt"),
+                F.max("last_bid").alias("last_bid"),
+            )
+            table._swap_in(merged)
+
+        q = (
+            src.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        s = table.read()
+        meta_docs = s.filter(F.col("n_words") == -1).agg(
+            F.sum("cnt").cast("bigint").alias("n_docs")
+        )
+        grp = s.filter(F.col("n_words") >= 0)
+        bytes_total = F.sum(F.col("cnt") * F.col("n_chars"))
+        rep = grp.agg(
+            F.sum("cnt").cast("bigint").alias("n_chunks"),
+            F.count(F.lit(1)).cast("bigint").alias("n_unique_chunks"),
+            F.floor(
+                (F.sum("cnt") - F.count(F.lit(1))) * F.lit(1e6)
+                / F.sum("cnt")
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("dup_chunk_ppm"),
+            bytes_total.cast("bigint").alias("chunk_bytes_total"),
+            F.sum("n_chars").cast("bigint").alias("chunk_bytes_unique"),
+            F.floor(
+                (bytes_total - F.sum("n_chars")) * F.lit(1e6) / bytes_total
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("savings_ppm"),
+        )
+        out = meta_docs.crossJoin(rep).select(
+            "n_docs",
+            "n_chunks",
+            "n_unique_chunks",
+            "dup_chunk_ppm",
+            "chunk_bytes_total",
+            "chunk_bytes_unique",
+            "savings_ppm",
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        try:
+            spark.catalog.dropTempView(view)
+        except Exception:
+            pass
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _unigram_logprob_sql(dialect: str) -> str:

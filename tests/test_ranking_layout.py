@@ -133,6 +133,16 @@ def test_streaming_preference_rank_equals_batch(spark):
     assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
 
 
+def test_streaming_chunk_dedup_equals_batch(spark):
+    batch = (
+        REGISTRY["ds_content_chunk_dedup"].spark_fn(spark, SF_DIR).collect()
+    )
+    streamed = (
+        REGISTRY["stream_chunk_dedup_ingest"].spark_fn(spark, SF_DIR).collect()
+    )
+    assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
+
+
 def test_content_chunk_dedup_invariants(spark):
     row = (
         REGISTRY["ds_content_chunk_dedup"].spark_fn(spark, SF_DIR).collect()[0]
