@@ -206,6 +206,7 @@ def derived_metrics(spark, sf_dir: str, timings: dict[str, float]) -> dict[str, 
         ("ds_retrieval_eval_metrics", "retrieval_eval_ms"),
         ("ds_naive_bayes_langid", "naive_bayes_ms"),
         ("ds_prefix_filter_jaccard_join", "prefix_filter_join_ms"),
+        ("ds_prefix_filter_dedup_survivors", "prefix_filter_survivors_ms"),
         ("rel_roc_curve_points", "roc_points_ms"),
         ("ds_substring_span_removal", "substring_span_removal_ms"),
         ("vs_kcenter_coreset", "kcenter_coreset_ms"),
@@ -421,7 +422,53 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "derived": derived,
     }
-    print(json.dumps(out))
+
+    # The external driver captures only the LAST ~2000 chars of stdout;
+    # r8's full line outgrew that window and recorded parsed:null. Keep
+    # the printed line comfortably inside the window: write the complete
+    # object to bench_full.json next to this script, and print a compact
+    # line carrying the headline suite + the BASELINE.md-comparable core
+    # derived metrics (dropping extras until it fits).
+    full_path = Path(__file__).resolve().parent / "bench_full.json"
+    try:
+        full_path.write_text(json.dumps(out, indent=1) + "\n")
+    except OSError as exc:
+        print(f"bench: could not write {full_path}: {exc}", file=sys.stderr)
+
+    core_keys = [
+        "embed_rows_per_sec",
+        "embed_mapinpandas_rows_per_sec",
+        "ingest_rows_per_sec",
+        "knn_exact_ms",
+        "knn_ivf_ms",
+        "knn_ivfpq_ms",
+        "knn_sq8_layout_ms",
+        "knn_lsh_layout_ms",
+        "bm25_ms",
+        "bm25_indexed_ms",
+        "hybrid_rrf_ms",
+        "mmr_rerank_ms",
+        "dedup_docs_per_sec",
+        "batch_ann_queries_per_sec",
+        "ivf_recall_at_10_nprobe2",
+        "ivf_recall_at_10_nprobe4",
+        "ivf_recall_at_10_nprobe6",
+        "pagerank_3iter_ms",
+        "bpe_train4_ms",
+        "dsir_importance_ms",
+        "prefix_filter_join_ms",
+        "prefix_filter_survivors_ms",
+        "salted_skew_join_ms",
+        "ivf_autoprobe_ms",
+    ]
+    compact = dict(out)
+    compact["derived"] = {k: derived[k] for k in core_keys if k in derived}
+    compact["full"] = full_path.name
+    line = json.dumps(compact)
+    while len(line) > 1900 and compact["derived"]:
+        compact["derived"].popitem()
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":

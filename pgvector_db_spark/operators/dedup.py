@@ -522,6 +522,7 @@ def build_gram_bloom(
     literal across every micro-batch instead of re-collecting the eval
     positions per trigger."""
     _WORD = 32
+    _POW2 = F.lit([1 << i for i in range(_WORD)]).cast("array<bigint>")
     ev_post = _gram_postings(eval_df, text_col, id_col, n, "eval_id")
 
     def _positions(gcol):
@@ -545,8 +546,11 @@ def build_gram_bloom(
         cond = F.lit(True)
         for pos in _positions(gcol):
             word = F.element_at(bitmap, (pos / _WORD).cast("int") + 1)
-            bit = F.pow(F.lit(2.0), F.pmod(pos, F.lit(_WORD)).cast("double")).cast(
-                "bigint"
+            # pure integer bit lookup — never route an exact bit position
+            # through a float transcendental (pow) whose 1-ulp error a
+            # truncating cast would turn into a silent false negative
+            bit = F.element_at(
+                _POW2, F.pmod(pos, F.lit(_WORD)).cast("int") + 1
             )
             cond = cond & (word.bitwiseAND(bit) != 0)
         return cond
@@ -1112,7 +1116,10 @@ class MinHashIndex:
             self.id_col,
             "left_anti",
         )
-        survivors = survivors.persist()
-        survivors.count()
+        # localCheckpoint (GC-owned blocks) instead of persist(): ingest
+        # is called once per batch in a continuous-crawl loop, and a
+        # never-unpersisted cache would leak one frame per batch for the
+        # session lifetime.
+        survivors = survivors.localCheckpoint(eager=True)
         self.add(survivors)
         return survivors

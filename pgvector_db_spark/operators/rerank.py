@@ -62,6 +62,11 @@ def fake_pair_score(query_terms: list[str], text: Column) -> Column:
     pure-Python stub (:func:`fake_pair_score_py`)."""
     toks = _fake_tokens(text)
     terms = sorted(set(query_terms))
+    if not terms:
+        raise ValueError(
+            "fake_pair_score: query_terms must be non-empty "
+            "(matching _term_list's named error for the same input)"
+        )
     overlap = None
     for t in terms:
         c = F.array_contains(toks, t).cast("bigint")

@@ -4301,10 +4301,13 @@ def ds_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(t["documents"], n=3, threshold=0.3, max_df=50)
 
 
-@register(
-    "ds_prefix_filter_jaccard_join",
-    """
-    WITH t AS (
+# Brute-force trigram-Jaccard pair CTEs, shared by BOTH prefix-filter
+# oracles (the pair-listing form and the survivors form) so the two
+# cannot drift out of lockstep — the same single-spelling rule as
+# _CC_ORACLE_CTES. `v` carries every candidate pair with its exact
+# integer intersection/union sizes; callers apply the threshold.
+_PPJOIN_BRUTE_CTES = """
+    t AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
     ),
     g AS (
@@ -4324,7 +4327,13 @@ def ds_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cand
       JOIN g a ON a.doc_id = id_a
       JOIN g b ON b.doc_id = id_b
-    )
+    )"""
+
+
+@register(
+    "ds_prefix_filter_jaccard_join",
+    f"""
+    WITH {_PPJOIN_BRUTE_CTES}
     SELECT id_a, id_b, n_inter, n_union,
            CAST(floor(CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE)
                 * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
@@ -4349,6 +4358,83 @@ def ds_prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame
     t = load_tables(spark, sf_dir)
     return prefix_filter_jaccard_pairs(
         t["documents"], n=3, tau_num=3, tau_den=5
+    )
+
+
+# The scale-safe composition of the prefix-filter join (r8 VERDICT
+# "what's wrong" #2): on a duplicated crawl corpus a LOSSLESS pair
+# LISTING owes C(d,2) rows per d-fold duplicate group — O(dup^2)
+# output. This variant CONSUMES the pair stream instead of returning
+# it: pairs -> connected components (per-node min-label state, O(docs))
+# -> keep-one-per-component, so the output is one row per DOCUMENT
+# regardless of the duplicate factor. Oracle shares _PPJOIN_BRUTE_CTES
+# with the pair-listing form plus the same transitive-closure spelling
+# as _CC_ORACLE_CTES, so the two forms cannot drift.
+@register(
+    "ds_prefix_filter_dedup_survivors",
+    f"""
+    WITH RECURSIVE {_PPJOIN_BRUTE_CTES},
+    ppairs AS (
+      SELECT id_a, id_b FROM v WHERE 5 * n_inter >= 3 * n_union
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM ppairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM ppairs
+    ),
+    reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT re.id, e2.dst FROM reach re JOIN edges e2 ON e2.src = re.r
+    ),
+    comp AS (SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id),
+    lab AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    ),
+    sz AS (
+      SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM lab GROUP BY component
+    )
+    SELECT l.doc_id, l.component, s.cluster_size,
+           CAST(l.doc_id = l.component AS INT) AS is_kept
+    FROM lab l JOIN sz s ON s.component = l.component
+    """,
+    tags=("dataset", "dedup", "graph"),
+)
+def ds_prefix_filter_dedup_survivors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Prefix-filtered (PPJoin) dedup with a SURVIVOR contract: the
+    lossless candidate pairs feed connected components and a min-id
+    keep rule, so the O(dup^2) pair set is consumed in-flight and the
+    output is exactly one row per document (component, cluster_size,
+    is_kept) — the form a 100 TB crawl-dedup pipeline composes with,
+    where pair listing would materialize C(d,2) rows per d-fold
+    duplicate group (operators/dedup.py prefix_filter_jaccard_pairs +
+    connected_components; reference README.md:16's cleaning stage)."""
+    from pgvector_db_spark.operators.dedup import (
+        connected_components,
+        prefix_filter_jaccard_pairs,
+    )
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    pairs = prefix_filter_jaccard_pairs(docs, n=3, tau_num=3, tau_den=5)
+    comp = connected_components(pairs).withColumnRenamed("id", "doc_id")
+    lab = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .withColumn("component", F.coalesce("component", F.col("doc_id")))
+    )
+    sizes = lab.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return lab.join(sizes, "component").select(
+        "doc_id",
+        "component",
+        "cluster_size",
+        (F.col("doc_id") == F.col("component")).cast("int").alias("is_kept"),
     )
 
 
