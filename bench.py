@@ -175,6 +175,7 @@ def derived_metrics(spark, sf_dir: str, timings: dict[str, float]) -> dict[str, 
     for name, key in (
         ("vs_knn_topk", "knn_exact_ms"),
         ("vs_matryoshka_rerank", "knn_matryoshka_ms"),
+        ("vs_ivf_autoprobe", "ivf_autoprobe_ms"),
         ("ds_bm25_search", "bm25_ms"),
         ("ds_bm25_index_search", "bm25_indexed_ms"),
         ("ds_bm25_batch_search", "bm25_batch4_ms"),

@@ -521,3 +521,241 @@ class IVFIndex:
         }
         approx = {r[self.id_col] for r in self.search(query_vec, k, nprobe).collect()}
         return len(exact & approx) / k
+
+    # -- recall-governed probe calibration ------------------------------------
+
+    def autoprobe_curve(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        q_id_col: str = "query_id",
+        q_vec_col: str = "query_vec",
+        exact: DataFrame | None = None,
+    ) -> DataFrame:
+        """recall@k as a function of ``nprobe`` over a validation query
+        batch, computed in ONE distributed plan — no per-nprobe search
+        loop. ``exact`` optionally supplies a precomputed
+        ``knn_batch(self._data(), queries, k)`` result so a caller that
+        also needs the exact frame pays the batch-kNN pass once.
+
+        Identity: a probed search returns the exact top-k of the probed
+        partitions' union, so an exact top-k member is recovered iff its
+        list is among the query's ``nprobe`` nearest centroids. The
+        whole curve therefore falls out of (exact top-k per query) ⋈
+        (member's list_id) ⋈ (centroid rank per query) — one batch-kNN
+        pass over the layout plus lists-bounded joins, the same cost as
+        measuring recall at a SINGLE nprobe. This is pgvector's
+        ``ivfflat.probes`` dial measured wholesale (reference
+        README.md:185 exposes ``lists``; probes is the serving knob).
+
+        Returns one row per nprobe in 1..lists:
+        ``(nprobe, cum_hits, k_total, recall_micro)`` where recall_micro
+        = floor(cum_hits * 1e6 / k_total + 0.5).
+        """
+        from pyspark.sql.window import Window
+
+        from pgvector_db_spark.functions.vector import (
+            cosine_distance,
+            inner_product_distance,
+            l2_distance,
+        )
+        from pgvector_db_spark.operators.knn import knn_batch
+
+        data = self._data()
+        if exact is None:
+            exact = knn_batch(
+                data, queries, k,
+                vec_col=self.vec_col, id_col=self.id_col,
+                q_id_col=q_id_col, q_vec_col=q_vec_col,
+            )
+        if self.metric != "cosine":
+            # knn_batch scores cosine; re-rank under the index metric by
+            # reusing the single-query kernel per metric
+            raise ValueError(
+                "autoprobe_curve currently supports cosine layouts "
+                f"(index metric: {self.metric})"
+            )
+
+        cents = self.spark.createDataFrame(
+            [(lid, c) for lid, c, _ in self._centroids()],
+            "list_id int, _centroid array<double>",
+        )
+        n_lists = cents.count()
+        # centroid rank per query: the same (distance asc, list_id asc)
+        # order search()'s _rank_lists applies
+        dist = {
+            "cosine": cosine_distance,
+            "l2": l2_distance,
+            "ip": inner_product_distance,
+        }[self.metric](F.col("_centroid"), F.col("_qv"))
+        w = Window.partitionBy(q_id_col).orderBy(
+            F.col("_cdist").asc(), F.col("list_id").asc()
+        )
+        crank = (
+            queries.select(F.col(q_id_col), F.col(q_vec_col).alias("_qv"))
+            .crossJoin(F.broadcast(cents))
+            .withColumn("_cdist", dist)
+            .select(
+                q_id_col,
+                "list_id",
+                F.row_number().over(w).cast("int").alias("_crank"),
+            )
+        )
+        hits = (
+            exact.join(
+                data.select(F.col(self.id_col), F.col("list_id")),
+                self.id_col,
+            )
+            .join(crank, [q_id_col, "list_id"])
+            .select(F.col("_crank"))
+        )
+        totals = hits.agg(
+            F.count(F.lit(1)).cast("bigint").alias("k_total")
+        )
+        counts = hits.groupBy("_crank").agg(
+            F.count(F.lit(1)).cast("bigint").alias("_n")
+        )
+        spine = self.spark.range(1, n_lists + 1).select(
+            F.col("id").cast("int").alias("nprobe")
+        )
+        # cumulative hits by bounded theta-join over the ≤lists-row count
+        # frame (no unpartitioned window)
+        curve = (
+            spine.join(
+                F.broadcast(counts), counts["_crank"] <= spine["nprobe"], "left"
+            )
+            .groupBy("nprobe")
+            .agg(F.coalesce(F.sum("_n"), F.lit(0)).cast("bigint").alias("cum_hits"))
+            .crossJoin(F.broadcast(totals))
+            .withColumn(
+                "recall_micro",
+                F.floor(
+                    F.col("cum_hits").cast("double")
+                    / F.col("k_total").cast("double")
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                ).cast("bigint"),
+            )
+        )
+        return curve
+
+    def autoprobe(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        target_recall_micro: int = 800_000,
+        q_id_col: str = "query_id",
+        q_vec_col: str = "query_vec",
+    ) -> DataFrame:
+        """Pick the smallest ``nprobe`` whose validation recall@k meets
+        ``target_recall_micro`` (recall in millionths), the way a
+        pgvector operator tunes ``ivfflat.probes`` against a recall SLO
+        — from measured evidence, in-plan, not a hardcoded guess.
+
+        One audit row, every value genuinely computed in the plan:
+
+        - ``n_queries`` / ``k_total``     validation batch shape
+        - ``target_recall_micro``         the SLO
+        - ``chosen_nprobe``               min nprobe meeting the target
+                                          (lists if none does — recall
+                                          at nprobe=lists is 1.0 exact)
+        - ``chosen_meets_target``         recall(chosen) >= target
+        - ``chosen_minimal``              chosen == 1 OR
+                                          recall(chosen - 1) < target
+        - ``curve_monotone``              recall non-decreasing in nprobe
+                                          (the probe-superset identity —
+                                          a broken layout join flips it)
+        - ``fullprobe_perfect``           recall(lists) == 1.0
+        - ``exact_topk_sum_nano``         1e-9-grid sum of the validation
+                                          exact top-k distances — the
+                                          cross-engine honesty column
+        """
+        from pgvector_db_spark.operators.knn import knn_batch
+
+        # one batch-kNN pass over the layout, shared by the curve and
+        # the cross-engine distance sum
+        exact = knn_batch(
+            self._data(), queries, k,
+            vec_col=self.vec_col, id_col=self.id_col,
+            q_id_col=q_id_col, q_vec_col=q_vec_col,
+        ).localCheckpoint(eager=True)
+        curve = self.autoprobe_curve(
+            queries, k, q_id_col=q_id_col, q_vec_col=q_vec_col, exact=exact
+        ).localCheckpoint(eager=True)  # ≤lists rows, referenced 5×
+
+        max_probe = curve.agg(F.max("nprobe").alias("_m"))
+        chosen = (
+            curve.filter(F.col("recall_micro") >= target_recall_micro)
+            .agg(F.min("nprobe").alias("chosen_nprobe"))
+            .crossJoin(max_probe)
+            .select(
+                F.coalesce("chosen_nprobe", "_m").alias("chosen_nprobe")
+            )
+        )
+        at_chosen = curve.join(
+            chosen, curve["nprobe"] == chosen["chosen_nprobe"]
+        ).select(
+            "chosen_nprobe",
+            (F.col("recall_micro") >= target_recall_micro)
+            .cast("int")
+            .alias("chosen_meets_target"),
+        )
+        below = curve.join(
+            chosen, curve["nprobe"] == chosen["chosen_nprobe"] - 1, "right"
+        ).select(
+            (
+                F.col("nprobe").isNull()  # chosen == 1: no row below
+                | (F.col("recall_micro") < target_recall_micro)
+            )
+            .cast("int")
+            .alias("chosen_minimal")
+        )
+        nxt = curve.alias("a").join(
+            curve.alias("b"),
+            F.col("b.nprobe") == F.col("a.nprobe") + 1,
+        )
+        monotone = nxt.agg(
+            F.min(
+                (F.col("b.cum_hits") >= F.col("a.cum_hits")).cast("int")
+            ).alias("curve_monotone")
+        )
+        full = curve.crossJoin(max_probe).filter(
+            F.col("nprobe") == F.col("_m")
+        ).select(
+            (F.col("recall_micro") == 1_000_000)
+            .cast("int")
+            .alias("fullprobe_perfect")
+        )
+        shape = curve.limit(1).select(
+            (F.col("k_total") / F.lit(k)).cast("bigint").alias("n_queries"),
+            F.col("k_total"),
+        )
+        exact_sum = exact.agg(
+            F.sum(
+                F.floor(F.col("distance") * F.lit(1e9) + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("exact_topk_sum_nano")
+        )
+        return (
+            shape.crossJoin(at_chosen)
+            .crossJoin(below)
+            .crossJoin(monotone)
+            .crossJoin(full)
+            .crossJoin(exact_sum)
+            .select(
+                "n_queries",
+                "k_total",
+                F.lit(target_recall_micro)
+                .cast("bigint")
+                .alias("target_recall_micro"),
+                "chosen_nprobe",
+                "chosen_meets_target",
+                "chosen_minimal",
+                "curve_monotone",
+                "fullprobe_perfect",
+                "exact_topk_sum_nano",
+            )
+        )

@@ -1,0 +1,89 @@
+"""Recall-governed nprobe calibration (operators/ivf.py autoprobe).
+
+The load-bearing check is the PROBE-SUPERSET IDENTITY: the in-plan
+curve's recall@k(nprobe) must equal the recall actually measured by
+running ``IVFIndex.search`` at that nprobe — for EVERY nprobe. That is
+what licenses computing the whole curve from one batch-kNN pass instead
+of a per-nprobe search loop.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+K = 10
+TARGET = 800_000
+
+
+@pytest.fixture(scope="module")
+def idx_and_queries(spark, tables):
+    from pgvector_db_spark.operators.ivf import IVFIndex
+    from pgvector_db_spark.queries import _ivf_cache
+
+    emb = tables["embeddings"]
+    path = _ivf_cache(spark, SF_DIR, emb)
+    idx = IVFIndex(spark, path, "embedding", "vec_id")
+    vq = emb.filter(F.pmod(F.col("vec_id"), F.lit(64)) == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return idx, vq, emb
+
+
+def test_curve_equals_measured_search_recall(spark, idx_and_queries):
+    idx, vq, emb = idx_and_queries
+    curve = {
+        r["nprobe"]: r
+        for r in idx.autoprobe_curve(vq, k=K).collect()
+    }
+    queries = vq.collect()
+    n_lists = len(idx._centroids())
+    assert set(curve) == set(range(1, n_lists + 1))
+    k_total = K * len(queries)
+    for nprobe in range(1, n_lists + 1):
+        hits = sum(
+            round(idx.recall_at_k(emb, list(q["query_vec"]), K, nprobe) * K)
+            for q in queries
+        )
+        assert curve[nprobe]["cum_hits"] == hits, f"nprobe={nprobe}"
+        assert curve[nprobe]["k_total"] == k_total
+
+
+def test_autoprobe_picks_minimal_nprobe_meeting_target(idx_and_queries):
+    idx, vq, _ = idx_and_queries
+    row = idx.autoprobe(vq, k=K, target_recall_micro=TARGET).collect()[0]
+    assert row["target_recall_micro"] == TARGET
+    assert row["chosen_meets_target"] == 1
+    assert row["chosen_minimal"] == 1
+    assert row["curve_monotone"] == 1
+    assert row["fullprobe_perfect"] == 1
+    curve = {
+        r["nprobe"]: r["recall_micro"]
+        for r in idx.autoprobe_curve(vq, k=K).collect()
+    }
+    chosen = row["chosen_nprobe"]
+    assert curve[chosen] >= TARGET
+    if chosen > 1:
+        assert curve[chosen - 1] < TARGET
+
+
+def test_autoprobe_unreachable_target_degrades_to_fullprobe(idx_and_queries):
+    idx, vq, _ = idx_and_queries
+    # recall(lists) is exactly 1.0, so even target = 1.0 is satisfiable;
+    # a target above 1.0 must choose nprobe = lists (never null/error)
+    row = idx.autoprobe(vq, k=K, target_recall_micro=1_000_001).collect()[0]
+    assert row["chosen_nprobe"] == len(idx._centroids())
+    assert row["chosen_meets_target"] == 0
+
+
+def test_autoprobe_rejects_non_cosine_layouts(spark, idx_and_queries, tmp_path):
+    from pgvector_db_spark.operators.ivf import IVFIndex
+
+    _, vq, emb = idx_and_queries
+    path = str(tmp_path / "ivf_l2")
+    idx = IVFIndex.build(emb, path, lists=4, metric="l2")
+    with pytest.raises(ValueError, match="cosine"):
+        idx.autoprobe_curve(vq, k=K).collect()
