@@ -138,6 +138,88 @@ def salted_join(
     return out.drop("_salt")
 
 
+def hot_keys_by_share(
+    fact: DataFrame, key: str, min_share_ppm: int = 10_000
+) -> DataFrame:
+    """Keys holding more than ``min_share_ppm`` millionths of the fact
+    table's rows — the salt-these set the join-skew report recommends.
+
+    Output is BOUNDED by construction: at most ``1e6 / min_share_ppm``
+    keys can each hold that share, so the frame is broadcast-safe at any
+    fact size (100 keys at the 1% default). One groupBy over the fact
+    table; the share compare is integer cross-multiplication against the
+    in-plan total — no driver collect, no float epsilon.
+    """
+    counts = fact.groupBy(key).agg(F.count(F.lit(1)).alias("_n"))
+    total = counts.agg(F.sum("_n").alias("_t"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("_n") * F.lit(1_000_000) > F.col("_t") * F.lit(min_share_ppm))
+        .select(key)
+    )
+
+
+def salted_skew_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    num_salts: int = 8,
+    hot_keys: DataFrame | None = None,
+    min_share_ppm: int = 10_000,
+    how: str = "inner",
+) -> DataFrame:
+    """TARGETED salted equi-join: only the measured-hot keys are salted.
+
+    :func:`salted_join` replicates the whole dim side ``num_salts``×,
+    which is wasteful when skew is concentrated (the usual case — a few
+    head keys, a long uniform tail). This variant acts on evidence, the
+    action the ``rel_join_skew_report`` histogram recommends: keys whose
+    fact-side row share exceeds ``min_share_ppm`` (or an explicit
+    ``hot_keys`` frame, which must be broadcast-small) get their fact
+    rows spread across ``num_salts`` reducers and their dim rows
+    replicated ``num_salts``×; every cold key joins exactly as before
+    (salt 0, no replication). Results are identical to the plain join —
+    each fact row meets each matching dim row exactly once, in its own
+    salt's replica.
+
+    Scale shape (100 TB): one map-side groupBy histogram pass (partial
+    aggregation makes it ~|keys| shuffle rows), a broadcast of the
+    ≤1e6/min_share_ppm hot keys, then ONE shuffle on (key, salt) with no
+    reducer owning more than ~share/num_salts of the fact. Dim overhead
+    is num_salts copies of the HOT rows only.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_skew_join supports inner|left, got {how!r}")
+    if hot_keys is None:
+        hot_keys = hot_keys_by_share(fact, key, min_share_ppm)
+    hot = hot_keys.select(F.col(key)).withColumn("_hot", F.lit(True))
+
+    f2 = fact.join(F.broadcast(hot), key, "left").withColumn(
+        "_salt",
+        F.when(
+            F.col("_hot").isNotNull(),
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in fact.columns]),
+                F.lit(num_salts),
+            ).cast("int"),
+        ).otherwise(F.lit(0)),
+    ).drop("_hot")
+    d2 = (
+        dim.join(F.broadcast(hot), key, "left")
+        .withColumn(
+            "_salts",
+            F.when(
+                F.col("_hot").isNotNull(),
+                F.sequence(F.lit(0), F.lit(num_salts - 1)),
+            ).otherwise(F.array(F.lit(0))),
+        )
+        .withColumn("_salt_l", F.explode("_salts"))
+        .withColumn("_salt", F.col("_salt_l").cast("int"))
+        .drop("_hot", "_salts", "_salt_l")
+    )
+    return f2.join(d2, [key, "_salt"], how).drop("_salt")
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

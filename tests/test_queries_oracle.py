@@ -125,3 +125,74 @@ def test_salted_join_equals_plain_join(spark):
             map(tuple, salted_join(left, right, "k", 4, how).collect())
         )
         assert salted == plain, how
+
+
+def test_salted_skew_join_equals_plain_join(spark):
+    """The TARGETED variant: only measured-hot keys get salted/dim-
+    replicated; results must still equal the plain join exactly —
+    duplicate-match keys, cold keys, and unmatched-left rows included."""
+    from pyspark.sql import functions as F
+
+    from pgvector_db_spark.operators.joins import (
+        hot_keys_by_share,
+        salted_skew_join,
+    )
+
+    # key 1 holds 60/66 fact rows (hot); keys 2..7 hold one each (cold);
+    # key 99 has no dim match (exercises how='left')
+    fact = spark.createDataFrame(
+        [(1, i) for i in range(60)]
+        + [(k, 100 + k) for k in range(2, 8)]
+        + [(99, 999)],
+        "k int, fv int",
+    )
+    dim = spark.createDataFrame(
+        [(1, "hot_a"), (1, "hot_b")] + [(k, f"cold{k}") for k in range(2, 8)],
+        "k int, dv string",
+    )
+    hot = hot_keys_by_share(fact, "k", min_share_ppm=100_000)
+    assert [r["k"] for r in hot.collect()] == [1]
+    for how in ("inner", "left"):
+        plain = sorted(map(tuple, fact.join(dim, "k", how).collect()))
+        salted = sorted(
+            map(
+                tuple,
+                salted_skew_join(
+                    fact, dim, "k", num_salts=4, min_share_ppm=100_000,
+                    how=how,
+                ).collect(),
+            )
+        )
+        assert salted == plain, how
+    # explicit hot_keys frame is honored (salt nothing -> still equal)
+    none_hot = spark.createDataFrame([], "k int")
+    out = sorted(
+        map(
+            tuple,
+            salted_skew_join(
+                fact, dim, "k", num_salts=4, hot_keys=none_hot
+            ).collect(),
+        )
+    )
+    assert out == sorted(map(tuple, fact.join(dim, "k").collect()))
+    # the histogram threshold really splits the hot key's reducer load:
+    # with the hot key salted, no (k, salt) group exceeds ~1/num_salts
+    # of its rows (xxhash64 spread — allow generous slack)
+    from pgvector_db_spark.operators.joins import salted_join  # noqa: F401
+
+    f2 = fact.join(F.broadcast(hot.withColumn("_hot", F.lit(True))), "k", "left")
+    salted_counts = (
+        f2.withColumn(
+            "_salt",
+            F.when(
+                F.col("_hot").isNotNull(),
+                F.pmod(F.xxhash64("k", "fv"), F.lit(4)),
+            ).otherwise(F.lit(0)),
+        )
+        .groupBy("k", "_salt")
+        .count()
+        .filter(F.col("k") == 1)
+        .collect()
+    )
+    assert len(salted_counts) == 4  # hot key spread over all 4 salts
+    assert max(r["count"] for r in salted_counts) < 60

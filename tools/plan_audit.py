@@ -113,6 +113,19 @@ AUDITED = [
     # r8: content-defined chunking — map-side flags + doc_id-partitioned
     # windows; the only corpus-wide exchange carries (sig, counts)
     "ds_content_chunk_dedup",
+    # r9: targeted salted join — the shape under audit: ONE histogram
+    # groupBy, the broadcast of the bounded hot-key frame into BOTH
+    # sides, and the (key, salt) exchange with no single hot-key reducer
+    "rel_salted_skew_join",
+    # r9: autoprobe — one batch-kNN pass (WindowGroupLimit partial
+    # top-k) + lists-bounded broadcast joins; chosen-nprobe selection is
+    # aggregates over the ≤lists-row checkpointed curve
+    "vs_ivf_autoprobe",
+    # r9: survivors variant of the prefix-filter join — NOT capturable
+    # end-to-end (prefix_filter_jaccard_pairs returns via the shared
+    # _materialize_and_release localCheckpoint, the ngram-pairs class);
+    # the CC loop + keep-rule tail over the checkpointed pair frame is
+    # the ds_cluster_dedup shape (docs/SCALE_AUDIT.md).
     # NOT stream_preference_rank_update: returns via collect/
     # createDataFrame over the drained pair-count state (the
     # stream_kmeans_update class).
