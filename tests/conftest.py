@@ -29,3 +29,8 @@ def pytest_configure(config):
         "realmodel: needs real sentence-transformers/torch weights "
         "(absent in this image; the test skips itself cleanly)",
     )
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-minute full-registry sweeps (deselect with "
+        "-m 'not slow' for a quick loop)",
+    )
