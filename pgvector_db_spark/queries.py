@@ -12987,12 +12987,20 @@ def ds_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
     nb = _DSIR_BUCKETS
+    # fold lang to an int flag BEFORE the explode: the per-token frame
+    # then shuffles (doc_id, int, int) instead of carrying the lang
+    # STRING through every row — r9 solo A/B at sf0.1 (4 alternating
+    # reps): 1.40-1.63 s -> 1.22-1.37 s (~12%)
     tok = (
-        docs.select("doc_id", "lang", F.explode(tokens("text")).alias("t"))
+        docs.select(
+            "doc_id",
+            (F.col("lang") == "en").cast("int").alias("e"),
+            F.explode(tokens("text")).alias("t"),
+        )
         .filter(F.length("t") > 0)
         .select(
             "doc_id",
-            "lang",
+            "e",
             (hash32(F.concat(F.col("t"), F.lit("_dsir"))) % nb).alias("b"),
         )
     )
@@ -13008,11 +13016,11 @@ def ds_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pattern forces an extra collect/createDataFrame barrier; checkpoint
     # blocks are GC-owned, so the returned frame stays lazy). At cluster
     # scale this reads the corpus text ONCE — the two-pass shape re-scans
-    # it for the bucket stats. lang is per-document, so first(lang) is
-    # deterministic per group.
+    # it for the bucket stats. lang (hence its en-flag) is per-document,
+    # so first(e) is deterministic per group.
     db = (
         tok.groupBy("doc_id", "b")
-        .agg(F.count(F.lit(1)).alias("n"), F.first("lang").alias("lang"))
+        .agg(F.count(F.lit(1)).alias("n"), F.first("e").alias("e"))
         .localCheckpoint(eager=True)
     )
     # The bucket frame is FIXED at nb=128 rows regardless of corpus size
@@ -13024,9 +13032,7 @@ def ds_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         db.groupBy("b")
         .agg(
             F.sum("n").alias("rb"),
-            F.sum(
-                F.when(F.col("lang") == "en", F.col("n")).otherwise(0)
-            ).alias("gb"),
+            F.sum(F.col("n") * F.col("e")).alias("gb"),
         )
         .collect()
     )
