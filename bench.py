@@ -191,6 +191,9 @@ def derived_metrics(spark, sf_dir: str, timings: dict[str, float]) -> dict[str, 
         ("stream_stream_interval_join", "stream_join_ms"),
         ("rel_cobucketed_join_revenue", "cobucketed_join_ms"),
         ("rel_salted_skew_join", "salted_skew_join_ms"),
+        ("rel_bloom_semijoin_reduction", "bloom_semijoin_ms"),
+        ("rel_ivm_delta_agg", "ivm_delta_agg_ms"),
+        ("vs_jl_projection_topk", "jl_projection_ms"),
         ("ds_bpe_pair_counts", "bpe_pair_counts_ms"),
         ("ds_hard_negative_mining", "hard_negative_mining_ms"),
         ("ds_quality_percentile_filter", "quality_percentile_ms"),

@@ -558,6 +558,60 @@ def build_gram_bloom(
     return ev_post, _might_contain
 
 
+def build_key_bloom(
+    keys: DataFrame,
+    key_col: str,
+    num_bits: int = 1 << 14,
+    n_hashes: int = 3,
+):
+    """Bloom bitmap literal over an arbitrary KEY column — the explicit
+    runtime-filter / semi-join-reduction primitive (Spark's own
+    ``bloom_filter_agg``/``might_contain`` are optimizer-internal, not
+    SQL-callable). Returns a Column-predicate closure ``might_contain``
+    to push into the FACT side's scan before the join shuffles anything:
+    false positives die in the join itself, false negatives are
+    impossible, so a bloom-pruned join is bitwise the plain join.
+
+    Same machinery as :func:`build_gram_bloom` (xxhash64 positions,
+    array<bigint> word literal, integer-only bit tests) generalized from
+    n-grams to any column. Building collects DISTINCT bit positions —
+    bounded by ``num_bits``, never by the key count.
+    """
+    _WORD = 32
+    _POW2 = F.lit([1 << i for i in range(_WORD)]).cast("array<bigint>")
+
+    def _positions(kcol):
+        return [
+            F.pmod(F.xxhash64(kcol, F.lit(s)), F.lit(num_bits))
+            for s in range(n_hashes)
+        ]
+
+    pos_rows = (
+        keys.select(
+            F.explode(F.array(*_positions(F.col(key_col)))).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * ((num_bits + _WORD - 1) // _WORD)
+    for r in pos_rows:
+        p = int(r["p"])
+        words[p // _WORD] |= 1 << (p % _WORD)
+    bitmap = F.lit(words)
+
+    def _might_contain(kcol):
+        cond = F.lit(True)
+        for pos in _positions(kcol):
+            word = F.element_at(bitmap, (pos / _WORD).cast("int") + 1)
+            bit = F.element_at(
+                _POW2, F.pmod(pos, F.lit(_WORD)).cast("int") + 1
+            )
+            cond = cond & (word.bitwiseAND(bit) != 0)
+        return cond
+
+    return _might_contain
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

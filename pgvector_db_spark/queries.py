@@ -1374,6 +1374,382 @@ def rel_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_bloom_semijoin_reduction",
+    """
+    WITH d AS (
+      SELECT c_custkey FROM customer
+      WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 7000
+    ),
+    j AS (
+      SELECT o.o_orderpriority, o.o_totalprice
+      FROM orders o JOIN d ON o.o_custkey = d.c_custkey
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS total_price,
+           CAST(1 AS INT) AS bloom_equals_plain
+    FROM j GROUP BY o_orderpriority
+    """,
+    tags=("relational", "join", "runtime-filter"),
+)
+def rel_bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit runtime-filter semi-join reduction: a selective dim
+    predicate (5 of 150 customers) collapses into a Bloom bitmap literal
+    (operators/dedup.py build_key_bloom) pushed into the FACT scan, so
+    non-qualifying orders are dropped map-side BEFORE the join shuffles
+    anything — at 100 TB this is the difference between shuffling the
+    full fact table and shuffling the semi-join's survivors. False
+    positives die in the join itself (false negatives impossible), so
+    the pruned join is bitwise the plain join — the oracle IS the plain
+    join, and bloom_equals_plain is computed for real in-query (a lossy
+    bitmap would flip it AND the hash)."""
+    from pgvector_db_spark.operators.dedup import build_key_bloom
+
+    t = load_tables(spark, sf_dir)
+    dim = t["customer"].filter(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 7000)
+    ).select("c_custkey")
+    might = build_key_bloom(dim, "c_custkey", num_bits=1 << 12, n_hashes=3)
+    orders = t["orders"].select("o_custkey", "o_orderpriority", "o_totalprice")
+    price_dec = F.col("o_totalprice").cast("decimal(18,6)")
+
+    def _agg(fact: DataFrame) -> DataFrame:
+        return (
+            fact.join(
+                dim.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey"
+            )
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.sum(price_dec).cast("double").alias("total_price"),
+            )
+        )
+
+    pruned = _agg(orders.filter(might(F.col("o_custkey"))))
+    plain = _agg(orders).select(
+        "o_orderpriority",
+        F.col("n_orders").alias("_np"),
+        F.col("total_price").alias("_tp"),
+    )
+    return pruned.join(plain, "o_orderpriority").select(
+        "o_orderpriority",
+        "n_orders",
+        "total_price",
+        (
+            (F.col("n_orders") == F.col("_np"))
+            & (F.col("total_price") == F.col("_tp"))
+        )
+        .cast("int")
+        .alias("bloom_equals_plain"),
+    )
+
+
+# Incremental view maintenance: keep a per-group aggregate current by
+# folding CHANGELOG DELTAS into the stale snapshot aggregate — never
+# rescanning the base table (at 100 TB the base-rescan rollup is the
+# thing you cannot afford per micro-batch; the delta fold touches only
+# the changed rows). Change sets are deterministic key-space slices of
+# orders: keys %10==0 arrive as INSERTS after the snapshot; of the
+# snapshot keys, %7==0 get a +500.00 price UPDATE (before-image in the
+# changelog, the CDC norm) and %13==0 (and not %7==0) are DELETED.
+# DECIMAL(18,6) contributions make base+delta EXACTLY the recompute:
+# the IVM identity holds bitwise, and the query PROVES it in-plan.
+@register(
+    "rel_ivm_delta_agg",
+    """
+    WITH fin AS (
+      SELECT o_orderpriority,
+             CASE WHEN o_orderkey % 10 != 0 AND o_orderkey % 7 = 0
+                  THEN o_totalprice + CAST(500.0 AS DOUBLE)
+                  ELSE o_totalprice END AS p
+      FROM orders
+      WHERE NOT (o_orderkey % 10 != 0 AND o_orderkey % 13 = 0
+                 AND o_orderkey % 7 != 0)
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) AS total_price,
+           CAST(1 AS INT) AS ivm_equals_recompute
+    FROM fin GROUP BY o_orderpriority
+    """,
+    tags=("relational", "ivm", "cdc"),
+)
+def rel_ivm_delta_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-maintained rollup: snapshot aggregate + signed changelog
+    contributions (insert -> (+1, +v); delete -> (-1, -v_old); update ->
+    (0, v_new - v_old), before-image from the changelog) equals the
+    full recompute over the final table state — proven in-query with
+    exact DECIMAL arithmetic, and the oracle is the recompute. The
+    maintained path never reads snapshot rows: one groupBy over the
+    (small) changelog plus a |groups|-row outer join."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].select("o_orderkey", "o_orderpriority", "o_totalprice")
+    k = F.col("o_orderkey")
+    dec = lambda c: c.cast("decimal(18,6)")  # noqa: E731
+
+    base = o.filter(k % 10 != 0)
+    inserts = o.filter(k % 10 == 0)
+    updates = base.filter(k % 7 == 0).select(
+        "o_orderpriority",
+        F.col("o_totalprice").alias("_old"),
+        (F.col("o_totalprice") + F.lit(500.0)).alias("_new"),
+    )
+    deletes = base.filter((k % 13 == 0) & (k % 7 != 0))
+
+    base_agg = base.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_bn"),
+        F.sum(dec(F.col("o_totalprice"))).alias("_bs"),
+    )
+    delta = (
+        inserts.select(
+            "o_orderpriority",
+            F.lit(1).cast("bigint").alias("_dn"),
+            dec(F.col("o_totalprice")).alias("_ds"),
+        )
+        .unionByName(
+            deletes.select(
+                "o_orderpriority",
+                F.lit(-1).cast("bigint").alias("_dn"),
+                (-dec(F.col("o_totalprice"))).alias("_ds"),
+            )
+        )
+        .unionByName(
+            updates.select(
+                "o_orderpriority",
+                F.lit(0).cast("bigint").alias("_dn"),
+                (dec(F.col("_new")) - dec(F.col("_old"))).alias("_ds"),
+            )
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.sum("_dn").alias("_dn"), F.sum("_ds").alias("_ds"))
+    )
+    ivm = (
+        base_agg.join(delta, "o_orderpriority", "full")
+        .select(
+            "o_orderpriority",
+            (
+                F.coalesce(F.col("_bn"), F.lit(0))
+                + F.coalesce(F.col("_dn"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_orders"),
+            (
+                F.coalesce(F.col("_bs"), F.lit(0).cast("decimal(18,6)"))
+                + F.coalesce(F.col("_ds"), F.lit(0).cast("decimal(18,6)"))
+            ).alias("_sum_dec"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+    # the recompute the IVM path must equal: final state assembled the
+    # slow way (deletes dropped, updates applied, inserts included)
+    final_state = (
+        base.filter(~((k % 13 == 0) & (k % 7 != 0)))
+        .select(
+            "o_orderpriority",
+            F.when(k % 7 == 0, F.col("o_totalprice") + F.lit(500.0))
+            .otherwise(F.col("o_totalprice"))
+            .alias("p"),
+        )
+        .unionByName(
+            inserts.select("o_orderpriority", F.col("o_totalprice").alias("p"))
+        )
+    )
+    recompute = final_state.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_rn"),
+        F.sum(dec(F.col("p"))).alias("_rs"),
+    )
+    return ivm.join(recompute, "o_orderpriority").select(
+        "o_orderpriority",
+        "n_orders",
+        F.col("_sum_dec").cast("double").alias("total_price"),
+        (
+            (F.col("n_orders") == F.col("_rn"))
+            & (F.col("_sum_dec") == F.col("_rs"))
+        )
+        .cast("int")
+        .alias("ivm_equals_recompute"),
+    )
+
+
+# Streaming twin of rel_ivm_delta_agg: the changelog arrives as 4
+# micro-batches and the per-group rollup state folds ADDITIVELY
+# (signed counts + exact DECIMAL sums, last_bid replay guard, atomic
+# swap — the stream_pca_update discipline). Because signed decimal
+# partials are associative and commutative, the drained state equals
+# the whole-changelog delta regardless of how rows split across
+# batches, so snapshot + state reproduces the batch result BITWISE —
+# the (unchanged batch) oracle checks exactly that.
+@register(
+    "stream_ivm_rollup_ingest",
+    """
+    WITH fin AS (
+      SELECT o_orderpriority,
+             CASE WHEN o_orderkey % 10 != 0 AND o_orderkey % 7 = 0
+                  THEN o_totalprice + CAST(500.0 AS DOUBLE)
+                  ELSE o_totalprice END AS p
+      FROM orders
+      WHERE NOT (o_orderkey % 10 != 0 AND o_orderkey % 13 = 0
+                 AND o_orderkey % 7 != 0)
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) AS total_price,
+           CAST(1 AS INT) AS ivm_equals_recompute
+    FROM fin GROUP BY o_orderpriority
+    """,
+    tags=("streaming", "ivm", "cdc", "maintenance"),
+)
+def stream_ivm_rollup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental view maintenance: the rel_ivm_delta_agg
+    changelog replayed as 4 micro-batches through foreachBatch; state =
+    one (group, dn, ds) row per order priority plus the replay guard —
+    constant-size regardless of changelog length; the base table is
+    never re-scanned after the snapshot aggregate. Drained state + the
+    snapshot aggregate must equal the full recompute bitwise (exact
+    DECIMAL arithmetic), proven in-plan AND by the shared batch
+    oracle."""
+    import shutil
+    import tempfile
+
+    from pgvector_db_spark.sources.table import ParquetTable
+    from pgvector_db_spark.streaming.replay import (
+        file_stream,
+        stage_replay_df,
+    )
+
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].select("o_orderkey", "o_orderpriority", "o_totalprice")
+    k = F.col("o_orderkey")
+    dec = lambda c: c.cast("decimal(18,6)")  # noqa: E731
+
+    base = o.filter(k % 10 != 0)
+    changelog = (
+        o.filter(k % 10 == 0)
+        .select(
+            "o_orderpriority",
+            F.lit(1).cast("bigint").alias("dn"),
+            dec(F.col("o_totalprice")).alias("ds"),
+        )
+        .unionByName(
+            base.filter((k % 13 == 0) & (k % 7 != 0)).select(
+                "o_orderpriority",
+                F.lit(-1).cast("bigint").alias("dn"),
+                (-dec(F.col("o_totalprice"))).alias("ds"),
+            )
+        )
+        .unionByName(
+            base.filter(k % 7 == 0).select(
+                "o_orderpriority",
+                F.lit(0).cast("bigint").alias("dn"),
+                (
+                    dec(F.col("o_totalprice") + F.lit(500.0))
+                    - dec(F.col("o_totalprice"))
+                ).alias("ds"),
+            )
+        )
+    )
+    replay_dir = os.path.join(
+        tempfile.gettempdir(), f"ivm_changelog_{_fixture_tag(sf_dir)}"
+    )
+    stage_replay_df(
+        changelog, replay_dir, n_files=4,
+        fingerprint=f"ivm_v1_{_fixture_tag(sf_dir)}",
+    )
+    src = file_stream(
+        spark, replay_dir, changelog.schema, max_files_per_trigger=1
+    )
+
+    tmp = tempfile.mkdtemp(prefix="ivm_stream_")
+    try:
+        table = ParquetTable(spark, f"{tmp}/rollup_state")
+
+        def fold(batch: DataFrame, _bid: int) -> None:
+            part = batch.groupBy("o_orderpriority").agg(
+                F.sum("dn").cast("bigint").alias("dn"),
+                F.sum("ds").cast("decimal(18,6)").alias("ds"),
+            ).withColumn("last_bid", F.lit(_bid).cast("bigint"))
+            if not table.exists():
+                part.write.mode("errorifexists").parquet(table.path)
+                return
+            state = table.read()
+            prev = state.agg(F.max("last_bid")).head()[0]
+            # additive fold is NOT idempotent: replayed batch = no-op
+            if prev is not None and prev >= _bid:
+                return
+            merged = state.unionByName(part).groupBy("o_orderpriority").agg(
+                F.sum("dn").cast("bigint").alias("dn"),
+                F.sum("ds").cast("decimal(18,6)").alias("ds"),
+                F.max("last_bid").alias("last_bid"),
+            )
+            table._swap_in(merged)
+
+        q = (
+            src.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        delta = table.read().select("o_orderpriority", "dn", "ds")
+        base_agg = base.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).cast("bigint").alias("_bn"),
+            F.sum(dec(F.col("o_totalprice"))).alias("_bs"),
+        )
+        ivm = (
+            base_agg.join(delta, "o_orderpriority", "full")
+            .select(
+                "o_orderpriority",
+                (
+                    F.coalesce(F.col("_bn"), F.lit(0))
+                    + F.coalesce(F.col("dn"), F.lit(0))
+                )
+                .cast("bigint")
+                .alias("n_orders"),
+                (
+                    F.coalesce(F.col("_bs"), F.lit(0).cast("decimal(18,6)"))
+                    + F.coalesce(F.col("ds"), F.lit(0).cast("decimal(18,6)"))
+                ).alias("_sum_dec"),
+            )
+            .filter(F.col("n_orders") > 0)
+        )
+        final_state = (
+            base.filter(~((k % 13 == 0) & (k % 7 != 0)))
+            .select(
+                "o_orderpriority",
+                F.when(k % 7 == 0, F.col("o_totalprice") + F.lit(500.0))
+                .otherwise(F.col("o_totalprice"))
+                .alias("p"),
+            )
+            .unionByName(
+                o.filter(k % 10 == 0).select(
+                    "o_orderpriority", F.col("o_totalprice").alias("p")
+                )
+            )
+        )
+        recompute = final_state.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).cast("bigint").alias("_rn"),
+            F.sum(dec(F.col("p"))).alias("_rs"),
+        )
+        out = ivm.join(recompute, "o_orderpriority").select(
+            "o_orderpriority",
+            "n_orders",
+            F.col("_sum_dec").cast("double").alias("total_price"),
+            (
+                (F.col("n_orders") == F.col("_rn"))
+                & (F.col("_sum_dec") == F.col("_rs"))
+            )
+            .cast("int")
+            .alias("ivm_equals_recompute"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
     "rel_jsonl_roundtrip",
     """
     SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -4557,7 +4933,19 @@ def ds_prefix_filter_dedup_survivors(
     is_kept) — the form a 100 TB crawl-dedup pipeline composes with,
     where pair listing would materialize C(d,2) rows per d-fold
     duplicate group (operators/dedup.py prefix_filter_jaccard_pairs +
-    connected_components; reference README.md:16's cleaning stage)."""
+    connected_components; reference README.md:16's cleaning stage).
+
+    EXACT-COLLAPSE PREPASS (r9): verbatim duplicates have Jaccard = 1
+    >= tau, so an exact-dup group is ALWAYS one component — collapse
+    each identical-text group to its min-doc_id representative FIRST
+    (one md5-hash groupBy; the standard exact-before-near-dup staging),
+    run the quadratic-verify prefix join on representatives only, and
+    expand components back through the doc->rep map. Semantics are
+    unchanged (the oracle is identical); the O(dup^2) VERIFY work now
+    scales with near-dup multiplicity only, never with verbatim
+    duplication — on the 10x-verbatim sf1 decade fixture this is the
+    difference between 45 verified pairs per group and one
+    representative row."""
     from pgvector_db_spark.operators.dedup import (
         connected_components,
         prefix_filter_jaccard_pairs,
@@ -4565,12 +4953,26 @@ def ds_prefix_filter_dedup_survivors(
 
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
-    pairs = prefix_filter_jaccard_pairs(docs, n=3, tau_num=3, tau_den=5)
-    comp = connected_components(pairs).withColumnRenamed("id", "doc_id")
+    # doc -> exact-group representative (min doc_id of identical texts)
+    rep_map = docs.select(
+        "doc_id",
+        F.min("doc_id")
+        .over(Window.partitionBy(F.md5(F.col("text"))))
+        .alias("rep_id"),
+    )
+    reps = docs.join(
+        rep_map.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id"),
+        "doc_id",
+    )
+    pairs = prefix_filter_jaccard_pairs(reps, n=3, tau_num=3, tau_den=5)
+    comp = connected_components(pairs).withColumnRenamed("id", "rep_id")
     lab = (
-        docs.select("doc_id")
-        .join(comp, "doc_id", "left")
-        .withColumn("component", F.coalesce("component", F.col("doc_id")))
+        rep_map.join(comp, "rep_id", "left")
+        # rep_id IS the min doc_id of its exact group, and the CC label
+        # is the min rep reachable — so the expanded component label is
+        # exactly the min doc_id of the whole near-dup cluster
+        .withColumn("component", F.coalesce("component", F.col("rep_id")))
+        .select("doc_id", "component")
     )
     sizes = lab.groupBy("component").agg(
         F.count(F.lit(1)).alias("cluster_size")
@@ -4580,6 +4982,65 @@ def ds_prefix_filter_dedup_survivors(
         "component",
         "cluster_size",
         (F.col("doc_id") == F.col("component")).cast("int").alias("is_kept"),
+    )
+
+
+# The no-silent-caps form of the pair listing: when a consumer DOES
+# need pairs (inspection, sampling) on a duplicated corpus, bound the
+# per-anchor fan-out and LOG the drop — the dropped count rides the
+# output as a column, so a capped listing can never masquerade as the
+# lossless one.
+_PPJOIN_CAP = 3
+
+
+@register(
+    "ds_prefix_filter_pairs_capped",
+    f"""
+    WITH {_PPJOIN_BRUTE_CTES},
+    pp AS (
+      SELECT id_a, id_b,
+             CAST(floor(CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE)
+                  * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                  AS BIGINT) AS jaccard_micro,
+             row_number() OVER (PARTITION BY id_a ORDER BY id_b) AS rk
+      FROM v WHERE 5 * n_inter >= 3 * n_union
+    )
+    SELECT id_a, id_b, jaccard_micro,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pp WHERE rk > {_PPJOIN_CAP})
+               AS n_dropped_total
+    FROM pp WHERE rk <= {_PPJOIN_CAP}
+    """,
+    tags=("dataset", "dedup"),
+)
+def ds_prefix_filter_pairs_capped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Prefix-filtered pair listing with a per-anchor cap: at most
+    _PPJOIN_CAP pairs per id_a (deterministic keep order: id_b asc) and the
+    TOTAL dropped-pair count logged as an output column — the bounded
+    form for duplicated corpora where the lossless listing owes C(d,2)
+    rows per d-fold group. Oracle shares _PPJOIN_BRUTE_CTES; the cap and
+    the drop count are both replayed exactly in SQL."""
+    from pgvector_db_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    t = load_tables(spark, sf_dir)
+    pairs = prefix_filter_jaccard_pairs(
+        t["documents"], n=3, tau_num=3, tau_den=5
+    ).withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.partitionBy("id_a").orderBy(F.asc("id_b"))
+        ),
+    )
+    dropped = pairs.filter(F.col("_rk") > _PPJOIN_CAP).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dropped_total")
+    )
+    return (
+        pairs.filter(F.col("_rk") <= _PPJOIN_CAP)
+        .crossJoin(F.broadcast(dropped))
+        .select("id_a", "id_b", "jaccard_micro", "n_dropped_total")
     )
 
 
@@ -8308,6 +8769,74 @@ _sql_query(
     _pca_sql("spark"),
     _pca_sql("duckdb"),
     tags=("vector", "pca", "linalg"),
+)
+
+
+# Johnson-Lindenstrauss signed random projection (Achlioptas 2003: the
+# +-1 database-friendly JL matrix): 64-d embeddings -> 8-d sketches via
+# a seeded sign matrix, then exact top-10 in the PROJECTED space. The
+# signs are md5-derived module-import constants inlined into BOTH
+# dialects, and every projection/distance is the same explicit
+# left-associated chain in both engines (the pca_power_sql discipline),
+# so the doubles are bitwise-identical — no grid needed. Scale shape:
+# one map-only narrow transform (64 floats -> 8 doubles, an 8x-narrower
+# distance loop downstream) + TakeOrderedAndProject; the JL sketch is
+# the cheap-coarse tier under Matryoshka (learned prefixes) and PCA
+# (data-dependent axes) — data-INdependent, so it needs no training
+# pass and never goes stale under appends.
+def _jl_sql(dialect: str) -> str:
+    import hashlib
+
+    d_in, d_out = 64, 8
+    signs = [
+        [
+            1.0
+            if int(
+                hashlib.md5(f"jl_{i}_{j}".encode()).hexdigest()[:8], 16
+            )
+            % 2
+            == 0
+            else -1.0
+            for i in range(d_in)
+        ]
+        for j in range(d_out)
+    ]
+
+    def idx(col: str, i: int) -> str:
+        return (
+            f"element_at({col}, {i})" if dialect == "spark" else f"{col}[{i}]"
+        )
+
+    def proj(col: str, j: int) -> str:
+        e = "CAST(0.0 AS DOUBLE)"
+        for i in range(d_in):
+            s = "1.0" if signs[j][i] > 0 else "-1.0"
+            e = (
+                f"({e} + (CAST({s} AS DOUBLE)"
+                f" * CAST({idx(col, i + 1)} AS DOUBLE)))"
+            )
+        return e
+
+    y_cols = ",\n           ".join(
+        f"{proj('embedding', j)} AS y{j}" for j in range(d_out)
+    )
+    dist = "CAST(0.0 AS DOUBLE)"
+    for j in range(d_out):
+        dist = f"({dist} + ((s.y{j} - q.y{j}) * (s.y{j} - q.y{j})))"
+    return f"""
+    WITH p AS (SELECT vec_id, {y_cols} FROM embeddings),
+    q AS (SELECT * FROM p WHERE vec_id = 0)
+    SELECT s.vec_id, {dist} AS jl_dist2
+    FROM p s, q
+    ORDER BY jl_dist2 ASC, s.vec_id ASC LIMIT 10
+    """
+
+
+_sql_query(
+    "vs_jl_projection_topk",
+    _jl_sql("spark"),
+    _jl_sql("duckdb"),
+    tags=("vector", "projection", "linalg"),
 )
 
 

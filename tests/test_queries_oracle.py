@@ -127,6 +127,65 @@ def test_salted_join_equals_plain_join(spark):
         assert salted == plain, how
 
 
+def test_capped_pair_listing_accounts_for_every_pair(spark):
+    """The no-silent-caps contract: kept pairs + logged dropped count
+    must equal the LOSSLESS listing's pair count; kept pairs are the
+    per-anchor (id_b asc) head of the lossless set; survivors' component
+    labeling partitions every document exactly once."""
+    from pgvector_db_spark.queries import REGISTRY, _PPJOIN_CAP
+
+    sf = "/root/testdata/sf0.001"
+    lossless = REGISTRY["ds_prefix_filter_jaccard_join"].spark_fn(
+        spark, sf
+    ).select("id_a", "id_b").collect()
+    capped = REGISTRY["ds_prefix_filter_pairs_capped"].spark_fn(
+        spark, sf
+    ).collect()
+    n_lossless = len(lossless)
+    n_kept = len(capped)
+    assert n_kept > 0
+    dropped = {r["n_dropped_total"] for r in capped}
+    assert len(dropped) == 1  # one scalar, logged on every row
+    assert n_kept + dropped.pop() == n_lossless
+    # kept set is the deterministic per-anchor head of the lossless set
+    from collections import defaultdict
+
+    by_a = defaultdict(list)
+    for r in lossless:
+        by_a[r["id_a"]].append(r["id_b"])
+    expect = {
+        (a, b) for a, bs in by_a.items() for b in sorted(bs)[:_PPJOIN_CAP]
+    }
+    assert {(r["id_a"], r["id_b"]) for r in capped} == expect
+
+
+def test_prefix_filter_survivors_partition_documents(spark):
+    """Every document appears exactly once; components are consistent
+    with the lossless pair set (two paired docs share a component); the
+    kept row is the component min."""
+    from pgvector_db_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    pairs = REGISTRY["ds_prefix_filter_jaccard_join"].spark_fn(
+        spark, sf
+    ).collect()
+    surv = REGISTRY["ds_prefix_filter_dedup_survivors"].spark_fn(
+        spark, sf
+    ).collect()
+    comp = {r["doc_id"]: r["component"] for r in surv}
+    assert len(surv) == len(comp) == 500
+    for r in pairs:
+        assert comp[r["id_a"]] == comp[r["id_b"]]
+    from collections import Counter
+
+    sizes = Counter(comp.values())
+    for r in surv:
+        assert r["cluster_size"] == sizes[r["component"]]
+        assert r["is_kept"] == int(r["doc_id"] == r["component"])
+        assert comp[r["component"]] == r["component"]  # label is a member
+        assert r["component"] <= r["doc_id"]  # min-id labeling
+
+
 def test_salted_skew_join_equals_plain_join(spark):
     """The TARGETED variant: only measured-hot keys get salted/dim-
     replicated; results must still equal the plain join exactly —

@@ -438,6 +438,42 @@ def test_bloom_decontaminate_tiny_bitmap_still_exact(spark, tables):
     assert plain == bloom
 
 
+def test_key_bloom_semijoin_is_lossless(spark, tables):
+    """build_key_bloom pushed into the fact side must never lose a
+    matching row (no false negatives); after the exact join the pruned
+    path equals the plain semi-join bitwise. A tiny bitmap only adds
+    false positives, which the join removes."""
+    from pgvector_db_spark.operators.dedup import build_key_bloom
+
+    from pyspark.sql import functions as F
+
+    orders = tables["orders"].select("o_custkey", "o_orderkey")
+    dim = (
+        tables["customer"]
+        .filter("c_acctbal > 8000")
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    plain = sorted(map(tuple, orders.join(dim, "o_custkey").collect()))
+    assert len(plain) > 0
+    for num_bits in (1 << 12, 64):  # roomy and deliberately undersized
+        might = build_key_bloom(dim, "o_custkey", num_bits=num_bits, n_hashes=2)
+        pruned = sorted(
+            map(
+                tuple,
+                orders.filter(might(F.col("o_custkey")))
+                .join(dim, "o_custkey")
+                .collect(),
+            )
+        )
+        assert pruned == plain, num_bits
+    # the roomy bitmap actually prunes: non-qualifying keys mostly fail
+    might = build_key_bloom(dim, "o_custkey", num_bits=1 << 14, n_hashes=3)
+    n_total = orders.count()
+    n_pass = orders.filter(might(F.col("o_custkey"))).count()
+    n_match = orders.join(dim, "o_custkey").count()
+    assert n_match <= n_pass < n_total
+
+
 def test_substring_dup_stats_hash_modes_agree(spark, tables):
     """The at-scale xxhash64 mode (8-byte shuffle keys) must produce the
     same per-doc counts as the cross-engine md5_16 oracle mode — the

@@ -79,6 +79,12 @@ HEAVY = {
     "ds_bradley_terry_ranking",
     "rel_zorder_layout_prune",
     "ds_content_chunk_dedup",
+    # r9: the survivors composition is THE output-bounded answer to the
+    # pair-listing 29x sf1 row — its own sf1 cell is the evidence (the
+    # CC loop consumes the C(10,2)-per-group edges; output stays one row
+    # per document). salted-skew is lineitem-bound.
+    "ds_prefix_filter_dedup_survivors",
+    "rel_salted_skew_join",
 }
 
 # one representative per major operator family
@@ -121,6 +127,12 @@ QUERIES = [
     "rel_zorder_layout_prune",    # 1 scan + map-side Morton + 32-group agg (r8)
     "ds_content_chunk_dedup",     # per-doc windows + signature-only shuffle (r8)
     "ds_rater_agreement_kappa",   # marginal scan + class-count joins (r8)
+    "ds_prefix_filter_dedup_survivors",  # PPJoin pairs CONSUMED by CC (r9)
+    "rel_salted_skew_join",       # histogram-driven targeted salt (r9)
+    "vs_ivf_autoprobe",           # 1 batch-kNN pass + lists-bounded curve
+                                  # (r9; embeddings-bound — sf1 replica
+                                  # copies embeddings verbatim, so no
+                                  # extra decade, the SemDeDup caveat)
 ]
 
 
