@@ -1749,6 +1749,107 @@ def stream_ivm_rollup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# Mergeable fixed-grid quantile rollup: per-group bin histograms are
+# ADDITIVE (the CMS/HLL re-aggregation property, for quantiles), so the
+# 'ALL' row derives from the per-group bins — never a raw re-scan, and
+# never a global sort: quantile = first bin whose cumulative count
+# crosses the rank, an integer cross-multiply over the bounded bin
+# frame. At 100 TB: one fact groupBy to |groups|x|bins| rows, windows
+# touch only that bounded frame. Identical SQL both engines.
+_HISTQ_SQL = """
+    WITH b AS (
+      SELECT o_orderpriority AS grp,
+             CAST(floor(o_totalprice / 10000) AS BIGINT) AS bin
+      FROM orders
+    ),
+    h AS (SELECT grp, bin, CAST(COUNT(*) AS BIGINT) AS n
+          FROM b GROUP BY grp, bin),
+    hg AS (SELECT 'ALL' AS grp, bin, CAST(SUM(n) AS BIGINT) AS n
+           FROM h GROUP BY bin),
+    u AS (SELECT * FROM h UNION ALL SELECT * FROM hg),
+    c AS (
+      SELECT grp, bin, n,
+             SUM(n) OVER (PARTITION BY grp ORDER BY bin
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(n) OVER (PARTITION BY grp) AS total
+      FROM u
+    )
+    SELECT grp,
+           CAST(MIN(total) AS BIGINT) AS n_rows,
+           CAST(MIN(CASE WHEN 2 * cum >= total THEN bin END) * 10000
+                AS BIGINT) AS p50_bin_lo,
+           CAST(MIN(CASE WHEN 10 * cum >= 9 * total THEN bin END) * 10000
+                AS BIGINT) AS p90_bin_lo
+    FROM c GROUP BY grp
+    """
+
+_sql_query(
+    "rel_histogram_quantile_rollup",
+    _HISTQ_SQL,
+    _HISTQ_SQL,
+    tags=("relational", "sketch", "quantile", "rollup"),
+)
+
+
+# Per-key time-series gap fill with LOCF: each user's hourly spine is
+# generated from its OWN observed range (sequence/generate_series +
+# explode — map-side fan-out, no global spine), the last event per
+# (user, hour) is picked deterministically (ts DESC, event_id DESC),
+# and missing hours carry the last observation forward with an
+# IGNORE NULLS running window. No arithmetic touches `value`, so the
+# doubles are bitwise the source's. Windows are per-user (the
+# sessionize class). 5 users keeps the gate output bounded; the plan
+# is per-key at any user count.
+def _gap_fill_sql(dialect: str) -> str:
+    if dialect == "spark":
+        spine = (
+            "SELECT user_id, explode(sequence(h0, h1, interval 1 hour)) AS h"
+            " FROM bnd"
+        )
+        locf = "last(value, true)"
+    else:
+        spine = (
+            "SELECT user_id, unnest(generate_series(h0, h1,"
+            " INTERVAL 1 HOUR)) AS h FROM bnd"
+        )
+        locf = "last_value(value IGNORE NULLS)"
+    return f"""
+    WITH e AS (
+      SELECT user_id, date_trunc('hour', ts) AS h, ts, event_id, value
+      FROM events WHERE user_id <= 4
+    ),
+    hv AS (
+      SELECT user_id, h, value FROM (
+        SELECT user_id, h, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, h
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM e
+      ) r WHERE rn = 1
+    ),
+    bnd AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1
+            FROM e GROUP BY user_id),
+    spine AS ({spine}),
+    j AS (
+      SELECT s.user_id, s.h, hv.value
+      FROM spine s LEFT JOIN hv ON s.user_id = hv.user_id AND s.h = hv.h
+    )
+    SELECT user_id, h,
+           {locf} OVER (PARTITION BY user_id ORDER BY h
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS locf_value,
+           CAST(value IS NULL AS INT) AS filled
+    FROM j
+    """
+
+
+_sql_query(
+    "rel_gap_fill_locf",
+    _gap_fill_sql("spark"),
+    _gap_fill_sql("duckdb"),
+    tags=("relational", "timeseries", "gap-fill"),
+)
+
+
 @register(
     "rel_jsonl_roundtrip",
     """
