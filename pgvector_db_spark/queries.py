@@ -13243,6 +13243,56 @@ def _pagerank_oracle(iterations: int = 3) -> str:
     )
 
 
+@register(
+    "rel_triangle_cosupplier",
+    """
+    WITH p AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    und AS (
+      SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+      FROM p a JOIN p b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    ),
+    nn AS (
+      SELECT COUNT(*) AS c FROM (
+        SELECT a AS x FROM und UNION SELECT b FROM und
+      ) t
+    ),
+    tri AS (
+      SELECT COUNT(*) AS c FROM und e1
+      JOIN und e2 ON e2.a = e1.b
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT (SELECT CAST(c AS BIGINT) FROM nn) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM und) AS n_edges,
+           (SELECT CAST(c AS BIGINT) FROM tri) AS n_triangles
+    """,
+    tags=("relational", "graph", "triangles"),
+)
+def rel_triangle_cosupplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count over the co-supplier graph (suppliers
+    sharing an order) by degree-ordered orientation (operators/graph.py
+    triangle_count — Suri & Vassilvitskii WWW'11). The oracle closes
+    triangles in plain id order; the Spark plan orients by (degree, id)
+    so hub suppliers receive edges instead of emitting deg² wedges —
+    orientation-invariance of the count is what makes the id-ordered
+    oracle valid for the skew-resistant plan."""
+    from pgvector_db_spark.operators.graph import triangle_count
+
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select("l_orderkey", "l_suppkey").distinct()
+    edges = (
+        li.alias("x")
+        .join(li.alias("y"), "l_orderkey")
+        .filter(F.col("x.l_suppkey") < F.col("y.l_suppkey"))
+        .select(
+            F.col("x.l_suppkey").alias("src"),
+            F.col("y.l_suppkey").alias("dst"),
+        )
+        .distinct()
+    )
+    return triangle_count(edges)
+
+
 def _partsupp_edges(lineitem: DataFrame) -> DataFrame:
     """Distinct part<->supplier edges from lineitem, both directions —
     the shared graph fixture for the PageRank and BFS queries (and the

@@ -85,6 +85,12 @@ HEAVY = {
     # per document). salted-skew is lineitem-bound.
     "ds_prefix_filter_dedup_survivors",
     "rel_salted_skew_join",
+    # r9 continuation: orders/lineitem/events-bound additions
+    "rel_bloom_semijoin_reduction",
+    "rel_ivm_delta_agg",
+    "rel_histogram_quantile_rollup",
+    "rel_gap_fill_locf",
+    "rel_triangle_cosupplier",
 }
 
 # one representative per major operator family
@@ -133,6 +139,12 @@ QUERIES = [
                                   # (r9; embeddings-bound — sf1 replica
                                   # copies embeddings verbatim, so no
                                   # extra decade, the SemDeDup caveat)
+    "rel_bloom_semijoin_reduction",  # bitmap literal into the fact scan (r9)
+    "rel_ivm_delta_agg",          # changelog-only delta fold + proof (r9)
+    "vs_jl_projection_topk",      # map-only 64->8 + TakeOrdered (r9)
+    "rel_histogram_quantile_rollup",  # additive bins, bounded windows (r9)
+    "rel_gap_fill_locf",          # per-key spine + IGNORE NULLS LOCF (r9)
+    "rel_triangle_cosupplier",    # degree-oriented wedge join (r9)
 ]
 
 
