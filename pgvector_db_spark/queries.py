@@ -1851,6 +1851,109 @@ _sql_query(
 
 
 @register(
+    "stream_quantile_monitor",
+    _HISTQ_SQL,
+    tags=("streaming", "sketch", "quantile", "maintenance"),
+)
+def stream_quantile_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING quantile maintenance: per-micro-batch fixed-grid bin
+    histograms fold ADDITIVELY into a (grp, bin, n) state table
+    (last_bid replay guard, atomic swap) — the mergeable-bins property
+    of rel_histogram_quantile_rollup exercised across batch boundaries.
+    State is |groups|x|bins| rows regardless of stream length; the
+    drained state holds exactly the whole-corpus histograms, so the
+    same quantile computation reproduces the batch result BITWISE (the
+    unchanged batch oracle checks it). No raw row is ever revisited:
+    each micro-batch contributes one bounded bin aggregate."""
+    import shutil
+    import tempfile
+
+    from pgvector_db_spark.catalog import table_path
+    from pgvector_db_spark.sources.table import ParquetTable
+    from pgvector_db_spark.streaming.replay import (
+        file_stream,
+        stage_replay_splits,
+    )
+
+    orders_path = table_path(sf_dir, "orders")
+    replay_dir = os.path.join(
+        tempfile.gettempdir(), f"orders_replay4_{_fixture_tag(sf_dir)}"
+    )
+    stage_replay_splits(spark, orders_path, replay_dir, n_files=4)
+    schema = spark.read.parquet(orders_path).schema
+    src = file_stream(spark, replay_dir, schema, max_files_per_trigger=1)
+
+    tmp = tempfile.mkdtemp(prefix="quantile_stream_")
+    try:
+        table = ParquetTable(spark, f"{tmp}/bins")
+
+        def fold(batch: DataFrame, _bid: int) -> None:
+            part = (
+                batch.select(
+                    F.col("o_orderpriority").alias("grp"),
+                    F.floor(F.col("o_totalprice") / 10000)
+                    .cast("bigint")
+                    .alias("bin"),
+                )
+                .groupBy("grp", "bin")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+                .withColumn("last_bid", F.lit(_bid).cast("bigint"))
+            )
+            if not table.exists():
+                part.write.mode("errorifexists").parquet(table.path)
+                return
+            state = table.read()
+            prev = state.agg(F.max("last_bid")).head()[0]
+            # additive fold is NOT idempotent: replayed batch = no-op
+            if prev is not None and prev >= _bid:
+                return
+            merged = state.unionByName(part).groupBy("grp", "bin").agg(
+                F.sum("n").cast("bigint").alias("n"),
+                F.max("last_bid").alias("last_bid"),
+            )
+            table._swap_in(merged)
+
+        q = (
+            src.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        table.read().select("grp", "bin", "n").createOrReplaceTempView(
+            "_qmon_bins"
+        )
+        out = spark.sql(
+            """
+            WITH h AS (SELECT grp, bin, n FROM _qmon_bins),
+            hg AS (SELECT 'ALL' AS grp, bin, CAST(SUM(n) AS BIGINT) AS n
+                   FROM h GROUP BY bin),
+            u AS (SELECT * FROM h UNION ALL SELECT * FROM hg),
+            c AS (
+              SELECT grp, bin, n,
+                     SUM(n) OVER (PARTITION BY grp ORDER BY bin
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                     SUM(n) OVER (PARTITION BY grp) AS total
+              FROM u
+            )
+            SELECT grp,
+                   CAST(MIN(total) AS BIGINT) AS n_rows,
+                   CAST(MIN(CASE WHEN 2 * cum >= total THEN bin END) * 10000
+                        AS BIGINT) AS p50_bin_lo,
+                   CAST(MIN(CASE WHEN 10 * cum >= 9 * total THEN bin END)
+                        * 10000 AS BIGINT) AS p90_bin_lo
+            FROM c GROUP BY grp
+            """
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        spark.catalog.dropTempView("_qmon_bins")
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
     "rel_jsonl_roundtrip",
     """
     SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -121,6 +121,16 @@ AUDITED = [
     # top-k) + lists-bounded broadcast joins; chosen-nprobe selection is
     # aggregates over the ≤lists-row checkpointed curve
     "vs_ivf_autoprobe",
+    # r9: runtime filter — the shape under audit: the bitmap literal
+    # must appear as a Filter ABOVE the fact scan (map-side, before the
+    # join exchange), and the dim side must broadcast
+    "rel_bloom_semijoin_reduction",
+    # r9: degree-oriented triangles — two shuffles (degree agg, wedge
+    # join) + a semi-join; no cartesian anywhere
+    "rel_triangle_cosupplier",
+    # r9: mergeable quantiles — one fact groupBy; windows confined to
+    # the |groups|x|bins| frame
+    "rel_histogram_quantile_rollup",
     # r9: survivors variant of the prefix-filter join — NOT capturable
     # end-to-end (prefix_filter_jaccard_pairs returns via the shared
     # _materialize_and_release localCheckpoint, the ngram-pairs class);
