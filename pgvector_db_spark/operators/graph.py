@@ -134,6 +134,13 @@ def triangle_count(
     Ties in degree break by node id; node ids must fit in 32 bits (the
     (degree, id) order is packed into one BIGINT key).
     """
+    # und/oriented are each consumed by several downstream branches
+    # (degree agg, key joins, BOTH wedge sides, the closing semi-join,
+    # the edge count) — materialize them ONCE or every branch re-derives
+    # the upstream self-join, the same uncut-lineage blowup the
+    # Bradley-Terry loop hit (solo decade before/after: 14.3 s -> ~1 s
+    # at sf0.1). localCheckpoint blocks are GC-owned; O(|E|) storage,
+    # the same cost class connected_components pays for its edge cache.
     und = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -141,6 +148,7 @@ def triangle_count(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         und.select(F.col("a").alias("n"))
@@ -157,7 +165,7 @@ def triangle_count(
         F.when(lower, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(lower, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(lower, F.col("kb")).otherwise(F.col("ka")).alias("kv"),
-    )
+    ).localCheckpoint(eager=True)
     o1, o2 = oriented.alias("o1"), oriented.alias("o2")
     wedges = o1.join(
         o2,

@@ -272,3 +272,34 @@ def test_sq8_build_rejects_degenerate_corpus(spark, tmp_path):
     empty = const.filter("vec_id < 0")
     with _pytest.raises(ValueError, match="empty corpus"):
         build_sq8_layout(empty, str(tmp_path / "sq_empty"))
+
+
+def test_triangle_count_on_known_graphs(spark):
+    """Known answers: K4 has 4 triangles; a path has 0; a star (hub)
+    has 0 — and the hub case is exactly where degree orientation must
+    not blow up (the hub emits no wedges). Duplicate/reversed/self-loop
+    edges must not change counts."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from pgvector_db_spark.operators.graph import triangle_count
+
+    def run(edges):
+        df = spark.createDataFrame(edges, "src bigint, dst bigint")
+        return triangle_count(df).collect()[0]
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    r = run(k4 + [(2, 1), (3, 3)])  # + reversed dup + self-loop
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (4, 6, 4)
+
+    path = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    r = run(path)
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (5, 4, 0)
+
+    star = [(0, i) for i in range(1, 8)]
+    r = run(star)
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (8, 7, 0)
+
+    # two triangles sharing an edge -> 2 triangles, 5 edges
+    bowtieish = [(1, 2), (2, 3), (1, 3), (1, 4), (2, 4)]
+    r = run(bowtieish)
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (4, 5, 2)
