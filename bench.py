@@ -442,7 +442,10 @@ def main() -> None:
     except OSError as exc:
         print(f"bench: could not write {full_path}: {exc}", file=sys.stderr)
 
-    core_keys = [
+    print(compact_line(out, derived))
+
+
+CORE_KEYS = [
         "embed_rows_per_sec",
         "embed_mapinpandas_rows_per_sec",
         "ingest_rows_per_sec",
@@ -467,15 +470,27 @@ def main() -> None:
         "prefix_filter_survivors_ms",
         "salted_skew_join_ms",
         "ivf_autoprobe_ms",
-    ]
+]
+
+# the external driver captures only the LAST ~2000 chars of stdout —
+# the printed line must stay inside that window no matter how many
+# derived metrics exist (r8 lost its whole BENCH record to this)
+MAX_LINE = 1900
+
+
+def compact_line(out: dict, derived: dict) -> str:
+    """The (≤ MAX_LINE chars) single JSON line for the driver: headline
+    suite + the BASELINE-comparable core derived metrics, dropping
+    extras until it fits. Split out of main() so the size invariant is
+    unit-testable (tests/test_bench_contract.py)."""
     compact = dict(out)
-    compact["derived"] = {k: derived[k] for k in core_keys if k in derived}
-    compact["full"] = full_path.name
+    compact["derived"] = {k: derived[k] for k in CORE_KEYS if k in derived}
+    compact["full"] = "bench_full.json"
     line = json.dumps(compact)
-    while len(line) > 1900 and compact["derived"]:
+    while len(line) > MAX_LINE and compact["derived"]:
         compact["derived"].popitem()
         line = json.dumps(compact)
-    print(line)
+    return line
 
 
 if __name__ == "__main__":

@@ -184,6 +184,63 @@ def triangle_count(
     return n_nodes.crossJoin(n_edges).crossJoin(n_tri)
 
 
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-round k-core peeling: repeatedly drop nodes whose degree in
+    the surviving subgraph is below ``k``. ``rounds`` is fixed (not
+    run-to-convergence) so the semantics are deterministic and an
+    UNROLLED SQL oracle can replay them exactly — the ds_bfs_hops /
+    pagerank oracle discipline. Equals the true k-core whenever the
+    peel converges within ``rounds`` (peeling is monotone: the alive
+    set only shrinks).
+
+    Per round: one degree aggregation over the alive-restricted edge
+    set (two semi-join-shaped joins against the ≤|V|-row alive frame)
+    + the threshold filter — one shuffle per round, the same cost class
+    as a PageRank iteration. The alive frame feeds BOTH endpoint joins
+    of the next round, so it is localCheckpoint'ed each round (the
+    Bradley-Terry two-reference lineage rule). Returns the survivors
+    after the final round with their in-subgraph degree:
+    (node, degree).
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    alive = (
+        und.select(F.col("a").alias("n"))
+        .union(und.select(F.col("b").alias("n")))
+        .distinct()
+    )
+    deg = None
+    for _ in range(rounds):
+        alive = alive.localCheckpoint(eager=True)
+        e = (
+            und.join(alive.withColumnRenamed("n", "a"), "a", "left_semi")
+            .join(alive.withColumnRenamed("n", "b"), "b", "left_semi")
+        )
+        deg = (
+            e.select(F.col("a").alias("n"))
+            .unionAll(e.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        )
+        alive = deg.filter(F.col("d") >= k).select("n")
+    return deg.filter(F.col("d") >= k).select(
+        F.col("n").alias("node"), F.col("d").alias("degree")
+    )
+
+
 def bfs_hops(
     edges: DataFrame,
     seeds: list[str],

@@ -437,3 +437,71 @@ def roc_points_oracle_sql(
                   AS BIGINT) END AS precision_micro
     FROM pts ORDER BY q
     """
+
+
+def exact_rank_select(
+    df: DataFrame,
+    cents_col: str,
+    rank_of_n,
+    bucket_width: int = 1 << 16,
+    raw_range=None,
+) -> tuple[int, list[int]]:
+    """EXACT order statistics without a global sort — the two-pass
+    distributed selection a 100 TB exact-median needs.
+
+    Pass 1: one map-side-combined groupBy over ``value div bucket_width``
+    (the histogram is |domain|/bucket_width rows — bounded, collected).
+    The driver walks the cumulative counts to locate, for each requested
+    rank, its bucket and within-bucket residual rank. Pass 2 (per rank):
+    scan ONLY that bucket and take the residual-rank-th smallest inside
+    it (TakeOrderedAndProject over a bucket-sized frame). When the
+    selection column is stored, the bucket range pushes into the scan;
+    for a DERIVED grid (e.g. price cents) the caller should pre-filter
+    the equivalent raw-column range so pruning reaches parquet (the
+    registry query does). Total cost: one full scan + one pruned scan
+    per rank; a global sort-based quantile would shuffle the table.
+
+    ``rank_of_n``: callable(s) mapping the total row count n to the
+    1-based rank(s) wanted (e.g. lower median = (n + 1) // 2). Returns
+    ``(n, values)`` — the total count and the exact value at each rank,
+    in ``rank_of_n`` order.
+    ``raw_range``: optional callable (lo_cents, hi_cents) -> Column — a
+    conservative predicate over the RAW stored column(s) implying the
+    bucket range, applied first in pass 2 so pruning reaches the
+    parquet scan even though the grid column is derived.
+    Driver-side state is bounded by the histogram, never the data.
+    """
+    col = F.col(cents_col)
+    hist = (
+        df.select((col / bucket_width).cast("bigint").alias("_b"))
+        .groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy("_b")
+        .collect()
+    )
+    n = sum(int(r["_n"]) for r in hist)
+    fns = rank_of_n if isinstance(rank_of_n, (list, tuple)) else [rank_of_n]
+    out: list[int] = []
+    for fn in fns:
+        k = int(fn(n))
+        if not 1 <= k <= n:
+            raise ValueError(f"rank {k} outside 1..{n}")
+        cum = 0
+        bucket = resid = None
+        for r in hist:
+            if cum + int(r["_n"]) >= k:
+                bucket, resid = int(r["_b"]), k - cum
+                break
+            cum += int(r["_n"])
+        lo, hi = bucket * bucket_width, (bucket + 1) * bucket_width
+        base = df.filter(raw_range(lo, hi)) if raw_range is not None else df
+        inb = base.select(col.alias("_c")).filter(
+            (F.col("_c") >= lo) & (F.col("_c") < hi)
+        )
+        # k-th smallest of the bucket: TakeOrderedAndProject(resid) then
+        # the max of that bounded frame — no global sort anywhere
+        row = (
+            inb.orderBy("_c").limit(resid).agg(F.max("_c").alias("_v"))
+        ).head()
+        out.append(int(row["_v"]))
+    return n, out

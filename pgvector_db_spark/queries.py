@@ -1791,6 +1791,53 @@ _sql_query(
 )
 
 
+@register(
+    "rel_exact_median_two_pass",
+    """
+    WITH c AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    r AS (SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rn FROM c),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM c)
+    SELECT (SELECT cnt FROM n) AS n_rows,
+           (SELECT cents FROM r, n WHERE rn = (cnt + 1) // 2)
+               AS median_cents,
+           (SELECT cents FROM r, n WHERE rn = (9 * cnt + 9) // 10)
+               AS p90_cents
+    """,
+    tags=("relational", "quantile", "selection"),
+)
+def rel_exact_median_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT median + p90 of order prices WITHOUT a global sort
+    (operators/stats.py exact_rank_select): one map-side-combined
+    histogram pass locates each rank's bucket; one PRUNED pass per rank
+    (a conservative raw-price range implies the bucket, so the filter
+    pushes into the parquet scan) takes the residual-rank-th smallest
+    via TakeOrderedAndProject over a bucket-sized frame. The oracle is
+    the sort-based recompute; the values must agree EXACTLY — this is
+    the distributed-selection answer to 'exact quantiles at 100 TB',
+    next to the approximate tiers (approx_percentile audit,
+    rel_histogram_quantile_rollup's grid)."""
+    from pgvector_db_spark.operators.stats import exact_rank_select
+
+    t = load_tables(spark, sf_dir)
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    df = t["orders"].select(cents.alias("cents"), "o_totalprice")
+    n, (med, p90) = exact_rank_select(
+        df,
+        "cents",
+        [lambda n: (n + 1) // 2, lambda n: (9 * n + 9) // 10],
+        raw_range=lambda lo, hi: (
+            (F.col("o_totalprice") >= lo / 100.0 - 1.0)
+            & (F.col("o_totalprice") <= hi / 100.0 + 1.0)
+        ),
+    )
+    return spark.createDataFrame(
+        [(n, med, p90)], "n_rows bigint, median_cents bigint, p90_cents bigint"
+    )
+
+
 # Per-key time-series gap fill with LOCF: each user's hourly spine is
 # generated from its OWN observed range (sequence/generate_series +
 # explode — map-side fan-out, no global spine), the last event per
@@ -14404,6 +14451,85 @@ _sql_query(
     _COPURCHASE_DUCK,
     tags=("relational", "co-occurrence", "basket"),
 )
+
+
+# k-core peeling over the co-purchase part graph: fixed 6 rounds so the
+# oracle can UNROLL the peel exactly (the bfs/pagerank discipline);
+# each round = one degree aggregation over the alive-restricted edges +
+# the threshold filter. Integer-only.
+def _kcore_oracle(k: int, rounds: int) -> str:
+    ctes = [
+        """baskets AS (
+      SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS parts
+      FROM lineitem GROUP BY l_orderkey
+    )""",
+        """expanded AS (
+      SELECT unnest(parts) AS a, parts FROM baskets WHERE len(parts) >= 2
+    )""",
+        # AS MATERIALIZED on every multi-referenced CTE — und feeds all
+        # 6 rounds and each alive set feeds BOTH endpoint joins of the
+        # next; without it DuckDB's inliner re-expands the chain
+        # exponentially (the Bradley-Terry oracle lesson)
+        """und AS MATERIALIZED (
+      SELECT DISTINCT a, unnest(list_filter(parts, p -> p > a)) AS b
+      FROM expanded
+    )""",
+        "a0 AS MATERIALIZED "
+        "(SELECT a AS n FROM und UNION SELECT b AS n FROM und)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""e{r} AS MATERIALIZED (
+      SELECT u.a, u.b FROM und u
+      JOIN a{r - 1} x ON u.a = x.n JOIN a{r - 1} y ON u.b = y.n
+    )"""
+        )
+        ctes.append(
+            f"""deg{r} AS MATERIALIZED (
+      SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT a AS n FROM e{r} UNION ALL SELECT b AS n FROM e{r}
+      ) t GROUP BY n
+    )"""
+        )
+        ctes.append(
+            f"a{r} AS MATERIALIZED (SELECT n FROM deg{r} WHERE d >= {k})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\n    SELECT n AS node, d AS degree FROM deg{rounds}"
+        f" WHERE d >= {k}"
+    )
+
+
+@register(
+    "rel_kcore_parts",
+    _kcore_oracle(k=70, rounds=6),
+    tags=("relational", "graph", "iterative"),
+)
+def rel_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-round k-core peel (k=70 — the peel genuinely cascades at every
+    sf and a nonempty proper subset survives: 31/200 parts at sf0.001,
+    1971/2000 at sf0.01, 19674/20000 at sf0.1) of the co-purchase part graph
+    (operators/graph.py kcore_peel): the dense-subgraph extraction that
+    seeds community/quality analysis. One degree shuffle per round,
+    alive frame checkpointed (it feeds both endpoint semi-joins); the
+    oracle unrolls the same 6 rounds as CTEs, so the fixed-round
+    semantics are engine-exact by construction."""
+    from pgvector_db_spark.operators.graph import kcore_peel
+
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    edges = (
+        li.alias("x")
+        .join(li.alias("y"), "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("src"),
+            F.col("y.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    return kcore_peel(edges, k=70, rounds=6)
 
 
 # ---------------------------------------------------------------------------

@@ -303,3 +303,27 @@ def test_triangle_count_on_known_graphs(spark):
     bowtieish = [(1, 2), (2, 3), (1, 3), (1, 4), (2, 4)]
     r = run(bowtieish)
     assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (4, 5, 2)
+
+
+def test_kcore_peel_known_graph_and_cascade(spark):
+    """K5 is a 4-core (everyone survives k=4, nobody survives k=5);
+    a pendant chain hanging off K5 must cascade away entirely at k=2
+    even though its inner nodes start at degree 2."""
+    from pgvector_db_spark.operators.graph import kcore_peel
+
+    k5 = [(a, b) for a in range(5) for b in range(5) if a < b]
+    chain = [(4, 10), (10, 11), (11, 12)]  # pendant path off node 4
+
+    def run(edges, k):
+        df = spark.createDataFrame(edges, "src bigint, dst bigint")
+        return {
+            (r["node"], r["degree"])
+            for r in kcore_peel(df, k=k, rounds=6).collect()
+        }
+
+    assert run(k5, 4) == {(i, 4) for i in range(5)}
+    assert run(k5, 5) == set()
+    # k=2: 12 is degree-1 -> drops; then 11, then 10 -> K5 remains.
+    # A single round would only drop node 12 — the cascade needs the
+    # fixed-round loop to actually iterate.
+    assert run(k5 + chain, 2) == {(i, 4) for i in range(5)}
