@@ -91,6 +91,8 @@ HEAVY = {
     "rel_histogram_quantile_rollup",
     "rel_gap_fill_locf",
     "rel_triangle_cosupplier",
+    "rel_exact_median_two_pass",
+    "rel_kcore_parts",
 }
 
 # one representative per major operator family
@@ -145,6 +147,8 @@ QUERIES = [
     "rel_histogram_quantile_rollup",  # additive bins, bounded windows (r9)
     "rel_gap_fill_locf",          # per-key spine + IGNORE NULLS LOCF (r9)
     "rel_triangle_cosupplier",    # degree-oriented wedge join (r9)
+    "rel_exact_median_two_pass",  # histogram pass + pruned rank pass (r9)
+    "rel_kcore_parts",            # 6 alive-restricted degree shuffles (r9)
 ]
 
 

@@ -60,8 +60,12 @@ def main() -> None:
             )
         pat = re.compile(rf"^\| {re.escape(name)} \|.*$", re.M)
         if not pat.search(text):
-            print(f"WARN: no row for {name} in SCALING.md — appending")
-            text = text.rstrip() + "\n" + row + "\n"
+            # new query: insert after the LAST table row, not at EOF
+            # (the notes section follows the table)
+            rows = list(re.finditer(r"^\|.*\|$", text, re.M))
+            end = rows[-1].end()
+            text = text[:end] + "\n" + row + text[end:]
+            print(f"(new row for {name} inserted into the table)")
         else:
             text = pat.sub(row, text)
         print(row, flush=True)
