@@ -197,6 +197,7 @@ def derived_metrics(spark, sf_dir: str, timings: dict[str, float]) -> dict[str, 
         ("rel_histogram_quantile_rollup", "hist_quantile_ms"),
         ("rel_gap_fill_locf", "gap_fill_locf_ms"),
         ("rel_exact_median_two_pass", "exact_median_ms"),
+        ("rel_grouped_median_two_pass", "grouped_median_ms"),
         ("rel_kcore_parts", "kcore_peel_ms"),
         ("ds_bpe_pair_counts", "bpe_pair_counts_ms"),
         ("ds_hard_negative_mining", "hard_negative_mining_ms"),

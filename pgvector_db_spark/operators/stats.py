@@ -505,3 +505,82 @@ def exact_rank_select(
         ).head()
         out.append(int(row["_v"]))
     return n, out
+
+
+def grouped_exact_rank_select(
+    df: DataFrame,
+    group_col: str,
+    cents_col: str,
+    rank_of_n,
+    bucket_width: int = 1 << 16,
+    raw_range=None,
+) -> DataFrame:
+    """:func:`exact_rank_select` PER GROUP, still two passes TOTAL (not
+    two per group): one (group, bucket) histogram pass — bounded by
+    |groups| x |buckets| rows, collected — locates every group's target
+    bucket and residual rank driver-side; ONE second pass restricted to
+    the UNION of all (group, bucket) targets (a broadcast semi-join
+    into the scan, plus the caller's raw-range predicate for parquet
+    pruning) ranks within each group's bucket and picks the residual
+    rank. A sort-based per-group quantile would shuffle the whole table
+    on the group key; this shuffles only the target-bucket rows.
+
+    Returns a DataFrame (group, n_rows, value) — one row per group.
+    """
+    spark = df.sparkSession
+    g, col = F.col(group_col), F.col(cents_col)
+    hist = (
+        df.select(g.alias("_g"), (col / bucket_width).cast("bigint").alias("_b"))
+        .groupBy("_g", "_b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    from collections import defaultdict
+
+    per_group = defaultdict(list)
+    for r in hist:
+        per_group[r["_g"]].append((int(r["_b"]), int(r["_n"])))
+    targets = []  # (group, bucket, resid, n)
+    lo_all, hi_all = None, None
+    for grp, buckets in per_group.items():
+        buckets.sort()
+        n = sum(c for _, c in buckets)
+        k = int(rank_of_n(n))
+        cum = 0
+        for b, c in buckets:
+            if cum + c >= k:
+                targets.append((grp, b, k - cum, n))
+                lo, hi = b * bucket_width, (b + 1) * bucket_width
+                lo_all = lo if lo_all is None else min(lo_all, lo)
+                hi_all = hi if hi_all is None else max(hi_all, hi)
+                break
+            cum += c
+    tgt = spark.createDataFrame(
+        [(t[0], t[1], t[2], t[3]) for t in targets],
+        f"{group_col} string, _b bigint, _resid bigint, _n bigint",
+    )
+    base = (
+        df.filter(raw_range(lo_all, hi_all)) if raw_range is not None else df
+    )
+    from pyspark.sql.window import Window
+
+    inb = (
+        base.select(
+            g.alias(group_col),
+            col.alias("_c"),
+            (col / bucket_width).cast("bigint").alias("_b"),
+        )
+        .join(F.broadcast(tgt), [group_col, "_b"])
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy(group_col).orderBy(F.asc("_c"))
+            ),
+        )
+        .filter(F.col("_rk") == F.col("_resid"))
+    )
+    return inb.select(
+        F.col(group_col),
+        F.col("_n").cast("bigint").alias("n_rows"),
+        F.col("_c").cast("bigint").alias("value"),
+    )

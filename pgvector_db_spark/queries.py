@@ -1838,6 +1838,56 @@ def rel_exact_median_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rel_grouped_median_two_pass",
+    """
+    WITH c AS (
+      SELECT o_orderpriority,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    r AS (
+      SELECT o_orderpriority, cents,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY cents) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM c
+    )
+    SELECT o_orderpriority, CAST(n AS BIGINT) AS n_rows,
+           cents AS median_cents
+    FROM r WHERE rn = (n + 1) // 2
+    """,
+    tags=("relational", "quantile", "selection"),
+)
+def rel_grouped_median_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP exact median with TWO passes total, not two per group
+    (operators/stats.py grouped_exact_rank_select): one (group, bucket)
+    histogram pass locates every group's target bucket driver-side
+    (bounded |groups|x|buckets| collect); one second pass restricted to
+    the UNION of target buckets (broadcast semi-join + pushed raw-price
+    range) ranks within each group's bucket. A sort-based per-group
+    median shuffles the whole fact table; this shuffles the target
+    buckets only. Oracle = per-group sort recompute, exact."""
+    from pgvector_db_spark.operators.stats import grouped_exact_rank_select
+
+    t = load_tables(spark, sf_dir)
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    df = t["orders"].select(
+        "o_orderpriority", cents.alias("cents"), "o_totalprice"
+    )
+    out = grouped_exact_rank_select(
+        df,
+        "o_orderpriority",
+        "cents",
+        lambda n: (n + 1) // 2,
+        raw_range=lambda lo, hi: (
+            (F.col("o_totalprice") >= lo / 100.0 - 1.0)
+            & (F.col("o_totalprice") <= hi / 100.0 + 1.0)
+        ),
+    )
+    return out.withColumnRenamed("value", "median_cents")
+
+
 # Per-key time-series gap fill with LOCF: each user's hourly spine is
 # generated from its OWN observed range (sequence/generate_series +
 # explode — map-side fan-out, no global spine), the last event per

@@ -93,6 +93,7 @@ HEAVY = {
     "rel_triangle_cosupplier",
     "rel_exact_median_two_pass",
     "rel_kcore_parts",
+    "rel_grouped_median_two_pass",
 }
 
 # one representative per major operator family
@@ -149,6 +150,7 @@ QUERIES = [
     "rel_triangle_cosupplier",    # degree-oriented wedge join (r9)
     "rel_exact_median_two_pass",  # histogram pass + pruned rank pass (r9)
     "rel_kcore_parts",            # 6 alive-restricted degree shuffles (r9)
+    "rel_grouped_median_two_pass",  # group-bucket hist + 1 union pass (r9)
 ]
 
 
