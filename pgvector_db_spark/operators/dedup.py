@@ -1008,7 +1008,18 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """Small-world connected components over dup pairs (id_a, id_b) →
     (id, component) where component = min id reachable. Label-propagation
     loop; each iteration is one shuffle. Converges in O(diameter)
-    iterations — dup clusters are shallow, so a handful in practice."""
+    iterations — dup clusters are shallow, so a handful in practice.
+
+    FAILS LOUD on non-convergence: if ``max_iter`` rounds complete with
+    labels still changing (a chain-shaped component whose diameter
+    exceeds ``max_iter``), raises RuntimeError rather than silently
+    returning partially-propagated labels. At 100 TB a silent partial
+    answer would mislabel every long chain, and every cluster-dedup
+    survivor op rests on this loop — wrong-but-quiet is the one failure
+    mode it must not have. Raise the ``max_iter`` budget for deep
+    graphs; each extra round is one more shuffle."""
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     # The pairs lineage can be arbitrarily expensive (LSH banding +
     # verification) — materialize the edge list ONCE; every iteration
     # joins against this cached table, never the upstream pipeline.
@@ -1046,6 +1057,13 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             labels = prop
             if not changed:
                 break
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge within "
+                f"{max_iter} iterations ({changed} labels still "
+                f"changing) — component diameter exceeds the round "
+                f"budget; raise max_iter"
+            )
     finally:
         edges.unpersist()
     return labels

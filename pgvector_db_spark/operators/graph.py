@@ -131,8 +131,9 @@ def triangle_count(
     answer, skew-resistant shuffle.
 
     Returns one row: (n_nodes, n_edges, n_triangles), all BIGINT.
-    Ties in degree break by node id; node ids must fit in 32 bits (the
-    (degree, id) order is packed into one BIGINT key).
+    Ties in degree break by node id; node ids must lie in [0, 2^32)
+    (the (degree, id) order is packed into one BIGINT key) — enforced
+    in-plan with a cheap bounds check, not just documented.
     """
     # und/oriented are each consumed by several downstream branches
     # (degree agg, key joins, BOTH wedge sides, the closing semi-join,
@@ -150,6 +151,21 @@ def triangle_count(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # The (degree, id) total order is packed into ONE bigint key as
+    # d * 2^32 + n, which is only a valid order when 0 <= n < 2^32 —
+    # outside that range keys collide/invert and triangles miscount
+    # SILENTLY. Enforce the contract in-plan: one min/max agg over the
+    # already-checkpointed edge list (a <= b per row, so min(a)/max(b)
+    # are the global id bounds; map-side partials, no shuffle weight).
+    bounds = und.agg(F.min("a").alias("_lo"), F.max("b").alias("_hi")).head()
+    if bounds["_lo"] is not None and (
+        int(bounds["_lo"]) < 0 or int(bounds["_hi"]) >= 1 << 32
+    ):
+        raise ValueError(
+            "triangle_count requires node ids in [0, 2^32) for the "
+            f"packed (degree, id) order; got range "
+            f"[{bounds['_lo']}, {bounds['_hi']}]"
+        )
     deg = (
         und.select(F.col("a").alias("n"))
         .unionAll(und.select(F.col("b").alias("n")))
@@ -208,6 +224,8 @@ def kcore_peel(
     after the final round with their in-subgraph degree:
     (node, degree).
     """
+    if rounds < 1:
+        raise ValueError(f"kcore_peel requires rounds >= 1, got {rounds}")
     und = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),

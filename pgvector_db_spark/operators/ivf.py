@@ -563,17 +563,14 @@ class IVFIndex:
 
         data = self._data()
         if exact is None:
+            # the exact kernel scores under the INDEX metric — the
+            # identity relates the probed search (metric-ranked lists,
+            # metric-ranked members) to the metric's own exact top-k
             exact = knn_batch(
                 data, queries, k,
                 vec_col=self.vec_col, id_col=self.id_col,
                 q_id_col=q_id_col, q_vec_col=q_vec_col,
-            )
-        if self.metric != "cosine":
-            # knn_batch scores cosine; re-rank under the index metric by
-            # reusing the single-query kernel per metric
-            raise ValueError(
-                "autoprobe_curve currently supports cosine layouts "
-                f"(index metric: {self.metric})"
+                metric=self.metric,
             )
 
         cents = self.spark.createDataFrame(
@@ -678,6 +675,7 @@ class IVFIndex:
             self._data(), queries, k,
             vec_col=self.vec_col, id_col=self.id_col,
             q_id_col=q_id_col, q_vec_col=q_vec_col,
+            metric=self.metric,
         ).localCheckpoint(eager=True)
         curve = self.autoprobe_curve(
             queries, k, q_id_col=q_id_col, q_vec_col=q_vec_col, exact=exact

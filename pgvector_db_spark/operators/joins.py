@@ -192,7 +192,13 @@ def salted_skew_join(
         raise ValueError(f"salted_skew_join supports inner|left, got {how!r}")
     if hot_keys is None:
         hot_keys = hot_keys_by_share(fact, key, min_share_ppm)
-    hot = hot_keys.select(F.col(key)).withColumn("_hot", F.lit(True))
+    # distinct() guards the caller-supplied path: duplicate hot keys
+    # would multiply every matching fact AND dim row via the broadcast
+    # left joins below (hot_keys_by_share output is already distinct,
+    # so this costs one pass over a broadcast-small frame).
+    hot = (
+        hot_keys.select(F.col(key)).distinct().withColumn("_hot", F.lit(True))
+    )
 
     f2 = fact.join(F.broadcast(hot), key, "left").withColumn(
         "_salt",

@@ -35,6 +35,8 @@ from pyspark.sql import functions as F
 from pgvector_db_spark.functions.vector import (
     cosine_distance,
     cosine_similarity,
+    inner_product_distance,
+    l2_distance,
     vector_literal,
 )
 
@@ -154,6 +156,7 @@ def knn_batch(
     id_col: str = "vec_id",
     q_id_col: str = "query_id",
     q_vec_col: str = "query_vec",
+    metric: str = "cosine",
 ) -> DataFrame:
     """Top-k neighbors for a BATCH of query vectors in one plan.
 
@@ -165,14 +168,27 @@ def knn_batch(
     ``n × queries``. This is the grouped analogue of
     TakeOrderedAndProject, and the right batch-scoring plan at any scale.
 
+    ``metric`` mirrors pgvector's operator classes — ``cosine`` (<=>),
+    ``l2`` (<->), ``ip`` (<#>, negative inner product) — so the batch
+    kernel serves whichever IVF layout calls it; all three are the same
+    float64 sequential fold the single-query kernel uses, so the DuckDB
+    oracle matches bitwise.
+
     Returns (query_id, vec_id, distance, rank), rank 1 = nearest,
     tie-broken by ``id_col``.
     """
     from pyspark.sql.window import Window
 
+    dist_fn = {
+        "cosine": cosine_distance,
+        "l2": l2_distance,
+        "ip": inner_product_distance,
+    }.get(metric)
+    if dist_fn is None:
+        raise ValueError(f"unsupported metric: {metric!r}")
     q = queries.select(F.col(q_id_col), F.col(q_vec_col).alias("_qv"))
     scored = df.crossJoin(F.broadcast(q)).withColumn(
-        "distance", cosine_distance(F.col(vec_col), F.col("_qv"))
+        "distance", dist_fn(F.col(vec_col), F.col("_qv"))
     )
     w = Window.partitionBy(q_id_col).orderBy(
         F.col("distance").asc(), F.col(id_col).asc()

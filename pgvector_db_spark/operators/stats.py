@@ -449,7 +449,9 @@ def exact_rank_select(
     """EXACT order statistics without a global sort — the two-pass
     distributed selection a 100 TB exact-median needs.
 
-    Pass 1: one map-side-combined groupBy over ``value div bucket_width``
+    Pass 1: one map-side-combined groupBy over ``floor(value /
+    bucket_width)`` (floor, not truncate-toward-zero, so negative
+    values land in the bucket the pass-2 range scan expects)
     (the histogram is |domain|/bucket_width rows — bounded, collected).
     The driver walks the cumulative counts to locate, for each requested
     rank, its bucket and within-bucket residual rank. Pass 2 (per rank):
@@ -473,7 +475,7 @@ def exact_rank_select(
     """
     col = F.col(cents_col)
     hist = (
-        df.select((col / bucket_width).cast("bigint").alias("_b"))
+        df.select(F.floor(col / F.lit(bucket_width)).cast("bigint").alias("_b"))
         .groupBy("_b")
         .agg(F.count(F.lit(1)).alias("_n"))
         .orderBy("_b")
@@ -530,7 +532,10 @@ def grouped_exact_rank_select(
     spark = df.sparkSession
     g, col = F.col(group_col), F.col(cents_col)
     hist = (
-        df.select(g.alias("_g"), (col / bucket_width).cast("bigint").alias("_b"))
+        df.select(
+            g.alias("_g"),
+            F.floor(col / F.lit(bucket_width)).cast("bigint").alias("_b"),
+        )
         .groupBy("_g", "_b")
         .agg(F.count(F.lit(1)).alias("_n"))
         .collect()
@@ -555,9 +560,18 @@ def grouped_exact_rank_select(
                 hi_all = hi if hi_all is None else max(hi_all, hi)
                 break
             cum += c
+    from pyspark.sql.types import LongType, StructField, StructType
+
     tgt = spark.createDataFrame(
         [(t[0], t[1], t[2], t[3]) for t in targets],
-        f"{group_col} string, _b bigint, _resid bigint, _n bigint",
+        StructType(
+            [
+                StructField(group_col, df.schema[group_col].dataType),
+                StructField("_b", LongType()),
+                StructField("_resid", LongType()),
+                StructField("_n", LongType()),
+            ]
+        ),
     )
     base = (
         df.filter(raw_range(lo_all, hi_all)) if raw_range is not None else df
@@ -568,7 +582,7 @@ def grouped_exact_rank_select(
         base.select(
             g.alias(group_col),
             col.alias("_c"),
-            (col / bucket_width).cast("bigint").alias("_b"),
+            F.floor(col / F.lit(bucket_width)).cast("bigint").alias("_b"),
         )
         .join(F.broadcast(tgt), [group_col, "_b"])
         .withColumn(

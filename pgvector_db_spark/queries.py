@@ -37,6 +37,7 @@ from pgvector_db_spark.functions.vector import (
     cosine_distance_sql,
     cosine_similarity_sql,
     dot_sql,
+    l2sq_sql,
 )
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
@@ -167,6 +168,26 @@ def _ivf_cache(spark: SparkSession, sf_dir: str, emb: DataFrame) -> str:
     )
     return _atomic_cached_build(
         path, "centroids", lambda p: IVFIndex.build(emb, p, lists=8)
+    )
+
+
+def _ivf_metric_cache(
+    spark: SparkSession, sf_dir: str, emb: DataFrame, metric: str
+) -> str:
+    """The shared seeded lists=8 IVF layout under ``metric`` (atomic) —
+    the vector_l2_ops / vector_ip_ops operator-class analogues of
+    :func:`_ivf_cache` (reference README.md:185 index family)."""
+    import tempfile
+
+    from pgvector_db_spark.operators.ivf import IVFIndex
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"ivf_{metric}_cache_{_fixture_tag(sf_dir)}"
+    )
+    return _atomic_cached_build(
+        path,
+        "centroids",
+        lambda p: IVFIndex.build(emb, p, lists=8, metric=metric),
     )
 
 
@@ -2939,6 +2960,103 @@ def vs_ivf_autoprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("query_vec"),
     )
     return idx.autoprobe(vq, k=10, target_recall_micro=450_000)
+
+
+def _autoprobe_oracle_sql(dist_expr: str, target: int, chosen: int) -> str:
+    """DuckDB oracle for an autoprobe audit row: n_queries/k_total and
+    exact_topk_sum_nano are cross-engine (the metric's exact top-k under
+    the same pinned float64 fold); chosen_nprobe and the four flags are
+    measured-curve constants — the same determinism scope as
+    vs_ivf_autoprobe's."""
+    return f"""
+    WITH vq AS (
+      SELECT vec_id AS qid, embedding AS qe FROM embeddings
+      WHERE vec_id % 64 = 0
+    ),
+    s AS (
+      SELECT vq.qid, e.vec_id, {dist_expr} AS distance
+      FROM embeddings e, vq
+    ),
+    r AS (
+      SELECT qid, distance,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY distance ASC, vec_id ASC) AS rn
+      FROM s
+    ),
+    tk AS (SELECT qid, distance FROM r WHERE rn <= 10)
+    SELECT CAST((SELECT COUNT(*) FROM vq) AS BIGINT) AS n_queries,
+           CAST(COUNT(*) AS BIGINT) AS k_total,
+           CAST({target} AS BIGINT) AS target_recall_micro,
+           CAST({chosen} AS INT) AS chosen_nprobe,
+           CAST(1 AS INT) AS chosen_meets_target,
+           CAST(1 AS INT) AS chosen_minimal,
+           CAST(1 AS INT) AS curve_monotone,
+           CAST(1 AS INT) AS fullprobe_perfect,
+           CAST(SUM(CAST(floor(distance * 1e9 + 0.5) AS BIGINT)) AS BIGINT)
+               AS exact_topk_sum_nano
+    FROM tk
+    """
+
+
+def _vs_ivf_autoprobe_metric(
+    spark: SparkSession, sf_dir: str, metric: str, target: int
+) -> DataFrame:
+    """Shared body for the l2/ip autoprobe registry entries."""
+    from pgvector_db_spark.operators.ivf import IVFIndex
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    path = _ivf_metric_cache(spark, sf_dir, emb, metric)
+    idx = IVFIndex(spark, path, "embedding", "vec_id")
+    vq = emb.filter(F.pmod(F.col("vec_id"), F.lit(64)) == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return idx.autoprobe(vq, k=10, target_recall_micro=target)
+
+
+@register(
+    "vs_ivf_autoprobe_l2",
+    _autoprobe_oracle_sql(
+        f"sqrt({l2sq_sql('e.embedding', 'vq.qe', 'duckdb')})", 650_000, 3
+    ),
+    tags=("vector", "ann", "A9", "l2"),
+)
+def vs_ivf_autoprobe_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-governed nprobe calibration for the vector_l2_ops layout
+    (r9 VERDICT item #2 — pgvector tunes ``ivfflat.probes`` for the l2
+    and ip operator classes exactly as for cosine, reference
+    README.md:185 index family): the probe-superset identity is
+    metric-generic, so the same one-batch-kNN-pass curve machinery
+    (operators/ivf.py autoprobe) serves the euclidean-KMeans index with
+    the l2 exact kernel (operators/knn.knn_batch metric='l2').
+
+    Oracle constants pinned by measured seeded-build curves: target
+    650000 micro selects chosen_nprobe = 3 at sf0.001/0.01/0.1
+    (nprobe2 recall 500000-625000 < target <= nprobe3 668750-750000;
+    binding margins: 20 hits below at sf0.01, 60 hits above at sf0.1).
+    The per-metric probe-superset identity vs measured IVFIndex.search
+    recall is pinned in tests/test_ivf_autoprobe.py."""
+    return _vs_ivf_autoprobe_metric(spark, sf_dir, "l2", 650_000)
+
+
+@register(
+    "vs_ivf_autoprobe_ip",
+    _autoprobe_oracle_sql(
+        f"(0.0 - {dot_sql('e.embedding', 'vq.qe', 'duckdb')})", 410_000, 2
+    ),
+    tags=("vector", "ann", "A9", "ip"),
+)
+def vs_ivf_autoprobe_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vector_ip_ops autoprobe (pgvector ``<#>`` = negative inner
+    product): euclidean-KMeans cell assignment (matching pgvector's ip
+    clustering), ip centroid ranking, ip exact kernel. Oracle constants
+    pinned by measured seeded-build curves: target 410000 micro selects
+    chosen_nprobe = 2 at sf0.001/0.01/0.1 (nprobe1 recall
+    212500-362500 < target <= nprobe2 450000-600000; builds seeded and
+    every distance a pinned float64 sequential fold, so the flip
+    margins only need to survive determinism, not sampling)."""
+    return _vs_ivf_autoprobe_metric(spark, sf_dir, "ip", 410_000)
 
 
 @register(

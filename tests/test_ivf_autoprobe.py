@@ -79,11 +79,49 @@ def test_autoprobe_unreachable_target_degrades_to_fullprobe(idx_and_queries):
     assert row["chosen_meets_target"] == 0
 
 
-def test_autoprobe_rejects_non_cosine_layouts(spark, idx_and_queries, tmp_path):
+@pytest.mark.parametrize("metric", ["l2", "ip"])
+def test_curve_identity_per_metric(spark, idx_and_queries, tmp_path, metric):
+    """The probe-superset identity is metric-generic: for l2 and ip
+    layouts too, the one-pass curve must equal the recall actually
+    measured by running IVFIndex.search at every nprobe (r9 VERDICT
+    item #2 — autoprobe was cosine-only)."""
     from pgvector_db_spark.operators.ivf import IVFIndex
 
     _, vq, emb = idx_and_queries
-    path = str(tmp_path / "ivf_l2")
-    idx = IVFIndex.build(emb, path, lists=4, metric="l2")
-    with pytest.raises(ValueError, match="cosine"):
-        idx.autoprobe_curve(vq, k=K).collect()
+    path = str(tmp_path / f"ivf_{metric}")
+    idx = IVFIndex.build(emb, path, lists=4, metric=metric)
+    curve = {r["nprobe"]: r for r in idx.autoprobe_curve(vq, k=K).collect()}
+    queries = vq.collect()
+    n_lists = len(idx._centroids())
+    assert set(curve) == set(range(1, n_lists + 1))
+    for nprobe in range(1, n_lists + 1):
+        hits = sum(
+            round(idx.recall_at_k(emb, list(q["query_vec"]), K, nprobe) * K)
+            for q in queries
+        )
+        assert curve[nprobe]["cum_hits"] == hits, f"{metric} nprobe={nprobe}"
+    assert curve[n_lists]["recall_micro"] == 1_000_000
+
+
+@pytest.mark.parametrize("metric", ["l2", "ip"])
+def test_autoprobe_minimal_choice_per_metric(
+    spark, idx_and_queries, tmp_path, metric
+):
+    from pgvector_db_spark.operators.ivf import IVFIndex
+
+    _, vq, emb = idx_and_queries
+    path = str(tmp_path / f"ivf_min_{metric}")
+    idx = IVFIndex.build(emb, path, lists=4, metric=metric)
+    row = idx.autoprobe(vq, k=K, target_recall_micro=TARGET).collect()[0]
+    assert row["chosen_meets_target"] == 1
+    assert row["chosen_minimal"] == 1
+    assert row["curve_monotone"] == 1
+    assert row["fullprobe_perfect"] == 1
+    curve = {
+        r["nprobe"]: r["recall_micro"]
+        for r in idx.autoprobe_curve(vq, k=K).collect()
+    }
+    chosen = row["chosen_nprobe"]
+    assert curve[chosen] >= TARGET
+    if chosen > 1:
+        assert curve[chosen - 1] < TARGET
