@@ -757,3 +757,113 @@ class IVFIndex:
                 "exact_topk_sum_nano",
             )
         )
+
+
+def ivf_rebuild_decision(
+    spark,
+    base: DataFrame,
+    drift: DataFrame,
+    queries_before: DataFrame,
+    queries_after: DataFrame,
+    workdir: str,
+    k: int = 10,
+    nprobe: int = 2,
+    slo_micro: int = 550_000,
+    lists: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The IVF staleness lifecycle as ONE audited operator: measure
+    serving recall, append a drifted batch, re-measure, decide whether
+    to rebuild from the evidence, rebuild, and prove recall restored —
+    the pgvector operational loop (recall decays after skewed inserts
+    because ivfflat never refits centroids on INSERT; ``REINDEX`` is the
+    remedy: reference README.md:185 index family) with the decision
+    made from measured in-plan evidence instead of operator folklore.
+
+    Steps (each recall read is one :meth:`IVFIndex.autoprobe_curve` —
+    one batch-kNN pass + lists-bounded joins; NO per-nprobe loop):
+
+    1. build the index over ``base`` and measure recall@k at ``nprobe``
+       for the current workload ``queries_before``;
+    2. ``append`` the ``drift`` batch (frozen-centroid assignment) and
+       measure recall for the shifted workload ``queries_after``;
+    3. rebuild (full ``build`` over the landed base ∪ drift rows) and
+       measure ``queries_after`` again — the exact top-k is computed
+       ONCE over the union corpus and shared by both post-append curve
+       reads (the corpus is identical; only the layout differs).
+
+    Returns one row:
+      (n_base, n_appended, nprobe, slo_micro,
+       recall_before_micro, recall_after_micro, recall_rebuilt_micro,
+       rebuild_recommended   = recall_after  <  slo,
+       rebuilt_meets_slo     = recall_rebuilt >= slo,
+       rebuild_improved      = recall_rebuilt >  recall_after,
+       exact_topk_sum_nano   = 1e-9-grid sum of the shifted workload's
+                               exact top-k distances over the union
+                               corpus — the cross-engine honesty column)
+
+    Scale shape: identical to autoprobe's (the decision adds only
+    ≤lists-row joins); the rebuild is the same one-shot distributed
+    KMeans + repartition-on-list_id write as any ``build``.
+    """
+    from pyspark.sql import functions as F
+
+    from pgvector_db_spark.operators.knn import knn_batch
+
+    idx = IVFIndex.build(base, f"{workdir}/idx", lists=lists)
+    before = idx.autoprobe_curve(queries_before, k).filter(
+        F.col("nprobe") == nprobe
+    ).select(F.col("recall_micro").alias("recall_before_micro"))
+
+    idx.append(drift)
+    landed = idx._data()
+    full = landed.drop("list_id", "_vnorm")
+    exact = knn_batch(
+        full, queries_after, k, vec_col=vec_col, id_col=id_col
+    ).localCheckpoint(eager=True)
+    after = idx.autoprobe_curve(queries_after, k, exact=exact).filter(
+        F.col("nprobe") == nprobe
+    ).select(F.col("recall_micro").alias("recall_after_micro"))
+
+    idx2 = IVFIndex.build(full, f"{workdir}/idx2", lists=lists)
+    rebuilt = idx2.autoprobe_curve(queries_after, k, exact=exact).filter(
+        F.col("nprobe") == nprobe
+    ).select(F.col("recall_micro").alias("recall_rebuilt_micro"))
+
+    n_base = base.agg(F.count(F.lit(1)).cast("bigint").alias("n_base"))
+    n_app = drift.agg(F.count(F.lit(1)).cast("bigint").alias("n_appended"))
+    exact_sum = exact.agg(
+        F.sum(
+            F.floor(F.col("distance") * F.lit(1e9) + F.lit(0.5)).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("exact_topk_sum_nano")
+    )
+    slo = F.lit(slo_micro).cast("bigint")
+    return (
+        n_base.crossJoin(n_app)
+        .crossJoin(before)
+        .crossJoin(after)
+        .crossJoin(rebuilt)
+        .crossJoin(exact_sum)
+        .select(
+            "n_base",
+            "n_appended",
+            F.lit(nprobe).cast("int").alias("nprobe"),
+            slo.alias("slo_micro"),
+            "recall_before_micro",
+            "recall_after_micro",
+            "recall_rebuilt_micro",
+            (F.col("recall_after_micro") < slo)
+            .cast("int")
+            .alias("rebuild_recommended"),
+            (F.col("recall_rebuilt_micro") >= slo)
+            .cast("int")
+            .alias("rebuilt_meets_slo"),
+            (F.col("recall_rebuilt_micro") > F.col("recall_after_micro"))
+            .cast("int")
+            .alias("rebuild_improved"),
+            "exact_topk_sum_nano",
+        )
+    )

@@ -3060,6 +3060,117 @@ def vs_ivf_autoprobe_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "vs_ivf_rebuild_decision",
+    f"""
+    WITH fc AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1048576,
+             list_transform(embedding, x -> -CAST(x AS DOUBLE))
+      FROM embeddings WHERE vec_id % 2 = 1
+    ),
+    vq AS (
+      SELECT vec_id + 1048576 AS qid,
+             list_transform(embedding, x -> -CAST(x AS DOUBLE)) AS qe
+      FROM embeddings WHERE vec_id % 64 = 1
+    ),
+    s AS (
+      SELECT vq.qid, fc.vec_id,
+             {cosine_distance_sql("fc.embedding", "vq.qe", "duckdb")}
+                 AS distance
+      FROM fc, vq
+    ),
+    r AS (
+      SELECT qid, distance,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY distance ASC, vec_id ASC) AS rn
+      FROM s
+    ),
+    tk AS (SELECT qid, distance FROM r WHERE rn <= 10)
+    SELECT CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n_base,
+           CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id % 2 = 1)
+               AS BIGINT) AS n_appended,
+           CAST(2 AS INT) AS nprobe,
+           CAST(555000 AS BIGINT) AS slo_micro,
+           CAST(1 AS INT) AS rebuild_recommended,
+           CAST(1 AS INT) AS rebuilt_meets_slo,
+           CAST(1 AS INT) AS rebuild_improved,
+           CAST(SUM(CAST(floor(distance * 1e9 + 0.5) AS BIGINT)) AS BIGINT)
+               AS exact_topk_sum_nano
+    FROM tk
+    """,
+    tags=("vector", "ann", "A9", "maintenance"),
+)
+def vs_ivf_rebuild_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF staleness lifecycle (r9 VERDICT item #4): degradation →
+    evidence-based rebuild decision → recovery, in one audited row
+    (operators/ivf.py ivf_rebuild_decision; pgvector README.md:185
+    index family — recall decays after skewed inserts because ivfflat
+    never refits centroids on INSERT, and REINDEX is the remedy).
+
+    Drift fixture derived deterministically from the table itself: the
+    odd-vec_id embeddings NEGATED (opposite halfspace — the frozen
+    centroids fit on the originals partition the new region poorly)
+    and appended under vec_id + 2^20; the serving workload shifts to
+    query the drifted region. Oracle: n_base/n_appended and the
+    shifted workload's exact top-10 distance sum over the union corpus
+    are cross-engine; the three decision flags are measured-curve
+    constants (seeded builds; nprobe=2 recall_after 450000-546875 <
+    SLO 555000 <= recall_rebuilt 562500-612500 at sf0.001/0.01/0.1).
+    The raw recall_{{before,after,rebuilt}}_micro columns are asserted
+    in tests/test_ivf_autoprobe.py."""
+    import shutil
+    import tempfile
+
+    from pgvector_db_spark.operators.ivf import ivf_rebuild_decision
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    drift = emb.filter(F.col("vec_id") % 2 == 1).select(
+        (F.col("vec_id") + F.lit(1 << 20)).alias("vec_id"),
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+        F.col("label"),
+    )
+    vq_before = emb.filter(F.pmod(F.col("vec_id"), F.lit(64)) == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    vq_after = drift.filter(
+        F.pmod(F.col("vec_id"), F.lit(64)) == F.lit((1 << 20) % 64 + 1)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    tmp = tempfile.mkdtemp(prefix="ivf_rebuild_")
+    try:
+        out = ivf_rebuild_decision(
+            spark,
+            emb.select("vec_id", "embedding", "label"),
+            drift,
+            vq_before,
+            vq_after,
+            tmp,
+            k=10,
+            nprobe=2,
+            slo_micro=555_000,
+            lists=8,
+        ).select(
+            "n_base",
+            "n_appended",
+            "nprobe",
+            "slo_micro",
+            "rebuild_recommended",
+            "rebuilt_meets_slo",
+            "rebuild_improved",
+            "exact_topk_sum_nano",
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
     "vs_lsh_append_fullprobe",
     f"""
     WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
@@ -12608,6 +12719,117 @@ def rel_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             agg(st.read(version=2), 2)
         )
         # materialize before the scratch dir disappears
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# Versioned ADD COLUMN (Delta/Iceberg-style additive schema evolution,
+# r9 VERDICT item #6): v1 commits the narrow orders projection, v2
+# inserts new rows carrying an added column. Reads apply the MANIFEST
+# schema (sources/snapshots.py), so v1-era files NULL-fill the new
+# column in the v2 read, time travel to v1 returns exactly the narrow
+# schema, and no data file is ever rewritten — at 100 TB an ADD COLUMN
+# is one manifest write. The oracle recomputes both version states
+# relationally; null accounting proves the fill semantics.
+@register(
+    "rel_snapshot_schema_evolution",
+    """
+    WITH b1 AS (SELECT o_orderkey, o_totalprice FROM orders
+                WHERE o_orderkey % 2 = 0),
+    b2 AS (SELECT o_orderkey, o_totalprice, o_orderkey % 3 AS o_flag
+           FROM orders WHERE o_orderkey % 2 = 1),
+    v1 AS (
+      SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(0 AS INT) AS has_flag_col,
+             CAST(0 AS BIGINT) AS flag_nonnull,
+             CAST(0 AS BIGINT) AS sum_flag,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_price
+      FROM b1
+    ),
+    v2 AS (
+      SELECT 2 AS version,
+             CAST((SELECT COUNT(*) FROM b1) + COUNT(*) AS BIGINT) AS n_rows,
+             CAST(1 AS INT) AS has_flag_col,
+             CAST(COUNT(*) AS BIGINT) AS flag_nonnull,
+             CAST(SUM(o_flag) AS BIGINT) AS sum_flag,
+             CAST((SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM b1)
+                  + SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_price
+      FROM b2
+    )
+    SELECT * FROM v1 UNION ALL SELECT * FROM v2
+    """,
+    tags=("relational", "snapshot", "schema-evolution"),
+)
+def rel_snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit even-key orders (narrow schema) as v1, insert odd-key
+    orders with an ADDED o_flag column as v2, then aggregate both
+    time-travel reads: the v1 read must have no flag column; the v2
+    read must show the flag NULL-filled on exactly the v1-era rows
+    (flag_nonnull = |odd batch|) with the column's sum cross-engine."""
+    import shutil
+    import tempfile
+
+    from pgvector_db_spark.sources.snapshots import SnapshotTable
+
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"]
+    b1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    b2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_totalprice",
+        (F.col("o_orderkey") % 3).alias("o_flag"),
+    )
+    tmp = tempfile.mkdtemp(prefix="snapshot_evo_")
+    try:
+        st = SnapshotTable(
+            spark, f"{tmp}/orders", required_cols=("o_orderkey",)
+        )
+        v1 = st.insert(b1)
+        v2 = st.insert(b2)
+        _require((v1, v2) == (1, 2), f"unexpected versions {(v1, v2)}")
+
+        r1, r2 = st.read(version=1), st.read(version=2)
+        _require(
+            "o_flag" not in r1.columns and "o_flag" in r2.columns,
+            f"schema evolution broke: v1={r1.columns} v2={r2.columns}",
+        )
+        a1 = r1.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        ).select(
+            F.lit(1).alias("version"),
+            "n_rows",
+            F.lit(0).cast("int").alias("has_flag_col"),
+            F.lit(0).cast("bigint").alias("flag_nonnull"),
+            F.lit(0).cast("bigint").alias("sum_flag"),
+            "sum_price",
+        )
+        a2 = r2.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count("o_flag").cast("bigint").alias("flag_nonnull"),
+            F.coalesce(F.sum("o_flag"), F.lit(0))
+            .cast("bigint")
+            .alias("sum_flag"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        ).select(
+            F.lit(2).alias("version"),
+            "n_rows",
+            F.lit(1).cast("int").alias("has_flag_col"),
+            "flag_nonnull",
+            "sum_flag",
+            "sum_price",
+        )
+        out = a1.unionByName(a2)
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
     finally:

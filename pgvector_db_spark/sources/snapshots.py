@@ -22,10 +22,21 @@ partition pruning, predicate pushdown, and column pruning all still
 apply because the files are ordinary Parquet. Upsert is copy-on-write
 like ParquetTable.upsert (one anti-join shuffle) but non-destructive:
 the parent version's files survive, so the merge is also a snapshot.
+
+Schema evolution: each manifest records the schema committed at that
+version. An insert/upsert may APPEND new columns (existing columns must
+keep their exact types — a mismatch raises); files written before the
+change are never rewritten, because reads apply the manifest's schema
+explicitly (``spark.read.schema(...)``) and Spark NULL-fills columns a
+parquet file lacks. Time travel to a pre-change version returns exactly
+that version's narrower schema. At 100 TB this matters twice over: an
+ADD COLUMN costs one manifest write (zero data rewrite), and reads skip
+mergeSchema's footer-sampling of every file in the table.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
@@ -99,7 +110,17 @@ class SnapshotTable:
             raise FileNotFoundError(f"snapshot table {self.path} is empty")
         m = self.manifest(v)
         paths = [os.path.join(self._data_dir(), f) for f in m["files"]]
-        return self.spark.read.parquet(*paths)
+        reader = self.spark.read
+        if m.get("schema") is not None:
+            # the version's committed schema, not per-file footers: old
+            # files NULL-fill columns added later; time travel returns
+            # the narrower schema the version actually had
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(
+                StructType.fromJson(m["schema"])
+            )
+        return reader.parquet(*paths)
 
     # -- write ----------------------------------------------------------------
 
@@ -125,7 +146,9 @@ class SnapshotTable:
             raise OSError("staging produced no parquet files")
         return names, n
 
-    def _commit(self, op: str, files: list[str], n_rows: int) -> int:
+    def _commit(
+        self, op: str, files: list[str], n_rows: int, schema: dict
+    ) -> int:
         with file_lock(self._lock_path()):
             parent = self.latest_version()
             version = parent + 1
@@ -137,14 +160,47 @@ class SnapshotTable:
                     "op": op,
                     "files": files,
                     "n_rows": n_rows,
+                    "schema": schema,
                 },
             )
         return version
+
+    def _schema_of(self, version: int) -> dict | None:
+        """Committed schema of ``version`` (None on pre-evolution logs,
+        which read with footer inference exactly as before)."""
+        return self.manifest(version).get("schema") if version else None
+
+    def _evolve_schema(self, df: DataFrame) -> dict:
+        """The schema the next commit records: parent columns (exact
+        types enforced) followed by any NEW columns ``df`` appends —
+        Delta-style additive evolution; drops/retypes/renames raise."""
+        new_schema = json.loads(df.schema.json())
+        parent = self.latest_version()
+        cur = self._schema_of(parent)
+        if cur is None:
+            return new_schema
+        new_fields = {f["name"]: f for f in new_schema["fields"]}
+        for f in cur["fields"]:
+            got = new_fields.get(f["name"])
+            if got is None:
+                raise ValueError(
+                    f"schema evolution is additive-only: column "
+                    f"{f['name']!r} missing from the incoming batch"
+                )
+            if got["type"] != f["type"]:
+                raise ValueError(
+                    f"schema evolution cannot retype column "
+                    f"{f['name']!r}: {f['type']!r} -> {got['type']!r}"
+                )
+        known = {f["name"] for f in cur["fields"]}
+        added = [f for f in new_schema["fields"] if f["name"] not in known]
+        return {**cur, "fields": cur["fields"] + added}
 
     def insert(self, df: DataFrame) -> int:
         """Validated append as a new version: parent's files + new files.
         Returns the committed version number."""
         self._validator.validate(df)
+        schema = self._evolve_schema(df)
         names, n = self._stage_files(df)
         with file_lock(self._lock_path()):
             parent = self.latest_version()
@@ -159,6 +215,7 @@ class SnapshotTable:
                     "op": "insert",
                     "files": prev + names,
                     "n_rows": prev_rows + n,
+                    "schema": schema,
                 },
             )
         return version
@@ -166,8 +223,9 @@ class SnapshotTable:
     def overwrite(self, df: DataFrame) -> int:
         """Full replace as a new version (old versions stay readable)."""
         self._validator.validate(df)
+        schema = self._evolve_schema(df)
         names, n = self._stage_files(df)
-        return self._commit("overwrite", names, n)
+        return self._commit("overwrite", names, n, schema)
 
     def upsert(self, df: DataFrame, key: str) -> int:
         """Copy-on-write merge by key, committed as a new version. The
@@ -175,12 +233,16 @@ class SnapshotTable:
         self._validator.validate(df)
         if self.latest_version() == 0:
             return self.overwrite(df)
+        schema = self._evolve_schema(df)
         current = self.read()
         keys = df.select(key).distinct()
         survivors = current.join(keys, key, "left_anti")
-        merged = survivors.unionByName(df)
+        # allowMissingColumns: surviving rows NULL-fill columns the
+        # incoming batch adds (the same additive-evolution semantics
+        # the manifest-schema read path applies to old files)
+        merged = survivors.unionByName(df, allowMissingColumns=True)
         names, n = self._stage_files(merged)
-        return self._commit("upsert", names, n)
+        return self._commit("upsert", names, n, schema)
 
     # -- maintenance ----------------------------------------------------------
 

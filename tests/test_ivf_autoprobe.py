@@ -125,3 +125,48 @@ def test_autoprobe_minimal_choice_per_metric(
     assert curve[chosen] >= TARGET
     if chosen > 1:
         assert curve[chosen - 1] < TARGET
+
+
+def test_rebuild_decision_lifecycle(spark, idx_and_queries, tmp_path):
+    """The full staleness story on the raw audit row: recall for the
+    shifted workload is measured lower on the appended (frozen-centroid)
+    layout than after the rebuild, the decision flags follow the
+    measured numbers, and the counts are the fixture's."""
+    from pgvector_db_spark.operators.ivf import ivf_rebuild_decision
+
+    _, _, emb = idx_and_queries
+    drift = emb.filter(F.col("vec_id") % 2 == 1).select(
+        (F.col("vec_id") + F.lit(1 << 20)).alias("vec_id"),
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+        F.col("label"),
+    )
+    vq_before = emb.filter(F.pmod(F.col("vec_id"), F.lit(64)) == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    vq_after = drift.filter(F.pmod(F.col("vec_id"), F.lit(64)) == 1).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    row = ivf_rebuild_decision(
+        spark,
+        emb.select("vec_id", "embedding", "label"),
+        drift,
+        vq_before,
+        vq_after,
+        str(tmp_path / "rb"),
+        k=K,
+        nprobe=2,
+        slo_micro=555_000,
+        lists=8,
+    ).collect()[0]
+    assert row["n_appended"] * 2 == row["n_base"] + (row["n_base"] % 2)
+    assert 0 < row["recall_after_micro"] < row["recall_rebuilt_micro"]
+    assert row["rebuild_recommended"] == int(
+        row["recall_after_micro"] < row["slo_micro"]
+    )
+    assert row["rebuilt_meets_slo"] == int(
+        row["recall_rebuilt_micro"] >= row["slo_micro"]
+    )
+    assert row["rebuild_improved"] == 1
+    assert row["recall_before_micro"] > 0

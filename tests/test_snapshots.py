@@ -101,3 +101,44 @@ def test_concurrent_inserts_lose_no_commit(spark, st):
     # every intermediate version remains readable with cumulative rows
     for v in versions:
         assert st.read(version=v).count() == st.manifest(v)["n_rows"]
+
+
+def test_schema_evolution_add_column(spark, st):
+    st.insert(_df(spark, [(1, "a"), (2, "b")]))
+    df2 = spark.createDataFrame(
+        [(3, "c", 30), (4, "d", 40)], "k int, v string, score int"
+    )
+    st.insert(df2)
+    # latest read: evolved schema; pre-change files NULL-fill score
+    latest = st.read()
+    assert latest.columns == ["k", "v", "score"]
+    got = {r["k"]: r["score"] for r in latest.collect()}
+    assert got == {1: None, 2: None, 3: 30, 4: 40}
+    # time travel: v1 still has exactly the narrower schema and rows
+    v1 = st.read(version=1)
+    assert v1.columns == ["k", "v"]
+    assert sorted(map(tuple, v1.collect())) == [(1, "a"), (2, "b")]
+
+
+def test_schema_evolution_rejects_drop_and_retype(spark, st):
+    st.insert(_df(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="missing"):
+        st.insert(spark.createDataFrame([(2,)], "k int"))
+    with pytest.raises(ValueError, match="retype"):
+        st.insert(spark.createDataFrame([(2, 5)], "k int, v int"))
+    # failed evolution commits nothing
+    assert st.latest_version() == 1
+
+
+def test_schema_evolution_upsert_null_fills_survivors(spark, st):
+    st.insert(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    patch = spark.createDataFrame(
+        [(2, "B", 99)], "k int, v string, score int"
+    )
+    st.upsert(patch, key="k")
+    got = {
+        r["k"]: (r["v"], r["score"]) for r in st.read().collect()
+    }
+    assert got == {1: ("a", None), 2: ("B", 99), 3: ("c", None)}
+    # parent version unaffected
+    assert st.read(version=1).columns == ["k", "v"]
