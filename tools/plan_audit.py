@@ -2,6 +2,16 @@
 queries into docs/PLANS.md — fresh, reproducible plan evidence behind
 the curated analysis in docs/SCALE_AUDIT.md.
 
+Two capture modes in one run:
+
+- STATIC plans for every name in AUDITED (`isFinalPlan=false` — the
+  pre-execution shape Catalyst chose);
+- FINAL ADAPTIVE plans for the headline/bench suite in FINAL_AUDITED:
+  the query is EXECUTED first, then re-explained, so the captured
+  `AdaptiveSparkPlan isFinalPlan=true` shows the broadcast/skew/
+  coalesce decisions AQE actually made at runtime — at 100 TB those
+  runtime choices ARE the plan (r9 VERDICT item #3).
+
 Usage: python tools/plan_audit.py [sf_dir]   (default /root/testdata/sf0.01)
 """
 
@@ -161,6 +171,31 @@ AUDITED = [
 # defensive dedup: a name listed twice would duplicate its PLANS section
 AUDITED = list(dict.fromkeys(AUDITED))
 
+# Executed-then-explained (isFinalPlan=true) captures: the headline
+# bench suite plus the scale-audit joins whose AQE runtime decisions
+# (broadcast promotion, partition coalescing, skew splitting) the
+# static capture cannot show. Only queries whose RETURNED DataFrame is
+# the real pipeline qualify — collect/createDataFrame-materialized
+# queries would re-execute a bare ExistingRDD scan.
+FINAL_AUDITED = [
+    "vs_knn_topk",
+    "vs_query_by_example",
+    "vs_knn_per_label",
+    "rel_pricing_summary",
+    "rel_revenue_by_nation",
+    "rel_window_top2_lineitems",
+    "rel_events_window_5min",
+    "ds_exact_dedup",
+    "ds_embed_fake",
+    "rel_cobucketed_join_revenue",
+    "rel_salted_skew_join",
+    "rel_bloom_semijoin_reduction",
+    "vs_ivf_knn",
+    "vs_ivf_autoprobe",
+    "rel_triangle_cosupplier",
+]
+FINAL_AUDITED = list(dict.fromkeys(FINAL_AUDITED))
+
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -178,15 +213,49 @@ def main() -> None:
         "shapes hold at 100 TB lives in `SCALE_AUDIT.md`.",
         "",
     ]
+    def explain(df) -> str:
+        return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            df._jdf.queryExecution(), "formatted"
+        )
+
     for name in AUDITED:
         if name not in REGISTRY:
             continue
         df = REGISTRY[name].spark_fn(spark, sf_dir)
-        plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
-            df._jdf.queryExecution(), "formatted"
-        )
-        lines += [f"## {name}", "", "```", plan.rstrip(), "```", ""]
+        lines += [f"## {name}", "", "```", explain(df).rstrip(), "```", ""]
         print(f"captured {name}")
+
+    lines += [
+        "# Final adaptive plans (executed, isFinalPlan=true)",
+        "",
+        "The same queryExecution re-explained AFTER the query ran: the",
+        "AdaptiveSparkPlan below is the plan AQE actually executed —",
+        "broadcast promotions, coalesced exchanges, and skew splits are",
+        "the runtime decisions, not the static guess above.",
+        "",
+    ]
+    for name in FINAL_AUDITED:
+        if name not in REGISTRY:
+            continue
+        df = REGISTRY[name].spark_fn(spark, sf_dir)
+        df.collect()  # execute: AdaptiveSparkPlanExec finalizes in place
+        plan = explain(df)
+        if "AdaptiveSparkPlan" not in plan:
+            # map-only plan: no exchange, so AQE never wraps it — there
+            # is no runtime decision to capture (e.g. ds_embed_fake)
+            print(f"note {name}: no AdaptiveSparkPlan node (map-only)")
+        elif "isFinalPlan=true" not in plan:
+            print(f"WARNING {name}: no isFinalPlan=true after execution")
+        lines += [
+            f"## {name} (final)",
+            "",
+            "```",
+            plan.rstrip(),
+            "```",
+            "",
+        ]
+        print(f"captured final {name}")
+
     with open(out_path, "w") as f:
         f.write("\n".join(lines))
     print(f"wrote {out_path}")

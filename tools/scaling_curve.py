@@ -154,6 +154,27 @@ QUERIES = [
 ]
 
 
+def lint_cells(name: str, cells: list[float | None]) -> list[str]:
+    """Monotonicity lint over one row's (sf0.001, sf0.01, sf0.1, sf1)
+    wall-times: a SMALLER scale taking more than 2x the NEXT scale's
+    time is physically implausible (same plan, less data) and means a
+    host hiccup contaminated the cell — the r8 naive_bayes and r9
+    roc_curve anomalies. Returns human-readable flags; the generators
+    print them AND record them in SCALING.md so a poisoned cell can
+    never land silently again (r9 VERDICT item #5)."""
+    labels = ["sf0.001", "sf0.01", "sf0.1", "sf1"]
+    flags = []
+    vals = [(lab, c) for lab, c in zip(labels, cells) if c is not None]
+    for (lab_a, a), (lab_b, b) in zip(vals, vals[1:]):
+        if b and a > 2 * b:
+            flags.append(
+                f"{name}: {lab_a}={a}ms > 2x {lab_b}={b}ms — "
+                f"host-contaminated cell, re-measure with "
+                f"tools/scaling_remeasure.py {name}"
+            )
+    return flags
+
+
 def _time(fn, spark, sf, reps: int) -> float:
     fn(spark, sf).collect()  # warm: codegen + file listing
     times = []
@@ -169,6 +190,7 @@ def main() -> None:
     spark = get_spark("scaling_curve")
     have_sf1 = os.path.exists(os.path.join(SF1, "_DERIVED_OK"))
     rows = []
+    lint_flags: list[str] = []
     for name in QUERIES:
         fn = REGISTRY[name].spark_fn
         ms = [round(_time(fn, spark, sf, reps) * 1000, 1) for sf in SFS]
@@ -183,9 +205,14 @@ def main() -> None:
                 f"{name}: {ms} + sf1={ms1} ms, x{growth} then x{growth1}",
                 flush=True,
             )
+            flags = lint_cells(name, [*ms, ms1])
         else:
             rows.append((name, *ms, None, growth, None))
             print(f"{name}: {ms} ms, x{growth} for 10x data", flush=True)
+            flags = lint_cells(name, [*ms, None])
+        for fl in flags:
+            print(f"LINT {fl}", flush=True)
+        lint_flags += flags
 
     import textwrap
 
@@ -245,6 +272,14 @@ def main() -> None:
             "copies) and still grows sub-linearly."
         ),
     ]
+    lines += ["", "## Monotonicity lint", ""]
+    if lint_flags:
+        lines += [f"- FLAGGED: {fl}" for fl in lint_flags]
+    else:
+        lines.append(
+            "All cells plausible (no smaller scale exceeded 2x the next "
+            "scale's time)."
+        )
     out.write_text("\n".join(lines) + "\n")
     print(f"wrote {out}")
 

@@ -24,7 +24,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from pgvector_db_spark import get_spark  # noqa: E402
 from pgvector_db_spark.queries import REGISTRY  # noqa: E402
-from tools.scaling_curve import HEAVY, SF1, SFS, _time  # noqa: E402
+from tools.scaling_curve import (  # noqa: E402
+    HEAVY,
+    SF1,
+    SFS,
+    _time,
+    lint_cells,
+)
 
 
 def main() -> None:
@@ -58,6 +64,9 @@ def main() -> None:
                 f"| {name} | {ms[0]} | {ms[1]} | {ms[2]} | — "
                 f"| {growth}x | — |"
             )
+        cells = [*ms, ms1] if (have_sf1 and name in HEAVY) else [*ms, None]
+        for fl in lint_cells(name, cells):
+            print(f"LINT {fl} (cell NOT trusted; row patched anyway)")
         pat = re.compile(rf"^\| {re.escape(name)} \|.*$", re.M)
         if not pat.search(text):
             # new query: insert after the LAST table row, not at EOF
