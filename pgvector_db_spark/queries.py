@@ -16394,6 +16394,295 @@ def stream_entropy_histogram_monitor(
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# --- Population Stability Index (PSI) drift monitor -------------------------
+# THE standard production monitor for "did the serving distribution move
+# away from the reference window?" (credit-risk lineage, now ubiquitous
+# for feature/label drift): PSI = sum over buckets of
+# (p_b - q_b) * ln(p_b / q_b). Everything is exact cross-engine by the
+# repo's detmath discipline: the shares p, q are exactly-rounded IEEE
+# divisions of BIGINT counts; ln(p/q) reduces to a RATIO OF INTEGER
+# PRODUCTS ln((n_ref * N_cur) / (n_cur * N_ref)) evaluated by
+# ln_ratio_sql's fixed op tree; each bucket term snaps to the pico grid
+# before the order-independent integer total. Buckets = event_type
+# (categorical PSI); windows split on user_id parity. Buckets seen in
+# only one window are COUNTED (ref_only_buckets / cur_only_buckets audit
+# columns, 0 on this fixture) rather than silently dropped — the
+# epsilon-smoothing a production PSI applies to them is a policy choice
+# the audit surfaces instead of hiding. Scale shape: two map-side-
+# combined groupBys over the fact table; every later frame is bounded by
+# |buckets|.
+def _psi_sql(dialect: str) -> str:
+    from pgvector_db_spark.functions.detmath import ln_ratio_sql
+
+    mat = " MATERIALIZED" if dialect == "duckdb" else ""
+    lnr = ln_ratio_sql("(n_ref * nc)", "(n_cur * nr)", dialect)
+    return f"""
+    WITH ref AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_ref
+      FROM events WHERE user_id % 2 = 0 GROUP BY event_type
+    ),
+    cur AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_cur
+      FROM events WHERE user_id % 2 = 1 GROUP BY event_type
+    ),
+    tot AS (
+      SELECT CAST((SELECT SUM(n_ref) FROM ref) AS BIGINT) AS nr,
+             CAST((SELECT SUM(n_cur) FROM cur) AS BIGINT) AS nc
+    ),
+    terms AS{mat} (
+      SELECT r.event_type, n_ref, n_cur,
+             CAST(floor(
+               (CAST(n_ref AS DOUBLE) / CAST(nr AS DOUBLE)
+                - CAST(n_cur AS DOUBLE) / CAST(nc AS DOUBLE))
+               * {lnr} * 1e12 + 0.5) AS BIGINT) AS psi_term_pico
+      FROM ref r JOIN cur c ON r.event_type = c.event_type CROSS JOIN tot
+    )
+    SELECT event_type, n_ref, n_cur, psi_term_pico,
+           CAST((SELECT SUM(psi_term_pico) FROM terms) AS BIGINT)
+               AS psi_total_pico,
+           CAST((SELECT COUNT(*) FROM ref
+                 WHERE event_type NOT IN (SELECT event_type FROM cur))
+               AS BIGINT) AS ref_only_buckets,
+           CAST((SELECT COUNT(*) FROM cur
+                 WHERE event_type NOT IN (SELECT event_type FROM ref))
+               AS BIGINT) AS cur_only_buckets
+    FROM terms
+    """
+
+
+_sql_query(
+    "rel_psi_drift",
+    _psi_sql("spark"),
+    _psi_sql("duckdb"),
+    tags=("relational", "drift", "monitoring", "detmath"),
+)
+
+
+# --- Expected Calibration Error (ECE) report ---------------------------------
+# Is the quality score's CONFIDENCE honest? The stopword-ratio score
+# already serves as the weak English-detector across the quality suite
+# (ds_quality_threshold_sweep picks its cutoff; this audits its
+# calibration): bin the score into deciles, per bin compare mean
+# confidence against measured accuracy vs the lang='en' weak label,
+# ECE = sum of n_b/N * |acc_b - conf_b|. All arithmetic is exact
+# cross-engine: the score lives on the micro grid, per-bin means are
+# single exactly-rounded divisions, and each bin's term snaps to the
+# pico grid before the integer total. One grouped pass over documents;
+# every later frame is <= 10 rows.
+def _ece_sql(dialect: str) -> str:
+    mat = " MATERIALIZED" if dialect == "duckdb" else ""
+    if dialect == "spark":
+        ratio = (
+            "CAST(floor(CAST(size(filter(split(lower(text), '\\\\s+'), "
+            "w -> w = 'the' OR w = 'a' OR w = 'of' OR w = 'and' "
+            "OR w = 'to' OR w = 'in')) AS DOUBLE) "
+            "/ CAST(size(split(trim(text), '\\\\s+')) AS DOUBLE) "
+            "* 1000000 + 0.5) AS BIGINT)"
+        )
+    else:
+        ratio = (
+            "CAST(floor(CAST(len(list_filter("
+            "regexp_split_to_array(lower(text), '\\s+'), "
+            "w -> w IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE) "
+            "/ CAST(len(regexp_split_to_array(trim(text), '\\s+')) "
+            "AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
+        )
+    return f"""
+    WITH t AS (
+      SELECT {ratio} AS conf_micro,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    g AS{mat} (
+      SELECT LEAST(CAST(floor(conf_micro / 100000.0) AS INT), 9) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(conf_micro) AS BIGINT) AS conf_sum_micro,
+             CAST(SUM(is_en) AS BIGINT) AS n_pos
+      FROM t GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM g),
+    terms AS{mat} (
+      SELECT bin, n_docs, n_pos,
+             CAST(floor(CAST(conf_sum_micro AS DOUBLE)
+                        / CAST(n_docs AS DOUBLE) + 0.5) AS BIGINT)
+                 AS conf_mean_micro,
+             CAST(floor(
+               abs(CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                   - CAST(conf_sum_micro AS DOUBLE)
+                     / CAST(n_docs AS DOUBLE)
+                     / CAST(1000000.0 AS DOUBLE))
+               * CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE)
+               * 1e12 + 0.5) AS BIGINT) AS ece_term_pico
+      FROM g CROSS JOIN tot
+    )
+    SELECT CAST(bin AS BIGINT) AS bin, n_docs, n_pos, conf_mean_micro,
+           ece_term_pico,
+           CAST((SELECT SUM(ece_term_pico) FROM terms) AS BIGINT)
+               AS ece_total_pico
+    FROM terms
+    """
+
+
+_sql_query(
+    "ds_ece_calibration",
+    _ece_sql("spark"),
+    _ece_sql("duckdb"),
+    tags=("dataset", "quality", "evaluation", "calibration"),
+)
+
+
+# --- Logistic-regression quality classifier (fixed-iteration GD) ------------
+# The classifier-TRAINING step of a curation pipeline (FineWeb shape:
+# learn keep/drop from weak labels), distributed and bitwise-
+# reproducible: per GD iteration ONE map-side-combined aggregation
+# whose per-row gradient contributions snap to the pico grid before the
+# order-independent BIGINT sum; the (k+1)-weight model state is driver-
+# folded between iterations (the PageRank/Bradley-Terry discipline);
+# the sigmoid is detmath exp_unit, and the weight-update op order is
+# pinned identically in Python and SQL — so the DuckDB oracle REPLAYS
+# THE ENTIRE 3-ITERATION TRAINING LOOP as unrolled MATERIALIZED CTEs
+# and lands on bitwise-equal weights, then the same train-accuracy
+# integer comparison. Features: centered stopword ratio + centered mean
+# word length (micro grids; centering means are exact integer-sum /
+# count divisions). The synthetic fixture's features are weakly
+# discriminative, so accuracy hovers near the majority baseline — the
+# contract under test is the distributed training loop, not the
+# fixture's separability. Operator: operators/logreg.py.
+_LOGREG_ITERS = 3
+_LOGREG_LR = 4.0
+
+
+def _logreg_oracle_sql() -> str:
+    from pgvector_db_spark.functions.detmath import exp_unit_sql
+
+    x1m = (
+        "CAST(floor(CAST(len(list_filter("
+        "regexp_split_to_array(lower(text), '\\s+'), "
+        "w -> w IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE) "
+        "/ CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) "
+        "* 1000000 + 0.5) AS BIGINT)"
+    )
+    x2m = (
+        "CAST(floor(CAST(n_chars AS DOUBLE) "
+        "/ CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) "
+        "* 1000000 + 0.5) AS BIGINT)"
+    )
+    margin = "((w0 + (w1 * x1)) + (w2 * x2))"
+    p = f"(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + {exp_unit_sql(f'(-{margin})', 'duckdb')}))"
+    r = f"({p} - y)"
+    terms = [r, f"({r} * x1)", f"({r} * x2)"]
+    gcols = ", ".join(
+        f"CAST(SUM(CAST(floor({t} * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS g{j}"
+        for j, t in enumerate(terms)
+    )
+    upd = ", ".join(
+        f"(w{j} - (({_LOGREG_LR!r} * (CAST(g{j} AS DOUBLE) / 1e12)) "
+        f"/ CAST(n AS DOUBLE))) AS w{j}"
+        for j in range(3)
+    )
+    its = []
+    for i in range(1, _LOGREG_ITERS + 1):
+        its.append(
+            f"g{i} AS MATERIALIZED (SELECT {gcols} "
+            f"FROM f CROSS JOIN it{i - 1}),\n"
+            f"it{i} AS (SELECT {upd} FROM it{i - 1} "
+            f"CROSS JOIN g{i} CROSS JOIN mstat)"
+        )
+    last = f"it{_LOGREG_ITERS}"
+    return f"""
+    WITH t AS MATERIALIZED (
+      SELECT {x1m} AS x1m, {x2m} AS x2m,
+             CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE)
+                  ELSE CAST(0.0 AS DOUBLE) END AS y
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    mstat AS MATERIALIZED (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x1m) AS BIGINT) AS s1,
+             CAST(SUM(x2m) AS BIGINT) AS s2
+      FROM t
+    ),
+    f AS MATERIALIZED (
+      SELECT ((CAST(x1m AS DOUBLE) - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+              / CAST(1000000.0 AS DOUBLE)) AS x1,
+             ((CAST(x2m AS DOUBLE) - (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)))
+              / CAST(10000000.0 AS DOUBLE)) AS x2,
+             y
+      FROM t CROSS JOIN mstat
+    ),
+    it0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,
+                   CAST(0.0 AS DOUBLE) AS w2),
+    {",".join(its)},
+    acc AS (
+      SELECT CAST(SUM(CASE WHEN ({margin} > 0) = (y > 0.5)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS ncorrect,
+             CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS n_pos
+      FROM f CROSS JOIN {last}
+    )
+    SELECT n AS n_docs, n_pos,
+           CAST(floor(w0 * 1e9 + 0.5) AS BIGINT) AS w0_nano,
+           CAST(floor(w1 * 1e9 + 0.5) AS BIGINT) AS w1_nano,
+           CAST(floor(w2 * 1e9 + 0.5) AS BIGINT) AS w2_nano,
+           CAST(floor(((CAST(ncorrect AS DOUBLE) / CAST(n AS DOUBLE))
+                       * 1e6) + 0.5) AS BIGINT) AS train_acc_ppm
+    FROM mstat CROSS JOIN {last} CROSS JOIN acc
+    """
+
+
+@register(
+    "ds_logreg_quality",
+    _logreg_oracle_sql(),
+    tags=("dataset", "quality", "classifier", "training", "detmath"),
+)
+def ds_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the keep/drop logistic model distributed (3 GD iterations,
+    lr=4, zero init) and report (n_docs, n_pos, w0..w2 on the nano
+    grid, train_acc_ppm). The oracle replays the whole loop unrolled —
+    any drift in a single gradient grid sum, weight-update op order, or
+    sigmoid double flips a weight column."""
+    from pgvector_db_spark.operators.logreg import (
+        logistic_audit,
+        logistic_gd,
+    )
+
+    load_tables(spark, sf_dir)
+    t = spark.sql(
+        """
+        SELECT CAST(floor(CAST(size(filter(split(lower(text), '\\\\s+'),
+                 w -> w = 'the' OR w = 'a' OR w = 'of' OR w = 'and'
+                      OR w = 'to' OR w = 'in')) AS DOUBLE)
+                 / CAST(size(split(trim(text), '\\\\s+')) AS DOUBLE)
+                 * 1000000 + 0.5) AS BIGINT) AS x1m,
+               CAST(floor(CAST(n_chars AS DOUBLE)
+                 / CAST(size(split(trim(text), '\\\\s+')) AS DOUBLE)
+                 * 1000000 + 0.5) AS BIGINT) AS x2m,
+               CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE)
+                    ELSE CAST(0.0 AS DOUBLE) END AS y
+        FROM documents WHERE length(trim(text)) > 0
+        """
+    )
+    stat = t.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1m").alias("s1"),
+        F.sum("x2m").alias("s2"),
+    ).head()
+    n, s1, s2 = int(stat["n"]), int(stat["s1"]), int(stat["s2"])
+    _require(n > 0, "empty documents fixture")
+    # centering means as the same exact division the oracle performs
+    base = t.selectExpr(
+        f"((CAST(x1m AS DOUBLE) - (CAST({s1} AS DOUBLE) "
+        f"/ CAST({n} AS DOUBLE))) / CAST(1000000.0 AS DOUBLE)) AS x1",
+        f"((CAST(x2m AS DOUBLE) - (CAST({s2} AS DOUBLE) "
+        f"/ CAST({n} AS DOUBLE))) / CAST(10000000.0 AS DOUBLE)) AS x2",
+        "y",
+    ).localCheckpoint(eager=True)  # feeds 3 GD aggs + the audit pass
+    weights, n_rows = logistic_gd(
+        base, ["x1", "x2"], "y", iters=_LOGREG_ITERS, lr=_LOGREG_LR
+    )
+    _require(n_rows == n, f"row drift: {n_rows} != {n}")
+    return logistic_audit(base, ["x1", "x2"], "y", weights, n)
+
+
 def _interleaved_names() -> list[str]:
     """Registry names round-robin-interleaved across query families
     (vs_/rel_/ds_/stream_): every query is self-contained, so ordering is
