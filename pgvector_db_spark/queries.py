@@ -16458,6 +16458,126 @@ _sql_query(
 )
 
 
+@register(
+    "stream_psi_monitor",
+    _psi_sql("duckdb"),
+    tags=("streaming", "drift", "monitoring", "detmath", "maintenance"),
+)
+def stream_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING PSI maintenance — the 32nd real Structured Streaming
+    run: per-micro-batch (window, bucket) counts fold ADDITIVELY into a
+    bounded state table (2 windows x |buckets| rows regardless of
+    stream length; last_bid replay guard, atomic swap), and the drained
+    state feeds the SAME pico-grid PSI computation as rel_psi_drift —
+    counts are additive, so the streamed result equals the batch result
+    BITWISE and the unchanged batch oracle checks it. This is the drift
+    gate a 100 TB ingest actually runs: no raw event is ever revisited;
+    each micro-batch contributes one bounded count aggregate."""
+    import shutil
+    import tempfile
+
+    from pgvector_db_spark.catalog import table_path
+    from pgvector_db_spark.functions.detmath import ln_ratio_sql
+    from pgvector_db_spark.sources.table import ParquetTable
+    from pgvector_db_spark.streaming.replay import (
+        file_stream,
+        stage_replay_splits,
+    )
+
+    events_path = table_path(sf_dir, "events")
+    replay_dir = os.path.join(
+        tempfile.gettempdir(), f"events_replay4psi_{_fixture_tag(sf_dir)}"
+    )
+    stage_replay_splits(spark, events_path, replay_dir, n_files=4)
+    schema = spark.read.parquet(events_path).schema
+    src = file_stream(spark, replay_dir, schema, max_files_per_trigger=1)
+
+    tmp = tempfile.mkdtemp(prefix="psi_stream_")
+    try:
+        table = ParquetTable(spark, f"{tmp}/counts")
+
+        def fold(batch: DataFrame, _bid: int) -> None:
+            part = (
+                batch.select(
+                    F.pmod(F.col("user_id"), F.lit(2)).alias("win"),
+                    "event_type",
+                )
+                .groupBy("win", "event_type")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+                .withColumn("last_bid", F.lit(_bid).cast("bigint"))
+            )
+            if not table.exists():
+                part.write.mode("errorifexists").parquet(table.path)
+                return
+            state = table.read()
+            prev = state.agg(F.max("last_bid")).head()[0]
+            # additive fold is NOT idempotent: replayed batch = no-op
+            if prev is not None and prev >= _bid:
+                return
+            merged = (
+                state.unionByName(part)
+                .groupBy("win", "event_type")
+                .agg(
+                    F.sum("n").cast("bigint").alias("n"),
+                    F.max("last_bid").alias("last_bid"),
+                )
+            )
+            table._swap_in(merged)
+
+        q = (
+            src.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        table.read().select("win", "event_type", "n").createOrReplaceTempView(
+            "_psi_counts"
+        )
+        lnr = ln_ratio_sql("(n_ref * nc)", "(n_cur * nr)", "spark")
+        out = spark.sql(
+            f"""
+            WITH ref AS (
+              SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_ref
+              FROM _psi_counts WHERE win = 0 GROUP BY event_type
+            ),
+            cur AS (
+              SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_cur
+              FROM _psi_counts WHERE win = 1 GROUP BY event_type
+            ),
+            tot AS (
+              SELECT CAST((SELECT SUM(n_ref) FROM ref) AS BIGINT) AS nr,
+                     CAST((SELECT SUM(n_cur) FROM cur) AS BIGINT) AS nc
+            ),
+            terms AS (
+              SELECT r.event_type, n_ref, n_cur,
+                     CAST(floor(
+                       (CAST(n_ref AS DOUBLE) / CAST(nr AS DOUBLE)
+                        - CAST(n_cur AS DOUBLE) / CAST(nc AS DOUBLE))
+                       * {lnr} * 1e12 + 0.5) AS BIGINT) AS psi_term_pico
+              FROM ref r JOIN cur c ON r.event_type = c.event_type
+              CROSS JOIN tot
+            )
+            SELECT event_type, n_ref, n_cur, psi_term_pico,
+                   CAST((SELECT SUM(psi_term_pico) FROM terms) AS BIGINT)
+                       AS psi_total_pico,
+                   CAST((SELECT COUNT(*) FROM ref WHERE event_type NOT IN
+                         (SELECT event_type FROM cur)) AS BIGINT)
+                       AS ref_only_buckets,
+                   CAST((SELECT COUNT(*) FROM cur WHERE event_type NOT IN
+                         (SELECT event_type FROM ref)) AS BIGINT)
+                       AS cur_only_buckets
+            FROM terms
+            """
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        spark.catalog.dropTempView("_psi_counts")
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # --- Expected Calibration Error (ECE) report ---------------------------------
 # Is the quality score's CONFIDENCE honest? The stopword-ratio score
 # already serves as the weak English-detector across the quality suite
