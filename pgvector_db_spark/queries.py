@@ -16651,6 +16651,129 @@ _sql_query(
 )
 
 
+# --- Blocked fuzzy entity match (edit distance) ------------------------------
+# Record linkage / entity resolution, the dedup family's FUZZY member
+# (exact, MinHash, SimHash, embedding near-dup all ship; this adds the
+# typo/variant tier a catalog or author-name pipeline needs). Canonical
+# two-stage shape: (1) BLOCK on a cheap stable key — the name's last
+# token — so candidate pairs form within blocks only (the PPJoin/LSH
+# banding discipline: never all-pairs); (2) VERIFY candidates with
+# levenshtein, a JVM/engine built-in on BOTH engines computing the
+# identical integer (no UDF in the hot path). Pair volume is sum of
+# per-block C(k,2) over DISTINCT names — bounded by the name vocabulary,
+# not the row count (names dedup before pairing; per-name part counts
+# ride along so the match table still links back to rows). At 100 TB
+# block keys shuffle once; a skewed block is a hot key the salted-join
+# machinery already handles.
+_sql_query(
+    "ds_fuzzy_name_match",
+    """
+    WITH names AS (
+      SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n_parts,
+             element_at(split(p_name, ' '), -1) AS blk
+      FROM part GROUP BY p_name
+    ),
+    pairs AS (
+      SELECT a.name AS name_a, b.name AS name_b,
+             a.n_parts AS n_parts_a, b.n_parts AS n_parts_b,
+             CAST(levenshtein(a.name, b.name) AS INT) AS dist
+      FROM names a JOIN names b
+        ON a.blk = b.blk AND a.name < b.name
+    )
+    SELECT name_a, name_b, n_parts_a, n_parts_b, dist
+    FROM pairs WHERE dist <= 4
+    """,
+    """
+    WITH names AS (
+      SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n_parts,
+             list_extract(string_split(p_name, ' '),
+                          len(string_split(p_name, ' '))) AS blk
+      FROM part GROUP BY p_name
+    ),
+    pairs AS (
+      SELECT a.name AS name_a, b.name AS name_b,
+             a.n_parts AS n_parts_a, b.n_parts AS n_parts_b,
+             CAST(levenshtein(a.name, b.name) AS INT) AS dist
+      FROM names a JOIN names b
+        ON a.blk = b.blk AND a.name < b.name
+    )
+    SELECT name_a, name_b, n_parts_a, n_parts_b, dist
+    FROM pairs WHERE dist <= 4
+    """,
+    tags=("dataset", "dedup", "fuzzy", "entity-resolution"),
+)
+
+
+# --- MAD robust outliers ------------------------------------------------------
+# The robust twin of rel_value_outliers_zscore: mean/stddev break under
+# the very outliers they hunt; median / median-absolute-deviation do
+# not. Composed ENTIRELY from the two-pass exact selection operator
+# (operators/stats.exact_rank_select): median of the cents grid, then
+# median of |cents - med| — four bounded-histogram passes total, NO
+# global sort at any step (the same reason the exact-median operator
+# exists), then one final scan counts per-type outliers beyond
+# k * MAD (k = 8, integer comparison on the cents grid: |x - med| and
+# 8 * mad are exact BIGINTs, so the threshold has no float knife-edge).
+@register(
+    "rel_mad_outliers",
+    """
+    WITH c AS (
+      SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    med AS (
+      SELECT cents AS m FROM c ORDER BY cents
+      OFFSET ((SELECT COUNT(*) FROM c) + 1) // 2 - 1 LIMIT 1
+    ),
+    dev AS (SELECT event_type, cents, abs(cents - (SELECT m FROM med))
+                AS adev FROM c),
+    mad AS (
+      SELECT adev AS d FROM dev ORDER BY adev
+      OFFSET ((SELECT COUNT(*) FROM dev) + 1) // 2 - 1 LIMIT 1
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN adev > 8 * (SELECT d FROM mad)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST((SELECT m FROM med) AS BIGINT) AS median_cents,
+           CAST((SELECT d FROM mad) AS BIGINT) AS mad_cents
+    FROM dev GROUP BY event_type
+    """,
+    tags=("relational", "statistics", "outliers", "robust"),
+)
+def rel_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD outlier report over events.value without a global
+    sort: exact_rank_select locates the median (one histogram pass +
+    one pruned bucket pass), a second selection over |cents - med|
+    yields the MAD, and one final grouped scan counts rows beyond
+    8 * MAD per event type — five bounded passes where the sort-based
+    recompute (the oracle) shuffles the table twice."""
+    from pgvector_db_spark.operators.stats import exact_rank_select
+
+    t = load_tables(spark, sf_dir)
+    c = t["events"].select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    ).localCheckpoint(eager=True)  # feeds both selections + the report
+    lower_median = lambda n: (n + 1) // 2  # noqa: E731
+    _, (med,) = exact_rank_select(c, "cents", lower_median)
+    dev = c.withColumn("adev", F.abs(F.col("cents") - F.lit(med)))
+    _, (mad,) = exact_rank_select(dev, "adev", lower_median)
+    return dev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(
+            F.when(F.col("adev") > 8 * mad, F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_outliers"),
+        F.lit(med).cast("bigint").alias("median_cents"),
+        F.lit(mad).cast("bigint").alias("mad_cents"),
+    ).select(
+        "event_type", "n_rows", "n_outliers", "median_cents", "mad_cents"
+    )
+
+
 # --- Logistic-regression quality classifier (fixed-iteration GD) ------------
 # The classifier-TRAINING step of a curation pipeline (FineWeb shape:
 # learn keep/drop from weak labels), distributed and bitwise-
