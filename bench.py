@@ -199,6 +199,12 @@ def derived_metrics(spark, sf_dir: str, timings: dict[str, float]) -> dict[str, 
         ("rel_exact_median_two_pass", "exact_median_ms"),
         ("rel_grouped_median_two_pass", "grouped_median_ms"),
         ("rel_kcore_parts", "kcore_peel_ms"),
+        ("rel_psi_drift", "psi_drift_ms"),
+        ("ds_ece_calibration", "ece_calibration_ms"),
+        ("ds_logreg_quality", "logreg_train3_ms"),
+        ("rel_mad_outliers", "mad_outliers_ms"),
+        ("ds_fuzzy_name_match", "fuzzy_match_ms"),
+        ("rel_snapshot_schema_evolution", "snapshot_evolution_ms"),
         ("ds_bpe_pair_counts", "bpe_pair_counts_ms"),
         ("ds_hard_negative_mining", "hard_negative_mining_ms"),
         ("ds_quality_percentile_filter", "quality_percentile_ms"),

@@ -85,6 +85,9 @@ HEAVY = {
     # per document). salted-skew is lineitem-bound.
     "ds_prefix_filter_dedup_survivors",
     "rel_salted_skew_join",
+    # r10: documents-bound additions (the replica scales documents)
+    "ds_ece_calibration",
+    "ds_logreg_quality",
     # r9 continuation: orders/lineitem/events-bound additions
     "rel_bloom_semijoin_reduction",
     "rel_ivm_delta_agg",
@@ -151,6 +154,17 @@ QUERIES = [
     "rel_exact_median_two_pass",  # histogram pass + pruned rank pass (r9)
     "rel_kcore_parts",            # 6 alive-restricted degree shuffles (r9)
     "rel_grouped_median_two_pass",  # group-bucket hist + 1 union pass (r9)
+    "rel_psi_drift",              # two grouped passes + bucket-bounded PSI
+                                  # (r10; events copied as-is in the sf1
+                                  # replica, so no extra decade)
+    "ds_ece_calibration",         # one grouped pass + <=10-row tails (r10)
+    "ds_logreg_quality",          # 3 GD aggs + audit pass, driver-folded
+                                  # weight state (r10)
+    "rel_mad_outliers",           # 2x two-pass selection + grouped scan
+                                  # (r10; events-bound, no sf1)
+    "ds_fuzzy_name_match",        # block-verify levenshtein over the name
+                                  # vocabulary (r10; part copied as-is,
+                                  # no sf1)
 ]
 
 
