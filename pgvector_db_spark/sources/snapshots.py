@@ -221,7 +221,12 @@ class SnapshotTable:
         return version
 
     def overwrite(self, df: DataFrame) -> int:
-        """Full replace as a new version (old versions stay readable)."""
+        """Full replace as a new version (old versions stay readable).
+        The additive-evolution contract applies to overwrite too: the
+        table's column set may only grow across its whole history, so
+        every version's read schema stays a prefix of the latest —
+        time travel never has to reconcile incompatible schemas. A
+        table whose columns must shrink is a new table."""
         self._validator.validate(df)
         schema = self._evolve_schema(df)
         names, n = self._stage_files(df)
