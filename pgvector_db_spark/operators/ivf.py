@@ -71,6 +71,7 @@ class IVFIndex:
         sample_fraction: float | None = None,
         seed: int = 42,
         metric: str = "cosine",
+        centroids: list[list[float]] | None = None,
     ) -> IVFIndex:
         """CREATE INDEX ... USING ivfflat analogue.
 
@@ -81,38 +82,83 @@ class IVFIndex:
         vector_ip_ops (reference README.md:185 uses cosine). l2 and ip
         cluster with euclidean KMeans, matching pgvector's ivfflat which
         also builds IP indexes from l2 k-means cells.
+
+        ``centroids``: precomputed list centers (e.g. from
+        :func:`deterministic_sample_centroids`). Skips the MLlib fit —
+        MLlib KMeans results depend on the session's partition layout
+        even when seeded, so an oracle whose constants encode recall
+        against a FRESH build needs centers that are a pure function of
+        the data. Assignment is the same in-plan argmin ``append`` uses
+        (distance fold + (dist, list_id) tie-break — deterministic per
+        row regardless of partitioning).
         """
         if metric not in ("cosine", "l2", "ip"):
             raise ValueError(f"unsupported metric: {metric}")
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector, vector_to_array
-
-        spark = df.sparkSession
-        featured = df.withColumn("_features", array_to_vector(F.col(vec_col)))
-
-        fit_input = featured
-        if sample_fraction is not None and sample_fraction < 1.0:
-            fit_input = featured.sample(fraction=sample_fraction, seed=seed)
-
-        model = KMeans(
-            k=lists,
-            seed=seed,
-            featuresCol="_features",
-            predictionCol="list_id",
-            distanceMeasure="cosine" if metric == "cosine" else "euclidean",
-        ).fit(fit_input)
-
-        # Materialize each row's l2 norm in the layout: searches then pay
-        # ONE fold per row (the dot product) instead of re-deriving the
-        # norm per comparison — bitwise-identical distances (same fold +
-        # sqrt as the on-the-fly path), so the exact-path oracle holds.
         from pgvector_db_spark.functions.vector import l2_norm
 
-        assigned = (
-            model.transform(featured)
-            .drop("_features")
-            .withColumn("_vnorm", l2_norm(F.col(vec_col)))
-        )
+        spark = df.sparkSession
+        if centroids is not None:
+            from pyspark.sql.window import Window
+
+            from pgvector_db_spark.functions.vector import (
+                cosine_distance,
+                l2_distance,
+            )
+
+            cents = spark.createDataFrame(
+                [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+                "list_id int, _centroid array<double>",
+            )
+            if metric == "cosine":
+                dist = cosine_distance(F.col(vec_col), F.col("_centroid"))
+            else:
+                dist = l2_distance(F.col(vec_col), F.col("_centroid"))
+            w = Window.partitionBy(id_col).orderBy(
+                F.col("_dist").asc(), F.col("list_id").asc()
+            )
+            assigned = (
+                df.join(F.broadcast(cents))
+                .withColumn("_dist", dist)
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_dist", "_rn", "_centroid")
+                .withColumn("_vnorm", l2_norm(F.col(vec_col)))
+            )
+            centers = [[float(x) for x in c] for c in centroids]
+        else:
+            from pyspark.ml.clustering import KMeans
+            from pyspark.ml.functions import array_to_vector
+
+            featured = df.withColumn(
+                "_features", array_to_vector(F.col(vec_col))
+            )
+            fit_input = featured
+            if sample_fraction is not None and sample_fraction < 1.0:
+                fit_input = featured.sample(
+                    fraction=sample_fraction, seed=seed
+                )
+            model = KMeans(
+                k=lists,
+                seed=seed,
+                featuresCol="_features",
+                predictionCol="list_id",
+                distanceMeasure=(
+                    "cosine" if metric == "cosine" else "euclidean"
+                ),
+            ).fit(fit_input)
+            # Materialize each row's l2 norm in the layout: searches then
+            # pay ONE fold per row (the dot product) instead of
+            # re-deriving the norm per comparison — bitwise-identical
+            # distances (same fold + sqrt as the on-the-fly path), so the
+            # exact-path oracle holds.
+            assigned = (
+                model.transform(featured)
+                .drop("_features")
+                .withColumn("_vnorm", l2_norm(F.col(vec_col)))
+            )
+            centers = [
+                [float(x) for x in c] for c in model.clusterCenters()
+            ]
         (
             assigned.repartition("list_id")
             .write.mode("overwrite")
@@ -121,8 +167,7 @@ class IVFIndex:
         )
 
         centroids = [
-            (i, [float(x) for x in c], metric)
-            for i, c in enumerate(model.clusterCenters())
+            (i, c, metric) for i, c in enumerate(centers)
         ]
         spark.createDataFrame(
             centroids, "list_id int, centroid array<double>, metric string"
@@ -759,6 +804,112 @@ class IVFIndex:
         )
 
 
+def deterministic_sample_centroids(
+    df,
+    lists: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample: int = 2048,
+    iters: int = 10,
+    seed: int = 42,
+    metric: str = "cosine",
+) -> list[list[float]]:
+    """List centers as a PURE FUNCTION of the data: a hash-ORDERED
+    bounded sample — ``ORDER BY xxhash64(id), id LIMIT sample`` — is a
+    deterministic pseudo-random draw (id-ordered sampling would bias
+    toward low ids: an appended batch living in a high id range would
+    never be sampled and its region never get a center), fit with
+    seeded driver-side Lloyd (operators/pq._kmeans); driver memory is
+    bounded by ``sample`` at any table size. Unlike MLlib KMeans —
+    whose seeded result still varies with the session's partition
+    layout — these centers are identical across any session shape, so
+    recall measured against a fresh build of them can be pinned as an
+    oracle constant.
+
+    For ``metric="cosine"`` the sample rows are L2-normalized before
+    Lloyd (spherical k-means: euclidean centers over unit vectors rank
+    directions, which is what the cosine probe order needs — raw-scale
+    euclidean centers would cluster by magnitude).
+    """
+    import numpy as np
+
+    from pgvector_db_spark.operators.pq import _kmeans
+
+    pdf = (
+        df.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(sample)
+        .toPandas()
+    )
+    x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    if metric == "cosine":
+        norms = np.sqrt((x * x).sum(axis=1, keepdims=True))
+        x = x / np.where(norms == 0.0, 1.0, norms)
+    rng = np.random.RandomState(seed)
+    return [[float(v) for v in c] for c in _kmeans(x, lists, iters, rng)]
+
+
+def _probe_cost(idx: IVFIndex, queries: DataFrame, nprobe: int,
+                q_id_col: str = "query_id", q_vec_col: str = "query_vec"):
+    """(total rows the workload would scan at ``nprobe``, as one 1-row
+    frame) — sum over queries of the sizes of each query's ``nprobe``
+    metric-ranked lists. THE latency driver of an IVF serving tier: a
+    probed search scans exactly these rows. Bounded joins only
+    (queries x lists centroid ranking, lists-row size frame)."""
+    from pyspark.sql.window import Window
+
+    from pgvector_db_spark.functions.vector import (
+        cosine_distance,
+        inner_product_distance,
+        l2_distance,
+    )
+
+    cents = idx.spark.createDataFrame(
+        [(lid, c) for lid, c, _ in idx._centroids()],
+        "list_id int, _centroid array<double>",
+    )
+    dist = {
+        "cosine": cosine_distance,
+        "l2": l2_distance,
+        "ip": inner_product_distance,
+    }[idx.metric](F.col("_centroid"), F.col("_qv"))
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.col("_cdist").asc(), F.col("list_id").asc()
+    )
+    probed = (
+        queries.select(F.col(q_id_col), F.col(q_vec_col).alias("_qv"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("_cdist", dist)
+        .withColumn("_crank", F.row_number().over(w))
+        .filter(F.col("_crank") <= nprobe)
+        .select(q_id_col, "list_id")
+    )
+    sizes = idx._data().groupBy("list_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_sz")
+    )
+    return probed.join(F.broadcast(sizes), "list_id").agg(
+        F.sum("_sz").cast("bigint").alias("probed_rows")
+    )
+
+
+def _max_list_share_ppm(idx: IVFIndex):
+    """max list size as ppm of the table — the balance number pgvector
+    operators watch for REINDEX (1-row frame)."""
+    sizes = idx._data().groupBy("list_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_sz")
+    )
+    return sizes.agg(
+        F.floor(
+            F.max("_sz").cast("double")
+            / F.sum("_sz").cast("double")
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("max_share_ppm")
+    )
+
+
 def ivf_rebuild_decision(
     spark,
     base: DataFrame,
@@ -768,53 +919,73 @@ def ivf_rebuild_decision(
     workdir: str,
     k: int = 10,
     nprobe: int = 2,
-    slo_micro: int = 550_000,
+    max_share_threshold_ppm: int = 250_000,
+    recall_tolerance_micro: int = 100_000,
     lists: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """The IVF staleness lifecycle as ONE audited operator: measure
-    serving recall, append a drifted batch, re-measure, decide whether
-    to rebuild from the evidence, rebuild, and prove recall restored —
-    the pgvector operational loop (recall decays after skewed inserts
-    because ivfflat never refits centroids on INSERT; ``REINDEX`` is the
-    remedy: reference README.md:185 index family) with the decision
-    made from measured in-plan evidence instead of operator folklore.
+    """The IVF staleness lifecycle as ONE audited operator: measure,
+    append a drifted batch, re-measure, decide whether to rebuild from
+    the measured evidence, rebuild, and prove the rebuild repaired what
+    append actually damages. pgvector's ivfflat never refits centroids
+    on INSERT; ``REINDEX`` is the remedy (reference README.md:185
+    index family).
 
-    Steps (each recall read is one :meth:`IVFIndex.autoprobe_curve` —
-    one batch-kNN pass + lists-bounded joins; NO per-nprobe loop):
+    What a skewed append PROVABLY degrades here is the LAYOUT, not
+    necessarily recall: the appended region piles into the few existing
+    cells nearest it, so (a) list balance breaks (``max_list_share``)
+    and (b) the rows a probed search must scan for the new workload
+    balloon (``probed_rows`` — the true latency driver: a probed search
+    scans exactly the rows of its ranked lists). Recall@nprobe on a
+    diverse corpus is roughly layout-insensitive (the probe-superset
+    identity: what matters is agreement between a query's centroid
+    ranking and its neighbors' assignments — similar for any
+    equally-coarse center set), so the decision keys on balance, with
+    recall REPORTED and gated only by a no-collapse tolerance. All
+    decision inputs are deterministic integers: centers come from
+    :func:`deterministic_sample_centroids` (a pure function of the
+    data — MLlib KMeans varies with session partitioning even when
+    seeded) and assignment is the per-row argmin.
 
-    1. build the index over ``base`` and measure recall@k at ``nprobe``
-       for the current workload ``queries_before``;
-    2. ``append`` the ``drift`` batch (frozen-centroid assignment) and
-       measure recall for the shifted workload ``queries_after``;
-    3. rebuild (full ``build`` over the landed base ∪ drift rows) and
-       measure ``queries_after`` again — the exact top-k is computed
-       ONCE over the union corpus and shared by both post-append curve
-       reads (the corpus is identical; only the layout differs).
+    Audit row:
+      n_base, n_appended, nprobe,
+      recall_before/after/rebuilt_micro      (autoprobe curve reads),
+      max_share_after/rebuilt_ppm, probed_rows_after/rebuilt,
+      rebuild_recommended = max_share_after  > threshold,
+      rebalanced          = max_share_rebuilt < max_share_after,
+      probe_cost_reduced  = probed_rows_rebuilt < probed_rows_after,
+      recall_preserved    = recall_rebuilt + tolerance >= recall_after,
+      exact_topk_sum_nano (cross-engine honesty column).
 
-    Returns one row:
-      (n_base, n_appended, nprobe, slo_micro,
-       recall_before_micro, recall_after_micro, recall_rebuilt_micro,
-       rebuild_recommended   = recall_after  <  slo,
-       rebuilt_meets_slo     = recall_rebuilt >= slo,
-       rebuild_improved      = recall_rebuilt >  recall_after,
-       exact_topk_sum_nano   = 1e-9-grid sum of the shifted workload's
-                               exact top-k distances over the union
-                               corpus — the cross-engine honesty column)
-
-    Scale shape: identical to autoprobe's (the decision adds only
-    ≤lists-row joins); the rebuild is the same one-shot distributed
-    KMeans + repartition-on-list_id write as any ``build``.
+    Every bounded frame is localCheckpoint'ed EAGERLY at its point in
+    the lifecycle, for two reasons that both corrupt silently
+    otherwise: (1) the before-read must evaluate BEFORE the append
+    mutates the layout (a lazy plan re-reads the grown file set at the
+    final collect); (2) the curve subtrees share base lineage, and
+    combining them in one crossJoin plan lets attribute dedup
+    mis-resolve their internal join conditions (observed: a halved
+    hits count). Scale shape: three autoprobe curve reads (each one
+    batch-kNN pass + lists-bounded joins), two lists-row size
+    aggregates, one rebuild (the same repartition-by-list write as any
+    build).
     """
-    from pyspark.sql import functions as F
-
     from pgvector_db_spark.operators.knn import knn_batch
 
-    idx = IVFIndex.build(base, f"{workdir}/idx", lists=lists)
-    before = idx.autoprobe_curve(queries_before, k).filter(
-        F.col("nprobe") == nprobe
-    ).select(F.col("recall_micro").alias("recall_before_micro"))
+    def _ck(df1):
+        return df1.localCheckpoint(eager=True)
+
+    base_cents = deterministic_sample_centroids(
+        base, lists, vec_col=vec_col, id_col=id_col
+    )
+    idx = IVFIndex.build(
+        base, f"{workdir}/idx", lists=lists, centroids=base_cents
+    )
+    before = _ck(
+        idx.autoprobe_curve(queries_before, k)
+        .filter(F.col("nprobe") == nprobe)
+        .select(F.col("recall_micro").alias("recall_before_micro"))
+    )
 
     idx.append(drift)
     landed = idx._data()
@@ -822,14 +993,43 @@ def ivf_rebuild_decision(
     exact = knn_batch(
         full, queries_after, k, vec_col=vec_col, id_col=id_col
     ).localCheckpoint(eager=True)
-    after = idx.autoprobe_curve(queries_after, k, exact=exact).filter(
-        F.col("nprobe") == nprobe
-    ).select(F.col("recall_micro").alias("recall_after_micro"))
+    after = _ck(
+        idx.autoprobe_curve(queries_after, k, exact=exact)
+        .filter(F.col("nprobe") == nprobe)
+        .select(F.col("recall_micro").alias("recall_after_micro"))
+    )
+    share_after = _ck(
+        _max_list_share_ppm(idx).withColumnRenamed(
+            "max_share_ppm", "max_share_after_ppm"
+        )
+    )
+    cost_after = _ck(
+        _probe_cost(idx, queries_after, nprobe).withColumnRenamed(
+            "probed_rows", "probed_rows_after"
+        )
+    )
 
-    idx2 = IVFIndex.build(full, f"{workdir}/idx2", lists=lists)
-    rebuilt = idx2.autoprobe_curve(queries_after, k, exact=exact).filter(
-        F.col("nprobe") == nprobe
-    ).select(F.col("recall_micro").alias("recall_rebuilt_micro"))
+    full_cents = deterministic_sample_centroids(
+        full, lists, vec_col=vec_col, id_col=id_col
+    )
+    idx2 = IVFIndex.build(
+        full, f"{workdir}/idx2", lists=lists, centroids=full_cents
+    )
+    rebuilt = _ck(
+        idx2.autoprobe_curve(queries_after, k, exact=exact)
+        .filter(F.col("nprobe") == nprobe)
+        .select(F.col("recall_micro").alias("recall_rebuilt_micro"))
+    )
+    share_rebuilt = _ck(
+        _max_list_share_ppm(idx2).withColumnRenamed(
+            "max_share_ppm", "max_share_rebuilt_ppm"
+        )
+    )
+    cost_rebuilt = _ck(
+        _probe_cost(idx2, queries_after, nprobe).withColumnRenamed(
+            "probed_rows", "probed_rows_rebuilt"
+        )
+    )
 
     n_base = base.agg(F.count(F.lit(1)).cast("bigint").alias("n_base"))
     n_app = drift.agg(F.count(F.lit(1)).cast("bigint").alias("n_appended"))
@@ -840,30 +1040,42 @@ def ivf_rebuild_decision(
         .cast("bigint")
         .alias("exact_topk_sum_nano")
     )
-    slo = F.lit(slo_micro).cast("bigint")
-    return (
+    out = (
         n_base.crossJoin(n_app)
         .crossJoin(before)
         .crossJoin(after)
         .crossJoin(rebuilt)
+        .crossJoin(share_after)
+        .crossJoin(share_rebuilt)
+        .crossJoin(cost_after)
+        .crossJoin(cost_rebuilt)
         .crossJoin(exact_sum)
-        .select(
-            "n_base",
-            "n_appended",
-            F.lit(nprobe).cast("int").alias("nprobe"),
-            slo.alias("slo_micro"),
-            "recall_before_micro",
-            "recall_after_micro",
-            "recall_rebuilt_micro",
-            (F.col("recall_after_micro") < slo)
-            .cast("int")
-            .alias("rebuild_recommended"),
-            (F.col("recall_rebuilt_micro") >= slo)
-            .cast("int")
-            .alias("rebuilt_meets_slo"),
-            (F.col("recall_rebuilt_micro") > F.col("recall_after_micro"))
-            .cast("int")
-            .alias("rebuild_improved"),
-            "exact_topk_sum_nano",
+    )
+    return out.select(
+        "n_base",
+        "n_appended",
+        F.lit(nprobe).cast("int").alias("nprobe"),
+        "recall_before_micro",
+        "recall_after_micro",
+        "recall_rebuilt_micro",
+        "max_share_after_ppm",
+        "max_share_rebuilt_ppm",
+        "probed_rows_after",
+        "probed_rows_rebuilt",
+        (F.col("max_share_after_ppm") > max_share_threshold_ppm)
+        .cast("int")
+        .alias("rebuild_recommended"),
+        (F.col("max_share_rebuilt_ppm") < F.col("max_share_after_ppm"))
+        .cast("int")
+        .alias("rebalanced"),
+        (F.col("probed_rows_rebuilt") < F.col("probed_rows_after"))
+        .cast("int")
+        .alias("probe_cost_reduced"),
+        (
+            F.col("recall_rebuilt_micro") + F.lit(recall_tolerance_micro)
+            >= F.col("recall_after_micro")
         )
+        .cast("int")
+        .alias("recall_preserved"),
+        "exact_topk_sum_nano",
     )

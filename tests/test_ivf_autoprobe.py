@@ -127,17 +127,21 @@ def test_autoprobe_minimal_choice_per_metric(
         assert curve[chosen - 1] < TARGET
 
 
+
 def test_rebuild_decision_lifecycle(spark, idx_and_queries, tmp_path):
-    """The full staleness story on the raw audit row: recall for the
-    shifted workload is measured lower on the appended (frozen-centroid)
-    layout than after the rebuild, the decision flags follow the
-    measured numbers, and the counts are the fixture's."""
+    """The staleness story on the raw audit row: the concentrated
+    append breaks list balance and inflates probe cost; the rebuild
+    measurably repairs both without collapsing recall; the decision
+    flags follow the measured numbers (not constants smuggled in)."""
     from pgvector_db_spark.operators.ivf import ivf_rebuild_decision
 
     _, _, emb = idx_and_queries
+    spike = lambda x: F.lit(8.0) + x.cast("double") / F.lit(16.0)  # noqa: E731
     drift = emb.filter(F.col("vec_id") % 2 == 1).select(
         (F.col("vec_id") + F.lit(1 << 20)).alias("vec_id"),
-        F.transform("embedding", lambda x: -x).alias("embedding"),
+        F.transform("embedding", spike).cast("array<float>").alias(
+            "embedding"
+        ),
         F.col("label"),
     )
     vq_before = emb.filter(F.pmod(F.col("vec_id"), F.lit(64)) == 0).select(
@@ -157,16 +161,19 @@ def test_rebuild_decision_lifecycle(spark, idx_and_queries, tmp_path):
         str(tmp_path / "rb"),
         k=K,
         nprobe=2,
-        slo_micro=555_000,
+        max_share_threshold_ppm=250_000,
         lists=8,
     ).collect()[0]
     assert row["n_appended"] * 2 == row["n_base"] + (row["n_base"] % 2)
-    assert 0 < row["recall_after_micro"] < row["recall_rebuilt_micro"]
-    assert row["rebuild_recommended"] == int(
-        row["recall_after_micro"] < row["slo_micro"]
+    # the layout damage is real and measured
+    assert row["max_share_after_ppm"] > 250_000
+    assert row["max_share_rebuilt_ppm"] < row["max_share_after_ppm"]
+    assert 0 < row["probed_rows_rebuilt"] < row["probed_rows_after"]
+    # flags are computed from those numbers
+    assert row["rebuild_recommended"] == 1
+    assert row["rebalanced"] == 1
+    assert row["probe_cost_reduced"] == 1
+    assert row["recall_preserved"] == int(
+        row["recall_rebuilt_micro"] + 100_000 >= row["recall_after_micro"]
     )
-    assert row["rebuilt_meets_slo"] == int(
-        row["recall_rebuilt_micro"] >= row["slo_micro"]
-    )
-    assert row["rebuild_improved"] == 1
     assert row["recall_before_micro"] > 0
