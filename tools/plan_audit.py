@@ -141,6 +141,22 @@ AUDITED = [
     # r9: mergeable quantiles — one fact groupBy; windows confined to
     # the |groups|x|bins| frame
     "rel_histogram_quantile_rollup",
+    # r10: PSI — two map-side-combined grouped passes; the ln trees and
+    # the pico-grid terms all live in the |buckets|-row tail
+    "rel_psi_drift",
+    # r10: ECE — one grouped pass over documents; <=10-row tails
+    "ds_ece_calibration",
+    # r10: fuzzy match — the block-then-verify shape: vocabulary-sized
+    # name dedup, block-key equi-join, levenshtein only on candidates
+    "ds_fuzzy_name_match",
+    # r10: l2 autoprobe — the metric-generic twin of vs_ivf_autoprobe
+    "vs_ivf_autoprobe_l2",
+    # NOT ds_logreg_quality / rel_mad_outliers: both return aggregates
+    # over a localCheckpointed feature frame (the dsir class) — their
+    # captured tails would root at ExistingRDD; shapes documented in
+    # docs/SCALE_AUDIT.md. NOT rel_snapshot_schema_evolution /
+    # stream_psi_monitor / vs_ivf_rebuild_decision: materialize via
+    # collect/createDataFrame (the rel_user_erasure class).
     # r9: survivors variant of the prefix-filter join — NOT capturable
     # end-to-end (prefix_filter_jaccard_pairs returns via the shared
     # _materialize_and_release localCheckpoint, the ngram-pairs class);
@@ -193,6 +209,11 @@ FINAL_AUDITED = [
     "vs_ivf_knn",
     "vs_ivf_autoprobe",
     "rel_triangle_cosupplier",
+    # r10 additions: pure-SQL monitors (executed plans show the final
+    # coalesced exchanges AQE picked for the bounded tails)
+    "rel_psi_drift",
+    "ds_ece_calibration",
+    "ds_fuzzy_name_match",
 ]
 FINAL_AUDITED = list(dict.fromkeys(FINAL_AUDITED))
 
