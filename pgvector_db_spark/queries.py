@@ -12849,6 +12849,118 @@ def rel_snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# Streaming ingest INTO the versioned table across a mid-stream ADD
+# COLUMN — the 33rd real Structured Streaming run, coupling the
+# lakehouse write path with schema evolution. Row width is a function
+# of the ROW (even keys narrow, odd keys +o_flag), not of the batch,
+# because the replay's file split varies between runs (replay.py) —
+# each micro-batch commits its narrow slice and its wide slice
+# separately, so narrow-after-wide inserts exercise the
+# omission-null-fill contract and wide-after-narrow the ADD COLUMN, in
+# whatever interleaving the stream delivers. The final table state is
+# batch-order INVARIANT (inserts are additive, width is per-row), so
+# the unchanged relational oracle checks it exactly.
+@register(
+    "stream_snapshot_evolving_ingest",
+    """
+    WITH b1 AS (SELECT o_orderkey, o_totalprice FROM orders
+                WHERE o_orderkey % 2 = 0),
+    b2 AS (SELECT o_orderkey, o_totalprice, o_orderkey % 3 AS o_flag
+           FROM orders WHERE o_orderkey % 2 = 1)
+    SELECT CAST((SELECT COUNT(*) FROM b1) + (SELECT COUNT(*) FROM b2)
+               AS BIGINT) AS n_rows,
+           CAST(1 AS INT) AS has_flag_col,
+           CAST((SELECT COUNT(*) FROM b2) AS BIGINT) AS flag_nonnull,
+           CAST((SELECT SUM(o_flag) FROM b2) AS BIGINT) AS sum_flag,
+           CAST((SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM b1)
+                + (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM b2)
+               AS DOUBLE) AS sum_price
+    """,
+    tags=("streaming", "snapshot", "schema-evolution", "maintenance"),
+)
+def stream_snapshot_evolving_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay orders as 4 micro-batches; foreachBatch commits each
+    batch's even-key rows narrow and odd-key rows with the added
+    o_flag column into ONE SnapshotTable. Whichever slice lands first
+    sets the schema; later narrow slices omission-null-fill and later
+    wide slices evolve — the read applies the manifest schema either
+    way. The drained table must equal the relational recompute
+    exactly (rows, null accounting, flag sum, price sum)."""
+    import shutil
+    import tempfile
+
+    from pgvector_db_spark.catalog import table_path
+    from pgvector_db_spark.sources.snapshots import SnapshotTable
+    from pgvector_db_spark.streaming.replay import (
+        file_stream,
+        stage_replay_splits,
+    )
+
+    orders_path = table_path(sf_dir, "orders")
+    replay_dir = os.path.join(
+        tempfile.gettempdir(), f"orders_replay4evo_{_fixture_tag(sf_dir)}"
+    )
+    stage_replay_splits(spark, orders_path, replay_dir, n_files=4)
+    schema = spark.read.parquet(orders_path).schema
+    src = file_stream(spark, replay_dir, schema, max_files_per_trigger=1)
+
+    tmp = tempfile.mkdtemp(prefix="snap_evo_stream_")
+    try:
+        st = SnapshotTable(
+            spark, f"{tmp}/orders", required_cols=("o_orderkey",)
+        )
+
+        def fold(batch: DataFrame, _bid: int) -> None:
+            narrow = batch.filter(F.col("o_orderkey") % 2 == 0).select(
+                "o_orderkey", "o_totalprice"
+            )
+            wide = batch.filter(F.col("o_orderkey") % 2 == 1).select(
+                "o_orderkey",
+                "o_totalprice",
+                (F.col("o_orderkey") % 3).alias("o_flag"),
+            )
+            # commit per slice; empty slices commit nothing (an empty
+            # file set would still be a legal version, just noise)
+            if narrow.limit(1).count():
+                st.insert(narrow)
+            if wide.limit(1).count():
+                st.insert(wide)
+
+        q = (
+            src.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        landed = st.read()
+        _require(
+            "o_flag" in landed.columns,
+            f"evolution never happened: {landed.columns}",
+        )
+        out = landed.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count("o_flag").cast("bigint").alias("flag_nonnull"),
+            F.coalesce(F.sum("o_flag"), F.lit(0))
+            .cast("bigint")
+            .alias("sum_flag"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        ).select(
+            "n_rows",
+            F.lit(1).cast("int").alias("has_flag_col"),
+            "flag_nonnull",
+            "sum_flag",
+            "sum_price",
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # Linear-regression aggregates (Postgres/SQL-standard regr_slope /
 # regr_intercept / corr parity): computed from EXACT integer moment sums
 # (quantity is integral; price on the cents grid; cross-moments summed

@@ -171,9 +171,15 @@ class SnapshotTable:
         return self.manifest(version).get("schema") if version else None
 
     def _evolve_schema(self, df: DataFrame) -> dict:
-        """The schema the next commit records: parent columns (exact
-        types enforced) followed by any NEW columns ``df`` appends —
-        Delta-style additive evolution; drops/retypes/renames raise."""
+        """The schema the next commit records: parent columns followed
+        by any NEW columns ``df`` appends — Delta-style additive
+        evolution. A batch may OMIT known columns (its files simply
+        lack them; the manifest-schema read path NULL-fills, exactly as
+        it does for pre-evolution files — a table's schema only grows,
+        so "drop" doesn't exist, only omission). Retyping an existing
+        column raises: the manifest schema is applied to every file,
+        so one file holding a different physical type would corrupt
+        every read."""
         new_schema = json.loads(df.schema.json())
         parent = self.latest_version()
         cur = self._schema_of(parent)
@@ -182,12 +188,7 @@ class SnapshotTable:
         new_fields = {f["name"]: f for f in new_schema["fields"]}
         for f in cur["fields"]:
             got = new_fields.get(f["name"])
-            if got is None:
-                raise ValueError(
-                    f"schema evolution is additive-only: column "
-                    f"{f['name']!r} missing from the incoming batch"
-                )
-            if got["type"] != f["type"]:
+            if got is not None and got["type"] != f["type"]:
                 raise ValueError(
                     f"schema evolution cannot retype column "
                     f"{f['name']!r}: {f['type']!r} -> {got['type']!r}"

@@ -120,14 +120,18 @@ def test_schema_evolution_add_column(spark, st):
     assert sorted(map(tuple, v1.collect())) == [(1, "a"), (2, "b")]
 
 
-def test_schema_evolution_rejects_drop_and_retype(spark, st):
+def test_schema_evolution_omission_fills_and_retype_raises(spark, st):
     st.insert(_df(spark, [(1, "a")]))
-    with pytest.raises(ValueError, match="missing"):
-        st.insert(spark.createDataFrame([(2,)], "k int"))
+    # a batch may omit known columns: its rows NULL-fill on read
+    # (Delta semantics — the schema only grows, "drop" is omission)
+    st.insert(spark.createDataFrame([(2,)], "k int"))
+    got = {r["k"]: r["v"] for r in st.read().collect()}
+    assert got == {1: "a", 2: None}
+    assert st.read().columns == ["k", "v"]
     with pytest.raises(ValueError, match="retype"):
-        st.insert(spark.createDataFrame([(2, 5)], "k int, v int"))
+        st.insert(spark.createDataFrame([(3, 5)], "k int, v int"))
     # failed evolution commits nothing
-    assert st.latest_version() == 1
+    assert st.latest_version() == 2
 
 
 def test_schema_evolution_upsert_null_fills_survivors(spark, st):
