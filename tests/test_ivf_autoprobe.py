@@ -177,3 +177,18 @@ def test_rebuild_decision_lifecycle(spark, idx_and_queries, tmp_path):
         row["recall_rebuilt_micro"] + 100_000 >= row["recall_after_micro"]
     )
     assert row["recall_before_micro"] > 0
+
+
+def test_deterministic_centroids_partition_invariant(spark, idx_and_queries):
+    """The whole point of deterministic_sample_centroids: identical
+    centers regardless of how the input happens to be partitioned
+    (seeded MLlib KMeans fails exactly this)."""
+    from pgvector_db_spark.operators.ivf import (
+        deterministic_sample_centroids,
+    )
+
+    _, _, emb = idx_and_queries
+    c1 = deterministic_sample_centroids(emb, 8)
+    c2 = deterministic_sample_centroids(emb.repartition(7), 8)
+    c3 = deterministic_sample_centroids(emb.coalesce(1), 8)
+    assert c1 == c2 == c3
