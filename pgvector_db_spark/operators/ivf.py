@@ -94,6 +94,13 @@ class IVFIndex:
         """
         if metric not in ("cosine", "l2", "ip"):
             raise ValueError(f"unsupported metric: {metric}")
+        if centroids is not None and len(centroids) != lists:
+            # silent mismatch would skew every downstream nprobe/curve
+            # computation keyed to `lists`
+            raise ValueError(
+                f"explicit centroids ({len(centroids)}) != lists ({lists}); "
+                f"pass lists=len(centroids)"
+            )
         from pgvector_db_spark.functions.vector import l2_norm
 
         spark = df.sparkSession

@@ -147,10 +147,17 @@ class SnapshotTable:
         return names, n
 
     def _commit(
-        self, op: str, files: list[str], n_rows: int, schema: dict
+        self, op: str, files: list[str], n_rows: int, df: DataFrame
     ) -> int:
+        """Single-writer commit: the evolved schema is computed INSIDE
+        the lock from the parent actually observed there. Computing it
+        earlier (pre-lock) races a concurrent ADD COLUMN: the new
+        manifest would list that writer's files but omit its column,
+        and the manifest-schema read path would silently drop the
+        column's data from every subsequent read."""
         with file_lock(self._lock_path()):
             parent = self.latest_version()
+            schema = self._evolve_schema(df, parent)
             version = parent + 1
             commit_json(
                 self._manifest_path(version),
@@ -170,7 +177,7 @@ class SnapshotTable:
         which read with footer inference exactly as before)."""
         return self.manifest(version).get("schema") if version else None
 
-    def _evolve_schema(self, df: DataFrame) -> dict:
+    def _evolve_schema(self, df: DataFrame, parent: int) -> dict:
         """The schema the next commit records: parent columns followed
         by any NEW columns ``df`` appends — Delta-style additive
         evolution. A batch may OMIT known columns (its files simply
@@ -179,12 +186,18 @@ class SnapshotTable:
         so "drop" doesn't exist, only omission). Retyping an existing
         column raises: the manifest schema is applied to every file,
         so one file holding a different physical type would corrupt
-        every read."""
+        every read. ``parent`` is the version observed under the commit
+        lock — callers must hold the lock (see _commit)."""
         new_schema = json.loads(df.schema.json())
-        parent = self.latest_version()
+        if parent == 0:
+            return new_schema
         cur = self._schema_of(parent)
         if cur is None:
-            return new_schema
+            # pre-evolution log (manifests without a schema field):
+            # seed evolution from the files' inferred schema, not from
+            # df alone — a batch omitting a legacy column must NULL-fill
+            # only its own files, not drop the column table-wide
+            cur = json.loads(self.read(parent).schema.json())
         new_fields = {f["name"]: f for f in new_schema["fields"]}
         for f in cur["fields"]:
             got = new_fields.get(f["name"])
@@ -201,10 +214,10 @@ class SnapshotTable:
         """Validated append as a new version: parent's files + new files.
         Returns the committed version number."""
         self._validator.validate(df)
-        schema = self._evolve_schema(df)
         names, n = self._stage_files(df)
         with file_lock(self._lock_path()):
             parent = self.latest_version()
+            schema = self._evolve_schema(df, parent)
             version = parent + 1
             prev = self.manifest(parent)["files"] if parent else []
             prev_rows = self.manifest(parent)["n_rows"] if parent else 0
@@ -229,9 +242,8 @@ class SnapshotTable:
         time travel never has to reconcile incompatible schemas. A
         table whose columns must shrink is a new table."""
         self._validator.validate(df)
-        schema = self._evolve_schema(df)
         names, n = self._stage_files(df)
-        return self._commit("overwrite", names, n, schema)
+        return self._commit("overwrite", names, n, df)
 
     def upsert(self, df: DataFrame, key: str) -> int:
         """Copy-on-write merge by key, committed as a new version. The
@@ -239,7 +251,6 @@ class SnapshotTable:
         self._validator.validate(df)
         if self.latest_version() == 0:
             return self.overwrite(df)
-        schema = self._evolve_schema(df)
         current = self.read()
         keys = df.select(key).distinct()
         survivors = current.join(keys, key, "left_anti")
@@ -248,7 +259,9 @@ class SnapshotTable:
         # the manifest-schema read path applies to old files)
         merged = survivors.unionByName(df, allowMissingColumns=True)
         names, n = self._stage_files(merged)
-        return self._commit("upsert", names, n, schema)
+        # merged carries parent columns + df's additions, so evolving
+        # from it under the lock records the full column set
+        return self._commit("upsert", names, n, merged)
 
     # -- maintenance ----------------------------------------------------------
 
