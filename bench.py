@@ -3,9 +3,18 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is executed twice and the faster run recorded, so JIT/codegen
-warmup doesn't dominate; session startup is excluded (the metric is query
-execution, matching how BASELINE.md reports per-op latencies).
+Contention-robust protocol (r10 VERDICT item #1): every timed query runs
+REPS (=3) times and the FASTEST rep is recorded — on a quiet host the
+three reps agree and min==median; on a contended host the min is the
+closest observable to the true cost, and the recorded per-query
+rep-spread (slowest/fastest ratio, "spread" in the printed line as the
+max over headline queries, per-query in bench_full.json) tells a reader
+exactly how noisy the run was. r10's driver artifact recorded a phantom
+52% regression purely from host contention; with the spread recorded the
+artifact is self-diagnosing. JIT/codegen warmup lands in rep 1 and is
+excluded by the min exactly as before; session startup is excluded (the
+metric is query execution, matching how BASELINE.md reports per-op
+latencies).
 """
 
 from __future__ import annotations
@@ -20,6 +29,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from pgvector_db_spark import get_spark  # noqa: E402
 from pgvector_db_spark.queries import REGISTRY  # noqa: E402
+
+REPS = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+
+# per-query rep times from the current process, keyed by metric name —
+# written to bench_full.json so any single number can be audited
+REP_TIMES: dict[str, list[float]] = {}
 
 # Headline set: the reference's core read path (exact kNN, query-by-example),
 # its aggregate demo, plus representative relational / dataset-pipeline ops.
@@ -36,16 +51,38 @@ HEADLINE = [
 ]
 
 
-def run_query(spark, name: str, sf_dir: str) -> float:
-    best = float("inf")
-    for _ in range(2):
+def run_query(spark, name: str, sf_dir: str, key: str | None = None) -> float:
+    reps: list[float] = []
+    for _ in range(REPS):
         t0 = time.time()
         df = REGISTRY[name].spark_fn(spark, sf_dir)
         n = df.count()
-        dt = time.time() - t0
-        best = min(best, dt)
+        reps.append(time.time() - t0)
         assert n >= 0
-    return best
+    REP_TIMES[key or name] = [round(r, 4) for r in reps]
+    return min(reps)
+
+
+def rep_ratio(reps: list[float]) -> float:
+    """Slowest/fastest ratio over the POST-WARMUP reps (rep 1 carries
+    codegen/JIT warmup by design and would read as phantom contention);
+    with fewer than 3 reps, over all of them."""
+    r = reps[1:] if len(reps) >= 3 else reps
+    lo = min(r)
+    return round(max(r) / lo, 3) if lo > 0 else 1.0
+
+
+def time_reps(key: str, thunk) -> float:
+    """min over REPS runs of ``thunk`` (seconds), rep times recorded
+    under ``key`` — the one timing discipline every derived metric
+    shares with run_query."""
+    reps: list[float] = []
+    for _ in range(REPS):
+        t0 = time.time()
+        thunk()
+        reps.append(time.time() - t0)
+    REP_TIMES[key] = [round(r, 4) for r in reps]
+    return min(reps)
 
 
 def derived_metrics(spark, sf_dir: str, timings: dict[str, float]) -> dict[str, float]:
@@ -78,7 +115,12 @@ def derived_metrics(spark, sf_dir: str, timings: dict[str, float]) -> dict[str, 
     # with the injected stub model: measures the Arrow/Python pipeline
     # cost per row — the harness ceiling any real model runs under
     def _embed_real_path() -> None:
-        dt = run_query(spark, "ds_embed_injected_model", sf_dir)
+        dt = run_query(
+            spark,
+            "ds_embed_injected_model",
+            sf_dir,
+            key="embed_mapinpandas_rows_per_sec",
+        )
         out["embed_mapinpandas_rows_per_sec"] = round(n_docs / dt, 1)
 
     if "ds_embed_injected_model" in REGISTRY:
@@ -87,12 +129,19 @@ def derived_metrics(spark, sf_dir: str, timings: dict[str, float]) -> dict[str, 
     def _ingest() -> None:
         tmp = tempfile.mkdtemp(prefix="bench_ingest_")
         try:
-            table = ParquetTable(
-                spark, os.path.join(tmp, "docs"), required_cols=("text",)
-            )
-            t0 = _t.time()
-            table.insert(t["documents"])
-            dt = _t.time() - t0
+            # fresh subdir per rep: each rep pays the identical
+            # from-empty insert, so min-of-reps is apples-to-apples
+            reps = iter(range(REPS * 2))
+
+            def _one() -> None:
+                table = ParquetTable(
+                    spark,
+                    os.path.join(tmp, f"docs{next(reps)}"),
+                    required_cols=("text",),
+                )
+                table.insert(t["documents"])
+
+            dt = time_reps("ingest_rows_per_sec", _one)
             out["ingest_rows_per_sec"] = round(n_docs / dt, 1)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
@@ -117,15 +166,13 @@ def derived_metrics(spark, sf_dir: str, timings: dict[str, float]) -> dict[str, 
         emb = t["embeddings"]
         qvec = _query_vec(emb, sf_dir)
 
-        # same discipline as run_query: two reps, best kept, so codegen
-        # warmup doesn't masquerade as probe latency
+        # same discipline as run_query: REPS reps, best kept + spread
+        # recorded, so codegen warmup doesn't masquerade as probe
+        # latency and host contention is visible in the artifact
         def _best2(key: str, thunk) -> None:
-            best = float("inf")
-            for _ in range(2):
-                t0 = _t.time()
-                thunk().collect()
-                best = min(best, _t.time() - t0)
-            out[key] = round(best * 1000, 1)
+            out[key] = round(
+                time_reps(key, lambda: thunk().collect()) * 1000, 1
+            )
 
         ivf_path = _ivf_cache(spark, sf_dir, emb)
         idx = IVFIndex(spark, ivf_path, "embedding", "vec_id")
@@ -161,14 +208,16 @@ def derived_metrics(spark, sf_dir: str, timings: dict[str, float]) -> dict[str, 
             "model.json",
             lambda p: build_sq8_layout(emb, p),
         )
-        best = float("inf")
-        for _ in range(2):
-            t0 = _t.time()
-            search_sq8_layout(
-                spark, sq_path, list(qvec), k_top=10, shortlist=50
-            ).collect()
-            best = min(best, _t.time() - t0)
-        out["knn_sq8_layout_ms"] = round(best * 1000, 1)
+        out["knn_sq8_layout_ms"] = round(
+            time_reps(
+                "knn_sq8_layout_ms",
+                lambda: search_sq8_layout(
+                    spark, sq_path, list(qvec), k_top=10, shortlist=50
+                ).collect(),
+            )
+            * 1000,
+            1,
+        )
 
     _try(_probe_timings)
 
@@ -239,7 +288,7 @@ def derived_metrics(spark, sf_dir: str, timings: dict[str, float]) -> dict[str, 
     ):
         if name in REGISTRY:
             _try(lambda n=name, k=key: out.__setitem__(
-                k, round(run_query(spark, n, sf_dir) * 1000, 1)
+                k, round(run_query(spark, n, sf_dir, key=k) * 1000, 1)
             ))
 
     # The on-the-fly LSH number above pays 6 hyperplane dot-products per
@@ -256,12 +305,13 @@ def derived_metrics(spark, sf_dir: str, timings: dict[str, float]) -> dict[str, 
 
         lsh_path = _lsh_cache(sf_dir, t["embeddings"])
         qv = list(t["embeddings"].filter("vec_id = 0").first()["embedding"])
-        best = float("inf")
-        for _ in range(2):
-            t0 = _t.time()
+
+        def _one() -> None:
             assert search_lsh_layout(spark, lsh_path, qv, 10).count() >= 0
-            best = min(best, _t.time() - t0)
-        out["knn_lsh_layout_ms"] = round(best * 1000, 1)
+
+        out["knn_lsh_layout_ms"] = round(
+            time_reps("knn_lsh_layout_ms", _one) * 1000, 1
+        )
 
     _try(_lsh_layout)
 
@@ -270,9 +320,13 @@ def derived_metrics(spark, sf_dir: str, timings: dict[str, float]) -> dict[str, 
     def _dedup() -> None:
         from pgvector_db_spark.operators.dedup import minhash_lsh_pairs
 
-        t0 = _t.time()
-        minhash_lsh_pairs(t["documents"], hash_fn="xxhash64").count()
-        out["dedup_docs_per_sec"] = round(n_docs / (_t.time() - t0), 1)
+        dt = time_reps(
+            "dedup_docs_per_sec",
+            lambda: minhash_lsh_pairs(
+                t["documents"], hash_fn="xxhash64"
+            ).count(),
+        )
+        out["dedup_docs_per_sec"] = round(n_docs / dt, 1)
 
     _try(_dedup)
 
@@ -330,11 +384,13 @@ def derived_metrics(spark, sf_dir: str, timings: dict[str, float]) -> dict[str, 
     def _substring_dedup() -> None:
         from pgvector_db_spark.operators.dedup import substring_dup_stats
 
-        t0 = _t.time()
-        substring_dup_stats(t["documents"], n=5, hash_fn="xxhash64").count()
-        out["substring_dedup_docs_per_sec"] = round(
-            n_docs / (_t.time() - t0), 1
+        dt = time_reps(
+            "substring_dedup_docs_per_sec",
+            lambda: substring_dup_stats(
+                t["documents"], n=5, hash_fn="xxhash64"
+            ).count(),
         )
+        out["substring_dedup_docs_per_sec"] = round(n_docs / dt, 1)
 
     _try(_substring_dedup)
 
@@ -357,18 +413,16 @@ def derived_metrics(spark, sf_dir: str, timings: dict[str, float]) -> dict[str, 
             for m in range(1, 8):
                 idx.append(t["documents"].filter(f"doc_id % 8 = {m}"))
 
-            def _time_search() -> float:
-                best = float("inf")
-                for _ in range(2):
-                    t0 = _t.time()
+            def _time_search(key: str) -> float:
+                def _one() -> None:
                     assert idx.search(terms, k=20).count() >= 0
-                    best = min(best, _t.time() - t0)
-                return round(best * 1000, 1)
 
-            out["bm25_search_8seg_ms"] = _time_search()
+                return round(time_reps(key, _one) * 1000, 1)
+
+            out["bm25_search_8seg_ms"] = _time_search("bm25_search_8seg_ms")
             idx.compact()
             assert idx.segment_count() == 1
-            out["bm25_search_1seg_ms"] = _time_search()
+            out["bm25_search_1seg_ms"] = _time_search("bm25_search_1seg_ms")
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
@@ -396,14 +450,16 @@ def derived_metrics(spark, sf_dir: str, timings: dict[str, float]) -> dict[str, 
             )
         )
         nq = n_emb * reps
-        t0 = _t.time()
-        # count OUTSIDE the assert: under python -O the assert statement
-        # (and the only action with it) would be stripped entirely
-        n_rows = idx.batch_search(
-            queries, k=10, nprobe=1, mode="distributed"
-        ).count()
-        dt = _t.time() - t0
-        assert n_rows >= nq  # k results per query (>= nq rows)
+
+        def _one() -> None:
+            # count OUTSIDE the assert: under python -O the assert
+            # statement (and the only action with it) would be stripped
+            n_rows = idx.batch_search(
+                queries, k=10, nprobe=1, mode="distributed"
+            ).count()
+            assert n_rows >= nq  # k results per query (>= nq rows)
+
+        dt = time_reps("batch_ann_queries_per_sec", _one)
         out["batch_ann_queries_per_sec"] = round(nq / dt, 1)
         out["batch_ann_batch_size"] = nq
 
@@ -430,13 +486,24 @@ def main() -> None:
         print(f"bench: derived metrics failed: {exc}", file=sys.stderr)
         derived = {}
 
+    # slowest/fastest post-warmup rep ratio per timed key; the headline
+    # max goes in the printed line ("spread") so a contended run is
+    # self-flagging — a spread near 1.0 means the min is trustworthy, a
+    # spread of 1.5+ means the host was noisy and solo reruns are
+    # warranted
+    rep_spread = {k: rep_ratio(r) for k, r in REP_TIMES.items() if r}
+    headline_spread = [rep_spread[n] for n in HEADLINE if n in rep_spread]
     out = {
         "metric": "headline_suite_sec",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "reps": REPS,
+        "spread": max(headline_spread) if headline_spread else None,
         "derived": derived,
+        "rep_spread": rep_spread,
+        "rep_times": REP_TIMES,
     }
 
     # The external driver captures only the LAST ~2000 chars of stdout;
@@ -489,10 +556,14 @@ MAX_LINE = 1900
 
 def compact_line(out: dict, derived: dict) -> str:
     """The (≤ MAX_LINE chars) single JSON line for the driver: headline
-    suite + the BASELINE-comparable core derived metrics, dropping
-    extras until it fits. Split out of main() so the size invariant is
-    unit-testable (tests/test_bench_contract.py)."""
-    compact = dict(out)
+    suite + reps/spread + the BASELINE-comparable core derived metrics,
+    dropping extras until it fits. Per-key rep times and spreads stay in
+    bench_full.json only (they'd blow the window). Split out of main()
+    so the size invariant is unit-testable
+    (tests/test_bench_contract.py)."""
+    compact = {
+        k: v for k, v in out.items() if k not in ("rep_spread", "rep_times")
+    }
     compact["derived"] = {k: derived[k] for k in CORE_KEYS if k in derived}
     compact["full"] = "bench_full.json"
     line = json.dumps(compact)
