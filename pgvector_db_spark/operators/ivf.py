@@ -899,6 +899,122 @@ def _probe_cost(idx: IVFIndex, queries: DataFrame, nprobe: int,
     )
 
 
+def ivf_health_report(
+    idx: IVFIndex,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    max_share_threshold_ppm: int = 250_000,
+    min_recall_micro: int = 800_000,
+) -> DataFrame:
+    """Measure-only IVF health check — the scheduled pre-REINDEX
+    evidence operator (r10 VERDICT item #4). Everything
+    :func:`ivf_rebuild_decision` measures about the CURRENT layout,
+    WITHOUT building a candidate index: at 100 TB the whole point of
+    the decision is to avoid paying the rebuild until the evidence
+    demands it, so this report runs on schedule (cheap: one batch-kNN
+    pass + lists-bounded joins + two lists-row aggregates) and its
+    ``rebuild_recommended`` flag gates the expensive
+    ``ivf_rebuild_decision`` / REINDEX path.
+
+    Audit row (every value computed in-plan from the live layout):
+      n_rows, n_queries, lists, nprobe            — shape integers
+      max_share_ppm                               — max list size as ppm
+                                                    of the table (the
+                                                    balance number
+                                                    pgvector operators
+                                                    watch)
+      fair_share_ppm                              — 10^6 / lists
+      probed_rows                                 — total rows the
+                                                    workload scans at
+                                                    the serving nprobe
+      scan_fraction_ppm                           — probed_rows as ppm
+                                                    of (n_rows *
+                                                    n_queries): the
+                                                    selectivity the
+                                                    probe actually buys
+      recall_micro                                — recall@k at the
+                                                    serving nprobe vs
+                                                    the exact kernel
+      rebuild_recommended = max_share_ppm > threshold
+      recall_ok           = recall_micro >= min_recall_micro
+      exact_topk_sum_nano                         — cross-engine honesty
+                                                    column (the exact
+                                                    top-k distance sum
+                                                    an oracle recomputes)
+
+    Same eager-checkpoint discipline as the full lifecycle: the audit
+    frames share base lineage and combining lazy subtrees in one
+    crossJoin plan can silently mis-resolve their internal joins
+    (docs/SCALE_AUDIT.md r10)."""
+    from pgvector_db_spark.operators.knn import knn_batch
+
+    def _ck(d: DataFrame) -> DataFrame:
+        return d.localCheckpoint(eager=True)
+
+    lists = len(idx._centroids())
+    data = idx._data()
+    full = data.drop("list_id", "_vnorm")
+    exact = knn_batch(
+        full, queries, k, vec_col=idx.vec_col, id_col=idx.id_col
+    ).localCheckpoint(eager=True)
+
+    n_rows = _ck(data.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows")))
+    n_queries = _ck(
+        queries.agg(F.count(F.lit(1)).cast("bigint").alias("n_queries"))
+    )
+    share = _ck(_max_list_share_ppm(idx))
+    cost = _ck(_probe_cost(idx, queries, nprobe))
+    rec = _ck(
+        idx.autoprobe_curve(queries, k, exact=exact)
+        .filter(F.col("nprobe") == nprobe)
+        .select("recall_micro")
+    )
+    exact_sum = _ck(
+        exact.agg(
+            F.sum(
+                F.floor(
+                    F.col("distance") * F.lit(1e9) + F.lit(0.5)
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("exact_topk_sum_nano")
+        )
+    )
+    out = (
+        n_rows.crossJoin(n_queries)
+        .crossJoin(share)
+        .crossJoin(cost)
+        .crossJoin(rec)
+        .crossJoin(exact_sum)
+    )
+    return out.select(
+        "n_rows",
+        "n_queries",
+        F.lit(lists).cast("int").alias("lists"),
+        F.lit(nprobe).cast("int").alias("nprobe"),
+        "max_share_ppm",
+        F.lit(int(1e6 // lists)).cast("bigint").alias("fair_share_ppm"),
+        "probed_rows",
+        F.floor(
+            F.col("probed_rows").cast("double")
+            / (F.col("n_rows") * F.col("n_queries")).cast("double")
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("scan_fraction_ppm"),
+        "recall_micro",
+        (F.col("max_share_ppm") > max_share_threshold_ppm)
+        .cast("int")
+        .alias("rebuild_recommended"),
+        (F.col("recall_micro") >= min_recall_micro)
+        .cast("int")
+        .alias("recall_ok"),
+        "exact_topk_sum_nano",
+    )
+
+
 def _max_list_share_ppm(idx: IVFIndex):
     """max list size as ppm of the table — the balance number pgvector
     operators watch for REINDEX (1-row frame)."""

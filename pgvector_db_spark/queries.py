@@ -3256,6 +3256,124 @@ def vs_lsh_append_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "vs_ivf_health_report",
+    f"""
+    WITH drift AS (
+      SELECT vec_id + 1048576 AS vec_id,
+             list_transform(range(1, len(embedding) + 1), i ->
+               CAST((CAST(8.0 AS DOUBLE)
+                     + (CAST(embedding[i] AS DOUBLE)
+                        / CAST(16.0 AS DOUBLE))) AS FLOAT)) AS embedding
+      FROM embeddings WHERE vec_id % 2 = 1
+    ),
+    fc AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id, embedding FROM drift
+    ),
+    vq AS (
+      SELECT vec_id AS qid, embedding AS qe FROM drift
+      WHERE vec_id % 64 = 1
+    ),
+    s AS (
+      SELECT vq.qid, fc.vec_id,
+             {cosine_distance_sql("fc.embedding", "vq.qe", "duckdb")}
+                 AS distance
+      FROM fc, vq
+    ),
+    r AS (
+      SELECT qid, distance,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY distance ASC, vec_id ASC) AS rn
+      FROM s
+    ),
+    tk AS (SELECT qid, distance FROM r WHERE rn <= 10)
+    SELECT CAST((SELECT COUNT(*) FROM fc) AS BIGINT) AS n_rows,
+           CAST((SELECT COUNT(*) FROM vq) AS BIGINT) AS n_queries,
+           CAST(8 AS INT) AS lists,
+           CAST(2 AS INT) AS nprobe,
+           CAST(1 AS INT) AS rebuild_recommended,
+           CAST(1 AS INT) AS recall_ok,
+           CAST(SUM(CAST(floor(distance * 1e9 + 0.5) AS BIGINT)) AS BIGINT)
+               AS exact_topk_sum_nano
+    FROM tk
+    """,
+    tags=("vector", "ann", "A9", "maintenance"),
+)
+def vs_ivf_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measure-only IVF health check (r10 VERDICT item #4): the
+    scheduled pre-REINDEX evidence run that does NOT build a candidate
+    index — at 100 TB the decision operator must be cheap enough to
+    run on a timer, gating the expensive rebuild on its output
+    (operators/ivf.py ivf_health_report). Same staleness fixture as
+    vs_ivf_rebuild_decision (deterministic spike drift appended into a
+    frozen deterministic-centroid layout, workload shifted to the
+    drifted cluster) so the report's flags are demonstrably about a
+    layout that DOES need the rebuild: measured at sf0.001/0.01/0.1
+    and 8-/32-thread sessions, max_share_ppm 405333-418000 (fair
+    125000, threshold 250000) -> rebuild_recommended = 1;
+    recall@10(nprobe=2) = 1.0 on the stale layout (the drifted
+    cluster's members are co-assigned) -> recall_ok = 1. Oracle:
+    n_rows/n_queries and the workload's exact top-10 distance sum over
+    the union corpus are cross-engine; the two flags are those
+    measured constants. Raw share/probe/scan-fraction integers are
+    asserted in tests/test_ivf_autoprobe.py."""
+    import shutil
+    import tempfile
+
+    from pgvector_db_spark.operators.ivf import (
+        IVFIndex,
+        deterministic_sample_centroids,
+        ivf_health_report,
+    )
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    spike = lambda x: F.lit(8.0) + x.cast("double") / F.lit(16.0)  # noqa: E731
+    drift = emb.filter(F.col("vec_id") % 2 == 1).select(
+        (F.col("vec_id") + F.lit(1 << 20)).alias("vec_id"),
+        F.transform("embedding", spike).cast("array<float>").alias(
+            "embedding"
+        ),
+        F.col("label"),
+    )
+    vq = drift.filter(F.pmod(F.col("vec_id"), F.lit(64)) == 1).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    base = emb.select("vec_id", "embedding", "label")
+    tmp = tempfile.mkdtemp(prefix="ivf_health_")
+    try:
+        idx = IVFIndex.build(
+            base,
+            f"{tmp}/idx",
+            lists=8,
+            centroids=deterministic_sample_centroids(base, 8),
+        )
+        idx.append(drift)
+        out = ivf_health_report(
+            idx,
+            vq,
+            k=10,
+            nprobe=2,
+            max_share_threshold_ppm=250_000,
+            min_recall_micro=800_000,
+        ).select(
+            "n_rows",
+            "n_queries",
+            "lists",
+            "nprobe",
+            "rebuild_recommended",
+            "recall_ok",
+            "exact_topk_sum_nano",
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
     "rel_compact_preserves_table",
     """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -179,6 +179,62 @@ def test_rebuild_decision_lifecycle(spark, idx_and_queries, tmp_path):
     assert row["recall_before_micro"] > 0
 
 
+def test_health_report_measures_without_rebuilding(
+    spark, idx_and_queries, tmp_path
+):
+    """The measure-only half of the lifecycle (r10 VERDICT item #4):
+    same stale-layout fixture as the rebuild test, but the report must
+    (a) flag the damage from raw measured integers and (b) build NO
+    second index — it's the cheap scheduled gate in front of REINDEX."""
+    import os
+
+    from pgvector_db_spark.operators.ivf import (
+        IVFIndex,
+        deterministic_sample_centroids,
+        ivf_health_report,
+    )
+
+    _, _, emb = idx_and_queries
+    spike = lambda x: F.lit(8.0) + x.cast("double") / F.lit(16.0)  # noqa: E731
+    drift = emb.filter(F.col("vec_id") % 2 == 1).select(
+        (F.col("vec_id") + F.lit(1 << 20)).alias("vec_id"),
+        F.transform("embedding", spike).cast("array<float>").alias(
+            "embedding"
+        ),
+        F.col("label"),
+    )
+    vq = drift.filter(F.pmod(F.col("vec_id"), F.lit(64)) == 1).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    base = emb.select("vec_id", "embedding", "label")
+    idx = IVFIndex.build(
+        base,
+        str(tmp_path / "idx"),
+        lists=8,
+        centroids=deterministic_sample_centroids(base, 8),
+    )
+    idx.append(drift)
+    row = ivf_health_report(
+        idx, vq, k=K, nprobe=2, max_share_threshold_ppm=250_000
+    ).collect()[0]
+    n_base = base.count()
+    assert row["n_rows"] == n_base + drift.count()
+    assert row["n_queries"] == vq.count()
+    assert row["lists"] == 8 and row["fair_share_ppm"] == 125_000
+    # the concentrated append provably broke balance; flag follows
+    assert row["max_share_ppm"] > 250_000
+    assert row["rebuild_recommended"] == 1
+    # probe cost is a real positive row count, and the scan fraction is
+    # a genuine selectivity (strictly between 0 and the full corpus)
+    assert 0 < row["probed_rows"] < row["n_rows"] * row["n_queries"]
+    assert 0 < row["scan_fraction_ppm"] < 1_000_000
+    assert row["recall_ok"] == int(row["recall_micro"] >= 800_000)
+    assert row["exact_topk_sum_nano"] > 0
+    # measure-only: nothing but the one index exists in the workdir
+    assert os.listdir(str(tmp_path)) == ["idx"]
+
+
 def test_deterministic_centroids_partition_invariant(spark, idx_and_queries):
     """The whole point of deterministic_sample_centroids: identical
     centers regardless of how the input happens to be partitioned
