@@ -183,6 +183,31 @@ def derived_metrics(spark, sf_dir: str, timings: dict[str, float]) -> dict[str, 
                 emb, list(qvec), k=10, num_bits=6, hamming_probe=2
             ),
         )
+        # sparse inverted-index probe vs the full sparse scan (the
+        # registry row knn_sparse_scan_ms below): the pruned serving
+        # path for sparsevec/SPLADE retrieval
+        from pgvector_db_spark.operators.sparse_index import SparseIndex
+        from pgvector_db_spark.queries import _sparse_idx_cache
+
+        sx = SparseIndex(spark, _sparse_idx_cache(spark, sf_dir, emb))
+        qe = [float(x) for x in qvec]
+        sqi = [i + 1 for i, x in enumerate(qe) if abs(x) > 0.1]
+        sqv = [qe[i - 1] for i in sqi]
+        _best2("knn_sparse_index_ms", lambda: sx.search(sqi, sqv, k=10))
+        # query-side pruning (SPLADE serving practice: drop low-weight
+        # query terms): the synthetic corpus is ~42% dense so the full
+        # query probes most buckets; a 5-term query shows the
+        # candidate pruning the layout exists for
+        top5 = sorted(
+            range(len(sqi)), key=lambda j: -abs(sqv[j])
+        )[:5]
+        p_qi = [sqi[j] for j in top5]
+        p_qv = [sqv[j] for j in top5]
+        _best2(
+            "knn_sparse_index_top5q_ms",
+            lambda: sx.search(p_qi, p_qv, k=10),
+        )
+
         pq_path = _ivfpq_path(spark, sf_dir)
         _best2(
             "knn_ivfpq_ms",
@@ -223,6 +248,7 @@ def derived_metrics(spark, sf_dir: str, timings: dict[str, float]) -> dict[str, 
 
     for name, key in (
         ("vs_knn_topk", "knn_exact_ms"),
+        ("vs_sparse_cosine_topk", "knn_sparse_scan_ms"),
         ("vs_matryoshka_rerank", "knn_matryoshka_ms"),
         ("vs_ivf_autoprobe", "ivf_autoprobe_ms"),
         ("ds_bm25_search", "bm25_ms"),

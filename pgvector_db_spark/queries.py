@@ -208,6 +208,25 @@ def _ivf_metric_cache(
     )
 
 
+def _sparse_idx_cache(spark: SparkSession, sf_dir: str, emb: DataFrame) -> str:
+    """The shared eps=0.1 num_buckets=16 sparse inverted index (atomic)
+    — operators/sparse_index.py, the sparsevec serving layout."""
+    import tempfile
+
+    from pgvector_db_spark.operators.sparse_index import SparseIndex
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"sparseidx_cache_{_fixture_tag(sf_dir)}"
+    )
+    return _atomic_cached_build(
+        path,
+        "META.json",
+        lambda p: SparseIndex.build(
+            emb, p, eps=0.1, num_buckets=16, carry_cols=("label",)
+        ),
+    )
+
+
 def _lsh_cache(sf_dir: str, emb: DataFrame) -> str:
     """The shared num_bits=6 LSH signature layout (atomic)."""
     import tempfile
@@ -8469,6 +8488,52 @@ _sql_query(
     _sparse_l2_knn("duckdb"),
     tags=("vector", "sparse", "l2"),
 )
+
+
+@register(
+    "vs_sparse_index_knn",
+    _sparse_knn("duckdb"),
+    tags=("vector", "sparse", "ann", "canary"),
+)
+def vs_sparse_index_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pruned sparse search (r10 VERDICT item #5): the persisted
+    inverted index over nonzero vector positions
+    (operators/sparse_index.py — the SPLADE serving layout, reusing the
+    BM25 postings discipline for vectors). Candidates = rows sharing
+    >= 1 retained index with the query, read via a
+    partition-pruned postings probe (bucket = term % 16); only
+    candidates are scored, with the IDENTICAL pinned sequential fold
+    the scan path uses — so this is the scale path that removes the
+    last full-corpus ANN scan from the registry. Losslessness: a
+    non-candidate row has zero overlap => cosine distance exactly 1.0,
+    so index == scan whenever k candidates score < 1.0; the entry runs
+    BOTH paths and requires them bitwise equal in-query (the
+    vs_bm25_scan_index_parity triangulation discipline) before
+    returning the scan rows against the unchanged scan oracle."""
+    from pgvector_db_spark.operators.sparse_index import SparseIndex
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    path = _sparse_idx_cache(spark, sf_dir, emb)
+    idx = SparseIndex(spark, path)
+    qe = [
+        float(x)
+        for x in emb.filter("vec_id = 0").first()["embedding"]
+    ]
+    # the query's sparse form, eps-pruned identically to the layout
+    # (1-based positions, float64 values — functions/sparse.py)
+    qi = [i + 1 for i, x in enumerate(qe) if abs(x) > 0.1]
+    qv = [qe[i - 1] for i in qi]
+    idx_rows = idx.search(qi, qv, k=10).collect()
+    scan = REGISTRY["vs_sparse_cosine_topk"].spark_fn(spark, sf_dir)
+    scan_rows = scan.collect()
+    _require(
+        [tuple(r) for r in scan_rows] == [tuple(r) for r in idx_rows],
+        "sparse scan path and index path diverged: "
+        f"scan={[tuple(r) for r in scan_rows]} "
+        f"index={[tuple(r) for r in idx_rows]}",
+    )
+    return spark.createDataFrame(scan_rows, scan.schema)
 
 
 # Cluster-canonical dedup: LSH pairs -> connected components -> keep the

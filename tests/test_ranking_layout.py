@@ -258,3 +258,100 @@ def test_kappa_bounds_and_identity(spark):
     )
     assert row["kappa_micro"] == expect
     assert -1_000_000 <= row["kappa_micro"] <= 1_000_000
+
+
+def test_sparse_index_parity_and_pruning(spark, tables, tmp_path):
+    """operators/sparse_index.py: (a) the index path is bitwise equal to
+    the full scan for queries whose top-k is overlap-reachable; (b) a
+    genuinely sparse query prunes the candidate set; (c) a query with
+    no overlapping index yields zero candidates (the losslessness
+    contract's boundary)."""
+    from pgvector_db_spark.functions.sparse import (
+        sparse_cosine_distance,
+        sparse_indices,
+        sparse_values,
+    )
+    from pgvector_db_spark.operators.sparse_index import SparseIndex
+    from pyspark.sql import functions as F
+
+    emb = tables["embeddings"]
+    idx = SparseIndex.build(
+        emb,
+        str(tmp_path / "sx"),
+        eps=0.1,
+        num_buckets=16,
+        carry_cols=("label",),
+    )
+    n = emb.count()
+    assert idx.meta()["n_rows"] == n
+
+    se = emb.select(
+        "vec_id",
+        "label",
+        sparse_indices("embedding", 0.1).alias("si"),
+        sparse_values("embedding", 0.1).alias("sv"),
+    )
+    for qid in (0, 7, 33):
+        q = se.filter(F.col("vec_id") == qid).first()
+        qi, qv = list(q["si"]), list(q["sv"])
+        scan = (
+            se.withColumn("_qi", F.array(*[F.lit(i) for i in qi]))
+            .withColumn("_qv", F.array(*[F.lit(v) for v in qv]))
+            .select(
+                "vec_id",
+                "label",
+                F.size("si").cast("int").alias("nnz"),
+                sparse_cosine_distance("si", "sv", "_qi", "_qv").alias(
+                    "distance"
+                ),
+            )
+            .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+            .limit(10)
+            .collect()
+        )
+        got = idx.search(qi, qv, k=10).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in scan], qid
+
+    # single-index query: candidates = only rows retaining that index
+    single = idx.candidates([1]).count()
+    with_1 = se.filter(F.array_contains("si", 1)).count()
+    assert single == with_1 < n
+    # out-of-range index: no postings, no candidates
+    assert idx.candidates([10**6]).count() == 0
+
+
+def test_sparse_index_ip_metric(spark, tables, tmp_path):
+    from pgvector_db_spark.functions.sparse import (
+        sparse_dot,
+        sparse_indices,
+        sparse_values,
+    )
+    from pgvector_db_spark.operators.sparse_index import SparseIndex
+    from pyspark.sql import functions as F
+
+    emb = tables["embeddings"]
+    idx = SparseIndex.build(emb, str(tmp_path / "sxip"), eps=0.1)
+    se = emb.select(
+        "vec_id",
+        sparse_indices("embedding", 0.1).alias("si"),
+        sparse_values("embedding", 0.1).alias("sv"),
+    )
+    q = se.filter("vec_id = 0").first()
+    qi, qv = list(q["si"]), list(q["sv"])
+    scan = (
+        se.withColumn("_qi", F.array(*[F.lit(i) for i in qi]))
+        .withColumn("_qv", F.array(*[F.lit(v) for v in qv]))
+        .select(
+            "vec_id",
+            F.size("si").cast("int").alias("nnz"),
+            (F.lit(0.0) - sparse_dot("si", "sv", "_qi", "_qv")).alias(
+                "distance"
+            ),
+        )
+        .filter(F.col("distance") < 0.0)
+        .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .limit(5)
+        .collect()
+    )
+    got = idx.search(qi, qv, k=5, metric="ip").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in scan]
