@@ -23,6 +23,23 @@ apply because the files are ordinary Parquet. Upsert is copy-on-write
 like ParquetTable.upsert (one anti-join shuffle) but non-destructive:
 the parent version's files survive, so the merge is also a snapshot.
 
+Log scale (r10 VERDICT item #6 — the Delta ``_last_checkpoint``
+shape): an ``insert`` manifest records only its DELTA (``add``: the
+new file names), so commit cost is O(batch), not O(table files) — the
+streaming entries commit per micro-batch, and a 100 TB table with
+thousands of commits must not pay O(commits × files) cumulative log.
+Every ``checkpoint_interval`` commits the writer also materializes a
+CHECKPOINT (``c<version>.json``: the full resolved file list) and
+atomically updates ``_last_checkpoint.json``. A read resolves its file
+list from the nearest checkpoint (or self-contained
+overwrite/upsert/legacy manifest) at-or-below the target plus the tail
+delta manifests after it — ≤ ``checkpoint_interval + 1`` metadata
+files opened regardless of table age (``last_metadata_reads`` records
+the actual count; gated by rel_snapshot_log_checkpoint and
+tests/test_snapshots.py). ``vacuum`` re-checkpoints the oldest kept
+version before dropping older manifests, so kept versions always
+resolve.
+
 Schema evolution: each manifest records the schema committed at that
 version. An insert/upsert may APPEND new columns (existing columns must
 keep their exact types — a mismatch raises); files written before the
@@ -61,9 +78,16 @@ class SnapshotTable:
         path: str,
         required_cols: tuple[str, ...] = (),
         vector_dims: dict[str, int] | None = None,
+        checkpoint_interval: int = 10,
     ) -> None:
+        if checkpoint_interval < 1:
+            raise ValueError("checkpoint_interval must be >= 1")
         self.spark = spark
         self.path = path.rstrip("/")
+        self.checkpoint_interval = checkpoint_interval
+        # metadata JSON files opened by the most recent read() — the
+        # O(1)-log-access evidence (<= checkpoint_interval + 1 always)
+        self.last_metadata_reads = 0
         # reuse the ingest-constraint validation (required cols +
         # VECTOR(n) dimension checks) without inheriting write paths
         self._validator = ParquetTable(
@@ -82,6 +106,12 @@ class SnapshotTable:
 
     def _manifest_path(self, version: int) -> str:
         return os.path.join(self._log_dir(), f"v{version:08d}.json")
+
+    def _checkpoint_path(self, version: int) -> str:
+        return os.path.join(self._log_dir(), f"c{version:08d}.json")
+
+    def _last_checkpoint_path(self) -> str:
+        return os.path.join(self._log_dir(), "_last_checkpoint.json")
 
     def _lock_path(self) -> str:
         return os.path.join(self._log_dir(), "COMMIT.lock")
@@ -102,6 +132,62 @@ class SnapshotTable:
     def manifest(self, version: int) -> dict:
         return read_json(self._manifest_path(version))
 
+    # -- file-list resolution (checkpoint + tail deltas) ----------------------
+
+    def _resolve_files(self, version: int) -> tuple[list[str], int]:
+        """Full file list of ``version`` and the number of metadata
+        JSON files opened to get it. Walks back from ``version``
+        collecting delta ``add`` lists until it hits a base — a
+        checkpoint, or a self-contained manifest (overwrite/upsert
+        write the full set; pre-r11 legacy manifests always did). The
+        writer checkpoints every ``checkpoint_interval`` commits, so
+        the walk is bounded: ≤ interval delta reads + 1 base read,
+        independent of table age."""
+        adds: list[list[str]] = []
+        reads = 0
+        v = version
+        base: list[str] = []
+        while v > 0:
+            cp = self._checkpoint_path(v)
+            if os.path.exists(cp):
+                base = read_json(cp)["files"]
+                reads += 1
+                break
+            m = self.manifest(v)
+            reads += 1
+            if "files" in m:
+                base = m["files"]
+                break
+            adds.append(m["add"])
+            v = m["parent"]
+        files = list(base)
+        for add in reversed(adds):
+            files.extend(add)
+        return files, reads
+
+    def _maybe_checkpoint(self, version: int) -> None:
+        """Materialize a full-file-list checkpoint every
+        ``checkpoint_interval`` commits and point ``_last_checkpoint``
+        at it (atomic replace — the Delta `_last_checkpoint` shape).
+        Called under the commit lock."""
+        if version % self.checkpoint_interval != 0:
+            return
+        self._write_checkpoint(version)
+
+    def _write_checkpoint(self, version: int) -> None:
+        files, _ = self._resolve_files(version)
+        m = self.manifest(version)
+        commit_json(
+            self._checkpoint_path(version),
+            {
+                "version": version,
+                "files": files,
+                "n_rows": m["n_rows"],
+                "schema": m.get("schema"),
+            },
+        )
+        commit_json(self._last_checkpoint_path(), {"version": version})
+
     # -- read (time travel) ---------------------------------------------------
 
     def read(self, version: int | None = None) -> DataFrame:
@@ -109,7 +195,12 @@ class SnapshotTable:
         if v == 0:
             raise FileNotFoundError(f"snapshot table {self.path} is empty")
         m = self.manifest(v)
-        paths = [os.path.join(self._data_dir(), f) for f in m["files"]]
+        names, reads = self._resolve_files(v)
+        # +1: the target manifest itself (schema + existence check);
+        # the walk may have re-opened it, but the bound stays
+        # <= interval + 2 either way — constant, never O(commits)
+        self.last_metadata_reads = reads + 1
+        paths = [os.path.join(self._data_dir(), f) for f in names]
         reader = self.spark.read
         if m.get("schema") is not None:
             # the version's committed schema, not per-file footers: old
@@ -159,6 +250,8 @@ class SnapshotTable:
             parent = self.latest_version()
             schema = self._evolve_schema(df, parent)
             version = parent + 1
+            # overwrite/upsert manifests carry the FULL set ("files"):
+            # they replace the table, so they are natural chain bases
             commit_json(
                 self._manifest_path(version),
                 {
@@ -170,6 +263,7 @@ class SnapshotTable:
                     "schema": schema,
                 },
             )
+            self._maybe_checkpoint(version)
         return version
 
     def _schema_of(self, version: int) -> dict | None:
@@ -219,19 +313,22 @@ class SnapshotTable:
             parent = self.latest_version()
             schema = self._evolve_schema(df, parent)
             version = parent + 1
-            prev = self.manifest(parent)["files"] if parent else []
             prev_rows = self.manifest(parent)["n_rows"] if parent else 0
+            # DELTA manifest: only the new file names — commit cost is
+            # O(batch) at any table size; readers resolve the full set
+            # from the nearest checkpoint + tail deltas
             commit_json(
                 self._manifest_path(version),
                 {
                     "version": version,
                     "parent": parent,
                     "op": "insert",
-                    "files": prev + names,
+                    "add": names,
                     "n_rows": prev_rows + n,
                     "schema": schema,
                 },
             )
+            self._maybe_checkpoint(version)
         return version
 
     def overwrite(self, df: DataFrame) -> int:
@@ -268,17 +365,37 @@ class SnapshotTable:
     def vacuum(self, keep_last: int = 1) -> int:
         """Drop all but the last ``keep_last`` versions and delete data
         files no kept version references (incl. leaked files from crashed
-        commits). Returns the number of files deleted."""
+        commits). The oldest KEPT version is checkpointed first (while
+        its delta chain still exists), so every kept version resolves
+        after the older manifests are gone. Returns the number of data
+        files deleted."""
         with file_lock(self._lock_path()):
             vs = self.versions()
             keep = set(vs[-keep_last:]) if keep_last > 0 else set()
+            if keep:
+                oldest = min(keep)
+                if not os.path.exists(self._checkpoint_path(oldest)):
+                    self._write_checkpoint(oldest)
             referenced: set[str] = set()
             for v in keep:
-                referenced.update(self.manifest(v)["files"])
+                referenced.update(self._resolve_files(v)[0])
             removed = 0
             for v in vs:
                 if v not in keep:
                     os.unlink(self._manifest_path(v))
+                    cp = self._checkpoint_path(v)
+                    if os.path.exists(cp):
+                        os.unlink(cp)
+            # _last_checkpoint must point at a SURVIVING checkpoint
+            cps = sorted(
+                int(n[1:-5])
+                for n in os.listdir(self._log_dir())
+                if n.startswith("c") and n.endswith(".json")
+            )
+            if cps:
+                commit_json(
+                    self._last_checkpoint_path(), {"version": cps[-1]}
+                )
             for name in os.listdir(self._data_dir()):
                 if name.endswith(".parquet") and name not in referenced:
                     os.unlink(os.path.join(self._data_dir(), name))
@@ -288,17 +405,25 @@ class SnapshotTable:
     # -- introspection --------------------------------------------------------
 
     def history(self) -> DataFrame:
-        """The commit log as a DataFrame (DESCRIBE HISTORY analogue)."""
-        rows = [
-            (
-                m["version"],
-                m["parent"],
-                m["op"],
-                len(m["files"]),
-                m["n_rows"],
+        """The commit log as a DataFrame (DESCRIBE HISTORY analogue).
+        n_files is resolved with ONE forward pass over the manifests
+        (commits are sequential: version v's parent is v-1, so a
+        running count absorbs each delta — no per-version chain
+        walks). The earliest surviving version may be delta-form after
+        a vacuum; its base comes from its checkpoint."""
+        rows = []
+        n_files = 0
+        for v in self.versions():
+            m = self.manifest(v)
+            if "files" in m:
+                n_files = len(m["files"])
+            elif not rows:
+                n_files = len(self._resolve_files(v)[0])
+            else:
+                n_files += len(m["add"])
+            rows.append(
+                (m["version"], m["parent"], m["op"], n_files, m["n_rows"])
             )
-            for m in (self.manifest(v) for v in self.versions())
-        ]
         return self.spark.createDataFrame(
             rows, "version int, parent int, op string, n_files int, n_rows bigint"
         ).orderBy(F.col("version"))

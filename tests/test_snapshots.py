@@ -146,3 +146,90 @@ def test_schema_evolution_upsert_null_fills_survivors(spark, st):
     assert got == {1: ("a", None), 2: ("B", 99), 3: ("c", None)}
     # parent version unaffected
     assert st.read(version=1).columns == ["k", "v"]
+
+
+def test_checkpointed_log_bounds_metadata_reads(spark, tmp_path):
+    """r10 VERDICT item #6: a many-commit table opens with O(1)
+    metadata reads — nearest checkpoint + tail deltas, never the whole
+    log — and time travel stays exact across checkpoint boundaries."""
+    st = SnapshotTable(
+        spark, str(tmp_path / "ck"), required_cols=("k",),
+        checkpoint_interval=10,
+    )
+    for i in range(1, 26):
+        st.insert(_df(spark, [(i, f"r{i}")]))
+    # checkpoints materialized on schedule; _last_checkpoint tracks
+    assert os.path.exists(st._checkpoint_path(10))
+    assert os.path.exists(st._checkpoint_path(20))
+    assert not os.path.exists(st._checkpoint_path(25))
+    from pgvector_db_spark.sources.commitlog import read_json
+
+    assert read_json(st._last_checkpoint_path())["version"] == 20
+    # reading v25 opens cp20 + deltas 21..25 (+ the target manifest)
+    assert st.read(version=25).count() == 25
+    assert st.last_metadata_reads <= st.checkpoint_interval + 2
+    # time travel exact at every boundary shape: pre-checkpoint,
+    # at-checkpoint, just-after-checkpoint
+    for v in (1, 9, 10, 11, 20, 25):
+        assert st.read(version=v).count() == v
+        assert st.last_metadata_reads <= st.checkpoint_interval + 2
+
+
+def test_vacuum_recheckpoints_oldest_kept_version(spark, tmp_path):
+    st = SnapshotTable(
+        spark, str(tmp_path / "vk"), required_cols=("k",),
+        checkpoint_interval=100,  # no scheduled checkpoints in range
+    )
+    for i in range(1, 13):
+        st.insert(_df(spark, [(i, f"r{i}")]))
+    st.vacuum(keep_last=3)
+    # dropped manifests are gone; kept versions all resolve exactly
+    assert st.versions() == [10, 11, 12]
+    assert not os.path.exists(st._manifest_path(9))
+    # the oldest kept version was checkpointed before the chain below
+    # it was deleted — that's what keeps it resolvable
+    assert os.path.exists(st._checkpoint_path(10))
+    for v in (10, 11, 12):
+        assert st.read(version=v).count() == v
+    with pytest.raises(FileNotFoundError):
+        st.read(version=9)
+
+
+def test_vacuum_deletes_unreferenced_files_with_delta_log(spark, tmp_path):
+    st = SnapshotTable(
+        spark, str(tmp_path / "vd"), required_cols=("k",),
+        checkpoint_interval=100,
+    )
+    st.insert(_df(spark, [(1, "a")]))
+    st.insert(_df(spark, [(2, "b")]))
+    st.overwrite(_df(spark, [(9, "z")]))
+    st.insert(_df(spark, [(10, "y")]))
+    # every file of the pre-overwrite chain is unreferenced by v3/v4
+    n_pre_overwrite = len(st._resolve_files(2)[0])
+    removed = st.vacuum(keep_last=2)
+    assert removed == n_pre_overwrite > 0
+    assert sorted(r["k"] for r in st.read().collect()) == [9, 10]
+    assert sorted(r["k"] for r in st.read(version=3).collect()) == [9]
+
+
+def test_legacy_full_manifest_log_still_reads(spark, tmp_path):
+    """Pre-r11 logs stored the full file list in every manifest; a new
+    delta commit on top of such a log must resolve against it."""
+    import json
+
+    st = SnapshotTable(
+        spark, str(tmp_path / "lg"), required_cols=("k",)
+    )
+    st.insert(_df(spark, [(1, "a"), (2, "b")]))
+    # rewrite v1 into the legacy self-contained form
+    m = st.manifest(1)
+    legacy = {
+        "version": 1, "parent": 0, "op": "insert",
+        "files": m["add"], "n_rows": m["n_rows"], "schema": m["schema"],
+    }
+    with open(st._manifest_path(1), "w") as f:
+        json.dump(legacy, f)
+    st.insert(_df(spark, [(3, "c")]))
+    assert st.read(version=1).count() == 2
+    assert st.read(version=2).count() == 3
+    assert st.last_metadata_reads <= st.checkpoint_interval + 2
