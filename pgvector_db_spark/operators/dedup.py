@@ -1004,6 +1004,110 @@ def embedding_near_dup_survivors_ivf(
     return df.join(dominated, id_col, "left_anti")
 
 
+def _cc_edges(pairs: DataFrame) -> DataFrame:
+    """Symmetrized, deduped, PERSISTED edge list — materialized once so
+    no iteration re-runs the (arbitrarily expensive) pairs lineage."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    edges.count()
+    return edges
+
+
+def _cc_propagate(
+    edges: DataFrame, labels: DataFrame, rounds: int
+) -> tuple[DataFrame, int | None, int]:
+    """Up to ``rounds`` min-label propagation rounds from ``labels``
+    (each one shuffle). Returns (labels, converged_at, last_changed):
+    ``converged_at`` is the 1-based round whose propagation changed
+    nothing (None if the budget ran out first). Propagation is
+    monotone — labels only decrease toward the fixpoint — so the
+    returned labels are valid partial progress a caller may RESUME
+    from with a bigger budget (connected_components_adaptive)."""
+    changed = -1
+    for i in range(rounds):
+        # Checkpoint FIRST (one materialization of the propagation
+        # join), then run the cheap label-vs-label convergence check
+        # against the materialized result — not the join lineage twice.
+        prop = (
+            edges.join(labels, edges.src == labels.id)
+            .select(F.col("dst").alias("id"), F.col("component"))
+            .union(labels.select("id", "component"))
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            prop.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = prop
+        if not changed:
+            return labels, i + 1, 0
+    return labels, None, changed
+
+
+def connected_components_adaptive(
+    pairs: DataFrame, initial_iter: int = 4, max_total_iter: int = 64
+) -> tuple[DataFrame, dict]:
+    """The RECOVERY playbook for :func:`connected_components`'s loud
+    failure (r10 VERDICT item #7): start with a small round budget and
+    DOUBLE it on non-convergence, RESUMING from the partial labels
+    (monotone propagation makes them valid input) — a deep chain costs
+    exactly the rounds its diameter demands plus the final confirming
+    round, never a restart. Each extra round is one more
+    edges⋈labels shuffle (per-round cost measured in
+    docs/SCALE_AUDIT.md). Still fails loud at ``max_total_iter``:
+    unbounded escalation on a pathological graph would be the silent
+    cost overrun this family refuses.
+
+    Returns (labels, stats) where stats = {"rounds_total": cumulative
+    propagation rounds run, "escalations": number of budget doublings,
+    "final_budget": the budget in force at convergence}."""
+    if initial_iter < 1:
+        raise ValueError(f"initial_iter must be >= 1, got {initial_iter}")
+    edges = _cc_edges(pairs)
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    budget = initial_iter
+    total = 0
+    escalations = 0
+    try:
+        while True:
+            grant = min(budget, max_total_iter - total)
+            labels, converged_at, changed = _cc_propagate(
+                edges, labels, grant
+            )
+            total += converged_at if converged_at is not None else grant
+            if converged_at is not None:
+                return labels, {
+                    "rounds_total": total,
+                    "escalations": escalations,
+                    "final_budget": budget,
+                }
+            if total >= max_total_iter:
+                raise RuntimeError(
+                    f"connected_components_adaptive did not converge "
+                    f"within {max_total_iter} total rounds ({changed} "
+                    f"labels still changing) — component diameter "
+                    f"exceeds the escalation ceiling"
+                )
+            budget *= 2
+            escalations += 1
+    finally:
+        edges.unpersist()
+
+
 def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """Small-world connected components over dup pairs (id_a, id_b) →
     (id, component) where component = min id reachable. Label-propagation
@@ -1023,46 +1127,23 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     # The pairs lineage can be arbitrarily expensive (LSH banding +
     # verification) — materialize the edge list ONCE; every iteration
     # joins against this cached table, never the upstream pipeline.
-    edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .distinct()
-        .persist()
-    )
-    edges.count()
+    edges = _cc_edges(pairs)
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
     )
     try:
-        for _ in range(max_iter):
-            # Checkpoint FIRST (one materialization of the propagation
-            # join), then run the cheap label-vs-label convergence check
-            # against the materialized result — not the join lineage twice.
-            prop = (
-                edges.join(labels, edges.src == labels.id)
-                .select(F.col("dst").alias("id"), F.col("component"))
-                .union(labels.select("id", "component"))
-                .groupBy("id")
-                .agg(F.min("component").alias("component"))
-                .localCheckpoint()
-            )
-            changed = (
-                prop.alias("n")
-                .join(labels.alias("o"), "id")
-                .filter(F.col("n.component") != F.col("o.component"))
-                .count()
-            )
-            labels = prop
-            if not changed:
-                break
-        else:
+        labels, converged_at, changed = _cc_propagate(
+            edges, labels, max_iter
+        )
+        if converged_at is None:
             raise RuntimeError(
                 f"connected_components did not converge within "
                 f"{max_iter} iterations ({changed} labels still "
                 f"changing) — component diameter exceeds the round "
-                f"budget; raise max_iter"
+                f"budget; raise max_iter or use "
+                f"connected_components_adaptive"
             )
     finally:
         edges.unpersist()

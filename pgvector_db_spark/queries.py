@@ -8602,6 +8602,80 @@ def ds_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ds_cc_budget_recovery",
+    """
+    WITH nodes AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 20)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(1 AS BIGINT) AS n_components,
+           CAST(COUNT(*) * MIN(doc_id) AS BIGINT) AS sum_component,
+           CAST(1 AS INT) AS first_attempt_raised,
+           CAST(20 AS INT) AS rounds_total,
+           CAST(2 AS INT) AS escalations,
+           CAST(16 AS INT) AS final_budget
+    FROM nodes
+    """,
+    tags=("dataset", "dedup", "graph", "maintenance"),
+)
+def ds_cc_budget_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CC round-budget REMEDY demonstrated at depth (r10 VERDICT
+    item #7): a 20-node path graph (diameter 19 — consecutive smallest
+    doc_ids chained) must (a) make connected_components(max_iter=4)
+    raise — the r10 fail-loud contract, asserted in-query — and then
+    (b) converge under connected_components_adaptive's doubling-budget
+    resume (operators/dedup.py): grants 4 + 8 + 8-of-16 = 20 total
+    rounds (min-label travels one hop per round down the chain + one
+    confirming round), 2 escalations, final budget 16 — deterministic
+    graph arithmetic, identical at every sf because the fixture is the
+    20 smallest doc_ids. Labels are checked cross-engine: one
+    component labeled min(doc_id), so sum(component) = 20 * min.
+    Per-extra-round cost is measured in docs/SCALE_AUDIT.md."""
+    from pgvector_db_spark.operators.dedup import (
+        connected_components,
+        connected_components_adaptive,
+    )
+
+    t = load_tables(spark, sf_dir)
+    nodes = t["documents"].select("doc_id").orderBy("doc_id").limit(20)
+    w = Window.orderBy("doc_id")
+    chain = (
+        nodes.select(
+            F.col("doc_id").alias("id_a"),
+            F.lead("doc_id").over(w).alias("id_b"),
+        )
+        .filter(F.col("id_b").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    raised = 0
+    try:
+        connected_components(chain, max_iter=4)
+    except RuntimeError:
+        raised = 1
+    _require(
+        raised == 1,
+        "connected_components(max_iter=4) should have raised on a "
+        "diameter-19 chain",
+    )
+    labels, stats = connected_components_adaptive(
+        chain, initial_iter=4, max_total_iter=64
+    )
+    out = labels.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.countDistinct("component").cast("bigint").alias("n_components"),
+        F.sum("component").cast("bigint").alias("sum_component"),
+    ).select(
+        "n_nodes",
+        "n_components",
+        "sum_component",
+        F.lit(raised).cast("int").alias("first_attempt_raised"),
+        F.lit(stats["rounds_total"]).cast("int").alias("rounds_total"),
+        F.lit(stats["escalations"]).cast("int").alias("escalations"),
+        F.lit(stats["final_budget"]).cast("int").alias("final_budget"),
+    )
+    rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
+
+
 # Quality-aware canonical selection (r8): production dedup keeps the
 # BEST copy of each near-dup cluster, not an arbitrary one — the keep
 # rule is (n_chars DESC, doc_id ASC) per component instead of min-id.

@@ -50,6 +50,54 @@ class TestConnectedComponentsConvergence:
         with pytest.raises(ValueError, match="max_iter"):
             connected_components(_pairs(spark, [(0, 1)]), max_iter=0)
 
+    def test_adaptive_resumes_to_convergence_on_deep_chain(self, spark):
+        # the REMEDY (r10 VERDICT item #7): same diameter-11 chain that
+        # fails loud at max_iter=3 converges under the doubling-budget
+        # resume, with rounds_total = diameter + 1 confirming round
+        # (resume means NO restart: cumulative rounds equal what one
+        # big-budget run would pay)
+        from pgvector_db_spark.operators.dedup import (
+            connected_components_adaptive,
+        )
+
+        chain = _pairs(spark, [(i, i + 1) for i in range(11)])
+        labels, stats = connected_components_adaptive(
+            chain, initial_iter=3, max_total_iter=64
+        )
+        rows = {r["id"]: r["component"] for r in labels.collect()}
+        assert rows == {i: 0 for i in range(12)}
+        assert stats["rounds_total"] == 12  # 11 hops + confirm
+        assert stats["escalations"] == 2  # 3 -> 6 -> 12
+        assert stats["final_budget"] == 12
+
+    def test_adaptive_matches_plain_cc_on_branchy_graph(self, spark):
+        from pgvector_db_spark.operators.dedup import (
+            connected_components_adaptive,
+        )
+
+        edges = [(0, 1), (1, 2), (5, 6), (6, 7), (7, 5), (10, 11)]
+        g = _pairs(spark, edges)
+        plain = {
+            (r["id"], r["component"])
+            for r in connected_components(g, max_iter=20).collect()
+        }
+        adaptive, stats = connected_components_adaptive(g, initial_iter=1)
+        assert {
+            (r["id"], r["component"]) for r in adaptive.collect()
+        } == plain
+        assert stats["rounds_total"] >= 1
+
+    def test_adaptive_ceiling_still_fails_loud(self, spark):
+        from pgvector_db_spark.operators.dedup import (
+            connected_components_adaptive,
+        )
+
+        chain = _pairs(spark, [(i, i + 1) for i in range(11)])
+        with pytest.raises(RuntimeError, match="escalation ceiling"):
+            connected_components_adaptive(
+                chain, initial_iter=2, max_total_iter=6
+            )
+
 
 class TestExactRankSelectNegativeDomain:
     def test_negative_values_exact_median(self, spark):
