@@ -165,6 +165,24 @@ QUERIES = [
     "ds_fuzzy_name_match",        # block-verify levenshtein over the name
                                   # vocabulary (r10; part copied as-is,
                                   # no sf1)
+    "rel_snapshot_schema_evolution",  # 2 commits + 2 manifest-schema
+                                  # reads (r10; orders copied as-is in
+                                  # the sf1 replica, no extra decade)
+    "vs_ivf_rebuild_decision",    # full lifecycle: 2 builds + 3 curve
+                                  # reads (r10; embeddings-bound, the
+                                  # SemDeDup verbatim-copy caveat)
+    "vs_ivf_autoprobe_l2",        # metric-generic curve, l2 kernel
+                                  # (r10; embeddings-bound, no sf1)
+    "vs_ivf_autoprobe_ip",        # ip kernel (r10; embeddings-bound)
+    "vs_ivf_health_report",       # measure-only lifecycle half: 1 build
+                                  # + 1 curve read (r11; embeddings)
+    "vs_sparse_index_knn",        # postings probe + candidate rerank +
+                                  # in-query scan parity (r11)
+    "rel_snapshot_log_checkpoint",  # 24 delta commits + bounded-read
+                                  # proof (r11; orders, no sf1)
+    "ds_cc_budget_recovery",      # raise-then-resume CC arc on a FIXED
+                                  # 20-node chain (r11; constant work
+                                  # by design — the row should be FLAT)
 ]
 
 
