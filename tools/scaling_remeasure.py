@@ -78,8 +78,41 @@ def main() -> None:
         else:
             text = pat.sub(row, text)
         print(row, flush=True)
+    text = _relint(text)
     out.write_text(text)
     print(f"patched {out}")
+
+
+def _relint(text: str) -> str:
+    """Regenerate the '## Monotonicity lint' section from the CURRENT
+    table rows — a remeasured (now-clean) cell must clear its stale
+    flag, and a still-bad cell must stay flagged."""
+    flags: list[str] = []
+    for m in re.finditer(
+        r"^\| (\w+) \| ([\d.]+) \| ([\d.]+) \| ([\d.]+) \| ([\d.]+|—) \|",
+        text,
+        re.M,
+    ):
+        name = m.group(1)
+        cells = [
+            float(m.group(2)),
+            float(m.group(3)),
+            float(m.group(4)),
+            float(m.group(5)) if m.group(5) != "—" else None,
+        ]
+        flags += lint_cells(name, cells)
+    head, sep, _ = text.partition("## Monotonicity lint")
+    if not sep:
+        return text
+    body = (
+        "\n".join(f"- FLAGGED: {fl}" for fl in flags)
+        if flags
+        else (
+            "All cells plausible (no smaller scale exceeded 2x the next "
+            "scale's time)."
+        )
+    )
+    return head + "## Monotonicity lint\n\n" + body + "\n"
 
 
 if __name__ == "__main__":
