@@ -233,3 +233,46 @@ def test_legacy_full_manifest_log_still_reads(spark, tmp_path):
     assert st.read(version=1).count() == 2
     assert st.read(version=2).count() == 3
     assert st.last_metadata_reads <= st.checkpoint_interval + 2
+
+
+def test_concurrent_insert_with_add_column_keeps_schema(spark, tmp_path):
+    """The r10 ADVICE race, closed in r11: _evolve_schema now runs
+    INSIDE the commit lock, so a writer committing concurrently with an
+    ADD COLUMN writer cannot produce a manifest that lists the wide
+    files but omits the new column (which the manifest-schema read path
+    would then silently drop). Two threads race narrow/wide inserts;
+    whatever the commit order, the final schema must contain the added
+    column and every row must survive."""
+    import threading
+
+    st = SnapshotTable(
+        spark, str(tmp_path / "race"), required_cols=("k",)
+    )
+    st.insert(_df(spark, [(0, "seed")]))
+
+    narrow = _df(spark, [(i, f"n{i}") for i in range(1, 6)])
+    wide = spark.createDataFrame(
+        [(i, f"w{i}", i * 10) for i in range(6, 11)],
+        "k int, v string, extra int",
+    )
+    errs = []
+
+    def _ins(df):
+        try:
+            st.insert(df)
+        except Exception as e:  # pragma: no cover - diagnostic
+            errs.append(e)
+
+    ts = [threading.Thread(target=_ins, args=(d,)) for d in (narrow, wide)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    final = st.read()
+    assert "extra" in final.columns
+    rows = {r["k"]: r["extra"] for r in final.collect()}
+    assert len(rows) == 11
+    # wide rows keep their values; narrow/seed rows NULL-fill
+    assert all(rows[k] == k * 10 for k in range(6, 11))
+    assert all(rows[k] is None for k in range(0, 6))

@@ -183,6 +183,12 @@ AUDITED = [
     # checkpointed RDD, so the capture would show the broadcast join/agg
     # tail over ExistingRDD — the corpus-scan stage it exists to audit is
     # not in it (shape documented in docs/SCALE_AUDIT.md instead)
+    # r11: NOT vs_sparse_index_knn / vs_ivf_health_report /
+    # rel_snapshot_log_checkpoint / ds_cc_budget_recovery: all return
+    # via collect/createDataFrame (in-query parity canary / measured
+    # audit rows — the rel_user_erasure class); the load-bearing shape
+    # (PartitionFilters + PushedFilters at the sparse postings scan,
+    # bounded lifecycle frames) is documented in SCALE_AUDIT r11.
 ]
 # defensive dedup: a name listed twice would duplicate its PLANS section
 AUDITED = list(dict.fromkeys(AUDITED))
