@@ -955,8 +955,14 @@ def ivf_health_report(
     lists = len(idx._centroids())
     data = idx._data()
     full = data.drop("list_id", "_vnorm")
+    # the exact kernel MUST score under the index's own metric — an
+    # l2/ip index measured against a cosine exact top-k would report
+    # recall_micro / exact_topk_sum_nano against the wrong ground truth
+    # (r11 ADVICE); autoprobe_curve's internal default already uses
+    # self.metric, so only this pre-supplied kernel needs the pin
     exact = knn_batch(
-        full, queries, k, vec_col=idx.vec_col, id_col=idx.id_col
+        full, queries, k, vec_col=idx.vec_col, id_col=idx.id_col,
+        metric=idx.metric,
     ).localCheckpoint(eager=True)
 
     n_rows = _ck(data.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows")))
@@ -1113,8 +1119,11 @@ def ivf_rebuild_decision(
     idx.append(drift)
     landed = idx._data()
     full = landed.drop("list_id", "_vnorm")
+    # score under the index metric (r11 ADVICE): the shared exact
+    # kernel feeds both curves' recall and the honesty column
     exact = knn_batch(
-        full, queries_after, k, vec_col=vec_col, id_col=id_col
+        full, queries_after, k, vec_col=vec_col, id_col=id_col,
+        metric=idx.metric,
     ).localCheckpoint(eager=True)
     after = _ck(
         idx.autoprobe_curve(queries_after, k, exact=exact)

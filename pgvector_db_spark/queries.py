@@ -215,8 +215,11 @@ def _sparse_idx_cache(spark: SparkSession, sf_dir: str, emb: DataFrame) -> str:
 
     from pgvector_db_spark.operators.sparse_index import SparseIndex
 
+    # "seg" in the cache key: the r12 segmented layout is not readable
+    # by the r11 build-once reader (and vice versa), so a stale cached
+    # fixture from an older round must never be picked up
     path = os.path.join(
-        tempfile.gettempdir(), f"sparseidx_cache_{_fixture_tag(sf_dir)}"
+        tempfile.gettempdir(), f"sparseidx_seg_cache_{_fixture_tag(sf_dir)}"
     )
     return _atomic_cached_build(
         path,
@@ -8536,6 +8539,182 @@ def vs_sparse_index_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(scan_rows, scan.schema)
 
 
+def _sparse_query_of(emb: DataFrame) -> tuple[list[int], list[float]]:
+    """vec_id 0's sparse form, eps-pruned identically to the layout
+    (1-based positions, float64 values — functions/sparse.py)."""
+    qe = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    qi = [i + 1 for i, x in enumerate(qe) if abs(x) > 0.1]
+    return qi, [qe[i - 1] for i in qi]
+
+
+@register(
+    "vs_sparse_index_append",
+    _sparse_knn("duckdb"),
+    tags=("vector", "sparse", "ann", "maintenance", "canary"),
+)
+def vs_sparse_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-index incremental maintenance (r11 VERDICT item #1 — the
+    SparseIndex was the one persisted layout without an append path,
+    forcing full rebuilds on a growing SPLADE corpus). Mirrors the
+    BM25Index.append segment+manifest discipline: the base index covers
+    a third of the corpus, two appends land the rest as new immutable
+    segments (postings bucketed by the SAME term % num_buckets),
+    committed by atomic manifest rename, and a REPLAYED batch_tag is
+    proven a no-op in-query (the exactly-once contract streaming
+    retries rely on). Done-bar: the grown index serves the identical
+    pinned-fold top-k as the full-corpus scan, bitwise — the same
+    scan-parity canary vs_sparse_index_knn pins on the build-once
+    path — before returning the scan rows against the unchanged scan
+    oracle."""
+    import shutil
+    import tempfile
+
+    from pgvector_db_spark.operators.sparse_index import SparseIndex
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    work = tempfile.mkdtemp(prefix="sparse_append_")
+    try:
+        idx = SparseIndex.build(
+            emb.filter("vec_id % 3 = 0"),
+            os.path.join(work, "sx"),
+            eps=0.1,
+            num_buckets=16,
+            carry_cols=("label",),
+        )
+        idx.append(emb.filter("vec_id % 3 = 1"), batch_tag="b1")
+        # replay of an already-committed batch: must change NOTHING
+        idx.append(emb.filter("vec_id % 3 = 1"), batch_tag="b1")
+        _require(
+            idx.segment_count() == 2,
+            f"replayed batch_tag re-committed: {idx.segment_count()} "
+            "segments, expected 2",
+        )
+        idx.append(emb.filter("vec_id % 3 = 2"), batch_tag="b2")
+        n_total = emb.count()
+        _require(
+            idx.meta()["n_rows"] == n_total,
+            f"append lost rows: {idx.meta()['n_rows']} != {n_total}",
+        )
+        qi, qv = _sparse_query_of(emb)
+        idx_rows = idx.search(qi, qv, k=10).collect()
+        scan = REGISTRY["vs_sparse_cosine_topk"].spark_fn(spark, sf_dir)
+        scan_rows = scan.collect()
+        _require(
+            [tuple(r) for r in scan_rows] == [tuple(r) for r in idx_rows],
+            "appended sparse index diverged from scan: "
+            f"scan={[tuple(r) for r in scan_rows]} "
+            f"index={[tuple(r) for r in idx_rows]}",
+        )
+        return spark.createDataFrame(scan_rows, scan.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "stream_sparse_index_ingest",
+    _sparse_knn("duckdb"),
+    tags=("streaming", "vector", "sparse", "ann", "index", "maintenance"),
+)
+def stream_sparse_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sparse-index maintenance WITH compaction under load
+    (r11 VERDICT item #1, the stream_bm25_ingest twin): embeddings
+    replayed as a REAL multi-file stream (4 micro-batches via
+    maxFilesPerTrigger=1), every micro-batch folded into the persisted
+    sparse inverted index via foreachBatch -> SparseIndex.append
+    (batch_tag = batch id, so a checkpoint-replayed micro-batch is a
+    no-op), and segment growth bounded by ``compact()`` whenever the
+    manifest reaches 3 segments. After the stream drains, a final
+    compact must leave ONE segment whose search equals the pre-compact
+    search bitwise AND the full-corpus pinned-fold scan — rows are
+    disjoint across segments and the rerank fold is sequential per row,
+    so not a single bit may move.
+
+    Isolation: every path — index dir, replay dir, checkpoint — is a
+    fresh mkdtemp unique to this call and removed in ``finally`` (the
+    r4 cross-invocation discipline)."""
+    import shutil
+    import tempfile
+
+    from pgvector_db_spark.catalog import table_path
+    from pgvector_db_spark.operators.sparse_index import SparseIndex
+    from pgvector_db_spark.streaming.replay import (
+        file_stream,
+        stage_replay_splits,
+    )
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    work = tempfile.mkdtemp(prefix="sparse_stream_inv_")
+    try:
+        path = os.path.join(work, "index")
+        # base index on part of the corpus; the rest arrives as a stream
+        SparseIndex.build(
+            emb.filter("vec_id % 3 = 0"),
+            path,
+            eps=0.1,
+            num_buckets=16,
+            carry_cols=("label",),
+        )
+        idx = SparseIndex(spark, path)
+
+        emb_path = table_path(sf_dir, "embeddings")
+        replay_dir = os.path.join(work, "replay")
+        stage_replay_splits(spark, emb_path, replay_dir, n_files=4)
+        schema = spark.read.parquet(emb_path).schema
+        src = file_stream(
+            spark, replay_dir, schema, max_files_per_trigger=1
+        ).filter("vec_id % 3 != 0")
+
+        def fold(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_df.take(1):
+                idx.append(batch_df, batch_tag=f"batch_{batch_id}")
+            if idx.segment_count() >= 3:
+                # merge policy under streaming load: each search pays a
+                # postings probe + semi-join per segment, so cap
+                # segments as we ingest
+                idx.compact()
+
+        q = (
+            src.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        n_total = emb.count()
+        _require(
+            idx.meta()["n_rows"] == n_total,
+            f"streaming sparse ingest lost rows: indexed "
+            f"{idx.meta()['n_rows']}, expected {n_total}",
+        )
+        qi, qv = _sparse_query_of(emb)
+        before = [tuple(r) for r in idx.search(qi, qv, k=10).collect()]
+        idx.compact()
+        _require(
+            idx.segment_count() == 1,
+            f"compact left {idx.segment_count()} segments, expected 1",
+        )
+        after_df = idx.search(qi, qv, k=10)
+        after = [tuple(r) for r in after_df.collect()]
+        _require(
+            after == before,
+            "sparse compaction changed search results: "
+            f"before={before} after={after}",
+        )
+        scan = REGISTRY["vs_sparse_cosine_topk"].spark_fn(spark, sf_dir)
+        scan_rows = scan.collect()
+        _require(
+            [tuple(r) for r in scan_rows] == after,
+            "streamed sparse index diverged from scan: "
+            f"scan={[tuple(r) for r in scan_rows]} index={after}",
+        )
+        return spark.createDataFrame(scan_rows, scan.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # Cluster-canonical dedup: LSH pairs -> connected components -> keep the
 # min-id doc per cluster (SURVEY.md §2.3 "connected components → keep
 # canonical"). Spark side is the iterative label-propagation loop in
@@ -13102,6 +13281,125 @@ def rel_snapshot_log_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# Delta OPTIMIZE on the versioned table (r11 VERDICT item #3): the
+# checkpointed log bounded METADATA growth, but per-commit delta inserts
+# still fragment the DATA into a small file per batch — compact()
+# bin-packs the current version into new files as a copy-on-write
+# commit, so reads stop paying a file-open per historical micro-batch
+# while every older version still time-travels. The entry proves, in
+# order: the rewrite dropped the file count; the compacted read is
+# row-identical (order-insensitive xxhash64 sum — any lost/duplicated/
+# mutated row flips it); mid-chain time travel still resolves across
+# the compaction; and vacuum then GCs the fragments without changing
+# the surviving read. The oracle recomputes the row-level facts
+# (count/sum/v6 slice) relationally; the lifecycle flags are measured
+# integers that go to 0 on any failure.
+@register(
+    "rel_snapshot_optimize",
+    """
+    SELECT CAST(13 AS INT) AS n_versions,
+           CAST(1 AS INT) AS compacted,
+           CAST(1 AS INT) AS read_equal,
+           CAST(1 AS INT) AS vacuum_read_equal,
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_rows,
+           CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey % 12 <= 5)
+               AS BIGINT) AS n_rows_v6,
+           CAST((SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                 FROM orders) AS DOUBLE) AS sum_price
+    """,
+    tags=("relational", "snapshot", "maintenance"),
+)
+def rel_snapshot_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12 per-slice commits fragment the table (>= 1 data file per
+    insert); ``compact()`` commits the bin-packed rewrite as v13;
+    ``vacuum(keep_last=1)`` then deletes the fragments. read_equal /
+    vacuum_read_equal compare the order-insensitive xxhash64 row sums
+    before and after each step — bitwise row preservation, not just a
+    count. See sources/snapshots.py compact() for the 100 TB shape
+    (coalesce file-merge, zero exchange)."""
+    import shutil
+    import tempfile
+
+    from pgvector_db_spark.sources.snapshots import SnapshotTable
+
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].select("o_orderkey", "o_totalprice")
+    tmp = tempfile.mkdtemp(prefix="snap_opt_")
+    try:
+        st = SnapshotTable(
+            spark,
+            f"{tmp}/orders",
+            required_cols=("o_orderkey",),
+            checkpoint_interval=5,
+        )
+        for i in range(12):
+            st.insert(orders.filter(F.col("o_orderkey") % 12 == i))
+
+        def rowsum(df: DataFrame) -> tuple[int, int]:
+            # decimal(38,0) accumulator: a sum of 64-bit hashes
+            # overflows long under ANSI mode
+            r = df.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum(
+                    F.xxhash64("o_orderkey", "o_totalprice").cast(
+                        "decimal(38,0)"
+                    )
+                ).alias("h"),
+            ).first()
+            return int(r["n"]), int(r["h"])
+
+        files_before = len(st._resolve_files(12)[0])
+        before = rowsum(st.read(version=12))
+        v6_before = st.read(version=6).count()
+
+        v = st.compact(target_file_bytes=128 << 20)
+        _require(v == 13, f"compact committed version {v}, expected 13")
+        files_after = len(st._resolve_files(13)[0])
+        _require(
+            files_after < files_before,
+            f"compaction did not drop files: {files_before} -> "
+            f"{files_after}",
+        )
+        after = rowsum(st.read(version=13))
+        # copy-on-write: the pre-compact chain still time-travels
+        v6_after = st.read(version=6).count()
+        _require(
+            v6_after == v6_before,
+            f"time travel broke across compaction: {v6_before} -> "
+            f"{v6_after}",
+        )
+
+        removed = st.vacuum(keep_last=1)
+        _require(
+            removed >= files_before,
+            f"vacuum GC'd {removed} fragments, expected >= {files_before}",
+        )
+        surviving = rowsum(st.read())
+
+        out = st.read().agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        ).select(
+            F.lit(13).cast("int").alias("n_versions"),
+            F.lit(int(files_after < files_before)).cast("int").alias(
+                "compacted"
+            ),
+            F.lit(int(after == before)).cast("int").alias("read_equal"),
+            F.lit(int(surviving == before)).cast("int").alias(
+                "vacuum_read_equal"
+            ),
+            "n_rows",
+            F.lit(v6_before).cast("bigint").alias("n_rows_v6"),
+            "sum_price",
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @register(
     "rel_snapshot_schema_evolution",
     """
@@ -13265,23 +13563,15 @@ def stream_snapshot_evolving_ingest(spark: SparkSession, sf_dir: str) -> DataFra
         st = SnapshotTable(
             spark, f"{tmp}/orders", required_cols=("o_orderkey",)
         )
-        bid_path = os.path.join(tmp, "last_bid.json")
 
         def fold(batch: DataFrame, _bid: int) -> None:
-            # foreachBatch is at-least-once: a retried micro-batch must
-            # not re-insert its rows as new snapshot versions. Same
-            # last_bid guard as stream_psi_monitor, adapted to
-            # writer-side state: the last committed batch id lives
-            # beside the table and gates every insert (r10 ADVICE).
-            import json as _json
-
-            try:
-                with open(bid_path) as fh:
-                    prev = _json.load(fh)["last_bid"]
-            except FileNotFoundError:
-                prev = -1
-            if prev >= _bid:
-                return
+            # foreachBatch is at-least-once: each slice commits with its
+            # own (txn_app, txn_version=_bid) stamped into the manifest
+            # under the commit lock, so a retried micro-batch replays as
+            # per-insert no-ops — INCLUDING a retry that falls between
+            # the narrow and wide inserts (r11 ADVICE: a table-level
+            # last_bid written after both inserts left that
+            # partial-failure window open).
             narrow = batch.filter(F.col("o_orderkey") % 2 == 0).select(
                 "o_orderkey", "o_totalprice"
             )
@@ -13293,12 +13583,9 @@ def stream_snapshot_evolving_ingest(spark: SparkSession, sf_dir: str) -> DataFra
             # commit per slice; empty slices commit nothing (an empty
             # file set would still be a legal version, just noise)
             if narrow.limit(1).count():
-                st.insert(narrow)
+                st.insert(narrow, txn_app="narrow", txn_version=_bid)
             if wide.limit(1).count():
-                st.insert(wide)
-            with open(bid_path + ".tmp", "w") as fh:
-                _json.dump({"last_bid": _bid}, fh)
-            os.replace(bid_path + ".tmp", bid_path)
+                st.insert(wide, txn_app="wide", txn_version=_bid)
 
         q = (
             src.writeStream.foreachBatch(fold)

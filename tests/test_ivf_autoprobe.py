@@ -235,6 +235,54 @@ def test_health_report_measures_without_rebuilding(
     assert os.listdir(str(tmp_path)) == ["idx"]
 
 
+@pytest.mark.parametrize("metric", ["l2", "ip"])
+def test_health_report_scores_under_index_metric(
+    spark, idx_and_queries, tmp_path, metric
+):
+    """r11 ADVICE: the report's pre-supplied exact kernel must score
+    under the index's OWN metric. Two checks: (a) recall_micro equals
+    the autoprobe curve's value at the serving nprobe (the curve's
+    internal exact kernel uses self.metric, so agreement proves the
+    supplied kernel did too); (b) exact_topk_sum_nano equals the
+    metric's own exact top-k distance sum — a cosine kernel leaking in
+    flips this immediately (cosine distances live in [0,2]; l2/ip
+    sums are on a different scale entirely)."""
+    from pgvector_db_spark.operators.ivf import IVFIndex, ivf_health_report
+    from pgvector_db_spark.operators.knn import knn_batch
+
+    _, vq, emb = idx_and_queries
+    idx = IVFIndex.build(
+        emb, str(tmp_path / f"hr_{metric}"), lists=4, metric=metric
+    )
+    row = ivf_health_report(idx, vq, k=K, nprobe=2).collect()[0]
+    curve = {
+        r["nprobe"]: r["recall_micro"]
+        for r in idx.autoprobe_curve(vq, k=K).collect()
+    }
+    assert row["recall_micro"] == curve[2]
+    expected = (
+        knn_batch(
+            idx._data().drop("list_id", "_vnorm"),
+            vq,
+            K,
+            vec_col="embedding",
+            id_col="vec_id",
+            metric=metric,
+        )
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("distance") * F.lit(1e9) + F.lit(0.5)
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("s")
+        )
+        .collect()[0]["s"]
+    )
+    assert row["exact_topk_sum_nano"] == expected
+
+
 def test_deterministic_centroids_partition_invariant(spark, idx_and_queries):
     """The whole point of deterministic_sample_centroids: identical
     centers regardless of how the input happens to be partitioned

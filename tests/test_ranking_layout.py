@@ -355,3 +355,167 @@ def test_sparse_index_ip_metric(spark, tables, tmp_path):
     )
     got = idx.search(qi, qv, k=5, metric="ip").collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in scan]
+
+
+def _sparse_scan_topk(se, qi, qv, k=10):
+    from pgvector_db_spark.functions.sparse import sparse_cosine_distance
+    from pyspark.sql import functions as F
+
+    return (
+        se.withColumn("_qi", F.array(*[F.lit(i) for i in qi]))
+        .withColumn("_qv", F.array(*[F.lit(v) for v in qv]))
+        .select(
+            "vec_id",
+            "label",
+            F.size("si").cast("int").alias("nnz"),
+            sparse_cosine_distance("si", "sv", "_qi", "_qv").alias(
+                "distance"
+            ),
+        )
+        .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .limit(k)
+        .collect()
+    )
+
+
+def _sparse_frame(emb):
+    from pgvector_db_spark.functions.sparse import (
+        sparse_indices,
+        sparse_values,
+    )
+
+    return emb.select(
+        "vec_id",
+        "label",
+        sparse_indices("embedding", 0.1).alias("si"),
+        sparse_values("embedding", 0.1).alias("sv"),
+    )
+
+
+def test_sparse_index_append_idempotent_and_crash_safe(
+    spark, tables, tmp_path
+):
+    """Segment+manifest contract on SparseIndex (r11 VERDICT item #1,
+    the BM25Index.append discipline): (1) appended rows are served
+    bitwise-identically to a scan over the grown corpus; (2) replaying
+    an already-committed batch_tag is a no-op; (3) an orphan segment
+    dir without a manifest commit — the crash-mid-append state — is
+    never read."""
+    import os
+    import shutil
+
+    from pgvector_db_spark.operators.sparse_index import SparseIndex
+
+    emb = tables["embeddings"]
+    idx = SparseIndex.build(
+        emb.filter("vec_id % 4 != 0"),
+        str(tmp_path / "sx"),
+        eps=0.1,
+        num_buckets=16,
+        carry_cols=("label",),
+    )
+    idx.append(emb.filter("vec_id % 4 = 0"), batch_tag="b1")
+    assert idx.segment_count() == 2
+    assert idx.meta()["n_rows"] == emb.count()
+
+    se = _sparse_frame(emb)
+    q = se.filter("vec_id = 0").first()
+    qi, qv = list(q["si"]), list(q["sv"])
+    want = [tuple(r) for r in _sparse_scan_topk(se, qi, qv)]
+    got1 = [tuple(r) for r in idx.search(qi, qv, k=10).collect()]
+    assert got1 == want
+
+    # replay the same batch: rows must NOT duplicate (a duplicated row
+    # would shadow a distinct neighbor out of the top-k)
+    idx.append(emb.filter("vec_id % 4 = 0"), batch_tag="b1")
+    assert idx.segment_count() == 2
+    assert idx.meta()["n_rows"] == emb.count()
+    got2 = [tuple(r) for r in idx.search(qi, qv, k=10).collect()]
+    assert got2 == want
+
+    # crash simulation: a segment dir that never reached the manifest
+    orphan = str(tmp_path / "sx" / "seg_orphan")
+    shutil.copytree(os.path.join(str(tmp_path / "sx"), "seg_000"), orphan)
+    got3 = [tuple(r) for r in idx.search(qi, qv, k=10).collect()]
+    assert got3 == want
+
+
+def test_sparse_index_compact_changes_no_score(spark, tables, tmp_path):
+    """compact() is a pure re-layout: one segment afterwards, and the
+    search (plus the raw candidate set) is bitwise what the
+    multi-segment index served; batch_tags survive so replays stay
+    no-ops after the merge."""
+    from pgvector_db_spark.operators.sparse_index import SparseIndex
+
+    emb = tables["embeddings"]
+    idx = SparseIndex.build(
+        emb.filter("vec_id % 3 = 0"),
+        str(tmp_path / "sxc"),
+        eps=0.1,
+        num_buckets=16,
+        carry_cols=("label",),
+    )
+    idx.append(emb.filter("vec_id % 3 = 1"), batch_tag="b1")
+    idx.append(emb.filter("vec_id % 3 = 2"), batch_tag="b2")
+    assert idx.segment_count() == 3
+
+    se = _sparse_frame(emb)
+    q = se.filter("vec_id = 7").first()
+    qi, qv = list(q["si"]), list(q["sv"])
+    before = [tuple(r) for r in idx.search(qi, qv, k=10).collect()]
+    n_cand = idx.candidates(qi).count()
+
+    idx.compact()
+    assert idx.segment_count() == 1
+    assert idx.meta()["n_rows"] == emb.count()
+    after = [tuple(r) for r in idx.search(qi, qv, k=10).collect()]
+    assert after == before
+    assert idx.candidates(qi).count() == n_cand
+    # the merged corpus still equals a fresh scan
+    want = [tuple(r) for r in _sparse_scan_topk(se, qi, qv)]
+    assert after == want
+    # replaying a pre-compact batch is still a no-op
+    idx.append(emb.filter("vec_id % 3 = 1"), batch_tag="b1")
+    assert idx.segment_count() == 1
+    assert idx.meta()["n_rows"] == emb.count()
+
+
+def test_sparse_index_concurrent_appends_both_commit(
+    spark, tables, tmp_path
+):
+    """Two appends racing the manifest commit: with the commit lock
+    both segment entries land (the BM25 r3-ADVICE failure class —
+    pre-lock, the last committer silently dropped the other's entry)."""
+    import threading
+
+    from pgvector_db_spark.operators.sparse_index import SparseIndex
+
+    emb = tables["embeddings"]
+    idx = SparseIndex.build(
+        emb.filter("vec_id % 3 = 0"),
+        str(tmp_path / "sxr"),
+        eps=0.1,
+        num_buckets=16,
+        carry_cols=("label",),
+    )
+    parts = [emb.filter("vec_id % 3 = 1"), emb.filter("vec_id % 3 = 2")]
+    errs = []
+
+    def run(df, tag):
+        try:
+            idx.append(df, batch_tag=tag)
+        except Exception as e:  # pragma: no cover - surfaced by assert
+            errs.append(e)
+
+    ts = [
+        threading.Thread(target=run, args=(p, f"t{i}"))
+        for i, p in enumerate(parts)
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    assert idx.segment_count() == 3
+    assert idx.meta()["n_rows"] == emb.count()
+    assert sorted(idx.meta()["batch_tags"]) == ["t0", "t1"]

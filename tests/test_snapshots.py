@@ -276,3 +276,103 @@ def test_concurrent_insert_with_add_column_keeps_schema(spark, tmp_path):
     # wide rows keep their values; narrow/seed rows NULL-fill
     assert all(rows[k] == k * 10 for k in range(6, 11))
     assert all(rows[k] is None for k in range(0, 6))
+
+
+def test_insert_txn_idempotence_replays_are_noops(spark, st):
+    """Delta-style (txn_app, txn_version) idempotent writes (r11
+    ADVICE): a replayed insert with the same app at the same or lower
+    version commits nothing and returns the current version."""
+    v1 = st.insert(_df(spark, [(1, "a")]), txn_app="w", txn_version=0)
+    assert v1 == 1
+    # exact replay: no new version, no duplicate rows
+    assert st.insert(_df(spark, [(1, "a")]), txn_app="w", txn_version=0) == 1
+    # stale replay (lower version) is also a no-op
+    assert st.insert(_df(spark, [(9, "x")]), txn_app="w", txn_version=-1) == 1
+    assert st.read().count() == 1
+    # a HIGHER version commits; an independent app is unaffected
+    assert st.insert(_df(spark, [(2, "b")]), txn_app="w", txn_version=1) == 2
+    assert st.insert(_df(spark, [(3, "c")]), txn_app="z", txn_version=0) == 3
+    assert st.read().count() == 3
+    assert st.last_txn_version("w") == 1
+    assert st.last_txn_version("z") == 0
+    assert st.last_txn_version("never") == -1
+
+
+def test_insert_txn_partial_batch_retry_window(spark, st):
+    """The exact window the table-level last-bid guard left open: a
+    micro-batch commits two slices under two apps; a retry after the
+    FIRST slice landed must skip it and still land the second."""
+    st.insert(_df(spark, [(2, "even")]), txn_app="narrow", txn_version=5)
+    # retry of batch 5 replays both inserts
+    st.insert(_df(spark, [(2, "even")]), txn_app="narrow", txn_version=5)
+    st.insert(_df(spark, [(3, "odd")]), txn_app="wide", txn_version=5)
+    rows = sorted((r["k"], r["v"]) for r in st.read().collect())
+    assert rows == [(2, "even"), (3, "odd")]
+    assert st.latest_version() == 2
+
+
+def test_insert_txn_map_survives_overwrite_and_upsert(spark, st):
+    """overwrite/upsert roll the txn map forward, so a replayed insert
+    arriving after a compaction-style rewrite is still skipped."""
+    st.insert(_df(spark, [(1, "a")]), txn_app="w", txn_version=7)
+    st.overwrite(_df(spark, [(1, "A")]))
+    st.upsert(_df(spark, [(2, "b")]), "k")
+    assert st.last_txn_version("w") == 7
+    v = st.latest_version()
+    assert st.insert(_df(spark, [(1, "dup")]), txn_app="w", txn_version=7) == v
+    assert st.read().count() == 2
+
+
+def test_insert_txn_args_must_come_together(spark, st):
+    with pytest.raises(ValueError):
+        st.insert(_df(spark, [(1, "a")]), txn_app="w")
+    with pytest.raises(ValueError):
+        st.insert(_df(spark, [(1, "a")]), txn_version=3)
+
+
+def test_vacuum_keep_last_zero_removes_stale_checkpoint_pointer(
+    spark, tmp_path
+):
+    """r11 ADVICE: keep_last=0 deletes every checkpoint — the
+    _last_checkpoint pointer must be removed too, not left pointing at
+    a deleted file."""
+    st = SnapshotTable(
+        spark, str(tmp_path / "v0"), required_cols=("k",),
+        checkpoint_interval=2,
+    )
+    for i in range(1, 5):
+        st.insert(_df(spark, [(i, "x")]))
+    assert os.path.exists(st._last_checkpoint_path())
+    st.vacuum(keep_last=0)
+    assert st.versions() == []
+    assert not os.path.exists(st._last_checkpoint_path())
+
+
+def test_compact_binpacks_copy_on_write(spark, st):
+    """compact() commits a bin-packed rewrite as a NEW version: fewer
+    files, identical rows, parent versions still time-travel over their
+    original fragments until vacuum GCs them."""
+    for i in range(1, 7):
+        st.insert(_df(spark, [(i, f"r{i}"), (i + 100, f"s{i}")]))
+    files_before = len(st._resolve_files(6)[0])
+    assert files_before >= 6
+    rows_before = sorted(map(tuple, st.read().collect()))
+
+    v = st.compact()
+    assert v == 7
+    assert len(st._resolve_files(7)[0]) < files_before
+    assert sorted(map(tuple, st.read().collect())) == rows_before
+    # copy-on-write: pre-compact versions unharmed
+    assert st.read(version=3).count() == 6
+    # already-packed table: no-op, no new version
+    assert st.compact() == 7
+    assert st.latest_version() == 7
+    # vacuum GCs the fragments; the survivor still reads exactly
+    removed = st.vacuum(keep_last=1)
+    assert removed >= files_before
+    assert sorted(map(tuple, st.read().collect())) == rows_before
+
+
+def test_compact_empty_table_raises(spark, st):
+    with pytest.raises(FileNotFoundError):
+        st.compact()
