@@ -13400,6 +13400,177 @@ def rel_snapshot_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# The lakehouse loop closed (r11 VERDICT item #5): streaming ingest →
+# snapshot commit log → INCREMENTAL downstream. The log's delta
+# manifests are per-commit add-sets — exactly what Delta's streaming
+# source reads — so a downstream consumer tails `read_changes(since)`
+# and folds only the NEW rows of each version into its additive state,
+# never rescanning the table. Exactly-once: the consumer's state and
+# its last-processed version commit in ONE atomic file replace, so a
+# replayed poll (latest <= last) is a no-op — proven in-query by
+# re-polling after the drain and asserting the state bytes unchanged.
+# The drained downstream state must equal the batch recompute over the
+# final table BITWISE (exact decimal folds are associative across any
+# poll partitioning), which the unchanged relational oracle checks.
+@register(
+    "stream_snapshot_changefeed",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price,
+           CAST(1 AS INT) AS feed_equals_batch
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("streaming", "snapshot", "cdc", "maintenance"),
+)
+def stream_snapshot_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders replayed as 4 micro-batches; foreachBatch commits each
+    batch into a SnapshotTable (idempotent txn inserts), and after
+    every commit a changefeed consumer polls ``read_changes`` from its
+    checkpointed last version, folding per-status (count, exact
+    DECIMAL sum) into a constant-size state. After the drain: one more
+    poll must be a no-op (replay guard), and the state must equal the
+    batch recompute of the final table exactly."""
+    import json as _json
+    import shutil
+    import tempfile
+    from decimal import Decimal
+
+    from pgvector_db_spark.catalog import table_path
+    from pgvector_db_spark.sources.snapshots import SnapshotTable
+    from pgvector_db_spark.streaming.replay import (
+        file_stream,
+        stage_replay_splits,
+    )
+
+    orders_path = table_path(sf_dir, "orders")
+    replay_dir = os.path.join(
+        tempfile.gettempdir(), f"orders_replay4cf_{_fixture_tag(sf_dir)}"
+    )
+    stage_replay_splits(spark, orders_path, replay_dir, n_files=4)
+    schema = spark.read.parquet(orders_path).schema
+    src = file_stream(spark, replay_dir, schema, max_files_per_trigger=1)
+
+    tmp = tempfile.mkdtemp(prefix="snap_cf_")
+    try:
+        st = SnapshotTable(
+            spark, f"{tmp}/orders", required_cols=("o_orderkey",)
+        )
+        state_path = os.path.join(tmp, "feed_state.json")
+
+        def _load_state() -> dict:
+            try:
+                with open(state_path) as fh:
+                    return _json.load(fh)
+            except FileNotFoundError:
+                return {"last_version": 0, "groups": {}}
+
+        def tail() -> bool:
+            """One consumer poll: fold versions (last, latest] into the
+            additive state; state + watermark commit atomically in one
+            replace. Returns False when there was nothing new."""
+            s = _load_state()
+            last = int(s["last_version"])
+            latest = st.latest_version()
+            if latest <= last:
+                return False
+            part = (
+                st.read_changes(last, latest)
+                .groupBy("o_orderstatus")
+                .agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n"),
+                    F.sum(
+                        F.col("o_totalprice").cast("decimal(18,2)")
+                    ).alias("sd"),
+                )
+                .collect()
+            )
+            groups = s["groups"]
+            for r in part:
+                g = groups.setdefault(
+                    r["o_orderstatus"], {"n": 0, "sd": "0"}
+                )
+                g["n"] = int(g["n"]) + int(r["n"])
+                # exact decimal fold, serialized as a string — the
+                # state never touches floats until the final cast
+                g["sd"] = str(Decimal(g["sd"]) + r["sd"])
+            payload = {"last_version": latest, "groups": groups}
+            with open(state_path + ".tmp", "w") as fh:
+                _json.dump(payload, fh)
+            os.replace(state_path + ".tmp", state_path)
+            return True
+
+        def fold(batch: DataFrame, _bid: int) -> None:
+            if batch.take(1):
+                st.insert(batch, txn_app="ingest", txn_version=_bid)
+            # the downstream consumer runs INSIDE the loop: every
+            # committed version is consumed incrementally as it lands
+            if st.latest_version() > 0:
+                tail()
+
+        q = (
+            src.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        tail()  # drain any last committed version
+        before = _load_state()
+        _require(
+            tail() is False,
+            "replayed poll was not a no-op",
+        )
+        _require(
+            _load_state() == before,
+            "replayed poll mutated the consumer state",
+        )
+        _require(
+            before["last_version"] == st.latest_version() > 0,
+            f"consumer watermark {before['last_version']} != table "
+            f"version {st.latest_version()}",
+        )
+
+        # the drained state vs the batch recompute over the final table
+        batch_rows = {
+            r["o_orderstatus"]: (int(r["n"]), r["sd"])
+            for r in st.read()
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                    "sd"
+                ),
+            )
+            .collect()
+        }
+        feed_rows = {
+            k: (int(v["n"]), Decimal(v["sd"]))
+            for k, v in before["groups"].items()
+        }
+        _require(
+            feed_rows == batch_rows,
+            f"changefeed state diverged from batch recompute: "
+            f"feed={feed_rows} batch={batch_rows}",
+        )
+        out = spark.createDataFrame(
+            [(k, n, sd) for k, (n, sd) in sorted(feed_rows.items())],
+            "o_orderstatus string, n_orders bigint, _sd decimal(18,2)",
+        ).select(
+            "o_orderstatus",
+            "n_orders",
+            F.col("_sd").cast("double").alias("sum_price"),
+            F.lit(int(feed_rows == batch_rows)).cast("int").alias(
+                "feed_equals_batch"
+            ),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @register(
     "rel_snapshot_schema_evolution",
     """

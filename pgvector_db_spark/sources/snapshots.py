@@ -213,6 +213,55 @@ class SnapshotTable:
             )
         return reader.parquet(*paths)
 
+    def read_changes(
+        self, since_version: int, end_version: int | None = None
+    ) -> DataFrame:
+        """The rows ADDED by every commit in ``(since_version,
+        end_version]``, stamped with ``_commit_version`` — the
+        Delta-streaming-source read shape (r11 VERDICT item #5): the
+        log's delta manifests ARE per-commit add-sets, so an
+        incremental consumer reads exactly the new files of each
+        version it hasn't processed, never rescanning the table. Cost
+        is O(new data) + one manifest open per new version — at 100 TB
+        a downstream consumer pays for what changed, not for the table.
+
+        Non-append commits (overwrite/upsert/compact) rewrite rows
+        whose change sets are not representable as add-files, so a
+        range containing one raises — the Delta streaming source's
+        default posture; consumers resume from a fresh full read after
+        such a commit. Schema evolution within the range NULL-fills:
+        each version's files read under that version's committed
+        schema, unioned by name."""
+        end = self.latest_version() if end_version is None else end_version
+        if since_version >= end:
+            raise ValueError(
+                f"empty changefeed range ({since_version}, {end}]"
+            )
+        from pyspark.sql.types import StructType
+
+        frames = []
+        for v in range(since_version + 1, end + 1):
+            m = self.manifest(v)
+            if m["op"] != "insert":
+                raise ValueError(
+                    f"version {v} is a non-append commit ({m['op']!r}); "
+                    "the changefeed covers insert commits only — resume "
+                    "downstream from a full read of that version"
+                )
+            paths = [os.path.join(self._data_dir(), f) for f in m["add"]]
+            reader = self.spark.read
+            if m.get("schema") is not None:
+                reader = reader.schema(StructType.fromJson(m["schema"]))
+            frames.append(
+                reader.parquet(*paths).withColumn(
+                    "_commit_version", F.lit(v).cast("int")
+                )
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f, allowMissingColumns=True)
+        return out
+
     # -- write ----------------------------------------------------------------
 
     def _stage_files(self, df: DataFrame) -> tuple[list[str], int]:

@@ -376,3 +376,37 @@ def test_compact_binpacks_copy_on_write(spark, st):
 def test_compact_empty_table_raises(spark, st):
     with pytest.raises(FileNotFoundError):
         st.compact()
+
+
+def test_read_changes_per_version_add_sets(spark, st):
+    """read_changes returns exactly the rows each insert added, stamped
+    with _commit_version; ranges are (since, end]."""
+    st.insert(_df(spark, [(1, "a"), (2, "b")]))
+    st.insert(_df(spark, [(3, "c")]))
+    st.insert(_df(spark, [(4, "d"), (5, "e")]))
+    ch = st.read_changes(0).collect()
+    assert sorted((r["k"], r["_commit_version"]) for r in ch) == [
+        (1, 1), (2, 1), (3, 2), (4, 3), (5, 3),
+    ]
+    tail = st.read_changes(1, 2).collect()
+    assert [(r["k"], r["_commit_version"]) for r in tail] == [(3, 2)]
+    with pytest.raises(ValueError):
+        st.read_changes(3)  # empty range
+
+
+def test_read_changes_rejects_non_append_commits(spark, st):
+    st.insert(_df(spark, [(1, "a")]))
+    st.overwrite(_df(spark, [(2, "b")]))
+    st.insert(_df(spark, [(3, "c")]))
+    with pytest.raises(ValueError, match="non-append"):
+        st.read_changes(0)
+    # a post-overwrite range is clean
+    assert [r["k"] for r in st.read_changes(2).collect()] == [3]
+
+
+def test_read_changes_null_fills_across_schema_evolution(spark, st):
+    st.insert(_df(spark, [(1, "a")]))
+    wide = spark.createDataFrame([(2, "b", 7)], "k int, v string, w int")
+    st.insert(wide)
+    ch = {r["k"]: r for r in st.read_changes(0).collect()}
+    assert ch[1]["w"] is None and ch[2]["w"] == 7
