@@ -462,37 +462,129 @@ class SnapshotTable:
 
     # -- maintenance ----------------------------------------------------------
 
-    def compact(self, target_file_bytes: int = 128 << 20) -> int:
+    def compact(
+        self,
+        target_file_bytes: int = 128 << 20,
+        target_files: int | None = None,
+        zorder_by: tuple[str, ...] | None = None,
+        zbits: int = 16,
+    ) -> int:
         """Delta OPTIMIZE analogue (r11 VERDICT item #3): checkpoints
         bounded the METADATA growth, but per-micro-batch delta commits
         still accumulate small data files forever — the classic
         streaming-lakehouse small-files problem; every read of the
         latest version pays a file-open per fragment. Bin-pack the
         current version's rows into ``ceil(bytes / target_file_bytes)``
-        files and commit the rewrite as a NEW version (op="compact",
-        full file list — a natural chain base like overwrite):
-        copy-on-write, so every older version still time-travels over
-        its original fragments until ``vacuum`` GCs them. Rows are
-        untouched — only the layout changes — and the registered entry
-        asserts read equality bitwise. The repack is a ``coalesce``
-        (file-merge, no shuffle), the right plan shape at any scale:
-        at 100 TB a compaction is a read+write of the table's bytes
-        with zero exchange. Returns the committed version, or the
-        current version unchanged if the table is already packed."""
+        files (or exactly ``target_files``) and commit the rewrite as a
+        NEW version (op="compact", full file list — a natural chain
+        base like overwrite): copy-on-write, so every older version
+        still time-travels over its original fragments until ``vacuum``
+        GCs them. Rows are untouched — only the layout changes — and
+        the registered entries assert read equality bitwise.
+
+        ``zorder_by=None`` (plain OPTIMIZE): the repack is a
+        ``coalesce`` — a file-merge with no shuffle; at 100 TB a
+        compaction is a read+write of the table's bytes, zero exchange.
+
+        ``zorder_by=(numeric cols...)`` (OPTIMIZE ZORDER BY): rows are
+        clustered by a Morton code over the named columns before the
+        rewrite, so each output file covers a small rectangle of the
+        key space and its parquet footer min/max envelopes prune
+        multi-dimensional range predicates — the file-skipping layout
+        ``rel_zorder_layout_prune`` simulates, made physical. Each
+        column is min/max-normalized to ``zbits`` bits (one
+        correctly-rounded double division per row — the exact
+        arithmetic the simulation entry pins cross-engine), the bits
+        interleave round-robin, and files are the code's top-4-bit
+        prefix blocks hashed over ``n_out`` partitions with an
+        intra-file sort on the full code — DETERMINISTIC placement
+        (prefix arithmetic + murmur3, no range-sampler boundaries),
+        one shuffle, no global sort. Returns the committed version, or
+        the current version unchanged when already packed (plain mode
+        only — a zorder request always rewrites: the caller is asking
+        for a different ORDER, not fewer files)."""
         latest = self.latest_version()
         if latest == 0:
             raise FileNotFoundError(f"snapshot table {self.path} is empty")
         names, _ = self._resolve_files(latest)
-        total = sum(
-            os.path.getsize(os.path.join(self._data_dir(), f))
-            for f in names
-        )
-        n_out = max(1, -(-total // target_file_bytes))
-        if len(names) <= n_out:
-            return latest
-        packed = self.read(latest).coalesce(n_out)
+        if target_files is not None:
+            n_out = max(1, int(target_files))
+        else:
+            total = sum(
+                os.path.getsize(os.path.join(self._data_dir(), f))
+                for f in names
+            )
+            n_out = max(1, -(-total // target_file_bytes))
+        cur = self.read(latest)
+        if zorder_by:
+            packed = self._zorder_cluster(cur, zorder_by, zbits, n_out)
+        else:
+            if len(names) <= n_out:
+                return latest
+            packed = cur.coalesce(n_out)
         new_names, n = self._stage_files(packed)
         return self._commit("compact", new_names, n, packed)
+
+    @staticmethod
+    def _zorder_cluster(
+        df: DataFrame, cols: tuple[str, ...], zbits: int, n_out: int
+    ) -> DataFrame:
+        """Morton-cluster ``df`` for an n_out-file write. The min/max
+        frame is one tiny aggregate broadcast into the scan; the code
+        and its prefix block are map-side arithmetic; the only exchange
+        is the hash repartition on the block id."""
+        for c in cols:
+            t = df.schema[c].dataType.typeName()
+            if t not in ("integer", "long", "short", "byte"):
+                raise ValueError(
+                    f"zorder_by column {c!r} must be integral, got {t}"
+                )
+        if zbits * len(cols) > 60:
+            raise ValueError("zbits * len(zorder_by) must stay under 60")
+        mm = df.agg(
+            *[
+                f
+                for c in cols
+                for f in (
+                    F.min(c).cast("bigint").alias(f"_lo_{c}"),
+                    F.max(c).cast("bigint").alias(f"_hi_{c}"),
+                )
+            ]
+        )
+        top = (1 << zbits) - 1
+        clustered = df.crossJoin(F.broadcast(mm))
+        zv = None
+        for i, c in enumerate(cols):
+            norm = F.floor(
+                (
+                    (F.col(c).cast("bigint") - F.col(f"_lo_{c}"))
+                    * F.lit(top)
+                ).cast("double")
+                / F.greatest(
+                    F.col(f"_hi_{c}") - F.col(f"_lo_{c}"), F.lit(1)
+                ).cast("double")
+            ).cast("bigint")
+            clustered = clustered.withColumn(f"_zn_{c}", norm)
+            for k in range(zbits):
+                term = F.shiftright(F.col(f"_zn_{c}"), k).bitwiseAND(
+                    F.lit(1)
+                ) * F.lit(1 << (k * len(cols) + i))
+                zv = term if zv is None else zv + term
+        clustered = clustered.withColumn("_zv", zv).withColumn(
+            "_zblock",
+            F.shiftright(F.col("_zv"), zbits * len(cols) - 4),
+        )
+        return (
+            clustered.repartition(n_out, F.col("_zblock"))
+            .sortWithinPartitions("_zv")
+            .drop(
+                "_zv",
+                "_zblock",
+                *[f"_zn_{c}" for c in cols],
+                *[f"_lo_{c}" for c in cols],
+                *[f"_hi_{c}" for c in cols],
+            )
+        )
 
     def vacuum(self, keep_last: int = 1) -> int:
         """Drop all but the last ``keep_last`` versions and delete data

@@ -7,6 +7,7 @@ from __future__ import annotations
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from pgvector_db_spark.sources.snapshots import SnapshotTable
 from pgvector_db_spark.sources.table import SchemaValidationError
@@ -410,3 +411,49 @@ def test_read_changes_null_fills_across_schema_evolution(spark, st):
     st.insert(wide)
     ch = {r["k"]: r for r in st.read_changes(0).collect()}
     assert ch[1]["w"] is None and ch[2]["w"] == 7
+
+
+def test_compact_zorder_clusters_and_preserves_rows(spark, tmp_path):
+    """OPTIMIZE ZORDER BY: the rewrite is row-identical and each output
+    file's (x, y) envelope is a small rectangle — checked on the real
+    committed files, not a simulation."""
+    import pyarrow.parquet as papq
+
+    st = SnapshotTable(spark, str(tmp_path / "z"), required_cols=("k",))
+    rows = [(i, (i * 37) % 100, (i * 61) % 100) for i in range(2000)]
+    df = spark.createDataFrame(rows, "k int, x long, y long")
+    for j in range(6):
+        st.insert(df.filter(F.col("k") % 6 == j))
+    before = sorted(map(tuple, st.read().collect()))
+    v = st.compact(target_files=8, zorder_by=("x", "y"))
+    assert v == 7
+    assert sorted(map(tuple, st.read().collect())) == before
+    # helper columns must not leak into the committed schema
+    assert set(st.read().columns) == {"k", "x", "y"}
+    names, _ = st._resolve_files(v)
+    assert 1 < len(names) <= 8
+    # clustering: the mean per-file x-envelope must be well under the
+    # full range (insertion order would put ~the full range in every
+    # file since x cycles mod 100 as k counts up)
+    widths = []
+    for nm in names:
+        md = papq.ParquetFile(
+            str(tmp_path / "z" / "data" / nm)
+        ).metadata
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                if c.path_in_schema == "x":
+                    s = c.statistics
+                    lo = s.min if lo is None else min(lo, s.min)
+                    hi = s.max if hi is None else max(hi, s.max)
+        widths.append(hi - lo)
+    assert sum(widths) / len(widths) < 70  # full range is 99
+
+
+def test_compact_zorder_rejects_non_integral_columns(spark, st):
+    st.insert(_df(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="integral"):
+        st.compact(zorder_by=("v",))

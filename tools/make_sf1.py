@@ -11,8 +11,16 @@ collapsing under dedup/distinct:
   lineitem:  l_orderkey / l_partkey / l_suppkey shifted per replica, so
              baskets, window partitions, and the part<->supplier graph
              all scale 10x in entity count, not in per-key multiplicity
-Other tables are copied as-is (the heavy families never touch them; they
-only need to exist for load_tables).
+  orders:    o_orderkey shifted with the SAME span as l_orderkey (the
+             spans are unified over both tables), so orders⋈lineitem
+             joins still hit across replicas — r12: orders-bound rows
+             (snapshot lifecycle, medians, IVM) previously measured a
+             verbatim copy at "sf1", a silently-flat cell
+  events:    event_id and user_id shifted per replica — per-user
+             windows and distribution tests scale in entity count
+Other tables (dims, embeddings) are copied as-is; embeddings-bound
+rows keep the explicit verbatim-copy label in SCALING.md instead of a
+fake cell.
 
 Usage: python tools/make_sf1.py [src_sf_dir] [out_dir]
   defaults: /root/testdata/sf0.1 -> /tmp/sf1_derived
@@ -28,18 +36,32 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from pgvector_db_spark import get_spark  # noqa: E402
-from pgvector_db_spark.catalog import TABLES, table_path  # noqa: E402
+from pgvector_db_spark.catalog import TABLES, read_table, table_path  # noqa: E402
 
 REPLICAS = 10
+# bump when the replication recipe changes: a fixture built by an older
+# recipe must be rebuilt, not silently reused
+RECIPE = "v2(orders,events scaled; shared orderkey span)"
 
 
 def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1_derived"
-    if os.path.exists(os.path.join(out, "_DERIVED_OK")):
-        print(f"{out} already built")
-        return
+    marker = os.path.join(out, "_DERIVED_OK")
+    expected = f"from {src} x{REPLICAS} {RECIPE}"
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read() == expected:
+                print(f"{out} already built")
+                return
+        print(f"{out} built by an older recipe — rebuilding")
     spark = get_spark("make_sf1")
+    # write micros, not INT96: pyarrow reads INT96 as timestamp[ns],
+    # which would trip read_table's nanos-as-long branch on the
+    # REWRITTEN files and break every sf1 read of orders/events
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
     tmp = out + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp)
@@ -58,18 +80,41 @@ def main() -> None:
             r = r.unionByName(p)
         return r
 
+    # one span per KEY FAMILY, unified over every table carrying it —
+    # orders⋈lineitem joins must keep hitting across replicas
+    # read_table, not raw parquet: orders/events carry TIMESTAMP(NANOS)
+    # columns that must be normalized to micros before the rewrite
+    li = read_table(spark, src, "lineitem")
+    od = read_table(spark, src, "orders")
+    okspan = (
+        max(
+            li.agg(F.max("l_orderkey")).head()[0],
+            od.agg(F.max("o_orderkey")).head()[0],
+        )
+        + 1
+    )
+
     for t in TABLES:
         src_path = table_path(src, t)
         dst_path = os.path.join(tmp, f"{t}.parquet")
         if t == "documents":
-            df = spark.read.parquet(src_path)
+            df = read_table(spark, src, t)
             span = df.agg(F.max("doc_id")).head()[0] + 1
             replicate(df, {"doc_id": span}).write.parquet(dst_path)
         elif t == "lineitem":
-            df = spark.read.parquet(src_path)
+            spans = {
+                c: li.agg(F.max(c)).head()[0] + 1
+                for c in ("l_partkey", "l_suppkey")
+            }
+            spans["l_orderkey"] = okspan
+            replicate(li, spans).write.parquet(dst_path)
+        elif t == "orders":
+            replicate(od, {"o_orderkey": okspan}).write.parquet(dst_path)
+        elif t == "events":
+            df = read_table(spark, src, t)
             spans = {
                 c: df.agg(F.max(c)).head()[0] + 1
-                for c in ("l_orderkey", "l_partkey", "l_suppkey")
+                for c in ("event_id", "user_id")
             }
             replicate(df, spans).write.parquet(dst_path)
         else:
@@ -78,7 +123,7 @@ def main() -> None:
             else:
                 shutil.copy(src_path, dst_path)
     with open(os.path.join(tmp, "_DERIVED_OK"), "w") as f:
-        f.write(f"from {src} x{REPLICAS}")
+        f.write(f"from {src} x{REPLICAS} {RECIPE}")
     shutil.rmtree(out, ignore_errors=True)
     os.rename(tmp, out)
     print(f"wrote {out}")

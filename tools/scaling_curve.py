@@ -97,6 +97,18 @@ HEAVY = {
     "rel_exact_median_two_pass",
     "rel_kcore_parts",
     "rel_grouped_median_two_pass",
+    # r12: make_sf1 v2 scales orders and events (shared orderkey span),
+    # so the orders/events-bound r10-r12 rows get real sf1 cells —
+    # previously their "sf1" would have measured a verbatim copy.
+    # vs_ivf_* / vs_sparse_index_knn stay out (embeddings verbatim);
+    # ds_cc_budget_recovery builds a synthetic sf-invariant chain;
+    # ds_fuzzy_name_match is part-bound and would be output-quadratic
+    # in the 10-copy name groups (the prefix-filter caveat)
+    "rel_psi_drift",
+    "rel_mad_outliers",
+    "rel_snapshot_schema_evolution",
+    "rel_snapshot_log_checkpoint",
+    "rel_snapshot_optimize",
 }
 
 # one representative per major operator family
