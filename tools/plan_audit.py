@@ -188,7 +188,13 @@ AUDITED = [
     # via collect/createDataFrame (in-query parity canary / measured
     # audit rows — the rel_user_erasure class); the load-bearing shape
     # (PartitionFilters + PushedFilters at the sparse postings scan,
-    # bounded lifecycle frames) is documented in SCALE_AUDIT r11.
+    # bounded lifecycle frames) is documented in SCALE_AUDIT r11 — and
+    # since r12 the sparse SEARCH plan is captured standalone in the
+    # "Component plans" section below (COMPONENT_AUDITED) and pinned by
+    # tests/test_plans.py test_sparse_index_search_prunes_and_matches_scan.
+    # r12: NOT vs_sparse_index_append / stream_sparse_index_ingest /
+    # rel_snapshot_optimize / rel_snapshot_optimize_zorder /
+    # stream_snapshot_changefeed: lifecycle entries, same class.
 ]
 # defensive dedup: a name listed twice would duplicate its PLANS section
 AUDITED = list(dict.fromkeys(AUDITED))
@@ -222,6 +228,31 @@ FINAL_AUDITED = [
     "ds_fuzzy_name_match",
 ]
 FINAL_AUDITED = list(dict.fromkeys(FINAL_AUDITED))
+
+
+def _sparse_search_component(spark, sf_dir):
+    """SparseIndex.search() standalone — the registry entry
+    (vs_sparse_index_knn) is an in-query parity canary returning via
+    createDataFrame, but the probe plan itself must show the bucket
+    PartitionFilters and the term In PushedFilters (pinned in
+    tests/test_plans.py; captured here for the record)."""
+    from pgvector_db_spark.operators.sparse_index import SparseIndex
+    from pgvector_db_spark.queries import _sparse_idx_cache, load_tables
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    idx = SparseIndex(spark, _sparse_idx_cache(spark, sf_dir, emb))
+    qe = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    qi = [i + 1 for i, x in enumerate(qe) if abs(x) > 0.1][:5]
+    qv = [qe[i - 1] for i in qi]
+    return idx.search(qi, qv, k=10)
+
+
+# (name, builder) pairs: operator-level plans captured standalone when
+# the registry entry that exercises them is ExistingRDD-rooted
+COMPONENT_AUDITED = [
+    ("SparseIndex.search (postings probe + rerank)",
+     _sparse_search_component),
+]
 
 
 def main() -> None:
@@ -282,6 +313,30 @@ def main() -> None:
             "",
         ]
         print(f"captured final {name}")
+
+    lines += [
+        "# Component plans (operators whose registry entries are not",
+        "# capturable end-to-end)",
+        "",
+        "Registry entries that materialize via collect/createDataFrame",
+        "(in-query parity canaries, lifecycle audits) return an",
+        "ExistingRDD plan — but the OPERATOR under them has a real plan.",
+        "This section captures those component plans standalone, executed",
+        "(r11 VERDICT item #2).",
+        "",
+    ]
+    for name, build in COMPONENT_AUDITED:
+        df = build(spark, sf_dir)
+        df.collect()
+        lines += [
+            f"## {name} (component, executed)",
+            "",
+            "```",
+            explain(df).rstrip(),
+            "```",
+            "",
+        ]
+        print(f"captured component {name}")
 
     with open(out_path, "w") as f:
         f.write("\n".join(lines))

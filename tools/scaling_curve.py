@@ -109,6 +109,7 @@ HEAVY = {
     "rel_snapshot_schema_evolution",
     "rel_snapshot_log_checkpoint",
     "rel_snapshot_optimize",
+    "rel_snapshot_optimize_zorder",
 }
 
 # one representative per major operator family
@@ -167,19 +168,18 @@ QUERIES = [
     "rel_kcore_parts",            # 6 alive-restricted degree shuffles (r9)
     "rel_grouped_median_two_pass",  # group-bucket hist + 1 union pass (r9)
     "rel_psi_drift",              # two grouped passes + bucket-bounded PSI
-                                  # (r10; events copied as-is in the sf1
-                                  # replica, so no extra decade)
+                                  # (r10; events scaled since the v2
+                                  # replica — real sf1 decade)
     "ds_ece_calibration",         # one grouped pass + <=10-row tails (r10)
     "ds_logreg_quality",          # 3 GD aggs + audit pass, driver-folded
                                   # weight state (r10)
     "rel_mad_outliers",           # 2x two-pass selection + grouped scan
-                                  # (r10; events-bound, no sf1)
+                                  # (r10; events scaled since v2)
     "ds_fuzzy_name_match",        # block-verify levenshtein over the name
                                   # vocabulary (r10; part copied as-is,
                                   # no sf1)
     "rel_snapshot_schema_evolution",  # 2 commits + 2 manifest-schema
-                                  # reads (r10; orders copied as-is in
-                                  # the sf1 replica, no extra decade)
+                                  # reads (r10; orders scaled since v2)
     "vs_ivf_rebuild_decision",    # full lifecycle: 2 builds + 3 curve
                                   # reads (r10; embeddings-bound, the
                                   # SemDeDup verbatim-copy caveat)
@@ -191,10 +191,18 @@ QUERIES = [
     "vs_sparse_index_knn",        # postings probe + candidate rerank +
                                   # in-query scan parity (r11)
     "rel_snapshot_log_checkpoint",  # 24 delta commits + bounded-read
-                                  # proof (r11; orders, no sf1)
+                                  # proof (r11; orders scaled since v2)
     "ds_cc_budget_recovery",      # raise-then-resume CC arc on a FIXED
                                   # 20-node chain (r11; constant work
                                   # by design — the row should be FLAT)
+    "rel_snapshot_optimize",      # 12 commits + bin-pack rewrite +
+                                  # vacuum, xxhash row-sum proofs (r12;
+                                  # orders scaled since the v2 replica)
+    "rel_snapshot_optimize_zorder",  # 24 commits + 2 compactions +
+                                  # footer-envelope skipping proof (r12)
+    "vs_sparse_index_append",     # build + 2 appends + replay no-op +
+                                  # scan parity (r12; embeddings-bound,
+                                  # no sf1)
 ]
 
 
