@@ -69,6 +69,14 @@ from pgvector_db_spark.sources.commitlog import (
 from pgvector_db_spark.sources.table import ParquetTable
 
 
+class SnapshotConflictError(RuntimeError):
+    """A read-modify-write commit (upsert/compact) lost a race: another
+    writer committed between this writer's snapshot read and its commit.
+    Committing anyway would silently drop the other writer's rows from
+    the new version — the lost-update anomaly. Delta resolves the same
+    race with optimistic concurrency; callers re-read and retry."""
+
+
 class SnapshotTable:
     """Append-only versioned Parquet table with time-travel reads."""
 
@@ -287,16 +295,34 @@ class SnapshotTable:
         return names, n
 
     def _commit(
-        self, op: str, files: list[str], n_rows: int, df: DataFrame
+        self,
+        op: str,
+        files: list[str],
+        n_rows: int,
+        df: DataFrame,
+        expect_parent: int | None = None,
     ) -> int:
         """Single-writer commit: the evolved schema is computed INSIDE
         the lock from the parent actually observed there. Computing it
         earlier (pre-lock) races a concurrent ADD COLUMN: the new
         manifest would list that writer's files but omit its column,
         and the manifest-schema read path would silently drop the
-        column's data from every subsequent read."""
+        column's data from every subsequent read.
+
+        ``expect_parent`` is the optimistic-concurrency check for
+        read-modify-write ops (upsert/compact): the version the caller
+        READ must still be the latest at commit time, else the full
+        "files" manifest about to be written would silently drop every
+        row committed in between (lost update). INSERTs never pass it —
+        an append is order-independent and composes with any parent."""
         with file_lock(self._lock_path()):
             parent = self.latest_version()
+            if expect_parent is not None and parent != expect_parent:
+                raise SnapshotConflictError(
+                    f"{op} read version {expect_parent} but version "
+                    f"{parent} was committed concurrently; re-read and "
+                    "retry"
+                )
             schema = self._evolve_schema(df, parent)
             version = parent + 1
             # overwrite/upsert manifests carry the FULL set ("files"):
@@ -444,11 +470,17 @@ class SnapshotTable:
 
     def upsert(self, df: DataFrame, key: str) -> int:
         """Copy-on-write merge by key, committed as a new version. The
-        parent version is untouched — time travel across the merge."""
+        parent version is untouched — time travel across the merge.
+        Optimistic concurrency: if another writer commits between this
+        merge's snapshot read and its commit, :class:`SnapshotConflictError`
+        raises instead of silently dropping the concurrent rows from
+        the merged version — the caller re-reads and retries (the merge
+        is data-dependent, so the retry is the caller's merge to redo)."""
         self._validator.validate(df)
-        if self.latest_version() == 0:
+        base = self.latest_version()
+        if base == 0:
             return self.overwrite(df)
-        current = self.read()
+        current = self.read(base)
         keys = df.select(key).distinct()
         survivors = current.join(keys, key, "left_anti")
         # allowMissingColumns: surviving rows NULL-fill columns the
@@ -458,7 +490,7 @@ class SnapshotTable:
         names, n = self._stage_files(merged)
         # merged carries parent columns + df's additions, so evolving
         # from it under the lock records the full column set
-        return self._commit("upsert", names, n, merged)
+        return self._commit("upsert", names, n, merged, expect_parent=base)
 
     # -- maintenance ----------------------------------------------------------
 
@@ -502,28 +534,50 @@ class SnapshotTable:
         one shuffle, no global sort. Returns the committed version, or
         the current version unchanged when already packed (plain mode
         only — a zorder request always rewrites: the caller is asking
-        for a different ORDER, not fewer files)."""
-        latest = self.latest_version()
-        if latest == 0:
-            raise FileNotFoundError(f"snapshot table {self.path} is empty")
-        names, _ = self._resolve_files(latest)
-        if target_files is not None:
-            n_out = max(1, int(target_files))
-        else:
-            total = sum(
-                os.path.getsize(os.path.join(self._data_dir(), f))
-                for f in names
-            )
-            n_out = max(1, -(-total // target_file_bytes))
-        cur = self.read(latest)
-        if zorder_by:
-            packed = self._zorder_cluster(cur, zorder_by, zbits, n_out)
-        else:
-            if len(names) <= n_out:
-                return latest
-            packed = cur.coalesce(n_out)
-        new_names, n = self._stage_files(packed)
-        return self._commit("compact", new_names, n, packed)
+        for a different ORDER, not fewer files).
+
+        Optimistic concurrency: a writer committing between this
+        compaction's snapshot read and its commit would have its rows
+        silently dropped by the rewritten full-list version (lost
+        update) — the commit detects the moved parent and the
+        compaction RE-READS and retries (a compaction is a pure
+        re-layout, so the retry is safe and absorbs the new rows),
+        raising :class:`SnapshotConflictError` only after
+        ``max_retries`` races in a row."""
+        max_retries = 3
+        last_err: Exception | None = None
+        for _ in range(max_retries):
+            latest = self.latest_version()
+            if latest == 0:
+                raise FileNotFoundError(
+                    f"snapshot table {self.path} is empty"
+                )
+            names, _ = self._resolve_files(latest)
+            if target_files is not None:
+                n_out = max(1, int(target_files))
+            else:
+                total = sum(
+                    os.path.getsize(os.path.join(self._data_dir(), f))
+                    for f in names
+                )
+                n_out = max(1, -(-total // target_file_bytes))
+            cur = self.read(latest)
+            if zorder_by:
+                packed = self._zorder_cluster(cur, zorder_by, zbits, n_out)
+            else:
+                if len(names) <= n_out:
+                    return latest
+                packed = cur.coalesce(n_out)
+            new_names, n = self._stage_files(packed)
+            try:
+                return self._commit(
+                    "compact", new_names, n, packed, expect_parent=latest
+                )
+            except SnapshotConflictError as e:
+                # the staged files are unreachable garbage (vacuum GCs
+                # them); re-read the moved table and re-pack
+                last_err = e
+        raise last_err
 
     @staticmethod
     def _zorder_cluster(

@@ -457,3 +457,48 @@ def test_compact_zorder_rejects_non_integral_columns(spark, st):
     st.insert(_df(spark, [(1, "a")]))
     with pytest.raises(ValueError, match="integral"):
         st.compact(zorder_by=("v",))
+
+
+def _race_one_insert(spark, st, row):
+    """Monkeypatch _stage_files so the FIRST call lets a second writer
+    commit before this writer reaches its commit — the read-modify-write
+    race window, made deterministic."""
+    orig = st._stage_files
+    state = {"raced": False}
+
+    def delayed(df):
+        names = orig(df)
+        if not state["raced"]:
+            state["raced"] = True
+            other = SnapshotTable(spark, st.path, required_cols=("k",))
+            other.insert(_df(spark, [row]))
+        return names
+
+    st._stage_files = delayed
+    return state
+
+
+def test_upsert_conflict_detected_not_lost(spark, st):
+    """A commit landing inside upsert's read-modify-write window must
+    raise SnapshotConflictError — committing anyway would drop the
+    concurrent row from the merged version (lost update)."""
+    from pgvector_db_spark.sources.snapshots import SnapshotConflictError
+
+    st.insert(_df(spark, [(1, "a"), (2, "b")]))
+    _race_one_insert(spark, st, (99, "concurrent"))
+    with pytest.raises(SnapshotConflictError):
+        st.upsert(_df(spark, [(2, "B")]), "k")
+    # nothing was committed by the failed upsert; the raced row survives
+    assert sorted(r["k"] for r in st.read().collect()) == [1, 2, 99]
+
+
+def test_compact_conflict_retries_and_absorbs(spark, st):
+    """compact is a pure re-layout, so on conflict it re-reads and
+    retries — the concurrent row lands in the compacted version."""
+    for i in range(1, 5):
+        st.insert(_df(spark, [(i, f"r{i}")]))
+    _race_one_insert(spark, st, (99, "concurrent"))
+    v = st.compact(target_files=1)
+    assert sorted(r["k"] for r in st.read(version=v).collect()) == [
+        1, 2, 3, 4, 99,
+    ]
