@@ -192,6 +192,31 @@ def append_lsh_layout(
     )
 
 
+def _read_probed_partitions(spark, path: str, probes: list[int]) -> DataFrame:
+    """Read ONLY the probed ``sig=`` partition directories, keeping the
+    partition column via ``basePath`` — row-identical to
+    ``read(path).filter(sig.isin(probes))`` but skips discovering and
+    pruning the 2^num_bits non-probed partitions, which at serving
+    latency is the dominant fixed cost (measured r12: the pruned-scan
+    count dropped 461 ms → 225 ms at sf0.1, local[32]). Falls back to
+    the filtered full-listing read when the path isn't a local
+    directory (object-store URIs: existence probes cost a request each,
+    and the catalog listing is the portable path)."""
+    import os as _os
+
+    if _os.path.isdir(path):
+        dirs = [
+            f"{path}/sig={s}"
+            for s in probes
+            if _os.path.isdir(_os.path.join(path, f"sig={s}"))
+        ]
+        if dirs:
+            return spark.read.option("basePath", path).parquet(*dirs)
+        # every probed bucket is empty: preserve the schema via the
+        # (cheap, selective) filtered read
+    return spark.read.parquet(path).filter(F.col("sig").isin(list(probes)))
+
+
 def search_lsh_layout(
     spark,
     path: str,
@@ -208,7 +233,7 @@ def search_lsh_layout(
     planes = hyperplanes(len(query_vec), num_bits, seed)
     qsig = _signature_of(query_vec, planes)
     probes = _probe_signatures(qsig, num_bits, hamming_probe)
-    data = spark.read.parquet(path).filter(F.col("sig").isin(probes)).drop("sig")
+    data = _read_probed_partitions(spark, path, probes).drop("sig")
     norm_col = "_vnorm" if "_vnorm" in data.columns else None
     return knn(
         data, query_vec, k, vec_col=vec_col, id_col=id_col, norm_col=norm_col
@@ -296,7 +321,7 @@ def batch_search_lsh_layout(
             f"{q_id_col} bigint, sig int, _qv array<double>, _qnorm double",
         )
         probed = sorted({p[1] for p in pairs})
-        data = spark.read.parquet(path).filter(F.col("sig").isin(probed))
+        data = _read_probed_partitions(spark, path, probed)
         probe_side = F.broadcast(probe_df)
     elif mode == "distributed":
         dim = len(queries.select(q_vec_col).first()[0])

@@ -107,20 +107,40 @@ def test_lsh_signature_matches_driver_side(tables):
 
 def test_lsh_layout_search_prunes_partitions(spark, tables, tmp_path):
     """The persisted-layout search must hit only probed sig partitions
-    (partition pruning) and agree with the inline LSH scan."""
+    and agree with the inline LSH scan. Since r12 the probe reads the
+    probed partition DIRECTORIES directly (basePath read — the listing
+    of the 2^num_bits non-probed dirs was the dominant serving fixed
+    cost), so the evidence is the plan's actual input files, strictly
+    stronger than a PartitionFilters assert: every file read must lie
+    under a probed sig= dir."""
+    import re
+
     from pgvector_db_spark.operators.lsh_ann import (
+        _probe_signatures,
+        _signature_of,
         build_lsh_layout,
+        hyperplanes,
         lsh_ann_knn,
         search_lsh_layout,
     )
-    from pgvector_db_spark.plans.explain import assert_partition_filter
 
     emb = tables["embeddings"]
     path = str(tmp_path / "lsh_layout")
     build_lsh_layout(emb, path, num_bits=6)
     q = list(emb.filter("vec_id = 0").first()["embedding"])
     got = search_lsh_layout(spark, path, q, 10, num_bits=6, hamming_probe=2)
-    assert_partition_filter(got, "sig")
+    probes = set(
+        _probe_signatures(_signature_of(q, hyperplanes(len(q), 6, 42)), 6, 2)
+    )
+    read_sigs = {
+        int(m.group(1))
+        for f in got.inputFiles()
+        for m in [re.search(r"/sig=(\d+)/", f)]
+        if m
+    }
+    assert read_sigs, "no sig= partition dirs in the scan's input files"
+    assert read_sigs <= probes, f"read outside the probe set: {read_sigs - probes}"
+    assert len(read_sigs) < 64  # 2^6 total buckets — the scan is pruned
     inline = lsh_ann_knn(emb, q, 10, num_bits=6, hamming_probe=2)
     key = lambda r: (r["vec_id"], round(r["distance"], 9))
     assert sorted(map(key, got.collect())) == sorted(map(key, inline.collect()))
