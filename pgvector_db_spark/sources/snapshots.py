@@ -249,7 +249,14 @@ class SnapshotTable:
 
         frames = []
         for v in range(since_version + 1, end + 1):
-            m = self.manifest(v)
+            try:
+                m = self.manifest(v)
+            except FileNotFoundError:
+                raise ValueError(
+                    f"changefeed version {v} was vacuumed away; the "
+                    "consumer's watermark predates the table's retention "
+                    "— resume from a full read of the current version"
+                ) from None
             if m["op"] != "insert":
                 raise ValueError(
                     f"version {v} is a non-append commit ({m['op']!r}); "

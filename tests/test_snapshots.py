@@ -502,3 +502,26 @@ def test_compact_conflict_retries_and_absorbs(spark, st):
     assert sorted(r["k"] for r in st.read(version=v).collect()) == [
         1, 2, 3, 4, 99,
     ]
+
+
+def test_read_changes_after_vacuum_raises_clearly(spark, st):
+    """A consumer whose watermark predates vacuum retention must get the
+    resume-from-full-read error, not a raw missing-file failure."""
+    for i in range(1, 5):
+        st.insert(_df(spark, [(i, "x")]))
+    st.vacuum(keep_last=1)
+    with pytest.raises(ValueError, match="vacuumed away"):
+        st.read_changes(1)
+
+
+def test_compact_rolls_txn_map_forward(spark, st):
+    """A replayed idempotent insert arriving AFTER a compaction is still
+    skipped — compact commits through the same txn-carrying path as
+    overwrite/upsert."""
+    st.insert(_df(spark, [(1, "a")]), txn_app="w", txn_version=3)
+    st.insert(_df(spark, [(2, "b")]))
+    st.compact(target_files=1)
+    assert st.last_txn_version("w") == 3
+    v = st.latest_version()
+    assert st.insert(_df(spark, [(1, "dup")]), txn_app="w", txn_version=3) == v
+    assert st.read().count() == 2
