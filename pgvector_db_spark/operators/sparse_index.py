@@ -246,7 +246,7 @@ class SparseIndex:
                 m2["batch_tags"].append(batch_tag)
             self._commit_meta(m2)
 
-    def compact(self) -> None:
+    def compact(self, max_retries: int = 3) -> None:
         """Merge every committed segment into one (the Lucene merge
         policy a continuously ingesting serving tier needs — each
         search pays a postings probe + semi-join per segment). Rows are
@@ -256,31 +256,100 @@ class SparseIndex:
         change, which the streaming entry asserts bitwise. Committed by
         the same atomic rename; a crash leaves the old multi-segment
         (consistent) view, and the replaced segments' batch_tags stay
-        in the manifest so replays remain no-ops."""
-        m = self.meta()
-        if len(m["segments"]) <= 1:
-            return
-        merged = reduce(
-            DataFrame.unionByName,
-            [
-                self.spark.read.parquet(
-                    os.path.join(self.path, s, "vectors")
-                )
-                for s in m["segments"]
-            ],
+        in the manifest so replays remain no-ops.
+
+        Concurrency (r12 VERDICT item #1 — the SnapshotTable.compact
+        ``expect_parent`` discipline): the merge is built from a
+        SNAPSHOT of the segment list, so a segment committed by a
+        concurrent ``append`` inside the merge window must not be
+        dropped by the manifest swap. Under the commit lock the swap
+        replaces ONLY the snapshotted segments, keeping concurrently
+        appended ones (their rows are disjoint from the merge by
+        construction, and the merge carries exactly the snapshot's
+        rows, so ``n_rows`` is untouched). A concurrent COMPACT that
+        already replaced a snapshotted segment makes this merge a
+        duplicate of rows now served elsewhere — that conflict is
+        detected under the lock and the whole pass retries from a
+        fresh snapshot (our uncommitted segment is reclaimed), up to
+        ``max_retries`` races in a row.
+
+        Retention (r12 VERDICT item #2): replaced segments are NOT
+        deleted at the swap — a reader holding the pre-compact manifest
+        (a lazy search plan, or a ``meta()`` read straddling the
+        commit) must still resolve their files. They move to the
+        manifest's ``replaced`` list (unreachable from any new read)
+        and are reclaimed by an explicit :meth:`vacuum`, mirroring the
+        snapshot table's copy-on-write + vacuum contract
+        (sources/snapshots.py). Pre-r13 manifests lack the key and
+        read fine (``meta.get("replaced", [])``)."""
+        for _ in range(max_retries):
+            m = self.meta()
+            snap = list(m["segments"])
+            if len(snap) <= 1:
+                return
+            merged = reduce(
+                DataFrame.unionByName,
+                [
+                    self.spark.read.parquet(
+                        os.path.join(self.path, s, "vectors")
+                    )
+                    for s in snap
+                ],
+            )
+            seg = f"seg_{uuid.uuid4().hex[:12]}"
+            self._write_segment(
+                merged,
+                os.path.join(self.path, seg),
+                m["num_buckets"],
+                m["id_col"],
+            )
+            with file_lock(self._lock_path()):
+                m2 = self.meta()
+                cur = set(m2["segments"])
+                if set(snap) <= cur:
+                    # every merged segment is still live: swap them for
+                    # the merge, keep concurrent appends' segments.
+                    # n_rows is untouched — the merge re-lays-out
+                    # exactly the snapshot's rows, and survivors'
+                    # counts already live in the manifest total.
+                    survivors = [s for s in m2["segments"] if s not in set(snap)]
+                    m2["segments"] = [seg] + survivors
+                    m2["replaced"] = list(m2.get("replaced", [])) + snap
+                    self._commit_meta(m2)
+                    return
+            # a concurrent compact retired part of our snapshot:
+            # committing would duplicate its rows. Our segment never
+            # reached the manifest — reclaim it and retry fresh.
+            shutil.rmtree(os.path.join(self.path, seg), ignore_errors=True)
+        raise RuntimeError(
+            f"sparse index compact at {self.path} lost {max_retries} "
+            "consecutive races against concurrent compactions; re-run"
         )
-        seg = f"seg_{uuid.uuid4().hex[:12]}"
-        n = self._write_segment(
-            merged, os.path.join(self.path, seg), m["num_buckets"], m["id_col"]
-        )
+
+    def vacuum(self) -> int:
+        """Reclaim segments retired by :meth:`compact`. The manifest's
+        ``replaced`` list is cleared FIRST (atomic commit), then the
+        directories are deleted — a crash in between leaves orphan dirs
+        (never-read garbage, same class as a crashed append's segment),
+        never a manifest pointing at missing files. Readers that
+        resolved a pre-compact manifest before this call fail on the
+        deleted paths — the same documented stale-lazy-plan hazard as
+        the snapshot table's vacuum; run vacuum outside serving reads'
+        grace window. Returns the number of segment dirs removed."""
         with file_lock(self._lock_path()):
-            m2 = self.meta()
-            old = list(m2["segments"])
-            m2["segments"] = [seg]
-            m2["n_rows"] = n
-            self._commit_meta(m2)
-        for s in old:
-            shutil.rmtree(os.path.join(self.path, s), ignore_errors=True)
+            m = self.meta()
+            dead = list(m.get("replaced", []))
+            if not dead:
+                return 0
+            m["replaced"] = []
+            self._commit_meta(m)
+        removed = 0
+        for s in dead:
+            p = os.path.join(self.path, s)
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+                removed += 1
+        return removed
 
     # -- read sides -----------------------------------------------------------
 
