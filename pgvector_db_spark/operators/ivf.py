@@ -305,17 +305,34 @@ class IVFIndex:
             _DATA_CACHE[key] = df
         return df
 
+    def _probed_data(self, probes: list[int]) -> DataFrame:
+        """The probed lists' rows via a DIRECT read of only their
+        ``list_id=`` partition directories (r12 VERDICT item #3 — the
+        fix that halved the LSH point query's fixed cost, applied to
+        IVF: ``knn_ivf_ms`` sat at exact-scan parity because the
+        full-layout listing, not the pruned data, dominated). Row- and
+        schema-identical to ``_data().filter(list_id.isin(probes))``;
+        falls back to that read off local filesystems."""
+        from pgvector_db_spark.operators.layout import (
+            read_probed_partitions,
+        )
+
+        return read_probed_partitions(
+            self.spark, self.data_path, "list_id", probes
+        )
+
     def search(
         self, query_vec: list[float], k: int = 10, nprobe: int = 1
     ) -> DataFrame:
         """ANN top-k: probe the ``nprobe`` nearest lists only.
 
-        The ``list_id IN (...)`` filter is a partition filter — Catalyst
-        prunes non-probed partitions at planning time, so unprobed data is
-        never read.
+        The scan reads only the probed ``list_id=`` partition
+        directories (direct partition-path read, the static-pruning
+        fast path); unprobed data is never read, and non-probed
+        partitions are not even listed.
         """
         probes = [lid for lid, _ in self._rank_lists(query_vec)[:nprobe]]
-        data = self._data().filter(F.col("list_id").isin(probes))
+        data = self._probed_data(probes)
         # layouts built before norm materialization lack _vnorm — fall
         # back to the on-the-fly norms (same results, two extra folds);
         # the norm fast path only applies to the cosine kernel
@@ -358,7 +375,7 @@ class IVFIndex:
         p = max(1, min(nprobe, cap))
         while True:
             probes = [lid for lid, _ in ranked[:p]]
-            data = self._data().filter(F.col("list_id").isin(probes))
+            data = self._probed_data(probes)
             if filter_expr is not None:
                 data = data.filter(
                     F.expr(filter_expr) if isinstance(filter_expr, str)
@@ -538,9 +555,12 @@ class IVFIndex:
             cosine_distance_precomputed,
         )
 
-        data = self._data()
         if probed_lists is not None:
-            data = data.filter(F.col("list_id").isin(probed_lists))
+            # driver mode knows the probed union at plan time: direct
+            # partition-path read, same fast path as the point query
+            data = self._probed_data(probed_lists)
+        else:
+            data = self._data()
         probe = F.broadcast(probe_df) if broadcast_probes else probe_df
         joined = data.join(probe, "list_id")
         if "_vnorm" in data.columns:

@@ -198,23 +198,11 @@ def _read_probed_partitions(spark, path: str, probes: list[int]) -> DataFrame:
     ``read(path).filter(sig.isin(probes))`` but skips discovering and
     pruning the 2^num_bits non-probed partitions, which at serving
     latency is the dominant fixed cost (measured r12: the pruned-scan
-    count dropped 461 ms → 225 ms at sf0.1, local[32]). Falls back to
-    the filtered full-listing read when the path isn't a local
-    directory (object-store URIs: existence probes cost a request each,
-    and the catalog listing is the portable path)."""
-    import os as _os
+    count dropped 461 ms → 225 ms at sf0.1, local[32]). Shared with the
+    IVF point query since r13 (operators/layout.py)."""
+    from pgvector_db_spark.operators.layout import read_probed_partitions
 
-    if _os.path.isdir(path):
-        dirs = [
-            f"{path}/sig={s}"
-            for s in probes
-            if _os.path.isdir(_os.path.join(path, f"sig={s}"))
-        ]
-        if dirs:
-            return spark.read.option("basePath", path).parquet(*dirs)
-        # every probed bucket is empty: preserve the schema via the
-        # (cheap, selective) filtered read
-    return spark.read.parquet(path).filter(F.col("sig").isin(list(probes)))
+    return read_probed_partitions(spark, path, "sig", probes)
 
 
 def search_lsh_layout(

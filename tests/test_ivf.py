@@ -37,13 +37,25 @@ def test_search_returns_k(index, tables):
 
 
 def test_search_prunes_partitions(index, tables):
-    """nprobe=1 must plan a partition-pruned scan (the whole point of the
-    index: unprobed lists are never read)."""
+    """nprobe=1 must read ONLY the probed list's partition (the whole
+    point of the index: unprobed lists are never read). Since r13 the
+    point query reads the probed ``list_id=`` directory DIRECTLY
+    (basePath read, the r12 LSH fix — listing the non-probed dirs was
+    the dominant serving fixed cost), so the evidence is the plan's
+    actual input files, strictly stronger than a PartitionFilters
+    assert: every file read must lie under the one probed dir."""
+    import re
+
     q = tables["embeddings"].filter("vec_id = 0").first()["embedding"]
+    probe = index._rank_lists(list(q))[0][0]
     df = index.search(list(q), k=3, nprobe=1)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    part_filters = plan.split("PartitionFilters")[1].split("]")[0]
-    assert "list_id" in part_filters
+    read_lists = {
+        int(m.group(1))
+        for f in df.inputFiles()
+        for m in [re.search(r"/list_id=(\d+)/", f)]
+        if m
+    }
+    assert read_lists == {probe}, f"scan read lists {read_lists}, probed {probe}"
 
 
 def test_full_probe_equals_exact(index, tables):
