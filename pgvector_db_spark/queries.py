@@ -13743,6 +13743,207 @@ def stream_snapshot_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_snapshot_cdf_upsert",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(CASE WHEN o_orderkey % 28 = 0
+                              THEN o_totalprice + 100
+                              ELSE o_totalprice END
+                    AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           CAST(1 AS INT) AS feed_equals_batch,
+           CAST(1 AS INT) AS cdf_images_paired
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("streaming", "snapshot", "cdc", "maintenance"),
+)
+def stream_snapshot_cdf_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changefeed across a MID-STREAM UPSERT via CDF change types (r12
+    VERDICT item #4 — Delta's Change Data Feed): previously any upsert
+    in the consumed range forced a full downstream re-read; with
+    ``upsert(..., cdf=True)`` the commit materializes its
+    pre/postimage rows and ``read_changes(..., cdf=True)`` serves them
+    incrementally, so a SIGNED fold (preimage subtracts, postimage and
+    insert add) keeps the consumer's additive state exact through the
+    merge.
+
+    Shape: version 1 backfills ``o_orderkey % 4 == 0`` (so the upsert
+    keys all exist); the remaining orders replay as 4 micro-batches of
+    idempotent txn inserts; after micro-batch 1 the writer upserts
+    every ``o_orderkey % 28 == 0`` row with price+100 (cdf=True). The
+    consumer polls after every commit, folding per-status (signed
+    count, exact DECIMAL signed sum). In-query canaries: the upsert's
+    feed rows are perfectly PAIRED (one preimage per postimage, > 0 of
+    them), the drained replay poll is a no-op, and the state equals
+    the batch recompute of the final table bitwise."""
+    import json as _json
+    import shutil
+    import tempfile
+    from decimal import Decimal
+
+    from pgvector_db_spark.catalog import table_path
+    from pgvector_db_spark.sources.snapshots import SnapshotTable
+    from pgvector_db_spark.streaming.replay import (
+        file_stream,
+        stage_replay_df,
+    )
+
+    orders_path = table_path(sf_dir, "orders")
+    orders = spark.read.parquet(orders_path)
+    replay_dir = os.path.join(
+        tempfile.gettempdir(), f"orders_replay4cdf_{_fixture_tag(sf_dir)}"
+    )
+    stage_replay_df(
+        orders.filter("o_orderkey % 4 != 0"),
+        replay_dir,
+        n_files=4,
+        fingerprint=f"cdf4_{_fixture_tag(sf_dir)}",
+    )
+    src = file_stream(spark, replay_dir, orders.schema, max_files_per_trigger=1)
+
+    tmp = tempfile.mkdtemp(prefix="snap_cdf_")
+    try:
+        st = SnapshotTable(
+            spark, f"{tmp}/orders", required_cols=("o_orderkey",)
+        )
+        st.insert(orders.filter("o_orderkey % 4 = 0"))
+        state_path = os.path.join(tmp, "feed_state.json")
+        upserted = {"pairs": 0}
+
+        def _load_state() -> dict:
+            try:
+                with open(state_path) as fh:
+                    return _json.load(fh)
+            except FileNotFoundError:
+                return {"last_version": 0, "groups": {}}
+
+        def tail() -> bool:
+            """One consumer poll over the CDF: signed fold — preimage
+            rows subtract, postimage/insert rows add — so the state
+            tracks the table exactly across the merge."""
+            s = _load_state()
+            last = int(s["last_version"])
+            latest = st.latest_version()
+            if latest <= last:
+                return False
+            feed = st.read_changes(last, latest, cdf=True)
+            sign = F.when(
+                F.col("_change_type") == "update_preimage", F.lit(-1)
+            ).otherwise(F.lit(1))
+            part = (
+                feed.groupBy("o_orderstatus")
+                .agg(
+                    F.sum(sign).cast("bigint").alias("n"),
+                    F.sum(
+                        sign.cast("decimal(18,2)")
+                        * F.col("o_totalprice").cast("decimal(18,2)")
+                    ).cast("decimal(18,2)").alias("sd"),
+                )
+                .collect()
+            )
+            groups = s["groups"]
+            for r in part:
+                g = groups.setdefault(
+                    r["o_orderstatus"], {"n": 0, "sd": "0"}
+                )
+                g["n"] = int(g["n"]) + int(r["n"])
+                g["sd"] = str(Decimal(g["sd"]) + r["sd"])
+            payload = {"last_version": latest, "groups": groups}
+            with open(state_path + ".tmp", "w") as fh:
+                _json.dump(payload, fh)
+            os.replace(state_path + ".tmp", state_path)
+            return True
+
+        def fold(batch: DataFrame, _bid: int) -> None:
+            if batch.take(1):
+                st.insert(batch, txn_app="ingest", txn_version=_bid)
+            if _bid == 1 and upserted["pairs"] == 0:
+                # the mid-stream merge: every key already lives in the
+                # backfill version, so the CDF carries pre/post pairs
+                uv = st.upsert(
+                    orders.filter("o_orderkey % 28 = 0").withColumn(
+                        "o_totalprice", F.col("o_totalprice") + F.lit(100.0)
+                    ),
+                    "o_orderkey",
+                    cdf=True,
+                )
+                types = {
+                    r["_change_type"]: r["n"]
+                    for r in st.read_changes(uv - 1, uv, cdf=True)
+                    .groupBy("_change_type")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
+                _require(
+                    types.get("update_preimage", 0)
+                    == types.get("update_postimage", 0)
+                    > 0
+                    and "insert" not in types,
+                    f"upsert CDF images not paired: {types}",
+                )
+                upserted["pairs"] = int(types["update_preimage"])
+            if st.latest_version() > 0:
+                tail()
+
+        q = (
+            src.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        tail()
+        before = _load_state()
+        _require(tail() is False, "replayed poll was not a no-op")
+        _require(
+            before["last_version"] == st.latest_version() > 0,
+            f"consumer watermark {before['last_version']} != table "
+            f"version {st.latest_version()}",
+        )
+        _require(upserted["pairs"] > 0, "mid-stream upsert never ran")
+
+        batch_rows = {
+            r["o_orderstatus"]: (int(r["n"]), r["sd"])
+            for r in st.read()
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                    "sd"
+                ),
+            )
+            .collect()
+        }
+        feed_rows = {
+            k: (int(v["n"]), Decimal(v["sd"]))
+            for k, v in before["groups"].items()
+        }
+        _require(
+            feed_rows == batch_rows,
+            f"CDF state diverged from batch recompute: "
+            f"feed={feed_rows} batch={batch_rows}",
+        )
+        out = spark.createDataFrame(
+            [(k, n, sd) for k, (n, sd) in sorted(feed_rows.items())],
+            "o_orderstatus string, n_orders bigint, _sd decimal(18,2)",
+        ).select(
+            "o_orderstatus",
+            "n_orders",
+            F.col("_sd").cast("double").alias("sum_price"),
+            F.lit(int(feed_rows == batch_rows)).cast("int").alias(
+                "feed_equals_batch"
+            ),
+            F.lit(int(upserted["pairs"] > 0)).cast("int").alias(
+                "cdf_images_paired"
+            ),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
     "rel_snapshot_schema_evolution",
     """
     WITH b1 AS (SELECT o_orderkey, o_totalprice FROM orders

@@ -525,3 +525,100 @@ def test_compact_rolls_txn_map_forward(spark, st):
     v = st.latest_version()
     assert st.insert(_df(spark, [(1, "dup")]), txn_app="w", txn_version=3) == v
     assert st.read().count() == 2
+
+
+def test_cdf_upsert_serves_pre_post_and_insert_rows(spark, st):
+    """r12 VERDICT item #4: an upsert committed with cdf=True is served
+    by read_changes(cdf=True) as Delta-CDF change rows — preimage /
+    postimage for replaced keys, insert for new keys — instead of
+    forcing a full downstream re-read."""
+    st.insert(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    v = st.upsert(_df(spark, [(2, "B"), (4, "d")]), "k", cdf=True)
+    feed = st.read_changes(1, v, cdf=True).collect()
+    got = sorted((r["k"], r["v"], r["_change_type"]) for r in feed)
+    assert got == [
+        (2, "B", "update_postimage"),
+        (2, "b", "update_preimage"),
+        (4, "d", "insert"),
+    ]
+    assert all(r["_commit_version"] == v for r in feed)
+    # signed fold reconstructs the table delta: preimage subtracts
+    delta = sum(
+        -1 if r["_change_type"] == "update_preimage" else 1 for r in feed
+    )
+    assert st.read(version=v).count() - st.read(version=1).count() == delta
+
+
+def test_cdf_insert_commits_carry_insert_type(spark, st):
+    st.insert(_df(spark, [(1, "a")]))
+    st.insert(_df(spark, [(2, "b")]))
+    feed = st.read_changes(0, cdf=True).collect()
+    assert sorted((r["k"], r["_change_type"]) for r in feed) == [
+        (1, "insert"),
+        (2, "insert"),
+    ]
+
+
+def test_cdf_skips_compact_commits(spark, st):
+    """compact is dataChange=false: the CDF range spans it silently
+    (zero logical row changes), while the non-CDF default still raises."""
+    st.insert(_df(spark, [(1, "a")]))
+    st.insert(_df(spark, [(2, "b")]))
+    st.compact(target_files=1)
+    st.insert(_df(spark, [(3, "c")]))
+    feed = st.read_changes(1, cdf=True).collect()
+    assert sorted((r["k"], r["_change_type"]) for r in feed) == [
+        (2, "insert"),
+        (3, "insert"),
+    ]
+    with pytest.raises(ValueError, match="non-append commit"):
+        st.read_changes(1)
+    # a range that is ONLY the compact commit: empty feed, stable schema
+    only = st.read_changes(2, 3, cdf=True)
+    assert only.count() == 0
+    assert "_change_type" in only.columns
+
+
+def test_cdf_unflagged_upsert_still_raises(spark, st):
+    """Default posture unchanged: an upsert committed WITHOUT cdf has no
+    materialized change rows — both read modes refuse it."""
+    st.insert(_df(spark, [(1, "a")]))
+    st.upsert(_df(spark, [(1, "A")]), "k")
+    with pytest.raises(ValueError, match="non-append commit"):
+        st.read_changes(1)
+    with pytest.raises(ValueError, match="without cdf=True"):
+        st.read_changes(1, cdf=True)
+
+
+def test_read_changes_end_beyond_latest_is_distinct_error(spark, st):
+    """r12 ADVICE (low): a never-committed end_version is a caller bug,
+    not a retention problem — the error must NOT tell the consumer to
+    resume from a full read."""
+    st.insert(_df(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="beyond the latest"):
+        st.read_changes(0, 5)
+
+
+def test_vacuum_retains_cdf_files_of_kept_versions(spark, st):
+    st.insert(_df(spark, [(1, "a"), (2, "b")]))
+    v = st.upsert(_df(spark, [(2, "B")]), "k", cdf=True)
+    st.vacuum(keep_last=2)  # keeps v1 (insert) + v2 (upsert)
+    feed = st.read_changes(1, v, cdf=True).collect()
+    assert sorted((r["k"], r["v"], r["_change_type"]) for r in feed) == [
+        (2, "B", "update_postimage"),
+        (2, "b", "update_preimage"),
+    ]
+
+
+def test_cdf_with_schema_evolution_null_fills(spark, st):
+    """An upsert batch ADDING a column: preimage rows (parent schema)
+    NULL-fill the new column in the feed, postimage rows carry it."""
+    st.insert(_df(spark, [(1, "a"), (2, "b")]))
+    wide = spark.createDataFrame([(2, "B", 7)], "k int, v string, w int")
+    v = st.upsert(wide, "k", cdf=True)
+    feed = {
+        (r["_change_type"]): (r["k"], r["v"], r["w"])
+        for r in st.read_changes(1, v, cdf=True).collect()
+    }
+    assert feed["update_preimage"] == (2, "b", None)
+    assert feed["update_postimage"] == (2, "B", 7)
