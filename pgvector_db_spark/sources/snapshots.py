@@ -680,19 +680,47 @@ class SnapshotTable:
         raise last_err
 
     @staticmethod
+    def _zorder_position(df: DataFrame, c: str):
+        """Order-preserving DOUBLE position of a zorder column — the
+        grid normalization only needs ORDER, so every comparable type
+        maps onto the double line (Delta z-orders arbitrary comparable
+        types the same way): integrals cast (exact to 2^53, and the
+        grid keeps only ``zbits`` of resolution anyway), dates → epoch
+        days, timestamps → epoch micros (~1.7e15 < 2^53, exact),
+        floats/doubles/decimals as themselves."""
+        t = df.schema[c].dataType.typeName()
+        if t in ("integer", "long", "short", "byte"):
+            return F.col(c).cast("double")
+        if t == "date":
+            return F.unix_date(F.col(c)).cast("double")
+        if t in ("timestamp", "timestamp_ntz"):
+            return F.unix_micros(F.col(c).cast("timestamp")).cast("double")
+        if t in ("double", "float", "decimal"):
+            return F.col(c).cast("double")
+        raise ValueError(
+            f"zorder_by column {c!r} must be numeric, date or "
+            f"timestamp, got {t}"
+        )
+
+    @classmethod
     def _zorder_cluster(
-        df: DataFrame, cols: tuple[str, ...], zbits: int, n_out: int
+        cls, df: DataFrame, cols: tuple[str, ...], zbits: int, n_out: int
     ) -> DataFrame:
         """Morton-cluster ``df`` for an n_out-file write. The min/max
         frame is one tiny aggregate broadcast into the scan; the code
         and its prefix block are map-side arithmetic; the only exchange
-        is the hash repartition on the block id."""
-        for c in cols:
-            t = df.schema[c].dataType.typeName()
-            if t not in ("integer", "long", "short", "byte"):
-                raise ValueError(
-                    f"zorder_by column {c!r} must be integral, got {t}"
-                )
+        is the hash repartition on the block id.
+
+        Normalization runs in DOUBLE end-to-end (r12 ADVICE): the old
+        integral path multiplied ``(x - lo) * top`` in bigint, which
+        overflows long — an ANSI ARITHMETIC_OVERFLOW under Spark 4 —
+        once the column range exceeds ~2^63/(2^zbits - 1) ≈ 1.4e14 at
+        the default zbits=16 (epoch-micros keys, the canonical zorder
+        use case). Dividing first keeps every intermediate in [0, top];
+        the result is clamped to the grid to absorb FP rounding at the
+        edges. Bit resolution is unaffected: the grid itself holds only
+        ``zbits`` (≤ 20) bits."""
+        pos = {c: cls._zorder_position(df, c) for c in cols}
         if zbits * len(cols) > 60:
             raise ValueError("zbits * len(zorder_by) must stay under 60")
         mm = df.agg(
@@ -700,8 +728,8 @@ class SnapshotTable:
                 f
                 for c in cols
                 for f in (
-                    F.min(c).cast("bigint").alias(f"_lo_{c}"),
-                    F.max(c).cast("bigint").alias(f"_hi_{c}"),
+                    F.min(pos[c]).alias(f"_lo_{c}"),
+                    F.max(pos[c]).alias(f"_hi_{c}"),
                 )
             ]
         )
@@ -709,14 +737,19 @@ class SnapshotTable:
         clustered = df.crossJoin(F.broadcast(mm))
         zv = None
         for i, c in enumerate(cols):
-            norm = F.floor(
-                (
-                    (F.col(c).cast("bigint") - F.col(f"_lo_{c}"))
-                    * F.lit(top)
-                ).cast("double")
-                / F.greatest(
-                    F.col(f"_hi_{c}") - F.col(f"_lo_{c}"), F.lit(1)
-                ).cast("double")
+            rng = F.col(f"_hi_{c}") - F.col(f"_lo_{c}")
+            denom = F.when(rng > 0, rng).otherwise(F.lit(1.0))
+            norm = (
+                F.least(
+                    F.greatest(
+                        F.floor(
+                            ((pos[c] - F.col(f"_lo_{c}")) / denom)
+                            * F.lit(float(top))
+                        ),
+                        F.lit(0),
+                    ),
+                    F.lit(top),
+                )
             ).cast("bigint")
             clustered = clustered.withColumn(f"_zn_{c}", norm)
             for k in range(zbits):

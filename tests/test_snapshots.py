@@ -453,10 +453,94 @@ def test_compact_zorder_clusters_and_preserves_rows(spark, tmp_path):
     assert sum(widths) / len(widths) < 70  # full range is 99
 
 
-def test_compact_zorder_rejects_non_integral_columns(spark, st):
+def test_compact_zorder_rejects_non_comparable_columns(spark, st):
     st.insert(_df(spark, [(1, "a")]))
-    with pytest.raises(ValueError, match="integral"):
+    with pytest.raises(ValueError, match="numeric, date or timestamp"):
         st.compact(zorder_by=("v",))
+
+
+def test_compact_zorder_huge_range_no_overflow(spark, tmp_path):
+    """r12 ADVICE (medium): the old bigint normalization computed
+    (x - lo) * top before dividing, overflowing long (ANSI
+    ARITHMETIC_OVERFLOW under Spark 4) for ranges above
+    ~2^63/(2^16 - 1) ≈ 1.4e14 — epoch-micros keys, the canonical
+    zorder use case. The double-first normalization must cluster them."""
+    st = SnapshotTable(spark, str(tmp_path / "zo"), required_cols=("k",))
+    base = 1_700_000_000_000_000  # epoch micros, range ~2e15
+    rows = [
+        (i, base + ((i * 37) % 100) * 20_000_000_000_000, (i * 61) % 100)
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "k int, t_us long, x long")
+    st.insert(df)
+    before = sorted(map(tuple, st.read().collect()))
+    v = st.compact(target_files=8, zorder_by=("t_us", "x"))
+    assert sorted(map(tuple, st.read(version=v).collect())) == before
+    # the huge-range dim still clusters: mean per-file envelope well
+    # under the full span
+    import pyarrow.parquet as papq
+
+    names, _ = st._resolve_files(v)
+    widths = []
+    for nm in names:
+        md = papq.ParquetFile(str(tmp_path / "zo" / "data" / nm)).metadata
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                if c.path_in_schema == "t_us":
+                    s = c.statistics
+                    lo = s.min if lo is None else min(lo, s.min)
+                    hi = s.max if hi is None else max(hi, s.max)
+        widths.append(hi - lo)
+    full = 99 * 20_000_000_000_000
+    assert sum(widths) / len(widths) < 0.7 * full
+
+
+def test_compact_zorder_date_and_double(spark, tmp_path):
+    """r12 VERDICT item #5: ZORDER over non-integral comparable types —
+    a (date, double) pair clusters on the same grid via order-
+    preserving double positions (epoch days / the double itself)."""
+    import datetime
+
+    import pyarrow.parquet as papq
+
+    st = SnapshotTable(spark, str(tmp_path / "zd"), required_cols=("k",))
+    d0 = datetime.date(2020, 1, 1)
+    rows = [
+        (
+            i,
+            d0 + datetime.timedelta(days=(i * 37) % 365),
+            float((i * 61) % 100) + 0.25,
+        )
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "k int, d date, p double")
+    for j in range(4):
+        st.insert(df.filter(F.col("k") % 4 == j))
+    before = sorted(map(tuple, st.read().collect()))
+    v = st.compact(target_files=8, zorder_by=("d", "p"))
+    assert sorted(map(tuple, st.read(version=v).collect())) == before
+    assert set(st.read().columns) == {"k", "d", "p"}
+    names, _ = st._resolve_files(v)
+    widths_d, widths_p = [], []
+    for nm in names:
+        md = papq.ParquetFile(str(tmp_path / "zd" / "data" / nm)).metadata
+        env = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                if c.path_in_schema in ("d", "p") and c.statistics:
+                    s = c.statistics
+                    e = env.setdefault(c.path_in_schema, [s.min, s.max])
+                    e[0] = min(e[0], s.min)
+                    e[1] = max(e[1], s.max)
+        widths_d.append((env["d"][1] - env["d"][0]).days)
+        widths_p.append(env["p"][1] - env["p"][0])
+    assert sum(widths_d) / len(widths_d) < 0.7 * 364
+    assert sum(widths_p) / len(widths_p) < 0.7 * 99
 
 
 def _race_one_insert(spark, st, row):
