@@ -351,6 +351,55 @@ class SparseIndex:
                 removed += 1
         return removed
 
+    def health_report(
+        self, q_indices: list[int], max_segments: int = 2
+    ) -> dict:
+        """Measure-only merge-policy gate (r12 VERDICT item #7 — the
+        sparse twin of ``ivf_health_report``): the signals that decide
+        WHEN to run the expensive :meth:`compact`, cheap enough for a
+        timer. Returns a dict:
+
+        - ``n_segments`` / ``n_rows`` — manifest state;
+        - ``total_postings`` — inverted-list entries across segments
+          (one count over the postings union — at 100 TB this is the
+          only full pass here and it is metadata-light columnar count);
+        - ``probe_files`` — parquet files a probe for ``q_indices``
+          must OPEN (per segment, per probed bucket — the physical
+          per-query fixed cost that grows linearly with segment count
+          and that compaction collapses back to one file per bucket);
+        - ``n_candidates`` — candidate rows for the probe (the rerank
+          cost, segment-layout-invariant: compaction must not move it);
+        - ``compact_recommended`` — 1 when ``n_segments`` exceeds
+          ``max_segments``.
+
+        Writes nothing; reads the manifest, one postings count, one
+        candidates count, and the probed dirs' file listings."""
+        meta = self.meta()
+        b = int(meta["num_buckets"])
+        buckets = sorted({int(i) % b for i in q_indices})
+        probe_files = 0
+        for seg in meta["segments"]:
+            for bk in buckets:
+                d = os.path.join(
+                    self.path, seg, "postings", f"bucket={bk}"
+                )
+                if os.path.isdir(d):
+                    probe_files += sum(
+                        1
+                        for f in os.listdir(d)
+                        if f.endswith(".parquet")
+                    )
+        return {
+            "n_segments": len(meta["segments"]),
+            "n_rows": int(meta["n_rows"]),
+            "total_postings": int(self.postings().count()),
+            "probe_files": int(probe_files),
+            "n_candidates": int(self.candidates(q_indices).count()),
+            "compact_recommended": int(
+                len(meta["segments"]) > max_segments
+            ),
+        }
+
     # -- read sides -----------------------------------------------------------
 
     def _segment_union(self, sub: str, segs: list[str]) -> DataFrame:

@@ -8612,6 +8612,109 @@ def vs_sparse_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "vs_sparse_index_health",
+    """
+    WITH si AS (
+      SELECT vec_id,
+             list_filter(range(1, len(embedding) + 1),
+                         i -> abs(CAST(embedding[i] AS DOUBLE)) > 0.1)
+                 AS si
+      FROM embeddings
+    ),
+    q AS (SELECT si AS qi FROM si WHERE vec_id = 0)
+    SELECT CAST((SELECT COUNT(*) FROM si) AS BIGINT) AS n_rows,
+           CAST((SELECT SUM(len(si)) FROM si) AS BIGINT)
+               AS total_postings,
+           CAST((SELECT COUNT(*) FROM si, q
+                 WHERE len(list_intersect(si.si, q.qi)) > 0)
+               AS BIGINT) AS n_candidates,
+           CAST(3 AS INT) AS segments_before,
+           CAST(1 AS INT) AS segments_after,
+           CAST(1 AS INT) AS compact_recommended,
+           CAST(1 AS INT) AS probe_cost_improved
+    """,
+    tags=("vector", "sparse", "ann", "maintenance"),
+)
+def vs_sparse_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-index merge-policy gate (r12 VERDICT item #7): the IVF
+    family fronts its expensive rebuild with a measure-only health
+    report; the segmented sparse index now has the same for its
+    compaction — ``SparseIndex.health_report`` reads the manifest, one
+    postings count, one candidates count, and the probed buckets' file
+    listings (writes nothing). Fixture: build(1/3) + two appends → 3
+    segments → ``compact_recommended`` flips at max_segments=2; the
+    probe's physical open cost (``probe_files`` — files per probed
+    bucket PER SEGMENT) must drop strictly after compact+vacuum while
+    the candidate count and total postings stay invariant (compaction
+    is a pure re-layout — the report numbers prove the policy target
+    AND the no-op-on-scores contract). Oracle: corpus/postings/
+    candidate counts recomputed from raw embeddings cross-engine; the
+    segment counts and flags are deterministic by construction."""
+    import shutil
+    import tempfile
+
+    from pgvector_db_spark.operators.sparse_index import SparseIndex
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    work = tempfile.mkdtemp(prefix="sparse_health_")
+    try:
+        idx = SparseIndex.build(
+            emb.filter("vec_id % 3 = 0"),
+            f"{work}/sx",
+            eps=0.1,
+            num_buckets=16,
+            carry_cols=("label",),
+        )
+        idx.append(emb.filter("vec_id % 3 = 1"), batch_tag="b1")
+        idx.append(emb.filter("vec_id % 3 = 2"), batch_tag="b2")
+        qi, _qv = _sparse_query_of(emb)
+        before = idx.health_report(qi, max_segments=2)
+        _require(
+            before["n_segments"] == 3 and before["compact_recommended"] == 1,
+            f"3-segment index must recommend compaction: {before}",
+        )
+        idx.compact()
+        idx.vacuum()
+        after = idx.health_report(qi, max_segments=2)
+        _require(
+            after["n_segments"] == 1 and after["compact_recommended"] == 0,
+            f"compacted index still flagged: {after}",
+        )
+        _require(
+            after["probe_files"] < before["probe_files"],
+            "compaction did not reduce the probe's open cost: "
+            f"{before['probe_files']} -> {after['probe_files']}",
+        )
+        _require(
+            after["n_candidates"] == before["n_candidates"]
+            and after["total_postings"] == before["total_postings"]
+            and after["n_rows"] == before["n_rows"],
+            f"re-layout moved logical state: {before} -> {after}",
+        )
+        out = spark.createDataFrame(
+            [
+                (
+                    before["n_rows"],
+                    before["total_postings"],
+                    before["n_candidates"],
+                    before["n_segments"],
+                    after["n_segments"],
+                    before["compact_recommended"],
+                    int(after["probe_files"] < before["probe_files"]),
+                )
+            ],
+            "n_rows bigint, total_postings bigint, n_candidates bigint, "
+            "segments_before int, segments_after int, "
+            "compact_recommended int, probe_cost_improved int",
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
     "stream_sparse_index_ingest",
     _sparse_knn("duckdb"),
     tags=("streaming", "vector", "sparse", "ann", "index", "maintenance"),
