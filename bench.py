@@ -341,6 +341,39 @@ def derived_metrics(spark, sf_dir: str, timings: dict[str, float]) -> dict[str, 
 
     _try(_lsh_layout)
 
+    # lakehouse serving claim made measurable (r12 VERDICT item #8): the
+    # changefeed read must stay O(changed data) — one manifest open +
+    # one add-file read per new version, never a table rescan. Fixed
+    # fixture: a 16-commit snapshot table (built once, reused across
+    # runs); the timed op is an incremental consumer catching up on the
+    # last 8 commits. A regression to O(table) here is exactly the
+    # listing-cost class knn_lsh_layout_ms caught for LSH.
+    def _changefeed() -> None:
+        import tempfile
+
+        from pgvector_db_spark.queries import _fixture_tag
+        from pgvector_db_spark.sources.snapshots import SnapshotTable
+
+        root = os.path.join(
+            tempfile.gettempdir(), f"snapcf_bench_{_fixture_tag(sf_dir)}"
+        )
+        st = SnapshotTable(spark, root, required_cols=("o_orderkey",))
+        from pyspark.sql import functions as F
+
+        for i in range(st.latest_version(), 16):
+            st.insert(
+                t["orders"].filter(F.col("o_orderkey") % 16 == i)
+            )
+
+        def _one() -> None:
+            assert st.read_changes(8, 16).count() >= 0
+
+        out["changefeed_read_ms"] = round(
+            time_reps("changefeed_read_ms", _one) * 1000, 1
+        )
+
+    _try(_changefeed)
+
     # training-pipeline headline: near-dup candidate generation throughput
     # (MinHash+LSH over the documents table, Spark side only)
     def _dedup() -> None:
@@ -572,6 +605,7 @@ CORE_KEYS = [
         "prefix_filter_survivors_ms",
         "salted_skew_join_ms",
         "ivf_autoprobe_ms",
+        "changefeed_read_ms",
 ]
 
 # the external driver captures only the LAST ~2000 chars of stdout —
