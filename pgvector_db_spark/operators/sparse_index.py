@@ -47,7 +47,12 @@ Streaming retry of an already-committed micro-batch is a no-op, which
 is what makes ``stream_sparse_index_ingest`` exactly-once. ``compact``
 merges all segments back into one (a long-running ingest pays a scan
 per segment per query) without changing a single score, keeping the
-replaced segments' batch_tags so replays remain no-ops.
+replaced segments' batch_tags so replays remain no-ops; it is safe
+against concurrent appends (survivor-preserving swap) and concurrent
+compactions (snapshot-conflict retry), and the segments it replaces
+are retained as manifest tombstones until an explicit ``vacuum`` —
+copy-on-write, so in-flight readers keep serving. ``health_report``
+is the measure-only merge-policy gate that decides WHEN to compact.
 
 Search = candidate generation + exact rerank, NEVER scoring-by-postings:
 the determinism contract (functions/sparse.py) pins every distance to a

@@ -18,9 +18,17 @@ collapsing under dedup/distinct:
              verbatim copy at "sf1", a silently-flat cell
   events:    event_id and user_id shifted per replica — per-user
              windows and distribution tests scale in entity count
-Other tables (dims, embeddings) are copied as-is; embeddings-bound
-rows keep the explicit verbatim-copy label in SCALING.md instead of a
-fake cell.
+  embeddings: vec_id shifted per replica AND (replica > 0) every
+             component perturbed by a deterministic hash-seeded delta
+             (±1.5%-of-range, xxhash64(vec_id, position)) — r12 verdict
+             item #6: a verbatim copy would make every replica a
+             distance-0 duplicate of replica 0, collapsing kNN top-k
+             and dedup structure instead of scaling it; the small
+             perturbation keeps the label-cluster geometry (IVF/
+             SemDeDup fixtures stay meaningful) while every vector is
+             distinct. Replica 0 is byte-identical to sf0.1, so
+             fixed-query entries (vec_id = 0) probe the same vector.
+Other tables (dims) are copied as-is.
 
 Usage: python tools/make_sf1.py [src_sf_dir] [out_dir]
   defaults: /root/testdata/sf0.1 -> /tmp/sf1_derived
@@ -41,7 +49,7 @@ from pgvector_db_spark.catalog import TABLES, read_table, table_path  # noqa: E4
 REPLICAS = 10
 # bump when the replication recipe changes: a fixture built by an older
 # recipe must be rebuilt, not silently reused
-RECIPE = "v2(orders,events scaled; shared orderkey span)"
+RECIPE = "v3(orders,events scaled; shared orderkey span; embeddings perturbed)"
 
 
 def main() -> None:
@@ -117,6 +125,38 @@ def main() -> None:
                 for c in ("event_id", "user_id")
             }
             replicate(df, spans).write.parquet(dst_path)
+        elif t == "embeddings":
+            df = read_table(spark, src, t)
+            span = df.agg(F.max("vec_id")).head()[0] + 1
+            parts = [df]  # replica 0: byte-identical vectors
+            for i in range(1, REPLICAS):
+                shifted = df.withColumn(
+                    "vec_id", F.col("vec_id") + F.lit(i * span)
+                )
+                # deterministic per-(vec_id, position) delta in
+                # [-0.015, 0.015): hash-seeded, so the fixture is
+                # reproducible bit-for-bit and no replica collapses to
+                # a distance-0 duplicate of another
+                def _perturb(x, j):
+                    h = F.pmod(
+                        F.xxhash64(F.col("vec_id"), j), F.lit(30000)
+                    )
+                    return (
+                        x.cast("double")
+                        + (h.cast("double") / F.lit(1000.0) - F.lit(15.0))
+                        / F.lit(1000.0)
+                    ).cast("float")
+
+                parts.append(
+                    shifted.withColumn(
+                        "embedding",
+                        F.transform("embedding", _perturb),
+                    )
+                )
+            r = parts[0]
+            for p in parts[1:]:
+                r = r.unionByName(p)
+            r.write.parquet(dst_path)
         else:
             if os.path.isdir(src_path):
                 shutil.copytree(src_path, dst_path)

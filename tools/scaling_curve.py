@@ -110,6 +110,23 @@ HEAVY = {
     "rel_snapshot_log_checkpoint",
     "rel_snapshot_optimize",
     "rel_snapshot_optimize_zorder",
+    # r13: make_sf1 v3 scales EMBEDDINGS (vec_id shifted, components
+    # hash-perturbed ±1.5% so no replica is a distance-0 duplicate) —
+    # every vector-bound row gets a real sf1 decade. The previously
+    # sf1-measured vs_sq8/ivfpq cells re-measured too (under v2 their
+    # "sf1" re-timed the same 2,000 verbatim vectors).
+    "vs_knn_topk",
+    "ds_semdedup_prune",
+    "vs_pca_power_projection",
+    "vs_jl_projection_topk",
+    "vs_ivf_autoprobe",
+    "vs_ivf_autoprobe_l2",
+    "vs_ivf_autoprobe_ip",
+    "vs_ivf_rebuild_decision",
+    "vs_ivf_health_report",
+    "vs_sparse_index_knn",
+    "vs_sparse_index_append",
+    "vs_sparse_index_health",
 }
 
 # one representative per major operator family
@@ -201,8 +218,11 @@ QUERIES = [
     "rel_snapshot_optimize_zorder",  # 24 commits + 2 compactions +
                                   # footer-envelope skipping proof (r12)
     "vs_sparse_index_append",     # build + 2 appends + replay no-op +
-                                  # scan parity (r12; embeddings-bound,
-                                  # no sf1)
+                                  # scan parity (r12; embeddings scaled
+                                  # since the v3 replica — real sf1)
+    "vs_sparse_index_health",     # measure-only merge-policy gate +
+                                  # compact/vacuum + invariance proof
+                                  # (r13; embeddings-bound, v3 sf1)
 ]
 
 
