@@ -249,12 +249,14 @@ class SnapshotTable:
         serve their add-files as ``'insert'`` rows. An upsert committed
         with ``upsert(..., cdf=True)`` persisted its change rows at
         commit time (``'insert'`` for new keys, ``'update_preimage'`` /
-        ``'update_postimage'`` for replaced ones) — the feed serves
-        those files, O(changed keys) not O(table). Compact commits are
-        pure re-layouts (``dataChange=false``) and are SKIPPED, not an
-        error. An upsert committed WITHOUT cdf still raises — its
-        change set was never materialized. A signed fold (preimage
-        subtracts, everything else adds) over the CDF stream
+        ``'update_postimage'`` for replaced ones), and a
+        ``delete_where(..., cdf=True)`` its ``'delete'`` rows — the
+        feed serves those files, O(changed rows) not O(table). Compact
+        commits are pure re-layouts (``dataChange=false``) and are
+        SKIPPED, not an error. An upsert/delete committed WITHOUT cdf
+        still raises — its change set was never materialized. A signed
+        fold (preimage/delete subtracts, everything else adds) over the
+        CDF stream
         reconstructs any additive aggregate of the table exactly,
         which ``stream_snapshot_cdf_upsert`` asserts bitwise."""
         end = self.latest_version() if end_version is None else end_version
@@ -312,7 +314,7 @@ class SnapshotTable:
                 hint = (
                     " (committed without cdf=True, so its change rows "
                     "were never materialized)"
-                    if cdf and m["op"] == "upsert"
+                    if cdf and m["op"] in ("upsert", "delete")
                     else "; the changefeed covers insert commits only"
                     if not cdf
                     else ""
@@ -589,6 +591,41 @@ class SnapshotTable:
         # from it under the lock records the full column set
         return self._commit(
             "upsert", names, n, merged,
+            expect_parent=base, cdf_files=cdf_names,
+        )
+
+    def delete_where(self, predicate, cdf: bool = False) -> int:
+        """``DELETE FROM t WHERE predicate`` as a copy-on-write version
+        (Delta DELETE semantics): survivors are rewritten into new
+        files, the parent version is untouched (time travel across the
+        delete), and SQL WHERE-semantics apply — rows where the
+        predicate is NULL are KEPT. Optimistic concurrency as for
+        upsert: a commit landing inside the read-modify-write window
+        raises :class:`SnapshotConflictError`.
+
+        ``cdf=True`` materializes the deleted rows as change files
+        (``_change_type='delete'``) so ``read_changes(..., cdf=True)``
+        serves the delete incrementally — the third Delta CDF change
+        type, completing insert/update/delete; a signed downstream
+        fold subtracts them exactly like update preimages."""
+        base = self.latest_version()
+        if base == 0:
+            raise FileNotFoundError(f"snapshot table {self.path} is empty")
+        pred = (
+            F.expr(predicate) if isinstance(predicate, str) else predicate
+        )
+        current = self.read(base)
+        doomed = F.coalesce(pred, F.lit(False))
+        keep = current.filter(~doomed)
+        names, n = self._stage_files(keep)
+        cdf_names: list[str] | None = None
+        if cdf:
+            deleted = current.filter(doomed).withColumn(
+                "_change_type", F.lit("delete")
+            )
+            cdf_names, _ = self._stage_files(deleted)
+        return self._commit(
+            "delete", names, n, keep,
             expect_parent=base, cdf_files=cdf_names,
         )
 

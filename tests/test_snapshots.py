@@ -706,3 +706,48 @@ def test_cdf_with_schema_evolution_null_fills(spark, st):
     }
     assert feed["update_preimage"] == (2, "b", None)
     assert feed["update_postimage"] == (2, "B", 7)
+
+
+def test_delete_where_copy_on_write_and_cdf(spark, st):
+    """Delta DELETE semantics: survivors rewritten as a new version,
+    parent time-travels intact, and with cdf=True the deleted rows are
+    served by the feed as _change_type='delete' — the third CDF type."""
+    st.insert(_df(spark, [(1, "a"), (2, "b"), (3, "c"), (4, "d")]))
+    v = st.delete_where("k % 2 = 0", cdf=True)
+    assert sorted(r["k"] for r in st.read().collect()) == [1, 3]
+    assert sorted(r["k"] for r in st.read(version=1).collect()) == [
+        1, 2, 3, 4,
+    ]
+    feed = st.read_changes(1, v, cdf=True).collect()
+    assert sorted((r["k"], r["v"], r["_change_type"]) for r in feed) == [
+        (2, "b", "delete"),
+        (4, "d", "delete"),
+    ]
+
+
+def test_delete_where_null_predicate_keeps_row(spark, st):
+    """SQL WHERE semantics: a NULL predicate row is NOT deleted."""
+    st.insert(_df(spark, [(1, "x"), (2, None), (3, "y")]))
+    st.delete_where("v = 'x'")
+    assert sorted(r["k"] for r in st.read().collect()) == [2, 3]
+
+
+def test_delete_without_cdf_refused_by_feed(spark, st):
+    st.insert(_df(spark, [(1, "a"), (2, "b")]))
+    st.delete_where("k = 1")
+    with pytest.raises(ValueError, match="non-append commit"):
+        st.read_changes(1)
+    with pytest.raises(ValueError, match="without cdf=True"):
+        st.read_changes(1, cdf=True)
+
+
+def test_delete_conflict_detected_not_lost(spark, st):
+    """A commit landing inside delete's read-modify-write window must
+    raise — committing anyway would drop the concurrent row."""
+    from pgvector_db_spark.sources.snapshots import SnapshotConflictError
+
+    st.insert(_df(spark, [(1, "a"), (2, "b")]))
+    _race_one_insert(spark, st, (99, "concurrent"))
+    with pytest.raises(SnapshotConflictError):
+        st.delete_where("k = 2")
+    assert sorted(r["k"] for r in st.read().collect()) == [1, 2, 99]
