@@ -180,8 +180,11 @@ class IVFIndex:
             centroids, "list_id int, centroid array<double>, metric string"
         ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
 
+        from pgvector_db_spark.operators.layout import invalidate_layout
+
         _CENTROID_CACHE.pop(os.path.join(path, "centroids"), None)
         _DATA_CACHE.pop((id(spark), os.path.join(path, "data")), None)
+        invalidate_layout(spark, os.path.join(path, "data"))
         return cls(spark, path, vec_col, id_col)
 
     # -- incremental maintenance ---------------------------------------------
@@ -238,7 +241,10 @@ class IVFIndex:
             .partitionBy("list_id")
             .parquet(self.data_path)
         )
+        from pgvector_db_spark.operators.layout import invalidate_layout
+
         _DATA_CACHE.pop((id(self.spark), self.data_path), None)
+        invalidate_layout(self.spark, self.data_path)
 
     # -- search --------------------------------------------------------------
 

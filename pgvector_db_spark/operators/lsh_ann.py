@@ -164,6 +164,9 @@ def build_lsh_layout(
         .partitionBy("sig")
         .parquet(path)
     )
+    from pgvector_db_spark.operators.layout import invalidate_layout
+
+    invalidate_layout(df.sparkSession, path)
 
 
 def append_lsh_layout(
@@ -190,6 +193,9 @@ def append_lsh_layout(
         .partitionBy("sig")
         .parquet(path)
     )
+    from pgvector_db_spark.operators.layout import invalidate_layout
+
+    invalidate_layout(df.sparkSession, path)
 
 
 def _read_probed_partitions(spark, path: str, probes: list[int]) -> DataFrame:

@@ -326,3 +326,33 @@ def test_batch_search_distributed_plan_has_no_static_prune(index, tables):
     df = index.batch_search(queries, 3, 1, mode="distributed")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_probed_read_schema_cache_sees_appends(spark, tables, tmp_path):
+    """The layout schema cache (operators/layout.py) must cache ONLY the
+    schema, never the file listing: rows appended after the first probed
+    read (which primes the cache) must appear in the next search, and
+    results must stay identical to the declarative filtered read."""
+    from pgvector_db_spark.operators.ivf import IVFIndex
+    from pyspark.sql import functions as F
+
+    emb = tables["embeddings"]
+    half = emb.filter("vec_id % 2 = 0")
+    rest = emb.filter("vec_id % 2 = 1")
+    idx = IVFIndex.build(half, str(tmp_path / "sc"), lists=4)
+    q = list(emb.filter("vec_id = 0").first()["embedding"])
+    # primes the (session, path) schema cache
+    before = idx.search(q, k=50, nprobe=4).collect()
+    idx.append(rest)
+    after = idx.search(q, k=50, nprobe=4)
+    got = sorted(r["vec_id"] for r in after.collect())
+    # appended rows are visible: odd vec_ids can now rank
+    assert len(got) >= len(before)
+    assert any(v % 2 == 1 for v in got)
+    # row-identical to the declarative filtered read
+    probes = [lid for lid, _ in idx._rank_lists(q)[:4]]
+    declarative = (
+        idx._data().filter(F.col("list_id").isin(probes)).count()
+    )
+    direct = idx._probed_data(probes).count()
+    assert direct == declarative
