@@ -13909,6 +13909,114 @@ def rel_snapshot_delete_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@register(
+    "rel_snapshot_data_skipping",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price,
+           CAST(1 AS INT) AS files_scanned,
+           CAST((SELECT COUNT(DISTINCT year(o_orderdate)) - 1
+                 FROM orders) AS INT) AS files_skipped,
+           CAST(1 AS INT) AS pruned_equals_full
+    FROM orders
+    WHERE year(o_orderdate) = 1995
+    GROUP BY o_orderstatus
+    """,
+    tags=("relational", "snapshot", "maintenance"),
+)
+def rel_snapshot_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-stats file skipping (Delta's data-skipping shape, r13):
+    every commit records per-file column min/max harvested from the
+    staged parquet FOOTERS into the log (checkpoints merge the map), and
+    ``read_where`` prunes the file list ON THE DRIVER from those
+    envelopes — a skipped file is never opened, not even its footer. At
+    100 TB this is the difference between a date-range query opening
+    7 years of files and opening one: the decision costs the same
+    bounded log walk as any read. Fixture: orders committed in one
+    batch per DISTINCT order year (one file each — the year set is
+    data-derived, so no commit is empty at any SF), then a 1995 range
+    query. In-query canaries: exactly 1 file scanned with every other
+    year skipped (both pinned in the output — the oracle recomputes the
+    year count), and the pruned read equals the full-scan filter
+    bitwise (count + order-insensitive xxhash64 row-sum) — stats decide
+    which files open, never the answer."""
+    import shutil
+    import tempfile
+
+    from pgvector_db_spark.sources.snapshots import SnapshotTable
+
+    t = load_tables(spark, sf_dir)
+    base = t["orders"].select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        F.to_date("o_orderdate").alias("d"),
+    )
+    tmp = tempfile.mkdtemp(prefix="snap_skip_")
+    try:
+        st = SnapshotTable(
+            spark, f"{tmp}/orders", required_cols=("o_orderkey",)
+        )
+        years = sorted(
+            r[0]
+            for r in base.select(F.year("d")).distinct().collect()
+        )
+        for y in years:
+            st.insert(base.filter(F.year("d") == y).coalesce(1))
+
+        import datetime as _dt
+
+        lo, hi = _dt.date(1995, 1, 1), _dt.date(1995, 12, 31)
+        pruned = st.read_where([("d", "between", (lo, hi))])
+        scanned, skipped = st.last_files_scanned, st.last_files_skipped
+        _require(
+            scanned == 1 and skipped == len(years) - 1,
+            f"data skipping over {len(years)} one-file year commits "
+            f"expected 1 scanned / {len(years) - 1} skipped, got "
+            f"{scanned}/{skipped}",
+        )
+
+        def rowsum(df: DataFrame) -> tuple[int, int]:
+            r = df.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum(
+                    F.xxhash64(
+                        "o_orderkey", "o_orderstatus", "o_totalprice", "d"
+                    ).cast("decimal(38,0)")
+                ).alias("h"),
+            ).first()
+            return int(r["n"]), int(r["h"] or 0)
+
+        full = st.read().filter(F.col("d").between(lo, hi))
+        p_sum, f_sum = rowsum(pruned), rowsum(full)
+        _require(
+            p_sum == f_sum,
+            f"pruned read diverged from full-scan filter: {p_sum} vs "
+            f"{f_sum} — stats changed the ANSWER, not just the file set",
+        )
+        out = pruned.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        ).select(
+            "o_orderstatus",
+            "n_orders",
+            "sum_price",
+            F.lit(scanned).cast("int").alias("files_scanned"),
+            F.lit(skipped).cast("int").alias("files_skipped"),
+            F.lit(int(p_sum == f_sum)).cast("int").alias(
+                "pruned_equals_full"
+            ),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # The lakehouse loop closed (r11 VERDICT item #5): streaming ingest →
 # snapshot commit log → INCREMENTAL downstream. The log's delta
 # manifests are per-commit add-sets — exactly what Delta's streaming

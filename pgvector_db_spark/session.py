@@ -43,6 +43,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # INT96 (Spark's legacy default) writes NO footer min/max, so
+        # timestamp columns would be invisible to row-group pruning and
+        # to the snapshot log's data-skipping stats; TIMESTAMP_MICROS
+        # is the modern annotated int64 every reader (Spark, DuckDB,
+        # pyarrow) understands and stats cover
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )

@@ -96,6 +96,9 @@ class SnapshotTable:
         # metadata JSON files opened by the most recent read() — the
         # O(1)-log-access evidence (<= checkpoint_interval + 1 always)
         self.last_metadata_reads = 0
+        # file-skipping decision of the most recent read_where()
+        self.last_files_scanned = 0
+        self.last_files_skipped = 0
         # reuse the ingest-constraint validation (required cols +
         # VECTOR(n) dimension checks) without inheriting write paths
         self._validator = ParquetTable(
@@ -140,38 +143,176 @@ class SnapshotTable:
     def manifest(self, version: int) -> dict:
         return read_json(self._manifest_path(version))
 
+    # -- per-file column stats (data skipping) --------------------------------
+
+    # Delta stores per-file column min/max IN THE LOG so a reader can
+    # drop files without opening any footer; this is the same shape.
+    # Stats come from the parquet FOOTERS of the freshly staged files —
+    # a driver-side metadata read per new file, O(batch files) per
+    # commit, no data read. Only types whose bounds survive JSON
+    # exactly participate; anything else (decimal, binary, nested) is
+    # simply absent from the map, which read_where treats as
+    # "unprunable" — stats can only ever widen what is read, never
+    # narrow correctness.
+
+    def _collect_stats(self, names: list[str]) -> dict[str, dict]:
+        import pyarrow.parquet as _papq
+
+        out: dict[str, dict] = {}
+        for nm in names:
+            md = _papq.ParquetFile(
+                os.path.join(self._data_dir(), nm)
+            ).metadata
+            if md.num_rows == 0:
+                # a zero-row file satisfies no predicate — always prune
+                out[nm] = {"__rows__": 0}
+                continue
+            env: dict[str, list] = {}
+            dead: set[str] = set()
+            allnull: dict[str, bool] = {}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    c = col.path_in_schema
+                    if c in dead or "." in c:
+                        continue
+                    s = col.statistics
+                    if s is None:
+                        dead.add(c)
+                        continue
+                    if not s.has_min_max:
+                        # a row group with values but no bounds makes
+                        # the whole file unprunable on this column;
+                        # an all-null group contributes no bounds but
+                        # stays prunable (null-rejecting predicates)
+                        if (
+                            s.null_count is not None
+                            and s.null_count == g.num_rows
+                        ):
+                            allnull.setdefault(c, True)
+                            continue
+                        dead.add(c)
+                        continue
+                    lo = self._stat_value(s.min)
+                    hi = self._stat_value(s.max)
+                    if lo is None or hi is None:
+                        dead.add(c)
+                        continue
+                    allnull[c] = False
+                    e = env.get(c)
+                    if e is None:
+                        env[c] = [lo, hi]
+                    else:
+                        if lo < e[0]:
+                            e[0] = lo
+                        if hi > e[1]:
+                            e[1] = hi
+            fstats: dict[str, list | str] = {
+                c: v for c, v in env.items() if c not in dead
+            }
+            for c, is_allnull in allnull.items():
+                if is_allnull and c not in dead and c not in fstats:
+                    # every value NULL: any null-rejecting range
+                    # predicate on c prunes the whole file
+                    fstats[c] = "allnull"
+            out[nm] = fstats
+        return out
+
+    @staticmethod
+    def _stat_value(v):
+        """Footer stat → JSON-exact comparable, or None (ineligible).
+        The parquet spec guarantees stored min/max are BOUNDS even when
+        truncated (strings), so comparisons against them are sound."""
+        import datetime as _dt
+
+        if isinstance(v, bool):
+            return int(v)
+        if isinstance(v, int):
+            return v
+        if isinstance(v, float):
+            return None if v != v else v  # NaN bounds are meaningless
+        if isinstance(v, str):
+            return v
+        if isinstance(v, _dt.datetime):
+            epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+            return int((v - epoch) / _dt.timedelta(microseconds=1))
+        if isinstance(v, _dt.date):
+            return (v - _dt.date(1970, 1, 1)).days
+        return None
+
+    @staticmethod
+    def _predicate_value(v):
+        """Caller literal → the same comparable domain as _stat_value
+        (dates as epoch days, timestamps as epoch micros)."""
+        import datetime as _dt
+        from decimal import Decimal
+
+        if isinstance(v, bool):
+            return int(v)
+        if isinstance(v, _dt.datetime):
+            epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+            return int((v - epoch) / _dt.timedelta(microseconds=1))
+        if isinstance(v, _dt.date):
+            return (v - _dt.date(1970, 1, 1)).days
+        if isinstance(v, Decimal):
+            return None  # decimal stats are never recorded
+        if isinstance(v, float) and v != v:
+            return None
+        if isinstance(v, (int, float, str)):
+            return v
+        return None
+
     # -- file-list resolution (checkpoint + tail deltas) ----------------------
 
     def _resolve_files(self, version: int) -> tuple[list[str], int]:
-        """Full file list of ``version`` and the number of metadata
-        JSON files opened to get it. Walks back from ``version``
+        files, _, reads = self._resolve_state(version)
+        return files, reads
+
+    def _resolve_state(
+        self, version: int
+    ) -> tuple[list[str], dict[str, dict], int]:
+        """Full file list of ``version``, the per-file column-stats map
+        for data skipping, and the number of metadata JSON files opened
+        to get both (ONE walk serves both — read_where pays the same
+        bounded metadata cost as read). Walks back from ``version``
         collecting delta ``add`` lists until it hits a base — a
         checkpoint, or a self-contained manifest (overwrite/upsert
         write the full set; pre-r11 legacy manifests always did). The
         writer checkpoints every ``checkpoint_interval`` commits, so
         the walk is bounded: ≤ interval delta reads + 1 base read,
-        independent of table age."""
+        independent of table age. Files whose manifest predates stats
+        (or whose checkpoint dropped them) are simply absent from the
+        stats map — unprunable, never incorrect."""
         adds: list[list[str]] = []
+        stat_layers: list[dict[str, dict]] = []
         reads = 0
         v = version
         base: list[str] = []
+        base_stats: dict[str, dict] = {}
         while v > 0:
             cp = self._checkpoint_path(v)
             if os.path.exists(cp):
-                base = read_json(cp)["files"]
+                c = read_json(cp)
+                base = c["files"]
+                base_stats = c.get("stats", {})
                 reads += 1
                 break
             m = self.manifest(v)
             reads += 1
             if "files" in m:
                 base = m["files"]
+                base_stats = m.get("stats", {})
                 break
             adds.append(m["add"])
+            stat_layers.append(m.get("stats", {}))
             v = m["parent"]
         files = list(base)
-        for add in reversed(adds):
+        stats = dict(base_stats)
+        for add, layer in zip(reversed(adds), reversed(stat_layers)):
             files.extend(add)
-        return files, reads
+            stats.update(layer)
+        return files, stats, reads
 
     def _maybe_checkpoint(self, version: int) -> None:
         """Materialize a full-file-list checkpoint every
@@ -183,7 +324,7 @@ class SnapshotTable:
         self._write_checkpoint(version)
 
     def _write_checkpoint(self, version: int) -> None:
-        files, _ = self._resolve_files(version)
+        files, stats, _ = self._resolve_state(version)
         m = self.manifest(version)
         commit_json(
             self._checkpoint_path(version),
@@ -192,6 +333,9 @@ class SnapshotTable:
                 "files": files,
                 "n_rows": m["n_rows"],
                 "schema": m.get("schema"),
+                # the accumulated skipping stats ride in the checkpoint
+                # (Delta's shape) so stats resolution stays O(interval)
+                "stats": stats,
             },
         )
         commit_json(self._last_checkpoint_path(), {"version": version})
@@ -220,6 +364,134 @@ class SnapshotTable:
                 StructType.fromJson(m["schema"])
             )
         return reader.parquet(*paths)
+
+    def read_where(
+        self,
+        predicates: list[tuple],
+        version: int | None = None,
+    ) -> DataFrame:
+        """Data-skipping read (Delta's stats-based file pruning): open
+        only the files whose LOG-recorded column envelopes can satisfy
+        ``predicates``, a conjunction of range terms
+        ``(col, op, value)`` with op one of ``< <= > >= =`` or
+        ``('between', (lo, hi))``. The same predicates are then applied
+        as an ordinary filter over the surviving files, so stats decide
+        only WHICH files open, never the answer — a file with missing
+        or foreign-typed stats is simply read. SQL WHERE semantics
+        hold throughout: every term is null-rejecting, which is what
+        makes skipping all-null files sound.
+
+        At 100 TB this is the difference between a point/range query
+        opening thousandths of the table and opening all of it: the
+        decision runs on the driver over the MANIFEST stats map (one
+        bounded log walk, the same ≤ interval + 2 metadata opens as
+        ``read`` — no footer is touched for a skipped file).
+        ``last_files_scanned`` / ``last_files_skipped`` record the
+        decision for audits; parquet row-group pruning still applies
+        inside the files that do open."""
+        v = self.latest_version() if version is None else version
+        if v == 0:
+            raise FileNotFoundError(f"snapshot table {self.path} is empty")
+        for p in predicates:
+            if len(p) != 3 or p[1] not in (
+                "<", "<=", ">", ">=", "=", "between"
+            ):
+                raise ValueError(f"bad predicate term {p!r}")
+        m = self.manifest(v)
+        names, stats, reads = self._resolve_state(v)
+        self.last_metadata_reads = reads + 1
+        kept: list[str] = []
+        for nm in names:
+            fstats = stats.get(nm, {})
+            if not self._file_pruned(fstats, predicates):
+                kept.append(nm)
+        self.last_files_scanned = len(kept)
+        self.last_files_skipped = len(names) - len(kept)
+        from pyspark.sql.types import StructType
+
+        schema_json = m.get("schema")
+        if not kept:
+            if schema_json is not None:
+                df = self.spark.createDataFrame(
+                    [], StructType.fromJson(schema_json)
+                )
+            else:
+                df = self.spark.read.parquet(
+                    os.path.join(self._data_dir(), names[0])
+                ).limit(0)
+            return df.filter(self._predicate_expr(predicates))
+        reader = self.spark.read
+        if schema_json is not None:
+            reader = reader.schema(StructType.fromJson(schema_json))
+        df = reader.parquet(
+            *[os.path.join(self._data_dir(), f) for f in kept]
+        )
+        return df.filter(self._predicate_expr(predicates))
+
+    @classmethod
+    def _file_pruned(
+        cls, fstats: dict[str, list | str], predicates: list[tuple]
+    ) -> bool:
+        """True iff the envelopes PROVE no row of the file can satisfy
+        the conjunction. Unknown stats, ineligible literals, or a
+        type mismatch between literal and envelope → not pruned."""
+        if fstats.get("__rows__") == 0:
+            return True
+        for col, op, value in predicates:
+            s = fstats.get(col)
+            if s is None:
+                continue
+            if s == "allnull":
+                return True  # every term is null-rejecting
+            lo, hi = s
+            if op == "between":
+                a = cls._predicate_value(value[0])
+                b = cls._predicate_value(value[1])
+                if a is None or b is None:
+                    continue
+                try:
+                    if hi < a or lo > b:
+                        return True
+                except TypeError:
+                    continue
+                continue
+            pv = cls._predicate_value(value)
+            if pv is None:
+                continue
+            try:
+                if (
+                    (op == "<" and lo >= pv)
+                    or (op == "<=" and lo > pv)
+                    or (op == ">" and hi <= pv)
+                    or (op == ">=" and hi < pv)
+                    or (op == "=" and (pv < lo or pv > hi))
+                ):
+                    return True
+            except TypeError:
+                continue
+        return False
+
+    @staticmethod
+    def _predicate_expr(predicates: list[tuple]):
+        """The conjunction as a real Column filter — correctness never
+        rests on the stats."""
+        expr = F.lit(True)
+        for col, op, value in predicates:
+            c = F.col(col)
+            if op == "between":
+                term = c.between(F.lit(value[0]), F.lit(value[1]))
+            elif op == "<":
+                term = c < F.lit(value)
+            elif op == "<=":
+                term = c <= F.lit(value)
+            elif op == ">":
+                term = c > F.lit(value)
+            elif op == ">=":
+                term = c >= F.lit(value)
+            else:
+                term = c == F.lit(value)
+            expr = expr & term
+        return expr
 
     def read_changes(
         self,
@@ -373,6 +645,7 @@ class SnapshotTable:
         df: DataFrame,
         expect_parent: int | None = None,
         cdf_files: list[str] | None = None,
+        stats: dict[str, dict] | None = None,
     ) -> int:
         """Single-writer commit: the evolved schema is computed INSIDE
         the lock from the parent actually observed there. Computing it
@@ -386,7 +659,14 @@ class SnapshotTable:
         READ must still be the latest at commit time, else the full
         "files" manifest about to be written would silently drop every
         row committed in between (lost update). INSERTs never pass it —
-        an append is order-independent and composes with any parent."""
+        an append is order-independent and composes with any parent.
+
+        Skipping stats are collected from the staged files' footers
+        BEFORE the lock (they are immutable once staged — nothing a
+        concurrent commit does can change them), so lock hold time
+        stays a couple of JSON writes."""
+        if stats is None:
+            stats = self._collect_stats(files)
         with file_lock(self._lock_path()):
             parent = self.latest_version()
             if expect_parent is not None and parent != expect_parent:
@@ -409,6 +689,7 @@ class SnapshotTable:
                 "n_rows": n_rows,
                 "schema": schema,
                 "txn": self._parent_txn(parent),
+                "stats": stats,
             }
             if cdf_files is not None:
                 manifest["cdf"] = cdf_files
@@ -498,6 +779,7 @@ class SnapshotTable:
             # authoritative for races)
             return self.latest_version()
         names, n = self._stage_files(df)
+        stats = self._collect_stats(names)
         with file_lock(self._lock_path()):
             parent = self.latest_version()
             txn = self._parent_txn(parent)
@@ -524,6 +806,7 @@ class SnapshotTable:
                     "n_rows": prev_rows + n,
                     "schema": schema,
                     "txn": txn,
+                    "stats": stats,
                 },
             )
             self._maybe_checkpoint(version)

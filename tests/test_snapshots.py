@@ -751,3 +751,168 @@ def test_delete_conflict_detected_not_lost(spark, st):
     with pytest.raises(SnapshotConflictError):
         st.delete_where("k = 2")
     assert sorted(r["k"] for r in st.read().collect()) == [1, 2, 99]
+
+
+# -- data skipping (manifest column stats + read_where) ----------------------
+
+
+def _range_df(spark, lo, hi, tag="x"):
+    rows = [(i, float(i), f"{tag}{i:05d}") for i in range(lo, hi)]
+    return spark.createDataFrame(rows, "k int, p double, s string")
+
+
+def test_insert_manifest_records_footer_stats(spark, tmp_path):
+    st = SnapshotTable(spark, str(tmp_path / "ds"), required_cols=("k",))
+    st.insert(_range_df(spark, 10, 20))
+    stats = st.manifest(1)["stats"]
+    assert len(stats) >= 1
+    merged = {}
+    for f in stats.values():
+        for c, env in f.items():
+            lo, hi = env
+            cur = merged.setdefault(c, [lo, hi])
+            cur[0] = min(cur[0], lo)
+            cur[1] = max(cur[1], hi)
+    assert merged["k"] == [10, 19]
+    assert merged["p"] == [10.0, 19.0]
+    assert merged["s"] == ["x00010", "x00019"]
+
+
+def test_read_where_skips_disjoint_files_and_matches_full_filter(
+    spark, tmp_path
+):
+    st = SnapshotTable(spark, str(tmp_path / "ds2"), required_cols=("k",))
+    for b in range(8):
+        st.insert(
+            _range_df(spark, b * 100, b * 100 + 100).coalesce(1)
+        )
+    got = st.read_where([("k", "between", (250, 349))])
+    rows = sorted(r["k"] for r in got.collect())
+    assert rows == list(range(250, 350))
+    assert st.last_files_skipped >= 6  # only the 2 overlapping commits open
+    assert st.last_files_scanned <= 2
+    # the filter is real: a predicate the stats can't prune still answers
+    got2 = st.read_where([("s", ">=", "x00750")])
+    assert got2.count() == 50
+    full = st.read().filter(F.col("k").between(250, 349))
+    assert sorted(r["k"] for r in full.collect()) == rows
+
+
+def test_read_where_resolves_stats_through_checkpoints(spark, tmp_path):
+    st = SnapshotTable(
+        spark, str(tmp_path / "ds3"), required_cols=("k",),
+        checkpoint_interval=5,
+    )
+    for b in range(12):
+        st.insert(_range_df(spark, b * 10, b * 10 + 10).coalesce(1))
+    got = st.read_where([("k", ">=", 100)])
+    assert sorted(r["k"] for r in got.collect()) == list(range(100, 120))
+    assert st.last_files_skipped >= 9
+    assert st.last_metadata_reads <= st.checkpoint_interval + 2
+
+
+def test_read_where_time_travel_and_full_list_commits(spark, tmp_path):
+    st = SnapshotTable(spark, str(tmp_path / "ds4"), required_cols=("k",))
+    st.insert(_range_df(spark, 0, 50).coalesce(1))
+    st.insert(_range_df(spark, 50, 100).coalesce(1))
+    st.compact(target_files=4)  # full-list commit; stats recollected
+    got = st.read_where([("k", "<", 10)])
+    assert got.count() == 10
+    assert st.last_files_skipped >= 1
+    # time travel prunes with the OLD version's stats
+    old = st.read_where([("k", ">=", 90)], version=2)
+    assert old.count() == 10
+    assert st.last_files_skipped >= 1
+
+
+def test_read_where_all_files_pruned_returns_empty_with_schema(
+    spark, tmp_path
+):
+    st = SnapshotTable(spark, str(tmp_path / "ds5"), required_cols=("k",))
+    st.insert(_range_df(spark, 0, 10))
+    got = st.read_where([("k", ">", 1000)])
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["k", "p", "s"]
+    assert st.last_files_scanned == 0
+
+
+def test_read_where_unstatted_legacy_manifest_reads_everything(
+    spark, tmp_path
+):
+    import json
+
+    st = SnapshotTable(spark, str(tmp_path / "ds6"), required_cols=("k",))
+    st.insert(_range_df(spark, 0, 10).coalesce(1))
+    st.insert(_range_df(spark, 100, 110).coalesce(1))
+    # strip stats from v1 — a pre-skipping manifest
+    p = st._manifest_path(1)
+    with open(p) as fh:
+        m = json.load(fh)
+    del m["stats"]
+    with open(p, "w") as fh:
+        json.dump(m, fh)
+    got = st.read_where([("k", ">=", 100)])
+    assert got.count() == 10  # correct despite the unprunable file
+    assert st.last_files_skipped == 0  # v1's file had to be read
+
+
+def test_read_where_null_semantics(spark, tmp_path):
+    st = SnapshotTable(spark, str(tmp_path / "ds7"), required_cols=("k",))
+    st.insert(
+        spark.createDataFrame(
+            [(1, None), (2, None)], "k int, p double"
+        ).coalesce(1)
+    )
+    st.insert(
+        spark.createDataFrame(
+            [(3, 5.0), (4, None)], "k int, p double"
+        ).coalesce(1)
+    )
+    got = st.read_where([("p", ">=", 0.0)])
+    assert [r["k"] for r in got.collect()] == [3]
+    # the all-null file was skipped without being opened
+    assert st.last_files_skipped >= 1
+
+
+def test_read_where_rejects_malformed_predicates(spark, tmp_path):
+    st = SnapshotTable(spark, str(tmp_path / "ds8"), required_cols=("k",))
+    st.insert(_range_df(spark, 0, 5))
+    with pytest.raises(ValueError, match="bad predicate"):
+        st.read_where([("k", "!=", 3)])
+
+
+def test_read_where_date_and_timestamp_pruning(spark, tmp_path):
+    import datetime as dt
+
+    st = SnapshotTable(spark, str(tmp_path / "ds9"), required_cols=("k",))
+    for month in (1, 6):
+        rows = [
+            (
+                month * 100 + d,
+                dt.date(1995, month, d),
+                dt.datetime(1995, month, d, 12, 0, 0),
+            )
+            for d in range(1, 11)
+        ]
+        st.insert(
+            spark.createDataFrame(rows, "k int, d date, ts timestamp")
+            .coalesce(1)
+        )
+    got = st.read_where(
+        [("d", "between", (dt.date(1995, 5, 1), dt.date(1995, 7, 1)))]
+    )
+    assert got.count() == 10
+    assert st.last_files_skipped >= 1
+    got2 = st.read_where([("ts", "<", dt.datetime(1995, 2, 1))])
+    assert got2.count() == 10
+    assert st.last_files_skipped >= 1
+
+
+def test_vacuum_keeps_read_where_working(spark, tmp_path):
+    st = SnapshotTable(spark, str(tmp_path / "ds10"), required_cols=("k",))
+    for b in range(4):
+        st.insert(_range_df(spark, b * 10, b * 10 + 10).coalesce(1))
+    st.vacuum(keep_last=1)
+    got = st.read_where([("k", ">=", 30)])
+    assert got.count() == 10
+    assert st.last_files_skipped >= 2
