@@ -14017,6 +14017,143 @@ def rel_snapshot_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@register(
+    "rel_snapshot_merge",
+    """
+    WITH tgt AS (
+        SELECT CAST(o_orderkey AS BIGINT) AS k, o_orderstatus,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        FROM orders
+    ),
+    src AS (
+        SELECT k, o_orderstatus,
+               CASE WHEN k % 7 = 0 THEN p + 1000
+                    WHEN k % 7 = 1 THEN p - 1000
+                    ELSE p END AS p
+        FROM tgt WHERE k % 7 IN (0, 1, 2)
+        UNION ALL
+        SELECT k + 1000000000, 'N', p FROM tgt WHERE k % 7 = 4
+    ),
+    final AS (
+        SELECT CASE WHEN s.k IS NOT NULL AND s.p > t.p
+                    THEN s.o_orderstatus ELSE t.o_orderstatus
+               END AS o_orderstatus,
+               CASE WHEN s.k IS NOT NULL AND s.p > t.p
+                    THEN s.p ELSE t.p END AS p
+        FROM tgt t LEFT JOIN src s ON t.k = s.k
+        WHERE s.k IS NULL OR NOT (s.p < t.p)
+        UNION ALL
+        SELECT s.o_orderstatus, s.p FROM src s
+        WHERE NOT EXISTS (SELECT 1 FROM tgt t WHERE t.k = s.k)
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(p) AS DOUBLE) AS sum_price,
+           CAST((SELECT COUNT(*) FROM tgt t JOIN src s ON t.k = s.k
+                 WHERE s.p > t.p) AS BIGINT) AS n_updates,
+           CAST((SELECT COUNT(*) FROM tgt t JOIN src s ON t.k = s.k
+                 WHERE s.p < t.p) AS BIGINT) AS n_deletes,
+           CAST((SELECT COUNT(*) FROM src s WHERE NOT EXISTS
+                 (SELECT 1 FROM tgt t WHERE t.k = s.k)) AS BIGINT)
+               AS n_inserts
+    FROM final GROUP BY o_orderstatus
+    """,
+    tags=("relational", "snapshot", "cdc", "maintenance"),
+)
+def rel_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Delta ``MERGE INTO`` (r13): one copy-on-write commit takes
+    WHEN MATCHED AND s.p > t.p THEN UPDATE SET *, WHEN MATCHED AND
+    s.p < t.p THEN DELETE, WHEN NOT MATCHED THEN INSERT * — conditions
+    over BOTH rows, the general form upsert/delete_where special-case.
+    Source: keys ≡0 (mod 7) raised (update fires), ≡1 lowered (delete
+    fires), ≡2 unchanged (neither — the row must survive untouched),
+    plus shifted keys ≡4 (inserts). ``cdf=True`` materializes the
+    commit's change rows at merge time; in-query canaries pin the
+    clause arithmetic: preimage==postimage==updates, parent − deletes +
+    inserts == final count, and the grouped final state + all three
+    clause counts replay cross-engine on a LEFT JOIN + NOT EXISTS
+    reconstruction. Plan shape: ONE full-outer key join + map-side
+    clause arithmetic — the same O(table) rewrite every Delta MERGE
+    pays, never more."""
+    import shutil
+    import tempfile
+
+    from pgvector_db_spark.sources.snapshots import SnapshotTable
+
+    t = load_tables(spark, sf_dir)
+    base = t["orders"].select(
+        F.col("o_orderkey").cast("bigint").alias("k"),
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+    )
+    tmp = tempfile.mkdtemp(prefix="snap_merge_")
+    try:
+        st = SnapshotTable(spark, f"{tmp}/orders", required_cols=("k",))
+        st.insert(base)
+        n_parent = st.read(version=1).count()
+        mod = F.col("k") % 7
+        src = (
+            base.filter(mod.isin(0, 1, 2)).withColumn(
+                "p",
+                F.when(mod == 0, F.col("p") + 1000)
+                .when(mod == 1, F.col("p") - 1000)
+                .otherwise(F.col("p"))
+                .cast("decimal(18,2)"),
+            )
+        ).unionByName(
+            base.filter(mod == 4).select(
+                (F.col("k") + F.lit(1000000000).cast("bigint")).alias(
+                    "k"
+                ),
+                F.lit("N").alias("o_orderstatus"),
+                "p",
+            )
+        )
+        v = st.merge(
+            src,
+            "k",
+            matched_update_condition="s.p > t.p",
+            matched_delete=True,
+            matched_delete_condition="s.p < t.p",
+            cdf=True,
+        )
+        feed = (
+            st.read_changes(1, v, cdf=True)
+            .groupBy("_change_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        counts = {r["_change_type"]: int(r["n"]) for r in feed.collect()}
+        n_pre = counts.get("update_preimage", 0)
+        n_post = counts.get("update_postimage", 0)
+        n_del = counts.get("delete", 0)
+        n_ins = counts.get("insert", 0)
+        _require(
+            n_pre == n_post and n_pre > 0,
+            f"update images unpaired: {n_pre} pre vs {n_post} post",
+        )
+        n_final = st.read().count()
+        _require(
+            n_parent - n_del + n_ins == n_final,
+            f"merge arithmetic broken: {n_parent} - {n_del} + {n_ins} "
+            f"!= {n_final}",
+        )
+        out = st.read().groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("p").cast("double").alias("sum_price"),
+        ).select(
+            "o_orderstatus",
+            "n_orders",
+            "sum_price",
+            F.lit(n_pre).cast("bigint").alias("n_updates"),
+            F.lit(n_del).cast("bigint").alias("n_deletes"),
+            F.lit(n_ins).cast("bigint").alias("n_inserts"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # The lakehouse loop closed (r11 VERDICT item #5): streaming ingest →
 # snapshot commit log → INCREMENTAL downstream. The log's delta
 # manifests are per-commit add-sets — exactly what Delta's streaming

@@ -177,7 +177,13 @@ class SnapshotTable:
                     c = col.path_in_schema
                     if c in dead or "." in c:
                         continue
-                    s = col.statistics
+                    try:
+                        s = col.statistics
+                    except Exception:
+                        # pyarrow refuses stats for some physical types
+                        # (INT96, some decimal encodings) — unprunable
+                        dead.add(c)
+                        continue
                     if s is None:
                         dead.add(c)
                         continue
@@ -194,8 +200,13 @@ class SnapshotTable:
                             continue
                         dead.add(c)
                         continue
-                    lo = self._stat_value(s.min)
-                    hi = self._stat_value(s.max)
+                    try:
+                        lo = self._stat_value(s.min)
+                        hi = self._stat_value(s.max)
+                    except Exception:
+                        # pyarrow can't materialize bounds for some
+                        # logical types (e.g. certain decimals)
+                        lo = hi = None
                     if lo is None or hi is None:
                         dead.add(c)
                         continue
@@ -586,7 +597,7 @@ class SnapshotTable:
                 hint = (
                     " (committed without cdf=True, so its change rows "
                     "were never materialized)"
-                    if cdf and m["op"] in ("upsert", "delete")
+                    if cdf and m["op"] in ("upsert", "delete", "merge")
                     else "; the changefeed covers insert commits only"
                     if not cdf
                     else ""
@@ -874,6 +885,160 @@ class SnapshotTable:
         # from it under the lock records the full column set
         return self._commit(
             "upsert", names, n, merged,
+            expect_parent=base, cdf_files=cdf_names,
+        )
+
+    def merge(
+        self,
+        source: DataFrame,
+        key: str,
+        *,
+        matched_update: bool = True,
+        matched_update_condition: str | None = None,
+        matched_delete: bool = False,
+        matched_delete_condition: str | None = None,
+        not_matched_insert: bool = True,
+        not_matched_condition: str | None = None,
+        cdf: bool = False,
+    ) -> int:
+        """Full Delta ``MERGE INTO`` semantics in one copy-on-write
+        commit — the general form of :meth:`upsert` (WHEN MATCHED
+        UPDATE SET * / WHEN MATCHED DELETE / WHEN NOT MATCHED INSERT *,
+        each with an optional condition over ``t.<col>`` (target row)
+        and ``s.<col>`` (source row), e.g.
+        ``matched_update_condition="s.price > t.price"``):
+
+        - matched target rows take the DELETE clause first (Delta
+          evaluates clauses in order; delete-then-update is the
+          conventional order), then UPDATE (the full source row
+          replaces the target row; columns the source lacks NULL-fill,
+          the same additive-evolution posture as upsert), else stay;
+        - source rows matching nothing INSERT when their condition
+          holds, else are ignored;
+        - target rows matching nothing always survive.
+
+        A target row matched by MORE THAN ONE source row is ambiguous —
+        two different updates of the same row in one statement — and
+        raises, exactly Delta's multiple-source-rows-matched runtime
+        error (checked with one bounded aggregate over the source
+        keys, not a data compare). NULL join keys never match (SQL
+        equality), so a NULL-keyed source row is a not-matched insert.
+
+        Plan shape: ONE full-outer join on the key (shuffle or
+        broadcast, Catalyst's choice) + map-side clause arithmetic; the
+        rewrite is the same O(table) copy-on-write every Delta MERGE
+        pays. Optimistic concurrency as for upsert: a commit landing
+        inside the read-modify-write window raises
+        :class:`SnapshotConflictError` (the merge is data-dependent, so
+        the caller redoes it). ``cdf=True`` materializes the commit's
+        change rows at merge time — 'delete' for deleted targets,
+        'update_preimage'/'update_postimage' for updated ones, 'insert'
+        for inserted source rows — served incrementally by
+        :meth:`read_changes(..., cdf=True) <read_changes>`."""
+        base = self.latest_version()
+        if base == 0:
+            raise FileNotFoundError(f"snapshot table {self.path} is empty")
+        if not (matched_update or matched_delete or not_matched_insert):
+            raise ValueError("merge with no active clause does nothing")
+        current = self.read(base)
+        tcols = list(current.columns)
+        scols = list(source.columns)
+        if key not in tcols or key not in scols:
+            raise ValueError(f"merge key {key!r} missing from a side")
+
+        if matched_update or matched_delete:
+            ambiguous = (
+                source.groupBy(key)
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") > 1)
+                .join(current.select(key).distinct(), key, "left_semi")
+                .limit(1)
+                .count()
+            )
+            if ambiguous:
+                raise ValueError(
+                    "merge source has multiple rows for a matched key — "
+                    "the update/delete for that target row is ambiguous "
+                    "(Delta raises the same way); de-duplicate the "
+                    "source first"
+                )
+
+        t = current.withColumn("_t_present", F.lit(1)).alias("t")
+        s = source.withColumn("_s_present", F.lit(1)).alias("s")
+        j = t.join(
+            s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer"
+        )
+        is_matched = (
+            F.col("t._t_present").isNotNull()
+            & F.col("s._s_present").isNotNull()
+        )
+        s_only = F.col("t._t_present").isNull()
+
+        def cond(c: str | None):
+            return F.expr(c) if c is not None else F.lit(True)
+
+        dec = F.when(
+            is_matched
+            & F.lit(matched_delete)
+            & F.coalesce(cond(matched_delete_condition), F.lit(False)),
+            F.lit("D"),
+        ).when(
+            is_matched
+            & F.lit(matched_update)
+            & F.coalesce(cond(matched_update_condition), F.lit(False)),
+            F.lit("U"),
+        ).when(is_matched, F.lit("K")).when(
+            s_only
+            & F.lit(not_matched_insert)
+            & F.coalesce(cond(not_matched_condition), F.lit(False)),
+            F.lit("I"),
+        ).when(s_only, F.lit("X")).otherwise(F.lit("K"))
+        j = j.withColumn("_dec", dec)
+
+        ttypes = dict(zip(tcols, [f.dataType for f in current.schema]))
+        stypes = dict(zip(scols, [f.dataType for f in source.schema]))
+        out_names = tcols + [c for c in scols if c not in tcols]
+
+        def side_col(c: str, side: str):
+            cols = tcols if side == "t" else scols
+            types = stypes if side == "t" else ttypes
+            if c in cols:
+                return F.col(f"{side}.{c}")
+            return F.lit(None).cast(types[c])
+
+        from_s = F.col("_dec").isin("U", "I")
+        merged = j.filter(F.col("_dec").isin("K", "U", "I")).select(
+            *[
+                F.when(from_s, side_col(c, "s"))
+                .otherwise(side_col(c, "t"))
+                .alias(c)
+                for c in out_names
+            ]
+        )
+        self._validator.validate(merged)
+        names, n = self._stage_files(merged)
+        cdf_names: list[str] | None = None
+        if cdf:
+            t_row = [side_col(c, "t").alias(c) for c in out_names]
+            s_row = [side_col(c, "s").alias(c) for c in out_names]
+            deletes = j.filter(F.col("_dec") == "D").select(
+                *t_row, F.lit("delete").alias("_change_type")
+            )
+            pre = j.filter(F.col("_dec") == "U").select(
+                *t_row, F.lit("update_preimage").alias("_change_type")
+            )
+            post = j.filter(F.col("_dec") == "U").select(
+                *s_row, F.lit("update_postimage").alias("_change_type")
+            )
+            ins = j.filter(F.col("_dec") == "I").select(
+                *s_row, F.lit("insert").alias("_change_type")
+            )
+            changes = deletes.unionByName(pre).unionByName(post).unionByName(
+                ins
+            )
+            cdf_names, _ = self._stage_files(changes)
+        return self._commit(
+            "merge", names, n, merged,
             expect_parent=base, cdf_files=cdf_names,
         )
 

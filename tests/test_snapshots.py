@@ -916,3 +916,123 @@ def test_vacuum_keeps_read_where_working(spark, tmp_path):
     got = st.read_where([("k", ">=", 30)])
     assert got.count() == 10
     assert st.last_files_skipped >= 2
+
+
+# -- MERGE (full Delta clause set) -------------------------------------------
+
+
+def test_merge_update_delete_insert_clauses(spark, st):
+    st.insert(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+            "k int, v string, amt int",
+        )
+    )
+    src = spark.createDataFrame(
+        [(2, "B", 99), (3, "C", 5), (4, "D", 40), (9, "z", 1)],
+        "k int, v string, amt int",
+    )
+    st.merge(
+        src,
+        "k",
+        matched_update_condition="s.amt > t.amt",
+        matched_delete=True,
+        matched_delete_condition="s.amt < t.amt",
+    )
+    got = {r["k"]: (r["v"], r["amt"]) for r in st.read().collect()}
+    # 2: updated (99 > 20); 3: deleted (5 < 30); 4: kept (40 !> 40);
+    # 9: inserted; 1: untouched target-only row
+    assert got == {
+        1: ("a", 10), 2: ("B", 99), 4: ("d", 40), 9: ("z", 1)
+    }
+    # parent survives the merge (copy-on-write)
+    assert st.read(version=1).count() == 4
+    assert st.manifest(2)["op"] == "merge"
+
+
+def test_merge_insert_only_with_condition(spark, st):
+    st.insert(_df(spark, [(1, "a")]))
+    src = _df(spark, [(1, "A"), (2, "b"), (3, "c")])
+    st.merge(
+        src,
+        "k",
+        matched_update=False,
+        not_matched_condition="s.k > 2",
+    )
+    got = {r["k"]: r["v"] for r in st.read().collect()}
+    assert got == {1: "a", 3: "c"}  # 1 not updated, 2 filtered out
+
+
+def test_merge_ambiguous_source_rows_raise(spark, st):
+    st.insert(_df(spark, [(1, "a")]))
+    src = _df(spark, [(1, "x"), (1, "y")])
+    with pytest.raises(ValueError, match="multiple rows"):
+        st.merge(src, "k")
+    # dup keys that match NOTHING are fine for insert-only merges
+    src2 = _df(spark, [(7, "x"), (7, "y")])
+    st.merge(src2, "k", matched_update=False)
+    assert st.read().filter("k = 7").count() == 2
+
+
+def test_merge_cdf_change_rows(spark, st):
+    st.insert(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "k int, v string, amt int"
+        )
+    )
+    src = spark.createDataFrame(
+        [(1, "A", 11), (2, "b", 20), (5, "e", 50)],
+        "k int, v string, amt int",
+    )
+    v = st.merge(
+        src,
+        "k",
+        matched_update_condition="s.amt > t.amt",
+        matched_delete=True,
+        matched_delete_condition="s.amt = t.amt",
+        cdf=True,
+    )
+    feed = st.read_changes(1, v, cdf=True)
+    got = sorted(
+        (r["k"], r["_change_type"]) for r in feed.collect()
+    )
+    assert got == [
+        (1, "update_postimage"),
+        (1, "update_preimage"),
+        (2, "delete"),
+        (5, "insert"),
+    ]
+    pre = {r["k"]: r["amt"] for r in feed.filter(
+        "_change_type = 'update_preimage'").collect()}
+    assert pre == {1: 10}
+
+
+def test_merge_schema_evolution_adds_source_column(spark, st):
+    st.insert(_df(spark, [(1, "a"), (2, "b")]))
+    src = spark.createDataFrame(
+        [(2, "B", 7.5), (3, "c", 1.0)], "k int, v string, w double"
+    )
+    st.merge(src, "k")
+    got = {r["k"]: (r["v"], r["w"]) for r in st.read().collect()}
+    assert got == {1: ("a", None), 2: ("B", 7.5), 3: ("c", 1.0)}
+
+
+def test_merge_conflict_detected_not_lost(spark, st):
+    from pgvector_db_spark.sources.snapshots import SnapshotConflictError
+
+    st.insert(_df(spark, [(1, "a")]))
+    _race_one_insert(spark, st, (42, "concurrent"))
+    with pytest.raises(SnapshotConflictError):
+        st.merge(_df(spark, [(1, "A")]), "k")
+    assert sorted(r["k"] for r in st.read().collect()) == [1, 42]
+
+
+def test_merge_no_active_clause_rejected(spark, st):
+    st.insert(_df(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="no active clause"):
+        st.merge(
+            _df(spark, [(1, "x")]),
+            "k",
+            matched_update=False,
+            not_matched_insert=False,
+        )
