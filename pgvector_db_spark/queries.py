@@ -14154,6 +14154,120 @@ def rel_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@register(
+    "rel_snapshot_restore",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price,
+           CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 != 0)
+               AS BIGINT) AS n_after_delete,
+           CAST(1 AS INT) AS restore_zero_copy,
+           CAST(1 AS INT) AS restored_equals_target
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("relational", "snapshot", "maintenance"),
+)
+def rel_snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta ``RESTORE TO VERSION AS OF`` (r13): after a bad DELETE,
+    one metadata-only commit puts the table back — history rolls
+    FORWARD (the delete stays inspectable at its version), and the
+    restore references the old version's still-live files, so the
+    commit moves ZERO data bytes at any table size. Fixture: orders in
+    two insert halves (v2 = full table), a thinning delete (v3), then
+    restore(2) as v4. In-query canaries: the data directory's file
+    count is UNCHANGED across the restore (the zero-copy proof),
+    read(v4) equals read(v2) bitwise (count + order-insensitive
+    xxhash64 row-sum), and v3 still serves the deleted state. Output:
+    grouped final state (= the full orders table again) + the v3
+    survivor count, all cross-engine."""
+    import shutil
+    import tempfile
+
+    from pgvector_db_spark.sources.snapshots import SnapshotTable
+
+    t = load_tables(spark, sf_dir)
+    base = t["orders"].select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    tmp = tempfile.mkdtemp(prefix="snap_restore_")
+    try:
+        st = SnapshotTable(
+            spark, f"{tmp}/orders", required_cols=("o_orderkey",)
+        )
+        st.insert(base.filter(F.col("o_orderkey") % 2 == 0))
+        st.insert(base.filter(F.col("o_orderkey") % 2 == 1))
+        st.delete_where("o_orderkey % 3 = 0")
+        n_v3 = st.read(version=3).count()
+        files_before = len(
+            [
+                f
+                for f in os.listdir(st._data_dir())
+                if f.endswith(".parquet")
+            ]
+        )
+        v = st.restore(2)
+        files_after = len(
+            [
+                f
+                for f in os.listdir(st._data_dir())
+                if f.endswith(".parquet")
+            ]
+        )
+        _require(v == 4, f"restore committed {v}, expected 4")
+        _require(
+            files_before == files_after,
+            f"restore moved data: {files_before} -> {files_after} files",
+        )
+
+        def rowsum(df: DataFrame) -> tuple[int, int]:
+            r = df.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum(
+                    F.xxhash64(
+                        "o_orderkey", "o_orderstatus", "o_totalprice"
+                    ).cast("decimal(38,0)")
+                ).alias("h"),
+            ).first()
+            return int(r["n"]), int(r["h"] or 0)
+
+        restored, target = rowsum(st.read(version=4)), rowsum(
+            st.read(version=2)
+        )
+        _require(
+            restored == target,
+            f"restore diverged from its target: {restored} vs {target}",
+        )
+        _require(
+            st.read(version=3).count() == n_v3,
+            "the delete's version stopped serving its own state",
+        )
+        out = st.read().groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        ).select(
+            "o_orderstatus",
+            "n_orders",
+            "sum_price",
+            F.lit(n_v3).cast("bigint").alias("n_after_delete"),
+            F.lit(int(files_before == files_after)).cast("int").alias(
+                "restore_zero_copy"
+            ),
+            F.lit(int(restored == target)).cast("int").alias(
+                "restored_equals_target"
+            ),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # The lakehouse loop closed (r11 VERDICT item #5): streaming ingest →
 # snapshot commit log → INCREMENTAL downstream. The log's delta
 # manifests are per-commit add-sets — exactly what Delta's streaming

@@ -1077,6 +1077,66 @@ class SnapshotTable:
             expect_parent=base, cdf_files=cdf_names,
         )
 
+    def restore(self, version: int) -> int:
+        """Delta ``RESTORE TABLE ... TO VERSION AS OF v``: commit a NEW
+        version whose content — file list, schema, row count — is
+        exactly ``version``'s. History only rolls FORWARD: nothing is
+        rewritten, the bad commits stay inspectable, and the restore
+        itself can be time-traveled past or restored away again.
+
+        ZERO data movement at any table size: the restore manifest
+        references the old version's still-live files (a full-list
+        chain base), and the skipping stats ride along, so the commit
+        is one metadata write — this is why lakehouse logs reference
+        files instead of owning byte ranges. ``vacuum`` keeps every
+        file a KEPT version references, so restoring and then vacuuming
+        retains exactly the restored file set.
+
+        A restore is deliberately NOT optimistic-concurrency-checked:
+        its content is independent of the parent — "put the table back
+        to v" wins over whatever landed meanwhile, which is the
+        operator's entire point (and Delta's behavior). Changefeed
+        ranges containing a restore raise (non-append commit):
+        downstream consumers resume from a full read, since the delta
+        between the parent and an arbitrary old state is not an
+        add-set."""
+        latest = self.latest_version()
+        if latest == 0:
+            raise FileNotFoundError(f"snapshot table {self.path} is empty")
+        if version == latest:
+            raise ValueError(
+                f"already at version {version}; restore needs an older "
+                "target"
+            )
+        try:
+            m = self.manifest(version)
+        except FileNotFoundError:
+            raise ValueError(
+                f"cannot restore to version {version}: its manifest was "
+                "vacuumed away (retention passed); pick a kept version "
+                f"from {self.versions()}"
+            ) from None
+        files, stats, _ = self._resolve_state(version)
+        with file_lock(self._lock_path()):
+            parent = self.latest_version()
+            new_version = parent + 1
+            commit_json(
+                self._manifest_path(new_version),
+                {
+                    "version": new_version,
+                    "parent": parent,
+                    "op": "restore",
+                    "restored_version": version,
+                    "files": files,
+                    "n_rows": m["n_rows"],
+                    "schema": m.get("schema"),
+                    "txn": self._parent_txn(parent),
+                    "stats": stats,
+                },
+            )
+            self._maybe_checkpoint(new_version)
+        return new_version
+
     # -- maintenance ----------------------------------------------------------
 
     def compact(

@@ -1036,3 +1036,81 @@ def test_merge_no_active_clause_rejected(spark, st):
             matched_update=False,
             not_matched_insert=False,
         )
+
+
+# -- RESTORE -----------------------------------------------------------------
+
+
+def test_restore_rolls_forward_to_old_content(spark, st):
+    st.insert(_df(spark, [(1, "a"), (2, "b")]))
+    st.insert(_df(spark, [(3, "c")]))
+    st.delete_where("k = 1")
+    v = st.restore(2)
+    assert v == 4
+    assert st.manifest(4)["op"] == "restore"
+    assert sorted(r["k"] for r in st.read().collect()) == [1, 2, 3]
+    # intermediate history is preserved, not rewritten
+    assert sorted(r["k"] for r in st.read(version=3).collect()) == [2, 3]
+    assert st.history().filter("op = 'restore'").count() == 1
+
+
+def test_restore_is_zero_copy(spark, st):
+    st.insert(_df(spark, [(1, "a")]))
+    st.insert(_df(spark, [(2, "b")]))
+    n_files_before = len(os.listdir(st._data_dir()))
+    st.restore(1)
+    assert len(os.listdir(st._data_dir())) == n_files_before
+
+
+def test_restore_then_vacuum_keeps_referenced_files(spark, st):
+    st.insert(_df(spark, [(1, "a")]))
+    st.overwrite(_df(spark, [(2, "b")]))
+    st.restore(1)
+    st.vacuum(keep_last=1)
+    assert [r["k"] for r in st.read().collect()] == [1]
+    assert st.versions() == [3]
+
+
+def test_restore_rejects_latest_and_vacuumed(spark, st):
+    st.insert(_df(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="already at version"):
+        st.restore(1)
+    st.insert(_df(spark, [(2, "b")]))
+    st.insert(_df(spark, [(3, "c")]))
+    st.vacuum(keep_last=1)
+    with pytest.raises(ValueError, match="vacuumed away"):
+        st.restore(1)
+
+
+def test_restore_restores_schema_and_evolves_after(spark, st):
+    st.insert(_df(spark, [(1, "a")]))
+    st.insert(
+        spark.createDataFrame([(2, "b", 5.0)], "k int, v string, w double")
+    )
+    st.restore(1)
+    assert [f.name for f in st.read().schema.fields] == ["k", "v"]
+    # a later commit re-evolves from the restored (narrower) schema
+    st.insert(
+        spark.createDataFrame([(4, "d", 1.5)], "k int, v string, w double")
+    )
+    assert [f.name for f in st.read().schema.fields] == ["k", "v", "w"]
+
+
+def test_restore_carries_skipping_stats(spark, st):
+    st.insert(_range_df(spark, 0, 10).coalesce(1).selectExpr(
+        "k", "s as v", "p"))
+    st.insert(_range_df(spark, 100, 110).coalesce(1).selectExpr(
+        "k", "s as v", "p"))
+    st.delete_where("k >= 0")  # empty the table
+    st.restore(2)
+    got = st.read_where([("k", ">=", 100)])
+    assert got.count() == 10
+    assert st.last_files_skipped >= 1
+
+
+def test_read_changes_across_restore_raises(spark, st):
+    st.insert(_df(spark, [(1, "a")]))
+    st.insert(_df(spark, [(2, "b")]))
+    st.restore(1)
+    with pytest.raises(ValueError, match="non-append"):
+        st.read_changes(1)
