@@ -1137,6 +1137,90 @@ class SnapshotTable:
             self._maybe_checkpoint(new_version)
         return new_version
 
+    def clone_to(
+        self,
+        dest_path: str,
+        version: int | None = None,
+        deep: bool = False,
+    ) -> "SnapshotTable":
+        """Delta ``CLONE``: a new, independent snapshot table whose v1
+        is this table's ``version`` (latest by default).
+
+        ``deep=False`` (shallow, the default): the clone's manifest
+        references the source's data files BY ABSOLUTE PATH — zero
+        bytes copied, one metadata write, at any table size. The clone
+        then diverges freely: its own commits write into its own
+        directory, copy-on-write, and its vacuum never touches files
+        outside it. The Delta shallow-clone hazard carries over
+        verbatim and is the caller's contract: a SOURCE-side vacuum
+        that drops the referenced files breaks the clone's reads —
+        shallow clones are for short-lived dev/test branches, not
+        archival (deep-clone or export for that).
+
+        ``deep=True``: the files are copied into the clone's own data
+        directory — a read+write of the table's bytes buying full
+        independence.
+
+        Skipping stats ride along either way (re-keyed onto the
+        clone's file names), so ``read_where`` prunes on the clone
+        exactly as on the source."""
+        src_v = self.latest_version() if version is None else version
+        if src_v == 0:
+            raise FileNotFoundError(f"snapshot table {self.path} is empty")
+        m = self.manifest(src_v)
+        files, stats, _ = self._resolve_state(src_v)
+        dst = SnapshotTable(
+            self.spark,
+            dest_path,
+            required_cols=self._validator.required_cols,
+            vector_dims=self._validator.vector_dims,
+            checkpoint_interval=self.checkpoint_interval,
+        )
+        if dst.latest_version() != 0:
+            raise ValueError(
+                f"clone destination {dest_path} is not an empty table"
+            )
+        names: list[str] = []
+        new_stats: dict[str, dict] = {}
+        for f in files:
+            src_file = os.path.join(self._data_dir(), f)
+            if deep:
+                name = f"part-{uuid.uuid4().hex}.parquet"
+                shutil.copyfile(
+                    src_file, os.path.join(dst._data_dir(), name)
+                )
+            else:
+                # os.path.join with an absolute second arg returns it
+                # unchanged, so every read path resolves these directly
+                name = os.path.abspath(src_file)
+            names.append(name)
+            if f in stats:
+                new_stats[name] = stats[f]
+        with file_lock(dst._lock_path()):
+            if dst.latest_version() != 0:
+                raise ValueError(
+                    f"clone destination {dest_path} is not an empty table"
+                )
+            commit_json(
+                dst._manifest_path(1),
+                {
+                    "version": 1,
+                    "parent": 0,
+                    "op": "clone",
+                    "cloned_from": {
+                        "path": self.path,
+                        "version": src_v,
+                        "deep": deep,
+                    },
+                    "files": names,
+                    "n_rows": m["n_rows"],
+                    "schema": m.get("schema"),
+                    "txn": {},
+                    "stats": new_stats,
+                },
+            )
+        return dst
+
     # -- maintenance ----------------------------------------------------------
 
     def compact(

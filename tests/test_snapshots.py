@@ -1114,3 +1114,70 @@ def test_read_changes_across_restore_raises(spark, st):
     st.restore(1)
     with pytest.raises(ValueError, match="non-append"):
         st.read_changes(1)
+
+
+# -- CLONE -------------------------------------------------------------------
+
+
+def test_shallow_clone_zero_copy_and_divergence(spark, st, tmp_path):
+    st.insert(_df(spark, [(1, "a"), (2, "b")]))
+    dst = st.clone_to(str(tmp_path / "clone"))
+    assert dst.latest_version() == 1
+    assert dst.manifest(1)["op"] == "clone"
+    # zero copy: the clone's data dir holds nothing
+    assert not any(
+        f.endswith(".parquet") for f in os.listdir(dst._data_dir())
+    )
+    assert sorted(r["k"] for r in dst.read().collect()) == [1, 2]
+    # divergence is independent in both directions
+    dst.insert(_df(spark, [(3, "c")]))
+    st.insert(_df(spark, [(9, "z")]))
+    assert sorted(r["k"] for r in dst.read().collect()) == [1, 2, 3]
+    assert sorted(r["k"] for r in st.read().collect()) == [1, 2, 9]
+
+
+def test_shallow_clone_vacuum_never_reaches_source(spark, st, tmp_path):
+    st.insert(_df(spark, [(1, "a")]))
+    dst = st.clone_to(str(tmp_path / "clone2"))
+    dst.overwrite(_df(spark, [(5, "e")]))
+    dst.vacuum(keep_last=1)
+    # the source file referenced by the dropped clone v1 still exists
+    assert sorted(r["k"] for r in st.read().collect()) == [1]
+
+
+def test_deep_clone_survives_source_vacuum(spark, st, tmp_path):
+    st.insert(_df(spark, [(1, "a"), (2, "b")]))
+    deep = st.clone_to(str(tmp_path / "deep"), deep=True)
+    shallow = st.clone_to(str(tmp_path / "shallow"))
+    st.overwrite(_df(spark, [(7, "g")]))
+    st.vacuum(keep_last=1)
+    assert sorted(r["k"] for r in deep.read().collect()) == [1, 2]
+    # the shallow clone's files were GC'd by the source — the
+    # documented hazard: its read must now fail, not silently shrink
+    with pytest.raises(Exception):
+        shallow.read().collect()
+
+
+def test_clone_carries_skipping_stats(spark, st, tmp_path):
+    for b in range(3):
+        st.insert(_range_df(spark, b * 10, b * 10 + 10).selectExpr(
+            "k", "s as v", "p").coalesce(1))
+    dst = st.clone_to(str(tmp_path / "clone3"))
+    got = dst.read_where([("k", ">=", 20)])
+    assert got.count() == 10
+    assert dst.last_files_skipped >= 2
+
+
+def test_clone_rejects_nonempty_destination(spark, st, tmp_path):
+    st.insert(_df(spark, [(1, "a")]))
+    dst = SnapshotTable(spark, str(tmp_path / "busy"), required_cols=("k",))
+    dst.insert(_df(spark, [(9, "x")]))
+    with pytest.raises(ValueError, match="not an empty table"):
+        st.clone_to(str(tmp_path / "busy"))
+
+
+def test_clone_of_old_version(spark, st, tmp_path):
+    st.insert(_df(spark, [(1, "a")]))
+    st.insert(_df(spark, [(2, "b")]))
+    dst = st.clone_to(str(tmp_path / "clone4"), version=1)
+    assert [r["k"] for r in dst.read().collect()] == [1]
