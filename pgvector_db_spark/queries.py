@@ -14915,6 +14915,235 @@ def stream_snapshot_cdf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_snapshot_cdf_merge",
+    """
+    WITH base AS (
+        SELECT o_orderkey AS k, o_orderstatus,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        FROM orders
+    ),
+    final AS (
+        SELECT o_orderstatus,
+               CASE WHEN k % 28 = 4 THEN p + 1000 ELSE p END AS p
+        FROM base WHERE k % 28 != 0
+        UNION ALL
+        SELECT 'N' AS o_orderstatus, p FROM base WHERE k % 28 = 8
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(p) AS DOUBLE) AS sum_price,
+           CAST(1 AS INT) AS feed_equals_batch,
+           CAST(1 AS INT) AS cdf_serves_merge
+    FROM final GROUP BY o_orderstatus
+    """,
+    tags=("streaming", "snapshot", "cdc", "maintenance"),
+)
+def stream_snapshot_cdf_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changefeed across a MID-STREAM MERGE via CDF (r13 — one commit
+    emitting ALL FOUR change types through the same signed-fold
+    consumer as the upsert/delete twins): version 1 backfills
+    ``o_orderkey % 4 == 0``; the remaining orders replay as 4
+    micro-batches of idempotent txn inserts; after micro-batch 1 the
+    writer merges a source built from BACKFILL keys only (streamed
+    keys are % 4 != 0, so the merge's effects never resurrect):
+    keys ≡0 (mod 28) repriced DOWN (delete clause fires), ≡4 repriced
+    UP (update clause fires), shifted ≡8 keys inserted — all price
+    arithmetic decimal-exact, stored back as double. The consumer's
+    fold is UNCHANGED: preimage/delete subtract, postimage/insert add.
+    Canaries: the merge commit's feed carries exactly the four types
+    with preimage==postimage, the drained replay poll is a no-op, and
+    the state equals the batch recompute of the final table bitwise."""
+    import json as _json
+    import shutil
+    import tempfile
+    from decimal import Decimal
+
+    from pgvector_db_spark.catalog import table_path
+    from pgvector_db_spark.sources.snapshots import SnapshotTable
+    from pgvector_db_spark.streaming.replay import (
+        file_stream,
+        stage_replay_df,
+    )
+
+    orders_path = table_path(sf_dir, "orders")
+    orders = spark.read.parquet(orders_path)
+    replay_dir = os.path.join(
+        tempfile.gettempdir(), f"orders_replay4cdf_{_fixture_tag(sf_dir)}"
+    )
+    stage_replay_df(
+        orders.filter("o_orderkey % 4 != 0"),
+        replay_dir,
+        n_files=4,
+        fingerprint=f"cdf4_{_fixture_tag(sf_dir)}",
+    )
+    src = file_stream(spark, replay_dir, orders.schema, max_files_per_trigger=1)
+
+    tmp = tempfile.mkdtemp(prefix="snap_cdfmrg_")
+    try:
+        st = SnapshotTable(
+            spark, f"{tmp}/orders", required_cols=("o_orderkey",)
+        )
+        st.insert(orders.filter("o_orderkey % 4 = 0"))
+        state_path = os.path.join(tmp, "feed_state.json")
+        merged = {"types": None}
+
+        def _load_state() -> dict:
+            try:
+                with open(state_path) as fh:
+                    return _json.load(fh)
+            except FileNotFoundError:
+                return {"last_version": 0, "groups": {}}
+
+        def tail() -> bool:
+            s = _load_state()
+            last = int(s["last_version"])
+            latest = st.latest_version()
+            if latest <= last:
+                return False
+            feed = st.read_changes(last, latest, cdf=True)
+            sign = F.when(
+                F.col("_change_type").isin(
+                    "update_preimage", "delete"
+                ),
+                F.lit(-1),
+            ).otherwise(F.lit(1))
+            part = (
+                feed.groupBy("o_orderstatus")
+                .agg(
+                    F.sum(sign).cast("bigint").alias("n"),
+                    F.sum(
+                        sign.cast("decimal(18,2)")
+                        * F.col("o_totalprice").cast("decimal(18,2)")
+                    ).cast("decimal(18,2)").alias("sd"),
+                )
+                .collect()
+            )
+            groups = s["groups"]
+            for r in part:
+                g = groups.setdefault(
+                    r["o_orderstatus"], {"n": 0, "sd": "0"}
+                )
+                g["n"] = int(g["n"]) + int(r["n"])
+                g["sd"] = str(Decimal(g["sd"]) + r["sd"])
+            payload = {"last_version": latest, "groups": groups}
+            with open(state_path + ".tmp", "w") as fh:
+                _json.dump(payload, fh)
+            os.replace(state_path + ".tmp", state_path)
+            return True
+
+        def fold(batch: DataFrame, _bid: int) -> None:
+            if batch.take(1):
+                st.insert(batch, txn_app="ingest", txn_version=_bid)
+            if _bid == 1 and merged["types"] is None:
+                pdec = F.col("o_totalprice").cast("decimal(18,2)")
+                mod = F.col("o_orderkey") % 28
+                msrc = (
+                    orders.filter(mod.isin(0, 4)).withColumn(
+                        "o_totalprice",
+                        F.when(mod == 0, pdec - 1000)
+                        .otherwise(pdec + 1000)
+                        .cast("double"),
+                    )
+                ).unionByName(
+                    orders.filter(mod == 8)
+                    .withColumn(
+                        "o_orderkey",
+                        F.col("o_orderkey")
+                        + F.lit(1000000000).cast("bigint"),
+                    )
+                    .withColumn("o_orderstatus", F.lit("N"))
+                )
+                mv = st.merge(
+                    msrc,
+                    "o_orderkey",
+                    matched_update_condition=(
+                        "s.o_totalprice > t.o_totalprice"
+                    ),
+                    matched_delete=True,
+                    matched_delete_condition=(
+                        "s.o_totalprice < t.o_totalprice"
+                    ),
+                    cdf=True,
+                )
+                types = {
+                    r["_change_type"]: int(r["n"])
+                    for r in st.read_changes(mv - 1, mv, cdf=True)
+                    .groupBy("_change_type")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
+                _require(
+                    set(types)
+                    == {
+                        "delete",
+                        "update_preimage",
+                        "update_postimage",
+                        "insert",
+                    }
+                    and types["update_preimage"]
+                    == types["update_postimage"] > 0
+                    and types["delete"] > 0
+                    and types["insert"] > 0,
+                    f"merge CDF types wrong: {types}",
+                )
+                merged["types"] = types
+            if st.latest_version() > 0:
+                tail()
+
+        q = (
+            src.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        tail()
+        before = _load_state()
+        _require(tail() is False, "replayed poll was not a no-op")
+        _require(
+            merged["types"] is not None, "mid-stream merge never ran"
+        )
+
+        batch_rows = {
+            r["o_orderstatus"]: (int(r["n"]), r["sd"])
+            for r in st.read()
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                    "sd"
+                ),
+            )
+            .collect()
+        }
+        feed_rows = {
+            k: (int(v["n"]), Decimal(v["sd"]))
+            for k, v in before["groups"].items()
+        }
+        _require(
+            feed_rows == batch_rows,
+            f"CDF-merge state diverged from batch recompute: "
+            f"feed={feed_rows} batch={batch_rows}",
+        )
+        out = spark.createDataFrame(
+            [(k, n, sd) for k, (n, sd) in sorted(feed_rows.items())],
+            "o_orderstatus string, n_orders bigint, _sd decimal(18,2)",
+        ).select(
+            "o_orderstatus",
+            "n_orders",
+            F.col("_sd").cast("double").alias("sum_price"),
+            F.lit(int(feed_rows == batch_rows)).cast("int").alias(
+                "feed_equals_batch"
+            ),
+            F.lit(1).cast("int").alias("cdf_serves_merge"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
     "rel_snapshot_schema_evolution",
     """
     WITH b1 AS (SELECT o_orderkey, o_totalprice FROM orders

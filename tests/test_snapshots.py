@@ -791,6 +791,9 @@ def test_read_where_skips_disjoint_files_and_matches_full_filter(
     assert rows == list(range(250, 350))
     assert st.last_files_skipped >= 6  # only the 2 overlapping commits open
     assert st.last_files_scanned <= 2
+    # physical pin, not just the counter: the PLAN's input file set is
+    # the pruned list — a skipped file is absent from the scan itself
+    assert len(got.inputFiles()) == st.last_files_scanned
     # the filter is real: a predicate the stats can't prune still answers
     got2 = st.read_where([("s", ">=", "x00750")])
     assert got2.count() == 50
