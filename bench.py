@@ -374,6 +374,58 @@ def derived_metrics(spark, sf_dir: str, timings: dict[str, float]) -> dict[str, 
 
     _try(_changefeed)
 
+    # data-skipping serving claim made measurable (r13): a range query
+    # over a 16-commit range-partitioned snapshot table must open ~1
+    # file, not 16 — the manifest-stats prune runs on the driver before
+    # any file opens. The in-rep canary raises if pruning ever stops
+    # engaging (the metric must never silently degrade into timing a
+    # full scan).
+    def _skipping() -> None:
+        import tempfile
+
+        from pgvector_db_spark.queries import _fixture_tag
+        from pgvector_db_spark.sources.snapshots import SnapshotTable
+
+        root = os.path.join(
+            tempfile.gettempdir(), f"snapskip_bench_{_fixture_tag(sf_dir)}"
+        )
+        st = SnapshotTable(spark, root, required_cols=("o_orderkey",))
+        from pyspark.sql import functions as F
+
+        mm = t["orders"].agg(
+            F.min("o_orderkey"), F.max("o_orderkey")
+        ).first()
+        lo, hi = int(mm[0]), int(mm[1])
+        width = (hi - lo) // 16 + 1
+        for i in range(st.latest_version(), 16):
+            st.insert(
+                t["orders"]
+                .filter(
+                    (F.col("o_orderkey") >= lo + i * width)
+                    & (F.col("o_orderkey") < lo + (i + 1) * width)
+                )
+                .coalesce(1)
+            )
+        qlo, qhi = lo + 5 * width, lo + 6 * width - 1
+
+        def _one() -> None:
+            assert (
+                st.read_where(
+                    [("o_orderkey", "between", (qlo, qhi))]
+                ).count()
+                >= 0
+            )
+            assert st.last_files_skipped >= 12, (
+                f"stats prune disengaged: only {st.last_files_skipped} "
+                "files skipped"
+            )
+
+        out["skipping_read_ms"] = round(
+            time_reps("skipping_read_ms", _one) * 1000, 1
+        )
+
+    _try(_skipping)
+
     # training-pipeline headline: near-dup candidate generation throughput
     # (MinHash+LSH over the documents table, Spark side only)
     def _dedup() -> None:
@@ -606,6 +658,7 @@ CORE_KEYS = [
         "salted_skew_join_ms",
         "ivf_autoprobe_ms",
         "changefeed_read_ms",
+        "skipping_read_ms",
 ]
 
 # the external driver captures only the LAST ~2000 chars of stdout —

@@ -1229,6 +1229,7 @@ class SnapshotTable:
         target_files: int | None = None,
         zorder_by: tuple[str, ...] | None = None,
         zbits: int = 16,
+        small_file_bytes: int | None = None,
     ) -> int:
         """Delta OPTIMIZE analogue (r11 VERDICT item #3): checkpoints
         bounded the METADATA growth, but per-micro-batch delta commits
@@ -1265,6 +1266,19 @@ class SnapshotTable:
         only — a zorder request always rewrites: the caller is asking
         for a different ORDER, not fewer files).
 
+        ``small_file_bytes=N`` (incremental OPTIMIZE — how Delta's
+        OPTIMIZE actually behaves): only files SMALLER than N are read
+        and bin-packed; every already-packed file carries over into the
+        new manifest BY REFERENCE, untouched on disk, its skipping
+        stats riding along. This is the difference between an O(small
+        files) maintenance pass and an O(table) rewrite — at 100 TB a
+        streaming table compacts its per-micro-batch fragments on a
+        schedule without ever re-reading the petabytes it packed last
+        week. Fewer than two small files → nothing to merge, returns
+        the current version unchanged. Mutually exclusive with
+        ``zorder_by`` (a zorder is a whole-layout rewrite by
+        definition).
+
         Optimistic concurrency: a writer committing between this
         compaction's snapshot read and its commit would have its rows
         silently dropped by the rewritten full-list version (lost
@@ -1273,6 +1287,11 @@ class SnapshotTable:
         re-layout, so the retry is safe and absorbs the new rows),
         raising :class:`SnapshotConflictError` only after
         ``max_retries`` races in a row."""
+        if small_file_bytes is not None and zorder_by:
+            raise ValueError(
+                "small_file_bytes cannot combine with zorder_by — a "
+                "zorder rewrites the whole layout by definition"
+            )
         max_retries = 3
         last_err: Exception | None = None
         for _ in range(max_retries):
@@ -1281,6 +1300,15 @@ class SnapshotTable:
                 raise FileNotFoundError(
                     f"snapshot table {self.path} is empty"
                 )
+            if small_file_bytes is not None:
+                try:
+                    return self._compact_incremental(
+                        latest, small_file_bytes, target_file_bytes,
+                        target_files,
+                    )
+                except SnapshotConflictError as e:
+                    last_err = e
+                    continue
             names, _ = self._resolve_files(latest)
             if target_files is not None:
                 n_out = max(1, int(target_files))
@@ -1307,6 +1335,57 @@ class SnapshotTable:
                 # them); re-read the moved table and re-pack
                 last_err = e
         raise last_err
+
+    def _compact_incremental(
+        self,
+        latest: int,
+        small_file_bytes: int,
+        target_file_bytes: int,
+        target_files: int | None,
+    ) -> int:
+        """One incremental-OPTIMIZE attempt against ``latest``: pack
+        the sub-threshold files, carry the rest by reference. Raises
+        :class:`SnapshotConflictError` if another commit lands inside
+        the window (caller retries against the moved table)."""
+        from pyspark.sql.types import StructType
+
+        names, stats, _ = self._resolve_state(latest)
+        sizes = {
+            f: os.path.getsize(os.path.join(self._data_dir(), f))
+            for f in names
+        }
+        small = [f for f in names if sizes[f] < small_file_bytes]
+        if len(small) <= 1:
+            return latest
+        big = [f for f in names if sizes[f] >= small_file_bytes]
+        if target_files is not None:
+            n_out = max(1, int(target_files))
+        else:
+            total = sum(sizes[f] for f in small)
+            n_out = max(1, -(-total // target_file_bytes))
+        if len(small) <= n_out:
+            return latest  # already as packed as the targets allow
+        m = self.manifest(latest)
+        reader = self.spark.read
+        if m.get("schema") is not None:
+            reader = reader.schema(StructType.fromJson(m["schema"]))
+        packed = reader.parquet(
+            *[os.path.join(self._data_dir(), f) for f in small]
+        ).coalesce(n_out)
+        new_names, _ = self._stage_files(packed)
+        merged_stats = {f: stats[f] for f in big if f in stats}
+        merged_stats.update(self._collect_stats(new_names))
+        # n_rows is the PARENT's count — a compaction moves no rows,
+        # and recounting the untouched big files would defeat the
+        # O(small files) contract
+        return self._commit(
+            "compact",
+            big + new_names,
+            m["n_rows"],
+            packed,
+            expect_parent=latest,
+            stats=merged_stats,
+        )
 
     @staticmethod
     def _zorder_position(df: DataFrame, c: str):

@@ -1184,3 +1184,78 @@ def test_clone_of_old_version(spark, st, tmp_path):
     st.insert(_df(spark, [(2, "b")]))
     dst = st.clone_to(str(tmp_path / "clone4"), version=1)
     assert [r["k"] for r in dst.read().collect()] == [1]
+
+
+# -- incremental OPTIMIZE ----------------------------------------------------
+
+
+def test_incremental_compact_touches_only_small_files(spark, st):
+    # one "big" packed commit + many small fragments
+    st.insert(_range_df(spark, 0, 2000).coalesce(1).selectExpr(
+        "k", "s as v", "p"))
+    for b in range(6):
+        st.insert(_df(spark, [(10000 + b, "frag")]).selectExpr(
+            "k", "v", "cast(null as double) as p"))
+    names_before, _ = st._resolve_files(st.latest_version())
+    sizes = {
+        f: os.path.getsize(os.path.join(st._data_dir(), f))
+        for f in names_before
+    }
+    big = [f for f in names_before if sizes[f] >= 4096]
+    assert big, "fixture needs at least one big file"
+    mtimes = {
+        f: os.path.getmtime(os.path.join(st._data_dir(), f)) for f in big
+    }
+    n_rows_before = st.read().count()
+    v = st.compact(small_file_bytes=4096, target_files=1)
+    names_after, _ = st._resolve_files(v)
+    # the big file(s) carried over BY REFERENCE, bytes untouched
+    for f in big:
+        assert f in names_after
+        assert os.path.getmtime(
+            os.path.join(st._data_dir(), f)
+        ) == mtimes[f]
+    # fragments merged: fewer files, same rows
+    assert len(names_after) == len(big) + 1
+    assert st.read().count() == n_rows_before
+    assert st.manifest(v)["op"] == "compact"
+    assert st.manifest(v)["n_rows"] == n_rows_before
+
+
+def test_incremental_compact_noop_when_nothing_small(spark, st):
+    st.insert(_range_df(spark, 0, 2000).coalesce(1).selectExpr(
+        "k", "s as v", "p"))
+    v = st.latest_version()
+    assert st.compact(small_file_bytes=10) == v
+
+
+def test_incremental_compact_rejects_zorder_combo(spark, st):
+    st.insert(_df(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="small_file_bytes"):
+        st.compact(small_file_bytes=1000, zorder_by=("k",))
+
+
+def test_incremental_compact_carries_big_file_stats(spark, st):
+    st.insert(_range_df(spark, 0, 2000).coalesce(1).selectExpr(
+        "k", "s as v", "p"))
+    for b in range(4):
+        st.insert(_range_df(spark, 5000 + b, 5001 + b).selectExpr(
+            "k", "s as v", "p").coalesce(1))
+    st.compact(small_file_bytes=4096, target_files=1)
+    # a query outside the big file's range skips it via CARRIED stats
+    got = st.read_where([("k", ">=", 5000)])
+    assert got.count() == 4
+    assert st.last_files_skipped >= 1
+
+
+def test_incremental_compact_old_versions_still_travel(spark, st):
+    st.insert(_range_df(spark, 0, 100).coalesce(1).selectExpr(
+        "k", "s as v", "p"))
+    st.insert(_df(spark, [(900, "x")]).selectExpr(
+        "k", "v", "cast(null as double) as p"))
+    st.insert(_df(spark, [(901, "y")]).selectExpr(
+        "k", "v", "cast(null as double) as p"))
+    v = st.compact(small_file_bytes=4096, target_files=1)
+    assert v == 4
+    assert st.read(version=2).count() == 101
+    assert st.read(version=4).count() == 102
