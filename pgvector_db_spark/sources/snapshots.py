@@ -1481,16 +1481,32 @@ class SnapshotTable:
             )
         )
 
-    def vacuum(self, keep_last: int = 1) -> int:
+    def vacuum(self, keep_last: int = 1, dry_run: bool = False) -> int:
         """Drop all but the last ``keep_last`` versions and delete data
         files no kept version references (incl. leaked files from crashed
         commits). The oldest KEPT version is checkpointed first (while
         its delta chain still exists), so every kept version resolves
         after the older manifests are gone. Returns the number of data
-        files deleted."""
+        files deleted.
+
+        ``dry_run=True`` (Delta's ``VACUUM ... DRY RUN``): count the
+        files the pass WOULD delete — nothing is touched, no manifest
+        dropped, no checkpoint written — so an operator can sanity-check
+        a retention change before the irreversible pass."""
         with file_lock(self._lock_path()):
             vs = self.versions()
             keep = set(vs[-keep_last:]) if keep_last > 0 else set()
+            if dry_run:
+                referenced: set[str] = set()
+                for v in keep:
+                    referenced.update(self._resolve_files(v)[0])
+                    referenced.update(self.manifest(v).get("cdf", []))
+                return sum(
+                    1
+                    for name in os.listdir(self._data_dir())
+                    if name.endswith(".parquet")
+                    and name not in referenced
+                )
             if keep:
                 oldest = min(keep)
                 if not os.path.exists(self._checkpoint_path(oldest)):

@@ -1259,3 +1259,16 @@ def test_incremental_compact_old_versions_still_travel(spark, st):
     assert v == 4
     assert st.read(version=2).count() == 101
     assert st.read(version=4).count() == 102
+
+
+def test_vacuum_dry_run_counts_without_deleting(spark, st):
+    st.insert(_df(spark, [(1, "a")]))
+    st.overwrite(_df(spark, [(2, "b")]))
+    would = st.vacuum(keep_last=1, dry_run=True)
+    assert would >= 1
+    # nothing was touched: both versions still readable
+    assert st.versions() == [1, 2]
+    assert st.read(version=1).count() == 1
+    did = st.vacuum(keep_last=1)
+    assert did == would
+    assert st.vacuum(keep_last=1, dry_run=True) == 0
