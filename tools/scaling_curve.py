@@ -110,6 +110,15 @@ HEAVY = {
     "rel_snapshot_log_checkpoint",
     "rel_snapshot_optimize",
     "rel_snapshot_optimize_zorder",
+    # r13 session additions: all orders-bound lakehouse lifecycle ops —
+    # the replica scales orders, so each earns the extra decade (the
+    # point for data skipping and incremental OPTIMIZE especially:
+    # their whole claim is sub-linear serving/maintenance cost)
+    "rel_snapshot_data_skipping",
+    "rel_snapshot_merge",
+    "rel_snapshot_restore",
+    "rel_snapshot_clone",
+    "rel_snapshot_optimize_incremental",
     # r13: make_sf1 v3 scales EMBEDDINGS (vec_id shifted, components
     # hash-perturbed ±1.5% so no replica is a distance-0 duplicate) —
     # every vector-bound row gets a real sf1 decade. The previously
