@@ -935,11 +935,37 @@ class SnapshotTable:
         'update_preimage'/'update_postimage' for updated ones, 'insert'
         for inserted source rows — served incrementally by
         :meth:`read_changes(..., cdf=True) <read_changes>`."""
-        base = self.latest_version()
-        if base == 0:
-            raise FileNotFoundError(f"snapshot table {self.path} is empty")
         if not (matched_update or matched_delete or not_matched_insert):
             raise ValueError("merge with no active clause does nothing")
+        base = self.latest_version()
+        if base == 0:
+            # empty target: every source row is a not-matched insert
+            # (upsert's empty-table posture, and Delta's) — matched
+            # clauses vacuously never fire
+            if not not_matched_insert:
+                raise FileNotFoundError(
+                    f"snapshot table {self.path} is empty and the merge "
+                    "has no insert clause"
+                )
+            ins = source
+            if not_matched_condition is not None:
+                s = source.alias("s")
+                ins = s.filter(
+                    F.coalesce(
+                        F.expr(not_matched_condition), F.lit(False)
+                    )
+                )
+            self._validator.validate(ins)
+            names, n = self._stage_files(ins)
+            cdf_names = None
+            if cdf:
+                cdf_names, _ = self._stage_files(
+                    ins.withColumn("_change_type", F.lit("insert"))
+                )
+            return self._commit(
+                "merge", names, n, ins,
+                expect_parent=0, cdf_files=cdf_names,
+            )
         current = self.read(base)
         tcols = list(current.columns)
         scols = list(source.columns)

@@ -1272,3 +1272,67 @@ def test_vacuum_dry_run_counts_without_deleting(spark, st):
     did = st.vacuum(keep_last=1)
     assert did == would
     assert st.vacuum(keep_last=1, dry_run=True) == 0
+
+
+def test_merge_into_empty_table_inserts(spark, st):
+    v = st.merge(
+        _df(spark, [(1, "a"), (2, "b"), (3, "c")]),
+        "k",
+        not_matched_condition="s.k < 3",
+        cdf=True,
+    )
+    assert v == 1
+    assert sorted(r["k"] for r in st.read().collect()) == [1, 2]
+    feed = st.read_changes(0, 1, cdf=True)
+    assert {r["_change_type"] for r in feed.collect()} == {"insert"}
+    # without an insert clause an empty target is a loud error
+    st2 = SnapshotTable(spark, st.path + "_e", required_cols=("k",))
+    with pytest.raises(FileNotFoundError, match="no insert clause"):
+        st2.merge(_df(spark, [(1, "x")]), "k", not_matched_insert=False)
+
+
+# -- cross-feature interactions ----------------------------------------------
+
+
+def test_merge_on_shallow_clone_isolated(spark, st, tmp_path):
+    st.insert(_df(spark, [(1, "a"), (2, "b")]))
+    dst = st.clone_to(str(tmp_path / "mclone"))
+    dst.merge(
+        _df(spark, [(2, "B"), (9, "z")]),
+        "k",
+        matched_delete=True,
+        matched_delete_condition="s.k = 2",
+    )
+    assert {r["k"]: r["v"] for r in dst.read().collect()} == {
+        1: "a", 9: "z"
+    }
+    # the source table never saw the branch's merge
+    assert {r["k"]: r["v"] for r in st.read().collect()} == {
+        1: "a", 2: "b"
+    }
+
+
+def test_restore_undoes_a_merge(spark, st):
+    st.insert(_df(spark, [(1, "a"), (2, "b")]))
+    st.merge(_df(spark, [(2, "B"), (5, "e")]), "k")
+    st.restore(1)
+    assert {r["k"]: r["v"] for r in st.read().collect()} == {
+        1: "a", 2: "b"
+    }
+
+
+def test_read_where_after_merge_uses_fresh_stats(spark, st):
+    st.insert(_range_df(spark, 0, 100).selectExpr(
+        "k", "s as v", "p").coalesce(1))
+    st.insert(_range_df(spark, 1000, 1100).selectExpr(
+        "k", "s as v", "p").coalesce(1))
+    # merge rewrites the table into new files — their stats must be
+    # recollected, not inherited (a merge can move any row anywhere)
+    st.merge(
+        _range_df(spark, 1000, 1010).selectExpr(
+            "k", "upper(s) as v", "p"),
+        "k",
+    )
+    got = st.read_where([("k", ">=", 1000)])
+    assert got.count() == 100
+    assert got.filter("v = upper(v)").count() >= 10
