@@ -14493,6 +14493,121 @@ def rel_snapshot_optimize_incremental(
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@register(
+    "rel_snapshot_check_constraint",
+    """
+    WITH final AS (
+        SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        FROM orders
+        UNION ALL
+        SELECT 'V', CAST(o_totalprice AS DECIMAL(18,2))
+        FROM orders WHERE o_orderkey % 97 = 0
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(p) AS DOUBLE) AS sum_price,
+           CAST(1 AS INT) AS violation_refused,
+           CAST(1 AS INT) AS invalid_constraint_refused
+    FROM final GROUP BY o_orderstatus
+    """,
+    tags=("relational", "snapshot", "maintenance"),
+)
+def rel_snapshot_check_constraint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CHECK constraints (r13 — Delta ``ALTER TABLE ... ADD
+    CONSTRAINT``): a named SQL predicate stamped into the log (the map
+    rides in every manifest like the txn map — one metadata open) and
+    enforced on every row-introducing write path BEFORE the commit, so
+    no version ever exists that violates a constraint committed before
+    it; delete/compact skip the check by induction (row-subset / pure
+    re-layout), restore scans its target (its rows may predate the
+    constraint). NULL check results are violations (Delta CHECK
+    semantics), and a batch omitting the checked column evaluates as
+    NULL — omission can't dodge the gate. In-query canaries: adding a
+    constraint the data already violates is REFUSED, a violating
+    insert RAISES with nothing committed (version pinned), and a
+    conforming insert then commits normally. Output: the final grouped
+    state (orders + the accepted batch), cross-engine."""
+    import shutil
+    import tempfile
+
+    from pgvector_db_spark.sources.snapshots import SnapshotTable
+
+    t = load_tables(spark, sf_dir)
+    base = t["orders"].select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    tmp = tempfile.mkdtemp(prefix="snap_chk_")
+    try:
+        st = SnapshotTable(
+            spark, f"{tmp}/orders", required_cols=("o_orderkey",)
+        )
+        st.insert(base)
+        v = st.add_constraint("price_positive", "o_totalprice > 0")
+        _require(
+            st.constraints() == {"price_positive": "o_totalprice > 0"},
+            "constraint map not recorded",
+        )
+        violation_refused = 0
+        try:
+            st.insert(
+                base.limit(5).withColumn(
+                    "o_totalprice", F.lit(-1.0)
+                ).withColumn(
+                    "o_orderkey",
+                    F.col("o_orderkey") + F.lit(2000000000).cast(
+                        "bigint"
+                    ),
+                )
+            )
+        except ValueError as e:
+            violation_refused = int("price_positive" in str(e))
+        _require(
+            violation_refused == 1 and st.latest_version() == v,
+            "violating insert was not refused cleanly",
+        )
+        invalid_refused = 0
+        try:
+            st.add_constraint("even_keys", "o_orderkey % 2 = 0")
+        except ValueError as e:
+            invalid_refused = int("existing rows" in str(e))
+        _require(
+            invalid_refused == 1,
+            "a constraint the data violates was accepted",
+        )
+        st.insert(
+            base.filter(F.col("o_orderkey") % 97 == 0)
+            .withColumn(
+                "o_orderkey",
+                F.col("o_orderkey") + F.lit(1000000000).cast("bigint"),
+            )
+            .withColumn("o_orderstatus", F.lit("V"))
+        )
+        out = st.read().groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        ).select(
+            "o_orderstatus",
+            "n_orders",
+            "sum_price",
+            F.lit(violation_refused).cast("int").alias(
+                "violation_refused"
+            ),
+            F.lit(invalid_refused).cast("int").alias(
+                "invalid_constraint_refused"
+            ),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # The lakehouse loop closed (r11 VERDICT item #5): streaming ingest →
 # snapshot commit log → INCREMENTAL downstream. The log's delta
 # manifests are per-commit add-sets — exactly what Delta's streaming

@@ -657,6 +657,7 @@ class SnapshotTable:
         expect_parent: int | None = None,
         cdf_files: list[str] | None = None,
         stats: dict[str, dict] | None = None,
+        enforced_constraints: dict[str, str] | None = None,
     ) -> int:
         """Single-writer commit: the evolved schema is computed INSIDE
         the lock from the parent actually observed there. Computing it
@@ -686,6 +687,17 @@ class SnapshotTable:
                     f"{parent} was committed concurrently; re-read and "
                     "retry"
                 )
+            cons = self._parent_constraints(parent)
+            if (
+                enforced_constraints is not None
+                and cons != enforced_constraints
+            ):
+                # an ADD CONSTRAINT landed between the caller's pre-lock
+                # enforcement and this commit — re-check under the lock
+                # so no version ever exists violating a constraint
+                # committed before it (a rare correctness path: for
+                # expect_parent ops the map cannot have moved)
+                self._enforce_constraints(df, op)
             schema = self._evolve_schema(df, parent)
             version = parent + 1
             # overwrite/upsert manifests carry the FULL set ("files"):
@@ -701,6 +713,7 @@ class SnapshotTable:
                 "schema": schema,
                 "txn": self._parent_txn(parent),
                 "stats": stats,
+                "constraints": cons,
             }
             if cdf_files is not None:
                 manifest["cdf"] = cdf_files
@@ -746,6 +759,148 @@ class SnapshotTable:
         added = [f for f in new_schema["fields"] if f["name"] not in known]
         return {**cur, "fields": cur["fields"] + added}
 
+    # -- CHECK constraints ----------------------------------------------------
+
+    def constraints(self) -> dict[str, str]:
+        """The table's active CHECK constraints (name → SQL expression).
+        Like the txn map, the constraint map rides in every manifest and
+        rolls forward commit to commit — one metadata open, never a log
+        walk."""
+        v = self.latest_version()
+        if v == 0:
+            return {}
+        return dict(self.manifest(v).get("constraints", {}))
+
+    def add_constraint(self, name: str, expression: str) -> int:
+        """Delta ``ALTER TABLE ... ADD CONSTRAINT``: a named SQL
+        predicate every row of every FUTURE commit must satisfy (NULL
+        predicate = violation, Delta's CHECK semantics — a constraint
+        that can't prove a row is a no). The EXISTING table is verified
+        first — a constraint the current data violates is refused, so
+        a reader can trust that any version committed under a
+        constraint satisfies it. The add itself is a metadata-only
+        commit (op="alter", parent's file list by reference)."""
+        base = self.latest_version()
+        if base == 0:
+            raise FileNotFoundError(
+                f"snapshot table {self.path} is empty — constraints "
+                "attach to an existing table"
+            )
+        bad = (
+            self.read(base)
+            .filter(
+                ~F.coalesce(F.expr(expression), F.lit(False))
+            )
+            .limit(1)
+            .count()
+        )
+        if bad:
+            raise ValueError(
+                f"constraint {name!r} ({expression}) is violated by "
+                "existing rows — refusing to add it"
+            )
+        with file_lock(self._lock_path()):
+            parent = self.latest_version()
+            m = self.manifest(parent)
+            cons = dict(m.get("constraints", {}))
+            cons[name] = expression
+            files, stats, _ = self._resolve_state(parent)
+            version = parent + 1
+            commit_json(
+                self._manifest_path(version),
+                {
+                    "version": version,
+                    "parent": parent,
+                    "op": "alter",
+                    "files": files,
+                    "n_rows": m["n_rows"],
+                    "schema": m.get("schema"),
+                    "txn": self._parent_txn(parent),
+                    "stats": stats,
+                    "constraints": cons,
+                },
+            )
+            self._maybe_checkpoint(version)
+        return version
+
+    def drop_constraint(self, name: str) -> int:
+        """Remove a named constraint (metadata-only commit)."""
+        base = self.latest_version()
+        cons = self.constraints()
+        if name not in cons:
+            raise KeyError(f"no constraint named {name!r}")
+        with file_lock(self._lock_path()):
+            parent = self.latest_version()
+            m = self.manifest(parent)
+            cons = dict(m.get("constraints", {}))
+            cons.pop(name, None)
+            files, stats, _ = self._resolve_state(parent)
+            version = parent + 1
+            commit_json(
+                self._manifest_path(version),
+                {
+                    "version": version,
+                    "parent": parent,
+                    "op": "alter",
+                    "files": files,
+                    "n_rows": m["n_rows"],
+                    "schema": m.get("schema"),
+                    "txn": self._parent_txn(parent),
+                    "stats": stats,
+                    "constraints": cons,
+                },
+            )
+            self._maybe_checkpoint(version)
+        return version
+
+    def _enforce_constraints(self, df: DataFrame, op: str) -> None:
+        """Every row-introducing write path funnels its OUTPUT rows
+        through here before staging. One pass per constraint with
+        ``limit(1)`` — the check is a filtered scan of the batch (or,
+        for rewrites, of the rewritten rows), not of the table's
+        history. A violation raises BEFORE any commit, so no version
+        ever exists that breaks a constraint committed before it.
+        ``delete_where`` and ``compact`` skip the check BY INDUCTION:
+        they emit a row-subset / pure re-layout of a version that
+        already satisfied every active constraint. ``restore`` cannot
+        use the induction (its rows may predate the constraint) and
+        scans the restored content when constraints exist.
+
+        A batch may OMIT known columns (additive evolution) — those
+        rows read back as NULL, so the check evaluates them as NULL
+        too: table columns the frame lacks are NULL-filled before the
+        predicates run (a NULL check result is a violation, so "drop
+        the column from the batch" can never dodge a constraint)."""
+        cons = self.constraints()
+        if not cons:
+            return
+        v = self.latest_version()
+        sch = self._schema_of(v) if v else None
+        if sch is not None:
+            from pyspark.sql.types import StructField
+
+            for f in sch["fields"]:
+                if f["name"] not in df.columns:
+                    df = df.withColumn(
+                        f["name"],
+                        F.lit(None).cast(
+                            StructField.fromJson(f).dataType
+                        ),
+                    )
+        for name, expression in cons.items():
+            bad = (
+                df.filter(
+                    ~F.coalesce(F.expr(expression), F.lit(False))
+                )
+                .limit(1)
+                .count()
+            )
+            if bad:
+                raise ValueError(
+                    f"{op} violates CHECK constraint {name!r} "
+                    f"({expression})"
+                )
+
     def last_txn_version(self, app: str) -> int:
         """Highest ``txn_version`` committed under ``app`` (-1 if none).
         The txn map rides in every manifest (rolled forward commit to
@@ -758,6 +913,11 @@ class SnapshotTable:
 
     def _parent_txn(self, parent: int) -> dict:
         return dict(self.manifest(parent).get("txn", {})) if parent else {}
+
+    def _parent_constraints(self, parent: int) -> dict:
+        if not parent:
+            return {}
+        return dict(self.manifest(parent).get("constraints", {}))
 
     def insert(
         self,
@@ -782,6 +942,9 @@ class SnapshotTable:
         if (txn_app is None) != (txn_version is None):
             raise ValueError("txn_app and txn_version must be given together")
         self._validator.validate(df)
+        cons_checked = self.constraints()
+        if cons_checked:
+            self._enforce_constraints(df, "insert")
         if txn_app is not None and txn_version <= self.last_txn_version(
             txn_app
         ):
@@ -793,6 +956,13 @@ class SnapshotTable:
         stats = self._collect_stats(names)
         with file_lock(self._lock_path()):
             parent = self.latest_version()
+            cons_now = self._parent_constraints(parent)
+            if cons_now != cons_checked:
+                # ADD CONSTRAINT raced this append: re-check under the
+                # lock — an insert carries no expect_parent, so this is
+                # its only defense against committing violating rows
+                # under a constraint committed inside the window
+                self._enforce_constraints(df, "insert")
             txn = self._parent_txn(parent)
             if txn_app is not None:
                 if txn_version <= int(txn.get(txn_app, -1)):
@@ -818,6 +988,7 @@ class SnapshotTable:
                     "schema": schema,
                     "txn": txn,
                     "stats": stats,
+                    "constraints": cons_now,
                 },
             )
             self._maybe_checkpoint(version)
@@ -831,8 +1002,13 @@ class SnapshotTable:
         time travel never has to reconcile incompatible schemas. A
         table whose columns must shrink is a new table."""
         self._validator.validate(df)
+        cons = self.constraints()
+        if cons:
+            self._enforce_constraints(df, "overwrite")
         names, n = self._stage_files(df)
-        return self._commit("overwrite", names, n, df)
+        return self._commit(
+            "overwrite", names, n, df, enforced_constraints=cons
+        )
 
     def upsert(self, df: DataFrame, key: str, cdf: bool = False) -> int:
         """Copy-on-write merge by key, committed as a new version. The
@@ -864,6 +1040,11 @@ class SnapshotTable:
         # incoming batch adds (the same additive-evolution semantics
         # the manifest-schema read path applies to old files)
         merged = survivors.unionByName(df, allowMissingColumns=True)
+        if self.constraints():
+            # the upsert is a full rewrite, so the merged frame IS the
+            # written data; NULL-filled survivors under an added column
+            # are checked too (a NULL check result is a violation)
+            self._enforce_constraints(merged, "upsert")
         names, n = self._stage_files(merged)
         cdf_names: list[str] | None = None
         if cdf:
@@ -956,6 +1137,8 @@ class SnapshotTable:
                     )
                 )
             self._validator.validate(ins)
+            if self.constraints():
+                self._enforce_constraints(ins, "merge")
             names, n = self._stage_files(ins)
             cdf_names = None
             if cdf:
@@ -1042,6 +1225,8 @@ class SnapshotTable:
             ]
         )
         self._validator.validate(merged)
+        if self.constraints():
+            self._enforce_constraints(merged, "merge")
         names, n = self._stage_files(merged)
         cdf_names: list[str] | None = None
         if cdf:
@@ -1142,6 +1327,11 @@ class SnapshotTable:
                 "vacuumed away (retention passed); pick a kept version "
                 f"from {self.versions()}"
             ) from None
+        if self.constraints():
+            # the restored rows may predate a constraint added after
+            # ``version`` — verify them, or the invariant "every
+            # version committed under C satisfies C" breaks silently
+            self._enforce_constraints(self.read(version), "restore")
         files, stats, _ = self._resolve_state(version)
         with file_lock(self._lock_path()):
             parent = self.latest_version()
@@ -1158,6 +1348,7 @@ class SnapshotTable:
                     "schema": m.get("schema"),
                     "txn": self._parent_txn(parent),
                     "stats": stats,
+                    "constraints": self._parent_constraints(parent),
                 },
             )
             self._maybe_checkpoint(new_version)
@@ -1243,6 +1434,8 @@ class SnapshotTable:
                     "schema": m.get("schema"),
                     "txn": {},
                     "stats": new_stats,
+                    # the branch starts under the source's contract
+                    "constraints": dict(m.get("constraints", {})),
                 },
             )
         return dst

@@ -1336,3 +1336,91 @@ def test_read_where_after_merge_uses_fresh_stats(spark, st):
     got = st.read_where([("k", ">=", 1000)])
     assert got.count() == 100
     assert got.filter("v = upper(v)").count() >= 10
+
+
+# -- CHECK constraints -------------------------------------------------------
+
+
+def test_add_constraint_enforced_on_every_write_path(spark, st):
+    st.insert(_df(spark, [(1, "a"), (2, "b")]))
+    v = st.add_constraint("k_positive", "k > 0")
+    assert st.manifest(v)["op"] == "alter"
+    assert st.constraints() == {"k_positive": "k > 0"}
+    with pytest.raises(ValueError, match="k_positive"):
+        st.insert(_df(spark, [(-1, "bad")]))
+    with pytest.raises(ValueError, match="k_positive"):
+        st.overwrite(_df(spark, [(0, "bad")]))
+    with pytest.raises(ValueError, match="k_positive"):
+        st.upsert(_df(spark, [(-5, "bad")]), "k")
+    with pytest.raises(ValueError, match="k_positive"):
+        st.merge(_df(spark, [(-7, "bad")]), "k")
+    # nothing committed by the refused writes
+    assert st.latest_version() == v
+    assert st.insert(_df(spark, [(3, "c")])) == v + 1
+
+
+def test_add_constraint_refused_when_existing_rows_violate(spark, st):
+    st.insert(_df(spark, [(1, "a"), (-2, "b")]))
+    with pytest.raises(ValueError, match="existing rows"):
+        st.add_constraint("k_positive", "k > 0")
+    assert st.constraints() == {}
+
+
+def test_constraint_null_result_is_violation(spark, st):
+    st.insert(_df(spark, [(1, "a")]))
+    st.add_constraint("v_known", "v IS NOT NULL")
+    with pytest.raises(ValueError, match="v_known"):
+        st.insert(spark.createDataFrame([(2,)], "k int"))
+
+
+def test_drop_constraint_lifts_enforcement(spark, st):
+    st.insert(_df(spark, [(1, "a")]))
+    st.add_constraint("k_small", "k < 100")
+    with pytest.raises(KeyError):
+        st.drop_constraint("nope")
+    st.drop_constraint("k_small")
+    st.insert(_df(spark, [(500, "big")]))
+    assert st.read().count() == 2
+
+
+def test_restore_checks_constraints_added_after_target(spark, st):
+    st.insert(_df(spark, [(-1, "old")]))
+    st.delete_where("k < 0")
+    st.add_constraint("k_positive", "k > 0")
+    with pytest.raises(ValueError, match="restore violates"):
+        st.restore(1)
+    # restoring a conforming version is fine
+    st.insert(_df(spark, [(5, "e")]))
+    st.restore(2)
+
+
+def test_constraints_roll_forward_and_clone_inherits(spark, st, tmp_path):
+    st.insert(_df(spark, [(1, "a")]))
+    st.add_constraint("k_positive", "k > 0")
+    st.insert(_df(spark, [(2, "b")]))
+    st.compact(target_files=1)
+    assert st.constraints() == {"k_positive": "k > 0"}
+    dst = st.clone_to(str(tmp_path / "ccl"))
+    with pytest.raises(ValueError, match="k_positive"):
+        dst.insert(_df(spark, [(-3, "bad")]))
+
+
+def test_constraint_add_race_with_insert_is_checked_in_lock(spark, st):
+    """An ADD CONSTRAINT landing inside insert's stage-then-commit
+    window must still gate the insert — the in-lock re-check."""
+    st.insert(_df(spark, [(1, "a")]))
+    orig = st._stage_files
+    state = {"raced": False}
+
+    def delayed(df):
+        names = orig(df)
+        if not state["raced"]:
+            state["raced"] = True
+            other = SnapshotTable(spark, st.path, required_cols=("k",))
+            other.add_constraint("k_positive", "k > 0")
+        return names
+
+    st._stage_files = delayed
+    with pytest.raises(ValueError, match="k_positive"):
+        st.insert(_df(spark, [(-9, "bad")]))
+    assert st.read().count() == 1
