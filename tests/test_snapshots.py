@@ -1424,3 +1424,46 @@ def test_constraint_add_race_with_insert_is_checked_in_lock(spark, st):
     with pytest.raises(ValueError, match="k_positive"):
         st.insert(_df(spark, [(-9, "bad")]))
     assert st.read().count() == 1
+
+
+def test_stat_and_predicate_value_edge_cases():
+    """The two value mappers must agree on one comparable domain and
+    refuse anything whose bounds can't round-trip JSON exactly."""
+    import datetime as dt
+    from decimal import Decimal
+
+    sv = SnapshotTable._stat_value
+    pv = SnapshotTable._predicate_value
+    # dates → epoch days; timestamps → epoch micros, tz-aware or naive
+    assert sv(dt.date(1970, 1, 2)) == 1 == pv(dt.date(1970, 1, 2))
+    naive = dt.datetime(1970, 1, 1, 0, 0, 1)
+    aware = dt.datetime(
+        1970, 1, 1, 0, 0, 1, tzinfo=dt.timezone.utc
+    )
+    assert sv(naive) == 1_000_000 == sv(aware)
+    assert pv(naive) == 1_000_000 == pv(aware)
+    # NaN bounds are meaningless — both sides refuse
+    assert sv(float("nan")) is None
+    assert pv(float("nan")) is None
+    # decimals never participate (float bounds could round inward)
+    assert pv(Decimal("1.5")) is None
+    # bools normalize to ints so envelopes stay comparable
+    assert sv(True) == 1 and pv(False) == 0
+    # bytes (raw binary stats) are ineligible
+    assert sv(b"\x00\xff") is None
+
+
+def test_file_pruned_type_mismatch_never_prunes():
+    """A predicate literal of a different type than the recorded
+    envelope must leave the file readable, not throw or misprune."""
+    fstats = {"k": [10, 20]}
+    assert SnapshotTable._file_pruned(fstats, [("k", ">", "zzz")]) in (
+        False,
+    )
+    assert not SnapshotTable._file_pruned(
+        {"s": ["a", "m"]}, [("s", "between", (5, 9))]
+    )
+    # sound pruning still engages on the matching type
+    assert SnapshotTable._file_pruned(fstats, [("k", ">", 25)])
+    assert SnapshotTable._file_pruned({"k": "allnull"}, [("k", "=", 1)])
+    assert SnapshotTable._file_pruned({"__rows__": 0}, [("k", "=", 1)])
