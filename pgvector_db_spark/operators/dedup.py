@@ -749,7 +749,25 @@ def prefix_filter_jaccard_pairs(
         <= F.col("_s")
         - F.expr(f"(({tau_num} * _s + {tau_den - 1}) div {tau_den})")
         + 1
-    ).select(F.col(id_col), F.col("_s"), F.col("_g"))
+    ).select(F.col(id_col), F.col("_s"), F.col("_pos"), F.col("_g"))
+    # PPJoin POSITIONAL filter (Xiao et al. WWW'08 §3.2), r13: for a
+    # shared gram at canonical positions (pa, pb), every common gram
+    # sorts consistently before or after it in BOTH docs, so
+    # inter <= min(pa-1, pb-1) + 1 + min(sa-pa, sb-pb); J >= tau needs
+    # inter >= tau_num*(sa+sb)/(tau_num+tau_den). LOSSLESS: a true pair
+    # has inter >= alpha, and the bound >= inter at EVERY shared gram,
+    # so all its join rows survive into the distinct — only
+    # cannot-qualify candidates are pruned before the expensive
+    # verification join (integer cross-multiply, no ceil/floats).
+    pos_bound = (
+        F.least(F.col("a._pos"), F.col("b._pos"))
+        - F.lit(1)
+        + F.lit(1)
+        + F.least(
+            F.col("a._s") - F.col("a._pos"),
+            F.col("b._s") - F.col("b._pos"),
+        )
+    )
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"), "_g")
@@ -758,6 +776,10 @@ def prefix_filter_jaccard_pairs(
         .filter(
             F.lit(tau_den) * F.least(F.col("a._s"), F.col("b._s"))
             >= F.lit(tau_num) * F.greatest(F.col("a._s"), F.col("b._s"))
+        )
+        .filter(
+            F.lit(tau_num + tau_den) * pos_bound
+            >= F.lit(tau_num) * (F.col("a._s") + F.col("b._s"))
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
@@ -771,9 +793,16 @@ def prefix_filter_jaccard_pairs(
             "n_inter",
             F.size(F.array_intersect("_nga", "_ngb")).cast("bigint"),
         )
+        # |A ∪ B| = |A| + |B| − |A ∩ B| (the gram arrays are distinct
+        # sets by construction) — replaces the per-pair
+        # array_distinct(concat(...)) hash-set build with two size()
+        # lookups; identical integers (r13)
         .withColumn(
             "n_union",
-            F.size(F.array_distinct(F.concat("_nga", "_ngb"))).cast("bigint"),
+            (
+                F.size("_nga") + F.size("_ngb")
+            ).cast("bigint")
+            - F.col("n_inter"),
         )
         .filter(
             F.lit(tau_den) * F.col("n_inter")
@@ -1031,24 +1060,33 @@ def _cc_propagate(
     from with a bigger budget (connected_components_adaptive)."""
     changed = -1
     for i in range(rounds):
-        # Checkpoint FIRST (one materialization of the propagation
-        # join), then run the cheap label-vs-label convergence check
-        # against the materialized result — not the join lineage twice.
+        # One materialization per round; the convergence check rides
+        # the SAME aggregate (r13): each node's own row carries its old
+        # label in a side column (contributed rows carry NULL, max()
+        # ignores them — every node has an own row since the edge list
+        # is symmetrized), so `changed` is a local filter-count on the
+        # checkpointed frame instead of a second prop⋈labels join per
+        # round. min(component) folds the identical candidate set as
+        # the old spelling — propagation is bit-for-bit unchanged.
+        contrib = edges.join(labels, edges.src == labels.id).select(
+            F.col("dst").alias("id"),
+            F.col("component"),
+            F.lit(None).cast(labels.schema["component"].dataType).alias("_old"),
+        )
+        own = labels.select(
+            "id", "component", F.col("component").alias("_old")
+        )
         prop = (
-            edges.join(labels, edges.src == labels.id)
-            .select(F.col("dst").alias("id"), F.col("component"))
-            .union(labels.select("id", "component"))
+            contrib.union(own)
             .groupBy("id")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.max("_old").alias("_old"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            prop.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = prop
+        changed = prop.filter(F.col("component") != F.col("_old")).count()
+        labels = prop.select("id", "component")
         if not changed:
             return labels, i + 1, 0
     return labels, None, changed

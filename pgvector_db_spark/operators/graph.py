@@ -63,21 +63,27 @@ def pagerank(
     # also materializes the checkpointed node set reused every iteration
     nodes = nodes.localCheckpoint(eager=False)
     n = nodes.count()
-    outdeg = edges.groupBy("src").agg(
-        F.count(F.lit(1)).alias("outdeg")
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # r13: carry outdeg INSIDE the rank state (node, rank, outdeg), so
+    # each iteration runs ONE broadcast join against the edge list
+    # instead of two (rank side + degree side) — same rank/outdeg
+    # doubles into the same grid floor, join count halved. outdeg is
+    # NULL only for sink-only nodes, which never match as `src`.
+    nodes_deg = nodes.join(
+        outdeg.withColumnRenamed("src", "node"), "node", "left"
     ).localCheckpoint(eager=False)
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    state = nodes_deg.select(
+        "node", F.lit(1.0 / n).alias("rank"), "outdeg"
+    )
     teleport = (1.0 - damping) / n
-    # rank/outdeg state is 2 small columns x |V|: broadcast it while it
+    # rank/outdeg state is 3 small columns x |V|: broadcast it while it
     # fits (size-conditional — a web-scale |V| falls back to shuffled
     # joins rather than forcing an OOM broadcast)
     small = n <= broadcast_max_nodes
-    deg_side = F.broadcast(outdeg) if small else outdeg
     for it in range(iterations):
-        rank_side = F.broadcast(ranks) if small else ranks
+        rank_side = F.broadcast(state) if small else state
         contribs = (
             edges.join(rank_side, edges["src"] == rank_side["node"])
-            .join(deg_side, "src")
             .select(
                 F.col("dst").alias("node"),
                 F.floor(F.col("rank") / F.col("outdeg") * F.lit(GRID) + F.lit(0.5))
@@ -91,13 +97,14 @@ def pagerank(
         # left-join back onto the full node set: a node with no
         # in-edges keeps its teleport rank instead of silently
         # vanishing from the state after the first iteration
-        ranks = nodes.join(summed, "node", "left").select(
+        state = nodes_deg.join(summed, "node", "left").select(
             "node",
             (
                 F.lit(teleport)
                 + F.lit(damping)
                 * (F.coalesce(F.col("s"), F.lit(0)) / F.lit(GRID))
             ).alias("rank"),
+            "outdeg",
         )
         # Cut lineage every iteration by default: the small path
         # broadcasts rank_side via an EXPLICIT hint, so the stats loss
@@ -107,8 +114,8 @@ def pagerank(
         # a caller can raise checkpoint_every to keep AQE's sizing
         # information across iterations.
         if (it + 1) % checkpoint_every == 0 and (it + 1) < iterations:
-            ranks = ranks.localCheckpoint(eager=False)
-    return ranks
+            state = state.localCheckpoint(eager=False)
+    return state.select("node", "rank")
 
 
 def triangle_count(

@@ -651,11 +651,14 @@ class IVFIndex:
                 metric=self.metric,
             )
 
+        cent_rows = self._centroids()
         cents = self.spark.createDataFrame(
-            [(lid, c) for lid, c, _ in self._centroids()],
+            [(lid, c) for lid, c, _ in cent_rows],
             "list_id int, _centroid array<double>",
         )
-        n_lists = cents.count()
+        # the centroid list is already driver-resident — a Spark job
+        # for its count would be pure overhead (r13)
+        n_lists = len(cent_rows)
         # centroid rank per query: the same (distance asc, list_id asc)
         # order search()'s _rank_lists applies
         dist = {

@@ -72,52 +72,92 @@ def bm25_topk(
     Returns (id_col, score_micro BIGINT, n_matched) — score in 1e-6 units
     on the integer grid (exact, engine-independent); callers wanting the
     float divide by 1e6.
+
+    r13 optimization (guide §1.2/§2.3): the corpus is tokenized ONCE
+    into a checkpointed per-doc tf frame (id, dl, tf per query term —
+    a handful of ints/doc), instead of two full tokenize passes (stats
+    aggregate + posting explode). Stats fold from the compact frame;
+    the scoring tail consumes its unpivot, so the explode+isin over
+    EVERY corpus token and the (id, term) groupBy shuffle are gone.
+    tf(t) = size(filter(toks, x -> x = t)) equals the old
+    explode-count, df(t) = count(tf > 0) equals SUM(array_contains) —
+    same integers into the same ``_score_and_topk`` fold.
     """
-    toks = docs.select(
-        F.col(id_col),
-        tokens_col(F.col(text_col)).alias("_toks"),
-    ).select(
+    tf, n_docs, sum_dl, df_by_term = _per_doc_tf(
+        docs, list(dict.fromkeys(query_terms)), id_col, text_col
+    )
+    return _score_and_topk(tf, n_docs, sum_dl, df_by_term, k, k1, b, id_col)
+
+
+def _per_doc_tf(
+    docs: DataFrame, terms: list, id_col: str, text_col: str
+):
+    """ONE tokenize pass shared by the BM25 scan paths: a checkpointed
+    compact frame (id, dl, tf_i per term) feeds BOTH the driver stats
+    fold and the long-form (id, term, tf, dl) scoring input. Returns
+    (tf_long, n_docs, sum_dl, df_by_term); tf_long has tf > 0 rows
+    only, bitwise-identical integers to the explode+groupBy spelling.
+    The two-step select keeps exactly one split() per row: Catalyst's
+    CollapseProject refuses to inline a non-cheap expression referenced
+    more than once."""
+    base = docs.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("_toks")
+    )
+
+    def _eq(term):
+        # single-arg lambda factory: a default-arg lambda would have
+        # arity 2 and PySpark would bind the array INDEX to it
+        return lambda x: x == F.lit(term)
+
+    pdf = base.select(
         F.col(id_col),
         F.size("_toks").alias("dl"),
-        F.explode("_toks").alias("term"),
-    )
-
-    # corpus stats AND per-term document frequency in ONE single-row
-    # construction aggregate: df(t) = number of docs whose token array
-    # contains t = SUM(array_contains) — exact integers collected to the
-    # driver so ln(2n+2), avgdl AND each idf fold into plan literals
-    # (the r6 plan ran the staged ln tree per POSTING row although df
-    # has only <=|query terms| distinct values — the r6 VERDICT #3
-    # determinism-tax regression; this is the DSIR-fold pattern applied
-    # to BM25). One corpus pass here, one in the returned plan — same
-    # two passes as r6, minus the per-term window exchange.
-    srow = (
-        docs.select(tokens_col(F.col(text_col)).alias("_toks"))
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.size("_toks")).alias("sum_dl"),
-            *[
-                F.sum(
-                    F.array_contains("_toks", t).cast("bigint")
-                ).alias(f"_df_{i}")
-                for i, t in enumerate(query_terms)
-            ],
-        )
-        .first()
-    )
+        *[
+            F.size(F.filter(F.col("_toks"), _eq(t)))
+            .cast("bigint")
+            .alias(f"_tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    ).localCheckpoint(eager=True)
+    srow = pdf.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"_tf_{i}") > 0).cast("bigint")).alias(f"_df_{i}")
+            for i in range(len(terms))
+        ],
+    ).first()
     n_docs, sum_dl = int(srow["n_docs"]), int(srow["sum_dl"] or 0)
     df_by_term = {
-        t: int(srow[f"_df_{i}"] or 0) for i, t in enumerate(query_terms)
+        t: int(srow[f"_df_{i}"] or 0) for i, t in enumerate(terms)
     }
-
-    matched = toks.filter(F.col("term").isin(query_terms))
-
-    tf = matched.groupBy(id_col, "term").agg(
-        F.count(F.lit(1)).alias("tf"),
-        F.first("dl").alias("dl"),
+    if not terms:
+        return pdf.select(
+            F.col(id_col),
+            F.lit("").alias("term"),
+            F.lit(0).cast("bigint").alias("tf"),
+            F.col("dl"),
+        ).filter(F.lit(False)), n_docs, sum_dl, df_by_term
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("term"),
+                F.col(f"_tf_{i}").alias("tf"),
+            )
+            for i, t in enumerate(terms)
+        ]
     )
-
-    return _score_and_topk(tf, n_docs, sum_dl, df_by_term, k, k1, b, id_col)
+    tf_long = (
+        pdf.select(F.col(id_col), F.col("dl"), F.explode(entries).alias("_e"))
+        .select(
+            F.col(id_col),
+            F.col("_e.term").alias("term"),
+            F.col("_e.tf").alias("tf"),
+            F.col("dl"),
+        )
+        .filter(F.col("tf") > 0)
+    )
+    return tf_long, n_docs, sum_dl, df_by_term
 
 
 def _empty_topk(spark, id_col: str, id_type) -> DataFrame:
@@ -293,43 +333,17 @@ def bm25_batch_topk(
     """
     qnorm = _normalize_batch_queries(queries)
     all_terms = sorted({t for _, ts in qnorm for t in ts})
-    srow = (
-        docs.select(tokens_col(F.col(text_col)).alias("_toks"))
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.size("_toks")).alias("sum_dl"),
-            *[
-                F.sum(
-                    F.array_contains("_toks", t).cast("bigint")
-                ).alias(f"_df_{i}")
-                for i, t in enumerate(all_terms)
-            ],
-        )
-        .first()
+    # one tokenize pass (r13, same restructure as bm25_topk): the
+    # per-doc tf frame replaces the separate stats pass + full-corpus
+    # posting explode
+    tf, n_docs, sum_dl, df_by_term = _per_doc_tf(
+        docs, all_terms, id_col, text_col
     )
-    n_docs, sum_dl = int(srow["n_docs"]), int(srow["sum_dl"] or 0)
     spark = docs.sparkSession
     if n_docs == 0 or not all_terms:
         return _empty_batch_topk(
             spark, id_col, docs.schema[id_col].dataType
         )
-    df_by_term = {
-        t: int(srow[f"_df_{i}"] or 0) for i, t in enumerate(all_terms)
-    }
-
-    tf = (
-        docs.select(
-            F.col(id_col), tokens_col(F.col(text_col)).alias("_toks")
-        )
-        .select(
-            F.col(id_col),
-            F.size("_toks").alias("dl"),
-            F.explode("_toks").alias("term"),
-        )
-        .filter(F.col("term").isin(all_terms))
-        .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
-    )
     return _batch_score_and_topk(
         tf, n_docs, sum_dl, df_by_term, qnorm, k, k1, b, id_col
     )

@@ -12693,6 +12693,30 @@ def _bpe_train_sql(dialect: str, rounds: int = 4) -> str:
     )
 
 
+def _bpe_fold_fast(enc: str, le: str, re_: str) -> str:
+    """Greedy single-merge re-encode for a merge pair whose sides
+    DIFFER (``l != r``): matches can never overlap (an adjacent second
+    match at i+1 would need enc[i+1] = l AND enc[i+1] = r), so greedy
+    left-to-right takes EVERY match and the re-encode is a map-only
+    O(tokens) transform+filter — unlike the general left-fold spelling
+    (``_bpe_dialect``'s ``fold``), which rebuilds the accumulator array
+    per element and is O(tokens²) per document. Same output, by the
+    no-overlap argument; pinned against the fold spelling by
+    tests/test_pipeline_ops.py."""
+    # i is transform's 0-based index; element_at is 1-based, so the
+    # successor is i+2 and the predecessor is i (guarded by the outer
+    # `i > 0` CASE branch — element_at(_, 0) raises even as try_).
+    return (
+        f"filter(transform({enc}, (x, i) -> "
+        f"CASE WHEN x = {le} AND try_element_at({enc}, i + 2) = {re_} "
+        f"THEN concat({le}, {re_}) "
+        f"WHEN i > 0 THEN "
+        f"CASE WHEN x = {re_} AND element_at({enc}, i) = {le} "
+        f"THEN CAST(NULL AS STRING) ELSE x END "
+        f"ELSE x END), t -> t IS NOT NULL)"
+    )
+
+
 def _bpe_loop(
     spark: SparkSession,
     sf_dir: str,
@@ -12707,8 +12731,19 @@ def _bpe_loop(
     the DuckDB oracle evaluates (DuckDB materializes the chain); Spark
     would inline it into 17 corpus scans (caught by the captured plan),
     so here each round reads the checkpointed previous encoding — the
-    PageRank-style lineage cut. Returns (final enc frame carrying
-    doc_id/enc/n_raw, merges list)."""
+    PageRank-style lineage cut.
+
+    r13 optimization (guide §1.2 "don't compute things twice"): the
+    re-encode is checkpointed IMMEDIATELY after the merge is chosen, so
+    each round's fold runs exactly once — the old shape left the fold
+    lazy, and the totals aggregate plus the NEXT round's checkpoint
+    each re-ran it (2 fold passes/round; solo A/B in
+    OPTIMIZATION_r13.md). The totals sum then reads materialized
+    arrays instead of re-encoding. For l != r merges the fold itself
+    is the O(tokens) ``_bpe_fold_fast`` spelling; the O(tokens²)
+    general fold only runs for l == r merges (overlapping matches).
+    Returns (final enc frame carrying doc_id/enc/n_raw, merges list).
+    """
     tok0, pairs, size, part, fold = _bpe_dialect("spark")
     t = load_tables(spark, sf_dir)
     enc = (
@@ -12718,10 +12753,10 @@ def _bpe_loop(
         .selectExpr(
             "doc_id", "enc", f"CAST({size('enc')} AS BIGINT) AS n_raw"
         )
+        .localCheckpoint(eager=True)
     )
     merges = []
     for rnd in range(1, rounds + 1):
-        enc = enc.localCheckpoint(eager=True)
         m = (
             enc.filter(f"{size('enc')} >= 2")
             .selectExpr(f"{pairs('enc')} AS pair")
@@ -12736,9 +12771,14 @@ def _bpe_loop(
         left, right = m["pair"].split(" ", 1)
         le = "'" + left.replace("'", "''") + "'"
         re_ = "'" + right.replace("'", "''") + "'"
-        enc = enc.selectExpr(
-            "doc_id", f"{fold('enc', le, re_)} AS enc", "n_raw"
+        fold_expr = (
+            fold("enc", le, re_)
+            if left == right
+            else _bpe_fold_fast("enc", le, re_)
         )
+        enc = enc.selectExpr(
+            "doc_id", f"{fold_expr} AS enc", "n_raw"
+        ).localCheckpoint(eager=True)
         total = None
         if want_totals:
             total = int(

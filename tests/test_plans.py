@@ -225,10 +225,16 @@ def test_bm25_topk_plan_shape(tables):
     plan = physical_plan(df)
     assert "TakeOrderedAndProject" in plan
     assert plan.count("HashAggregate") >= 2
-    # r6: corpus stats fold into plan literals (driver-side aggregate),
-    # so the returned plan is a SINGLE postings pipeline — no stats
-    # crossJoin branch and exactly one corpus scan
-    assert plan.count("Scan parquet") == 1
+    # r13: the corpus is tokenized ONCE into a checkpointed per-doc tf
+    # frame; the returned plan reads THAT (ExistingRDD) — the corpus
+    # parquet is never rescanned and no full-token explode/groupBy
+    # shuffle remains (the only explode is over the |terms|-entry
+    # per-doc struct array)
+    assert plan.count("Scan parquet") == 0
+    assert "Scan ExistingRDD" in plan
+    # one exchange (the per-doc score aggregation); the old
+    # (id, term) postings groupBy exchange is gone
+    assert plan.count("Exchange") <= 1, "postings shuffle crept back in"
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Sort [score" not in plan, "global sort instead of top-k"
 
