@@ -635,9 +635,9 @@ def ngram_jaccard_pairs(
     Returns (id_a, id_b, jaccard_sim) with id_a < id_b and
     jaccard_sim >= threshold.
     """
-    base, cand = _ngram_candidate_pairs(df, text_col, id_col, n, max_df)
+    base, cand, n_docs = _ngram_candidate_pairs(df, text_col, id_col, n, max_df)
     out = (
-        _join_gram_sets(cand, base, id_col)
+        _join_gram_sets(cand, base, id_col, broadcast_base=n_docs <= 1_000_000)
         .withColumn("jaccard_sim", jaccard(F.col("_nga"), F.col("_ngb")))
         .filter(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b", "jaccard_sim")
@@ -656,7 +656,7 @@ def _ngram_candidate_pairs(
     # verification joins — persist + eager materialize so parallel first
     # stages don't race-recompute the n-gram arrays
     base = base.persist()
-    base.count()
+    n_docs = base.count()
     posting = base.select(F.col(id_col), F.explode("_ng").alias("_g"))
     rare = (
         posting.groupBy("_g").count().filter(F.col("count") <= max_df).drop("count")
@@ -671,7 +671,7 @@ def _ngram_candidate_pairs(
         )
         .distinct()
     )
-    return base, cand
+    return base, cand, n_docs
 
 
 def _materialize_and_release(out: DataFrame, base: DataFrame) -> DataFrame:
@@ -683,14 +683,27 @@ def _materialize_and_release(out: DataFrame, base: DataFrame) -> DataFrame:
     return out
 
 
-def _join_gram_sets(cand: DataFrame, base: DataFrame, id_col: str) -> DataFrame:
-    return cand.join(
-        base.select(F.col(id_col).alias("id_a"), F.col("_ng").alias("_nga")),
-        "id_a",
-    ).join(
-        base.select(F.col(id_col).alias("id_b"), F.col("_ng").alias("_ngb")),
-        "id_b",
-    )
+def _join_gram_sets(
+    cand: DataFrame,
+    base: DataFrame,
+    id_col: str,
+    broadcast_base: bool = False,
+) -> DataFrame:
+    """Attach both docs' gram arrays to each candidate pair.
+
+    ``broadcast_base=True`` (size-conditional at the caller, the
+    minhash_lsh_pairs ``broadcast_max_docs`` discipline) broadcasts the
+    per-doc gram table into BOTH verification joins, so the candidate
+    frame streams map-side and the gram arrays never enter a shuffle —
+    the old shape exchanged the pair frame twice with an attached
+    ~|grams|-string array per row (guide §2.3 "shuffle keys, not
+    payloads"). Auto-broadcast misses this: the array payload inflates
+    the size estimate."""
+    a = base.select(F.col(id_col).alias("id_a"), F.col("_ng").alias("_nga"))
+    b = base.select(F.col(id_col).alias("id_b"), F.col("_ng").alias("_ngb"))
+    if broadcast_base:
+        a, b = F.broadcast(a), F.broadcast(b)
+    return cand.join(a, "id_a").join(b, "id_b")
 
 
 def prefix_filter_jaccard_pairs(
@@ -732,7 +745,7 @@ def prefix_filter_jaccard_pairs(
 
     base = df.select(F.col(id_col), _word_ngrams(text_col, n).alias("_ng"))
     base = base.persist()
-    base.count()
+    n_docs = base.count()
     posting = base.select(
         F.col(id_col), F.size("_ng").alias("_s"), F.explode("_ng").alias("_g")
     )
@@ -788,7 +801,7 @@ def prefix_filter_jaccard_pairs(
         .distinct()
     )
     out = (
-        _join_gram_sets(cand, base, id_col)
+        _join_gram_sets(cand, base, id_col, broadcast_base=n_docs <= 1_000_000)
         .withColumn(
             "n_inter",
             F.size(F.array_intersect("_nga", "_ngb")).cast("bigint"),
@@ -836,7 +849,7 @@ def ngram_containment_pairs(
     document's extra grams (the asymmetric-duplication case in crawl
     corpora). Same candidate machinery and shuffle bounds as
     :func:`ngram_jaccard_pairs`."""
-    base, cand = _ngram_candidate_pairs(df, text_col, id_col, n, max_df)
+    base, cand, n_docs = _ngram_candidate_pairs(df, text_col, id_col, n, max_df)
     inter = F.size(F.array_intersect(F.col("_nga"), F.col("_ngb"))).cast(
         "double"
     )
@@ -844,7 +857,7 @@ def ngram_containment_pairs(
         F.size(F.col("_nga")), F.size(F.col("_ngb"))
     ).cast("double")
     out = (
-        _join_gram_sets(cand, base, id_col)
+        _join_gram_sets(cand, base, id_col, broadcast_base=n_docs <= 1_000_000)
         .withColumn("containment", inter / smaller)
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment")

@@ -728,9 +728,12 @@ class IVFIndex:
         """Pick the smallest ``nprobe`` whose validation recall@k meets
         ``target_recall_micro`` (recall in millionths), the way a
         pgvector operator tunes ``ivfflat.probes`` against a recall SLO
-        — from measured evidence, in-plan, not a hardcoded guess.
+        — from measured evidence, not a hardcoded guess.
 
-        One audit row, every value genuinely computed in the plan:
+        One audit row; the curve and the distance sum are computed
+        in-plan, the five flags are folded driver-side from the
+        collected ≤lists-row curve (bounded metadata, like every
+        centroid ranking):
 
         - ``n_queries`` / ``k_total``     validation batch shape
         - ``target_recall_micro``         the SLO
@@ -760,83 +763,70 @@ class IVFIndex:
         ).localCheckpoint(eager=True)
         curve = self.autoprobe_curve(
             queries, k, q_id_col=q_id_col, q_vec_col=q_vec_col, exact=exact
-        ).localCheckpoint(eager=True)  # ≤lists rows, referenced 5×
-
-        max_probe = curve.agg(F.max("nprobe").alias("_m"))
-        chosen = (
-            curve.filter(F.col("recall_micro") >= target_recall_micro)
-            .agg(F.min("nprobe").alias("chosen_nprobe"))
-            .crossJoin(max_probe)
-            .select(
-                F.coalesce("chosen_nprobe", "_m").alias("chosen_nprobe")
+        )
+        # r13: the curve is ≤ lists rows — collect it and fold the five
+        # audit values in the driver instead of assembling six
+        # one-row-frame cross joins (each its own AQE stage; the old
+        # tail dominated the query's fixed cost). Every value is still
+        # derived from the measured in-plan curve/exact frames; the
+        # comparisons are the same integer compares on the same
+        # numbers, so the emitted row is bit-identical.
+        rows = sorted(curve.collect(), key=lambda r: r["nprobe"])
+        k_total = int(rows[0]["k_total"])
+        max_probe = rows[-1]["nprobe"]
+        by_np = {r["nprobe"]: r for r in rows}
+        meeting = [
+            r["nprobe"]
+            for r in rows
+            if r["recall_micro"] >= target_recall_micro
+        ]
+        chosen = min(meeting) if meeting else max_probe
+        chosen_meets = int(
+            by_np[chosen]["recall_micro"] >= target_recall_micro
+        )
+        chosen_minimal = int(
+            chosen == 1
+            or by_np[chosen - 1]["recall_micro"] < target_recall_micro
+        )
+        monotone = (
+            int(
+                all(
+                    rows[i + 1]["cum_hits"] >= rows[i]["cum_hits"]
+                    for i in range(len(rows) - 1)
+                )
             )
+            if len(rows) > 1
+            else None  # single-list curve has no adjacent pair (as before)
         )
-        at_chosen = curve.join(
-            chosen, curve["nprobe"] == chosen["chosen_nprobe"]
-        ).select(
-            "chosen_nprobe",
-            (F.col("recall_micro") >= target_recall_micro)
-            .cast("int")
-            .alias("chosen_meets_target"),
-        )
-        below = curve.join(
-            chosen, curve["nprobe"] == chosen["chosen_nprobe"] - 1, "right"
-        ).select(
-            (
-                F.col("nprobe").isNull()  # chosen == 1: no row below
-                | (F.col("recall_micro") < target_recall_micro)
-            )
-            .cast("int")
-            .alias("chosen_minimal")
-        )
-        nxt = curve.alias("a").join(
-            curve.alias("b"),
-            F.col("b.nprobe") == F.col("a.nprobe") + 1,
-        )
-        monotone = nxt.agg(
-            F.min(
-                (F.col("b.cum_hits") >= F.col("a.cum_hits")).cast("int")
-            ).alias("curve_monotone")
-        )
-        full = curve.crossJoin(max_probe).filter(
-            F.col("nprobe") == F.col("_m")
-        ).select(
-            (F.col("recall_micro") == 1_000_000)
-            .cast("int")
-            .alias("fullprobe_perfect")
-        )
-        shape = curve.limit(1).select(
-            (F.col("k_total") / F.lit(k)).cast("bigint").alias("n_queries"),
-            F.col("k_total"),
-        )
-        exact_sum = exact.agg(
+        full = int(by_np[max_probe]["recall_micro"] == 1_000_000)
+        srow = exact.agg(
             F.sum(
                 F.floor(F.col("distance") * F.lit(1e9) + F.lit(0.5)).cast(
                     "bigint"
                 )
             )
             .cast("bigint")
-            .alias("exact_topk_sum_nano")
-        )
-        return (
-            shape.crossJoin(at_chosen)
-            .crossJoin(below)
-            .crossJoin(monotone)
-            .crossJoin(full)
-            .crossJoin(exact_sum)
-            .select(
-                "n_queries",
-                "k_total",
-                F.lit(target_recall_micro)
-                .cast("bigint")
-                .alias("target_recall_micro"),
-                "chosen_nprobe",
-                "chosen_meets_target",
-                "chosen_minimal",
-                "curve_monotone",
-                "fullprobe_perfect",
-                "exact_topk_sum_nano",
-            )
+            .alias("s")
+        ).first()
+        exact_sum = None if srow["s"] is None else int(srow["s"])
+        return self.spark.createDataFrame(
+            [
+                (
+                    int(k_total / k),
+                    k_total,
+                    int(target_recall_micro),
+                    int(chosen),
+                    chosen_meets,
+                    chosen_minimal,
+                    monotone,
+                    full,
+                    exact_sum,
+                )
+            ],
+            "n_queries bigint, k_total bigint, target_recall_micro bigint,"
+            " chosen_nprobe int, chosen_meets_target int,"
+            " chosen_minimal int, curve_monotone int,"
+            " fullprobe_perfect int, exact_topk_sum_nano bigint",
         )
 
 

@@ -39,6 +39,24 @@ def invalidate_layout(spark: SparkSession, path: str) -> None:
     _SCHEMA_CACHE.pop((id(spark), path.rstrip("/")), None)
 
 
+def read_layout(spark: SparkSession, path: str) -> DataFrame:
+    """Read an UNPARTITIONED serving layout with the per-session cached
+    schema (r13): the SQ8 search constructs two reads of the same data
+    dir per point query, each paying footer-sampling schema inference —
+    the same fixed cost the probed-partition reader already caches
+    away. File LISTING still happens per call, so appended files stay
+    visible; writers that could change the column set call
+    :func:`invalidate_layout`."""
+    path = path.rstrip("/")
+    key = (id(spark), path)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
+
+
 def read_probed_partitions(
     spark: SparkSession,
     path: str,

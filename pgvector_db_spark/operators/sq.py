@@ -84,6 +84,9 @@ def build_sq8_layout(
         "codes", F.expr(f"transform({vec_col}, x -> {code})")
     )
     out.write.mode("errorifexists").parquet(os.path.join(path, "data"))
+    from pgvector_db_spark.operators.layout import invalidate_layout
+
+    invalidate_layout(df.sparkSession, os.path.join(path, "data"))
     with open(os.path.join(path, "model.json"), "w") as f:
         json.dump({"vmin": vmin, "vmax": vmax}, f)
 
@@ -133,10 +136,14 @@ def search_sq8_layout(
         ", ".join(f"CAST({repr(float(v))} AS DOUBLE)" for v in query_vec)
     )
     qcode = _CODE.format(v="y", vmin=vmin, vmax=vmax)
+    from pgvector_db_spark.operators.layout import read_layout
+
     # first pass: ONLY (id, codes) is read -- the 4x-narrower scan; the
-    # query is quantized by the same expression, in-plan
+    # query is quantized by the same expression, in-plan (schema cached
+    # per session, r13 — two fresh reads per point query each paid
+    # footer-sampling inference)
     adc = (
-        spark.read.parquet(data)
+        read_layout(spark, data)
         .select(
             id_col,
             F.expr(
@@ -150,7 +157,7 @@ def search_sq8_layout(
     )
     # rerank: the bounded shortlist broadcasts into a semi-join that
     # reads the float column for shortlist rows only
-    full = spark.read.parquet(data).select(id_col, vec_col)
+    full = read_layout(spark, data).select(id_col, vec_col)
     sq = f"(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)"
     l2 = (
         f"sqrt(aggregate(zip_with({vec_col}, {qlit}, (x, y) -> {sq}), "
