@@ -233,4 +233,8 @@ def embed_text(
             ]
             yield pdf
 
+    # NOTE(r13): measured A/B rejected repartitioning before the
+    # mapInPandas — per-task Python worker + model-init overhead beats
+    # the parallelism gain for cheap encoders on tiny scans; a caller
+    # with a genuinely heavy model repartitions its own input
     return df.mapInPandas(infer, schema=out_schema)

@@ -40,6 +40,7 @@ from pgvector_db_spark.functions.text import (
     tokens,
 )
 from pgvector_db_spark.functions.vector import cosine_similarity
+from pgvector_db_spark.utils import ensure_min_parallelism
 
 
 def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
@@ -636,8 +637,13 @@ def ngram_jaccard_pairs(
     jaccard_sim >= threshold.
     """
     base, cand, n_docs = _ngram_candidate_pairs(df, text_col, id_col, n, max_df)
+    # no broadcast hint here: the max_df stop-gram cap bounds the
+    # candidate set, and for a small pair frame the two gram-table
+    # broadcast builds cost more than the shuffle they replace
+    # (measured A/B at sf0.1; the broadcast stays on the LOSSLESS
+    # prefix-filter path whose pair frame is unbounded by contract)
     out = (
-        _join_gram_sets(cand, base, id_col, broadcast_base=n_docs <= 1_000_000)
+        _join_gram_sets(cand, base, id_col)
         .withColumn("jaccard_sim", jaccard(F.col("_nga"), F.col("_ngb")))
         .filter(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b", "jaccard_sim")
@@ -651,7 +657,11 @@ def _ngram_candidate_pairs(
     """Shared inverted-index candidate generation for the n-gram pair
     scorers (Jaccard / containment): rare-gram postings self-join, so
     only documents sharing >=1 sub-max_df gram ever meet."""
-    base = df.select(F.col(id_col), _word_ngrams(text_col, n).alias("_ng"))
+    # spread the n-gram extraction across cores (single-file inputs
+    # scan as one partition; no-op at scale)
+    base = ensure_min_parallelism(df).select(
+        F.col(id_col), _word_ngrams(text_col, n).alias("_ng")
+    )
     # reused by the posting explode (twice, via the self-join) and both
     # verification joins — persist + eager materialize so parallel first
     # stages don't race-recompute the n-gram arrays
@@ -702,7 +712,16 @@ def _join_gram_sets(
     a = base.select(F.col(id_col).alias("id_a"), F.col("_ng").alias("_nga"))
     b = base.select(F.col(id_col).alias("id_b"), F.col("_ng").alias("_ngb"))
     if broadcast_base:
-        a, b = F.broadcast(a), F.broadcast(b)
+        # both joins are then map-side over the CANDIDATE side — which
+        # AQE typically coalesced to one tiny partition at the upstream
+        # distinct, serializing the whole intersect/union verification
+        # on one core; spread it first (the pair frame is ids-only, so
+        # the shuffle is a few bytes/row)
+        return (
+            ensure_min_parallelism(cand)
+            .join(F.broadcast(a), "id_a")
+            .join(F.broadcast(b), "id_b")
+        )
     return cand.join(a, "id_a").join(b, "id_b")
 
 
@@ -743,7 +762,11 @@ def prefix_filter_jaccard_pairs(
     """
     from pyspark.sql.window import Window
 
-    base = df.select(F.col(id_col), _word_ngrams(text_col, n).alias("_ng"))
+    # spread the n-gram extraction across cores (single-file inputs
+    # scan as one partition; no-op at scale)
+    base = ensure_min_parallelism(df).select(
+        F.col(id_col), _word_ngrams(text_col, n).alias("_ng")
+    )
     base = base.persist()
     n_docs = base.count()
     posting = base.select(

@@ -687,11 +687,17 @@ class IVFIndex:
             .join(crank, [q_id_col, "list_id"])
             .select(F.col("_crank"))
         )
-        totals = hits.agg(
-            F.count(F.lit(1)).cast("bigint").alias("k_total")
-        )
         counts = hits.groupBy("_crank").agg(
             F.count(F.lit(1)).cast("bigint").alias("_n")
+        )
+        # k_total = Σ per-rank counts — derived from the ≤lists-row
+        # counts frame instead of traversing the exact⋈data⋈crank join
+        # subtree a second time (r13); coalesce keeps the empty-batch
+        # value 0, matching the old COUNT(*)
+        totals = counts.agg(
+            F.coalesce(F.sum("_n"), F.lit(0))
+            .cast("bigint")
+            .alias("k_total")
         )
         spine = self.spark.range(1, n_lists + 1).select(
             F.col("id").cast("int").alias("nprobe")

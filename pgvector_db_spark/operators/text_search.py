@@ -100,6 +100,10 @@ def _per_doc_tf(
     The two-step select keeps exactly one split() per row: Catalyst's
     CollapseProject refuses to inline a non-cheap expression referenced
     more than once."""
+    # NOTE(r13): measured A/B rejected an ensure_min_parallelism
+    # repartition here — whitespace tokenize + per-term filter counts
+    # are light enough that the extra exchange costs more than the
+    # parallelism buys on a single-partition corpus scan
     base = docs.select(
         F.col(id_col), tokens_col(F.col(text_col)).alias("_toks")
     )

@@ -12744,10 +12744,15 @@ def _bpe_loop(
     general fold only runs for l == r merges (overlapping matches).
     Returns (final enc frame carrying doc_id/enc/n_raw, merges list).
     """
+    from pgvector_db_spark.utils import ensure_min_parallelism
+
     tok0, pairs, size, part, fold = _bpe_dialect("spark")
     t = load_tables(spark, sf_dir)
+    # a single-file corpus scans as ONE partition, which would serialize
+    # the tokenize AND every round's re-encode fold on one core; the
+    # repartition sticks through every checkpoint (no-op at scale)
     enc = (
-        t["documents"]
+        ensure_min_parallelism(t["documents"])
         .filter("length(trim(text)) > 0")
         .selectExpr("doc_id", f"{tok0} AS enc")
         .selectExpr(

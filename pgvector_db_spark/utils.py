@@ -42,6 +42,37 @@ def time_it(fn: Callable) -> Callable:
     return wrapper
 
 
+def ensure_min_parallelism(df):
+    """Repartition a too-coarse input UP to the session's default
+    parallelism before a compute-heavy narrow stage.
+
+    The optimization guide's unsplittable-input fix (§2.5 "one huge
+    unsplittable file … repartition immediately after the read"): a
+    single small parquet file scans as ONE partition (one row group
+    cannot split), so every narrow stage built on it — tokenize,
+    n-gram/shingle extraction, per-row distance folds, greedy
+    re-encodes — runs single-threaded no matter how many cores the
+    session has (measured at sf0.1: documents/embeddings/orders/events
+    all scan as 1 partition on local[32]).
+
+    Scale-safe BY CONSTRUCTION, not by tuning: the branch fires only
+    when the scan yields fewer partitions than
+    ``sparkContext.defaultParallelism`` — i.e. only when the input is
+    tiny (≲ a few file splits), which bounds the round-robin shuffle it
+    introduces to those same few splits' bytes. A 100 TB scan has
+    thousands of splits and passes through untouched. Row-level results
+    are unaffected: every downstream reduction in this repo is
+    order-independent by the oracle discipline (integer grids, decimal
+    sums, tie-broken windows), and keyless repartition keeps Spark's
+    sort-before-repartition retry determinism.
+    """
+    sc = df.sparkSession.sparkContext
+    dp = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < dp:
+        return df.repartition(dp)
+    return df
+
+
 def download_model(
     model_name: str,
     save_path: str,
