@@ -343,3 +343,43 @@ def test_token_entropy_matches_pure_python(spark):
         assert 0 <= e <= lnm[L] + 1
         if nd == 1:
             assert e == 0
+
+
+def test_bpe_fold_fast_equals_general_fold(spark):
+    """r13: the O(tokens) re-encode used for l != r merges must equal
+    the general O(tokens²) accumulator fold on every overlap edge case
+    (adjacent matches, match at array start/end, singleton arrays,
+    back-to-back pattern halves)."""
+    from pgvector_db_spark.queries import _bpe_dialect, _bpe_fold_fast
+
+    _, _, _, _, fold = _bpe_dialect("spark")
+    rows = [
+        (1, ["a", "b", "a", "b", "b"]),
+        (2, ["a", "a", "b"]),
+        (3, ["b", "a", "b"]),
+        (4, ["a"]),
+        (5, ["b", "b"]),
+        (6, ["a", "b"]),
+        (7, ["b", "a"]),
+        (8, ["a", "b", "b", "a", "b", "a", "a", "b"]),
+        (9, []),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id int, enc array<string>"
+    ).localCheckpoint(eager=True)
+    le, re_ = "'a'", "'b'"
+    old = {
+        r["doc_id"]: list(r["e"])
+        for r in df.selectExpr(
+            "doc_id", f"{fold('enc', le, re_)} AS e"
+        ).collect()
+    }
+    new = {
+        r["doc_id"]: list(r["e"])
+        for r in df.selectExpr(
+            "doc_id", f"{_bpe_fold_fast('enc', le, re_)} AS e"
+        ).collect()
+    }
+    # the general fold maps [] -> [] via its empty-acc seed; the fast
+    # path's filter(transform([])) is [] too
+    assert old == new

@@ -903,3 +903,117 @@ def test_substring_span_removal_hash_modes_agree(tables):
     )
     assert fast == oracle_mode
     assert len(fast) > 0
+
+
+def test_per_doc_tf_equals_explode_groupby(tables):
+    """r13: the one-pass per-doc tf frame must carry the identical
+    (id, term, tf, dl) multiset as the old explode+isin+groupBy
+    spelling — same integers into the shared BM25 scoring fold."""
+    from pgvector_db_spark.operators.text_search import (
+        _per_doc_tf,
+        tokens_col,
+    )
+
+    docs = tables["documents"]
+    terms = ["vector", "join", "filter"]
+    tf_new, n_docs, sum_dl, df_by_term = _per_doc_tf(
+        docs, terms, "doc_id", "text"
+    )
+    old = (
+        docs.select("doc_id", tokens_col(F.col("text")).alias("_toks"))
+        .select(
+            "doc_id",
+            F.size("_toks").alias("dl"),
+            F.explode("_toks").alias("term"),
+        )
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    new_rows = {
+        (r["doc_id"], r["term"]): (int(r["tf"]), int(r["dl"]))
+        for r in tf_new.collect()
+    }
+    old_rows = {
+        (r["doc_id"], r["term"]): (int(r["tf"]), int(r["dl"]))
+        for r in old.collect()
+    }
+    assert new_rows == old_rows
+    # stats fold parity with the old single-row aggregate
+    srow = (
+        docs.select(tokens_col(F.col("text")).alias("_toks"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.size("_toks")).alias("s"),
+            *[
+                F.sum(F.array_contains("_toks", t).cast("bigint")).alias(
+                    f"d{i}"
+                )
+                for i, t in enumerate(terms)
+            ],
+        )
+        .first()
+    )
+    assert n_docs == int(srow["n"]) and sum_dl == int(srow["s"])
+    assert df_by_term == {
+        t: int(srow[f"d{i}"]) for i, t in enumerate(terms)
+    }
+
+
+def test_prefix_positional_filter_is_lossless(tables):
+    """r13: the PPJoin positional filter may only DROP candidate pairs
+    that cannot reach the threshold — the verified output must equal
+    the brute-force pair set (threshold integer cross-multiply)."""
+    from pgvector_db_spark.operators.dedup import (
+        _word_ngrams,
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = tables["documents"].filter("doc_id % 7 = 0")
+    got = {
+        (r["id_a"], r["id_b"], r["n_inter"], r["n_union"])
+        for r in prefix_filter_jaccard_pairs(
+            docs, n=3, tau_num=3, tau_den=5
+        ).collect()
+    }
+    g = docs.select("doc_id", _word_ngrams("text", 3).alias("_ng"))
+    brute = (
+        g.alias("a")
+        .join(g.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.size(F.array_intersect("a._ng", "b._ng"))
+            .cast("bigint")
+            .alias("n_inter"),
+            F.size(F.array_distinct(F.concat("a._ng", "b._ng")))
+            .cast("bigint")
+            .alias("n_union"),
+        )
+        .filter(F.lit(5) * F.col("n_inter") >= F.lit(3) * F.col("n_union"))
+    )
+    want = {
+        (r["id_a"], r["id_b"], r["n_inter"], r["n_union"])
+        for r in brute.collect()
+    }
+    assert got == want
+
+
+def test_cc_propagate_changed_count_and_schema(spark):
+    """r13: the fused old-label convergence check must not leak the
+    side column and must converge to the same labels as before."""
+    from pgvector_db_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a bigint, id_b bigint",
+    )
+    labels = connected_components(pairs)
+    assert labels.columns == ["id", "component"]
+    got = {(r["id"], r["component"]) for r in labels.collect()}
+    want = {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20), (23, 20),
+    }
+    assert got == want
