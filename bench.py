@@ -284,6 +284,7 @@ def derived_metrics(spark, sf_dir: str, timings: dict[str, float]) -> dict[str, 
         ("ds_hard_negative_mining", "hard_negative_mining_ms"),
         ("ds_quality_percentile_filter", "quality_percentile_ms"),
         ("ds_pagerank_partsupp", "pagerank_3iter_ms"),
+        ("ds_pagerank_partsupp_bucketed", "pagerank_bucketed_3iter_ms"),
         ("ds_cms_heavy_hitters", "cms_heavy_hitters_ms"),
         ("ds_dsir_importance", "dsir_importance_ms"),
         ("rel_cdc_apply", "cdc_apply_ms"),

@@ -36,6 +36,7 @@ def pagerank(
     damping: float = 0.85,
     checkpoint_every: int = 1,
     broadcast_max_nodes: int = 5_000_000,
+    checkpoint_edges: bool = True,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
 
@@ -52,8 +53,15 @@ def pagerank(
     result oracle-checkable and the cost bounded.
     """
     # edges and outdeg are read every iteration — materialize once
-    # instead of re-running the upstream distinct/scan per iteration
-    edges = edges.localCheckpoint(eager=False)
+    # instead of re-running the upstream distinct/scan per iteration.
+    # ``checkpoint_edges=False`` is for a PERSISTED (e.g. bucketed)
+    # edge layout: re-reading the scan per iteration keeps the scan's
+    # HashPartitioning visible to the planner, so the per-iteration
+    # contribution groupBy needs NO exchange when the layout is
+    # bucketed on ``dst`` (r14; sources/bucketed.py) — a checkpoint
+    # here would be RDD-backed and offer no such guarantee.
+    if checkpoint_edges:
+        edges = edges.localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))

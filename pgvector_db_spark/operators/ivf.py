@@ -33,6 +33,8 @@ from pyspark.sql import functions as F
 
 from pgvector_db_spark.operators.knn import knn
 
+from pgvector_db_spark.utils import local_rows_df
+
 # Per-path caches: centroid ranking runs per query, and re-reading the tiny
 # centroids dataset (a full Spark job) or re-listing the data dataset's
 # footers per search is pure driver overhead. Invalidated by build().
@@ -112,7 +114,8 @@ class IVFIndex:
                 l2_distance,
             )
 
-            cents = spark.createDataFrame(
+            cents = local_rows_df(
+                spark,
                 [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
                 "list_id int, _centroid array<double>",
             )
@@ -176,8 +179,9 @@ class IVFIndex:
         centroids = [
             (i, c, metric) for i, c in enumerate(centers)
         ]
-        spark.createDataFrame(
-            centroids, "list_id int, centroid array<double>, metric string"
+        local_rows_df(
+            spark, centroids,
+            "list_id int, centroid array<double>, metric string",
         ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
 
         from pgvector_db_spark.operators.layout import invalidate_layout
@@ -213,7 +217,8 @@ class IVFIndex:
         )
 
         metric = self.metric
-        cents = self.spark.createDataFrame(
+        cents = local_rows_df(
+            self.spark,
             [(lid, c) for lid, c, _ in self._centroids()],
             "list_id int, _centroid array<double>",
         )
@@ -495,7 +500,8 @@ class IVFIndex:
             for qv in [[float(x) for x in r[q_vec_col]]]
             for lid, _ in self._rank_lists(qv)[:nprobe]
         ]
-        probe_df = self.spark.createDataFrame(
+        probe_df = local_rows_df(
+            self.spark,
             pairs,
             f"{q_id_col} bigint, list_id int, _qv array<double>, _qnorm double",
         )
@@ -514,7 +520,8 @@ class IVFIndex:
 
         from pgvector_db_spark.functions.vector import dot_product, l2_norm
 
-        cents = self.spark.createDataFrame(
+        cents = local_rows_df(
+            self.spark,
             [(lid, c, cn) for lid, c, cn in self._centroids()],
             "list_id int, _centroid array<double>, _cnorm double",
         )
@@ -652,7 +659,8 @@ class IVFIndex:
             )
 
         cent_rows = self._centroids()
-        cents = self.spark.createDataFrame(
+        cents = local_rows_df(
+            self.spark,
             [(lid, c) for lid, c, _ in cent_rows],
             "list_id int, _centroid array<double>",
         )
@@ -778,6 +786,18 @@ class IVFIndex:
         # comparisons are the same integer compares on the same
         # numbers, so the emitted row is bit-identical.
         rows = sorted(curve.collect(), key=lambda r: r["nprobe"])
+        _schema = (
+            "n_queries bigint, k_total bigint, target_recall_micro bigint,"
+            " chosen_nprobe int, chosen_meets_target int,"
+            " chosen_minimal int, curve_monotone int,"
+            " fullprobe_perfect int, exact_topk_sum_nano bigint"
+        )
+        if not rows:
+            # degenerate layout (zero centroid rows → empty probe spine):
+            # the pre-r13 all-in-plan spelling cross-joined empty one-row
+            # frames into an EMPTY result; keep that contract instead of
+            # an IndexError on rows[0] (r13 ADVICE)
+            return local_rows_df(self.spark, [], _schema)
         k_total = int(rows[0]["k_total"])
         max_probe = rows[-1]["nprobe"]
         by_np = {r["nprobe"]: r for r in rows}
@@ -815,7 +835,8 @@ class IVFIndex:
             .alias("s")
         ).first()
         exact_sum = None if srow["s"] is None else int(srow["s"])
-        return self.spark.createDataFrame(
+        return local_rows_df(
+            self.spark,
             [
                 (
                     int(k_total / k),
@@ -829,10 +850,7 @@ class IVFIndex:
                     exact_sum,
                 )
             ],
-            "n_queries bigint, k_total bigint, target_recall_micro bigint,"
-            " chosen_nprobe int, chosen_meets_target int,"
-            " chosen_minimal int, curve_monotone int,"
-            " fullprobe_perfect int, exact_topk_sum_nano bigint",
+            _schema,
         )
 
 
@@ -896,7 +914,8 @@ def _probe_cost(idx: IVFIndex, queries: DataFrame, nprobe: int,
         l2_distance,
     )
 
-    cents = idx.spark.createDataFrame(
+    cents = local_rows_df(
+        idx.spark,
         [(lid, c) for lid, c, _ in idx._centroids()],
         "list_id int, _centroid array<double>",
     )

@@ -35,6 +35,7 @@ from pgvector_db_spark.functions.vector import (
     dot_product,
     vector_literal,
 )
+from pgvector_db_spark.utils import local_rows_df
 from pgvector_db_spark.operators.knn import knn
 
 
@@ -310,7 +311,8 @@ def batch_search_lsh_layout(
                 _signature_of(qv, planes), num_bits, hamming_probe
             )
         ]
-        probe_df = spark.createDataFrame(
+        probe_df = local_rows_df(
+            spark,
             pairs,
             f"{q_id_col} bigint, sig int, _qv array<double>, _qnorm double",
         )

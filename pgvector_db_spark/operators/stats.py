@@ -33,6 +33,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from pgvector_db_spark.utils import local_rows_df
+
 
 def _global_cums(
     df: DataFrame,
@@ -562,7 +564,8 @@ def grouped_exact_rank_select(
             cum += c
     from pyspark.sql.types import LongType, StructField, StructType
 
-    tgt = spark.createDataFrame(
+    tgt = local_rows_df(
+        spark,
         [(t[0], t[1], t[2], t[3]) for t in targets],
         StructType(
             [

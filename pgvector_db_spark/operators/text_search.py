@@ -3,14 +3,28 @@
 The reference delegates all text querying to Postgres (ILIKE patterns,
 e.g. demo/similarity_search_demo.py:76,85,92); Postgres' own full-text
 surface (tsvector ranking) is the natural extension a user of that stack
-reaches for next. Spark-first design:
+reaches for next. Spark-first design (the r13 one-pass shape):
 
-  corpus stats (N, avgdl) + per-term df        [ONE single-row aggregate:
-                                                df(t) = SUM(array_contains)
-                                                — idf folds to literals]
-  tokenize -> explode -> tf per (doc, term)   [one shuffle on doc_id-term]
-  per-term BM25 partial score -> sum per doc   [shuffle on doc_id]
-  top-k via TakeOrderedAndProject              [no global sort]
+  tokenize ONCE -> compact per-doc tf frame   [(id, dl, tf_i per query
+                                               term): a handful of ints
+                                               per doc, EAGERLY
+                                               localCheckpoint'ed — so
+                                               bm25_topk runs jobs at
+                                               construction time and the
+                                               frame costs O(|docs|)
+                                               executor storage]
+  corpus stats (N, avgdl, df per term)        [one aggregate over that
+                                               frame; idf folds to plan
+                                               literals driver-side]
+  unpivot -> per-term score -> sum per doc    [the ONE wide exchange:
+                                               the doc_id score agg]
+  top-k via TakeOrderedAndProject             [no global sort]
+
+Above _PER_DOC_TF_MAX_TERMS query terms (a large batch's union
+vocabulary) the per-doc spelling would rescan each token array per term
+and checkpoint a very wide row, so it falls back to the classic
+tokenize -> explode -> (doc_id, term) groupBy, whose per-doc cost is
+|terms|-independent (r14; identical integers either way).
 
 Everything is built-in JVM expressions (no Python UDF). The per-term
 scores are fixed to an integer grid (floor(x*1e6 + 0.5) micro-units)
@@ -31,10 +45,12 @@ doubles by construction. All float literals (k1+1, 1-b, ln 2, series
 coefficients) are precomputed in Python and embedded identically on
 both sides.
 
-At 100 TB: the only wide exchanges are the two hash aggregations keyed by
-(doc_id, term) then doc_id; df/N/avgdl are scalar or |terms|-row side
-inputs, broadcast. The candidate set is filtered to query terms at the
-explode, so the shuffled volume is O(matching postings), not O(corpus).
+At 100 TB: the only wide exchange on the default path is the doc_id
+score aggregation (plus the (doc_id, term) tf groupBy on the
+wide-vocabulary fallback); df/N/avgdl are scalar or |terms|-row side
+inputs folded to literals. Matching is evaluated per doc against the
+query terms, so the shuffled volume is O(docs with a match), never
+O(corpus tokens).
 """
 
 from __future__ import annotations
@@ -43,6 +59,8 @@ import contextlib as _contextlib
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from pgvector_db_spark.utils import local_rows_df
 
 TOKEN_PATTERN = r"\s+"
 
@@ -89,6 +107,21 @@ def bm25_topk(
     return _score_and_topk(tf, n_docs, sum_dl, df_by_term, k, k1, b, id_col)
 
 
+# Crossover for the two _per_doc_tf spellings (r14, VERDICT #3): the
+# per-doc spelling evaluates size(filter(toks, x = t)) once per term —
+# O(|terms| x |tokens|) per document and one checkpointed column per
+# term — so its cost grows linearly in |terms| while the explode
+# spelling pays a fixed two corpus passes + one (id, term) shuffle
+# regardless of |terms|. Measured at sf0.1 (5000 docs, interleaved,
+# min of 2, tf-frame construction + count): per-doc
+# 0.90/1.19/1.80/1.78/1.80/1.41 s vs explode
+# 0.88/0.83/0.83/0.78/0.80/0.65 s at 4/16/32/64/128/256 terms — equal
+# at 4 terms, explode ahead from 16 up. 16 keeps every registered
+# query (point queries and the 12-term batch union) on the r13-pinned
+# one-pass plan; larger batch vocabularies take the explode path.
+_PER_DOC_TF_MAX_TERMS = 16
+
+
 def _per_doc_tf(
     docs: DataFrame, terms: list, id_col: str, text_col: str
 ):
@@ -99,7 +132,15 @@ def _per_doc_tf(
     only, bitwise-identical integers to the explode+groupBy spelling.
     The two-step select keeps exactly one split() per row: Catalyst's
     CollapseProject refuses to inline a non-cheap expression referenced
-    more than once."""
+    more than once.
+
+    Above ``_PER_DOC_TF_MAX_TERMS`` query terms (a large batch's union
+    vocabulary) the per-term filter-count columns turn O(|terms| x
+    |tokens|) per doc and the checkpointed row very wide — fall back to
+    the explode+groupBy spelling, which produces the identical multiset
+    (pinned by tests/test_text_dedup.py)."""
+    if len(terms) > _PER_DOC_TF_MAX_TERMS:
+        return _per_doc_tf_explode(docs, terms, id_col, text_col)
     # NOTE(r13): measured A/B rejected an ensure_min_parallelism
     # repartition here — whitespace tokenize + per-term filter counts
     # are light enough that the extra exchange costs more than the
@@ -164,6 +205,48 @@ def _per_doc_tf(
     return tf_long, n_docs, sum_dl, df_by_term
 
 
+def _per_doc_tf_explode(
+    docs: DataFrame, terms: list, id_col: str, text_col: str
+):
+    """Wide-vocabulary spelling of :func:`_per_doc_tf` (r14): tokenize →
+    explode → isin filter → (id, term) groupBy — one pass whose cost is
+    O(|tokens|) per doc regardless of |terms|, plus one corpus stats
+    pass (count + sum dl) and a |terms|-row df fold off the checkpointed
+    tf frame. Identical (tf, dl, df) integers to the per-doc spelling:
+    tf = count per (id, term) ≡ size(filter(toks, x = t)); df =
+    count(tf > 0) either way; zero-df terms are back-filled so the idf
+    CASE covers the full term list on both paths."""
+    base = docs.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("_toks")
+    )
+    srow = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("_toks")).alias("sum_dl"),
+    ).first()
+    n_docs, sum_dl = int(srow["n_docs"]), int(srow["sum_dl"] or 0)
+    tf_long = (
+        base.select(
+            F.col(id_col),
+            F.size("_toks").alias("dl"),
+            F.explode("_toks").alias("term"),
+        )
+        .filter(F.col("term").isin(list(terms)))
+        .groupBy(id_col, "term")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("tf"),
+            F.first("dl").alias("dl"),
+        )
+        .select(F.col(id_col), "term", "tf", "dl")
+        .localCheckpoint(eager=True)
+    )
+    df_by_term = {t: 0 for t in terms}
+    for r in tf_long.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_df")
+    ).collect():
+        df_by_term[r["term"]] = int(r["_df"])
+    return tf_long, n_docs, sum_dl, df_by_term
+
+
 def _empty_topk(spark, id_col: str, id_type) -> DataFrame:
     """Empty (id, score_micro, n_matched) frame — the zero-docs result.
     An empty corpus previously raised ZeroDivisionError computing avgdl
@@ -177,7 +260,7 @@ def _empty_topk(spark, id_col: str, id_type) -> DataFrame:
             StructField("n_matched", LongType(), False),
         ]
     )
-    return spark.createDataFrame([], schema)
+    return local_rows_df(spark, [], schema)
 
 
 def _empty_batch_topk(spark, id_col: str, id_type) -> DataFrame:
@@ -196,7 +279,7 @@ def _empty_batch_topk(spark, id_col: str, id_type) -> DataFrame:
             StructField("n_matched", LongType(), False),
         ]
     )
-    return spark.createDataFrame([], schema)
+    return local_rows_df(spark, [], schema)
 
 
 def _score_and_topk(
@@ -379,7 +462,8 @@ def _batch_score_and_topk(
         t: ln_n - ln_bigint_py(2 * int(df) + 1)
         for t, df in df_by_term.items()
     }
-    qpairs = spark.createDataFrame(
+    qpairs = local_rows_df(
+        spark,
         [(qid, t) for qid, ts in qnorm for t in ts],
         "qid bigint, term string",
     )
@@ -776,7 +860,8 @@ def bm25_snippet_topk(
         )
 
         id_type = docs.schema[id_col].dataType
-        return spark.createDataFrame(
+        return local_rows_df(
+            spark,
             [],
             StructType(
                 [
@@ -973,7 +1058,8 @@ def ql_dirichlet_topk(
         )
 
         id_type = docs.schema[id_col].dataType
-        return spark.createDataFrame(
+        return local_rows_df(
+            spark,
             [],
             StructType(
                 [
@@ -1648,8 +1734,8 @@ class BM25Index:
             .parquet(_os.path.join(seg_path, "terms"))
         )
         n_docs, sum_dl = self._stats(m["segments"])
-        self.spark.createDataFrame(
-            [(n_docs, sum_dl)], "n_docs bigint, sum_dl bigint"
+        local_rows_df(
+            self.spark, [(n_docs, sum_dl)], "n_docs bigint, sum_dl bigint"
         ).coalesce(1).write.mode("overwrite").parquet(
             _os.path.join(seg_path, "stats")
         )
@@ -1756,8 +1842,8 @@ def retrieval_eval_metrics(
     nrel = rel.agg(F.count(F.lit(1)).cast("bigint").alias("n_relevant"))
     nretr = topk.agg(F.count(F.lit(1)).cast("bigint").alias("n_retrieved"))
 
-    disc = spark.createDataFrame(
-        ndcg_discount_nano(k), "rnk int, d_nano bigint"
+    disc = local_rows_df(
+        spark, ndcg_discount_nano(k), "rnk int, d_nano bigint"
     )
     hits = topk.join(rel, id_col).join(F.broadcast(disc), "rnk")
     hagg = hits.agg(

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from pgvector_db_spark.utils import local_rows_df
 from pgvector_db_spark.catalog import load_tables
 from pgvector_db_spark.functions.embedding import fake_embedding_component_sql
 from pgvector_db_spark.functions.vector import (
@@ -1027,8 +1028,8 @@ def rel_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust, orders = t["customer"], t["orders"]
     semi = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").count()
     anti = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").count()
-    return spark.createDataFrame(
-        [(semi, anti)], "with_orders bigint, without_orders bigint"
+    return local_rows_df(
+        spark, [(semi, anti)], "with_orders bigint, without_orders bigint"
     )
 
 
@@ -1804,7 +1805,7 @@ def stream_ivm_rollup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ivm_equals_recompute"),
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_rows_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -1893,8 +1894,9 @@ def rel_exact_median_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("o_totalprice") <= hi / 100.0 + 1.0)
         ),
     )
-    return spark.createDataFrame(
-        [(n, med, p90)], "n_rows bigint, median_cents bigint, p90_cents bigint"
+    return local_rows_df(
+        spark, [(n, med, p90)],
+        "n_rows bigint, median_cents bigint, p90_cents bigint",
     )
 
 
@@ -2104,7 +2106,7 @@ def stream_quantile_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             """
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_rows_df(spark, rows, out.schema)
     finally:
         spark.catalog.dropTempView("_qmon_bins")
         shutil.rmtree(tmp, ignore_errors=True)
@@ -3226,7 +3228,7 @@ def vs_ivf_rebuild_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_topk_sum_nano",
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_rows_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -3272,7 +3274,7 @@ def vs_lsh_append_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, path, list(q), 10, hamming_probe=6
         ).select("vec_id", "label", "distance")
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_rows_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -3390,7 +3392,7 @@ def vs_ivf_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_topk_sum_nano",
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_rows_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -3430,7 +3432,7 @@ def rel_compact_preserves_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_price"),
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_rows_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -3476,7 +3478,7 @@ def vs_ivf_append_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "label", "distance"
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_rows_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -4130,7 +4132,7 @@ def stream_ivf_append_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "label", "distance"
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_rows_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -4453,7 +4455,7 @@ def rel_range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pgvector_db_spark.operators.joins import range_join
 
     t = load_tables(spark, sf_dir)
-    bands = spark.createDataFrame(_BANDS, ["band", "lo", "hi"])
+    bands = local_rows_df(spark, _BANDS, "band bigint, lo double, hi double")
     joined = range_join(
         t["events"].select("event_id", "value"), bands, "value", "lo", "hi",
         bin_width=50.0,
@@ -6681,7 +6683,7 @@ def stream_chunk_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "savings_ppm",
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_rows_df(spark, rows, out.schema)
     finally:
         try:
             spark.catalog.dropTempView(view)
@@ -6979,7 +6981,8 @@ def ds_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _grid(x: float) -> int:
         return int(_math.floor(x * 1e6 + 0.5))
 
-    clsparam = spark.createDataFrame(
+    clsparam = local_rows_df(
+        spark,
         [
             (
                 lang,
@@ -8536,7 +8539,7 @@ def vs_sparse_index_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"scan={[tuple(r) for r in scan_rows]} "
         f"index={[tuple(r) for r in idx_rows]}",
     )
-    return spark.createDataFrame(scan_rows, scan.schema)
+    return local_rows_df(spark, scan_rows, scan.schema)
 
 
 def _sparse_query_of(emb: DataFrame) -> tuple[list[int], list[float]]:
@@ -8606,7 +8609,7 @@ def vs_sparse_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"scan={[tuple(r) for r in scan_rows]} "
             f"index={[tuple(r) for r in idx_rows]}",
         )
-        return spark.createDataFrame(scan_rows, scan.schema)
+        return local_rows_df(spark, scan_rows, scan.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -8692,7 +8695,8 @@ def vs_sparse_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
             and after["n_rows"] == before["n_rows"],
             f"re-layout moved logical state: {before} -> {after}",
         )
-        out = spark.createDataFrame(
+        out = local_rows_df(
+            spark,
             [
                 (
                     before["n_rows"],
@@ -8709,7 +8713,7 @@ def vs_sparse_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
             "compact_recommended int, probe_cost_improved int",
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_rows_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -8813,7 +8817,7 @@ def stream_sparse_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "streamed sparse index diverged from scan: "
             f"scan={[tuple(r) for r in scan_rows]} index={after}",
         )
-        return spark.createDataFrame(scan_rows, scan.schema)
+        return local_rows_df(spark, scan_rows, scan.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -8955,7 +8959,7 @@ def ds_cc_budget_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(stats["final_budget"]).cast("int").alias("final_budget"),
     )
     rows = out.collect()
-    return spark.createDataFrame(rows, out.schema)
+    return local_rows_df(spark, rows, out.schema)
 
 
 # Quality-aware canonical selection (r8): production dedup keeps the
@@ -9392,7 +9396,7 @@ def vs_sq8_append_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = out.collect()
         # materialize: the frame must not stay lazy over the layout the
         # finally block deletes
-        return spark.createDataFrame(rows, out.schema)
+        return local_rows_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -9758,7 +9762,7 @@ def stream_decontaminate_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not os.path.isdir(out_dir):
             empty_pairs = _overlap_aggregate(
                 _gram_postings(
-                    spark.createDataFrame([], schema),
+                    local_rows_df(spark, [], schema),
                     "text",
                     "doc_id",
                     3,
@@ -9767,14 +9771,14 @@ def stream_decontaminate_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ev_post,
                 3,
             )
-            return spark.createDataFrame([], empty_pairs.schema)
+            return local_rows_df(spark, [], empty_pairs.schema)
         # recursiveFileLookup: the per-epoch dirs are plain subdirs (not
         # key=value), so partition discovery must be bypassed
         out = spark.read.option("recursiveFileLookup", "true").parquet(
             out_dir
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_rows_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -10048,7 +10052,7 @@ def stream_pca_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             pca_power_sql("spark", dim=_dim, iters=3, k=20, agg_literals=lits)
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_rows_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -10215,7 +10219,7 @@ def ds_bm25_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         # /tmp layout the finally block is about to delete
         out = idx.search(_BM25_TERMS, k=20)
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_rows_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -10386,7 +10390,7 @@ def stream_bm25_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # materialize: the returned frame must not stay lazy over the
         # /tmp layout the finally block is about to delete
-        return spark.createDataFrame(rows, out.schema)
+        return local_rows_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -10423,7 +10427,7 @@ def vs_bm25_scan_index_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"scan={[tuple(r) for r in scan_rows]} "
         f"index={[tuple(r) for r in idx_rows]}",
     )
-    return spark.createDataFrame(scan_rows, scan.schema)
+    return local_rows_df(spark, scan_rows, scan.schema)
 
 
 # Cross-encoder rerank — the second retrieval stage (retrieve wide &
@@ -11280,7 +11284,7 @@ def stream_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = out.collect()
         # materialize before the finally block deletes the state files
-        return spark.createDataFrame(rows, out.schema)
+        return local_rows_df(spark, rows, out.schema)
     finally:
         import shutil
 
@@ -11469,7 +11473,7 @@ def _detmath_probe_oracle(ints: list[int]) -> str:
 
 def _detmath_probe(spark: SparkSession, stratum: str) -> DataFrame:
     ints = _DM_PROBE_INTS[stratum]
-    df = spark.createDataFrame([(int(m),) for m in ints], "m bigint")
+    df = local_rows_df(spark, [(int(m),) for m in ints], "m bigint")
     return _detmath_probe_cols(df)
 
 
@@ -11526,7 +11530,7 @@ def stream_detmath_ln_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="dm_probe_stream_")
     try:
         replay_dir = os.path.join(work, "replay")
-        src = spark.createDataFrame([(int(m),) for m in ints], "m bigint")
+        src = local_rows_df(spark, [(int(m),) for m in ints], "m bigint")
         stage_replay_df(src, replay_dir, n_files=2, fingerprint="v1")
         out_dir = os.path.join(work, "out")
 
@@ -11559,7 +11563,7 @@ def stream_detmath_ln_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             len(rows) == len(ints),
             f"probe replay lost rows: {len(rows)} != {len(ints)}",
         )
-        return spark.createDataFrame(rows, out.schema)
+        return local_rows_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -11631,7 +11635,7 @@ def stream_bm25_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"index={[tuple(r) for r in rows]} "
             f"scan={[tuple(r) for r in scan_rows]}",
         )
-        return spark.createDataFrame(rows, out.schema)
+        return local_rows_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -11697,7 +11701,7 @@ def vs_vector_table_delete_vacuum_knn(
             "vacuum changed tombstone-masked search results",
         )
         out_schema = masked.select("id", "distance", "similarity").schema
-        return spark.createDataFrame(masked_rows, out_schema)
+        return local_rows_df(spark, masked_rows, out_schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -12197,7 +12201,7 @@ def rel_partitioned_export_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_price"),
         ).select(F.col("order_year").cast("bigint"), "n_orders", "sum_price")
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_rows_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -12463,7 +12467,7 @@ def stream_continuous_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_dec").cast("double").alias("sum_value"),
     )
     rows = out.collect()
-    return spark.createDataFrame(rows, out.schema)
+    return local_rows_df(spark, rows, out.schema)
 
 
 @register(
@@ -12534,7 +12538,7 @@ def rel_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # materialize before the scratch dir disappears
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_rows_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -12807,7 +12811,8 @@ def ds_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     total order; the greedy re-encode fold is the same expression per
     round with the merge spliced as literals."""
     _, merges = _bpe_loop(spark, sf_dir, rounds=4, want_totals=True)
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         merges,
         "merge_no bigint, left_tok string, right_tok string,"
         " pair_count bigint, n_tokens_after bigint",
@@ -13343,7 +13348,7 @@ def rel_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # materialize before the scratch dir disappears
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_rows_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -13424,7 +13429,7 @@ def rel_snapshot_log_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_price",
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_rows_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -13543,7 +13548,7 @@ def rel_snapshot_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_price",
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_rows_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -13714,7 +13719,7 @@ def rel_snapshot_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(int(after == before)).cast("int").alias("read_equal"),
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_rows_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -13871,7 +13876,7 @@ def rel_snapshot_optimize_zorder_mixed(
             F.lit(int(after == before)).cast("int").alias("read_equal"),
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_rows_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -13949,7 +13954,7 @@ def rel_snapshot_delete_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1).cast("int").alias("cdf_serves_delete"),
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_rows_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -14057,7 +14062,7 @@ def rel_snapshot_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_rows_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -14194,7 +14199,7 @@ def rel_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(n_ins).cast("bigint").alias("n_inserts"),
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_rows_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -14308,7 +14313,7 @@ def rel_snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_rows_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -14405,7 +14410,7 @@ def rel_snapshot_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_rows_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -14533,7 +14538,7 @@ def rel_snapshot_optimize_incremental(
             F.lit(int(before == after)).cast("int").alias("read_equal"),
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_rows_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -14648,7 +14653,7 @@ def rel_snapshot_check_constraint(
             ),
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_rows_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -14807,7 +14812,8 @@ def stream_snapshot_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"changefeed state diverged from batch recompute: "
             f"feed={feed_rows} batch={batch_rows}",
         )
-        out = spark.createDataFrame(
+        out = local_rows_df(
+            spark,
             [(k, n, sd) for k, (n, sd) in sorted(feed_rows.items())],
             "o_orderstatus string, n_orders bigint, _sd decimal(18,2)",
         ).select(
@@ -14819,7 +14825,7 @@ def stream_snapshot_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_rows_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -15005,7 +15011,8 @@ def stream_snapshot_cdf_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CDF state diverged from batch recompute: "
             f"feed={feed_rows} batch={batch_rows}",
         )
-        out = spark.createDataFrame(
+        out = local_rows_df(
+            spark,
             [(k, n, sd) for k, (n, sd) in sorted(feed_rows.items())],
             "o_orderstatus string, n_orders bigint, _sd decimal(18,2)",
         ).select(
@@ -15020,7 +15027,7 @@ def stream_snapshot_cdf_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_rows_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -15182,7 +15189,8 @@ def stream_snapshot_cdf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CDF-delete state diverged from batch recompute: "
             f"feed={feed_rows} batch={batch_rows}",
         )
-        out = spark.createDataFrame(
+        out = local_rows_df(
+            spark,
             [(k, n, sd) for k, (n, sd) in sorted(feed_rows.items())],
             "o_orderstatus string, n_orders bigint, _sd decimal(18,2)",
         ).select(
@@ -15197,7 +15205,7 @@ def stream_snapshot_cdf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_rows_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -15413,7 +15421,8 @@ def stream_snapshot_cdf_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CDF-merge state diverged from batch recompute: "
             f"feed={feed_rows} batch={batch_rows}",
         )
-        out = spark.createDataFrame(
+        out = local_rows_df(
+            spark,
             [(k, n, sd) for k, (n, sd) in sorted(feed_rows.items())],
             "o_orderstatus string, n_orders bigint, _sd decimal(18,2)",
         ).select(
@@ -15426,7 +15435,7 @@ def stream_snapshot_cdf_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1).cast("int").alias("cdf_serves_merge"),
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_rows_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -15529,7 +15538,7 @@ def rel_snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         out = a1.unionByName(a2)
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_rows_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -15648,7 +15657,7 @@ def stream_snapshot_evolving_ingest(spark: SparkSession, sf_dir: str) -> DataFra
             "sum_price",
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_rows_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -15821,7 +15830,7 @@ def stream_snapshot_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # materialize before the scratch dir disappears
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_rows_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -15874,7 +15883,7 @@ def rel_user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # materialize before the scratch dir disappears
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_rows_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -16442,7 +16451,7 @@ def rel_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # materialize before the scratch dir disappears
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_rows_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -16553,7 +16562,7 @@ def stream_quality_gated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # materialize: the frame must not stay lazy over the scratch dir
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_rows_df(spark, rows, out.schema)
     finally:
         import shutil
 
@@ -16678,6 +16687,56 @@ def ds_pagerank_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     ranks = pagerank(
         _partsupp_edges(t["lineitem"]), iterations=3, damping=0.85
+    )
+    return (
+        ranks.select(
+            "node",
+            F.floor(F.col("rank") * F.lit(1e9) + F.lit(0.5))
+            .cast("bigint")
+            .alias("rank_nano"),
+        )
+        .orderBy(F.col("rank_nano").desc(), F.col("node").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "ds_pagerank_partsupp_bucketed",
+    _pagerank_oracle(3),
+    tags=("dataset", "graph", "iterative", "bucketed", "layout"),
+)
+def ds_pagerank_partsupp_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same 3-iteration PageRank served from a BUCKETED edge layout
+    (r14, guide §2.4 "bucketed tables persist a partitioning across
+    jobs"): the part<->supplier edges are persisted ``bucketBy(dst)``
+    (sources/bucketed.py, the rel_cobucketed_join_revenue discipline),
+    so the scan reports ``HashPartitioning(dst)``, the broadcast rank
+    join preserves it, and the per-iteration contribution groupBy —
+    PageRank's ONE wide exchange per iteration — needs NO shuffle at
+    all (pinned in tests/test_plans.py). ``checkpoint_edges=False``
+    re-reads the bucketed scan per iteration, which is exactly the
+    production shape: only rank rows ever move. Ranks are bitwise
+    ``ds_pagerank_partsupp``'s (the grid sum is partitioning-
+    independent); the two entries share one oracle. Bucket sizing at
+    100 TB: one bucket of the edge table per ~1 GB (module header)."""
+    import os
+    import tempfile
+
+    from pgvector_db_spark.operators.graph import pagerank
+    from pgvector_db_spark.sources.bucketed import ensure_bucketed
+
+    t = load_tables(spark, sf_dir)
+    tag = _fixture_tag(sf_dir).replace(".", "_")
+    edges_b = ensure_bucketed(
+        spark,
+        _partsupp_edges(t["lineitem"]),
+        f"pr_edges_b_{tag}",
+        os.path.join(tempfile.gettempdir(), f"bucketed_{tag}", "pr_edges"),
+        ["dst"],
+        num_buckets=16,
+    )
+    ranks = pagerank(
+        edges_b, iterations=3, damping=0.85, checkpoint_edges=False
     )
     return (
         ranks.select(
@@ -16915,7 +16974,7 @@ def stream_preference_rank_update(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("strength_micro").desc(), F.col("item").asc()
         ).limit(20)
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_rows_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -17075,7 +17134,8 @@ def ds_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tr = sum(int(r["rb"]) for r in brows)
     tt = sum(int(r["gb"]) for r in brows)
-    lr = spark.createDataFrame(
+    lr = local_rows_df(
+        spark,
         [
             (
                 int(r["b"]),
@@ -17321,7 +17381,7 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # materialize: the frame must not stay lazy over the scratch dir
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_rows_df(spark, rows, out.schema)
     finally:
         import shutil
 
@@ -17442,7 +17502,7 @@ def rel_approx_percentile_accuracy(
         for pid in sorted(counts):
             offsets.append((pid, acc))
             acc += counts[pid]
-        off = spark.createDataFrame(offsets, "_pid int, _off bigint")
+        off = local_rows_df(spark, offsets, "_pid int, _off bigint")
         local = ranged.withColumn(
             "rn_local",
             F.row_number().over(
@@ -17486,7 +17546,7 @@ def rel_approx_percentile_accuracy(
         # materialize before unpersist: the single result row must not
         # stay lazy over the pinned partitioning
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_rows_df(spark, rows, out.schema)
     finally:
         ranged.unpersist()
 
@@ -17896,7 +17956,7 @@ def stream_regr_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # materialize: the frame must not stay lazy over the scratch dir
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_rows_df(spark, rows, out.schema)
     finally:
         import shutil
 
@@ -17995,7 +18055,7 @@ def stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # materialize before the scratch dir can be rebuilt by a later run
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_rows_df(spark, rows, out.schema)
     finally:
         import shutil
 
@@ -18126,7 +18186,7 @@ def stream_drift_binned_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = binned_ks(hist)
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_rows_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -18306,7 +18366,7 @@ def stream_confusion_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("accuracy_micro"),
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_rows_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -18383,7 +18443,7 @@ def stream_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = table.read().select("doc_id", "n_chars", "key_pico")
         # materialize before the scratch dir can be rebuilt by a later run
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_rows_df(spark, rows, out.schema)
     finally:
         import shutil
 
@@ -18580,8 +18640,8 @@ def vs_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
             "md",
             F.least(F.col("md"), F.expr(l2sq_sql("embedding", lit, "spark"))),
         )
-    return spark.createDataFrame(
-        rows, "step bigint, vec_id bigint, radius_micro bigint"
+    return local_rows_df(
+        spark, rows, "step bigint, vec_id bigint, radius_micro bigint"
     )
 
 
@@ -19204,7 +19264,7 @@ def stream_entropy_histogram_monitor(
             f"entropy monitor lost mass: folded {total} != {expected}",
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_rows_df(spark, rows, out.schema)
     finally:
         import shutil
 
@@ -19389,7 +19449,7 @@ def stream_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             """
         )
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        return local_rows_df(spark, rows, out.schema)
     finally:
         spark.catalog.dropTempView("_psi_counts")
         shutil.rmtree(tmp, ignore_errors=True)

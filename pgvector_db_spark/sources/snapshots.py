@@ -66,6 +66,7 @@ from pgvector_db_spark.sources.commitlog import (
     file_lock,
     read_json,
 )
+from pgvector_db_spark.utils import local_rows_df
 from pgvector_db_spark.sources.table import ParquetTable
 
 
@@ -423,8 +424,8 @@ class SnapshotTable:
         schema_json = m.get("schema")
         if not kept:
             if schema_json is not None:
-                df = self.spark.createDataFrame(
-                    [], StructType.fromJson(schema_json)
+                df = local_rows_df(
+                    self.spark, [], StructType.fromJson(schema_json)
                 )
             else:
                 df = self.spark.read.parquet(
@@ -1788,6 +1789,7 @@ class SnapshotTable:
             rows.append(
                 (m["version"], m["parent"], m["op"], n_files, m["n_rows"])
             )
-        return self.spark.createDataFrame(
-            rows, "version int, parent int, op string, n_files int, n_rows bigint"
+        return local_rows_df(
+            self.spark, rows,
+            "version int, parent int, op string, n_files int, n_rows bigint",
         ).orderBy(F.col("version"))

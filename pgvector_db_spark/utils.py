@@ -73,6 +73,31 @@ def ensure_min_parallelism(df):
     return df
 
 
+def local_rows_df(spark: SparkSession, rows, schema, slice_rows: int = 100_000):
+    """``spark.createDataFrame`` over driver-local rows with a BOUNDED
+    slice count (r14, guide §4 "the Python boundary").
+
+    ``createDataFrame(list, schema)`` parallelizes the rows into
+    ``defaultParallelism`` slices no matter how few rows there are, and
+    EVERY action over the frame then pays one full Python-worker round
+    trip per slice (~120 ms each, measured): a 4-row frame on local[32]
+    costs ~4 s to write through a single ``coalesce(1)`` task (32
+    sequential worker round trips) and ~0.5 s per parallel action — the
+    hidden fixed cost of every tiny driver-built frame (centroid
+    tables, audit rows, streamed-result re-frames). Slicing by
+    ``slice_rows`` instead gives tiny frames ONE slice (one ~120 ms
+    round trip, measured 0.27 s for the same write) while a genuinely
+    large local collection still splits. Row conversion runs the same
+    schema converter as the list form — rows, schema and null handling
+    are identical (pinned in tests/test_utils_parallelism.py).
+    """
+    rows = rows if isinstance(rows, list) else list(rows)
+    n_slices = max(1, -(-len(rows) // slice_rows))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, n_slices), schema
+    )
+
+
 def download_model(
     model_name: str,
     save_path: str,

@@ -649,3 +649,119 @@ def test_sparse_index_search_prunes_and_matches_scan(
     )
     pushed = [seg.split("]")[0] for seg in plan.split("PushedFilters")[1:]]
     assert any("In(term" in p for p in pushed), pushed
+
+
+def test_prefix_verify_broadcast_stage_shape(spark, tables):
+    """r14 (r13 VERDICT #4): pin the PRE-checkpoint stage plan of the
+    prefix-filter verification join — with broadcast_base=True BOTH
+    per-doc gram attachments must be broadcast hash joins (the pair
+    frame streams map-side; gram arrays never enter a shuffle). The
+    after-plan dumps cannot show this (the operator checkpoints its
+    result), so the pin lives here."""
+    from pgvector_db_spark.operators.dedup import (
+        _join_gram_sets,
+        _word_ngrams,
+    )
+
+    docs = tables["documents"].filter("doc_id < 50")
+    base = docs.select(
+        F.col("doc_id"), _word_ngrams("text", 3).alias("_ng")
+    )
+    cand = docs.selectExpr("doc_id AS id_a", "doc_id + 1 AS id_b")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        hinted = physical_plan(
+            _join_gram_sets(cand, base, "doc_id", broadcast_base=True)
+        )
+        assert hinted.count("BroadcastHashJoin") == 2, hinted
+        plain = physical_plan(
+            _join_gram_sets(cand, base, "doc_id", broadcast_base=False)
+        )
+        assert "BroadcastHashJoin" not in plain, plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_cc_round_single_join_single_shuffle(spark, tables):
+    """r14 (r13 VERDICT #4): pin the PRE-checkpoint plan of one
+    connected-components propagation round — exactly ONE join (the
+    edge⋈labels propagation; the r12 spelling's second prop⋈labels
+    convergence join must stay gone) and exactly one shuffle exchange
+    (the groupBy(id) aggregate; broadcast exchanges excluded)."""
+    from pgvector_db_spark.operators.dedup import _cc_round_frame
+
+    labels = tables["documents"].selectExpr(
+        "doc_id AS id", "doc_id AS component"
+    )
+    edges = tables["documents"].selectExpr(
+        "doc_id AS src", "doc_id + 1 AS dst"
+    )
+    plan = physical_plan(_cc_round_frame(edges, labels))
+    n_joins = sum(
+        plan.count(j)
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+    assert n_joins == 1, plan
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles <= 2, plan  # join-key exchanges only; no extra pass
+
+
+def test_pagerank_bucketed_iteration_no_shuffle(spark, tables, tmp_path):
+    """r14: with the edge table bucketed on ``dst``, one PageRank
+    iteration (broadcast rank join -> contribution groupBy) plans with
+    ZERO shuffle exchanges — the scan's HashPartitioning(dst) flows
+    through the broadcast join and the dst->node alias into the
+    aggregate (sources/bucketed.py; ds_pagerank_partsupp_bucketed)."""
+    from pgvector_db_spark.sources.bucketed import write_bucketed
+
+    edges = tables["documents"].selectExpr(
+        "CAST(doc_id % 40 AS STRING) AS src",
+        "CAST(doc_id % 97 AS STRING) AS dst",
+    )
+    write_bucketed(
+        edges, "pr_edges_plan_t", str(tmp_path / "e"), ["dst"], num_buckets=4
+    )
+    try:
+        eb = spark.table("pr_edges_plan_t")
+        # shuffle-free rank state (the real loop's state is a
+        # checkpointed frame, likewise exchange-free)
+        state = spark.range(40).selectExpr(
+            "CAST(id AS STRING) AS node", "CAST(1.0 AS DOUBLE) AS rank",
+            "CAST(2 AS BIGINT) AS outdeg",
+        )
+        contribs = eb.join(
+            F.broadcast(state), eb["src"] == state["node"]
+        ).select(
+            F.col("dst").alias("node"),
+            F.floor(F.col("rank") / F.col("outdeg") * F.lit(1e12) + F.lit(0.5))
+            .cast("bigint")
+            .alias("c"),
+        )
+        summed = contribs.groupBy("node").agg(F.sum("c").alias("s"))
+        plan = physical_plan(summed)
+        shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+        assert shuffles == 0, plan
+        assert "Bucketed: true" in plan, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pr_edges_plan_t")
+
+
+def test_bloom_bitmap_is_single_literal(spark, tables):
+    """r14: the Bloom bitmap must ride the plan as ONE binary Literal —
+    the old CreateArray-of-4096-words spelling made every referencing
+    plan ~170 KB and re-analyzed ~12k expression nodes per streaming
+    micro-batch. A 1<<17-bit predicate's filter plan must stay small
+    and carry the conv(hex(substring(...))) word reads."""
+    from pgvector_db_spark.operators.dedup import build_gram_bloom
+
+    ev = tables["documents"].filter("doc_id % 97 = 0")
+    ev_post, might = build_gram_bloom(ev, n=3)
+    flt = ev_post.filter(might(F.col("_g")))
+    plan = physical_plan(flt)
+    assert "conv(hex(substring(" in plan, plan[:2000]
+    assert len(plan) < 60_000, (
+        f"bloom filter plan ballooned to {len(plan)} chars"
+    )
+    # no false negatives: every eval gram passes its own bitmap
+    assert flt.count() == ev_post.count()

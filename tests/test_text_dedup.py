@@ -1017,3 +1017,88 @@ def test_cc_propagate_changed_count_and_schema(spark):
         (20, 20), (21, 20), (22, 20), (23, 20),
     }
     assert got == want
+
+
+def test_per_doc_tf_wide_fallback_equivalent(tables):
+    """r14 (r13 VERDICT #1): above _PER_DOC_TF_MAX_TERMS query terms
+    _per_doc_tf falls back to the explode spelling — the two paths must
+    return identical (tf multiset, n_docs, sum_dl, df_by_term) at a
+    large synthetic term set, including zero-df terms."""
+    import pgvector_db_spark.operators.text_search as ts
+
+    docs = tables["documents"]
+    vocab = [
+        r["t"]
+        for r in docs.select(
+            F.explode(ts.tokens_col(F.col("text"))).alias("t")
+        )
+        .groupBy("t")
+        .count()
+        .orderBy(F.desc("count"), "t")
+        .limit(ts._PER_DOC_TF_MAX_TERMS + 20)
+        .collect()
+    ]
+    terms = vocab + ["zz_never_in_corpus_1", "zz_never_in_corpus_2"]
+    assert len(terms) > ts._PER_DOC_TF_MAX_TERMS
+
+    wide = ts._per_doc_tf(docs, terms, "doc_id", "text")  # explode path
+    old_max = ts._PER_DOC_TF_MAX_TERMS
+    ts._PER_DOC_TF_MAX_TERMS = 10**9
+    try:
+        per_doc = ts._per_doc_tf(docs, terms, "doc_id", "text")
+    finally:
+        ts._PER_DOC_TF_MAX_TERMS = old_max
+
+    def key(res):
+        tf, n, s, dfb = res
+        return (
+            sorted(
+                (r["doc_id"], r["term"], int(r["tf"]), int(r["dl"]))
+                for r in tf.collect()
+            ),
+            n,
+            s,
+            sorted(dfb.items()),
+        )
+
+    kw, kp = key(wide), key(per_doc)
+    assert kw == kp
+    assert kw[3][-1][1] == 0 or any(v == 0 for _, v in kw[3]), (
+        "zero-df sentinel terms must appear with df=0"
+    )
+
+
+def test_bm25_batch_wide_vocabulary_matches_per_doc(tables):
+    """End-to-end: a batch whose union vocabulary exceeds the threshold
+    (explode path) must score identically to the per-doc path forced
+    over the same batch."""
+    import pgvector_db_spark.operators.text_search as ts
+
+    docs = tables["documents"]
+    vocab = [
+        r["t"]
+        for r in docs.select(
+            F.explode(ts.tokens_col(F.col("text"))).alias("t")
+        )
+        .groupBy("t")
+        .count()
+        .orderBy(F.desc("count"), "t")
+        .limit(ts._PER_DOC_TF_MAX_TERMS + 8)
+        .collect()
+    ]
+    step = max(1, len(vocab) // 4)
+    queries = [
+        (qid, vocab[qid * step:(qid + 1) * step] or vocab[:1])
+        for qid in range(4)
+    ]
+    assert len({t for _, ts_ in queries for t in ts_}) > 4
+
+    wide_queries = queries + [(9, vocab)]  # force union > threshold
+    got = ts.bm25_batch_topk(docs, wide_queries, k=5).collect()
+    old_max = ts._PER_DOC_TF_MAX_TERMS
+    ts._PER_DOC_TF_MAX_TERMS = 10**9
+    try:
+        want = ts.bm25_batch_topk(docs, wide_queries, k=5).collect()
+    finally:
+        ts._PER_DOC_TF_MAX_TERMS = old_max
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]

@@ -1,5 +1,6 @@
 """Capture .explain('formatted') for a list of registered queries into
-plans/r13/<name>_<suffix>.txt — the optimization-round evidence files.
+plans/$SPARK_GRAFT_PLAN_DIR/<name>_<suffix>.txt (default plans/r13) —
+the optimization-round evidence files.
 
 Usage: python tools/capture_plans.py <suffix> [sf_dir] [name ...]
 Defaults to the round-13 optimization target set.
@@ -46,7 +47,12 @@ def main() -> int:
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     names = sys.argv[3:] or DEFAULT
     spark = get_spark("capture_plans")
-    outdir = Path(__file__).resolve().parent.parent / "plans" / "r13"
+    import os
+    outdir = (
+        Path(__file__).resolve().parent.parent
+        / "plans"
+        / os.environ.get("SPARK_GRAFT_PLAN_DIR", "r13")
+    )
     outdir.mkdir(parents=True, exist_ok=True)
     for name in names:
         try:
