@@ -105,7 +105,15 @@ def bradley_terry_from_pairs(
     # One scalar: the only driver-side value (also materializes stats).
     n_items = stats.count()
     small = n_items <= broadcast_max_items
-    p = stats.select("item", F.lit(P0).cast("bigint").alias("p"))
+    # r14 (the r13 pagerank outdeg-in-state pattern): wins/games ride
+    # INSIDE the strength state, so each iteration's update joins the
+    # contribution sum against ONE broadcast state frame instead of
+    # stats ⋈ s ⋈ p_old (two joins), and the final wins/games
+    # re-attachment join disappears — same doubles into the same grid
+    # floor, so strengths are bitwise unchanged.
+    p = stats.select(
+        "item", "wins", "games", F.lit(P0).cast("bigint").alias("p")
+    )
     for it in range(iterations):
         p_side = F.broadcast(p) if small else p
         terms = (
@@ -132,10 +140,16 @@ def bradley_terry_from_pairs(
         # Ghost opponent: n=2 games against fixed strength P0, snapped on
         # the same grid as the real pair terms before joining the sum.
         p = (
-            stats.join(s, "item")
-            .join(p_side.select("item", F.col("p").alias("p_old")), "item")
+            s.join(
+                p_side.select(
+                    "item", "wins", "games", F.col("p").alias("p_old")
+                ),
+                "item",
+            )
             .select(
                 "item",
+                "wins",
+                "games",
                 F.floor(
                     F.col("wins") * F.lit(GRID)
                     / (
@@ -160,6 +174,6 @@ def bradley_terry_from_pairs(
         # identical results.
         if (it + 1) < iterations:
             p = p.localCheckpoint(eager=False)
-    return stats.join(p, "item").select(
+    return p.select(
         "item", "wins", "games", F.col("p").alias("strength_micro")
     )
