@@ -202,16 +202,31 @@ def minhash_dedup(
 
 def _word_ngrams(text_col: str, n: int) -> Column:
     """Distinct word-n-gram set of a text column, as a pure expression
-    (whitespace tokens, space-joined n-grams, empty set when < n words)."""
-    toks = tokens(F.col(text_col))
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(grams)
+    (whitespace tokens, space-joined n-grams, empty set when < n words).
+
+    r14: the token array is bound ONCE as a lambda variable (the
+    1-element-array transform trick) — referencing the raw ``split()``
+    expression from inside the position lambda re-evaluates the split
+    PER N-GRAM POSITION (higher-order functions evaluate their whole
+    function subtree per element; subexpression elimination does not
+    hoist across lambda scopes), i.e. O(words²) per document. Measured
+    2-3x on gram extraction at sf0.1 (0.9 -> 0.4 s for the 5000-doc
+    corpus), byte-identical gram sets."""
+
+    def grams_of(t):
+        return F.array_distinct(
+            F.when(
+                F.size(t) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                    lambda i: F.array_join(F.slice(t, i, n), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        )
+
+    return F.element_at(
+        F.transform(F.array(tokens(F.col(text_col))), grams_of), 1
+    )
 
 
 def substring_dup_stats(
