@@ -755,13 +755,20 @@ def test_bloom_bitmap_is_single_literal(spark, tables):
     and carry the conv(hex(substring(...))) word reads."""
     from pgvector_db_spark.operators.dedup import build_gram_bloom
 
+    import re
+
     ev = tables["documents"].filter("doc_id % 97 = 0")
     ev_post, might = build_gram_bloom(ev, n=3)
     flt = ev_post.filter(might(F.col("_g")))
     plan = physical_plan(flt)
-    assert "conv(hex(substring(" in plan, plan[:2000]
-    assert len(plan) < 60_000, (
-        f"bloom filter plan ballooned to {len(plan)} chars"
+    # one binary-literal word read per hash (the bitmap prints as one
+    # hex blob per reference — a single Literal NODE each)
+    assert plan.count("conv(hex(substring(") == 3, plan[:2000]
+    # the old spelling expanded a CreateArray of num_bits/32 integer
+    # literals into the plan — visible as thousands of comma-separated
+    # ints; only the 32-element _POW2 array may remain
+    assert not re.search(r"(?:\d+, ){100,}", plan), (
+        "bloom bitmap expanded as an element-wise array literal"
     )
     # no false negatives: every eval gram passes its own bitmap
     assert flt.count() == ev_post.count()
