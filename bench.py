@@ -652,6 +652,7 @@ CORE_KEYS = [
         "ivf_recall_at_10_nprobe4",
         "ivf_recall_at_10_nprobe6",
         "pagerank_3iter_ms",
+        "pagerank_bucketed_3iter_ms",
         "bpe_train4_ms",
         "dsir_importance_ms",
         "prefix_filter_join_ms",
